@@ -1,0 +1,45 @@
+"""Query registry: the engine's public query surface.
+
+Every operator/query the engine claims is registered here with
+ - a Spark builder ``(spark, sf_dir) -> DataFrame`` (the real implementation),
+ - optionally an ANSI-SQL oracle string DuckDB can run over the same parquet
+   tables, used by the correctness harness (row count + schema +
+   order-insensitive value hash).
+
+Column names are aliased identically on both sides — the comparison sorts
+columns by name before hashing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+#: name -> spec; populated at import time by the query modules.
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator registering a query builder under ``name``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = QuerySpec(name, fn, oracle, fn.__doc__ or "", tuple(tags))
+        return fn
+
+    return deco
