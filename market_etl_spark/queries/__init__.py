@@ -1,0 +1,14 @@
+"""Query surface package.
+
+Importing this package populates :data:`market_etl_spark.queries.registry.REGISTRY`
+with every query the engine claims — the driver contract (``__spark_entry__.py``)
+and the bench both read the registry, so registration must not depend on callers
+knowing which modules to import.
+"""
+
+from __future__ import annotations
+
+from . import corpus  # noqa: F401  (imports register queries)
+from .registry import REGISTRY, QuerySpec, query
+
+__all__ = ["REGISTRY", "QuerySpec", "query"]

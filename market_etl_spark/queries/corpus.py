@@ -3,9 +3,9 @@ driver testdata tables (mapping per FIXTURES.md §F3).
 
 Each query preserves the *operator shape* of its reference counterpart
 (file:line cited per query, into /root/reference/) while running on the
-TPC-H-ish tables so the DuckDB oracle can verify it. The same operators are
-also exposed over the real ``trades_binance`` table in
-:mod:`market_etl_spark.queries.trades`.
+TPC-H-ish tables so the DuckDB oracle can verify it. The same operators
+are also exposed over a generated ``trades_binance`` partitioned table in
+:mod:`market_etl_spark.queries.trades` (sketch-based production variants).
 
 Scale notes (100 TB posture):
  - every aggregate is a hash aggregate with map-side partial aggregation —
@@ -178,7 +178,7 @@ def q3_order_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(hour(ts) AS INT) AS hour_utc,
            COUNT(*) AS event_count,
-           ROUND(SUM(value) / 1000000.0, 10) AS volume_millions,
+           ROUND(SUM(value) / 1000000.0, 6) AS volume_millions,
            ROUND(AVG(value), 6) AS avg_value
     FROM events
     GROUP BY event_type, CAST(hour(ts) AS INT)
@@ -194,7 +194,7 @@ def q4_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy("event_type", F.hour("ts").cast("int").alias("hour_utc"))
         .agg(
             F.count("*").alias("event_count"),
-            F.round(F.sum("value") / 1000000.0, 10).alias("volume_millions"),
+            F.round(F.sum("value") / 1000000.0, 6).alias("volume_millions"),
             round6(F.avg("value")).alias("avg_value"),
         )
         .orderBy("event_type", "hour_utc")
@@ -284,8 +284,9 @@ def q6_full_outer_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ref Q6 (sql/athena_sample_queries.sql:131-152): one minute-VWAP
     aggregation fanned into three filtered branches and FULL-OUTER-joined
     on minute (NULL-padded where a series is missing). The shared
-    aggregation is cached so the CTE is computed once, mirroring the
-    reference's single-CTE shape. (The pivot form of this query is
+    aggregation is cached so the CTE is computed once — without the cache
+    Spark would rescan events and re-aggregate once per branch (3 full
+    fact-table scans at 100 TB). (The pivot form of this query is
     :func:`q6_pivot_align` — idiomatic Spark, one shuffle, no join.)
     """
     mp = (
@@ -296,6 +297,7 @@ def q6_full_outer_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", F.date_trunc("minute", "ts").alias("minute"))
         .agg(round6(vwap(F.col("value"), F.col("qty"))).alias("vwap_value"))
+        .cache()
     )
     c = mp.filter(F.col("event_type") == "click").select(
         F.col("minute").alias("c_minute"), F.col("vwap_value").alias("click_vwap")

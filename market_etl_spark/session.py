@@ -34,6 +34,11 @@ RUNTIME_CONF = {
     # Dynamic partition overwrite: re-running the ETL for one (y,m,d,symbol)
     # slice must not truncate sibling partitions at 100 TB scale.
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # The driver testdata writes events.ts as INT64 TIMESTAMP(NANOS), which
+    # Spark's Parquet reader otherwise rejects (PARQUET_TYPE_ILLEGAL). With
+    # this flag nanos columns arrive as LongType nanoseconds; tables.load
+    # converts back to TimestampType losslessly (integer div to micros).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

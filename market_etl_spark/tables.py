@@ -9,6 +9,8 @@ no caching, no repartitioning here; the plan decides.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from .schemas import TESTDATA_TABLES
 from .session import apply_runtime_conf
@@ -20,7 +22,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table {name!r}; expected one of {TESTDATA_TABLES}")
     apply_runtime_conf(spark)
-    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # events.ts is INT64 TIMESTAMP(NANOS) on disk; with nanosAsLong it
+        # reads as nanosecond longs. Integer-divide to micros (exact — no
+        # double round-trip) and restore TimestampType so query semantics
+        # match the DuckDB oracle, which reads the file natively as
+        # TIMESTAMP_NS.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_all(spark: SparkSession, sf_dir: str) -> None:

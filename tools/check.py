@@ -1,0 +1,116 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry from ``__spark_entry__`` at a scale factor
+and compares against its ``oracle_sql()`` DuckDB result:
+row count, column names/order-insensitive schema, and an
+order-insensitive value comparison (columns sorted by name, rows sorted).
+
+Usage:  python tools/check.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # driver hashes values; rounding discipline lives in the queries
+        return round(v, 9)
+    if isinstance(v, (list, tuple)):
+        return tuple(canon(x) for x in v)
+    return str(v)
+
+
+def rowkey(row, cols_sorted, colidx):
+    return tuple(repr(canon(row[colidx[c]])) for c in cols_sorted)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    import __spark_entry__ as ent
+    from market_etl_spark.session import get_spark
+
+    spark = get_spark("check")
+    qs = ent.queries()
+    oracles = ent.oracle_sql()
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    n_pass = n_fail = n_rowsonly = 0
+    for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            spark_rows = sdf.collect()
+            spark_cols = sdf.columns
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            status = "ROWS " if len(spark_rows) >= 0 else "FAIL"
+            print(f"{status} {name}: rows-only, {len(spark_rows)} rows ({dt:.1f}s)")
+            n_rowsonly += 1
+            continue
+        try:
+            ores = con.execute(oracles[name])
+            ocols = [d[0] for d in ores.description]
+            orows = ores.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle error: {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+
+        problems = []
+        if len(spark_rows) != len(orows):
+            problems.append(f"rowcount spark={len(spark_rows)} oracle={len(orows)}")
+        if sorted(spark_cols) != sorted(ocols):
+            problems.append(f"schema spark={sorted(spark_cols)} oracle={sorted(ocols)}")
+        if not problems:
+            cs = sorted(spark_cols)
+            sidx = {c: i for i, c in enumerate(spark_cols)}
+            oidx = {c: i for i, c in enumerate(ocols)}
+            skeys = sorted(rowkey(r, cs, sidx) for r in spark_rows)
+            okeys = sorted(rowkey(r, cs, oidx) for r in orows)
+            if skeys != okeys:
+                ndiff = sum(1 for a, b in zip(skeys, okeys) if a != b)
+                problems.append(f"values differ ({ndiff} row positions)")
+                for a, b in zip(skeys, okeys):
+                    if a != b:
+                        print(f"   spark : {a}\n   oracle: {b}")
+                        break
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)} ({dt:.1f}s)")
+            n_fail += 1
+        else:
+            print(f"pass  {name}: {len(spark_rows)} rows ({dt:.1f}s)")
+            n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
