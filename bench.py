@@ -1,0 +1,63 @@
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line:
+
+    {"metric": "corpus_wall_sec", "value": N, "unit": "sec",
+     "queries": {"q1_...": sec, ...}, "sf": 0.1}
+
+Timings are end-to-end per query (plan build + execute + collect), after
+one untimed warm-up of the session (JVM + parquet footer caches), which is
+how the reference's Athena numbers are reported (warm metastore).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from market_etl_spark.queries import REGISTRY
+    from market_etl_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm-up: tiny action so JVM startup isn't billed to the first query.
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name, spec in sorted(REGISTRY.items()):
+        t0 = time.perf_counter()
+        try:
+            n = spec.fn(spark, sf_dir).count()
+        except Exception as e:  # a broken query must not kill the bench
+            print(f"# {name} ERROR {type(e).__name__}: {e}", file=sys.stderr)
+            continue
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "corpus_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

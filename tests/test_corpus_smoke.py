@@ -1,0 +1,44 @@
+"""One smoke per registered query at sf0.001: runs, returns rows, stable schema.
+
+The full value-level oracle comparison is the driver's job (and
+``tools/check.py`` locally); these keep the suite fast while still
+executing every registered plan end-to-end.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from market_etl_spark.queries import REGISTRY
+
+from conftest import SF_SMOKE
+
+#: Queries allowed to return 0 rows at the tiny smoke scale factor.
+MAY_BE_EMPTY: set[str] = set()
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_smoke(spark, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, SF_SMOKE)
+    rows = df.collect()
+    assert df.columns, name
+    if name not in MAY_BE_EMPTY:
+        assert len(rows) > 0, f"{name} returned no rows at sf0.001"
+
+
+def test_registry_oracle_coverage():
+    """Every query either carries an oracle or is explicitly tagged rows-only."""
+    for name, spec in REGISTRY.items():
+        assert spec.oracle or "rows-only" in spec.tags, name
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as ent
+
+    df = ent.entry(spark)
+    assert len(df.collect()) > 0
+    qs = ent.queries()
+    osql = ent.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert len(qs) >= 13
