@@ -1,0 +1,98 @@
+"""Data-quality metrics (SURVEY.md §2.11 / §5).
+
+The reference computes its drop-rate report with two extra ``count()``
+actions and three ``show()``s — five recomputations of the full
+scan+filter lineage (jobs/etl/glue_spark_trades_etl.py:121-188). At
+100 TB that is five full fact-table scans. Here the same metrics ride
+the *one* pass the job already makes, via ``DataFrame.observe``:
+accumulator-style aggregates collected as a side effect of the write.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import functions as F
+
+from .functions import count_if, safe_div
+
+
+@dataclass
+class DqResult:
+    """A filtered DataFrame plus a pending single-pass metrics observation.
+
+    ``metrics()`` is valid only after an action has run on ``df``
+    (the ETL's partitioned write is that action).
+    """
+
+    df: DataFrame
+    observation: Observation
+
+    def metrics(self) -> dict:
+        m = dict(self.observation.get)
+        m["removed_rows"] = m["initial_rows"] - m["kept_rows"]
+        m["pct_removed"] = (
+            100.0 * m["removed_rows"] / m["initial_rows"] if m["initial_rows"] else 0.0
+        )
+        return m
+
+
+def filter_with_metrics(df: DataFrame, predicate: Column, name: str = "dq") -> DqResult:
+    """Apply a DQ filter while observing initial/kept counts in the same
+    pass (replaces the reference's before/after ``count()`` pair,
+    glue_spark_trades_etl.py:121,174-176)."""
+    obs = Observation(name)
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("initial_rows"),
+        count_if(predicate).cast("long").alias("kept_rows"),
+    )
+    return DqResult(df=observed.filter(predicate), observation=obs)
+
+
+def drop_rate_report(df: DataFrame, predicate: Column) -> DataFrame:
+    """A1 as a declarative single-pass aggregate: initial/kept/removed/pct.
+
+    Unlike :func:`filter_with_metrics` (side-channel, zero extra scans
+    when a write already runs) this returns the metrics AS a DataFrame —
+    the form the correctness oracle can verify.
+    """
+    return df.agg(
+        F.count(F.lit(1)).alias("initial_rows"),
+        count_if(predicate).cast("long").alias("kept_rows"),
+        (F.count(F.lit(1)) - count_if(predicate)).cast("long").alias("removed_rows"),
+        F.round(
+            safe_div(
+                (F.count(F.lit(1)) - count_if(predicate)).cast("double"),
+                F.count(F.lit(1)).cast("double"),
+            )
+            * 100,
+            6,
+        ).alias("pct_removed"),
+    )
+
+
+def dq_audit(df: DataFrame, group_cols: list[str], id_col: str, value_cols: list[str]) -> DataFrame:
+    """The reference's per-partition audit (Q7,
+    sql/athena_sample_queries.sql:162-178): row counts, duplicate
+    detection via COUNT(*)-COUNT(DISTINCT id), and invalid-value counts
+    per value column."""
+    aggs = [
+        F.count(F.lit(1)).alias("row_count"),
+        F.countDistinct(id_col).alias(f"unique_{id_col}"),
+        (F.count(F.lit(1)) - F.countDistinct(id_col)).alias("duplicate_count"),
+    ]
+    for c in value_cols:
+        aggs.append(count_if(F.col(c) <= 0).cast("long").alias(f"invalid_{c}_count"))
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def sanity_summary(df: DataFrame, group_col: str, ts_col: str) -> DataFrame:
+    """Post-load sanity aggregate (sql/athena_create_trades_tales.sql:37-44):
+    per-group row count + min/max timestamp."""
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.min(ts_col).alias("min_ts"),
+        F.max(ts_col).alias("max_ts"),
+    )

@@ -9,6 +9,7 @@ knowing which modules to import.
 from __future__ import annotations
 
 from . import corpus  # noqa: F401  (imports register queries)
+from . import etl_pipeline  # noqa: F401
 from .registry import REGISTRY, QuerySpec, query
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

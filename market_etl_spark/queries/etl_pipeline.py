@@ -1,0 +1,188 @@
+"""End-to-end ETL pipeline parity as a verifiable query.
+
+Materializes a deterministic raw-CSV trades zone from the events table
+(Hive-style ``symbol=/year=/month=`` ingest layout), runs the full ETL
+(S7 scan → P1-P8 transforms → S8 partitioned Parquet → S10/S11 catalog
+DDL + MSCK), then answers a partition-pruned aggregation from the
+registered table. The DuckDB oracle recomputes the same answer straight
+from events — so the hash check covers every hop: CSV round-trip,
+regex partition recovery from paths, epoch-millis timestamp derivation,
+string→bool conversion, the DQ filter, the partitioned write, partition
+discovery, and pruned read-back.
+
+Reference parity: jobs/etl/glue_spark_trades_etl.py:37-205 (the whole
+job), sql/athena_create_trades_tales.sql:5-34, sql/athena_repair_partitions.sql.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import pathlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..etl import run_trades_etl
+from ..functions import count_if, round6, vwap
+from ..tables import load
+from .registry import query
+
+#: Scratch area for materialized fixture zones (gitignored; inside the
+#: repo so nothing outside it is touched).
+SCRATCH = pathlib.Path(__file__).resolve().parent.parent.parent / ".scratch"
+
+#: Fixed load date so runs are deterministic and oracle-checkable.
+FIXED_LOAD_DT = dt.date(2024, 2, 1)
+
+
+def synthetic_raw_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic trades-shaped rows derived from events.
+
+    symbol = UPPER(event_type); time = epoch millis of ts;
+    is_buyer_maker/is_best_match arrive as the strings "True"/"False"
+    exactly like the reference's raw CSVs (glue_spark_trades_etl.py:30-31).
+    """
+    e = load(spark, sf_dir, "events")
+    qty = ((F.col("event_id") % 7) + 1).cast("double")
+    return e.select(
+        F.col("event_id").alias("trade_id"),
+        F.col("value").alias("price"),
+        qty.alias("quantity"),
+        (F.col("value") * qty).alias("quote_qty"),
+        (F.unix_micros(F.col("ts")) / F.lit(1000)).cast("long").alias("time"),
+        F.when(F.col("event_id") % 2 == 0, "True").otherwise("False").alias("is_buyer_maker"),
+        F.when(F.col("event_id") % 3 == 0, "True").otherwise("False").alias("is_best_match"),
+        F.upper("event_type").alias("symbol"),
+        F.year("ts").cast("int").alias("year"),
+        F.month("ts").cast("int").alias("month"),
+    )
+
+
+def materialize_raw_zone(spark: SparkSession, sf_dir: str, zone_dir: str) -> None:
+    """Write the ingest zone: headerless CSV under symbol=/year=/month=
+    directories (the downloader's layout, glue_binance_downloader.py:67-81)."""
+    df = synthetic_raw_trades(spark, sf_dir)
+    (
+        df.write.mode("overwrite")
+        .partitionBy("symbol", "year", "month")
+        .csv(zone_dir)
+    )
+
+
+@query(
+    "q_etl_pipeline_roundtrip",
+    oracle="""
+    WITH trades AS (
+        SELECT event_id AS trade_id,
+               value AS price,
+               CAST(event_id % 7 + 1 AS DOUBLE) AS quantity,
+               value * CAST(event_id % 7 + 1 AS DOUBLE) AS quote_qty,
+               make_timestamp((epoch_us(ts) // 1000) * 1000) AS trade_time,
+               upper(event_type) AS symbol,
+               CAST(year(ts) AS INT) AS year,
+               CAST(month(ts) AS INT) AS month,
+               CAST(day(ts) AS INT) AS day,
+               event_id % 2 = 0 AS is_buyer_maker
+        FROM events
+    )
+    SELECT year, month, day, symbol,
+           COUNT(*) AS trades,
+           ROUND(SUM(quote_qty), 6) AS volume,
+           ROUND(SUM(price * quantity) / NULLIF(SUM(quantity), 0), 6) AS vwap_price,
+           CAST(SUM(CASE WHEN is_buyer_maker THEN 1 ELSE 0 END) AS BIGINT) AS buyer_maker_trades
+    FROM trades
+    WHERE year = 2024 AND month = 1 AND day BETWEEN 10 AND 20
+      AND symbol IN ('CLICK', 'VIEW')
+      AND price > 0 AND quantity > 0
+    GROUP BY year, month, day, symbol
+    ORDER BY year, month, day, symbol
+    """,
+    tags=("etl", "S7", "S8", "S10", "S11", "P1", "P2", "P3", "P5", "P7", "P8", "P9"),
+)
+def q_etl_pipeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV zone → full ETL → catalog table → partition-pruned aggregate.
+
+    The read-back filter hits only partition columns (year/month/day/
+    symbol) so the scan's plan shows real ``PartitionFilters`` — the
+    reference's headline optimization (README.md:124-128) exercised
+    against an actual Hive-partitioned table, not simulated by row-group
+    skipping.
+    """
+    tag = pathlib.Path(sf_dir.rstrip("/")).name.replace(".", "_")
+    zone = SCRATCH / f"raw_zone_{tag}"
+    out = SCRATCH / f"processed_{tag}"
+    table = f"trades_binance_{tag}"
+
+    materialize_raw_zone(spark, sf_dir, str(zone))
+    run_trades_etl(spark, str(zone), str(out), table=table, load_dt=FIXED_LOAD_DT)
+
+    t = spark.table(table)
+    pruned = t.filter(
+        (F.col("year") == 2024)
+        & (F.col("month") == 1)
+        & F.col("day").between(10, 20)
+        & F.col("symbol").isin("CLICK", "VIEW")
+    )
+    return (
+        pruned.groupBy("year", "month", "day", "symbol")
+        .agg(
+            F.count("*").alias("trades"),
+            round6(F.sum("quote_qty")).alias("volume"),
+            round6(vwap(F.col("price"), F.col("quantity"))).alias("vwap_price"),
+            count_if(F.col("is_buyer_maker")).cast("long").alias("buyer_maker_trades"),
+        )
+        .orderBy("year", "month", "day", "symbol")
+    )
+
+
+@query(
+    "q_quality_drop_rate",
+    oracle="""
+    WITH t AS (
+        SELECT CAST(1900 + event_id % 200 AS INT) AS y,
+               CAST(1 + event_id % 12 AS INT) AS m,
+               CAST(1 + event_id % 31 AS INT) AS d,
+               value - 100.0 AS val
+        FROM events
+    )
+    SELECT COUNT(*) AS initial_rows,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_rows,
+           CAST(COUNT(*) - SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS removed_rows,
+           ROUND((COUNT(*) - SUM(CASE WHEN keep THEN 1 ELSE 0 END)) * 100.0
+                 / NULLIF(COUNT(*), 0), 6) AS pct_removed
+    FROM (
+        SELECT val IS NOT NULL AND val > 0 AND (
+          (
+            (m IN (1, 3, 5, 7, 8, 10, 12) AND d <= 31)
+            OR (m IN (4, 6, 9, 11) AND d <= 30)
+            OR (m = 2 AND (
+                 (((y % 4 = 0 AND y % 100 <> 0) OR y % 400 = 0) AND d <= 29)
+                 OR (NOT ((y % 4 = 0 AND y % 100 <> 0) OR y % 400 = 0) AND d <= 28)))
+          ) AND d >= 1
+        ) AS keep
+        FROM t
+    )
+    """,
+    tags=("quality", "A1", "rows-only-equivalent"),
+)
+def q_quality_drop_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — the drop-rate report (initial/kept/removed/pct) as ONE pass:
+    a conditional aggregate instead of the reference's before/after
+    ``count()`` pair (glue_spark_trades_etl.py:121-177). The ETL job
+    itself uses the zero-extra-pass ``observe`` variant
+    (:func:`market_etl_spark.quality.filter_with_metrics`)."""
+    from ..functions import valid_calendar_date
+    from ..quality import drop_rate_report
+
+    e = load(spark, sf_dir, "events").select(
+        (F.lit(1900) + F.col("event_id") % 200).cast("int").alias("y"),
+        (F.lit(1) + F.col("event_id") % 12).cast("int").alias("m"),
+        (F.lit(1) + F.col("event_id") % 31).cast("int").alias("d"),
+        (F.col("value") - 100.0).alias("val"),
+    )
+    pred = (
+        F.col("val").isNotNull()
+        & (F.col("val") > 0)
+        & valid_calendar_date(F.col("y"), F.col("m"), F.col("d"))
+    )
+    return drop_rate_report(e, pred)
