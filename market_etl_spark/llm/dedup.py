@@ -1,0 +1,294 @@
+"""Deduplication: exact, MinHash-LSH, prefix-filtered n-gram Jaccard,
+and SimHash.
+
+Scale posture (the whole point of these implementations):
+ - exact dedup shuffles 64-char digests, not document bodies;
+ - MinHash-LSH generates candidates by *banded bucket join* — cost is
+   O(sum of bucket-pair sizes), never all-pairs;
+ - the n-gram Jaccard path uses prefix filtering (Chaudhuri/Xiao
+   ssjoin/ppjoin): an inverted-index join on each document's smallest
+   (1-t)·|S|+1 shingles under a global order — provably no false
+   negatives, so exact results without a cross join;
+ - SimHash bands its 64-bit signature into 4×16-bit keys (any pair at
+   Hamming distance ≤3 shares at least one intact band — pigeonhole).
+
+All signatures are built-in higher-order expressions over xxhash64 —
+JVM-side, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import content_hash
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per distinct text; adds ``dup_count``.
+
+    One hash-partitioned shuffle keyed on the sha256 digest. The window
+    + filter form (vs ``dropDuplicates``) keeps the kept-row rule
+    deterministic (min id), which a re-run or an oracle can reproduce.
+    """
+    w = Window.partitionBy(content_hash(text_col)).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("dup_count", F.count(F.lit(1)).over(Window.partitionBy(content_hash(text_col))))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def with_minhash_signature(
+    df: DataFrame, shingle_col: str = "sh", k: int = 64, out_col: str = "sig"
+) -> DataFrame:
+    """k-permutation MinHash signature: perm j is xxhash64 salted with j;
+    the signature element is the min over the shingle set. One pass,
+    no shuffle; E[matching fraction] = Jaccard similarity."""
+    return df.withColumn(
+        out_col,
+        F.expr(
+            f"transform(sequence(0, {k - 1}), "
+            f"j -> array_min(transform({shingle_col}, s -> xxhash64(j, s))))"
+        ),
+    )
+
+
+def with_band_keys(
+    df: DataFrame,
+    shingle_col: str = "sh",
+    bands: int = 16,
+    rows: int = 4,
+    out_col: str = "band_keys",
+) -> DataFrame:
+    """LSH banding: hash each r-permutation slice of the MinHash
+    signature to one key. Two docs collide in band b iff their
+    signatures agree on that whole slice; P[candidate] = 1-(1-J^r)^b —
+    a sharp S-curve around (1/b)^(1/r) ≈ 0.5 for (16,4).
+
+    Band keys are computed straight from the shingle set (each band
+    evaluates only its own r permutations) rather than slicing a
+    signature column: Catalyst's projection collapse would substitute
+    the full k-perm signature expression into every band — a bands×
+    expression blowup that turns 1.6M hash evals into 26M.
+    """
+    return df.withColumn(
+        out_col,
+        F.expr(
+            f"transform(sequence(0, {bands - 1}), "
+            f"b -> xxhash64(b, transform(sequence(b * {rows}, b * {rows} + {rows - 1}), "
+            f"j -> array_min(transform({shingle_col}, s -> xxhash64(j, s))))))"
+        ),
+    )
+
+
+def _bucket_pairs(exploded: DataFrame, id_col: str) -> DataFrame:
+    """(id, band, key) rows → distinct candidate pairs (id_a < id_b).
+
+    GroupBy-bucket + in-bucket pair expansion instead of a self-join:
+    the input lineage is scanned ONCE (a self-join would recompute the
+    signature expressions for each side), one shuffle on (band, key),
+    and the pair blow-up is bounded by bucket sizes — LSH's contract.
+    """
+    buckets = (
+        exploded.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(ids) - 1), "
+                "i -> transform(slice(ids, i + 1, size(ids) - i), "
+                "p -> struct(element_at(ids, i) as id_a, p as id_b))))"
+            )
+        ).alias("pair")
+    )
+    return pairs.select("pair.id_a", "pair.id_b").distinct()
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "sh",
+    bands: int = 16,
+    rows: int = 4,
+) -> DataFrame:
+    """Banded bucket candidates → distinct unordered pairs (a < b).
+
+    The band index is exploded FIRST and each band's key computed in the
+    post-explode projection: a `Generate` over the full nested-lambda
+    signature expression falls out of whole-stage codegen and runs
+    interpreted (~20× slower measured); explode-then-project keeps the
+    hashing inside codegen and each row computes only its own band's
+    r permutations.
+    """
+    exploded = docs.select(
+        F.col(id_col),
+        F.col(shingle_col),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).select(
+        F.col(id_col),
+        F.col("band"),
+        F.expr(
+            f"xxhash64(band, transform(sequence(band * {rows}, band * {rows} + {rows - 1}), "
+            f"j -> array_min(transform({shingle_col}, s -> xxhash64(j, s)))))"
+        ).alias("key"),
+    )
+    return _bucket_pairs(exploded, id_col)
+
+
+def verify_jaccard(
+    candidates: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "sh",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs only: join the two shingle sets
+    back and compute |∩|/|∪| with array built-ins. LSH (probabilistic)
+    proposes; this (exact) disposes — output has no false positives."""
+    sets_ = docs.select(F.col(id_col), F.col(shingle_col))
+    out = (
+        candidates.join(
+            sets_.select(
+                F.col(id_col).alias("id_a"), F.col(shingle_col).alias("_sh_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sets_.select(
+                F.col(id_col).alias("id_b"), F.col(shingle_col).alias("_sh_b")
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
+                / F.size(F.array_union("_sh_a", "_sh_b")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "sh",
+    threshold: float = 0.8,
+    k: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+) -> DataFrame:
+    """The full MinHash-LSH near-dup pipeline: signature → bands →
+    bucket-join candidates → exact-Jaccard verify ≥ threshold."""
+    cands = lsh_candidate_pairs(docs, id_col, shingle_col, bands=bands, rows=rows)
+    return verify_jaccard(cands, docs, id_col, shingle_col, threshold)
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact n-gram Jaccard join
+# ---------------------------------------------------------------------------
+def prefix_filter_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "sh",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT similarity self-join without a cross join.
+
+    Order every shingle set by a global order (md5); index each doc on
+    its first ``|S| - ceil(t*|S|) + 1`` shingles. Any pair with
+    J ≥ t must share an indexed prefix shingle (prefix-filter
+    principle), so the inverted-index join loses nothing; the exact
+    verify then removes false candidates. Deterministic — safe for a
+    hash-checked oracle (the oracle can brute-force the same answer).
+    """
+    t = threshold
+    prefixed = docs.select(
+        F.col(id_col),
+        F.expr(f"array_sort(transform({shingle_col}, s -> md5(s)))").alias("_ordered"),
+    ).select(
+        F.col(id_col),
+        F.expr(
+            f"slice(_ordered, 1, size(_ordered) - cast(ceil({t} * size(_ordered)) as int) + 1)"
+        ).alias("_prefix"),
+    )
+    inv = prefixed.select(F.col(id_col), F.explode("_prefix").alias("tok"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    cands = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return verify_jaccard(cands, docs, id_col, shingle_col, threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def with_simhash(df: DataFrame, words_col: str = "toks", out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash over the distinct token set: bit j is the sign of
+    the sum of ±1 votes from bit j of each token's xxhash64. Two
+    near-identical token multisets differ in few bits (small Hamming
+    distance). Pure higher-order expressions, one pass."""
+    hashes = f"transform(array_distinct({words_col}), t -> xxhash64(t))"
+    votes = (
+        f"transform(sequence(0, 63), j -> aggregate({hashes}, 0L, "
+        f"(acc, h) -> acc + CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END))"
+    )
+    # Pack by folding over the votes array with an index-carrying struct
+    # accumulator — element_at(votes, j) inside a lambda would re-evaluate
+    # the whole votes expression once per bit (64× blowup).
+    pack = (
+        f"aggregate({votes}, struct(cast(0 as bigint) as acc, 0 as j), "
+        f"(st, v) -> struct(CASE WHEN v > 0 THEN st.acc | shiftleft(cast(1 as bigint), st.j) "
+        f"ELSE st.acc END as acc, st.j + 1 as j), st -> st.acc)"
+    )
+    return df.withColumn(out_col, F.expr(pack))
+
+
+def simhash_near_dup_pairs(
+    docs_with_simhash: DataFrame,
+    id_col: str = "doc_id",
+    simhash_col: str = "simhash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Candidate pairs at Hamming ≤ max_hamming via 4×16-bit banding
+    (pigeonhole: ≤3 differing bits cannot hit all 4 bands), verified
+    with bit_count(xor)."""
+    banded = docs_with_simhash.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+        F.col(simhash_col),
+    ).select(
+        F.col(id_col),
+        "band",
+        F.expr(f"shiftright({simhash_col}, band * 16) & 65535").alias("key"),
+    )
+    cands = _bucket_pairs(banded, id_col)
+    sims = docs_with_simhash.select(F.col(id_col), F.col(simhash_col))
+    return (
+        cands.join(
+            sims.select(F.col(id_col).alias("id_a"), F.col(simhash_col).alias("_ha")), "id_a"
+        )
+        .join(
+            sims.select(F.col(id_col).alias("id_b"), F.col(simhash_col).alias("_hb")), "id_b"
+        )
+        .withColumn("hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,177 @@
+"""Text analysis: tokenization, shingling, language ID, quality scoring,
+token counting, document fingerprinting.
+
+Each operator has two renderings kept in lockstep: a Spark Column
+builder (built-in expressions only — JVM-side, codegen-friendly) and an
+ANSI-SQL fragment the DuckDB oracle runs; unit + oracle checks pin them
+together. All per-document work is embarrassingly parallel — no
+shuffle, scales linearly with input splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Stopword lists for the n-gram/stopword language-ID heuristic.
+#: Deterministic tie-break order: en > de > es > fr.
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "for", "on"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "es": ("el", "la", "que", "y", "en", "un", "es", "se", "no", "los"),
+    "fr": ("le", "et", "les", "des", "une", "dans", "est", "pour", "que", "ce"),
+}
+
+#: "BPE-ish" token pattern: letter runs, digit runs, single punctuation.
+TOKEN_REGEX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+# ---------------------------------------------------------------------------
+# Tokenization / shingling
+# ---------------------------------------------------------------------------
+def words(text_col: str = "text") -> Column:
+    """Whitespace word split (lowercased)."""
+    return F.split(F.lower(F.col(text_col)), " ")
+
+
+def shingles(words_col: str = "toks", n: int = 3) -> Column:
+    """Distinct n-word shingles via higher-order array functions —
+    the unit of near-duplicate comparison (word-level sets are useless
+    on small vocabularies; n-grams are discriminative)."""
+    parts = ", ".join(f"element_at({words_col}, i + {j})" for j in range(n))
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size({words_col}) - {n - 1}, 0)), "
+        f"i -> concat_ws(' ', {parts})))"
+    )
+
+
+def shingles_sql(words_expr: str = "w", n: int = 3) -> str:
+    """DuckDB rendering of :func:`shingles` (1-based list indexing)."""
+    parts = " || ' ' || ".join(f"{words_expr}[i + {j}]" for j in range(n))
+    return (
+        f"list_distinct([{parts} "
+        f"FOR i IN range(1, greatest(len({words_expr}) - {n - 2}, 1))])"
+    )
+
+
+def bpe_token_count(text_col: str = "text") -> Column:
+    """Token count under the BPE-ish regex (letters / digits / punct).
+
+    Spark SQL string literals process backslash escapes (``\\s`` → ``s``),
+    so the regex is doubled there; DuckDB literals don't, so the oracle
+    uses TOKEN_REGEX verbatim.
+    """
+    sql_regex = TOKEN_REGEX.replace("\\", "\\\\")
+    return F.expr(f"size(regexp_extract_all({text_col}, '{sql_regex}', 0))")
+
+
+BPE_TOKEN_COUNT_SQL = f"len(regexp_extract_all({{col}}, '{TOKEN_REGEX}', 0))"
+
+
+# ---------------------------------------------------------------------------
+# Language identification (stopword-score heuristic)
+# ---------------------------------------------------------------------------
+def _contains_list(lang: str) -> str:
+    return "array(" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + ")"
+
+
+def lang_score(words_col: str, lang: str) -> Column:
+    """Occurrences of ``lang``'s stopwords in the token array."""
+    return F.expr(
+        f"size(filter({words_col}, t -> array_contains({_contains_list(lang)}, t)))"
+    )
+
+
+def predicted_lang(words_col: str = "toks") -> Column:
+    """Argmax of stopword scores with fixed precedence en>de>es>fr."""
+    s = {lang: lang_score(words_col, lang) for lang in STOPWORDS}
+    return (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en")
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+
+
+def lang_score_sql(words_expr: str, lang: str) -> str:
+    lst = "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+    return f"len(list_filter({words_expr}, t -> list_contains({lst}, t)))"
+
+
+def predicted_lang_sql(words_expr: str) -> str:
+    s = {lang: lang_score_sql(words_expr, lang) for lang in STOPWORDS}
+    return f"""CASE
+      WHEN {s['en']} >= {s['de']} AND {s['en']} >= {s['es']} AND {s['en']} >= {s['fr']} THEN 'en'
+      WHEN {s['de']} >= {s['es']} AND {s['de']} >= {s['fr']} THEN 'de'
+      WHEN {s['es']} >= {s['fr']} THEN 'es'
+      ELSE 'fr' END"""
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+def quality_features(text_col: str = "text", words_col: str = "toks") -> dict[str, Column]:
+    """Deterministic per-document quality features: char length, word
+    count, mean word length, stopword ratio, alpha ratio."""
+    n_words = F.size(F.col(words_col))
+    n_chars = F.length(F.col(text_col))
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", ""))
+    stop_hits = lang_score(words_col, "en")
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_words": n_words.cast("long"),
+        "mean_word_len": F.round(
+            (alpha_chars.cast("double") / F.nullif(n_words.cast("double"), F.lit(0.0))), 6
+        ),
+        "stopword_ratio": F.round(
+            stop_hits.cast("double") / F.nullif(n_words.cast("double"), F.lit(0.0)), 6
+        ),
+        "alpha_ratio": F.round(
+            alpha_chars.cast("double") / F.nullif(n_chars.cast("double"), F.lit(0.0)), 6
+        ),
+    }
+
+
+def quality_score(text_col: str = "text", words_col: str = "toks") -> Column:
+    """Composite [0,1] quality score: length component (saturates at 200
+    words) + stopword-presence component + alpha-density component."""
+    n_words = F.size(F.col(words_col)).cast("double")
+    stop_ratio = lang_score(words_col, "en").cast("double") / F.nullif(n_words, F.lit(0.0))
+    alpha_ratio = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", "")).cast(
+        "double"
+    ) / F.nullif(F.length(F.col(text_col)).cast("double"), F.lit(0.0))
+    return F.round(
+        F.least(n_words / F.lit(200.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.3
+        + alpha_ratio * 0.3,
+        6,
+    )
+
+
+def quality_score_sql(text_expr: str, words_expr: str) -> str:
+    n_words = f"len({words_expr})::DOUBLE"
+    stop = lang_score_sql(words_expr, "en")
+    alpha = f"len(regexp_replace({text_expr}, '[^a-zA-Z]', '', 'g'))::DOUBLE"
+    return (
+        f"ROUND(LEAST({n_words} / 200.0, 1.0) * 0.4"
+        f" + LEAST(({stop}::DOUBLE / NULLIF({n_words}, 0.0)) * 5.0, 1.0) * 0.3"
+        f" + ({alpha} / NULLIF(len({text_expr})::DOUBLE, 0.0)) * 0.3, 6)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting
+# ---------------------------------------------------------------------------
+def min_shingle_fingerprint(shingle_col: str = "sh") -> Column:
+    """Document fingerprint: lexicographic-min md5 over the shingle set
+    (a 1-permutation MinHash with a portable hash — identical in any
+    engine with md5). Equal fingerprints ⇒ shared minimal shingle, a
+    cheap first-pass near-dup blocker."""
+    return F.expr(f"array_min(transform({shingle_col}, s -> md5(s)))")
+
+
+def content_hash(text_col: str = "text") -> Column:
+    """Exact-dedup key: sha256 hex of the raw text. Grouping/shuffling
+    on the 64-char digest instead of multi-KB text bodies keeps exact
+    dedup's shuffle narrow at 100 TB."""
+    return F.sha2(F.col(text_col), 256)

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from . import corpus  # noqa: F401  (imports register queries)
 from . import etl_pipeline  # noqa: F401
+from . import llm_corpus  # noqa: F401
 from .registry import REGISTRY, QuerySpec, query
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

@@ -1,0 +1,350 @@
+"""LLM training-data pipeline queries over ``documents`` / ``embeddings``.
+
+Every operator from the LLM pillar registered as a verifiable query.
+Where the computation is expressible in ANSI SQL the entry carries a
+DuckDB oracle (hash-checked); probabilistic/sketch-based operators
+(LSH ANN, SimHash, hyperplane signatures) are registered rows-only and
+get recall/quality assertions in tests/test_llm.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..llm import dedup, multimodal, similarity
+from ..llm.text import (
+    BPE_TOKEN_COUNT_SQL,
+    bpe_token_count,
+    content_hash,
+    lang_score,
+    lang_score_sql,
+    min_shingle_fingerprint,
+    predicted_lang,
+    predicted_lang_sql,
+    quality_score,
+    quality_score_sql,
+    shingles,
+    shingles_sql,
+    words,
+)
+from ..tables import load
+from .registry import query
+
+#: Shared doc preparation: lowercase word tokens + distinct 3-shingles.
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .withColumn("toks", words("text"))
+        .withColumn("sh", shingles("toks", 3))
+    )
+
+
+#: Matching DuckDB CTE.
+_DOCS_SQL = f"""
+    WITH t AS (
+        SELECT doc_id, lang, source, text, n_chars,
+               string_split(lower(text), ' ') AS w
+        FROM documents
+    ), s AS (
+        SELECT *, {shingles_sql('w', 3)} AS sh FROM t
+    )
+"""
+
+_PAIRS_ORACLE = f"""
+    {_DOCS_SQL}
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.8
+    ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+@query(
+    "llm_exact_dedup",
+    oracle="""
+    WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20
+    )
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+    FROM all_docs
+    GROUP BY text
+    ORDER BY doc_id
+    """,
+    tags=("llm", "dedup-exact"),
+)
+def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a content hash. The corpus has no exact dups, so
+    20 clones are planted deterministically (doc_id+1e6); the dedup
+    must keep the original (min id) and count group sizes. The shuffle
+    key is the sha256 digest — 64 bytes/row moves, not document bodies.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 20).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    kept = dedup.exact_dedup(d.unionAll(planted), "text", "doc_id")
+    return kept.select("doc_id", "dup_count").orderBy("doc_id")
+
+
+@query("llm_minhash_near_dup", oracle=_PAIRS_ORACLE, tags=("llm", "dedup-minhash-lsh"))
+def llm_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)-LSH(16×4) banded candidates → exact-Jaccard verify
+    ≥0.8 over 3-word shingles. The oracle brute-forces all pairs; LSH
+    collision probability at J=0.8 is 1-(1-0.8⁴)^16 ≈ 0.9997 and ≈1 at
+    the J≈1 planted dups, so the verified output matches the oracle on
+    this (deterministic) corpus while doing no all-pairs work."""
+    return dedup.minhash_near_dup_pairs(_docs(spark, sf_dir)).orderBy("id_a", "id_b")
+
+
+@query("llm_ngram_jaccard_pairs", oracle=_PAIRS_ORACLE, tags=("llm", "dedup-ngram"))
+def llm_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard self-join ≥0.8 via prefix filtering (ppjoin
+    principle): index only each doc's smallest (1-t)·|S|+1 shingles
+    under the md5 global order — no false negatives, no cross join.
+    Same oracle as the MinHash entry, but this path is exact by
+    construction at any scale (no sketch probability involved)."""
+    return dedup.prefix_filter_pairs(_docs(spark, sf_dir)).orderBy("id_a", "id_b")
+
+
+@query("llm_simhash_near_dup", oracle=None, tags=("llm", "dedup-simhash", "rows-only"))
+def llm_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) near-dup candidates at Hamming ≤ 3 via 4×16-bit
+    banding. xxhash64-based (engine-specific bit patterns) → rows-only
+    check here; recall against the planted near-dups is asserted in
+    tests/test_llm.py."""
+    d = dedup.with_simhash(_docs(spark, sf_dir))
+    return dedup.simhash_near_dup_pairs(d).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+@query(
+    "llm_text_stats",
+    oracle=f"""
+    {_DOCS_SQL}
+    SELECT lang,
+           COUNT(*) AS docs,
+           CAST(SUM({BPE_TOKEN_COUNT_SQL.format(col='text')}) AS BIGINT) AS total_tokens,
+           ROUND(AVG(len(w)), 6) AS avg_words,
+           ROUND(AVG(n_chars), 6) AS avg_chars,
+           ROUND(AVG(len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                     / NULLIF(n_chars::DOUBLE, 0.0)), 6) AS avg_alpha_ratio
+    FROM s
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("llm", "text-stats"),
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics: BPE-ish token totals (regex
+    tokenizer), word/char averages, alpha density. All built-in string
+    expressions — scales as a single narrow scan + tiny aggregate."""
+    d = _docs(spark, sf_dir)
+    alpha_ratio = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast(
+        "double"
+    ) / F.nullif(F.col("n_chars").cast("double"), F.lit(0.0))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(bpe_token_count("text")).cast("long").alias("total_tokens"),
+            F.round(F.avg(F.size("toks")), 6).alias("avg_words"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.round(F.avg(alpha_ratio), 6).alias("avg_alpha_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "llm_lang_id",
+    oracle=f"""
+    {_DOCS_SQL}
+    SELECT lang, {predicted_lang_sql('w')} AS predicted_lang,
+           COUNT(*) AS docs,
+           CAST(SUM({lang_score_sql('w', 'en')}) AS BIGINT) AS en_stopword_hits
+    FROM s
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("llm", "lang-id"),
+)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword-occurrence argmax with fixed
+    en>de>es>fr precedence) cross-tabulated against the metadata lang —
+    a confusion matrix as a query."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(
+            "lang",
+            predicted_lang("toks").alias("predicted_lang"),
+            lang_score("toks", "en").alias("_en_hits"),
+        )
+        .groupBy("lang", "predicted_lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("_en_hits").cast("long").alias("en_stopword_hits"),
+        )
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+@query(
+    "llm_quality_scores",
+    oracle=f"""
+    {_DOCS_SQL}
+    SELECT bucket, COUNT(*) AS docs, ROUND(AVG(score), 6) AS avg_score
+    FROM (
+        SELECT CASE WHEN q >= 0.75 THEN 'high'
+                    WHEN q >= 0.5 THEN 'medium'
+                    ELSE 'low' END AS bucket,
+               q AS score
+        FROM (SELECT {quality_score_sql('text', 'w')} AS q FROM s)
+    )
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tags=("llm", "quality"),
+)
+def llm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length / stopword-presence / alpha
+    density) bucketed into high/medium/low — the filter stage of a
+    training-data pipeline as an auditable aggregate."""
+    d = _docs(spark, sf_dir).withColumn("score", quality_score("text", "toks"))
+    bucket = (
+        F.when(F.col("score") >= 0.75, "high")
+        .when(F.col("score") >= 0.5, "medium")
+        .otherwise("low")
+    )
+    return (
+        d.select(bucket.alias("bucket"), "score")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("docs"), F.round(F.avg("score"), 6).alias("avg_score"))
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "llm_fingerprint",
+    oracle=f"""
+    {_DOCS_SQL}
+    SELECT doc_id,
+           list_min(list_transform(sh, x -> md5(x))) AS fingerprint,
+           md5(text) AS exact_fp
+    FROM s
+    WHERE doc_id < 50
+    ORDER BY doc_id
+    """,
+    tags=("llm", "fingerprint"),
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: md5 of the raw text (exact identity) and
+    the lexicographic-min md5 shingle (a 1-perm MinHash — equal
+    fingerprints block together near-identical docs). Portable hashes,
+    verified bit-for-bit against DuckDB."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id",
+        min_shingle_fingerprint("sh").alias("fingerprint"),
+        F.md5("text").alias("exact_fp"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+_QUERY_IDS = [0, 1, 2, 3, 4]
+_DIMS = 64
+
+
+def _cosine_topk_oracle() -> str:
+    cos = similarity.cosine_sql("q.qe", "e.embedding", _DIMS)
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+        WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))})
+    ), scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROUND({cos}, 6) AS cos_sim
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+        ) AS rn
+        FROM scored
+    ) WHERE rn <= 10
+    ORDER BY query_id, cos_sim DESC, neighbor_id
+    """
+
+
+@query("llm_cosine_topk", oracle=_cosine_topk_oracle(), tags=("llm", "similarity-brute"))
+def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 query vectors: broadcast each 1-row
+    query, fold the dot product in doubles left-to-right (bit-identical
+    to the oracle's fixed-order sum), TakeOrderedAndProject per query —
+    the brute-force ANN baseline with no all-pairs and no fat shuffle."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, _QUERY_IDS, k=10).orderBy(
+        "query_id", F.desc("cos_sim"), "neighbor_id"
+    )
+
+
+@query("llm_ann_lsh_topk", oracle=None, tags=("llm", "similarity-ann", "rows-only"))
+def llm_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH (8 tables × 8 bits,
+    NumPy-vectorized signatures in a pandas UDF) + exact cosine re-rank
+    of bucket candidates. Probabilistic → rows-only here; recall vs the
+    brute-force baseline is asserted in tests/test_llm.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.ann_lsh_topk(emb, _QUERY_IDS, k=10).orderBy(
+        "query_id", F.desc("cos_sim"), "neighbor_id"
+    )
+
+
+@query("llm_embedding_near_dup", oracle=None, tags=("llm", "dedup-embedding", "rows-only"))
+def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥0.4 via LSH bucket self-join +
+    exact verify (the all-pairs-free scale path). Threshold chosen for
+    this corpus (max pairwise cosine ≈0.51 — no planted vector dups)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+@query(
+    "llm_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(octet_length(encode(text)) // 1000 + 1 AS INT) AS n_frames,
+           'fake/raw' AS format
+    FROM documents
+    WHERE doc_id < 100
+    ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal"),
+)
+def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing end to end: synthesize an opaque payload,
+    decode/feature-extract with Arrow-batched mapInPandas (decode body
+    is a deterministic stub — no codecs in this container), return the
+    portable feature columns. The oracle recomputes them from text, so
+    the pandas-UDF path itself is hash-verified."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    feats = multimodal.extract_features(multimodal.with_binary_payload(d))
+    return feats.select("doc_id", "byte_len", "n_frames", "format").orderBy("doc_id")

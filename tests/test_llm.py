@@ -1,0 +1,165 @@
+"""LLM pillar tests: unit semantics + recall floors for the
+probabilistic (rows-only) operators that the DuckDB oracle can't check."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from market_etl_spark.llm import dedup, multimodal, similarity
+from market_etl_spark.llm.text import shingles, words
+from market_etl_spark.queries import REGISTRY
+from market_etl_spark.tables import load
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (
+        load(spark, SF_SMOKE, "documents")
+        .withColumn("toks", words("text"))
+        .withColumn("sh", shingles("toks", 3))
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def near_dup_pairs(spark, docs):
+    """Ground-truth near-dup pairs (exact, from the prefix-filter path —
+    provably no false negatives)."""
+    return {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.prefix_filter_pairs(docs).collect()
+    }
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (5, "aa"), (9, "aa")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.dup_count for r in dedup.exact_dedup(df).collect()}
+    assert out == {1: 3, 2: 1}
+
+
+def test_minhash_identical_docs_identical_signature(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f")], "doc_id long, text string"
+    ).withColumn("toks", words("text")).withColumn("sh", shingles("toks", 3))
+    sigs = dedup.with_minhash_signature(df).select("sig").collect()
+    assert sigs[0].sig == sigs[1].sig
+
+
+def test_minhash_lsh_matches_exact_pairs(spark, docs, near_dup_pairs):
+    """On this corpus (planted dups at J≈1) LSH recall must be 1 —
+    candidates then exact-verified, so the result equals brute force."""
+    got = {(r.id_a, r.id_b): r.jaccard for r in dedup.minhash_near_dup_pairs(docs).collect()}
+    assert got == near_dup_pairs
+    assert len(got) > 0
+
+
+def test_simhash_identical_token_sets_collide(spark):
+    df = spark.createDataFrame(
+        # same token SET (order/multiplicity differ) vs a disjoint doc
+        [(1, "a b c d e f g"), (2, "g f e d c b a a"), (3, "q w x y z k j")],
+        "doc_id long, text string",
+    ).withColumn("toks", words("text"))
+    h = {r.doc_id: r.simhash for r in dedup.with_simhash(df).collect()}
+    assert h[1] == h[2]
+    assert h[1] != h[3]
+
+
+def test_simhash_locality_separates_near_dups_from_random(spark, docs, near_dup_pairs):
+    """SimHash's contract: Hamming distance correlates with similarity.
+    True near-dup pairs must land far below the ~32-bit expectation of
+    independent 64-bit signatures."""
+    d = dedup.with_simhash(docs)
+    all_pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_near_dup_pairs(d, max_hamming=64).collect()
+    }
+    near = sorted(all_pairs[p] for p in near_dup_pairs if p in all_pairs)
+    assert near, "near-dup pairs must at least collide in one band"
+    import statistics
+
+    assert statistics.median(near) <= 10, f"near-dup hammings {near}"
+    # banded candidates at <=3 must include the exact-duplicate tails
+    tight = {p for p, h in all_pairs.items() if h <= 3}
+    exactish = {p for p, j in near_dup_pairs.items() if j >= 0.995}
+    assert exactish <= tight or not exactish
+
+
+def test_ann_topk_recall_vs_brute_force(spark):
+    emb = load(spark, SF_SMOKE, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    bf = {(r.query_id, r.neighbor_id) for r in similarity.brute_force_topk(emb, qids).collect()}
+    ann = {(r.query_id, r.neighbor_id) for r in similarity.ann_lsh_topk(emb, qids).collect()}
+    recall = len(bf & ann) / len(bf)
+    assert recall >= 0.8, f"ANN recall {recall}"
+
+
+def test_embedding_near_dup_recall_and_precision(spark):
+    emb = load(spark, SF_SMOKE, "embeddings")
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = [r.vec_id for r in rows]
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = np.triu(Xn @ Xn.T, 1)
+    truth = {(ids[i], ids[j]) for i, j in zip(*np.where(S >= 0.4))}
+    got = {(r.id_a, r.id_b) for r in similarity.embedding_near_dup_pairs(emb, 0.4).collect()}
+    assert got <= truth, "exact verify must eliminate false positives"
+    recall = len(got & truth) / max(len(truth), 1)
+    assert recall >= 0.7, f"near-dup recall {recall} ({len(got)}/{len(truth)})"
+
+
+def test_cosine_matches_numpy(spark):
+    emb = load(spark, SF_SMOKE, "embeddings")
+    out = similarity.brute_force_topk(emb, [0], k=5).collect()
+    rows = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    q = rows[0]
+    for r in out:
+        v = rows[r.neighbor_id]
+        expect = float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+        assert abs(r.cos_sim - expect) < 1e-5
+
+
+def test_multimodal_decode_deterministic_and_schema(spark):
+    d = load(spark, SF_SMOKE, "documents").limit(20)
+    feats = multimodal.extract_features(multimodal.with_binary_payload(d))
+    assert feats.schema.simpleString() == (
+        "struct<doc_id:bigint,byte_len:bigint,n_frames:int,format:string,feature_crc:bigint>"
+    )
+    a = sorted(feats.collect())
+    b = sorted(multimodal.extract_features(multimodal.with_binary_payload(d)).collect())
+    assert a == b  # deterministic fake decode
+    assert all(r.byte_len > 0 and r.feature_crc >= 0 for r in a)
+
+
+def test_multimodal_payload_matches_text_length(spark):
+    d = load(spark, SF_SMOKE, "documents").limit(5)
+    joined = (
+        multimodal.extract_features(multimodal.with_binary_payload(d))
+        .join(d.select("doc_id", "n_chars"), "doc_id")
+        .collect()
+    )
+    for r in joined:
+        assert r.byte_len >= r.n_chars  # utf-8 ≥ char count
+
+
+def test_registry_llm_entries_present():
+    names = {n for n in REGISTRY if n.startswith("llm_")}
+    assert names >= {
+        "llm_exact_dedup",
+        "llm_minhash_near_dup",
+        "llm_ngram_jaccard_pairs",
+        "llm_simhash_near_dup",
+        "llm_text_stats",
+        "llm_lang_id",
+        "llm_quality_scores",
+        "llm_fingerprint",
+        "llm_cosine_topk",
+        "llm_ann_lsh_topk",
+        "llm_embedding_near_dup",
+        "llm_multimodal_features",
+    }
