@@ -69,6 +69,27 @@ def materialize_raw_zone(spark: SparkSession, sf_dir: str, zone_dir: str) -> Non
     )
 
 
+def ensure_trades_table(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize-once accessor for the generated partitioned trades
+    table: runs the full ETL only if this session hasn't registered it
+    and no prior run left a zone on disk (the data is a deterministic
+    function of events, so reuse is safe)."""
+    from ..catalog import register_trades_table
+
+    tag = pathlib.Path(sf_dir.rstrip("/")).name.replace(".", "_")
+    table = f"trades_binance_{tag}"
+    out = SCRATCH / f"processed_{tag}"
+    if spark.catalog.tableExists(table):
+        return table
+    if not (out / "_SUCCESS").exists():
+        zone = SCRATCH / f"raw_zone_{tag}"
+        materialize_raw_zone(spark, sf_dir, str(zone))
+        run_trades_etl(spark, str(zone), str(out), table=table, load_dt=FIXED_LOAD_DT)
+    else:
+        register_trades_table(spark, table, str(out))
+    return table
+
+
 @query(
     "q_etl_pipeline_roundtrip",
     oracle="""

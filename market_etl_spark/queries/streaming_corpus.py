@@ -1,0 +1,143 @@
+"""Streaming queries registered with the driver contract.
+
+``q_streaming_minute_candles`` runs a REAL Structured Streaming job
+(file-source replay → watermarked tumbling windows → memory sink,
+drained with trigger(availableNow)) and returns the sink as a batch
+DataFrame — so the stream's output is hash-verified against a batch
+SQL oracle. ``q_sessionize`` is the batch (window-function) rendering
+of the custom stateful session operator; the streaming
+``applyInPandasWithState`` twin is equivalence-tested in
+tests/test_streaming.py (its flush-on-timeout tail makes it
+rows-only-unfriendly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import streaming
+from ..tables import load
+from .registry import query
+
+
+@query(
+    "q_streaming_minute_candles",
+    oracle="""
+    SELECT date_trunc('minute', ts) AS minute,
+           event_type,
+           COUNT(*) AS num_trades,
+           ROUND(SUM(CAST(event_id % 7 + 1 AS DOUBLE)), 6) AS total_volume,
+           ROUND(SUM(value * CAST(event_id % 7 + 1 AS DOUBLE))
+                 / NULLIF(SUM(CAST(event_id % 7 + 1 AS DOUBLE)), 0), 6) AS vwap_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-16'
+    GROUP BY 1, 2
+    ORDER BY minute, event_type
+    """,
+    tags=("streaming", "extension"),
+)
+def q_streaming_minute_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming replay of the events zone → 1-minute tumbling-window
+    candles with a 2-minute watermark → memory sink. The returned
+    DataFrame is the *stream's* output; the oracle recomputes the same
+    candles in batch SQL, so the whole streaming path (source, window
+    state, watermark, sink) is hash-checked."""
+    stream = streaming.read_events_stream(spark, sf_dir).filter(
+        (F.col("ts") >= F.lit("2024-01-15").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+    )
+    sink = streaming.run_to_memory(streaming.minute_candles(stream))
+    return (
+        spark.table(sink)
+        .select(
+            F.col("w.start").alias("minute"),
+            "event_type",
+            "num_trades",
+            "total_volume",
+            "vwap_value",
+        )
+        .orderBy("minute", "event_type")
+    )
+
+
+_SESSIONIZE_ORACLE = """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                         - LAG(CAST(floor(epoch(ts)) AS BIGINT))
+                           OVER (PARTITION BY user_id ORDER BY ts) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    WHERE user_id < 30
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+"""
+
+
+@query(
+    "q_streaming_sessionize",
+    oracle=_SESSIONIZE_ORACLE,
+    tags=("streaming", "stateful", "extension"),
+)
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful operator end to end:
+    ``applyInPandasWithState`` session windows over a replayed stream,
+    drained to a memory sink — hash-verified against the batch SQL
+    oracle (closed sessions emit incrementally; open ones flush on
+    processing-time timeout during the drain)."""
+    stream = streaming.read_events_stream(spark, sf_dir).filter(F.col("user_id") < 30)
+    sink = streaming.run_to_memory_append(streaming.sessionize_stream(stream))
+    return spark.table(sink).orderBy("user_id", "session_start")
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                         - LAG(CAST(floor(epoch(ts)) AS BIGINT))
+                           OVER (PARTITION BY user_id ORDER BY ts) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    WHERE user_id < 30
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    tags=("streaming", "sessionization", "extension"),
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user — batch rendering of
+    the custom stateful operator via lag-gap flag + running sum. The
+    streaming applyInPandasWithState twin
+    (:func:`market_etl_spark.streaming.sessionize_stream`) must agree
+    on every closed session (tests/test_streaming.py)."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    return streaming.sessionize_batch(e).orderBy("user_id", "session_start")

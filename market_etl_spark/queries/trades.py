@@ -1,0 +1,152 @@
+"""Production-posture queries over the generated partitioned
+``trades_binance`` table (the corpus operators' scale variants).
+
+The corpus (:mod:`.corpus`) favors exact aggregates so the DuckDB
+oracle can hash-match; these entries make the production choices the
+reference itself recommends for large data — sketch-based
+``percentile_approx`` (sql/athena_sample_queries.sql:233 "use
+APPROX_PERCENTILE") and ``approx_count_distinct`` — and run against a
+real Hive-partitioned table so partition pruning is exercised on every
+read. Sketch outputs are engine-specific → those entries are rows-only
+with accuracy bounds asserted in tests/test_trades.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import round6
+from .etl_pipeline import ensure_trades_table
+from .registry import query
+
+
+@query(
+    "q_trades_sanity_summary",
+    oracle="""
+    SELECT upper(event_type) AS symbol,
+           COUNT(*) AS row_count,
+           MIN(make_timestamp((epoch_us(ts) // 1000) * 1000)) AS first_trade,
+           MAX(make_timestamp((epoch_us(ts) // 1000) * 1000)) AS last_trade
+    FROM events
+    GROUP BY upper(event_type)
+    ORDER BY symbol
+    """,
+    tags=("trades", "A11"),
+)
+def q_trades_sanity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-load sanity aggregate (A11 — MIN/MAX over timestamps,
+    sql/athena_create_trades_tales.sql:37-44) against the partitioned
+    table; the oracle recomputes from events through the same epoch-ms
+    truncation the ETL applies."""
+    t = spark.table(ensure_trades_table(spark, sf_dir))
+    return (
+        t.groupBy("symbol")
+        .agg(
+            F.count("*").alias("row_count"),
+            F.min("trade_time").alias("first_trade"),
+            F.max("trade_time").alias("last_trade"),
+        )
+        .orderBy("symbol")
+    )
+
+
+@query(
+    "q_trades_partition_histogram",
+    oracle="""
+    SELECT CAST(year(ts) AS INT) AS year, CAST(month(ts) AS INT) AS month,
+           CAST(day(ts) AS INT) AS day, upper(event_type) AS symbol,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY 1, 2, 3, 4
+    ORDER BY year, month, day, symbol
+    """,
+    tags=("trades", "A2"),
+)
+def q_trades_partition_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's partition-distribution report
+    (glue_spark_trades_etl.py:185-188): groupBy partition keys → count.
+    Partition columns come straight from directory metadata — the scan
+    reads no data columns at all (ReadSchema: struct<>)."""
+    t = spark.table(ensure_trades_table(spark, sf_dir))
+    return (
+        t.groupBy("year", "month", "day", "symbol")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("year", "month", "day", "symbol")
+    )
+
+
+@query("q_trades_whales_approx", oracle=None, tags=("trades", "A8", "rows-only"))
+def q_trades_whales_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 whales, production path: single-pass mergeable
+    ``percentile_approx`` sketch per symbol (the reference's own
+    recommendation for large data) → broadcast join → theta filter →
+    TakeOrderedAndProject. Sketch values are engine-specific →
+    rows-only here; tests assert the approx p99 lands within 2% of
+    exact and the whale set matches exact-p99 whales almost entirely."""
+    t = spark.table(ensure_trades_table(spark, sf_dir))
+    pct = t.groupBy("symbol").agg(
+        F.percentile_approx("quote_qty", 0.99, 10000).alias("p99_trade_value")
+    )
+    return (
+        t.join(F.broadcast(pct), "symbol")
+        .filter(F.col("quote_qty") >= F.col("p99_trade_value"))
+        .select(
+            "symbol",
+            "trade_id",
+            F.col("quote_qty").alias("trade_value"),
+            round6(F.col("p99_trade_value")).alias("p99_trade_value"),
+        )
+        .orderBy(F.desc("trade_value"), "trade_id")
+        .limit(100)
+    )
+
+
+@query(
+    "q_trades_pruned_day_vwap",
+    oracle="""
+    WITH trades AS (
+        SELECT value AS price,
+               CAST(event_id % 7 + 1 AS DOUBLE) AS quantity,
+               value * CAST(event_id % 7 + 1 AS DOUBLE) AS quote_qty,
+               upper(event_type) AS symbol,
+               CAST(day(ts) AS INT) AS day,
+               date_trunc('hour', make_timestamp((epoch_us(ts) // 1000) * 1000)) AS hr
+        FROM events
+        WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) = 15
+          AND upper(event_type) = 'PURCHASE'
+    )
+    SELECT hr,
+           COUNT(*) AS trades,
+           ROUND(SUM(quote_qty), 6) AS volume,
+           ROUND(SUM(price * quantity) / NULLIF(SUM(quantity), 0), 6) AS vwap
+    FROM trades
+    GROUP BY hr
+    ORDER BY hr
+    """,
+    tags=("trades", "P9", "A4", "A5"),
+)
+def q_trades_pruned_day_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's canonical access pattern: partition filters on
+    (year, month, day, symbol) prune to a single directory, then an
+    hour-bucketed VWAP over just that slice — the 2-3 s dashboard query
+    (BASELINE.md Athena latency) in Spark form."""
+    t = spark.table(ensure_trades_table(spark, sf_dir))
+    day = t.filter(
+        (F.col("year") == 2024)
+        & (F.col("month") == 1)
+        & (F.col("day") == 15)
+        & (F.col("symbol") == "PURCHASE")
+    )
+    return (
+        day.groupBy(F.date_trunc("hour", "trade_time").alias("hr"))
+        .agg(
+            F.count("*").alias("trades"),
+            round6(F.sum("quote_qty")).alias("volume"),
+            round6(
+                F.sum(F.col("price") * F.col("quantity"))
+                / F.nullif(F.sum("quantity"), F.lit(0))
+            ).alias("vwap"),
+        )
+        .orderBy("hr")
+    )

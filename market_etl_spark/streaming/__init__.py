@@ -1,0 +1,251 @@
+"""Structured Streaming extensions (SURVEY.md §2.9 / §7.2 M-f).
+
+The reference's M4 roadmap item ("real-time replay, stream processing")
+re-expressed Spark-natively: a file-source replay of the events zone →
+watermarked tumbling-window candles → sink. Also a custom stateful
+operator (session windows via ``applyInPandasWithState``) — the shape
+Spark's built-in aggregations can't express.
+
+Scale notes: windowed aggregation state is partitioned by (window,
+keys) and pruned by the watermark; sessionization state lives per
+user key and emits on timeout — both bounded-memory under load.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import uuid
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StructType
+
+_SCRATCH = pathlib.Path(__file__).resolve().parent.parent.parent / ".scratch"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source replay of the events table (schema pinned from a
+    batch read; ts nanos→timestamp conversion identical to tables.load).
+
+    The file stream source requires a *directory* (it tails new files —
+    that's the replay semantics); the testdata table is a single file,
+    so it is staged into a scratch dir via symlink.
+    """
+    from ..session import apply_runtime_conf
+
+    apply_runtime_conf(spark)
+    src = f"{sf_dir.rstrip('/')}/events.parquet"
+    tag = pathlib.Path(sf_dir.rstrip("/")).name.replace(".", "_")
+    zone = _SCRATCH / f"stream_src_{tag}"
+    zone.mkdir(parents=True, exist_ok=True)
+    link = zone / "events-part-0.parquet"
+    if not link.exists():
+        link.symlink_to(src)
+
+    batch = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(str(zone))
+    if isinstance(stream.schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def minute_candles(stream: DataFrame, watermark: str = "2 minutes") -> DataFrame:
+    """Watermarked tumbling 1-minute candles per event_type: the Q2
+    aggregation as a stream (late rows beyond the watermark are
+    dropped; state for closed windows is reclaimed)."""
+    from ..functions import round6, vwap
+
+    qty = ((F.col("event_id") % 7) + 1).cast("double")
+    return (
+        stream.withColumn("qty", qty)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("num_trades"),
+            round6(F.sum("qty")).alias("total_volume"),
+            round6(vwap(F.col("value"), F.col("qty"))).alias("vwap_value"),
+        )
+    )
+
+
+def run_to_memory(result: DataFrame, name: str | None = None) -> str:
+    """Execute a streaming aggregation over all available input
+    (`trigger(availableNow)`) into a memory sink; returns the sink
+    table name once the replay drains."""
+    name = name or f"sink_{uuid.uuid4().hex[:8]}"
+    ckpt = _SCRATCH / "checkpoints" / name
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name
+
+
+def run_to_memory_append(
+    result: DataFrame,
+    name: str | None = None,
+    settle_secs: float = 12.0,
+    max_wait_secs: float = 180.0,
+) -> str:
+    """Append-mode variant of :func:`run_to_memory` for arbitrary
+    stateful operators.
+
+    ``trigger(availableNow)`` never terminates such queries: pending
+    processing-time timeouts keep scheduling empty micro-batches
+    forever (observed: hundreds of epochs after the data drained). So
+    this runs with the default ASAP trigger and stops the query once
+    (a) at least one batch consumed input and (b) the sink row count
+    has been stable for ``settle_secs`` — ≥2× the operator timeout, so
+    every open-state flush has fired. The output SET is
+    timing-independent (sessions are defined by data gaps), only the
+    drain mechanics are wall-clock."""
+    import time
+
+    name = name or f"sink_{uuid.uuid4().hex[:8]}"
+    ckpt = _SCRATCH / "checkpoints" / name
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    spark = result.sparkSession
+    t0 = time.time()
+    consumed = False
+    last_count, stable_since = -1, time.time()
+    while time.time() - t0 < max_wait_secs:
+        time.sleep(1.0)
+        p = q.lastProgress
+        if p and p["numInputRows"] > 0:
+            consumed = True
+        n = spark.table(name).count()
+        if n != last_count:
+            last_count, stable_since = n, time.time()
+        elif consumed and time.time() - stable_since >= settle_secs:
+            break
+    q.stop()
+    q.awaitTermination()
+    return name
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: session windows per user
+# ---------------------------------------------------------------------------
+SESSION_GAP_MINUTES = 30
+
+_SESSION_SCHEMA = "user_id long, session_start timestamp, session_end timestamp, n_events long"
+_STATE_SCHEMA = "open_start long, open_last long, open_n long"
+
+
+def _sessionize_group(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+):
+    """applyInPandasWithState body: fold this user's events into
+    gap-separated sessions, carrying the open session across batches.
+    Emits closed sessions; the final open session flushes on timeout
+    (or, in an availableNow replay, at stream end via timeout)."""
+    gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
+    (user_id,) = key
+
+    if state.hasTimedOut:
+        if state.exists:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(last, unit="us")],
+                    "n_events": [n],
+                }
+            )
+        return
+
+    ts_us: list[int] = []
+    for pdf in pdfs:
+        ts_us.extend(int(t.value // 1000) for t in pdf["ts"])
+    ts_us.sort()
+
+    start, last, n = state.get if state.exists else (None, None, 0)
+    out = []
+    for t in ts_us:
+        if start is None:
+            start, last, n = t, t, 1
+        elif t - last > gap_us:
+            out.append((start, last, n))
+            start, last, n = t, t, 1
+        else:
+            last, n = t, n + 1
+    state.update((start, last, n))
+    # Short processing-time timeout: an availableNow replay keeps
+    # issuing (empty) micro-batches until all state times out, so this
+    # bounds the drain tail; a live 24/7 stream would use the session
+    # gap here instead.
+    state.setTimeoutDuration(5_000)
+    if out:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out),
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in out],
+                "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in out],
+                "n_events": [c for _, _, c in out],
+            }
+        )
+
+
+def sessionize_stream(stream: DataFrame) -> DataFrame:
+    """Session windows (30-min gap) per user as a custom stateful
+    streaming operator. State = the open session per user; closed
+    sessions emit incrementally."""
+    return (
+        stream.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_group,
+            outputStructType=_SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def sessionize_batch(events: DataFrame) -> DataFrame:
+    """Batch-equivalent sessionization via windows (lag-gap flag →
+    cumulative session index) — the oracle-checkable reference
+    implementation the streaming operator must agree with."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = events.select("user_id", "ts").withColumn(
+        "_new",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+            > SESSION_GAP_MINUTES * 60,
+            1,
+        )
+        .otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .drop("session_id")
+    )

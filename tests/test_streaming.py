@@ -1,0 +1,60 @@
+"""Streaming extension tests: windowed replay and the custom stateful
+sessionization operator (applyInPandasWithState vs batch equivalence)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from market_etl_spark import streaming
+from market_etl_spark.tables import load
+
+from conftest import SF_SMOKE
+
+
+def test_streaming_candles_match_batch(spark):
+    from market_etl_spark.functions import round6, vwap
+
+    stream = streaming.read_events_stream(spark, SF_SMOKE)
+    sink = streaming.run_to_memory(streaming.minute_candles(stream))
+    got = {
+        (r["w"]["start"], r["event_type"]): (r["num_trades"], r["total_volume"], r["vwap_value"])
+        for r in spark.table(sink).collect()
+    }
+    e = load(spark, SF_SMOKE, "events").withColumn(
+        "qty", ((F.col("event_id") % 7) + 1).cast("double")
+    )
+    batch = (
+        e.groupBy(F.date_trunc("minute", "ts").alias("minute"), "event_type")
+        .agg(
+            F.count("*").alias("num_trades"),
+            round6(F.sum("qty")).alias("total_volume"),
+            round6(vwap(F.col("value"), F.col("qty"))).alias("vwap_value"),
+        )
+        .collect()
+    )
+    expect = {
+        (r["minute"], r["event_type"]): (r["num_trades"], r["total_volume"], r["vwap_value"])
+        for r in batch
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_stateful_sessionize_matches_batch(spark):
+    """The streaming operator must emit exactly the sessions the batch
+    window computation finds: closed sessions emit incrementally and
+    each user's final open session flushes when its processing-time
+    timeout fires during the availableNow drain."""
+    events = load(spark, SF_SMOKE, "events").filter(F.col("user_id") < 20)
+    expect = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in streaming.sessionize_batch(events).collect()
+    }
+
+    stream = streaming.read_events_stream(spark, SF_SMOKE).filter(F.col("user_id") < 20)
+    name = streaming.run_to_memory_append(streaming.sessionize_stream(stream))
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.table(name).collect()
+    }
+    assert got == expect
+    assert len(got) > 0

@@ -1,0 +1,66 @@
+"""Production trades-table queries: sketch accuracy bounds and
+partition-pruning plan assertions."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from market_etl_spark.queries import REGISTRY
+from market_etl_spark.queries.etl_pipeline import ensure_trades_table
+
+from conftest import SF_SMOKE
+
+
+def test_approx_percentile_accuracy(spark):
+    """percentile_approx(accuracy=10000) returns an actual element whose
+    rank is within ±1/accuracy of the target — so it must land between
+    the exact p98 and the max (exact `percentile` interpolates between
+    order statistics, which on small groups can sit several % away from
+    any element; the rank bound is the sketch's real contract)."""
+    t = spark.table(ensure_trades_table(spark, SF_SMOKE))
+    both = t.groupBy("symbol").agg(
+        F.percentile_approx("quote_qty", 0.99, 10000).alias("approx"),
+        F.expr("percentile(quote_qty, 0.98)").alias("lo"),
+        F.max("quote_qty").alias("hi"),
+    )
+    for r in both.collect():
+        assert r.lo <= r.approx <= r.hi, (r.symbol, r.lo, r.approx, r.hi)
+
+
+def test_whales_approx_close_to_exact(spark):
+    got = {
+        r.trade_id for r in REGISTRY["q_trades_whales_approx"].fn(spark, SF_SMOKE).collect()
+    }
+    t = spark.table(ensure_trades_table(spark, SF_SMOKE))
+    pct = t.groupBy("symbol").agg(
+        F.expr("percentile(quote_qty, 0.99)").alias("p99")
+    )
+    exact = {
+        r.trade_id
+        for r in t.join(F.broadcast(pct), "symbol")
+        .filter(F.col("quote_qty") >= F.col("p99"))
+        .orderBy(F.desc("quote_qty"), "trade_id")
+        .limit(100)
+        .collect()
+    }
+    overlap = len(got & exact) / len(exact)
+    assert overlap >= 0.95, f"whale overlap {overlap}"
+
+
+def test_pruned_day_vwap_plan_prunes(spark):
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        df = REGISTRY["q_trades_pruned_day_vwap"].fn(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1][:600]
+    assert "2024" in pf and "PURCHASE" in pf
+
+
+def test_partition_histogram_reads_no_data_columns(spark):
+    """Counting by partition keys must not read any parquet data column."""
+    df = REGISTRY["q_trades_partition_histogram"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<>" in plan
