@@ -11,6 +11,7 @@ from __future__ import annotations
 from . import corpus  # noqa: F401  (imports register queries)
 from . import etl_pipeline  # noqa: F401
 from . import llm_corpus  # noqa: F401
+from . import relational_ext  # noqa: F401
 from . import streaming_corpus  # noqa: F401
 from . import trades  # noqa: F401
 from . import windows  # noqa: F401

@@ -1,0 +1,263 @@
+"""Relational extensions beyond the reference surface: as-of join,
+rollup, set operations, and the spark.sql text entry point.
+
+The as-of join is the canonical next market-data operator (SURVEY.md
+§2.3 — absent from the reference, flagged as the natural extension):
+"for each row of the left stream, the latest right-stream row at or
+before its timestamp". Implemented as a union + partitioned-window
+last-value carry-forward — ONE shuffle on the join key, no range
+explosion, no per-row probe — and verified against DuckDB's *native*
+``ASOF JOIN`` operator, which is a strong independent oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import round6
+from ..tables import load, register_all
+from .registry import query
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str = "ts",
+    value_cols: tuple[str, ...] = ("value",),
+    tolerance_expr: str | None = None,
+) -> DataFrame:
+    """Generic as-of join: every ``left`` row gains the most recent
+    ``right`` row (per ``on`` key) with ``right.ts <= left.ts``.
+
+    Union the two sides with a side tag, then one window pass per key
+    ordered by (ts, side): ``last(right_value, ignoreNulls)`` over the
+    preceding frame carries the latest right value forward into each
+    left row. Right rows sort before left rows at equal timestamps, so
+    ties resolve to "at or before" semantics. Cost: one hash shuffle on
+    the key + an in-partition sort — the same shape as any windowed
+    aggregate, regardless of how asymmetric the two sides are.
+    """
+    lcols = [c for c in left.columns if c not in (on, ts)]
+    tagged_left = left.select(
+        F.col(on),
+        F.col(ts),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+    )
+    tagged_right = right.select(
+        F.col(on),
+        F.col(ts),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in value_cols
+        ],
+        F.last(F.when(F.col("_side") == 0, F.col(ts)), ignorenulls=True)
+        .over(w)
+        .alias("_asof_ts"),
+    )
+    out = carried.filter(F.col("_side") == 1).select(
+        F.col(on),
+        F.col(ts),
+        *[F.col(c) for c in lcols],
+        *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in value_cols],
+        F.col("_asof_ts").alias("asof_ts"),
+    )
+    if tolerance_expr:
+        keep = F.col("asof_ts").isNotNull() & (
+            F.col(ts).cast("long") - F.col("asof_ts").cast("long")
+            <= F.expr(tolerance_expr).cast("long")
+        )
+        out = out.withColumn("asof_ts", F.when(keep, F.col("asof_ts"))).withColumn(
+            "asof_" + value_cols[0], F.when(keep, F.col("asof_" + value_cols[0]))
+        )
+    return out
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    )
+    SELECT p.user_id,
+           p.ts,
+           ROUND(p.value, 6) AS purchase_value,
+           ROUND(c.value, 6) AS asof_click_value,
+           c.ts AS asof_ts
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.user_id, p.ts
+    """,
+    tags=("extension", "asof-join"),
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the user's most recent click at-or-before
+    it. Our union+window composition vs DuckDB's NATIVE ASOF JOIN —
+    two unrelated implementations of the operator must agree row for
+    row."""
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", round6(F.col("value")).alias("purchase_value")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", round6(F.col("value")).alias("value")
+    )
+    return (
+        asof_join(purchases, clicks, on="user_id", ts="ts", value_cols=("value",))
+        .select(
+            "user_id",
+            "ts",
+            "purchase_value",
+            F.col("asof_value").alias("asof_click_value"),
+            "asof_ts",
+        )
+        .orderBy("user_id", "ts")
+    )
+
+
+@query(
+    "q_rollup_volume",
+    oracle="""
+    SELECT CAST(year(ts) AS INT) AS y,
+           CAST(month(ts) AS INT) AS m,
+           CAST(day(ts) AS INT) AS d,
+           COUNT(*) AS events,
+           ROUND(SUM(value), 4) AS volume
+    FROM events
+    GROUP BY ROLLUP (CAST(year(ts) AS INT), CAST(month(ts) AS INT), CAST(day(ts) AS INT))
+    ORDER BY y NULLS FIRST, m NULLS FIRST, d NULLS FIRST
+    """,
+    tags=("extension", "rollup"),
+)
+def q_rollup_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals (day → month → year → grand) in ONE pass via
+    ROLLUP — the OLAP operator a dashboard needs instead of issuing 4
+    separate aggregations. Spark expands grouping sets inside a single
+    hash aggregate; rounding at 4dp keeps double re-summation across
+    grouping levels hash-stable cross-engine."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.rollup(
+            F.year("ts").cast("int").alias("y"),
+            F.month("ts").cast("int").alias("m"),
+            F.dayofmonth("ts").cast("int").alias("d"),
+        )
+        .agg(F.count("*").alias("events"), F.round(F.sum("value"), 4).alias("volume"))
+        .orderBy(F.asc_nulls_first("y"), F.asc_nulls_first("m"), F.asc_nulls_first("d"))
+    )
+
+
+@query(
+    "q_set_ops",
+    oracle="""
+    WITH big_spenders AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 200
+    ), clickers AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click' AND value > 200
+    )
+    SELECT 'both' AS cohort, COUNT(*) AS users FROM (
+        SELECT user_id FROM big_spenders INTERSECT SELECT user_id FROM clickers)
+    UNION ALL
+    SELECT 'purchase_only', COUNT(*) FROM (
+        SELECT user_id FROM big_spenders EXCEPT SELECT user_id FROM clickers)
+    UNION ALL
+    SELECT 'either', COUNT(*) FROM (
+        SELECT user_id FROM big_spenders UNION SELECT user_id FROM clickers)
+    ORDER BY cohort
+    """,
+    tags=("extension", "set-ops"),
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION cohort arithmetic (§2.7 — absent from
+    the reference, standard for audience analysis). Spark plans each as
+    a hash-partitioned distinct join — no driver-side set logic."""
+    e = load(spark, sf_dir, "events")
+    spenders = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("value") > 200))
+        .select("user_id")
+        .distinct()
+    )
+    clickers = (
+        e.filter((F.col("event_type") == "click") & (F.col("value") > 200))
+        .select("user_id")
+        .distinct()
+    )
+    rows = [
+        spenders.intersect(clickers).agg(
+            F.lit("both").alias("cohort"), F.count("*").alias("users")
+        ),
+        spenders.exceptAll(clickers).agg(
+            F.lit("purchase_only").alias("cohort"), F.count("*").alias("users")
+        ),
+        spenders.union(clickers).distinct().agg(
+            F.lit("either").alias("cohort"), F.count("*").alias("users")
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("cohort")
+
+
+_SQL_WHALES = """
+    WITH percentiles AS (
+        SELECT l_returnflag,
+               percentile(l_extendedprice, 0.99) AS p99_trade_value
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           l.l_extendedprice AS trade_value
+    FROM lineitem l
+    JOIN percentiles p ON l.l_returnflag = p.l_returnflag
+    WHERE l.l_extendedprice >= p.p99_trade_value
+    ORDER BY trade_value DESC, l.l_orderkey, l.l_linenumber
+    LIMIT 100
+"""
+
+
+@query(
+    "q_sql_text_whales",
+    oracle="""
+    WITH percentiles AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.99) AS p99_trade_value
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           l.l_extendedprice AS trade_value
+    FROM lineitem l
+    JOIN percentiles p ON l.l_returnflag = p.l_returnflag
+    WHERE l.l_extendedprice >= p.p99_trade_value
+    ORDER BY trade_value DESC, l.l_orderkey, l.l_linenumber
+    LIMIT 100
+    """,
+    tags=("extension", "sql-text"),
+)
+def q_sql_text_whales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's second entry point: raw SQL text through
+    ``spark.sql`` over registered views (SURVEY.md §3.2 — parse →
+    analyze → the same Catalyst plan as the DataFrame form). Verbatim
+    CTE shape of the reference's Q5
+    (sql/athena_sample_queries.sql:100-121)."""
+    register_all(spark, sf_dir)
+    return spark.sql(_SQL_WHALES)
