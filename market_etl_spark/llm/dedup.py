@@ -146,7 +146,11 @@ def lsh_candidate_pairs(
     hashing inside codegen and each row computes only its own band's
     r permutations.
     """
-    exploded = docs.select(
+    # Empty shingle sets (docs shorter than the shingle width) must not
+    # reach banding: array_min over an empty array is NULL, so every
+    # such doc would share identical NULL-keyed buckets in all bands —
+    # a quadratic candidate explosion of definitionally-dissimilar docs.
+    exploded = docs.filter(F.size(shingle_col) > 0).select(
         F.col(id_col),
         F.col(shingle_col),
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
@@ -187,9 +191,12 @@ def verify_jaccard(
         )
         .withColumn(
             "jaccard",
+            # nullif guard: two empty shingle sets would divide 0/0
+            # (ANSI error); J(∅,∅) is defined as no-match here, so the
+            # NULL falls out of the threshold filter.
             F.round(
                 F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
-                / F.size(F.array_union("_sh_a", "_sh_b")).cast("double"),
+                / F.nullif(F.size(F.array_union("_sh_a", "_sh_b")).cast("double"), F.lit(0.0)),
                 6,
             ),
         )
@@ -233,7 +240,7 @@ def prefix_filter_pairs(
     hash-checked oracle (the oracle can brute-force the same answer).
     """
     t = threshold
-    prefixed = docs.select(
+    prefixed = docs.filter(F.size(shingle_col) > 0).select(
         F.col(id_col),
         F.size(shingle_col).alias("sz"),
         F.expr(f"array_sort(transform({shingle_col}, s -> md5(s)))").alias("_ordered"),

@@ -37,11 +37,17 @@ def words(text_col: str = "text") -> Column:
 def shingles(words_col: str = "toks", n: int = 3) -> Column:
     """Distinct n-word shingles via higher-order array functions —
     the unit of near-duplicate comparison (word-level sets are useless
-    on small vocabularies; n-grams are discriminative)."""
+    on small vocabularies; n-grams are discriminative).
+
+    Documents shorter than n tokens yield an EMPTY set — the guard is
+    load-bearing: ``sequence(1, size-n+1)`` with size < n produces a
+    *descending* sequence ([1, 0]), and element_at(toks, 0) throws
+    under ANSI semantics (found by the hypothesis property suite)."""
     parts = ", ".join(f"element_at({words_col}, i + {j})" for j in range(n))
     return F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size({words_col}) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', {parts})))"
+        f"if(size({words_col}) < {n}, cast(array() as array<string>), "
+        f"array_distinct(transform(sequence(1, size({words_col}) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts}))))"
     )
 
 

@@ -1,0 +1,78 @@
+"""Distributed ingest: the executor-parallel download path against a
+live local HTTP fixture."""
+
+from __future__ import annotations
+
+import http.server
+import io
+import pathlib
+import shutil
+import threading
+import zipfile
+
+import pytest
+
+from market_etl_spark.ingest.distributed import build_work_list, distributed_download
+
+SCRATCH = pathlib.Path(__file__).resolve().parent.parent / ".scratch" / "dist_ingest"
+
+
+def _zip_bytes(payload: bytes) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("inner.csv", payload)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def http_base():
+    class H(http.server.BaseHTTPRequestHandler):
+        bodies: dict[str, bytes] = {}
+
+        def do_GET(self):
+            body = type(self).bodies.get(self.path)
+            if body is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_port}", H
+    srv.shutdown()
+
+
+def test_distributed_download(spark, http_base):
+    base, handler = http_base
+    lake = SCRATCH / "lake"
+    shutil.rmtree(lake, ignore_errors=True)
+    work = build_work_list(["AAA", "BBB", "CCC"], "2024-01", "2024-03")
+    assert len(work) == 9
+    # serve 7 of the 9; two 404
+    for key, _ in work[:7]:
+        handler.bodies["/" + key] = _zip_bytes(b"x,y\n" * 100)
+
+    out = distributed_download(
+        spark, base, str(lake), ["AAA", "BBB", "CCC"], "2024-01", "2024-03",
+        partitions=4, backoff=0.01,
+    )
+    by_status: dict[str, int] = {}
+    for r in out.collect():
+        by_status[r.status] = by_status.get(r.status, 0) + 1
+    assert by_status == {"downloaded": 7, "skipped_404": 2}
+    assert len(list(lake.rglob("*.zip"))) == 7
+
+    # idempotent distributed re-run: everything skips, nothing re-fetched
+    out2 = distributed_download(
+        spark, base, str(lake), ["AAA", "BBB", "CCC"], "2024-01", "2024-03",
+        partitions=4, backoff=0.01,
+    )
+    statuses = {r.status for r in out2.collect() if r.status != "skipped_404"}
+    assert statuses == {"skipped_exists"}

@@ -1,0 +1,128 @@
+"""Property-based tests (hypothesis): the engine's scalar semantics and
+custom operators against independent reference implementations."""
+
+from __future__ import annotations
+
+import calendar
+import datetime as dt
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from market_etl_spark.functions import valid_calendar_date
+from market_etl_spark.queries.relational_ext import asof_join
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1800, 2200), st.integers(0, 13), st.integers(0, 32)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_valid_calendar_date_matches_python_calendar(spark, rows):
+    """The explicit leap-year arithmetic must agree with Python's
+    calendar module on EVERY (y, m, d) — including out-of-range parts."""
+    df = spark.createDataFrame(rows, "y int, m int, d int")
+    got = df.select(
+        "y", "m", "d", valid_calendar_date(F.col("y"), F.col("m"), F.col("d")).alias("v")
+    ).collect()
+    for r in got:
+        if 1 <= r.m <= 12:
+            expect = 1 <= r.d <= calendar.monthrange(r.y, r.m)[1]
+        else:
+            expect = False
+        assert bool(r.v) == expect, (r.y, r.m, r.d)
+
+
+def _brute_asof(left, right):
+    """O(n²) reference as-of join."""
+    out = {}
+    for uid, lts in left:
+        best = None
+        for ruid, rts, rv in right:
+            if ruid == uid and rts <= lts and (best is None or rts > best[0]):
+                best = (rts, rv)
+        out[(uid, lts)] = best
+    return out
+
+
+@settings(**_SETTINGS)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000), st.integers(0, 99)),
+        max_size=25,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    base = dt.datetime(2024, 1, 1)
+    ldf = spark.createDataFrame(
+        [(u, base + dt.timedelta(seconds=s), 0.0) for u, s in left],
+        "user_id long, ts timestamp, lv double",
+    )
+    rdf = spark.createDataFrame(
+        [(u, base + dt.timedelta(seconds=s), float(v)) for u, s, v in right],
+        "user_id long, ts timestamp, value double",
+    ) if right else spark.createDataFrame([], "user_id long, ts timestamp, value double")
+    got = {
+        (r.user_id, r.ts): (r.asof_ts, r.asof_value)
+        for r in asof_join(ldf, rdf, on="user_id", ts="ts").collect()
+    }
+    expect = _brute_asof(left, right)
+    assert len(got) == len(expect)
+    for (u, s), best in expect.items():
+        g = got[(u, base + dt.timedelta(seconds=s))]
+        if best is None:
+            assert g == (None, None), (u, s, g)
+        else:
+            assert g == (base + dt.timedelta(seconds=best[0]), float(best[1])), (u, s, g)
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=6, max_size=60).filter(lambda t: t.strip()),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_minhash_estimates_jaccard_direction(spark, texts):
+    """Identical shingle sets ⇒ identical signatures; disjoint sets ⇒
+    (almost surely) different signatures."""
+    from market_etl_spark.llm.dedup import with_minhash_signature
+    from market_etl_spark.llm.text import shingles, words
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .withColumn("toks", words("text"))
+        .withColumn("sh", shingles("toks", 3))
+        .filter(F.size("sh") > 0)
+    )
+    got = {r.doc_id: (tuple(r.sh), tuple(r.sig)) for r in with_minhash_signature(df).collect()}
+    items = list(got.values())
+    for i in range(len(items)):
+        for j in range(i + 1, len(items)):
+            sh_a, sig_a = items[i]
+            sh_b, sig_b = items[j]
+            if set(sh_a) == set(sh_b):
+                assert sig_a == sig_b
+            elif not set(sh_a) & set(sh_b):
+                assert sig_a != sig_b
