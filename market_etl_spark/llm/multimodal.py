@@ -63,6 +63,59 @@ def _rolling_hash(data: bytes, mod: int = (1 << 61) - 1, base: int = 257) -> int
     return h
 
 
+#: Output schema of the resize stage (image-shaped metadata).
+RESIZED_SCHEMA = "doc_id long, width int, height int, resized binary"
+
+#: Output schema of frame sampling (one row per sampled frame).
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_offset long, frame binary"
+
+
+def resize_images(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Resize stage over Arrow batches.
+
+    STUB decode/resample (a real build calls PIL's ``Image.resize``
+    here); the deterministic fake tiles/truncates the payload to
+    exactly width×height bytes so output sizing — the property
+    downstream stages depend on — is honest.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            out_rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                scaled = (b * (target // max(len(b), 1) + 1))[:target]
+                out_rows.append((doc_id, width, height, scaled))
+            yield pd.DataFrame(
+                out_rows, columns=["doc_id", "width", "height", "resized"]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 1000, max_frames: int = 8) -> DataFrame:
+    """Frame-sampling stage: one output row per sampled 'frame'
+    (fixed-stride byte windows — a real build would seek keyframes via
+    ffmpeg). Demonstrates the 1→N mapInPandas fan-out shape a video
+    pipeline needs: output row count is data-dependent, schemas typed,
+    partition-parallel."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for idx in range(min(max_frames, len(b) // every_n_bytes + 1)):
+                    off = idx * every_n_bytes
+                    rows.append((doc_id, idx, off, b[off : off + every_n_bytes]))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_offset", "frame"]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
 def extract_features(df: DataFrame) -> DataFrame:
     """Decode + feature-extract over Arrow batches with mapInPandas.
 

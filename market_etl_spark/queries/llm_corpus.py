@@ -348,3 +348,34 @@ def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     feats = multimodal.extract_features(multimodal.with_binary_payload(d))
     return feats.select("doc_id", "byte_len", "n_frames", "format").orderBy("doc_id")
+
+
+@query(
+    "llm_multimodal_frames",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(g.i AS INT) AS frame_idx,
+           CAST(g.i * 1000 AS BIGINT) AS frame_offset,
+           CAST(LEAST(1000, d.len - g.i * 1000) AS BIGINT) AS frame_bytes
+    FROM (SELECT doc_id, octet_length(encode(text)) AS len
+          FROM documents WHERE doc_id < 50) d
+    CROSS JOIN generate_series(0, 7) AS g(i)
+    WHERE g.i < LEAST(8, d.len // 1000 + 1)
+    ORDER BY doc_id, frame_idx
+    """,
+    tags=("llm", "multimodal", "frame-sampling"),
+)
+def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling as a 1→N mapInPandas fan-out: each binary payload
+    emits one typed row per fixed-stride frame window (a video pipeline
+    shape — ffmpeg keyframe seek stubbed with byte strides). Frame
+    count/offset/size are deterministic from payload length, so the
+    whole fan-out is hash-verified against SQL."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    frames = multimodal.sample_frames(multimodal.with_binary_payload(d))
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "frame_offset",
+        F.octet_length("frame").cast("long").alias("frame_bytes"),
+    ).orderBy("doc_id", "frame_idx")

@@ -124,8 +124,10 @@ def run_to_memory_append(
     last_count, stable_since = -1, time.time()
     while time.time() - t0 < max_wait_secs:
         time.sleep(1.0)
-        p = q.lastProgress
-        if p and p["numInputRows"] > 0:
+        # recentProgress (a window of batches), not lastProgress: empty
+        # drain batches overwrite lastProgress between polls, which
+        # would make the data batch invisible and force max_wait.
+        if not consumed and any(p["numInputRows"] > 0 for p in q.recentProgress):
             consumed = True
         n = spark.table(name).count()
         if n != last_count:

@@ -147,6 +147,26 @@ def test_multimodal_payload_matches_text_length(spark):
         assert r.byte_len >= r.n_chars  # utf-8 ≥ char count
 
 
+def test_multimodal_resize_and_frame_fanout(spark):
+    """1→N fan-out and exact output sizing on payloads large enough to
+    exercise multiple frames (the fixture docs are all single-frame)."""
+    big = "word " * 1500  # 7500 bytes -> 8 frames at 1000-byte stride
+    df = spark.createDataFrame([(1, big), (2, "tiny")], "doc_id long, text string")
+    with_bin = multimodal.with_binary_payload(df)
+
+    resized = {r.doc_id: r for r in multimodal.resize_images(with_bin, 64, 64).collect()}
+    assert len(resized[1].resized) == 64 * 64 == len(resized[2].resized)
+
+    frames = multimodal.sample_frames(with_bin).collect()
+    by_doc: dict[int, list] = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 8  # capped at max_frames
+    assert len(by_doc[2]) == 1
+    f0 = sorted(by_doc[1], key=lambda r: r.frame_idx)[0]
+    assert (f0.frame_offset, len(f0.frame)) == (0, 1000)
+
+
 def test_registry_llm_entries_present():
     names = {n for n in REGISTRY if n.startswith("llm_")}
     assert names >= {
