@@ -217,6 +217,49 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("cohort")
 
 
+@query(
+    "q_salted_skew_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS trades,
+           ROUND(SUM(value), 4) AS volume,
+           MIN(value) AS low,
+           MAX(value) AS high
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("extension", "skew-salting"),
+)
+def q_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage salted aggregation
+    (:func:`market_etl_spark.functions.skew.salted_agg`): event_type has
+    only 5 values, so an unsalted groupBy funnels 1/5 of 100 TB through
+    5 reducers; salting scatters each key over 16 partial groups first.
+    The oracle is the plain one-stage GROUP BY — results must be
+    identical, only the shuffle shape differs."""
+    from ..functions.skew import salted_agg
+
+    e = load(spark, sf_dir, "events")
+    out = salted_agg(
+        e,
+        keys=["event_type"],
+        aggs={
+            "trades": ("count", "value"),
+            "volume": ("sum", "value"),
+            "low": ("min", "value"),
+            "high": ("max", "value"),
+        },
+    )
+    return out.select(
+        "event_type",
+        "trades",
+        F.round("volume", 4).alias("volume"),
+        "low",
+        "high",
+    ).orderBy("event_type")
+
+
 _SQL_WHALES = """
     WITH percentiles AS (
         SELECT l_returnflag,

@@ -111,14 +111,28 @@ def run_to_memory_append(
 
     name = name or f"sink_{uuid.uuid4().hex[:8]}"
     ckpt = _SCRATCH / "checkpoints" / name
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", str(ckpt))
-        .start()
-    )
     spark = result.sparkSession
+    # State-store partition count is frozen from shuffle.partitions at
+    # stream start, and every micro-batch checkpoints every state
+    # partition — on a host session with the 200 default the drain's
+    # empty batches spend ~3-4x longer in checkpoint I/O than compute
+    # (measured 64s vs 21s). Pin a modest count for the stream only and
+    # restore the host's setting right after start.
+    # NB: conf.get(key, default) returns the DEFAULT for a conf the user
+    # never explicitly set (it does not resolve the effective SQLConf
+    # value) — use the no-default form to capture the real setting.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     t0 = time.time()
     consumed = False
     last_count, stable_since = -1, time.time()
