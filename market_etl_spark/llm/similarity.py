@@ -181,6 +181,94 @@ def ann_lsh_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str | None = None,
+    n_clusters: int = 16,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    coarse cells, route each query to its ``nprobe`` nearest centroids,
+    exact-search only those cells.
+
+    Cell assignment uses ``cluster_col`` when the data already carries
+    one (our fixture's ``label``); otherwise cells come from an LSH
+    bucket of the vector (a k-means-free stand-in — a production build
+    would train centroids). Centroids are the cells' mean vectors,
+    computed with a single aggregation (`zip_with` sums — no UDF).
+
+    Scale shape: the probe scans |corpus| × nprobe / n_clusters rows
+    per query instead of |corpus|; centroid table is tiny and
+    broadcast.
+    """
+    from pyspark.sql import Window
+
+    if cluster_col is None:
+        sig = _hyperplane_signature_udf(64, 1, max(2, n_clusters.bit_length() - 1))
+        embeddings = embeddings.withColumn("_cell", sig(F.col(vec_col))[0])
+        cluster_col = "_cell"
+
+    # centroid per cell: element-wise mean via posexplode + per-(cell,
+    # dim) average — one shuffle, fully distributed, no collected arrays
+    # on the driver.
+    exploded = embeddings.select(
+        F.col(cluster_col).alias("cell"),
+        F.posexplode(F.expr(f"transform({vec_col}, x -> cast(x as double))")).alias(
+            "dim", "x"
+        ),
+    )
+    centroids = (
+        exploded.groupBy("cell", "dim")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("_dc"))
+        .select(
+            "cell", F.expr("transform(_dc, s -> s.c)").alias("centroid")
+        )
+    )
+
+    queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    # route each query to its nprobe nearest centroids
+    routed = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("_sim", cosine("_qvec", "centroid"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "_qvec", "cell")
+    )
+    cells = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col),
+        F.col(cluster_col).alias("cell"),
+    )
+    scored = (
+        cells.join(F.broadcast(routed), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("_qvec", vec_col), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

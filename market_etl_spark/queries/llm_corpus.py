@@ -312,6 +312,19 @@ def llm_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("llm_ivf_topk", oracle=None, tags=("llm", "similarity-ivf", "rows-only"))
+def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10: coarse cells from the corpus's label
+    clustering, distributed per-dimension centroid means, queries
+    probe their 3 nearest cells only (~3/10 of the corpus scanned per
+    query). Approximate → rows-only; recall vs brute force asserted in
+    tests."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, _QUERY_IDS, k=10, nprobe=3, cluster_col="label"
+    ).orderBy("query_id", F.desc("cos_sim"), "neighbor_id")
+
+
 @query("llm_embedding_near_dup", oracle=None, tags=("llm", "dedup-embedding", "rows-only"))
 def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs ≥0.4 via LSH bucket self-join +

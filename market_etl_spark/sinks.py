@@ -42,3 +42,42 @@ def write_partitioned_parquet(
 def preview(df: DataFrame, n: int = 5) -> None:
     """S12 — sample sink (glue_spark_trades_etl.py:181,188)."""
     df.show(n, truncate=False)
+
+
+def compact_partitioned(
+    spark,
+    path: str,
+    partition_cols: Sequence[str] = TRADES_PARTITION_COLS,
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite a partitioned dataset so each
+    Hive partition holds one file (hash-repartitioned on the partition
+    key tuple; pair with ``maxRecordsPerFile`` for a byte ceiling).
+
+    Streaming/appending writers fragment partitions into many small
+    files; at 100 TB the scan's task count (and the namenode/listing
+    load) tracks FILE count, not byte count. Repartitioning on the
+    partition columns before a dynamic-overwrite rewrite coalesces each
+    partition's rows into the same tasks. Returns (files_before,
+    files_after)."""
+    import pathlib
+    import shutil
+
+    root = pathlib.Path(path)
+    before = sum(1 for p in root.rglob("*.parquet"))
+    staging = root.with_name(root.name + "__compacting")
+    shutil.rmtree(staging, ignore_errors=True)
+    # Spark refuses to overwrite a path it is reading (correctly), so
+    # compaction writes to a staging dir and swaps — which also makes a
+    # crashed compaction harmless: the original is untouched until the
+    # final rename.
+    (
+        spark.read.parquet(path)
+        .repartition(*partition_cols)
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(str(staging))
+    )
+    shutil.rmtree(root)
+    staging.rename(root)
+    after = sum(1 for p in root.rglob("*.parquet"))
+    return before, after

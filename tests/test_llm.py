@@ -99,6 +99,22 @@ def test_ann_topk_recall_vs_brute_force(spark):
     assert recall >= 0.8, f"ANN recall {recall}"
 
 
+def test_ivf_topk_recall_vs_brute_force(spark):
+    emb = load(spark, SF_SMOKE, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    bf = {(r.query_id, r.neighbor_id) for r in similarity.brute_force_topk(emb, qids).collect()}
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(emb, qids, nprobe=3, cluster_col="label").collect()
+    }
+    recall = len(bf & ivf) / len(bf)
+    # nprobe=3 of 10 cells scans ~30% of the corpus; on this weakly-
+    # clustered fixture that bounds achievable recall — assert the
+    # structural floor, and that the probe really is partial
+    assert recall >= 0.3, f"IVF recall {recall}"
+    assert len(ivf) == len(bf)
+
+
 def test_embedding_near_dup_recall_and_precision(spark):
     emb = load(spark, SF_SMOKE, "embeddings")
     rows = sorted(emb.collect(), key=lambda r: r.vec_id)
