@@ -150,7 +150,24 @@ def lsh_candidate_pairs(
     # reach banding: array_min over an empty array is NULL, so every
     # such doc would share identical NULL-keyed buckets in all bands —
     # a quadratic candidate explosion of definitionally-dissimilar docs.
-    exploded = docs.filter(F.size(shingle_col) > 0).select(
+    #
+    # The repartition is a materialization barrier: without it Catalyst
+    # collapses the (tokenize → shingle) expression into the per-band
+    # projection, recomputing the shingle set `bands` times per row
+    # (measured 2-3× wall on the pair queries). One narrow shuffle of
+    # (id, shingles) buys shingles-computed-once.
+    # Explicit partition count: higher-order-function lambdas never
+    # enter codegen (interpreted per element), so signature hashing is
+    # CPU-bound Python-free-but-slow JVM work — it must actually spread
+    # across cores. A bare repartition(col) gets AQE-coalesced back to
+    # one partition at this data size.
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    base = (
+        docs.filter(F.size(shingle_col) > 0)
+        .select(F.col(id_col), F.col(shingle_col))
+        .repartition(n_part, F.col(id_col))
+    )
+    exploded = base.select(
         F.col(id_col),
         F.col(shingle_col),
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
@@ -240,11 +257,19 @@ def prefix_filter_pairs(
     hash-checked oracle (the oracle can brute-force the same answer).
     """
     t = threshold
-    prefixed = docs.filter(F.size(shingle_col) > 0).select(
+    docs = (
+        docs.filter(F.size(shingle_col) > 0)
+        .select(F.col(id_col), F.col(shingle_col))
+        # materialize shingles once + spread interpreted HOF work
+        # across cores (see lsh_candidate_pairs)
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    )
+    hashed = docs.select(
         F.col(id_col),
         F.size(shingle_col).alias("sz"),
         F.expr(f"array_sort(transform({shingle_col}, s -> md5(s)))").alias("_ordered"),
-    ).select(
+    )
+    prefixed = hashed.select(
         F.col(id_col),
         F.col("sz"),
         F.expr(
@@ -256,7 +281,10 @@ def prefix_filter_pairs(
         F.col(id_col), F.col("sz"), F.lit(0).alias("band"), F.explode("_prefix").alias("key")
     )
     cands = _bucket_pairs(inv, id_col, size_ratio=t)
-    return verify_jaccard(cands, docs, id_col, shingle_col, threshold)
+    # verify against the md5 sets (J over injective hashes == J over
+    # shingles) — reuses the arrays the prefix stage already built
+    # instead of re-deriving raw shingles for both join sides.
+    return verify_jaccard(cands, hashed, id_col, "_ordered", threshold)
 
 
 # ---------------------------------------------------------------------------
