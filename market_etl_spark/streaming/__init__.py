@@ -101,12 +101,15 @@ def run_to_memory_append(
     ``trigger(availableNow)`` never terminates such queries: pending
     processing-time timeouts keep scheduling empty micro-batches
     forever (observed: hundreds of epochs after the data drained). So
-    this runs with the default ASAP trigger and stops the query once
-    (a) at least one batch consumed input and (b) the sink row count
-    has been stable for ``settle_secs`` — ≥2× the operator timeout, so
-    every open-state flush has fired. The output SET is
-    timing-independent (sessions are defined by data gaps), only the
-    drain mechanics are wall-clock."""
+    this runs with the default ASAP trigger and stops the query as
+    soon as (a) at least one batch consumed input and (b) the state
+    store has drained back to zero rows (``stateOperators[*]
+    .numRowsTotal == 0`` in a post-consumption progress report) —
+    i.e. every open-state flush has fired and been committed. A
+    sink-count-stability window (``settle_secs``) remains as a
+    fallback for operators that legitimately hold state forever. The
+    output SET is timing-independent (sessions are defined by data
+    gaps), only the drain mechanics are wall-clock."""
     import time
 
     name = name or f"sink_{uuid.uuid4().hex[:8]}"
@@ -135,14 +138,27 @@ def run_to_memory_append(
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     t0 = time.time()
     consumed = False
+    state_seen = False
     last_count, stable_since = -1, time.time()
     while time.time() - t0 < max_wait_secs:
-        time.sleep(1.0)
+        time.sleep(0.5)
         # recentProgress (a window of batches), not lastProgress: empty
         # drain batches overwrite lastProgress between polls, which
         # would make the data batch invisible and force max_wait.
-        if not consumed and any(p["numInputRows"] > 0 for p in q.recentProgress):
+        progress = q.recentProgress
+        if not consumed and any(p["numInputRows"] > 0 for p in progress):
             consumed = True
+        # Deterministic drain detection: once input is consumed the
+        # operator holds open state (> 0 rows); when a later progress
+        # report shows the state store empty again, every pending
+        # timeout has fired and its output batch has committed.
+        if consumed and progress:
+            ops = progress[-1]["stateOperators"] or []
+            total = sum(op["numRowsTotal"] for op in ops)
+            if ops and total > 0:
+                state_seen = True
+            elif ops and state_seen and total == 0:
+                break
         n = spark.table(name).count()
         if n != last_count:
             last_count, stable_since = n, time.time()
@@ -208,7 +224,7 @@ def _sessionize_group(
     # issuing (empty) micro-batches until all state times out, so this
     # bounds the drain tail; a live 24/7 stream would use the session
     # gap here instead.
-    state.setTimeoutDuration(5_000)
+    state.setTimeoutDuration(3_000)
     if out:
         yield pd.DataFrame(
             {
