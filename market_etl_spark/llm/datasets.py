@@ -1,0 +1,243 @@
+"""Dataset-construction operators for training-data pipelines:
+deterministic splits, stratified sampling, sequence packing, PII
+redaction, and benchmark decontamination.
+
+Like :mod:`.text`, every operator has a Spark Column/DataFrame builder
+and a matching ANSI-SQL rendering for the DuckDB oracle. All hashing is
+md5-based (portable across engines) so splits/samples are reproducible
+bit-for-bit anywhere — the property a real pipeline needs so a re-run
+months later lands every document in the same split.
+
+Scale notes: split/sample/redaction are per-row projections (no
+shuffle, linear in input splits). Packing shuffles once on the group
+key. Decontamination explodes n-grams but joins against the *eval*
+side, which for benchmark-contamination checks is small enough to
+broadcast — the 100 TB train side is never shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# ---------------------------------------------------------------------------
+# Deterministic hash bucketing (the primitive under splits and sampling)
+# ---------------------------------------------------------------------------
+
+
+def hash_bucket(key: Column, seed: str, n_buckets: int) -> Column:
+    """Uniform deterministic bucket in [0, n_buckets): first 8 hex chars
+    of md5(seed | key) as an integer, mod n_buckets. Engine-portable —
+    any system with md5 assigns identical buckets, which is what makes
+    train/test membership reproducible across engines and re-runs."""
+    digest = F.md5(F.concat_ws("|", F.lit(seed), key.cast("string")))
+    return (F.conv(F.substring(digest, 1, 8), 16, 10).cast("long") % n_buckets).alias(
+        "bucket"
+    )
+
+
+def hash_bucket_sql(key_expr: str, seed: str, n_buckets: int) -> str:
+    """DuckDB rendering of :func:`hash_bucket`."""
+    return (
+        f"CAST(('0x' || substring(md5('{seed}' || '|' || CAST({key_expr} AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) % {n_buckets}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train / validation / test split
+# ---------------------------------------------------------------------------
+#: (name, cumulative upper bound in percent) — train [0,90), val [90,95),
+#: test [95,100).
+DEFAULT_SPLITS = (("train", 90), ("val", 95), ("test", 100))
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str,
+    seed: str = "split-v1",
+    splits=DEFAULT_SPLITS,
+) -> DataFrame:
+    """Add a ``split`` column by deterministic hash bucket of ``key_col``.
+
+    Hash-based (not random) assignment is the production norm: adding
+    new documents never reshuffles existing ones between splits, and
+    the assignment is recomputable from the key alone — no membership
+    table to store or join at 100 TB."""
+    b = hash_bucket(F.col(key_col), seed, 100)
+    expr = F.when(b < splits[0][1], splits[0][0])
+    for name, hi in splits[1:-1]:
+        expr = expr.when(b < hi, name)
+    expr = expr.otherwise(splits[-1][0])
+    return df.withColumn("split", expr)
+
+
+def split_sql(key_expr: str, seed: str = "split-v1", splits=DEFAULT_SPLITS) -> str:
+    """DuckDB rendering of :func:`assign_split`'s split expression."""
+    b = hash_bucket_sql(key_expr, seed, 100)
+    arms = "".join(
+        f" WHEN ({b}) < {hi} THEN '{name}'" for name, hi in splits[:-1]
+    )
+    return f"CASE{arms} ELSE '{splits[-1][0]}' END"
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 1.0,
+    seed: str = "sample-v1",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its hash
+    bucket (of the row key, 10 000 buckets for 4-digit rate precision)
+    falls under the stratum's rate. The language-rebalancing stage of a
+    corpus pipeline — e.g. downweight English, keep all low-resource
+    languages — with exactly reproducible membership (unlike
+    ``DataFrame.sampleBy``, which is seeded-random per partition)."""
+    b = hash_bucket(F.col(key_col), seed, 10_000)
+    rate = F.lit(default_rate)
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == value, F.lit(r)).otherwise(rate)
+    return df.filter(b < (rate * 10_000).cast("long"))
+
+
+def stratified_sample_sql(
+    stratum_expr: str,
+    rates: dict[str, float],
+    key_expr: str,
+    default_rate: float = 1.0,
+    seed: str = "sample-v1",
+) -> str:
+    """DuckDB WHERE-clause rendering of :func:`stratified_sample`."""
+    b = hash_bucket_sql(key_expr, seed, 10_000)
+    arms = "".join(
+        f" WHEN {stratum_expr} = '{v}' THEN {r}" for v, r in sorted(rates.items())
+    )
+    rate = f"CASE{arms} ELSE {default_rate} END"
+    return f"({b}) < CAST(({rate}) * 10000 AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    token_col: str,
+    budget: int,
+) -> DataFrame:
+    """Concat-then-split sequence packing: documents are laid out in
+    deterministic order within each group and assigned to the
+    fixed-token-budget chunk their first token lands in (``floor`` of
+    the running token total before the document / budget) — the
+    standard "concatenate the corpus, slice into context windows"
+    packing used to build LLM training batches.
+
+    One shuffle on the group key; the running sum is a single window
+    pass. Group = shard key (here: source) so packing parallelizes
+    across shards at 100 TB rather than serializing on one global
+    order."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return df.withColumn("chunk_id", F.floor(prev / F.lit(budget)).cast("long"))
+
+
+def pack_sequences_sql(
+    group_expr: str, order_expr: str, token_expr: str, budget: int
+) -> str:
+    """DuckDB rendering of the chunk assignment of :func:`pack_sequences`."""
+    return (
+        f"CAST(floor(COALESCE(SUM({token_expr}) OVER ("
+        f"PARTITION BY {group_expr} ORDER BY {order_expr} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        f"/ {budget}.0) AS BIGINT)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+#: Deliberately simple patterns valid in both Java regex (Spark) and RE2
+#: (DuckDB): email-shaped tokens and 555-prefixed phone numbers.
+EMAIL_REGEX = r"[a-z0-9._]+@[a-z0-9]+\.[a-z]+"
+PHONE_REGEX = r"555-[0-9]{4}"
+
+
+def redact_pii(text_col: Column) -> Column:
+    """Replace email/phone matches with typed placeholder tags. Pure
+    per-row string projection — the cheapest possible shape for a
+    100 TB scrubbing pass (no shuffle, pushdown-friendly)."""
+    out = F.regexp_replace(text_col, F.lit(EMAIL_REGEX), F.lit("[EMAIL]"))
+    return F.regexp_replace(out, F.lit(PHONE_REGEX), F.lit("[PHONE]"))
+
+
+def pii_counts(text_col: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) match counts for audit metrics."""
+    return (
+        F.size(F.regexp_extract_all(text_col, F.lit(EMAIL_REGEX), F.lit(0))).cast("long"),
+        F.size(F.regexp_extract_all(text_col, F.lit(PHONE_REGEX), F.lit(0))).cast("long"),
+    )
+
+
+def redact_pii_sql(text_expr: str) -> str:
+    """DuckDB rendering of :func:`redact_pii` (global replace flag)."""
+    return (
+        f"regexp_replace(regexp_replace({text_expr}, '{EMAIL_REGEX}', '[EMAIL]', 'g'), "
+        f"'{PHONE_REGEX}', '[PHONE]', 'g')"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def contamination_report(
+    train: DataFrame,
+    eval_set: DataFrame,
+    shingle_col: str = "sh",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag training documents sharing any n-gram shingle with an
+    evaluation set: explode both sides' distinct shingles, inner-join
+    on the shingle, count distinct shared shingles and distinct eval
+    documents hit per training document.
+
+    The eval side (a benchmark: thousands of documents, not billions)
+    is aggregated then **broadcast**, so the train side — the 100 TB
+    one — is never shuffled: the plan is scan → explode → broadcast
+    hash join → partial agg. This is the standard n-gram overlap
+    decontamination used before training runs."""
+    train_sh = train.select(
+        F.col(id_col).alias("train_id"), F.explode(shingle_col).alias("shingle")
+    )
+    eval_sh = (
+        eval_set.select(F.col(id_col).alias("eval_id"), F.explode(shingle_col).alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.collect_set("eval_id").alias("eval_ids"))
+    )
+    joined = train_sh.join(F.broadcast(eval_sh), "shingle")
+    return (
+        joined.groupBy("train_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("eval_ids")))).cast(
+                "long"
+            ).alias("n_eval_docs_hit"),
+        )
+        .withColumnRenamed("train_id", id_col)
+    )

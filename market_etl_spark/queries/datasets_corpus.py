@@ -1,0 +1,257 @@
+"""Dataset-construction queries: splits, sampling, packing, redaction,
+decontamination, and sketch aggregates.
+
+The training-corpus assembly stages that sit between raw documents and
+a training run, each as a registered, oracle-checked query. These are
+the operators a 100 TB pipeline runs *after* dedup/quality filtering
+(llm_corpus.py) to produce the actual training mix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..llm import datasets
+from ..llm.text import BPE_TOKEN_COUNT_SQL, bpe_token_count, shingles, shingles_sql, words
+from ..tables import load
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_dataset_split",
+    oracle=f"""
+    SELECT split, lang, COUNT(*) AS docs, ROUND(AVG(n_chars), 6) AS avg_chars
+    FROM (
+        SELECT lang, n_chars, {datasets.split_sql("doc_id")} AS split
+        FROM documents
+    )
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+    tags=("llm", "dataset-split"),
+)
+def llm_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by md5 hash bucket of
+    the document id, audited per (split, language). Hash-based splits
+    are the production norm: membership is recomputable from the key
+    alone (no membership table), stable under corpus growth, and —
+    because the hash is portable md5 — bit-identical in any engine, as
+    the DuckDB oracle proves. Pure projection: no shuffle besides the
+    tiny audit aggregate."""
+    d = datasets.assign_split(load(spark, sf_dir, "documents"), "doc_id")
+    return (
+        d.groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling
+# ---------------------------------------------------------------------------
+_SAMPLE_RATES = {"en": 0.25, "zh": 0.8}
+
+
+@query(
+    "llm_stratified_sample",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM documents
+    WHERE {datasets.stratified_sample_sql("lang", _SAMPLE_RATES, "doc_id")}
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("llm", "stratified-sample"),
+)
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling for corpus rebalancing:
+    keep 25% of English, 80% of Chinese, 100% of low-resource
+    languages, with membership decided by a per-document hash bucket
+    (not a random draw — the same document survives every re-run and
+    every engine). The id_checksum pins the exact surviving set, not
+    just its size. Scales as a scan + filter; no shuffle."""
+    d = datasets.stratified_sample(
+        load(spark, sf_dir, "documents"), "lang", _SAMPLE_RATES, "doc_id"
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+_PACK_BUDGET = 512
+
+
+@query(
+    "llm_sequence_packing",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               {BPE_TOKEN_COUNT_SQL.format(col="text")} AS n_tokens
+        FROM documents
+    ), p AS (
+        SELECT *,
+               {datasets.pack_sequences_sql("source", "doc_id", "n_tokens", _PACK_BUDGET)}
+                   AS chunk_id
+        FROM d
+    )
+    SELECT source, chunk_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens
+    FROM p
+    GROUP BY source, chunk_id
+    ORDER BY source, chunk_id
+    """,
+    tags=("llm", "sequence-packing"),
+)
+def llm_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-split sequence packing into 512-token training
+    chunks, sharded by source: each document joins the chunk its first
+    token lands in under a running token total. One shuffle (on the
+    shard key) + one window pass; shards pack independently, so the
+    packing parallelizes across a 100 TB corpus instead of
+    serializing on a global document order."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "n_tokens", bpe_token_count("text")
+    )
+    packed = datasets.pack_sequences(d, "source", "doc_id", "n_tokens", _PACK_BUDGET)
+    return (
+        packed.groupBy("source", "chunk_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("chunk_tokens"),
+        )
+        .orderBy("source", "chunk_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+_PLANT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+@query(
+    "llm_pii_redaction",
+    oracle=f"""
+    WITH planted AS (
+        SELECT doc_id, {_PLANT_SQL} AS text2
+        FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text2, '{datasets.EMAIL_REGEX}', 0)) AS n_emails,
+           len(regexp_extract_all(text2, '{datasets.PHONE_REGEX}', 0)) AS n_phones,
+           md5({datasets.redact_pii_sql("text2")}) AS redacted_md5
+    FROM planted
+    ORDER BY doc_id
+    """,
+    tags=("llm", "pii-redaction"),
+)
+def llm_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: plant a deterministic email + phone per
+    document (the corpus has none), count matches for the audit
+    metric, and redact to typed placeholders. The md5 of the redacted
+    text is hash-verified against DuckDB, proving the regex semantics
+    agree byte-for-byte across engines. Pure per-row projection — the
+    cheapest shape a 100 TB scrub can have."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    planted = d.withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    n_emails, n_phones = datasets.pii_counts(F.col("text2"))
+    return planted.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.md5(datasets.redact_pii(F.col("text2"))).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+_DECON_SQL = f"""
+    WITH t AS (
+        SELECT doc_id, source, string_split(lower(text), ' ') AS w FROM documents
+    ), s AS (
+        SELECT doc_id, source, {shingles_sql("w", 5)} AS sh FROM t
+    ), ex AS (
+        SELECT doc_id, source, unnest(sh) AS shingle FROM s
+    ), ev AS (
+        SELECT DISTINCT shingle, doc_id AS eval_id FROM ex WHERE source = 'src0'
+    ), tr AS (
+        SELECT doc_id, shingle FROM ex WHERE source <> 'src0'
+    )
+    SELECT tr.doc_id,
+           COUNT(DISTINCT shingle) AS n_shared_shingles,
+           COUNT(DISTINCT eval_id) AS n_eval_docs_hit
+    FROM tr JOIN ev USING (shingle)
+    GROUP BY tr.doc_id
+    ORDER BY tr.doc_id
+"""
+
+
+@query("llm_decontamination", oracle=_DECON_SQL, tags=("llm", "decontamination"))
+def llm_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training documents (sources ≠ src0)
+    sharing any 5-gram with the held-out eval set (src0), with shared
+    shingle and eval-document counts. The eval side is aggregated and
+    broadcast — the train side (the 100 TB one) is scanned once and
+    never shuffled before the per-document aggregate. This is the
+    n-gram-overlap contamination check run before every serious
+    training job."""
+    d = load(spark, sf_dir, "documents").withColumn("toks", words("text")).withColumn(
+        "sh", shingles("toks", 5)
+    )
+    train = d.filter(F.col("source") != "src0")
+    eval_set = d.filter(F.col("source") == "src0")
+    return datasets.contamination_report(train, eval_set).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Sketch aggregates (approximate distinct)
+# ---------------------------------------------------------------------------
+
+
+@query("q_approx_distinct_users", oracle=None, tags=("sketch", "approx", "rows-only"))
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user counts per event type
+    (``approx_count_distinct``, rsd 2%) next to the exact count for
+    the error audit. The sketch is THE 100 TB cardinality plan:
+    fixed-size (~kB) partial state per group merges map-side, versus
+    the exact count's full shuffle of every distinct (group, user)
+    pair. Engine-specific sketch → rows-only here; the ≤5% error
+    bound vs exact is asserted in tests/test_datasets.py."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
