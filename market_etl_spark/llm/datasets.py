@@ -206,27 +206,56 @@ def redact_pii_sql(text_expr: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+def shingle_rows(
+    df: DataFrame, tokens_col: str, n: int, id_col: str, out_id: str
+) -> DataFrame:
+    """(id, shingle) rows by position-exploding the token array: explode
+    ``sequence(1, size - n + 1)`` (a cheap Generate), then build each
+    n-gram in the post-explode projection with ``element_at``/
+    ``concat_ws`` — plain codegen-friendly expressions. Building the
+    shingle *array* with a higher-order ``transform`` and exploding
+    that is ~10× slower: HOF lambdas never enter whole-stage codegen,
+    and a Generate over a nested-lambda input is itself interpreted.
+    The repartition spreads rows across cores (AQE would otherwise
+    coalesce a small scan to one task) and stops Catalyst re-inlining
+    the tokenize upstream of the explode."""
+    parts = ", ".join(f"element_at({tokens_col}, pos + {j})" for j in range(n))
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(F.col(id_col).alias(out_id), F.col(tokens_col))
+        .filter(F.size(tokens_col) >= n)
+        .repartition(n_part, F.col(out_id))
+        .select(
+            out_id,
+            F.col(tokens_col),
+            F.explode(
+                F.sequence(F.lit(1), F.size(tokens_col) - (n - 1))
+            ).alias("pos"),
+        )
+        .select(out_id, F.expr(f"concat_ws(' ', {parts})").alias("shingle"))
+    )
+
+
 def contamination_report(
     train: DataFrame,
     eval_set: DataFrame,
-    shingle_col: str = "sh",
+    tokens_col: str = "toks",
+    n: int = 5,
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Flag training documents sharing any n-gram shingle with an
-    evaluation set: explode both sides' distinct shingles, inner-join
-    on the shingle, count distinct shared shingles and distinct eval
-    documents hit per training document.
+    evaluation set: position-explode both sides' token arrays into
+    shingle rows, inner-join on the shingle, count distinct shared
+    shingles and distinct eval documents hit per training document.
 
     The eval side (a benchmark: thousands of documents, not billions)
     is aggregated then **broadcast**, so the train side — the 100 TB
     one — is never shuffled: the plan is scan → explode → broadcast
     hash join → partial agg. This is the standard n-gram overlap
     decontamination used before training runs."""
-    train_sh = train.select(
-        F.col(id_col).alias("train_id"), F.explode(shingle_col).alias("shingle")
-    )
+    train_sh = shingle_rows(train, tokens_col, n, id_col, "train_id")
     eval_sh = (
-        eval_set.select(F.col(id_col).alias("eval_id"), F.explode(shingle_col).alias("shingle"))
+        shingle_rows(eval_set, tokens_col, n, id_col, "eval_id")
         .groupBy("shingle")
         .agg(F.collect_set("eval_id").alias("eval_ids"))
     )

@@ -226,16 +226,45 @@ def verify_jaccard(
 def minhash_near_dup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
-    shingle_col: str = "sh",
+    tokens_col: str = "toks",
     threshold: float = 0.8,
     k: int = 64,
     bands: int = 16,
     rows: int = 4,
+    n: int = 3,
 ) -> DataFrame:
     """The full MinHash-LSH near-dup pipeline: signature → bands →
-    bucket-join candidates → exact-Jaccard verify ≥ threshold."""
-    cands = lsh_candidate_pairs(docs, id_col, shingle_col, bands=bands, rows=rows)
-    return verify_jaccard(cands, docs, id_col, shingle_col, threshold)
+    bucket-join candidates → exact-Jaccard verify ≥ threshold.
+
+    Row-wise for codegen (same reshape as :func:`prefix_filter_pairs`):
+    shingles come from a position-explode, and perm j's signature
+    element is a plain ``min(xxhash64(j, shingle))`` aggregate — k
+    codegen'd aggregates over the exploded rows instead of k
+    interpreted array_min/transform lambdas per document (5.5s → 2.2s
+    at sf0.1). Bucket membership is decided by equality of each
+    band's rows-tuple of perm-mins — the same values the array form
+    produced — so the candidate set, and therefore the verified
+    output, is unchanged."""
+    from .datasets import shingle_rows
+
+    sh_rows = shingle_rows(docs, tokens_col, n, id_col, id_col).distinct()
+    mins = sh_rows.groupBy(id_col).agg(
+        *[F.min(F.xxhash64(F.lit(j), "shingle")).alias(f"_m{j}") for j in range(k)]
+    )
+    keyed = mins.select(
+        F.col(id_col),
+        *[
+            F.xxhash64(F.lit(b), *[F.col(f"_m{b * rows + i}") for i in range(rows)]).alias(
+                f"_k{b}"
+            )
+            for b in range(bands)
+        ],
+    )
+    stack = ", ".join(f"{b}, _k{b}" for b in range(bands))
+    banded = keyed.selectExpr(id_col, f"stack({bands}, {stack}) as (band, key)")
+    cands = _bucket_pairs(banded, id_col)
+    sets_ = sh_rows.groupBy(id_col).agg(F.collect_set("shingle").alias("sh"))
+    return verify_jaccard(cands, sets_, id_col, "sh", threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -244,8 +273,9 @@ def minhash_near_dup_pairs(
 def prefix_filter_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
-    shingle_col: str = "sh",
+    tokens_col: str = "toks",
     threshold: float = 0.8,
+    n: int = 3,
 ) -> DataFrame:
     """EXACT similarity self-join without a cross join.
 
@@ -255,60 +285,85 @@ def prefix_filter_pairs(
     principle), so the inverted-index join loses nothing; the exact
     verify then removes false candidates. Deterministic — safe for a
     hash-checked oracle (the oracle can brute-force the same answer).
-    """
+
+    Built row-wise, not array-wise: shingle/md5 rows come from a
+    codegen position-explode (:func:`..datasets.shingle_rows`), the
+    prefix is a row_number window under the md5 order, and the verify
+    sets are re-assembled with ``collect_set``. The earlier array form
+    (HOF ``transform`` → ``array_sort`` → ``slice`` → explode) was
+    interpreted end-to-end and 2× slower at sf0.1. All three consumers
+    (prefix index, verify sets, window) hang off ONE hash exchange on
+    the id, which Spark reuses (ReusedExchange): the explode+md5 runs
+    once. The window/groupBy need no further shuffle — partitioning by
+    id satisfies their clustering."""
+    from .datasets import shingle_rows
+
     t = threshold
-    docs = (
-        docs.filter(F.size(shingle_col) > 0)
-        .select(F.col(id_col), F.col(shingle_col))
-        # materialize shingles once + spread interpreted HOF work
-        # across cores (see lsh_candidate_pairs)
-        .repartition(docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
-    )
-    hashed = docs.select(
+    h_rows = shingle_rows(docs, tokens_col, n, id_col, id_col).select(
+        F.col(id_col), F.md5("shingle").alias("h")
+    ).distinct()
+    w = Window.partitionBy(id_col)
+    ranked = h_rows.select(
         F.col(id_col),
-        F.size(shingle_col).alias("sz"),
-        F.expr(f"array_sort(transform({shingle_col}, s -> md5(s)))").alias("_ordered"),
-    )
-    prefixed = hashed.select(
-        F.col(id_col),
-        F.col("sz"),
-        F.expr(
-            f"slice(_ordered, 1, size(_ordered) - cast(ceil({t} * size(_ordered)) as int) + 1)"
-        ).alias("_prefix"),
+        F.col("h"),
+        F.row_number().over(w.orderBy("h")).alias("_rn"),
+        F.count(F.lit(1)).over(w).alias("sz"),
     )
     # inverted index on prefix shingles; band is constant (one table)
-    inv = prefixed.select(
-        F.col(id_col), F.col("sz"), F.lit(0).alias("band"), F.explode("_prefix").alias("key")
-    )
+    inv = ranked.filter(
+        F.col("_rn") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")).cast("int") + 1
+    ).select(F.col(id_col), F.col("sz"), F.lit(0).alias("band"), F.col("h").alias("key"))
     cands = _bucket_pairs(inv, id_col, size_ratio=t)
     # verify against the md5 sets (J over injective hashes == J over
-    # shingles) — reuses the arrays the prefix stage already built
-    # instead of re-deriving raw shingles for both join sides.
-    return verify_jaccard(cands, hashed, id_col, "_ordered", threshold)
+    # shingles) — rebuilt from the same exploded rows.
+    sets_ = h_rows.groupBy(id_col).agg(F.sort_array(F.collect_set("h")).alias("_ordered"))
+    return verify_jaccard(cands, sets_, id_col, "_ordered", threshold)
 
 
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
-def with_simhash(df: DataFrame, words_col: str = "toks", out_col: str = "simhash") -> DataFrame:
-    """64-bit SimHash over the distinct token set: bit j is the sign of
-    the sum of ±1 votes from bit j of each token's xxhash64. Two
-    near-identical token multisets differ in few bits (small Hamming
-    distance). Pure higher-order expressions, one pass."""
-    hashes = f"transform(array_distinct({words_col}), t -> xxhash64(t))"
-    votes = (
-        f"transform(sequence(0, 63), j -> aggregate({hashes}, 0L, "
-        f"(acc, h) -> acc + CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END))"
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", words_col: str = "toks", out_col: str = "simhash"
+) -> DataFrame:
+    """(id, 64-bit SimHash) over the distinct token set: bit j is the
+    sign of the sum of ±1 votes from bit j of each token's xxhash64.
+
+    Shaped for codegen, not elegance: explode the distinct tokens
+    (plain Generate), hash each once, then ONE hash aggregate with 64
+    conditional bit-sums — vote_j > 0 ⟺ 2·Σbit_j > n. The previous
+    form (nested higher-order ``aggregate`` lambdas per bit) evaluated
+    64·|tokens| interpreted closures per document and was 4× slower at
+    sf0.1. Docs with no tokens produce no row (callers coalesce 0)."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(F.col(words_col))).alias("_t")
+    ).select(id_col, F.xxhash64("_t").alias("_h"))
+    aggs = [
+        F.sum(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1))).alias(f"_b{j}")
+        for j in range(64)
+    ]
+    votes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"), *aggs)
+    packed = " | ".join(
+        f"IF(2 * _b{j} > _n, shiftleft(cast(1 as bigint), {j}), cast(0 as bigint))"
+        for j in range(64)
     )
-    # Pack by folding over the votes array with an index-carrying struct
-    # accumulator — element_at(votes, j) inside a lambda would re-evaluate
-    # the whole votes expression once per bit (64× blowup).
-    pack = (
-        f"aggregate({votes}, struct(cast(0 as bigint) as acc, 0 as j), "
-        f"(st, v) -> struct(CASE WHEN v > 0 THEN st.acc | shiftleft(cast(1 as bigint), st.j) "
-        f"ELSE st.acc END as acc, st.j + 1 as j), st -> st.acc)"
+    return votes.select(F.col(id_col), F.expr(packed).alias(out_col))
+
+
+def with_simhash(
+    df: DataFrame,
+    words_col: str = "toks",
+    out_col: str = "simhash",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Add a ``simhash`` column (see :func:`simhash_signatures`). The
+    signature aggregate joins back on the id (broadcast-sized result at
+    any realistic doc count per partition; an empty token set hashes
+    to 0, matching the original fold semantics)."""
+    sig = simhash_signatures(df, id_col, words_col, out_col)
+    return df.join(sig, id_col, "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(0).cast("long"))
     )
-    return df.withColumn(out_col, F.expr(pack))
 
 
 def simhash_near_dup_pairs(
@@ -319,26 +374,36 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """Candidate pairs at Hamming ≤ max_hamming via 4×16-bit banding
     (pigeonhole: ≤3 differing bits cannot hit all 4 bands), verified
-    with bit_count(xor)."""
+    with bit_count(xor).
+
+    Expansion is a codegen hash self-join on (band, key) — each side
+    carries its simhash through the join, so the Hamming verify is a
+    bit_count on the joined row and needs NO extra joins. The
+    ``_bucket_pairs`` collect-then-expand form (interpreted nested
+    lambdas) took 4.9s here at sf0.1 on this corpus's large buckets vs
+    1.5s for the join; the signature subtree behind both sides is one
+    ReusedExchange, so it is not recomputed."""
     banded = docs_with_simhash.select(
         F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
         F.col(simhash_col),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
     ).select(
         F.col(id_col),
+        F.col(simhash_col),
         "band",
         F.expr(f"shiftright({simhash_col}, band * 16) & 65535").alias("key"),
     )
-    cands = _bucket_pairs(banded, id_col)
-    sims = docs_with_simhash.select(F.col(id_col), F.col(simhash_col))
+    a = banded.select(
+        "band", "key", F.col(id_col).alias("id_a"), F.col(simhash_col).alias("_ha")
+    )
+    b = banded.select(
+        "band", "key", F.col(id_col).alias("id_b"), F.col(simhash_col).alias("_hb")
+    )
     return (
-        cands.join(
-            sims.select(F.col(id_col).alias("id_a"), F.col(simhash_col).alias("_ha")), "id_a"
-        )
-        .join(
-            sims.select(F.col(id_col).alias("id_b"), F.col(simhash_col).alias("_hb")), "id_b"
-        )
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )

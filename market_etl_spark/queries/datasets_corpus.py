@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..llm import datasets
-from ..llm.text import BPE_TOKEN_COUNT_SQL, bpe_token_count, shingles, shingles_sql, words
+from ..llm.text import BPE_TOKEN_COUNT_SQL, bpe_token_count, shingles_sql, words
 from ..tables import load
 from .registry import query
 
@@ -223,10 +223,9 @@ def llm_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast — the train side (the 100 TB one) is scanned once and
     never shuffled before the per-document aggregate. This is the
     n-gram-overlap contamination check run before every serious
-    training job."""
-    d = load(spark, sf_dir, "documents").withColumn("toks", words("text")).withColumn(
-        "sh", shingles("toks", 5)
-    )
+    training job. Shingles are built by position-explode (codegen), not
+    a higher-order transform (interpreted) — 3.3× measured at sf0.1."""
+    d = load(spark, sf_dir, "documents").withColumn("toks", words("text"))
     train = d.filter(F.col("source") != "src0")
     eval_set = d.filter(F.col("source") == "src0")
     return datasets.contamination_report(train, eval_set).orderBy("doc_id")

@@ -121,7 +121,7 @@ def llm_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding. xxhash64-based (engine-specific bit patterns) → rows-only
     check here; recall against the planted near-dups is asserted in
     tests/test_llm.py."""
-    d = dedup.with_simhash(_docs(spark, sf_dir))
+    d = dedup.simhash_signatures(_docs(spark, sf_dir))
     return dedup.simhash_near_dup_pairs(d).orderBy("id_a", "id_b")
 
 

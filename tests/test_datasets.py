@@ -108,14 +108,14 @@ def test_redact_pii_removes_all_matches(spark):
 def test_decontamination_detects_planted_overlap(spark, docs):
     """A train document that IS an eval document must be flagged with
     every one of its shingles shared."""
-    d = docs.withColumn("toks", words("text")).withColumn("sh", shingles("toks", 5))
+    d = docs.withColumn("toks", words("text"))
     eval_set = d.filter(F.col("source") == "src0")
     planted = eval_set.limit(1).withColumn("doc_id", F.lit(999_999))
     train = d.filter(F.col("source") != "src0").unionByName(planted)
     report = datasets.contamination_report(train, eval_set)
     hit = report.filter(F.col("doc_id") == 999_999).collect()
     assert len(hit) == 1
-    n_sh = planted.select(F.size("sh")).first()[0]
+    n_sh = planted.select(F.size(shingles("toks", 5))).first()[0]
     assert hit[0].n_shared_shingles == n_sh
     assert hit[0].n_eval_docs_hit >= 1
 
