@@ -1,0 +1,263 @@
+"""Corpus statistics and governance queries: repetition-quality
+filters, exact heavy hitters, embedding centroids, tombstone delete
+propagation, and cross-series correlation.
+
+These round out the analysis surface a training-data/market pipeline
+needs around the core ETL: Gopher-style repetition scoring before a
+training run, vocabulary heavy hitters for tokenizer work, per-class
+embedding centroids for drift monitoring, right-to-be-forgotten delete
+propagation, and cross-asset correlation for the serving tier. All are
+pure built-in-function DataFrame plans, oracle-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..llm.datasets import shingle_rows
+from ..llm.text import words
+from ..tables import load
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Repetition-quality filter (Gopher-style)
+# ---------------------------------------------------------------------------
+#: Flag thresholds, applied to the ROUNDED fractions so the boolean is
+#: bit-stable across engines (an unrounded compare could flip on FP eps).
+_TOP_BIGRAM_MAX = 0.08
+_DUP_WORD_MAX = 0.65
+
+
+@query(
+    "llm_repetition_filter",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), b AS (
+        SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bg
+        FROM t
+    ), c AS (
+        SELECT doc_id, bg, COUNT(*) AS n FROM b GROUP BY doc_id, bg
+    ), s AS (
+        SELECT doc_id,
+               ROUND(CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS top_bigram_frac
+        FROM c GROUP BY doc_id
+    ), w2 AS (
+        SELECT doc_id,
+               ROUND(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE), 6)
+                   AS dup_word_frac
+        FROM t
+    )
+    SELECT s.doc_id, top_bigram_frac, dup_word_frac,
+           (top_bigram_frac > {_TOP_BIGRAM_MAX} OR dup_word_frac > {_DUP_WORD_MAX})
+               AS repetitive
+    FROM s JOIN w2 ON s.doc_id = w2.doc_id
+    ORDER BY s.doc_id
+    """,
+    tags=("llm", "quality-repetition"),
+)
+def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition scoring: the fraction of all bigrams
+    taken by the single most frequent bigram, and the duplicate-word
+    fraction (1 − distinct/total), with a flag for documents above
+    either threshold — the standard pre-training filter for
+    boilerplate/looping text. Bigrams come from the codegen
+    position-explode (:func:`..llm.datasets.shingle_rows`, NON-distinct
+    — frequencies need every occurrence); two partial-agg shuffles on
+    (doc, bigram) then doc. The flag compares the ROUNDED fractions so
+    the boolean is reproducible cross-engine."""
+    d = load(spark, sf_dir, "documents").withColumn("toks", words("text"))
+    bg = shingle_rows(d, "toks", 2, "doc_id", "doc_id")
+    top = (
+        bg.groupBy("doc_id", "shingle")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.max("n").cast("double") / F.sum("n").cast("double"), 6
+            ).alias("top_bigram_frac")
+        )
+    )
+    dup = d.select(
+        "doc_id",
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct("toks")).cast("double")
+            / F.size("toks").cast("double"),
+            6,
+        ).alias("dup_word_frac"),
+    )
+    return (
+        top.join(dup, "doc_id")
+        .withColumn(
+            "repetitive",
+            (F.col("top_bigram_frac") > _TOP_BIGRAM_MAX)
+            | (F.col("dup_word_frac") > _DUP_WORD_MAX),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_heavy_hitters_words",
+    oracle="""
+    SELECT w AS word, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+    GROUP BY w
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+    tags=("llm", "heavy-hitters"),
+)
+def q_heavy_hitters_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global top-20 vocabulary heavy hitters. The scale shape is
+    what matters: explode → hash aggregate with map-side partial
+    counts (the shuffle carries one row per distinct word per
+    partition, not per token) → TakeOrderedAndProject for the top-k.
+    Deterministic tie-break on the word makes the LIMIT oracle-stable."""
+    d = load(spark, sf_dir, "documents").withColumn("toks", words("text"))
+    return (
+        d.select(F.explode("toks").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding centroids
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_embedding_centroids",
+    oracle="""
+    SELECT label, i - 1 AS dim,
+           ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS mean_val,
+           COUNT(*) AS n_vectors
+    FROM embeddings, range(1, 65) AS r(i)
+    GROUP BY label, i
+    ORDER BY label, dim
+    """,
+    tags=("llm", "embedding-centroids"),
+)
+def llm_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids (the drift-monitoring /
+    IVF-coarse-quantizer primitive): posexplode the vector to
+    (dim, value) rows and average per (label, dim) — all partial-agg
+    built-ins, one shuffle of 64·|labels| accumulators, never a
+    collect. Values cast to double BEFORE averaging on both engines so
+    the float sums agree to round6."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("mean_val"),
+            F.count("*").alias("n_vectors"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tombstone delete propagation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_tombstone_forget",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(event_id) AS BIGINT) AS id_checksum
+    FROM events
+    WHERE user_id % 97 <> 0
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("governance", "tombstone-delete"),
+)
+def q_tombstone_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation: a tombstone list of user ids
+    (here: ids ≡ 0 mod 97, standing in for deletion requests) is
+    **broadcast** into a LEFT ANTI join against the event log — the
+    100 TB fact side streams through the join with no shuffle, which
+    is the only viable shape when the forget list is small and the log
+    is not. The id checksum pins the exact surviving row set. The
+    oracle states the same predicate as a WHERE (provably equivalent
+    here), so the anti-join's semantics are value-checked end to end."""
+    ev = load(spark, sf_dir, "events")
+    forget = ev.select("user_id").distinct().filter(F.col("user_id") % 97 == 0)
+    kept = ev.join(F.broadcast(forget), "user_id", "left_anti")
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("event_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-series correlation
+# ---------------------------------------------------------------------------
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _corr_oracle() -> str:
+    conds = ",\n               ".join(
+        f"AVG(CASE WHEN event_type = '{t}' THEN value END) AS {t}"
+        for t in _EVENT_TYPES
+    )
+    selects = "\n    UNION ALL\n    ".join(
+        f"SELECT '{a}' AS type_a, '{b}' AS type_b, ROUND(corr({a}, {b}), 6) AS corr_val FROM m"
+        for a, b in combinations(_EVENT_TYPES, 2)
+    )
+    return f"""
+    WITH m AS (
+        SELECT date_trunc('minute', ts) AS minute,
+               {conds}
+        FROM events
+        GROUP BY minute
+    )
+    {selects}
+    ORDER BY type_a, type_b
+    """
+
+
+@query("q_event_type_correlation", oracle=_corr_oracle(), tags=("analytics", "correlation"))
+def q_event_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between per-minute mean values of
+    the five event series — the cross-asset correlation matrix a
+    market serving tier keeps warm. One scan → minute×type pivot (hash
+    aggregate) → a single global aggregate computing all 10 pairwise
+    corrs at once (corr is a mergeable moment sketch: sums of x, y,
+    xy, x², y² — partial-agg friendly, so the matrix costs one pass
+    regardless of row count)."""
+    ev = load(spark, sf_dir, "events")
+    m = (
+        ev.groupBy(F.date_trunc("minute", "ts").alias("minute"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.avg("value"))
+    )
+    pairs = list(combinations(_EVENT_TYPES, 2))
+    row = m.agg(
+        *[F.round(F.corr(a, b), 6).alias(f"{a}__{b}") for a, b in pairs]
+    )
+    stack = ", ".join(f"'{a}', '{b}', {a}__{b}" for a, b in pairs)
+    return row.selectExpr(
+        f"stack({len(pairs)}, {stack}) as (type_a, type_b, corr_val)"
+    ).orderBy("type_a", "type_b")
