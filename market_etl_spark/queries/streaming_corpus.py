@@ -101,6 +101,80 @@ def q_rollup_served_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_streaming_enriched_candles",
+    oracle="""
+    SELECT date_trunc('minute', ts) AS minute,
+           category,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value * weight), 6) AS weighted_value
+    FROM events
+    JOIN (VALUES ('click', 1.0, 'engagement'),
+                 ('view', 0.5, 'engagement'),
+                 ('purchase', 5.0, 'conversion'),
+                 ('signup', 3.0, 'conversion'),
+                 ('error', 0.0, 'ops')) AS dim(event_type, weight, category)
+      USING (event_type)
+    WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-16'
+    GROUP BY 1, 2
+    ORDER BY minute, category
+    """,
+    tags=("streaming", "stream-static-join", "extension"),
+)
+def q_streaming_enriched_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the replayed event stream broadcast-
+    joined to a weight/category dimension, then windowed into
+    per-minute per-category weighted totals. Hash-checked against the
+    equivalent batch join — verifying the stream-side join semantics,
+    not just the window math."""
+    stream = streaming.read_events_stream(spark, sf_dir).filter(
+        (F.col("ts") >= F.lit("2024-01-15").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+    )
+    sink = streaming.run_to_memory(
+        streaming.enriched_category_candles(spark, stream)
+    )
+    return (
+        spark.table(sink)
+        .select(
+            F.col("w.start").alias("minute"),
+            "category",
+            "n_events",
+            "weighted_value",
+        )
+        .orderBy("minute", "category")
+    )
+
+
+@query(
+    "q_streaming_dedup",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("streaming", "dedup", "extension"),
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: ``dropDuplicatesWithinWatermark`` on
+    (user_id, event_type) over the replayed stream — watermark-bounded
+    state, the scale contract for unbounded dedup. The surviving-row
+    count per type equals the batch COUNT(DISTINCT user_id), which the
+    oracle hash-checks (WHICH duplicate survives is arrival-order
+    dependent, so the query verifies the deterministic projection of
+    the dedup, not the arbitrary row payloads)."""
+    stream = streaming.read_events_stream(spark, sf_dir)
+    deduped = streaming.dedup_stream(stream)
+    sink = streaming.run_to_memory_append_available_now(deduped)
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
 _SESSIONIZE_ORACLE = """
     WITH flagged AS (
         SELECT user_id, ts,

@@ -89,6 +89,34 @@ def run_to_memory(result: DataFrame, name: str | None = None) -> str:
     return name
 
 
+def run_to_memory_append_available_now(result: DataFrame, name: str | None = None) -> str:
+    """Append-mode ``trigger(availableNow)`` drain for stateful
+    operators WITHOUT processing-time timeouts (streaming dedup,
+    watermarked window appends): unlike the timeout-driven sessionizer
+    (see :func:`run_to_memory_append`), these terminate cleanly once
+    the available input is processed. Shuffle partitions are pinned
+    small for the stream only — state-store checkpoint I/O per
+    micro-batch scales with the partition count."""
+    name = name or f"sink_{uuid.uuid4().hex[:8]}"
+    ckpt = _SCRATCH / "checkpoints" / name
+    spark = result.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    return name
+
+
 def run_to_memory_append(
     result: DataFrame,
     name: str | None = None,
@@ -167,6 +195,62 @@ def run_to_memory_append(
     q.stop()
     q.awaitTermination()
     return name
+
+
+# ---------------------------------------------------------------------------
+# Stream-static enrichment join
+# ---------------------------------------------------------------------------
+#: Static dimension used by the enrichment demo (and its oracle).
+EVENT_DIM_ROWS = [
+    ("click", 1.0, "engagement"),
+    ("view", 0.5, "engagement"),
+    ("purchase", 5.0, "conversion"),
+    ("signup", 3.0, "conversion"),
+    ("error", 0.0, "ops"),
+]
+
+
+def enriched_category_candles(
+    spark: SparkSession, stream: DataFrame, watermark: str = "2 minutes"
+) -> DataFrame:
+    """Stream-static join → windowed aggregate: each streamed event is
+    enriched against a broadcast dimension (type → weight/category) and
+    rolled into per-minute per-category weighted totals. The static
+    side is re-read per micro-batch by Structured Streaming's
+    contract; broadcast keeps the stream side shuffle-free before the
+    windowed aggregation — the standard enrich-then-window shape for
+    a dimension small enough to ship to every executor."""
+    from ..functions import round6
+
+    dim = spark.createDataFrame(
+        EVENT_DIM_ROWS, "event_type string, weight double, category string"
+    )
+    return (
+        stream.join(F.broadcast(dim), "event_type")
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 minute").alias("w"), "category")
+        .agg(
+            F.count("*").alias("n_events"),
+            round6(F.sum(F.col("value") * F.col("weight"))).alias("weighted_value"),
+        )
+    )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact deduplication, first arrival wins per key.
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state to the
+    watermark horizon — the only viable contract for an unbounded
+    stream (state for keys older than the watermark is reclaimed; a
+    duplicate arriving later than the watermark allows would re-emit,
+    which is the documented trade-off). On a finite replay every row
+    is within horizon, so the output is an exact dedup."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -58,3 +58,52 @@ def test_stateful_sessionize_matches_batch(spark):
     }
     assert got == expect
     assert len(got) > 0
+
+
+def test_stream_static_enrichment_matches_batch_join(spark):
+    """The stream-static broadcast join must agree with the same join
+    done in batch — per-minute per-category weighted totals."""
+    from market_etl_spark.functions import round6
+
+    stream = streaming.read_events_stream(spark, SF_SMOKE)
+    name = streaming.run_to_memory(
+        streaming.enriched_category_candles(spark, stream)
+    )
+    got = {
+        (r["w"]["start"], r.category): (r.n_events, r.weighted_value)
+        for r in spark.table(name).collect()
+    }
+    dim = spark.createDataFrame(
+        streaming.EVENT_DIM_ROWS, "event_type string, weight double, category string"
+    )
+    batch = (
+        load(spark, SF_SMOKE, "events")
+        .join(dim, "event_type")
+        .groupBy(F.date_trunc("minute", "ts").alias("minute"), "category")
+        .agg(
+            F.count("*").alias("n"),
+            round6(F.sum(F.col("value") * F.col("weight"))).alias("wv"),
+        )
+        .collect()
+    )
+    expect = {(r.minute, r.category): (r.n, r.wv) for r in batch}
+    assert got == expect and len(got) > 0
+
+
+def test_streaming_dedup_first_arrival_per_key(spark):
+    """Streaming dedup output: exactly one row per (user_id,
+    event_type) pair present in the input."""
+    stream = streaming.read_events_stream(spark, SF_SMOKE)
+    name = streaming.run_to_memory_append_available_now(
+        streaming.dedup_stream(stream)
+    )
+    out = spark.table(name)
+    n = out.count()
+    assert n == out.select("user_id", "event_type").distinct().count()
+    expect = (
+        load(spark, SF_SMOKE, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert n == expect
