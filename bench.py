@@ -17,6 +17,8 @@ import re
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -31,8 +33,18 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm-up: tiny action so JVM startup isn't billed to the first query.
+    # Warm-up: tiny actions so one-time session costs (JVM startup,
+    # Python/Arrow worker pool spawn) aren't billed to whichever query
+    # happens to run first — timings are per-query marginal cost, the
+    # same warm-session basis as the reference's Athena numbers.
     spark.range(1).count()
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(32).select(_warm("id")).count()
 
     timings: dict[str, float] = {}
     for name, spec in sorted(REGISTRY.items()):

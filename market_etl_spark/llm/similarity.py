@@ -313,8 +313,15 @@ def embedding_near_dup_pairs(
         bits = _auto_bits(embeddings.count(), target_bucket=16)
     sig = _hyperplane_signature_udf(dims, tables, bits)
     signed = embeddings.withColumn("_keys", sig(F.col(vec_col)))
+    # The bucket rows carry ONLY (id, table, key): candidate pairs are
+    # deduped as bare id pairs and the vectors joined back once per
+    # side afterwards. Carrying vectors through the self-join would
+    # multiply the shuffled vector bytes by each pair's bucket-collision
+    # multiplicity (up to ``tables``×) before the dedup throws the
+    # copies away — the difference between O(pairs) and
+    # O(pairs × collisions) vector traffic at corpus scale.
     buckets = signed.select(
-        F.col(id_col), F.col(vec_col), F.posexplode("_keys").alias("table", "key")
+        F.col(id_col), F.posexplode("_keys").alias("table", "key")
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -327,15 +334,20 @@ def embedding_near_dup_pairs(
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"a.{vec_col}").alias("_va"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"b.{vec_col}").alias("_vb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    vecs = embeddings.select(F.col(id_col), F.col(vec_col))
     cos = _cosine_pandas()
     return (
-        cands.withColumn("cos_sim", F.round(cos(F.col("_va"), F.col("_vb")), 6))
+        cands.join(
+            vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")), "id_a"
+        )
+        .join(
+            vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")), "id_b"
+        )
+        .withColumn("cos_sim", F.round(cos(F.col("_va"), F.col("_vb")), 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
