@@ -157,6 +157,114 @@ def q_etl_pipeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_json_source_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+           ROUND(SUM(value), 6) AS value_sum,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-16'
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("etl", "source-json", "multi-format"),
+)
+def q_json_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-format source parity: one day of events written as
+    JSON-lines, read back with an EXPLICIT schema (schema-on-read —
+    never inference, which would double-scan and guess types at
+    100 TB), then aggregated. The oracle computes the same aggregate
+    from the parquet zone, so the hash check proves the JSON writer/
+    reader round-trips longs, doubles, and timestamps losslessly."""
+    e = load(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit("2024-01-15").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+    )
+    tag = pathlib.Path(sf_dir.rstrip("/")).name.replace(".", "_")
+    zone = SCRATCH / f"json_zone_{tag}"
+    # Default JSON timestampFormat truncates to milliseconds; pin a
+    # microsecond format on BOTH sides or the round-trip silently loses
+    # precision (caught by the oracle's MIN/MAX ts hash).
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    e.write.mode("overwrite").option("timestampFormat", ts_fmt).json(str(zone))
+    back = (
+        spark.read.schema(e.schema).option("timestampFormat", ts_fmt).json(str(zone))
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("event_id").cast("long").alias("id_checksum"),
+            round6(F.sum("value")).alias("value_sum"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+    WITH updates AS (
+        SELECT event_id, ts, user_id, event_type, value + 1000.0 AS value, props
+        FROM events WHERE event_id % 10 = 0
+        UNION ALL
+        SELECT event_id + 100000000, ts, user_id, event_type, value * 2.0, props
+        FROM events WHERE event_id % 1000 = 7
+    ), merged AS (
+        SELECT * FROM updates
+        UNION ALL
+        SELECT * FROM events
+        WHERE event_id NOT IN (SELECT event_id FROM updates)
+    )
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+           ROUND(SUM(value), 6) AS value_sum
+    FROM merged
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("etl", "merge-upsert", "lakehouse"),
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD1 MERGE semantics (updates win on key match, unmatched rows
+    survive, new keys insert) as ``updates ∪ (target ⟕̸ updates)`` with
+    the update KEY SET broadcast — the target side streams through the
+    anti join unshuffled, the only viable shape when the target is the
+    100 TB side and the CDC batch is not. The id/value checksums pin
+    the exact merged row set. The partition-scoped on-disk variant
+    (dynamic overwrite of affected partitions only) is
+    :func:`market_etl_spark.merge.merge_into_partitioned`, exercised
+    in tests/test_merge.py."""
+    from ..merge import merge_upsert
+
+    e = load(spark, sf_dir, "events")
+    modified = e.filter(F.col("event_id") % 10 == 0).withColumn(
+        "value", F.col("value") + 1000.0
+    )
+    inserted = (
+        e.filter(F.col("event_id") % 1000 == 7)
+        .withColumn("event_id", F.col("event_id") + 100_000_000)
+        .withColumn("value", F.col("value") * 2.0)
+    )
+    merged = merge_upsert(e, modified.unionByName(inserted), ["event_id"])
+    return (
+        merged.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("event_id").cast("long").alias("id_checksum"),
+            round6(F.sum("value")).alias("value_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "q_quality_drop_rate",
     oracle="""
     WITH t AS (

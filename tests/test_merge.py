@@ -1,0 +1,72 @@
+"""MERGE/upsert tests: SCD1 semantics, partition-scoped rewrite
+(untouched partition directories survive byte-for-byte), new-partition
+creation, and idempotent re-merge."""
+
+from __future__ import annotations
+
+import pathlib
+
+import pyspark.sql.functions as F
+
+from market_etl_spark.merge import merge_into_partitioned, merge_upsert
+
+
+def _target(spark):
+    rows = [
+        # (id, day, val)
+        (1, 1, 10.0),
+        (2, 1, 20.0),
+        (3, 2, 30.0),
+        (4, 2, 40.0),
+        (5, 3, 50.0),
+    ]
+    return spark.createDataFrame(rows, "id long, day int, val double")
+
+
+def test_merge_upsert_scd1_semantics(spark):
+    t = _target(spark)
+    updates = spark.createDataFrame(
+        [(2, 1, 99.0), (6, 4, 60.0)], "id long, day int, val double"
+    )
+    got = {r.id: (r.day, r.val) for r in merge_upsert(t, updates, ["id"]).collect()}
+    assert got == {1: (1, 10.0), 2: (1, 99.0), 3: (2, 30.0), 4: (2, 40.0), 5: (3, 50.0), 6: (4, 60.0)}
+
+
+def _partition_files(path):
+    out = {}
+    for p in pathlib.Path(path).glob("day=*/**/*.parquet"):
+        out.setdefault(p.parent.name, set()).add((p.name, p.stat().st_mtime_ns))
+    return out
+
+
+def test_merge_into_partitioned_scopes_the_rewrite(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _target(spark).write.partitionBy("day").parquet(path)
+    before = _partition_files(path)
+
+    updates = spark.createDataFrame(
+        [(2, 1, 99.0), (7, 9, 70.0)], "id long, day int, val double"
+    )
+    n = merge_into_partitioned(spark, path, updates, ["id"], ["day"])
+    assert n == 2  # day=1 (update) and day=9 (brand-new)
+
+    after = _partition_files(path)
+    # Untouched partitions: identical files, identical mtimes.
+    for day in ("day=2", "day=3"):
+        assert after[day] == before[day]
+    # Affected partition rewritten, new partition created.
+    assert after["day=1"] != before["day=1"]
+    assert "day=9" in after
+
+    got = {r.id: (r.day, r.val) for r in spark.read.parquet(path).collect()}
+    assert got == {1: (1, 10.0), 2: (1, 99.0), 3: (2, 30.0), 4: (2, 40.0), 5: (3, 50.0), 7: (9, 70.0)}
+
+
+def test_merge_into_partitioned_idempotent(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _target(spark).write.partitionBy("day").parquet(path)
+    updates = spark.createDataFrame([(2, 1, 99.0)], "id long, day int, val double")
+    merge_into_partitioned(spark, path, updates, ["id"], ["day"])
+    first = sorted(map(tuple, spark.read.parquet(path).collect()))
+    merge_into_partitioned(spark, path, updates, ["id"], ["day"])
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == first
