@@ -212,6 +212,94 @@ def q_tombstone_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Semi-structured JSON parsing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_semistructured_props",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(k) AS BIGINT) AS k_sum,
+           CAST(MIN(k) AS BIGINT) AS k_min,
+           CAST(MAX(k) AS BIGINT) AS k_max,
+           CAST(COUNT(k) AS BIGINT) AS k_nonnull
+    FROM (
+        SELECT event_type, CAST(props->>'$.k' AS INT) AS k FROM events
+    )
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("semistructured", "json"),
+)
+def q_semistructured_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload parsing: the events' JSON ``props``
+    column parsed with ``from_json`` under an EXPLICIT schema (never
+    schema inference — at 100 TB that is a second full scan and a type
+    guess), then aggregated per type. JSON parsing is a per-row
+    codegen projection; malformed rows become NULLs that the
+    ``k_nonnull`` audit column surfaces rather than hides."""
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k INT").getField("k").alias("k"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.min("k").cast("long").alias("k_min"),
+            F.max("k").cast("long").alias("k_max"),
+            F.count("k").cast("long").alias("k_nonnull"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE grouping sets
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cube_hourly_volume",
+    oracle="""
+    SELECT GROUPING(event_type, h) AS gid,
+           event_type,
+           h AS hour,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 6) AS value_sum
+    FROM (SELECT event_type, CAST(hour(ts) AS INT) AS h, value FROM events)
+    GROUP BY CUBE(event_type, h)
+    ORDER BY gid, event_type, hour
+    """,
+    tags=("aggregation", "grouping-sets"),
+)
+def q_cube_hourly_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, hour): all four grouping sets — detail,
+    per-type totals, per-hour totals, grand total — in ONE pass (Spark
+    expands the sets map-side and partially aggregates each, exactly
+    like the flat case; no 4× re-scan). ``grouping_id`` disambiguates
+    real NULL keys from subtotal rows and is hash-matched against
+    DuckDB's GROUPING bitmask (same bit order, verified)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("int").alias("hour"), "value"
+    )
+    return (
+        ev.cube("event_type", "hour")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+        .select("gid", "event_type", "hour", "n_events", "value_sum")
+        .orderBy("gid", "event_type", "hour")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cross-series correlation
 # ---------------------------------------------------------------------------
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
