@@ -81,3 +81,44 @@ def compact_partitioned(
     staging.rename(root)
     after = sum(1 for p in root.rglob("*.parquet"))
     return before, after
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: Sequence[str],
+    partition_cols: Sequence[str] = (),
+    block_bytes: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Cluster-sorted Parquet write: sort WITHIN partitions on the
+    cluster key before writing so each row group's min/max footer
+    statistics cover a narrow, near-disjoint slice of the key space.
+
+    A range or point predicate on the cluster key then skips whole row
+    groups at scan time (and whole FILES when the writer emits several)
+    — the single-key form of Z-order clustering, with zero read-side
+    machinery: plain parquet stats do the pruning. Costs one sort per
+    write task (no extra shuffle — ``sortWithinPartitions``, not a
+    global ``orderBy``, which would range-shuffle the table for no
+    pruning benefit). ``block_bytes`` shrinks row groups below the
+    128 MB default when finer skip granularity is wanted; it is a
+    JVM-global hadoop conf, set/restored around the write (writer
+    ``option()`` is ignored for this key). tests/test_clustering.py
+    asserts the span contraction and skip-eligibility directly on the
+    footers."""
+    writer = df.sortWithinPartitions(*cluster_cols).write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    hc = df.sparkSession.sparkContext._jsc.hadoopConfiguration()
+    prev = hc.get("parquet.block.size")
+    try:
+        if block_bytes is not None:
+            hc.setInt("parquet.block.size", block_bytes)
+        writer.parquet(path)
+    finally:
+        if block_bytes is not None:
+            if prev is None:
+                hc.unset("parquet.block.size")
+            else:
+                hc.set("parquet.block.size", prev)
