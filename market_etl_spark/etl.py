@@ -51,3 +51,33 @@ def run_trades_etl(
     if table:
         register_trades_table(spark, table, output_path)
     return EtlResult(output_path=output_path, table=table, metrics=metrics)
+
+
+def main(argv: list[str] | None = None) -> None:
+    """CLI mirroring the reference Glue job's arguments
+    (``--input_path --output_path [--table] [--load_dt]``), so the job
+    is runnable as ``python -m market_etl_spark.etl`` on any
+    spark-submit-able environment instead of only inside Glue."""
+    import argparse
+    import json
+
+    from .session import get_spark
+
+    p = argparse.ArgumentParser(description="CSV trades zone -> partitioned Parquet")
+    p.add_argument("--input-path", required=True, help="raw CSV zone (recursive)")
+    p.add_argument("--output-path", required=True, help="partitioned parquet root")
+    p.add_argument("--table", default=None, help="optional catalog table to register")
+    p.add_argument("--load-dt", default=None, help="YYYY-MM-DD load date override")
+    args = p.parse_args(argv)
+
+    load_dt = dt.date.fromisoformat(args.load_dt) if args.load_dt else None
+    spark = get_spark("trades-etl")
+    result = run_trades_etl(
+        spark, args.input_path, args.output_path, table=args.table, load_dt=load_dt
+    )
+    print(json.dumps({"output_path": result.output_path, "table": result.table,
+                      "metrics": result.metrics}))
+
+
+if __name__ == "__main__":
+    main()

@@ -124,3 +124,35 @@ class ArchiveDownloader:
                 key = build_archive_path(symbol, year, month, data_type)
                 self.download_file(f"{self.base_url.rstrip('/')}/{key}", key)
         return dict(self.stats)
+
+
+def main(argv: list[str] | None = None) -> None:
+    """CLI mirroring the reference downloader job's arguments
+    (symbols, month range, destination), plus ``--base-url`` so the
+    same binary serves production endpoints and local test fixtures."""
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser(description="Idempotent monthly-archive downloader")
+    p.add_argument("--base-url", required=True)
+    p.add_argument("--dest-root", required=True)
+    p.add_argument("--symbols", required=True, help="comma-separated, e.g. BTCUSDT,ETHUSDT")
+    p.add_argument("--start", required=True, help="YYYY-MM first month")
+    p.add_argument("--end", required=True, help="YYYY-MM last month (inclusive)")
+    p.add_argument("--data-type", default="trades")
+    p.add_argument("--retries", type=int, default=3)
+    p.add_argument("--delay", type=float, default=0.0)
+    args = p.parse_args(argv)
+
+    dl = ArchiveDownloader(
+        base_url=args.base_url,
+        dest_root=args.dest_root,
+        retries=args.retries,
+        delay=args.delay,
+    )
+    stats = dl.run(args.symbols.split(","), args.start, args.end, args.data_type)
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()

@@ -93,3 +93,22 @@ class StreamingUnzipper:
         for key in self.list_archives(zone):
             self.extract(key)
         return dict(self.stats)
+
+
+def main(argv: list[str] | None = None) -> None:
+    """CLI for the streaming unzipper: extract every archive in the raw
+    zone into the extracted zone with bounded memory."""
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser(description="Bounded-memory ZIP-extract job")
+    p.add_argument("--lake-root", required=True, help="lake root containing the raw zone")
+    p.add_argument("--zone", default="raw")
+    args = p.parse_args(argv)
+
+    uz = StreamingUnzipper(lake_root=args.lake_root)
+    print(json.dumps(uz.run(args.zone)))
+
+
+if __name__ == "__main__":
+    main()

@@ -168,3 +168,18 @@ def test_unzipper_rejects_multimember(tmp_path):
     assert uz.extract(key) is False
     assert uz.stats["failed"] == 1
     assert not (lake / zone_rewrite(key)).exists()
+
+
+def test_cli_entry_points_importable_and_parse():
+    """The job CLIs mirror the reference's runnable jobs; --help must
+    work (argparse wiring) without touching network or Spark."""
+    import pytest as _pytest
+
+    from market_etl_spark.etl import main as etl_main
+    from market_etl_spark.ingest.downloader import main as dl_main
+    from market_etl_spark.ingest.unzipper import main as uz_main
+
+    for entry in (etl_main, dl_main, uz_main):
+        with _pytest.raises(SystemExit) as e:
+            entry(["--help"])
+        assert e.value.code == 0
