@@ -240,12 +240,12 @@ def ivf_topk(
     # centroid per cell: element-wise mean via posexplode + per-(cell,
     # dim) average — one shuffle, fully distributed, no collected arrays
     # on the driver.
+    # posexplode the raw vector and cast AFTER the Generate: a Generate
+    # whose input is a lambda expression (transform) runs interpreted.
     exploded = embeddings.select(
         F.col(cluster_col).alias("cell"),
-        F.posexplode(F.expr(f"transform({vec_col}, x -> cast(x as double))")).alias(
-            "dim", "x"
-        ),
-    )
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    ).withColumn("x", F.col("x").cast("double"))
     centroids = (
         exploded.groupBy("cell", "dim")
         .agg(F.avg("x").alias("c"))
