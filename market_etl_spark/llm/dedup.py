@@ -12,8 +12,12 @@ Scale posture (the whole point of these implementations):
  - SimHash bands its 64-bit signature into 4×16-bit keys (any pair at
    Hamming distance ≤3 shares at least one intact band — pigeonhole).
 
-All signatures are built-in higher-order expressions over xxhash64 —
-JVM-side, no Python in the hot path.
+Hot paths are shaped for whole-stage codegen: shingles come from a
+position-explode (no higher-order lambdas — those always run
+interpreted), signatures are plain aggregates over the exploded rows
+(k× min(xxhash64) for MinHash, 64 conditional bit-sums for SimHash),
+and verification joins carry hashes, not document bodies. JVM-side
+throughout; no Python in the hot path.
 """
 
 from __future__ import annotations
@@ -61,34 +65,6 @@ def with_minhash_signature(
     )
 
 
-def with_band_keys(
-    df: DataFrame,
-    shingle_col: str = "sh",
-    bands: int = 16,
-    rows: int = 4,
-    out_col: str = "band_keys",
-) -> DataFrame:
-    """LSH banding: hash each r-permutation slice of the MinHash
-    signature to one key. Two docs collide in band b iff their
-    signatures agree on that whole slice; P[candidate] = 1-(1-J^r)^b —
-    a sharp S-curve around (1/b)^(1/r) ≈ 0.5 for (16,4).
-
-    Band keys are computed straight from the shingle set (each band
-    evaluates only its own r permutations) rather than slicing a
-    signature column: Catalyst's projection collapse would substitute
-    the full k-perm signature expression into every band — a bands×
-    expression blowup that turns 1.6M hash evals into 26M.
-    """
-    return df.withColumn(
-        out_col,
-        F.expr(
-            f"transform(sequence(0, {bands - 1}), "
-            f"b -> xxhash64(b, transform(sequence(b * {rows}, b * {rows} + {rows - 1}), "
-            f"j -> array_min(transform({shingle_col}, s -> xxhash64(j, s))))))"
-        ),
-    )
-
-
 def _bucket_pairs(
     exploded: DataFrame, id_col: str, size_ratio: float | None = None
 ) -> DataFrame:
@@ -128,58 +104,6 @@ def _bucket_pairs(
     )
     pairs = buckets.select(F.explode(F.expr(pair_expr)).alias("pair"))
     return pairs.select("pair.id_a", "pair.id_b").distinct()
-
-
-def lsh_candidate_pairs(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    shingle_col: str = "sh",
-    bands: int = 16,
-    rows: int = 4,
-) -> DataFrame:
-    """Banded bucket candidates → distinct unordered pairs (a < b).
-
-    The band index is exploded FIRST and each band's key computed in the
-    post-explode projection: a `Generate` over the full nested-lambda
-    signature expression falls out of whole-stage codegen and runs
-    interpreted (~20× slower measured); explode-then-project keeps the
-    hashing inside codegen and each row computes only its own band's
-    r permutations.
-    """
-    # Empty shingle sets (docs shorter than the shingle width) must not
-    # reach banding: array_min over an empty array is NULL, so every
-    # such doc would share identical NULL-keyed buckets in all bands —
-    # a quadratic candidate explosion of definitionally-dissimilar docs.
-    #
-    # The repartition is a materialization barrier: without it Catalyst
-    # collapses the (tokenize → shingle) expression into the per-band
-    # projection, recomputing the shingle set `bands` times per row
-    # (measured 2-3× wall on the pair queries). One narrow shuffle of
-    # (id, shingles) buys shingles-computed-once.
-    # Explicit partition count: higher-order-function lambdas never
-    # enter codegen (interpreted per element), so signature hashing is
-    # CPU-bound Python-free-but-slow JVM work — it must actually spread
-    # across cores. A bare repartition(col) gets AQE-coalesced back to
-    # one partition at this data size.
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
-    base = (
-        docs.filter(F.size(shingle_col) > 0)
-        .select(F.col(id_col), F.col(shingle_col))
-        .repartition(n_part, F.col(id_col))
-    )
-    exploded = base.select(
-        F.col(id_col),
-        F.col(shingle_col),
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
-    ).select(
-        F.col(id_col),
-        F.col("band"),
-        F.expr(
-            f"xxhash64(band, transform(sequence(band * {rows}, band * {rows} + {rows - 1}), "
-            f"j -> array_min(transform({shingle_col}, s -> xxhash64(j, s)))))"
-        ).alias("key"),
-    )
-    return _bucket_pairs(exploded, id_col)
 
 
 def verify_jaccard(
