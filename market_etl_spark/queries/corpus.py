@@ -231,7 +231,7 @@ def q5_whales(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact ``percentile`` here so the DuckDB oracle (quantile_cont) agrees
     bit-for-bit; production entry point
-    :func:`market_etl_spark.queries.trades.whales` uses
+    :func:`market_etl_spark.queries.trades.q_trades_whales_approx` uses
     ``percentile_approx`` (sketch-based, single-pass, merge-friendly) as the
     reference recommends for large data (athena_sample_queries.sql:233).
     """
