@@ -74,17 +74,27 @@ def minute_candles(stream: DataFrame, watermark: str = "2 minutes") -> DataFrame
 def run_to_memory(result: DataFrame, name: str | None = None) -> str:
     """Execute a streaming aggregation over all available input
     (`trigger(availableNow)`) into a memory sink; returns the sink
-    table name once the replay drains."""
+    table name once the replay drains. Shuffle partitions are pinned
+    small for the stream only (state-store checkpoint I/O per
+    micro-batch scales with the partition count — a vanilla session's
+    200 default pays ~200 checkpoint files per batch) and the host
+    setting restored right after start."""
     name = name or f"sink_{uuid.uuid4().hex[:8]}"
     ckpt = _SCRATCH / "checkpoints" / name
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", str(ckpt))
-        .trigger(availableNow=True)
-        .start()
-    )
+    spark = result.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     return name
 
