@@ -192,6 +192,94 @@ def minhash_near_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Near-dup clusters: connected components over candidate pairs
+# ---------------------------------------------------------------------------
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id_a, id_b) undirected edges → (node, cluster_id) where
+    cluster_id is the minimum node id reachable from ``node``.
+
+    Hash-min label propagation: each round every node takes the min of
+    its own label and its neighbors' labels — one shuffle join
+    (edges ⋈ labels on src) plus one hash aggregate per round,
+    converging in O(component diameter) rounds. Near-dup graphs are
+    the friendly case: duplicate clusters are small and dense (a copy
+    of a copy of a copy), so the diameter — and the round count — is a
+    small constant; for adversarial long-chain graphs the same loop
+    structure accepts the log-round large-star/small-star variant
+    (Kiveris et al., "Connected Components in MapReduce and Beyond").
+
+    Scale posture: state per round is one (node, label) row per
+    distinct node — ids only, never payloads; ``localCheckpoint``
+    truncates the lineage each round so the plan does not grow with
+    the iteration count. Convergence costs ONE job per round: labels
+    only ever decrease, so fixpoint ⇔ the label sum (exact, decimal —
+    no int64 overflow at any id range) stops changing, and the lazy
+    checkpoint is materialized by the same aggregate action that
+    reads the sum.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("cluster_id", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "cluster_id")
+        new_labels = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=False)
+        )
+        label_sum = new_labels.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        labels = new_labels
+        if label_sum == prev_sum:
+            break
+        prev_sum = label_sum
+    return labels
+
+
+def dedup_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Assign every document its near-dup cluster: ``cluster_id`` (min
+    reachable id over the pair graph; own id for singletons),
+    ``cluster_size``, and ``is_kept`` (true for the one representative
+    per cluster — the deterministic min-id rule, same as
+    :func:`exact_dedup`). Downstream dedup is then
+    ``filter(is_kept)``; the graph state is ids only."""
+    cc = connected_components(pairs)
+    labeled = (
+        docs.select(id_col)
+        .join(cc.withColumnRenamed("node", id_col), id_col, "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+    )
+    w = Window.partitionBy("cluster_id")
+    return labeled.select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col(id_col) == F.col("cluster_id")).alias("is_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Prefix-filtered exact n-gram Jaccard join
 # ---------------------------------------------------------------------------
 def prefix_filter_pairs(

@@ -115,6 +115,54 @@ def llm_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.prefix_filter_pairs(_docs(spark, sf_dir)).orderBy("id_a", "id_b")
 
 
+@query(
+    "llm_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), s AS (
+        SELECT doc_id, {shingles_sql('w', 3)} AS sh FROM t
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                    / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.8
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ), r(node, lab) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lab FROM r JOIN edges e ON e.src = r.node
+    ), cc AS (
+        SELECT node, MIN(lab) AS cluster_id FROM r GROUP BY node
+    ), labeled AS (
+        SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+    )
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           doc_id = cluster_id AS is_kept
+    FROM labeled
+    ORDER BY doc_id
+    """,
+    tags=("llm", "dedup-clusters"),
+)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: connected components over the
+    exact Jaccard≥0.8 pair graph (hash-min label propagation,
+    :func:`..llm.dedup.connected_components`), one kept representative
+    per cluster (min id). This is the operator a dedup pipeline
+    actually ends with — pairs are evidence, the cluster partition is
+    the decision. The oracle recomputes the same fixpoint with a
+    recursive CTE (min reachable id). Graph state is ids only; the
+    iterative rounds shuffle (node, label) pairs, never documents."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.prefix_filter_pairs(docs)
+    return dedup.dedup_clusters(docs, pairs, "doc_id").orderBy("doc_id")
+
+
 @query("llm_simhash_near_dup", oracle=None, tags=("llm", "dedup-simhash", "rows-only"))
 def llm_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64-bit) near-dup candidates at Hamming ≤ 3 via 4×16-bit

@@ -59,6 +59,41 @@ def test_minhash_lsh_matches_exact_pairs(spark, docs, near_dup_pairs):
     assert len(got) > 0
 
 
+def test_connected_components_chain_and_islands(spark):
+    """A 4-node chain (1-2-3-4), a 2-cycle (10-11), and an isolated
+    edgeless node never enters the frame: every node labels to the
+    component min, chains converging over multiple rounds."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r.node: r.cluster_id
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_singletons_and_representatives(spark, docs, near_dup_pairs):
+    """Every doc gets a cluster; exactly one kept representative (the
+    min id) per cluster; singletons keep themselves; kept-count =
+    docs - (extra members of multi-doc clusters)."""
+    pairs = dedup.prefix_filter_pairs(docs)
+    out = dedup.dedup_clusters(docs, pairs, "doc_id").collect()
+    n_docs = docs.count()
+    assert len(out) == n_docs
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        assert cid == min(m.doc_id for m in members)
+        assert sum(m.is_kept for m in members) == 1
+        assert all(m.cluster_size == len(members) for m in members)
+    # the pair graph's nodes must land in multi-doc clusters
+    paired_ids = {i for p in near_dup_pairs for i in p}
+    multi = {m.doc_id for ms in by_cluster.values() if len(ms) > 1 for m in ms}
+    assert paired_ids <= multi
+
+
 def test_simhash_identical_token_sets_collide(spark):
     df = spark.createDataFrame(
         # same token SET (order/multiplicity differ) vs a disjoint doc
