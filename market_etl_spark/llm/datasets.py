@@ -202,6 +202,83 @@ def redact_pii_sql(text_expr: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Document chunking (long doc → overlapping fixed-size training chunks)
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    tokens_col: str = "toks",
+    id_col: str = "doc_id",
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document's token array into fixed-size chunks with
+    overlap — the standard context-window chunking before training or
+    embedding: chunk k covers tokens [k·stride+1, k·stride+chunk_size]
+    (1-based), stride = chunk_size - overlap, and the final chunk is
+    clamped short rather than padded so every token appears.
+
+    Shaped like :func:`shingle_rows`: explode a cheap integer
+    ``sequence`` (plain Generate) and build each chunk in the
+    post-explode projection with ``slice``/``concat_ws`` — codegen
+    expressions, no higher-order lambdas. Per-row work only, no
+    shuffle: scales linearly with input splits, and the 1→N fan-out is
+    bounded by ceil(|doc|/stride)."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    stride = chunk_size - overlap
+    return (
+        df.select(F.col(id_col), F.col(tokens_col))
+        .withColumn(
+            "_nc",
+            F.expr(
+                f"1 + cast(ceil(greatest(size({tokens_col}) - {chunk_size}, 0)"
+                f" / {stride}.0) as int)"
+            ),
+        )
+        .select(
+            id_col,
+            tokens_col,
+            F.explode(F.expr("sequence(0, _nc - 1)")).alias("_ci"),
+        )
+        .select(
+            id_col,
+            F.col("_ci").cast("long").alias("chunk_idx"),
+            F.expr(
+                f"concat_ws(' ', slice({tokens_col}, _ci * {stride} + 1, {chunk_size}))"
+            ).alias("chunk_text"),
+            F.expr(
+                f"size(slice({tokens_col}, _ci * {stride} + 1, {chunk_size}))"
+            ).cast("long").alias("chunk_tokens"),
+        )
+    )
+
+
+def chunk_documents_sql(
+    words_expr: str = "w", chunk_size: int = 64, overlap: int = 16
+) -> str:
+    """DuckDB rendering of :func:`chunk_documents`'s per-document
+    fan-out: emits ``chunk_idx`` / ``chunk_text`` / ``chunk_tokens``
+    select expressions for a table exposing ``doc_id`` and the token
+    list ``words_expr``."""
+    stride = chunk_size - overlap
+    lo = f"chunk_idx * {stride} + 1"
+    hi = f"chunk_idx * {stride} + {chunk_size}"
+    return f"""
+        SELECT doc_id, chunk_idx,
+               array_to_string(list_slice({words_expr}, {lo}, {hi}), ' ') AS chunk_text,
+               len(list_slice({words_expr}, {lo}, {hi}))::BIGINT AS chunk_tokens
+        FROM (
+            SELECT doc_id, {words_expr},
+                   unnest(range(0, 1 + CAST(CEIL(GREATEST(len({words_expr}) - {chunk_size}, 0)
+                         / {stride}.0) AS BIGINT))) AS chunk_idx
+            FROM docs_w
+        )
+    """
+
+
+# ---------------------------------------------------------------------------
 # Benchmark decontamination
 # ---------------------------------------------------------------------------
 

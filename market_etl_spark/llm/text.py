@@ -181,3 +181,147 @@ def content_hash(text_col: str = "text") -> Column:
     on the 64-char digest instead of multi-KB text bodies keeps exact
     dedup's shuffle narrow at 100 TB."""
     return F.sha2(F.col(text_col), 256)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+def tfidf_top_terms(
+    df,
+    tokens_col: str = "toks",
+    id_col: str = "doc_id",
+    k: int = 3,
+):
+    """Top-k characteristic terms per document by TF-IDF:
+    score = tf · ln((N+1)/(df+1)), the smoothed form that never
+    divides by zero. Ties break deterministically on the ROUNDED
+    score then the term (both engines order identically on that key).
+
+    Two shuffles total, both narrow: (doc, term) rows from a plain
+    explode → hash-agg tf; term document-frequencies are a second agg
+    over those (already distinct) pairs; the corpus size N joins in
+    as a broadcast 1-row aggregate (no driver collect). The per-doc
+    top-k is a window over the doc's own terms — partitioned by doc
+    id, so no global sort anywhere."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    tf = (
+        df.select(F.col(id_col), F.explode(F.col(tokens_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "tfidf")
+    )
+
+
+def tfidf_top_terms_sql(k: int = 3) -> str:
+    """DuckDB rendering of :func:`tfidf_top_terms` over a CTE ``docs_w``
+    exposing (doc_id, w)."""
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(w) AS term FROM docs_w
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM tok WHERE term <> '' GROUP BY doc_id, term
+        ), dfreq AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ), n AS (
+            SELECT COUNT(*)::DOUBLE AS n_docs FROM docs_w
+        ), scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf,
+                   ROUND(tf.tf * LN((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS tfidf
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, rank, term, tf, tfidf FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term
+            )::BIGINT AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary construction
+# ---------------------------------------------------------------------------
+def build_vocab(df, tokens_col: str = "toks", vocab_size: int = 1000):
+    """Frequency-ranked vocabulary with dense ids and a coverage curve:
+    token_id 0 is the most frequent token; ``cum_coverage`` is the
+    fraction of ALL token occurrences covered by ids 0..i (how big a
+    vocab you need is read straight off this column).
+
+    Scale shape: one hash-agg shuffle for the counts (partial
+    aggregation does the heavy lifting map-side), then
+    ``orderBy().limit(V)`` — a distributed TakeOrderedAndProject, not
+    a global sort — so the only single-partition step (the
+    row_number/cumsum window) runs over at most V rows, which is by
+    definition vocabulary-sized, not corpus-sized. Ordering ties
+    break on the token string, so ids are bit-stable across engines
+    and re-runs."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    counts = (
+        df.select(F.explode(F.col(tokens_col)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    total = counts.agg(F.sum("freq").cast("double").alias("_total"))
+    top = counts.orderBy(F.desc("freq"), F.asc("token")).limit(vocab_size)
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return (
+        top.join(F.broadcast(total))
+        .select(
+            (F.row_number().over(w) - 1).cast("long").alias("token_id"),
+            "token",
+            "freq",
+            F.round(
+                F.sum("freq").over(w.rowsBetween(Window.unboundedPreceding, 0))
+                / F.col("_total"),
+                6,
+            ).alias("cum_coverage"),
+        )
+    )
+
+
+def build_vocab_sql(vocab_size: int = 1000) -> str:
+    """DuckDB rendering of :func:`build_vocab` over ``docs_w``."""
+    return f"""
+        WITH tok AS (
+            SELECT unnest(w) AS token FROM docs_w
+        ), counts AS (
+            SELECT token, COUNT(*) AS freq
+            FROM tok WHERE token <> '' GROUP BY token
+        ), tot AS (
+            SELECT SUM(freq)::DOUBLE AS total FROM counts
+        ), top AS (
+            SELECT token, freq FROM counts
+            ORDER BY freq DESC, token LIMIT {vocab_size}
+        )
+        SELECT (ROW_NUMBER() OVER (ORDER BY freq DESC, token) - 1)::BIGINT AS token_id,
+               token, freq,
+               ROUND(SUM(freq) OVER (ORDER BY freq DESC, token
+                     ROWS UNBOUNDED PRECEDING) / total, 6) AS cum_coverage
+        FROM top CROSS JOIN tot
+    """

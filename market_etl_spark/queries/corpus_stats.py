@@ -18,7 +18,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..llm.datasets import shingle_rows
-from ..llm.text import words
+from ..llm.text import (
+    build_vocab,
+    build_vocab_sql,
+    tfidf_top_terms,
+    tfidf_top_terms_sql,
+    words,
+)
 from ..tables import load
 from .registry import query
 
@@ -349,3 +355,60 @@ def q_event_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row.selectExpr(
         f"stack({len(pairs)}, {stack}) as (type_a, type_b, corr_val)"
     ).orderBy("type_a", "type_b")
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction + vocabulary construction
+# ---------------------------------------------------------------------------
+
+_DOCS_W_SQL = """
+    WITH docs_w AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    )
+"""
+
+
+@query(
+    "llm_tfidf_keywords",
+    oracle=f"""
+    {_DOCS_W_SQL}
+    SELECT * FROM ({tfidf_top_terms_sql(3)})
+    WHERE doc_id < 100
+    ORDER BY doc_id, rank
+    """,
+    tags=("llm", "tfidf"),
+)
+def llm_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed TF-IDF —
+    keyword extraction for corpus exploration/labeling. IDF statistics
+    come from the FULL corpus (document frequencies + corpus size as a
+    broadcast 1-row aggregate); the output is restricted to the first
+    100 docs only to keep the verified result small. Ties break on the
+    rounded score then the term string, so ranks are bit-stable across
+    engines. Two narrow hash-agg shuffles ((doc,term) then term) and a
+    per-doc window — nothing global."""
+    d = load(spark, sf_dir, "documents").withColumn("toks", words("text"))
+    out = tfidf_top_terms(d, "toks", "doc_id", 3)
+    return out.filter(F.col("doc_id") < 100).orderBy("doc_id", "rank")
+
+
+@query(
+    "llm_vocab_coverage",
+    oracle=f"""
+    {_DOCS_W_SQL}
+    SELECT * FROM ({build_vocab_sql(1000)})
+    ORDER BY token_id
+    """,
+    tags=("llm", "vocab"),
+)
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary (dense ids, deterministic
+    freq-desc/token-asc order) with the cumulative coverage curve —
+    the tokenizer-construction primitive: cum_coverage at id i is the
+    fraction of all token occurrences a vocab of size i+1 captures.
+    The corpus-wide count is one partial-agg shuffle; the top-V cut is
+    TakeOrderedAndProject (no global sort), and the only
+    single-partition window runs over ≤V rows — vocabulary-sized by
+    construction, never corpus-sized."""
+    d = load(spark, sf_dir, "documents").withColumn("toks", words("text"))
+    return build_vocab(d, "toks", 1000).orderBy("token_id")

@@ -254,3 +254,39 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_doc_chunking",
+    oracle=f"""
+    WITH docs_w AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    )
+    SELECT doc_id, chunk_idx, md5(chunk_text) AS chunk_md5, chunk_tokens
+    FROM ({datasets.chunk_documents_sql("w", 64, 16)})
+    ORDER BY doc_id, chunk_idx
+    """,
+    tags=("llm", "chunking"),
+)
+def llm_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: every document splits into 64-token
+    chunks with 16-token overlap (stride 48), the final chunk clamped
+    short so no token is dropped — the step that turns documents into
+    training/embedding inputs. The md5 of each chunk's text is
+    hash-compared against DuckDB computing the identical slicing, so
+    the window arithmetic agrees byte-for-byte. Pure 1→N per-row
+    fan-out (explode of an int sequence + codegen slice): no shuffle,
+    linear at 100 TB."""
+    d = load(spark, sf_dir, "documents").withColumn("toks", words("text"))
+    chunks = datasets.chunk_documents(d, "toks", "doc_id", 64, 16)
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.md5("chunk_text").alias("chunk_md5"),
+        "chunk_tokens",
+    ).orderBy("doc_id", "chunk_idx")

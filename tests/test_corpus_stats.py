@@ -75,3 +75,38 @@ def test_correlation_self_is_one(spark):
     assert len(out) == 10
     for v in out.values():
         assert v is None or -1.0 <= v <= 1.0
+
+
+def test_tfidf_ranks_discriminative_terms(spark):
+    """'whale' appears only in doc 1 (idf high); 'the' is in every doc
+    (idf ~0) — the per-doc top term must be the discriminative one."""
+    from market_etl_spark.llm.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "the whale the whale the"),
+            (2, "the cat the cat the"),
+            (3, "the dog the dog the"),
+        ],
+        "doc_id long, text string",
+    ).withColumn("toks", F.split("text", " "))
+    top1 = {
+        r.doc_id: r.term
+        for r in tfidf_top_terms(df, "toks", "doc_id", 1).collect()
+    }
+    assert top1 == {1: "whale", 2: "cat", 3: "dog"}
+
+
+def test_build_vocab_dense_ids_and_coverage(spark):
+    from market_etl_spark.llm.text import build_vocab
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c")], "doc_id long, text string"
+    ).withColumn("toks", F.split("text", " "))
+    rows = sorted(build_vocab(df, "toks", 10).collect(), key=lambda r: r.token_id)
+    assert [(r.token_id, r.token, r.freq) for r in rows] == [
+        (0, "a", 3), (1, "b", 2), (2, "c", 1)
+    ]
+    assert rows[-1].cum_coverage == 1.0
+    cov = [r.cum_coverage for r in rows]
+    assert cov == sorted(cov)

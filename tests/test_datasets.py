@@ -133,3 +133,31 @@ def test_approx_distinct_error_bound(spark):
     assert both
     for r in both:
         assert abs(r.approx - r.exact) / r.exact <= 0.05
+
+
+def test_chunk_documents_covers_every_token(spark):
+    """150 tokens, C=64, O=16 (stride 48): chunks at 1/49/97 → the last
+    clamps to 54 tokens; reassembling strides recovers the document."""
+    toks = [f"t{i}" for i in range(150)]
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    df = df.withColumn("toks", F.split("text", " "))
+    rows = sorted(
+        datasets.chunk_documents(df, "toks", "doc_id", 64, 16).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert [r.chunk_tokens for r in rows] == [64, 64, 54]
+    chunks = [r.chunk_text.split(" ") for r in rows]
+    # overlap: each chunk's first 16 tokens = previous chunk's last 16
+    for prev, cur in zip(chunks, chunks[1:]):
+        assert cur[:16] == prev[-16:]
+    # full coverage: first chunk + each successor's non-overlap tail
+    rebuilt = chunks[0] + [t for c in chunks[1:] for t in c[16:]]
+    assert rebuilt == toks
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(7, "a b c")], "doc_id long, text string")
+    df = df.withColumn("toks", F.split("text", " "))
+    rows = datasets.chunk_documents(df, "toks", "doc_id", 64, 16).collect()
+    assert len(rows) == 1
+    assert rows[0].chunk_idx == 0 and rows[0].chunk_text == "a b c"
