@@ -304,3 +304,201 @@ def q_sql_text_whales(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sql/athena_sample_queries.sql:100-121)."""
     register_all(spark, sf_dir)
     return spark.sql(_SQL_WHALES)
+
+
+# ---------------------------------------------------------------------------
+# Interval join (no equi key) + banded range join
+# ---------------------------------------------------------------------------
+def binned_interval_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bin_seconds: int = 60,
+) -> DataFrame:
+    """Join facts to half-open time intervals [start, end) with NO equi
+    key — the case where a naive join degenerates to a broadcast
+    nested loop over the whole fact table.
+
+    Scale-safe shape: explode each interval to the coarse time bins it
+    overlaps (fan-out = interval length / bin width, typically 1-2),
+    bin each fact ONCE, equi-join on the bin, then apply the exact
+    range predicate as a residual. Both sides shuffle hash-partitioned
+    on the bin — co-located, no cross product; a fact falls in exactly
+    one bin, so no post-join dedup is needed. Choose ``bin_seconds``
+    near the typical interval length so neither side's fan-out
+    explodes."""
+    bin_us = bin_seconds * 1_000_000
+    ivals = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start_col)) / bin_us).cast("long"),
+                # end is exclusive: the bin of (end - 1µs)
+                F.floor((F.unix_micros(F.col(end_col)) - 1) / bin_us).cast("long"),
+            )
+        ),
+    )
+    binned = facts.withColumn(
+        "_bin", F.floor(F.unix_micros(F.col(ts_col)) / bin_us).cast("long")
+    )
+    return (
+        binned.join(ivals, "_bin")
+        .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))
+        .drop("_bin")
+    )
+
+
+def range_band_join(
+    facts: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Banded range join: each fact row matches the band whose half-open
+    range [lo, hi) contains its value (tiering, histogram buckets, tax
+    brackets). The band table is dimension-sized by definition, so the
+    right plan at ANY fact scale is an explicit broadcast with the
+    range predicate evaluated fact-side (a broadcast nested-loop whose
+    inner side is a handful of rows — effectively a per-row bin
+    lookup, no shuffle of the facts). For band tables too large to
+    broadcast, fall back to :func:`binned_interval_join` semantics on
+    the value axis."""
+    return facts.join(
+        F.broadcast(bands),
+        (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)),
+    )
+
+
+@query(
+    "q_interval_join",
+    oracle="""
+    WITH by_min AS (
+        SELECT event_type, date_trunc('minute', ts) AS m, COUNT(*) AS cnt
+        FROM events GROUP BY event_type, m
+    ), wins AS (
+        SELECT event_type AS win_type, m AS win_start,
+               m + INTERVAL 1 MINUTE AS win_end
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY event_type ORDER BY cnt DESC, m
+            ) AS rn FROM by_min
+        ) WHERE rn <= 3
+    )
+    SELECT w.win_type, w.win_start,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users,
+           ROUND(SUM(e.value), 2) AS total_value
+    FROM wins w JOIN events e
+      ON e.ts >= w.win_start AND e.ts < w.win_end
+    GROUP BY w.win_type, w.win_start
+    ORDER BY w.win_type, w.win_start
+    """,
+    tags=("extension", "interval-join"),
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-stream interval join: each event type's 3 busiest minutes
+    define alert windows; count ALL traffic (any type) falling inside
+    any window. There is no equi key — the oracle joins on the raw
+    range predicate; the engine runs the binned equi-join + residual
+    (:func:`binned_interval_join`), which hash-partitions both sides
+    on the time bin instead of nested-looping the fact table."""
+    e = load(spark, sf_dir, "events")
+    by_min = e.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("m")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("cnt"), F.asc("m"))
+    wins = (
+        by_min.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("event_type").alias("win_type"),
+            F.col("m").alias("win_start"),
+            (F.col("m") + F.expr("INTERVAL 1 MINUTE")).alias("win_end"),
+        )
+    )
+    joined = binned_interval_join(e, wins, "ts", "win_start", "win_end", 60)
+    return (
+        joined.groupBy("win_type", "win_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("win_type", "win_start")
+    )
+
+
+@query(
+    "q_range_band_join",
+    oracle="""
+    WITH ps AS (
+        SELECT quantile_cont(o_totalprice,
+                   [0.0,0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9,1.0]) AS p,
+               MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+        FROM orders
+    ), bands AS (
+        SELECT r.range AS band_id,
+               CASE WHEN r.range = 0 THEN mn - 1
+                    ELSE ROUND(p[CAST(r.range AS INT) + 1], 6) END AS lo,
+               CASE WHEN r.range = 9 THEN mx + 1
+                    ELSE ROUND(p[CAST(r.range AS INT) + 2], 6) END AS hi
+        FROM ps CROSS JOIN range(0, 10) r
+    )
+    SELECT band_id, ROUND(lo, 6) AS lo, ROUND(hi, 6) AS hi,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total_price
+    FROM bands b JOIN orders o
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY band_id, lo, hi
+    ORDER BY band_id
+    """,
+    tags=("extension", "range-band-join"),
+)
+def q_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile banding of order values: exact-percentile band edges
+    (rounded to 6dp on BOTH engines so containment decisions are
+    bit-identical), outer edges widened past min/max, then a broadcast
+    banded range join (:func:`range_band_join`) classifying every
+    order — the facts never shuffle; the 10-row band table rides along
+    broadcast. Edges derive from a 1-row aggregate exploded into band
+    rows, no driver collect."""
+    o = load(spark, sf_dir, "orders")
+    qlist = ",".join(str(i / 10) for i in range(11))
+    ps = o.agg(
+        F.expr(f"percentile(o_totalprice, array({qlist}))").alias("p"),
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+    )
+    bands = (
+        ps.select(
+            "p", "mn", "mx", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("_i")
+        )
+        .select(
+            F.col("_i").cast("long").alias("band_id"),
+            F.when(F.col("_i") == 0, F.col("mn") - 1)
+            .otherwise(F.round(F.expr("element_at(p, _i + 1)"), 6))
+            .alias("lo"),
+            F.when(F.col("_i") == 9, F.col("mx") + 1)
+            .otherwise(F.round(F.expr("element_at(p, _i + 2)"), 6))
+            .alias("hi"),
+        )
+    )
+    joined = range_band_join(o, bands, "o_totalprice")
+    return (
+        joined.groupBy("band_id", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            "band_id",
+            F.round("lo", 6).alias("lo"),
+            F.round("hi", 6).alias("hi"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("band_id")
+    )

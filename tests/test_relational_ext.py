@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pyspark.sql.functions as F
+
 from market_etl_spark.queries.relational_ext import asof_join
 
 
@@ -47,3 +49,43 @@ def test_asof_join_tolerance(spark):
         left, right, on="user_id", ts="ts", tolerance_expr="600"
     ).collect()[0]  # 10-minute tolerance, match is 30 min old
     assert with_tol.asof_value is None and with_tol.asof_ts is None
+
+
+def test_binned_interval_join_spanning_and_boundaries(spark):
+    """An interval spanning multiple bins still matches facts in every
+    covered bin; start is inclusive, end exclusive; a fact matching
+    two intervals appears twice (once per interval)."""
+    from market_etl_spark.queries.relational_ext import binned_interval_join
+
+    facts = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:02:30"),
+         (3, "2024-01-01 10:05:00"), (4, "2024-01-01 10:04:59.999")],
+        "fid long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ivals = spark.createDataFrame(
+        [(100, "2024-01-01 10:00:00", "2024-01-01 10:05:00"),
+         (200, "2024-01-01 10:02:00", "2024-01-01 10:03:00")],
+        "iid long, s string, e string",
+    ).withColumn("s", F.col("s").cast("timestamp")).withColumn(
+        "e", F.col("e").cast("timestamp")
+    )
+    out = binned_interval_join(facts, ivals, "ts", "s", "e", 60)
+    got = sorted((r.fid, r.iid) for r in out.collect())
+    # fid 3 at exactly 10:05:00 is excluded (end-exclusive);
+    # fid 2 matches both the 5-min and the 1-min interval
+    assert got == [(1, 100), (2, 100), (2, 200), (4, 100)]
+    assert "BroadcastNestedLoopJoin" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_range_band_join_half_open_edges(spark):
+    from market_etl_spark.queries.relational_ext import range_band_join
+
+    facts = spark.createDataFrame(
+        [(1, 0.0), (2, 10.0), (3, 9.999999), (4, 20.0)], "fid long, v double"
+    )
+    bands = spark.createDataFrame(
+        [(0, 0.0, 10.0), (1, 10.0, 20.0)], "band_id long, lo double, hi double"
+    )
+    got = {r.fid: r.band_id for r in range_band_join(facts, bands, "v").collect()}
+    # 20.0 == hi of the last band → excluded (half-open)
+    assert got == {1: 0, 2: 1, 3: 0}
