@@ -351,3 +351,40 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8 quantization (storage/bandwidth compression for ANN at scale)
+# ---------------------------------------------------------------------------
+def quantization_components(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-component int8 symmetric quantization audit rows:
+    (id, pos, v, q, err) where q = round(v / scale) ∈ [-127, 127],
+    scale = max|v| / 127 per vector, err = v - q·scale.
+
+    Row-wise for codegen: position-explode the vector (plain
+    Generate), widen float→double immediately, take the per-vector
+    max-abs with a window over the id — one hash shuffle, the same
+    exchange the re-aggregation reuses. Zero vectors (scale 0) keep
+    q = 0 and err = 0 via the nullif guard. 4× smaller vectors at an
+    error the audit query quantifies — the standard storage/bandwidth
+    play before a 100 TB ANN corpus."""
+    from pyspark.sql import Window
+
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("pos", "_vf"),
+    ).select(id_col, "pos", F.col("_vf").cast("double").alias("v"))
+    w = Window.partitionBy(id_col)
+    return (
+        ex.withColumn("_scale", F.max(F.abs("v")).over(w) / F.lit(127.0))
+        .withColumn(
+            "q",
+            F.coalesce(
+                F.round(F.col("v") / F.nullif(F.col("_scale"), F.lit(0.0))), F.lit(0.0)
+            ).cast("int"),
+        )
+        .withColumn("err", F.col("v") - F.col("q") * F.col("_scale"))
+        .select(id_col, "pos", "v", F.col("_scale").alias("scale"), "q", "err")
+    )

@@ -315,3 +315,56 @@ def q_quality_drop_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         & valid_calendar_date(F.col("y"), F.col("m"), F.col("d"))
     )
     return drop_rate_report(e, pred)
+
+
+@query(
+    "q_orc_source_roundtrip",
+    oracle="""
+    WITH ex AS (
+        -- widen each float component to double BEFORE any arithmetic,
+        -- matching the Spark side's cast (float-precision rounding
+        -- would differ in the 8th decimal)
+        SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings WHERE vec_id % 4 = 1
+    )
+    SELECT label,
+           COUNT(DISTINCT vec_id) AS n_vecs,
+           CAST(SUM(DISTINCT vec_id) AS BIGINT) AS id_checksum,
+           ROUND(SUM(v), 4) AS component_sum,
+           ROUND(MIN(v), 6) AS min_component,
+           ROUND(MAX(v), 6) AS max_component
+    FROM ex
+    GROUP BY label
+    ORDER BY label
+    """,
+    tags=("etl", "source-orc", "multi-format"),
+)
+def q_orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-format parity beyond parquet: a slice of the embeddings
+    table (nested array<float> + ints) written as ORC, read back with
+    an explicit schema, and aggregated down to per-label checksums
+    over every vector component. The oracle computes the identical
+    aggregate from the parquet zone, so the hash check proves ORC
+    round-trips the nested float arrays bit-for-bit (floats sum in
+    float32 then widen — rounded to 4dp for cross-engine order
+    stability). The explode is a plain Generate; all aggregates are
+    partial-agg built-ins."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 1)
+    tag = pathlib.Path(sf_dir.rstrip("/")).name.replace(".", "_")
+    zone = SCRATCH / f"orc_zone_{tag}"
+    emb.write.mode("overwrite").orc(str(zone))
+    back = spark.read.schema(emb.schema).orc(str(zone))
+    ex = back.select(
+        "vec_id", "label", F.explode("embedding").alias("v")
+    )
+    return (
+        ex.groupBy("label")
+        .agg(
+            F.countDistinct("vec_id").alias("n_vecs"),
+            F.sum_distinct(F.col("vec_id")).cast("long").alias("id_checksum"),
+            F.round(F.sum(F.col("v").cast("double")), 4).alias("component_sum"),
+            F.round(F.min(F.col("v").cast("double")), 6).alias("min_component"),
+            F.round(F.max(F.col("v").cast("double")), 6).alias("max_component"),
+        )
+        .orderBy("label")
+    )

