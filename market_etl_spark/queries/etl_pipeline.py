@@ -368,3 +368,48 @@ def q_orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+    WITH old_snap AS (
+        SELECT event_id, ts, user_id, event_type, value
+        FROM events WHERE event_id % 97 <> 0
+    ), new_snap AS (
+        SELECT event_id, ts, user_id, event_type,
+               CASE WHEN event_id % 101 = 0 THEN value + 10.0 ELSE value END AS value
+        FROM events WHERE event_id % 89 <> 0
+    )
+    SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+           CASE WHEN o.event_id IS NULL THEN 'added'
+                WHEN n.event_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type
+    FROM old_snap o FULL OUTER JOIN new_snap n ON o.event_id = n.event_id
+    WHERE o.event_id IS NULL OR n.event_id IS NULL OR o.value <> n.value
+    ORDER BY event_id
+    """,
+    tags=("etl", "cdc", "snapshot-diff"),
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two deterministic snapshot views of the event log
+    (every 97th id missing from "yesterday", every 89th deleted
+    "today", every 101st value-bumped): classify each divergent key as
+    added/removed/changed. The engine compares a scan-side xxhash64
+    digest (the full-outer join shuffles keys + 8-byte digests, never
+    row bodies); the oracle diffs the raw values directly — agreeing
+    outputs prove the digest comparison is change-complete on this
+    data."""
+    from ..merge import snapshot_diff
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    old_snap = e.filter(F.col("event_id") % 97 != 0)
+    new_snap = e.filter(F.col("event_id") % 89 != 0).withColumn(
+        "value",
+        F.when(F.col("event_id") % 101 == 0, F.col("value") + 10.0).otherwise(
+            F.col("value")
+        ),
+    )
+    return snapshot_diff(old_snap, new_snap, ["event_id"]).orderBy("event_id")

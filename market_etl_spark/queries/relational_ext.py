@@ -502,3 +502,100 @@ def q_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band_id")
     )
+
+
+@query(
+    "q_unpivot_melt",
+    oracle="""
+    WITH wide AS (
+        SELECT date_trunc('hour', ts) AS h,
+               ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 6) AS click,
+               ROUND(SUM(CASE WHEN event_type = 'view' THEN value END), 6) AS view,
+               ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase
+        FROM events GROUP BY h
+    ), long AS (
+        SELECT h, 'click' AS event_type, click AS hourly_value FROM wide
+        UNION ALL SELECT h, 'view', view FROM wide
+        UNION ALL SELECT h, 'purchase', purchase FROM wide
+    )
+    SELECT event_type,
+           COUNT(hourly_value) AS n_hours,
+           ROUND(SUM(hourly_value), 4) AS total_value
+    FROM long
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("extension", "pivot-unpivot"),
+)
+def q_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot → unpivot round trip: hourly values pivot WIDE by event
+    type (one hash aggregate with conditional sums — no join), then
+    ``unpivot`` melts the matrix back to long form and a final
+    aggregate proves the reshape is lossless. Unpivot is a zero-shuffle
+    row-local expansion (each wide row emits one row per measure —
+    Spark's Expand node), so the reshape costs no exchange at any
+    scale; NULL cells (hours with no such events) drop out of the melt
+    exactly as the SQL form's COUNT/SUM ignore them."""
+    e = load(spark, sf_dir, "events")
+    wide = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.round(F.sum("value"), 6))
+    )
+    long = wide.unpivot(
+        ["h"], ["click", "view", "purchase"], "event_type", "hourly_value"
+    ).filter(F.col("hourly_value").isNotNull())
+    return (
+        long.groupBy("event_type")
+        .agg(
+            F.count("hourly_value").alias("n_hours"),
+            F.round(F.sum("hourly_value"), 4).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_user_value_deciles",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, ROUND(SUM(value), 6) AS total_value
+        FROM events GROUP BY user_id
+    ), tiled AS (
+        SELECT user_id, total_value,
+               NTILE(10) OVER (ORDER BY total_value DESC, user_id) AS decile
+        FROM per_user
+    )
+    SELECT decile,
+           COUNT(*) AS n_users,
+           ROUND(MIN(total_value), 6) AS floor_value,
+           ROUND(MAX(total_value), 6) AS ceil_value,
+           ROUND(SUM(total_value), 4) AS decile_value
+    FROM tiled
+    GROUP BY decile
+    ORDER BY decile
+    """,
+    tags=("extension", "window-ntile"),
+)
+def q_user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-value decile segmentation: NTILE(10) over per-user
+    lifetime value (ties broken on the rounded total then user id, so
+    both engines tile identically). The global window runs on the
+    AGGREGATED side — user cardinality, not event cardinality — which
+    is the only safe place for an unpartitioned window; the event scan
+    itself sees one hash aggregate. Per-decile min/max/sum give the
+    segmentation report."""
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.round(F.sum("value"), 6).alias("total_value"))
+    w = Window.orderBy(F.desc("total_value"), F.asc("user_id"))
+    tiled = per_user.withColumn("decile", F.ntile(10).over(w).cast("long"))
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.min("total_value"), 6).alias("floor_value"),
+            F.round(F.max("total_value"), 6).alias("ceil_value"),
+            F.round(F.sum("total_value"), 4).alias("decile_value"),
+        )
+        .orderBy("decile")
+    )

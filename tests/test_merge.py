@@ -70,3 +70,19 @@ def test_merge_into_partitioned_idempotent(spark, tmp_path):
     first = sorted(map(tuple, spark.read.parquet(path).collect()))
     merge_into_partitioned(spark, path, updates, ["id"], ["day"])
     assert sorted(map(tuple, spark.read.parquet(path).collect())) == first
+
+
+def test_snapshot_diff_classifies_all_change_types(spark):
+    from market_etl_spark.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 2.0), (3, "c", 99.0), (4, "d", 4.0)],
+        "k long, s string, v double",
+    )
+    got = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
+    # 1 removed, 2 unchanged (absent), 3 changed, 4 added
+    assert got == {1: "removed", 3: "changed", 4: "added"}
