@@ -255,3 +255,55 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     on every closed session (tests/test_streaming.py)."""
     e = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
     return streaming.sessionize_batch(e).orderBy("user_id", "session_start")
+
+
+@query(
+    "q_streaming_attribution",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts AS click_ts FROM events
+        WHERE event_type = 'click' AND user_id < 40
+    ), purchases AS (
+        SELECT user_id, ts AS purchase_ts, value FROM events
+        WHERE event_type = 'purchase' AND user_id < 40
+    )
+    SELECT c.user_id,
+           COUNT(*) AS n_attributed,
+           ROUND(SUM(p.value), 4) AS attributed_value,
+           MIN(p.purchase_ts) AS first_purchase_ts,
+           MAX(p.purchase_ts) AS last_purchase_ts
+    FROM clicks c JOIN purchases p
+      ON c.user_id = p.user_id
+     AND p.purchase_ts >= c.click_ts
+     AND p.purchase_ts < c.click_ts + INTERVAL 10 MINUTE
+    GROUP BY c.user_id
+    ORDER BY c.user_id
+    """,
+    tags=("streaming", "stream-stream-join", "extension"),
+)
+def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM watermarked interval join: purchases attributed to
+    the same user's clicks within the preceding 10 minutes, replayed
+    through two watermarked stream sides whose join condition bounds
+    the state Structured Streaming must hold (clicks past
+    watermark + window are reclaimed). The drained (click, purchase)
+    pairs aggregate per user and must hash-match the batch interval
+    join the oracle runs — stream and batch semantics agree on a
+    finite replay. The user_id < 40 cut keeps the pair fan-out
+    result-sized."""
+    stream = streaming.read_events_stream(spark, sf_dir).filter(
+        F.col("user_id") < 40
+    )
+    pairs = streaming.attributed_purchases_stream(stream)
+    sink = streaming.run_to_memory_append_available_now(pairs)
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_attributed"),
+            F.round(F.sum("purchase_value"), 4).alias("attributed_value"),
+            F.min("purchase_ts").alias("first_purchase_ts"),
+            F.max("purchase_ts").alias("last_purchase_ts"),
+        )
+        .orderBy("user_id")
+    )

@@ -246,6 +246,55 @@ def enriched_category_candles(
     )
 
 
+def attributed_purchases_stream(
+    stream: DataFrame,
+    attribution_window: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-STREAM interval join: every purchase is attributed to
+    each of the same user's clicks in the preceding attribution
+    window — the canonical conversion-attribution shape.
+
+    Both sides are watermarked and the join condition carries the
+    time bound, which is what lets Structured Streaming RECLAIM join
+    state: a click older than watermark + window can never match a
+    future purchase, so its state row is dropped. Inner joins emit
+    eagerly as matches arrive, so a finite replay drains under
+    ``trigger(availableNow)``. The join itself hash-partitions both
+    streams on user_id — the same shuffle a batch equi join would do,
+    held as keyed state instead."""
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND purchase_ts >= click_ts "
+            f"AND purchase_ts < click_ts + interval {attribution_window}"
+        ),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def dedup_stream(
     stream: DataFrame,
     keys: tuple[str, ...] = ("user_id", "event_type"),

@@ -107,3 +107,39 @@ def test_streaming_dedup_first_arrival_per_key(spark):
         .count()
     )
     assert n == expect
+
+
+def test_stream_stream_attribution_matches_batch_interval_join(spark):
+    """Stream-stream watermarked interval join: the drained
+    (click, purchase) pairs equal the batch interval join over the
+    same finite replay."""
+    stream = streaming.read_events_stream(spark, SF_SMOKE).filter(
+        F.col("user_id") < 40
+    )
+    name = streaming.run_to_memory_append_available_now(
+        streaming.attributed_purchases_stream(stream)
+    )
+    got = {
+        (r.user_id, r.click_ts, r.purchase_ts, r.purchase_value)
+        for r in spark.table(name).collect()
+    }
+    e = load(spark, SF_SMOKE, "events").filter(F.col("user_id") < 40)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    batch = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND purchase_ts >= click_ts "
+            "AND purchase_ts < click_ts + interval 10 minutes"
+        ),
+    ).collect()
+    expect = {
+        (r.c_user, r.click_ts, r.purchase_ts, r.purchase_value) for r in batch
+    }
+    assert got == expect and len(got) > 0
