@@ -275,7 +275,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM clicks c JOIN purchases p
       ON c.user_id = p.user_id
      AND p.purchase_ts >= c.click_ts
-     AND p.purchase_ts < c.click_ts + INTERVAL 10 MINUTE
+     AND p.purchase_ts < c.click_ts + INTERVAL 2 HOUR
     GROUP BY c.user_id
     ORDER BY c.user_id
     """,
@@ -283,7 +283,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-STREAM watermarked interval join: purchases attributed to
-    the same user's clicks within the preceding 10 minutes, replayed
+    the same user's clicks within the preceding 2 hours, replayed
     through two watermarked stream sides whose join condition bounds
     the state Structured Streaming must hold (clicks past
     watermark + window are reclaimed). The drained (click, purchase)

@@ -248,7 +248,7 @@ def enriched_category_candles(
 
 def attributed_purchases_stream(
     stream: DataFrame,
-    attribution_window: str = "10 minutes",
+    attribution_window: str = "2 hours",
     watermark: str = "10 minutes",
 ) -> DataFrame:
     """Stream-STREAM interval join: every purchase is attributed to

@@ -136,7 +136,7 @@ def test_stream_stream_attribution_matches_batch_interval_join(spark):
         purchases,
         F.expr(
             "c_user = p_user AND purchase_ts >= click_ts "
-            "AND purchase_ts < click_ts + interval 10 minutes"
+            "AND purchase_ts < click_ts + interval 2 hours"
         ),
     ).collect()
     expect = {
