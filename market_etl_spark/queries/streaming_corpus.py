@@ -295,7 +295,9 @@ def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id") < 40
     )
     pairs = streaming.attributed_purchases_stream(stream)
-    sink = streaming.run_to_memory_append_available_now(pairs)
+    # the user_id < 40 cut bounds keyed state to ≤40 join keys — 4
+    # state partitions, not the session default, sizes checkpoint I/O
+    sink = streaming.run_to_memory_append_available_now(pairs, partitions=4)
     return (
         spark.table(sink)
         .groupBy("user_id")

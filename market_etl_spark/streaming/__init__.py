@@ -99,20 +99,24 @@ def run_to_memory(result: DataFrame, name: str | None = None) -> str:
     return name
 
 
-def run_to_memory_append_available_now(result: DataFrame, name: str | None = None) -> str:
+def run_to_memory_append_available_now(
+    result: DataFrame, name: str | None = None, partitions: int = 16
+) -> str:
     """Append-mode ``trigger(availableNow)`` drain for stateful
     operators WITHOUT processing-time timeouts (streaming dedup,
     watermarked window appends): unlike the timeout-driven sessionizer
     (see :func:`run_to_memory_append`), these terminate cleanly once
     the available input is processed. Shuffle partitions are pinned
     small for the stream only — state-store checkpoint I/O per
-    micro-batch scales with the partition count."""
+    micro-batch scales with the partition count, so size ``partitions``
+    to the stream's keyed-state cardinality (a stream keyed on ≤40
+    users needs far fewer state partitions than the session default)."""
     name = name or f"sink_{uuid.uuid4().hex[:8]}"
     ckpt = _SCRATCH / "checkpoints" / name
     spark = result.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
         q = (
             result.writeStream.format("memory")
             .queryName(name)
