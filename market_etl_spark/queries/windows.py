@@ -113,6 +113,128 @@ def q_window_rolling_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_hopping_window_vwap",
+    oracle="""
+    WITH base AS (
+        SELECT ts, event_type, value, CAST(event_id % 7 + 1 AS DOUBLE) AS qty
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-16'
+    ), expanded AS (
+        SELECT UNNEST([
+                   make_timestamp((epoch_us(ts) // 300000000) * 300000000),
+                   make_timestamp((epoch_us(ts) // 300000000) * 300000000)
+                       - INTERVAL 5 MINUTE
+               ]) AS w_start,
+               event_type, value, qty
+        FROM base
+    )
+    SELECT w_start, event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(qty), 6) AS total_volume,
+           ROUND(SUM(value * qty) / NULLIF(SUM(qty), 0), 6) AS vwap_value
+    FROM expanded
+    GROUP BY w_start, event_type
+    ORDER BY w_start, event_type
+    """,
+    tags=("windows", "hopping-window", "extension"),
+)
+def q_hopping_window_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) time windows: 10-minute VWAP candles every 5
+    minutes via ``F.window(ts, "10 minutes", "5 minutes")`` — each row
+    lands in exactly size/slide = 2 overlapping windows, expanded by a
+    single Expand node before one partial-aggregated shuffle (no
+    self-join per offset, no re-scan). The oracle reproduces Spark's
+    epoch-aligned window-start arithmetic with an UNNEST of the two
+    bucket starts each row belongs to."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "qty", ((F.col("event_id") % 7) + 1).cast("double")
+    )
+    return (
+        e.filter(
+            (F.col("ts") >= F.lit("2024-01-15").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+        )
+        .groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            round6(F.sum("qty")).alias("total_volume"),
+            round6(vwap(F.col("value"), F.col("qty"))).alias("vwap_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            "event_type",
+            "n_events",
+            "total_volume",
+            "vwap_value",
+        )
+        .orderBy("w_start", "event_type")
+    )
+
+
+@query(
+    "q_session_window_native",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts
+                    ) >= 1800000000
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WHERE user_id < 30
+    ), sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 6) AS total_value
+    FROM sess
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    tags=("windows", "session-window", "extension"),
+)
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst's NATIVE session windows: ``F.session_window(ts, gap)``
+    merges each user's events into [first, last + gap) sessions inside
+    the aggregation operator itself — one shuffle on (user_id, window),
+    no lag/running-sum window pass. Complements ``q_sessionize`` (the
+    explicit lag-gap rendering) and the applyInPandasWithState
+    streaming twin; the oracle IS the lag-gap formulation, proving the
+    three renderings agree. Note Spark's half-open merge rule: an event
+    exactly gap after its predecessor starts a NEW session, hence the
+    oracle's >= on the gap comparison."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    return (
+        e.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            round6(F.sum("value")).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@query(
     "q_window_topn_per_group",
     oracle="""
     SELECT event_type, event_id, value
