@@ -258,6 +258,47 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_rollup_incremental_refresh",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           event_type,
+           COUNT(*) AS num_trades,
+           ROUND(SUM(CAST(event_id % 7 + 1 AS DOUBLE)), 6) AS total_volume,
+           ROUND(SUM(value * CAST(event_id % 7 + 1 AS DOUBLE))
+                 / NULLIF(SUM(CAST(event_id % 7 + 1 AS DOUBLE)), 0), 4) AS vwap_value,
+           MIN(value) AS low,
+           MAX(value) AS high
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY day, event_type
+    """,
+    tags=("rollup", "incremental-refresh", "extension"),
+)
+def q_rollup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental continuous-aggregate maintenance: the rollup is
+    built from history (ts < 2024-01-15), then a late delta (the rest)
+    is folded in via :func:`market_etl_spark.rollups.refresh_rollup` —
+    only the delta's raw rows are aggregated; the rolled history
+    contributes aggregate rows alone. Serving daily candles from the
+    incrementally-maintained rollup must hash-match the oracle's
+    from-scratch recompute over ALL raw events — the associativity
+    proof that repeated merges never drift."""
+    from ..rollups import build_minute_rollup, refresh_rollup, serve_from_rollup
+
+    e = load(spark, sf_dir, "events").withColumn(
+        "qty", ((F.col("event_id") % 7) + 1).cast("double")
+    )
+    cut = F.lit("2024-01-15").cast("timestamp")
+    history = build_minute_rollup(e.filter(F.col("ts") < cut))
+    refreshed = refresh_rollup(history, e.filter(F.col("ts") >= cut))
+    served = serve_from_rollup(refreshed, "day")
+    # 4dp as in q_rollup_served_daily: rollup-path sums order differently
+    return served.withColumn("vwap_value", F.round("vwap_value", 4)).orderBy(
+        "day", "event_type"
+    )
+
+
+@query(
     "q_streaming_attribution",
     oracle="""
     WITH clicks AS (

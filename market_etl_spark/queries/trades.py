@@ -102,6 +102,57 @@ def q_trades_whales_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Symbol → tier dimension for the DPP demo (and its inlined oracle).
+SYMBOL_TIERS = [
+    ("PURCHASE", "conversion"),
+    ("SIGNUP", "conversion"),
+    ("CLICK", "engagement"),
+    ("VIEW", "engagement"),
+    ("ERROR", "ops"),
+]
+
+
+@query(
+    "q_trades_dpp_join",
+    oracle="""
+    WITH dim(symbol, tier) AS (
+        VALUES ('PURCHASE','conversion'),('SIGNUP','conversion'),
+               ('CLICK','engagement'),('VIEW','engagement'),('ERROR','ops')
+    )
+    SELECT upper(event_type) AS symbol, CAST(day(ts) AS INT) AS day,
+           COUNT(*) AS n_trades,
+           ROUND(SUM(value * CAST(event_id % 7 + 1 AS DOUBLE)), 6) AS volume
+    FROM events JOIN dim ON upper(event_type) = dim.symbol
+    WHERE dim.tier = 'conversion'
+    GROUP BY 1, 2
+    ORDER BY symbol, day
+    """,
+    tags=("trades", "P9", "dynamic-partition-pruning"),
+)
+def q_trades_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning: the pruning predicate is not a
+    literal (cf. ``q_trades_pruned_day_vwap``) but the output of a
+    dimension join — symbols in the 'conversion' tier. Catalyst plants
+    a ``dynamicpruning`` subquery on the fact scan's ``symbol``
+    partition column, reusing the join's broadcast exchange, so only
+    the 2-of-5 matching symbol directories are ever listed or read.
+    At 100 TB this is the star-schema access path: the fact side is
+    pruned by a filter known only at runtime.
+    tests/test_trades.py asserts the executed plan carries the
+    dynamicpruning subquery."""
+    t = spark.table(ensure_trades_table(spark, sf_dir))
+    dim = spark.createDataFrame(SYMBOL_TIERS, "symbol string, tier string")
+    return (
+        t.join(dim.filter(F.col("tier") == "conversion"), "symbol")
+        .groupBy("symbol", "day")
+        .agg(
+            F.count("*").alias("n_trades"),
+            round6(F.sum("quote_qty")).alias("volume"),
+        )
+        .orderBy("symbol", "day")
+    )
+
+
 @query(
     "q_trades_pruned_day_vwap",
     oracle="""

@@ -42,6 +42,38 @@ def build_minute_rollup(events_with_qty: DataFrame, ts_col: str = "ts") -> DataF
     )
 
 
+def merge_rollups(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Combine two rollups of the same grain: union, then re-merge the
+    mergeable components per (minute, event_type). Because every
+    carried component is associative (counts/sums add, min/max nest),
+    a rollup maintained by repeated merges is bit-equal in meaning to
+    one rebuilt from scratch — the invariant the incremental-refresh
+    oracle checks."""
+    return (
+        a.unionByName(b)
+        .groupBy("minute", "event_type")
+        .agg(
+            F.sum("num_trades").alias("num_trades"),
+            F.sum("sum_qty").alias("sum_qty"),
+            F.sum("sum_value_qty").alias("sum_value_qty"),
+            F.min("low").alias("low"),
+            F.max("high").alias("high"),
+        )
+    )
+
+
+def refresh_rollup(
+    rollup: DataFrame, new_events_with_qty: DataFrame, ts_col: str = "ts"
+) -> DataFrame:
+    """Incremental continuous-aggregate maintenance: aggregate ONLY the
+    newly-arrived rows to minute grain and merge their components into
+    the existing rollup. At 100 TB this is the difference between
+    re-scanning the fact table per refresh and touching just the delta
+    — the rolled-up history is never read again, only its (tiny)
+    aggregate rows pass through the merge shuffle."""
+    return merge_rollups(rollup, build_minute_rollup(new_events_with_qty, ts_col))
+
+
 def serve_from_rollup(rollup: DataFrame, bucket: str = "day") -> DataFrame:
     """Answer a coarser-bucket query from the rollup: counts/sums add,
     min/max nest, VWAP recombines from the carried components."""

@@ -59,6 +59,18 @@ def test_pruned_day_vwap_plan_prunes(spark):
     assert "2024" in pf and "PURCHASE" in pf
 
 
+def test_dpp_join_plans_dynamic_pruning(spark):
+    """The dimension-join query must prune the fact scan's symbol
+    partitions with a runtime (dynamicpruning) subquery, not read all
+    symbol directories and filter post-join."""
+    df = REGISTRY["q_trades_dpp_join"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    # and the result only contains the conversion-tier symbols
+    symbols = {r.symbol for r in df.select("symbol").distinct().collect()}
+    assert symbols == {"PURCHASE", "SIGNUP"}
+
+
 def test_partition_histogram_reads_no_data_columns(spark):
     """Counting by partition keys must not read any parquet data column."""
     df = REGISTRY["q_trades_partition_histogram"].fn(spark, SF_SMOKE)
