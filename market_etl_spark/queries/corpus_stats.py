@@ -412,3 +412,103 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction, never corpus-sized."""
     d = load(spark, sf_dir, "documents").withColumn("toks", words("text"))
     return build_vocab(d, "toks", 1000).orderBy("token_id")
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence transition matrix (sequence mining)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           COUNT(*) AS n_transitions,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY prev_type),
+                 6) AS p_next
+    FROM seq
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    ORDER BY prev_type, next_type
+    """,
+    tags=("analytics", "sequence-mining", "extension"),
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: LAG pairs consecutive events inside one
+    (user_id, ts-ordered) window pass — the fact table is shuffled
+    once on user_id, pairs aggregate map-side, and the row-conditional
+    probabilities are a second window over the 25-row AGGREGATED
+    matrix (never the fact side). The (ts, event_id) sort key makes
+    simultaneous events order identically on both engines."""
+    e = load(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count("*").alias("n_transitions"))
+    wp = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(wp), 6
+        ).alias("p_next"),
+    ).orderBy("prev_type", "next_type")
+
+
+# ---------------------------------------------------------------------------
+# Semi join: activity of converting users
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_semi_join_big_purchasers",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events e
+    WHERE EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.user_id = e.user_id
+          AND p.event_type = 'purchase' AND p.value > 90
+    )
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("joins", "semi-join", "extension"),
+)
+def q_semi_join_big_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-style cohort filter: all activity of users who ever made
+    a >90-value purchase. LEFT SEMI join against the (small, filtered)
+    qualifying-user side — Spark broadcasts it, so the fact side is
+    filtered in place with no shuffle and no row duplication (semi
+    joins emit each left row at most once, unlike an inner join
+    against a deduplicated list). The anti-join complement is
+    q_tombstone_forget."""
+    e = load(spark, sf_dir, "events")
+    qualifying = e.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 90)
+    ).select("user_id")
+    return (
+        e.join(F.broadcast(qualifying), "user_id", "left_semi")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
