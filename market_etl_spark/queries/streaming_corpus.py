@@ -350,3 +350,57 @@ def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_streaming_cdc_upsert",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 6) AS total_value,
+           COUNT(DISTINCT day(ts)) AS n_days
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("streaming", "cdc", "merge", "extension"),
+)
+def q_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE INTO (CDC apply): a multi-micro-batch replay is
+    folded into a Hive-partitioned parquet target via foreachBatch →
+    partition-scoped merge. The target is seeded with day ≤ 10 correct
+    rows (must SURVIVE — the stream never touches them), day 11–20
+    rows poisoned to value = -999 (must be UPDATED on key match), and
+    nothing for day ≥ 21 (must be INSERTED, creating new partitions).
+    The final on-disk state aggregates to the oracle's full-table
+    recompute only if all three MERGE paths executed correctly across
+    every micro-batch."""
+    import pathlib as _pl
+
+    from ..streaming import _SCRATCH
+
+    tag = _pl.Path(sf_dir.rstrip("/")).name.replace(".", "_")
+    path = str(_SCRATCH / f"cdc_target_{tag}")
+    e = load(spark, sf_dir, "events").withColumn("day", F.dayofmonth("ts"))
+    seed = e.filter(F.col("day") <= 10).unionByName(
+        e.filter((F.col("day") > 10) & (F.col("day") <= 20)).withColumn(
+            "value", F.lit(-999.0)
+        )
+    )
+    seed.write.mode("overwrite").partitionBy("day").parquet(path)
+    stream = (
+        streaming.read_events_stream_multibatch(spark, sf_dir)
+        .withColumn("day", F.dayofmonth("ts"))
+        .filter(F.col("day") > 10)
+    )
+    streaming.run_cdc_apply(stream, path, ["event_id"], ["day"])
+    final = spark.read.parquet(path)
+    return (
+        final.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.countDistinct("day").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )

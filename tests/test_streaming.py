@@ -143,3 +143,29 @@ def test_stream_stream_attribution_matches_batch_interval_join(spark):
         (r.c_user, r.click_ts, r.purchase_ts, r.purchase_value) for r in batch
     }
     assert got == expect and len(got) > 0
+
+
+def test_cdc_apply_multibatch_merges_all_paths(spark, tmp_path):
+    """foreachBatch CDC apply: multiple micro-batches, and the final
+    table reflects update/insert/survive paths with no poisoned rows."""
+    from market_etl_spark.tables import load
+
+    path = str(tmp_path / "cdc_target")
+    e = load(spark, SF_SMOKE, "events").withColumn("day", F.dayofmonth("ts"))
+    seed = e.filter(F.col("day") <= 10).unionByName(
+        e.filter((F.col("day") > 10) & (F.col("day") <= 20)).withColumn(
+            "value", F.lit(-999.0)
+        )
+    )
+    seed.write.mode("overwrite").partitionBy("day").parquet(path)
+    stream = (
+        streaming.read_events_stream_multibatch(spark, SF_SMOKE)
+        .withColumn("day", F.dayofmonth("ts"))
+        .filter(F.col("day") > 10)
+    )
+    n_batches = streaming.run_cdc_apply(stream, path, ["event_id"], ["day"])
+    assert n_batches >= 2, "replay must span multiple micro-batches"
+    final = spark.read.parquet(path)
+    assert final.filter(F.col("value") == -999.0).count() == 0
+    assert final.count() == e.count()
+    assert final.select("event_id").distinct().count() == e.count()
