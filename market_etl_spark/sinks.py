@@ -122,3 +122,94 @@ def write_clustered(
                 hc.unset("parquet.block.size")
             else:
                 hc.set("parquet.block.size", prev)
+
+
+def zorder_key(c1, c2, bits: int = 12):
+    """Morton (Z-order) interleave of two pre-scaled non-negative int
+    columns: bit i of ``c1`` lands at position 2i, of ``c2`` at 2i+1.
+    A pure shift/and/or expression chain — whole-stage codegen, no UDF.
+    """
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(c1.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+        z = z.bitwiseOR(
+            F.shiftleft(
+                F.shiftright(c2.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col1: str,
+    col2: str,
+    bits: int = 12,
+    n_files: int = 1,
+    block_bytes: int | None = None,
+) -> None:
+    """TWO-dimensional Z-order clustered write (the multi-key upgrade of
+    :func:`write_clustered`): min/max-normalize both keys into
+    ``[0, 2^bits)``, Morton-interleave them, then range-partition and
+    sort on the z-value before writing. Row groups then cover compact
+    RECTANGLES of the (col1, col2) space, so footer min/max stats prune
+    scans filtered on EITHER dimension — the property a single-key sort
+    cannot give (its secondary key spans the full range in every group).
+
+    The normalization bounds come from one tiny aggregate broadcast
+    back onto the rows (no collect of data, one extra scan — at scale,
+    reuse table-level min/max from the catalog instead). This is the
+    layout-maintenance half of Delta's OPTIMIZE ZORDER BY, expressed on
+    plain parquet."""
+    from pyspark.sql import functions as F
+
+    lim = (1 << bits) - 1
+    bounds = df.agg(
+        F.min(col1).alias("lo1"),
+        F.max(col1).alias("hi1"),
+        F.min(col2).alias("lo2"),
+        F.max(col2).alias("hi2"),
+    )
+    scaled = df.join(F.broadcast(bounds)).select(
+        df["*"],
+        F.round(
+            (F.col(col1) - F.col("lo1"))
+            / F.nullif(F.col("hi1") - F.col("lo1"), F.lit(0))
+            * lim
+        )
+        .cast("long")
+        .alias("_n1"),
+        F.round(
+            (F.col(col2) - F.col("lo2"))
+            / F.nullif(F.col("hi2") - F.col("lo2"), F.lit(0))
+            * lim
+        )
+        .cast("long")
+        .alias("_n2"),
+    )
+    z = scaled.withColumn(
+        "_z", zorder_key(F.coalesce(F.col("_n1"), F.lit(0)),
+                         F.coalesce(F.col("_n2"), F.lit(0)), bits)
+    )
+    out = (
+        z.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_n1", "_n2", "_z")
+    )
+    hc = df.sparkSession.sparkContext._jsc.hadoopConfiguration()
+    prev = hc.get("parquet.block.size")
+    try:
+        if block_bytes is not None:
+            hc.setInt("parquet.block.size", block_bytes)
+        out.write.mode("overwrite").parquet(path)
+    finally:
+        if block_bytes is not None:
+            if prev is None:
+                hc.unset("parquet.block.size")
+            else:
+                hc.set("parquet.block.size", prev)

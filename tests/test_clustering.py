@@ -63,3 +63,36 @@ def test_clustered_rowgroups_skip_range_predicates(spark, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(clustered).collect()))
     b = sorted(map(tuple, e.collect()))
     assert a == b
+
+
+def test_zorder_contracts_both_dimensions(spark, tmp_path):
+    """Z-ordered row groups must cover narrow slices of BOTH keys —
+    the property the single-key sort cannot give (its secondary key
+    spans the full range in every group)."""
+    from market_etl_spark.sinks import write_zordered
+
+    e = load(spark, SF_SMOKE, "events").select("event_id", "user_id", "value")
+    plain = str(tmp_path / "plain")
+    zpath = str(tmp_path / "zordered")
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    hc.setInt("parquet.block.size", 4096)
+    try:
+        e.repartition(1).write.parquet(plain)
+    finally:
+        hc.unset("parquet.block.size")
+    write_zordered(e, zpath, "user_id", "value", block_bytes=4096)
+
+    for col in ("user_id", "value"):
+        lo, hi = e.agg(F.min(col), F.max(col)).first()
+        span = hi - lo
+        z_rg = _rowgroup_ranges(f"{zpath}/*.parquet", col)
+        plain_rg = _rowgroup_ranges(f"{plain}/*.parquet", col)
+        assert len(z_rg) > 3, "need several row groups"
+        z_span = sum(mx - mn for mn, mx in z_rg) / len(z_rg)
+        plain_span = sum(mx - mn for mn, mx in plain_rg) / len(plain_rg)
+        # z-order groups cover compact rectangles — materially narrower
+        # than the unsorted layout on BOTH dimensions simultaneously
+        assert z_span < 0.6 * span, (col, z_span, span)
+        assert plain_span > 1.5 * z_span, (col, plain_span, z_span)
+    # and the data survives the reshuffle byte-for-byte
+    assert spark.read.parquet(zpath).count() == e.count()
