@@ -512,3 +512,49 @@ def q_semi_join_big_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# max_by / min_by scalar-aggregate breadth
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_daily_peak_events",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           arg_max(event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) * 100000000 + event_id)
+               AS peak_type,
+           arg_min(event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) * 100000000 + event_id)
+               AS trough_type,
+           ROUND(MAX(value), 6) AS peak_value,
+           ROUND(MIN(value), 6) AS trough_value
+    FROM events
+    GROUP BY 1
+    ORDER BY day
+    """,
+    tags=("analytics", "max-by", "extension"),
+)
+def q_daily_peak_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX_BY/MIN_BY: which event type carried each day's highest and
+    lowest value — one pass, no self-join back to the fact table and
+    no window sort (the classic pre-max_by renderings). The ordering
+    key is exact integer arithmetic (value is 2-dp, so value·100
+    rounds losslessly; event_id breaks ties) — the raw double is NOT a
+    unique ordering and would be engine-arbitrary on the 158 duplicated
+    (day, value) pairs at sf0.01."""
+    e = load(spark, sf_dir, "events")
+    ordk = (F.round(F.col("value") * 100, 0).cast("long") * F.lit(100000000)
+            + F.col("event_id"))
+    return (
+        e.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.max_by("event_type", ordk).alias("peak_type"),
+            F.min_by("event_type", ordk).alias("trough_type"),
+            F.round(F.max("value"), 6).alias("peak_value"),
+            F.round(F.min("value"), 6).alias("trough_value"),
+        )
+        .orderBy("day")
+    )
