@@ -26,6 +26,15 @@ from pyspark.sql.types import LongType, StructType
 _SCRATCH = pathlib.Path(__file__).resolve().parent.parent.parent / ".scratch"
 
 
+def _discard_checkpoint(ckpt: pathlib.Path) -> None:
+    """Single-use checkpoints (uuid-named, memory-sink drains) are dead
+    state once the query terminates — discard them so repeated runs
+    don't accumulate hundreds of MB of state-store files."""
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source replay of the events table (schema pinned from a
     batch read; ts nanos→timestamp conversion identical to tables.load).
@@ -96,6 +105,7 @@ def run_to_memory(result: DataFrame, name: str | None = None) -> str:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
+    _discard_checkpoint(ckpt)
     return name
 
 
@@ -128,6 +138,7 @@ def run_to_memory_append_available_now(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
+    _discard_checkpoint(ckpt)
     return name
 
 
@@ -208,6 +219,7 @@ def run_to_memory_append(
             break
     q.stop()
     q.awaitTermination()
+    _discard_checkpoint(ckpt)
     return name
 
 
@@ -507,4 +519,5 @@ def run_cdc_apply(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
+    _discard_checkpoint(ckpt)
     return len(applied)
