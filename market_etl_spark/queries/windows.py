@@ -263,3 +263,91 @@ def q_window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("event_type", F.desc("value"), "event_id")
     )
+
+
+@query(
+    "q_gapfill_forward_vwap",
+    oracle="""
+    WITH candles AS (
+        SELECT event_type, date_trunc('minute', ts) AS minute,
+               ROUND(SUM(value * CAST(event_id % 7 + 1 AS DOUBLE))
+                     / NULLIF(SUM(CAST(event_id % 7 + 1 AS DOUBLE)), 0), 6)
+                   AS vwap,
+               COUNT(*) AS n
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-15'
+          AND ts < TIMESTAMP '2024-01-15 06:00:00'
+        GROUP BY 1, 2
+    ), spine AS (
+        SELECT t.event_type, s.m AS minute
+        FROM (SELECT DISTINCT event_type FROM candles) t,
+             generate_series(TIMESTAMP '2024-01-15',
+                             TIMESTAMP '2024-01-15 05:59:00',
+                             INTERVAL 1 MINUTE) s(m)
+    )
+    SELECT sp.event_type, sp.minute,
+           COALESCE(c.n, 0) AS n_trades,
+           c.vwap AS vwap_raw,
+           LAST_VALUE(c.vwap IGNORE NULLS) OVER (
+               PARTITION BY sp.event_type ORDER BY sp.minute
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS vwap_filled
+    FROM spine sp LEFT JOIN candles c
+      ON sp.event_type = c.event_type AND sp.minute = c.minute
+    ORDER BY sp.event_type, sp.minute
+    """,
+    tags=("windows", "gap-fill", "time-series", "extension"),
+)
+def q_gapfill_forward_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (the hypertable ``time_bucket_gapfill``
+    + ``locf`` shape): a dense minute spine per series LEFT-joins the
+    sparse VWAP candles, and empty minutes carry the last observed
+    VWAP forward via ``last(..., ignorenulls=True)`` over an
+    unbounded-preceding frame. The fact table is touched ONLY by the
+    candle aggregation; the spine is generated with ``sequence()`` +
+    explode (types × minutes rows — dimension-sized, broadcast into
+    the join), and the fill window runs over the aggregated spine,
+    never raw events."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "qty", ((F.col("event_id") % 7) + 1).cast("double")
+    )
+    candles = (
+        e.filter(
+            (F.col("ts") >= F.lit("2024-01-15").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-15 06:00:00").cast("timestamp"))
+        )
+        .groupBy("event_type", F.date_trunc("minute", "ts").alias("minute"))
+        .agg(
+            round6(vwap(F.col("value"), F.col("qty"))).alias("vwap"),
+            F.count("*").alias("n"),
+        )
+    )
+    spine = (
+        candles.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(
+                F.expr(
+                    "sequence(timestamp'2024-01-15', "
+                    "timestamp'2024-01-15 05:59:00', interval 1 minute)"
+                )
+            ).alias("minute"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("minute")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(candles, ["event_type", "minute"], "left")
+        .select(
+            "event_type",
+            "minute",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_trades"),
+            F.col("vwap").alias("vwap_raw"),
+            F.last("vwap", ignorenulls=True).over(w).alias("vwap_filled"),
+        )
+        .orderBy("event_type", "minute")
+    )
