@@ -558,3 +558,39 @@ def q_daily_peak_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q_value_quartiles",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           [ROUND(x, 6) FOR x IN
+               quantile_cont(value, [0.25, 0.5, 0.75, 0.99])]
+               AS value_quantiles
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("aggregates", "percentile", "extension"),
+)
+def q_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-quantile in ONE aggregate: ``percentile(value, array(...))``
+    computes all four cut points in a single pass/shuffle instead of
+    four separate percentile aggregates (the array form shares the
+    per-group sorted sketch). Both engines use linear interpolation
+    between order statistics, so the rounded arrays hash-match; the
+    rounding HOF runs over the 5-row aggregated result, not the fact
+    table."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(
+                "transform(percentile(value, array(0.25D, 0.5D, 0.75D, 0.99D)),"
+                " x -> round(x, 6))"
+            ).alias("value_quantiles"),
+        )
+        .orderBy("event_type")
+    )
