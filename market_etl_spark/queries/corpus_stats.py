@@ -594,3 +594,65 @@ def q_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_value_moments",
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               AVG(value) AS m1,
+               AVG(value * value) AS m2,
+               AVG(value * value * value) AS m3,
+               AVG(value * value * value * value) AS m4
+        FROM events
+        GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND(m1, 6) AS mean_value,
+           ROUND(SQRT((m2 - m1 * m1) * n / (n - 1)), 6) AS stddev_value,
+           ROUND((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
+                 / POWER(m2 - m1 * m1, 1.5), 6) AS skewness_pop,
+           ROUND((m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * POWER(m1, 4))
+                 / POWER(m2 - m1 * m1, 2) - 3, 6) AS kurtosis_pop
+    FROM m
+    ORDER BY event_type
+    """,
+    tags=("aggregates", "moments", "extension"),
+)
+def q_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution moments per series in ONE pass: raw power sums
+    (partial-agg-friendly AVGs of v..v⁴) with variance/skewness/excess
+    kurtosis derived in the projection. Spark's native skewness()/
+    kurtosis() use population formulas while DuckDB's apply sample
+    corrections — they disagree in the 4th decimal — so BOTH engines
+    here derive from identical raw-moment arithmetic, which also
+    demonstrates the mergeable-components pattern (power sums combine
+    across partitions; the fancy statistics are projection math)."""
+    e = load(spark, sf_dir, "events")
+    v = F.col("value")
+    m = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.avg(v).alias("m1"),
+        F.avg(v * v).alias("m2"),
+        F.avg(v * v * v).alias("m3"),
+        F.avg(v * v * v * v).alias("m4"),
+    )
+    m1, m2, m3, m4, n = (F.col(c) for c in ("m1", "m2", "m3", "m4", "n"))
+    var_pop = m2 - m1 * m1
+    return m.select(
+        "event_type",
+        "n",
+        F.round(m1, 6).alias("mean_value"),
+        F.round(F.sqrt(var_pop * n / (n - 1)), 6).alias("stddev_value"),
+        F.round(
+            (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(var_pop, 1.5), 6
+        ).alias("skewness_pop"),
+        F.round(
+            (m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * F.pow(m1, 4))
+            / F.pow(var_pop, 2)
+            - 3,
+            6,
+        ).alias("kurtosis_pop"),
+    ).orderBy("event_type")
