@@ -206,6 +206,27 @@ def ann_lsh_topk(
     )
 
 
+def cell_centroids(
+    embeddings: DataFrame, cluster_col: str, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-cell mean vectors: posexplode + per-(cell, dim) average —
+    one shuffle, fully distributed, no collected arrays on the driver.
+    The raw vector is posexploded and cast AFTER the Generate (a
+    Generate whose input is a lambda expression runs interpreted).
+    Returns (cell, centroid: array<double>)."""
+    exploded = embeddings.select(
+        F.col(cluster_col).alias("cell"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    ).withColumn("x", F.col("x").cast("double"))
+    return (
+        exploded.groupBy("cell", "dim")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("_dc"))
+        .select("cell", F.expr("transform(_dc, s -> s.c)").alias("centroid"))
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -237,24 +258,7 @@ def ivf_topk(
         embeddings = embeddings.withColumn("_cell", sig(F.col(vec_col))[0])
         cluster_col = "_cell"
 
-    # centroid per cell: element-wise mean via posexplode + per-(cell,
-    # dim) average — one shuffle, fully distributed, no collected arrays
-    # on the driver.
-    # posexplode the raw vector and cast AFTER the Generate: a Generate
-    # whose input is a lambda expression (transform) runs interpreted.
-    exploded = embeddings.select(
-        F.col(cluster_col).alias("cell"),
-        F.posexplode(F.col(vec_col)).alias("dim", "x"),
-    ).withColumn("x", F.col("x").cast("double"))
-    centroids = (
-        exploded.groupBy("cell", "dim")
-        .agg(F.avg("x").alias("c"))
-        .groupBy("cell")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("_dc"))
-        .select(
-            "cell", F.expr("transform(_dc, s -> s.c)").alias("centroid")
-        )
-    )
+    centroids = cell_centroids(embeddings, cluster_col, vec_col)
 
     queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
@@ -387,4 +391,86 @@ def quantization_components(
         )
         .withColumn("err", F.col("v") - F.col("q") * F.col("_scale"))
         .select(id_col, "pos", "v", F.col("_scale").alias("scale"), "q", "err")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index: cell-partitioned vectors + centroid table
+# ---------------------------------------------------------------------------
+
+
+def ivf_write_index(
+    embeddings: DataFrame,
+    path: str,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize an IVF index on disk: the corpus written as a
+    Hive-partitioned parquet layout keyed by cell (``vectors/cell=N/``)
+    plus the tiny centroid table. The point of the layout is that a
+    query probing ``nprobe`` cells becomes a PARTITION-PRUNED read —
+    at 100 TB the un-probed cells' directories are never listed, let
+    alone scanned; the index is just parquet + directory structure,
+    no serving system."""
+    embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        F.col(cluster_col).alias("cell"),
+    ).write.mode("overwrite").partitionBy("cell").parquet(f"{path}/vectors")
+    cell_centroids(embeddings, cluster_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
+
+
+def ivf_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+) -> DataFrame:
+    """Serve approximate top-k FROM the on-disk index: route each query
+    (columns ``query_id``, ``_qvec``) to its ``nprobe`` nearest
+    centroids, collect the probed cell ids (index METADATA — a handful
+    of ints, not data), and scan only those partitions. Scoring uses
+    the exact double fold, so with a deterministic cell assignment the
+    whole path is oracle-checkable — unusual for an ANN index."""
+    from pyspark.sql import Window
+
+    cents = spark.read.parquet(f"{path}/centroids")
+    routed = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("_sim", cosine("_qvec", "centroid"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("_sim"), F.asc("cell")
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "_qvec", "cell")
+    )
+    probe_cells = [r.cell for r in routed.select("cell").distinct().collect()]
+    vecs = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("cell").isin(probe_cells)  # static partition pruning
+    )
+    scored = (
+        vecs.join(F.broadcast(routed), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("_qvec", "vec"), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
     )

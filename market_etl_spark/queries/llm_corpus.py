@@ -492,3 +492,73 @@ def llm_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def _ivf_index_oracle() -> str:
+    cosc = similarity.cosine_sql("q.qe", "cv.centroid", _DIMS)
+    cose = similarity.cosine_sql("q.qe", "e.embedding", _DIMS)
+    ids = ", ".join(map(str, _QUERY_IDS))
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+        WHERE vec_id IN ({ids})
+    ), cent AS (
+        SELECT label AS cell, i - 1 AS dim,
+               AVG(CAST(embedding[i] AS DOUBLE)) AS c
+        FROM embeddings, range(1, {_DIMS + 1}) rr(i)
+        GROUP BY label, i
+    ), cv AS (
+        SELECT cell, list(c ORDER BY dim) AS centroid FROM cent GROUP BY cell
+    ), routed AS (
+        SELECT query_id, cell FROM (
+            SELECT q.query_id, cv.cell,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {cosc} DESC, cv.cell
+                   ) AS rn
+            FROM q, cv
+        ) WHERE rn <= 3
+    ), scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROUND({cose}, 6) AS cos_sim
+        FROM q
+        JOIN routed r ON r.query_id = q.query_id
+        JOIN embeddings e ON e.label = r.cell AND e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+        ) AS rn FROM scored
+    ) WHERE rn <= 10
+    ORDER BY query_id, cos_sim DESC, neighbor_id
+    """
+
+
+@query(
+    "llm_ivf_index_topk",
+    oracle=_ivf_index_oracle(),
+    tags=("llm", "similarity-ivf", "index", "extension"),
+)
+def llm_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index PERSISTED as a cell-partitioned parquet layout, then
+    served from disk: routing reads the tiny centroid table, the probed
+    cells become a partition-pruned directory read (un-probed cells are
+    never listed — tests assert the PartitionFilters), and scoring uses
+    the exact double fold. Deterministic cell assignment (the label
+    clustering) makes this ANN index fully oracle-checkable — the
+    DuckDB side replays centroid build, routing, and in-cell scoring
+    end to end."""
+    import pathlib as _pl
+
+    from ..streaming import _SCRATCH
+
+    tag = _pl.Path(sf_dir.rstrip("/")).name.replace(".", "_")
+    path = str(_SCRATCH / f"ivf_index_{tag}")
+    emb = load(spark, sf_dir, "embeddings")
+    similarity.ivf_write_index(emb, path, cluster_col="label")
+    queries = emb.filter(F.col("vec_id").isin(_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qvec")
+    )
+    return similarity.ivf_query_index(spark, path, queries, k=10, nprobe=3).orderBy(
+        "query_id", F.desc("cos_sim"), "neighbor_id"
+    )

@@ -404,3 +404,82 @@ def q_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_session_paths",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) > 1800000000
+                    OR LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WHERE user_id < 20
+    ), sess AS (
+        SELECT *, SUM(new_s) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           COUNT(*) AS n_events,
+           list(event_type ORDER BY ts, event_id) AS path
+    FROM sess
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    tags=("sessionize", "array-agg", "extension"),
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered ARRAY aggregation: each session's full event-type path
+    as a list, ordered by (ts, event_id). Spark has no ORDER BY inside
+    collect_list (collection order is partition-arbitrary), so the
+    deterministic rendering is collect_list of (sort-key, value)
+    structs → sort_array → field extraction — the struct sort carries
+    the ordering through the unordered aggregate. Arrays stay
+    session-sized (tens of elements); the extraction HOF runs over
+    aggregated rows only."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            prev_ts.isNull()
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
+                > 1_800_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sid = F.sum("new_s").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = flagged.withColumn("sid", sid)
+    return (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count("*").alias("n_events"),
+            F.expr(
+                "transform(sort_array(collect_list(struct(ts, event_id,"
+                " event_type))), x -> x.event_type)"
+            ).alias("path"),
+        )
+        .drop("sid")
+        .orderBy("user_id", "session_start")
+    )

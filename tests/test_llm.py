@@ -250,3 +250,31 @@ def test_quantization_zero_vector_and_code_range(spark):
     assert nz[0].q == 127 and abs(nz[0].err) < 1e-12
     # reconstruction error bounded by half a scale step
     assert all(abs(r.err) <= r.scale / 2 + 1e-12 for r in nz.values())
+
+
+def test_ivf_index_prunes_unprobed_cells(spark, tmp_path):
+    """Serving from the persisted IVF index must read ONLY the probed
+    cell partitions (static PartitionFilters on the directory layout),
+    and agree with the in-memory IVF pipeline."""
+    emb = load(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "ivf")
+    similarity.ivf_write_index(emb, path, cluster_col="label")
+    queries = emb.filter(F.col("vec_id").isin([0, 1])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qvec")
+    )
+    df = similarity.ivf_query_index(spark, path, queries, k=5, nprobe=2)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1][:300]
+    assert "cell" in pf and "IN" in pf.upper()
+    # ≤ 2 queries × 2 probes distinct cells, each partition-pruned
+    got = {(r.query_id, r.neighbor_id) for r in df.collect()}
+    mem = similarity.ivf_topk(
+        emb, [0, 1], k=5, nprobe=2, cluster_col="label"
+    )
+    expect = {(r.query_id, r.neighbor_id) for r in mem.collect()}
+    assert got == expect and len(got) > 0
