@@ -209,9 +209,10 @@ def connected_components(
     converging in O(component diameter) rounds. Near-dup graphs are
     the friendly case: duplicate clusters are small and dense (a copy
     of a copy of a copy), so the diameter — and the round count — is a
-    small constant; for adversarial long-chain graphs the same loop
-    structure accepts the log-round large-star/small-star variant
-    (Kiveris et al., "Connected Components in MapReduce and Beyond").
+    small constant; for adversarial long-chain graphs use
+    :func:`connected_components_star` — the log-round
+    large-star/small-star variant (equivalence-tested against this
+    one; converges on a 300-diameter chain hash-min cannot finish).
 
     Scale posture: state per round is one (node, label) row per
     distinct node — ids only, never payloads; ``localCheckpoint``
@@ -418,4 +419,87 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
         .distinct()
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Log-round connected components via alternating large-star /
+    small-star rounds (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") — the adversarial-graph complement to
+    :func:`connected_components`.
+
+    Hash-min label propagation converges in O(component diameter)
+    rounds: fine for near-dup clusters (dense, tiny diameter), hopeless
+    for chain-shaped graphs where the diameter is O(n). The star
+    rounds instead REWRITE the edge set:
+
+    - large-star(u): every neighbor v > u re-points to
+      m = min(N(u) ∪ {u})
+    - small-star(u): every neighbor v ≤ u (and u itself, when not m)
+      re-points to m = min(N⁻(u) ∪ {u})
+
+    Each is one groupBy-min plus one join over ids-only edges (two
+    shuffles per round), and the edge set collapses to a star forest
+    (node → component min) in O(log n) rounds on ANY topology.
+    Convergence = edge multiset stable (checked with an order-
+    insensitive hash-sum aggregate — one job per round, same
+    action that materializes the lazy checkpoint)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        # ---- large-star: bidirectional neighborhoods
+        bi = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = bi.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select(
+            "u", F.least("mn", F.col("u")).alias("m")
+        )
+        large = (
+            bi.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.least("v", "m").alias("u"), F.greatest("v", "m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star: only the ≤-side neighborhoods (canonical
+        # edges already point small→large: group by the LARGE endpoint)
+        smaller = large.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        smins = smaller.groupBy("u").agg(F.min("v").alias("mn"))
+        smins = smins.select("u", F.least("mn", F.col("u")).alias("m"))
+        small = (
+            smaller.join(smins, "u")
+            .select(
+                F.explode(F.array(F.col("v"), F.col("u"))).alias("n"), "m"
+            )
+            .filter(F.col("n") != F.col("m"))
+            .select(F.least("n", "m").alias("u"), F.greatest("n", "m").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        sig = small.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        edges = small
+        if (sig["n"], sig["h"]) == prev_sig:
+            break
+        prev_sig = (sig["n"], sig["h"])
+    # star forest: edges are (root, node); roots label themselves
+    return (
+        edges.select(F.col("v").alias("node"), F.col("u").alias("cluster_id"))
+        .union(edges.select(F.col("u").alias("node"), F.col("u").alias("cluster_id")))
+        .groupBy("node")
+        .agg(F.min("cluster_id").alias("cluster_id"))
     )

@@ -278,3 +278,26 @@ def test_ivf_index_prunes_unprobed_cells(spark, tmp_path):
     )
     expect = {(r.query_id, r.neighbor_id) for r in mem.collect()}
     assert got == expect and len(got) > 0
+
+
+def test_star_cc_equals_hashmin_on_near_dup_graph(spark, docs):
+    pairs = dedup.prefix_filter_pairs(docs)
+    a = {(r.node, r.cluster_id) for r in dedup.connected_components(pairs).collect()}
+    b = {
+        (r.node, r.cluster_id)
+        for r in dedup.connected_components_star(pairs).collect()
+    }
+    assert a == b and len(b) > 0
+
+
+def test_star_cc_handles_long_chain_in_log_rounds(spark):
+    """A 300-node path graph has diameter 299 — hash-min would need
+    ~300 rounds; the star rounds collapse it within the 30-round cap
+    and label every node with the chain minimum."""
+    n = 300
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    out = dedup.connected_components_star(chain).collect()
+    assert len(out) == n
+    assert {r.cluster_id for r in out} == {0}
