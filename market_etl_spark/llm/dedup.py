@@ -169,9 +169,33 @@ def minhash_near_dup_pairs(
     band's rows-tuple of perm-mins — the same values the array form
     produced — so the candidate set, and therefore the verified
     output, is unchanged."""
+    sh_rows = _shingle_rows_distinct(docs, tokens_col, n, id_col)
+    banded = minhash_band_rows(sh_rows, id_col, k, bands, rows)
+    cands = _bucket_pairs(banded, id_col)
+    sets_ = sh_rows.groupBy(id_col).agg(F.collect_set("shingle").alias("sh"))
+    return verify_jaccard(cands, sets_, id_col, "sh", threshold)
+
+
+def _shingle_rows_distinct(
+    docs: DataFrame, tokens_col: str, n: int, id_col: str
+) -> DataFrame:
     from .datasets import shingle_rows
 
-    sh_rows = shingle_rows(docs, tokens_col, n, id_col, id_col).distinct()
+    return shingle_rows(docs, tokens_col, n, id_col, id_col).distinct()
+
+
+def minhash_band_rows(
+    sh_rows: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+) -> DataFrame:
+    """(id, shingle) rows → (id, band, key) LSH bucket membership: perm
+    j's signature element is a codegen ``min(xxhash64(j, shingle))``
+    aggregate; each band's key hashes its ``rows`` consecutive mins.
+    Deterministic (seeded by the literal j), so signatures computed
+    today join signatures indexed last month."""
     mins = sh_rows.groupBy(id_col).agg(
         *[F.min(F.xxhash64(F.lit(j), "shingle")).alias(f"_m{j}") for j in range(k)]
     )
@@ -185,10 +209,7 @@ def minhash_near_dup_pairs(
         ],
     )
     stack = ", ".join(f"{b}, _k{b}" for b in range(bands))
-    banded = keyed.selectExpr(id_col, f"stack({bands}, {stack}) as (band, key)")
-    cands = _bucket_pairs(banded, id_col)
-    sets_ = sh_rows.groupBy(id_col).agg(F.collect_set("shingle").alias("sh"))
-    return verify_jaccard(cands, sets_, id_col, "sh", threshold)
+    return keyed.selectExpr(id_col, f"stack({bands}, {stack}) as (band, key)")
 
 
 # ---------------------------------------------------------------------------
@@ -503,3 +524,95 @@ def connected_components_star(
         .groupBy("node")
         .agg(F.min("cluster_id").alias("cluster_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new documents vs a persisted signature index
+# ---------------------------------------------------------------------------
+
+
+def write_minhash_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    tokens_col: str = "toks",
+    k: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+    n: int = 3,
+) -> None:
+    """Persist the corpus's dedup index: LSH band keys (for candidate
+    generation) and exact shingle sets (for verification). New batches
+    then dedup against the corpus WITHOUT recomputing anything over old
+    documents — the index carries ids, 64-bit keys, and shingle hashes;
+    document bodies never enter it."""
+    sh_rows = _shingle_rows_distinct(docs, tokens_col, n, id_col)
+    minhash_band_rows(sh_rows, id_col, k, bands, rows).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/bands")
+    sh_rows.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("sh")
+    ).write.mode("overwrite").parquet(f"{path}/shingles")
+
+
+def dedup_against_index(
+    spark,
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    tokens_col: str = "toks",
+    threshold: float = 0.8,
+    k: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """The daily-crawl shape: which NEW documents near-duplicate the
+    already-indexed corpus. Band keys for the new batch only (the
+    expensive signature work is proportional to the DELTA), equi-join
+    against the stored band table on (band, key) for candidates, exact
+    Jaccard verify against the stored shingle sets. Returns
+    (id_new, id_corpus, jaccard ≥ threshold). At 100 TB the band join
+    shuffles 16 key rows per new doc against an index that can itself
+    be bucketed by key — never a scan of old document bodies."""
+    sh_rows = _shingle_rows_distinct(new_docs, tokens_col, n, id_col)
+    new_bands = minhash_band_rows(sh_rows, id_col, k, bands, rows).select(
+        F.col(id_col).alias("id_new"), "band", "key"
+    )
+    idx_bands = spark.read.parquet(f"{path}/bands").select(
+        F.col(id_col).alias("id_corpus"), "band", "key"
+    )
+    cands = (
+        new_bands.join(idx_bands, ["band", "key"])
+        .filter(F.col("id_new") != F.col("id_corpus"))
+        .select("id_new", "id_corpus")
+        .distinct()
+    )
+    new_sets = sh_rows.groupBy(id_col).agg(F.collect_set("shingle").alias("sh"))
+    idx_sets = spark.read.parquet(f"{path}/shingles")
+    out = (
+        cands.join(
+            new_sets.select(F.col(id_col).alias("id_new"), F.col("sh").alias("_sh_n")),
+            "id_new",
+        )
+        .join(
+            idx_sets.select(
+                F.col(id_col).alias("id_corpus"), F.col("sh").alias("_sh_c")
+            ),
+            "id_corpus",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("_sh_n", "_sh_c")).cast("double")
+                / F.nullif(
+                    F.size(F.array_union("_sh_n", "_sh_c")).cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_new", "id_corpus", "jaccard")
+    )
+    return out

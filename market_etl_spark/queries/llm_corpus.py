@@ -562,3 +562,39 @@ def llm_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_query_index(spark, path, queries, k=10, nprobe=3).orderBy(
         "query_id", F.desc("cos_sim"), "neighbor_id"
     )
+
+
+@query(
+    "llm_incremental_dedup",
+    oracle=f"""
+    {_DOCS_SQL}
+    SELECT id_new, id_corpus, jaccard FROM (
+        SELECT a.doc_id AS id_new, b.doc_id AS id_corpus,
+               ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        FROM s a JOIN s b ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+    ) WHERE jaccard >= 0.8
+    ORDER BY id_new, id_corpus
+    """,
+    tags=("llm", "dedup-incremental", "index", "extension"),
+)
+def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-crawl dedup shape: 80% of the corpus is INDEXED once
+    (band keys + shingle sets persisted — ids and hashes, no bodies),
+    then the 'new batch' (doc_id % 5 = 0) computes signatures only for
+    itself and joins the stored band table for candidates + stored
+    shingle sets for the exact verify. Work is proportional to the
+    delta; the oracle brute-forces new × corpus, and LSH collision
+    probability at J ≥ 0.8 (≈0.9997) makes the banded path match it on
+    this corpus."""
+    import pathlib as _pl
+
+    from ..streaming import _SCRATCH
+
+    tag = _pl.Path(sf_dir.rstrip("/")).name.replace(".", "_")
+    path = str(_SCRATCH / f"minhash_index_{tag}")
+    d = _docs(spark, sf_dir)
+    dedup.write_minhash_index(d.filter(F.col("doc_id") % 5 != 0), path)
+    return dedup.dedup_against_index(
+        spark, d.filter(F.col("doc_id") % 5 == 0), path
+    ).orderBy("id_new", "id_corpus")
