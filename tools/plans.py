@@ -91,6 +91,19 @@ AUDITED = [
         "shuffled before its per-document aggregate.",
     ),
     (
+        "llm_ivf_index_topk",
+        "Serving from the PERSISTED IVF index: the probed cells appear as "
+        "static `PartitionFilters` on the cell-partitioned vectors scan — "
+        "un-probed cell directories are never read; routing reads only the "
+        "tiny centroid table.",
+    ),
+    (
+        "q_gapfill_forward_vwap",
+        "Gap filling touches the fact table ONLY in the candle aggregation; "
+        "the dense spine (sequence+explode, dimension-sized) joins and the "
+        "ignorenulls fill window run over aggregated rows.",
+    ),
+    (
         "q_interval_join",
         "A range-predicate join with NO equi key executed as an equi join "
         "on the coarse time bin (hash join, residual range filter) — no "
