@@ -8,6 +8,7 @@ knowing which modules to import.
 
 from __future__ import annotations
 
+from . import behavior  # noqa: F401
 from . import cluster_corpus  # noqa: F401
 from . import corpus  # noqa: F401  (imports register queries)
 from . import corpus_stats  # noqa: F401

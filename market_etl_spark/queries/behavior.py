@@ -1,0 +1,266 @@
+"""Behavioral / time-series analytics over the events stream: ordered
+funnel conversion, weekly retention cohorts, time-weighted averages,
+and statistical anomaly flagging.
+
+These are the product-analytics operators a market/event pipeline
+serves next to the candle queries (the reference's Athena tier stops at
+aggregates — sql/athena_sample_queries.sql:12-45 — so this module is
+the natural extension surface). Every plan keeps the fact table to ONE
+hash shuffle on its natural key (user_id for the user-level queries,
+the aggregation key otherwise); window functions over the same
+partitioning reuse that exchange, so a 100 TB events table is shuffled
+exactly once per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Ordered funnel conversion
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_funnel_conversion",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS users_viewed,
+           (SELECT COUNT(*) FROM c) AS users_clicked_after_view,
+           (SELECT COUNT(*) FROM p) AS users_purchased_after_click
+    """,
+    tags=("behavior", "funnel"),
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-step funnel (view → click → purchase): a user
+    counts for step N only with an event strictly AFTER their step-N−1
+    time — the sequential constraint that makes funnels harder than
+    three independent COUNT(DISTINCT)s.
+
+    Plan: ONE hash shuffle on ``user_id``, then three chained window
+    minimums over that same partitioning (each step's anchor feeds the
+    next step's conditional MIN; Catalyst stacks the WindowExecs on the
+    single exchange — no join, no re-shuffle, unlike the oracle's
+    3-join rendering). One row per user survives a cheap semi-aggregate
+    and a tiny global count finishes it. At 100 TB the cost is the one
+    events shuffle — the same floor as any per-user aggregate."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = e.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t3", t3)
+    per_user = staged.groupBy("user_id").agg(
+        F.first("t1").alias("t1"), F.first("t2").alias("t2"), F.first("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count("t1").alias("users_viewed"),
+        F.count("t2").alias("users_clicked_after_view"),
+        F.count("t3").alias("users_purchased_after_click"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly retention cohorts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_retention_cohorts",
+    oracle="""
+    WITH f AS (
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ), a AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(date_trunc('week', e.ts) AS DATE) AS activity_week
+        FROM events e JOIN f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, activity_week) / 7 AS INT) AS week_offset,
+           COUNT(*) AS active_users
+    FROM a
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+    tags=("behavior", "retention"),
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: cohort users by the Monday of their
+    first event, then count distinct users active in each subsequent
+    week, keyed (cohort_week, week_offset).
+
+    Plan: one shuffle on ``user_id``; the cohort week is a window MIN
+    over that partitioning (no join back to the fact table — the
+    oracle's join rendering exists only because ANSI SQL lacks a
+    windowed DISTINCT). The per-user distinct (user, cohort, week)
+    set collapses in-partition before the tiny final aggregate, so
+    the second exchange carries at most |users|·|weeks| rows."""
+    e = load(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id")
+    staged = e.withColumn(
+        "cohort_week", F.date_trunc("week", F.min("ts").over(w)).cast("date")
+    ).withColumn("activity_week", F.date_trunc("week", F.col("ts")).cast("date"))
+    return (
+        staged.select("user_id", "cohort_week", "activity_week")
+        .distinct()
+        .groupBy(
+            "cohort_week",
+            (F.datediff("activity_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP-style)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_time_weighted_value",
+    oracle="""
+    WITH s AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, value,
+               CAST(date_diff('microsecond', ts,
+                    LEAD(ts) OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                   ORDER BY ts, event_id)) AS DOUBLE) / 1e6 AS dur_s
+        FROM events
+    )
+    SELECT event_type, day,
+           ROUND(SUM(value * dur_s) / SUM(dur_s), 6) AS twav,
+           COUNT(dur_s) AS n_intervals
+    FROM s
+    WHERE dur_s IS NOT NULL
+    GROUP BY event_type, day
+    ORDER BY event_type, day
+    """,
+    tags=("behavior", "time-weighted"),
+)
+def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per (event_type, day) — the TWAP
+    shape (TimescaleDB's ``time_weight``): each observation is weighted
+    by how long it was current, i.e. the seconds until the next event
+    in the same series, so a burst of readings doesn't dominate a
+    sparse stretch the way a plain AVG would.
+
+    Plan: one shuffle on (event_type, day) for the LEAD window —
+    deterministically ordered by (ts, event_id) since event_id is
+    unique — then the ratio-of-sums aggregate reuses the exchange.
+    The last event of each day has no successor and drops out, matching
+    the left-closed interval convention. Durations are computed in
+    exact integer microseconds before the single double division."""
+    e = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    w = Window.partitionBy("event_type", day).orderBy("ts", "event_id")
+    staged = e.select(
+        "event_type",
+        day.alias("day"),
+        "value",
+        (
+            (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))).cast(
+                "double"
+            )
+            / 1e6
+        ).alias("dur_s"),
+    ).where(F.col("dur_s").isNotNull())
+    return (
+        staged.groupBy("event_type", "day")
+        .agg(
+            F.round(F.sum(F.col("value") * F.col("dur_s")) / F.sum("dur_s"), 6).alias(
+                "twav"
+            ),
+            F.count("dur_s").alias("n_intervals"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistical anomaly flagging (z-scores)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_anomaly_zscore_days",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               SUM(value) AS total
+        FROM events GROUP BY event_type, day
+    )
+    SELECT event_type, day,
+           ROUND(total, 2) AS total_value,
+           ROUND((total - AVG(total) OVER (PARTITION BY event_type))
+                 / STDDEV_SAMP(total) OVER (PARTITION BY event_type), 6) AS zscore,
+           ABS(ROUND((total - AVG(total) OVER (PARTITION BY event_type))
+                 / STDDEV_SAMP(total) OVER (PARTITION BY event_type), 6)) > 2.0
+               AS anomalous
+    FROM d
+    ORDER BY event_type, day
+    """,
+    tags=("behavior", "anomaly"),
+)
+def q_anomaly_zscore_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly detection: z-score each (event_type, day)
+    total against that type's own distribution over the window, flag
+    |z| > 2 — the monitoring primitive behind data-quality alerting on
+    a live feed.
+
+    Plan: the fact table collapses to |types|·|days| rows in one
+    partial-agg shuffle; the mean/stddev window runs on that tiny
+    aggregated side only (never on raw events). The flag compares the
+    ROUNDED z-score so the boolean is bit-stable across engines."""
+    e = load(spark, sf_dir, "events")
+    d = (
+        e.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+        )
+        .agg(F.sum("value").alias("total"))
+    )
+    w = Window.partitionBy("event_type")
+    z = F.round(
+        (F.col("total") - F.avg("total").over(w)) / F.stddev_samp("total").over(w), 6
+    )
+    return (
+        d.select(
+            "event_type",
+            "day",
+            F.round("total", 2).alias("total_value"),
+            z.alias("zscore"),
+            (F.abs(z) > 2.0).alias("anomalous"),
+        )
+        .orderBy("event_type", "day")
+    )
