@@ -16,6 +16,7 @@ from . import datasets_corpus  # noqa: F401
 from . import etl_pipeline  # noqa: F401
 from . import llm_corpus  # noqa: F401
 from . import relational_ext  # noqa: F401
+from . import sql_features  # noqa: F401
 from . import streaming_corpus  # noqa: F401
 from . import trades  # noqa: F401
 from . import windows  # noqa: F401
