@@ -125,6 +125,37 @@ def stratified_sample_sql(
 
 
 # ---------------------------------------------------------------------------
+# Weighted dataset mixing (fractional epochs)
+# ---------------------------------------------------------------------------
+
+
+def mixture_copies(key: Column, weight: Column, seed: str = "mixture-v1") -> Column:
+    """How many times a row appears in a weighted training mixture:
+    ``floor(w)`` guaranteed copies plus one more with probability
+    ``frac(w)``, decided by the row's own md5 hash — the standard
+    fractional-epoch upsampling rule (weight 2.3 ⇒ every doc twice,
+    a deterministic 30% of docs a third time).
+
+    Hash-Bernoulli instead of ``rand()`` so mixture membership is a
+    pure function of (seed, key): re-runs, retries, and other engines
+    reproduce the exact same corpus — the property that makes a
+    training mixture auditable."""
+    base = F.floor(weight).cast("int")
+    frac = weight - F.floor(weight)
+    u = hash_bucket(key, seed, 1_000_000).cast("double") / F.lit(1e6)
+    return base + F.when(u < frac, F.lit(1)).otherwise(F.lit(0))
+
+
+def mixture_copies_sql(key_expr: str, weight_expr: str, seed: str = "mixture-v1") -> str:
+    """DuckDB rendering of :func:`mixture_copies`."""
+    u = f"(CAST({hash_bucket_sql(key_expr, seed, 1_000_000)} AS DOUBLE) / 1e6)"
+    return (
+        f"(CAST(FLOOR({weight_expr}) AS INT) + CASE WHEN {u} < "
+        f"({weight_expr}) - FLOOR({weight_expr}) THEN 1 ELSE 0 END)"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing
 # ---------------------------------------------------------------------------
 

@@ -394,6 +394,45 @@ def quantization_components(
     )
 
 
+def standardize_components(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-dimension z-normalization rows: (id, dim, v, z) where
+    z = (v − mean_dim) / stddev_dim over the WHOLE table — the feature
+    scaling step before distance-based work (k-means, cosine retrieval
+    on heterogeneous features) so no dimension dominates by unit alone.
+
+    Two-pass shape: position-explode once, reduce to 64 (mean, stddev)
+    accumulators in a map-side-combined shuffle, then broadcast those
+    64 rows back onto the exploded stream — the fact table is never
+    shuffled on a data key at all, which is what lets this run
+    unchanged over a 100 TB corpus. Constant dimensions (stddev 0)
+    yield z = 0 via the nullif guard rather than ±inf. ``keep_cols``
+    ride along through the explode so callers never have to join side
+    attributes back onto the (much larger) exploded stream."""
+    ex = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.posexplode(F.col(vec_col)).alias("dim", "_vf"),
+    ).select(id_col, *keep_cols, "dim", F.col("_vf").cast("double").alias("v"))
+    stats = ex.groupBy("dim").agg(
+        F.avg("v").alias("_mean"), F.stddev_samp("v").alias("_sd")
+    )
+    return ex.join(F.broadcast(stats), "dim").select(
+        id_col,
+        *keep_cols,
+        "dim",
+        "v",
+        F.coalesce(
+            (F.col("v") - F.col("_mean")) / F.nullif(F.col("_sd"), F.lit(0.0)),
+            F.lit(0.0),
+        ).alias("z"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Persisted IVF index: cell-partitioned vectors + centroid table
 # ---------------------------------------------------------------------------

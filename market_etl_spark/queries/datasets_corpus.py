@@ -290,3 +290,79 @@ def llm_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("chunk_text").alias("chunk_md5"),
         "chunk_tokens",
     ).orderBy("doc_id", "chunk_idx")
+
+
+# ---------------------------------------------------------------------------
+# Weighted dataset mixing
+# ---------------------------------------------------------------------------
+#: Per-source mixture weight: 0.5 + (source number mod 4) · 0.75, i.e.
+#: {0.5, 1.25, 2.0, 2.75} — exercises pure-downsample (w < 1), exact
+#: integer epochs (w = 2.0), and both fractional cases.
+_MIX_WEIGHT = "0.5 + (CAST(substring(source, 4) AS INT) % 4) * 0.75"
+
+
+@query(
+    "llm_dataset_mixture",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, source,
+               CAST({_MIX_WEIGHT} AS DOUBLE) AS weight,
+               {datasets.mixture_copies_sql("doc_id", f"({_MIX_WEIGHT})")} AS n_copies
+        FROM documents
+    )
+    SELECT source,
+           ROUND(MIN(weight), 6) AS weight,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_copies) AS BIGINT) AS n_rows_out,
+           CAST(SUM(doc_id * n_copies) AS BIGINT) AS id_checksum
+    FROM w
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("llm", "dataset-mixture"),
+)
+def llm_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted training-mixture assembly: each source gets a sampling
+    weight (fractional epochs), rows replicate ``floor(w)`` times plus
+    a deterministic hash-Bernoulli extra — the corpus-mixing step of
+    every pretraining pipeline (downweight boilerplate sources, repeat
+    scarce ones), auditable because membership is a pure function of
+    (seed, doc_id).
+
+    The Spark side MATERIALIZES the mixture (explode of an int
+    sequence — a per-row 1→N Generate, no shuffle) and aggregates the
+    exploded stream; the oracle integrates the copy counts analytically
+    (Σ n_copies), so a hash match proves the fan-out produced exactly
+    the rows the rule prescribes. The id_checksum (Σ doc_id · copies)
+    pins per-document multiplicity, not just totals. The only shuffle
+    anywhere is the 20-accumulator final aggregate."""
+    d = load(spark, sf_dir, "documents")
+    weight = F.expr(_MIX_WEIGHT).cast("double")
+    staged = d.select(
+        "doc_id",
+        "source",
+        weight.alias("weight"),
+        datasets.mixture_copies(F.col("doc_id"), weight).alias("n_copies"),
+    )
+    mixture = staged.where(F.col("n_copies") >= 1).withColumn(
+        "copy_idx", F.explode(F.expr("sequence(1, n_copies)"))
+    )
+    per_source_out = mixture.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_rows_out"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )
+    per_source_in = staged.groupBy("source").agg(
+        F.round(F.min("weight"), 6).alias("weight"),
+        F.count("*").alias("n_docs"),
+    )
+    return (
+        per_source_in.join(F.broadcast(per_source_out), "source", "left")
+        .select(
+            "source",
+            "weight",
+            "n_docs",
+            F.coalesce("n_rows_out", F.lit(0)).alias("n_rows_out"),
+            F.coalesce("id_checksum", F.lit(0)).alias("id_checksum"),
+        )
+        .orderBy("source")
+    )

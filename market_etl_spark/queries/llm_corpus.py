@@ -598,3 +598,49 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_against_index(
         spark, d.filter(F.col("doc_id") % 5 == 0), path
     ).orderBy("id_new", "id_corpus")
+
+
+@query(
+    "llm_embedding_standardize",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, range(1, 65) AS r(i)
+    ), st AS (
+        SELECT dim, AVG(v) AS mean_v, STDDEV_SAMP(v) AS sd_v
+        FROM ex GROUP BY dim
+    )
+    SELECT label,
+           COUNT(*) AS n_components,
+           ROUND(SUM((v - mean_v) / sd_v), 6) AS sum_z,
+           ROUND(SUM(((v - mean_v) / sd_v) * ((v - mean_v) / sd_v)), 6) AS sum_z2
+    FROM ex JOIN st USING (dim)
+    GROUP BY label
+    ORDER BY label
+    """,
+    tags=("llm", "standardize"),
+)
+def llm_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-normalization of the embedding table
+    (:func:`..llm.similarity.standardize_components`): global per-dim
+    mean/stddev, broadcast back onto the exploded stream — the vectors
+    themselves are NEVER shuffled, only 64 accumulator rows move, so
+    the plan is a pure map-side pipeline at any corpus size. The
+    audit aggregates Σz and Σz² per label: across all labels these
+    must recover ≈(0, N), and per label they expose exactly the class
+    structure the normalization preserves. Both engines compute the
+    identical two-pass arithmetic; round6 absorbs summation-order
+    noise."""
+    emb = load(spark, sf_dir, "embeddings")
+    comps = similarity.standardize_components(
+        emb, "embedding", "vec_id", keep_cols=("label",)
+    )
+    return (
+        comps.groupBy("label")
+        .agg(
+            F.count("*").alias("n_components"),
+            F.round(F.sum("z"), 6).alias("sum_z"),
+            F.round(F.sum(F.col("z") * F.col("z")), 6).alias("sum_z2"),
+        )
+        .orderBy("label")
+    )
