@@ -67,3 +67,34 @@ def register_trades_table(spark: SparkSession, table: str, location: str) -> Dat
     create_external_trades_table(spark, table, location)
     repair_partitions(spark, table)
     return spark.table(table)
+
+
+def analyze_table(
+    spark: SparkSession, table: str, columns: Sequence[str] | None = None
+) -> None:
+    """Collect catalog statistics for the cost-based optimizer:
+    table-level row count + size, and per-column NDV/min/max/null
+    counts when ``columns`` is given (``None`` → all columns).
+
+    On a real warehouse this is the step that lets Catalyst pick join
+    orders and broadcast sides from cardinality instead of raw file
+    size (``spark.sql.cbo.enabled``) — at 100 TB a mis-ordered 3-way
+    join costs more than every other optimization combined. The scan
+    is one pass, column stats ride the same job."""
+    if columns is None:
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR ALL COLUMNS")
+    else:
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}")
+
+
+def table_stats(spark: SparkSession, table: str) -> dict[str, str]:
+    """Read back the table-level statistics line from the catalog
+    (rowCount + sizeInBytes) as a small dict — the audit hook for
+    "did ANALYZE actually land"."""
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    out: dict[str, str] = {}
+    for r in rows:
+        if r.col_name == "Statistics":
+            out["statistics"] = r.data_type
+    return out

@@ -269,3 +269,63 @@ def q_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type_merged")
     )
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array functions (no explode)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_array_higher_order",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           ROUND(SUM(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sum_l2_norm,
+           CAST(SUM(len(list_filter(embedding, x -> x > 0))) AS BIGINT)
+               AS n_positive_components,
+           ROUND(SUM(CAST(list_max(embedding) AS DOUBLE)
+                     - CAST(list_min(embedding) AS DOUBLE)), 6) AS sum_range
+    FROM embeddings
+    GROUP BY label
+    ORDER BY label
+    """,
+    tags=("sql-features", "higher-order"),
+)
+def q_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array analytics WITHOUT exploding: per-vector L2 norm via an
+    ``aggregate`` fold over ``transform``, positive-component counts
+    via ``filter``, and min/max range via ``array_min``/``array_max``
+    — the higher-order-function surface that keeps per-row array work
+    inside codegen instead of multiplying the row count 64× the way a
+    posexplode rendering would.
+
+    At 100 TB the difference is material: the explode form shuffles
+    64·N rows through the aggregate, this form reduces each vector to
+    three scalars in the scan stage and shuffles |labels| accumulators.
+    The fold is seeded with DOUBLE zero and widens each float before
+    multiplying, matching DuckDB's list_transform arithmetic exactly."""
+    e = load(spark, sf_dir, "embeddings")
+    l2 = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    n_pos = F.size(F.filter("embedding", lambda x: x > 0))
+    rng = F.array_max("embedding").cast("double") - F.array_min("embedding").cast(
+        "double"
+    )
+    return (
+        e.select("label", l2.alias("l2"), n_pos.alias("np"), rng.alias("rng"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.sum("l2"), 6).alias("sum_l2_norm"),
+            F.sum("np").cast("long").alias("n_positive_components"),
+            F.round(F.sum("rng"), 6).alias("sum_range"),
+        )
+        .orderBy("label")
+    )

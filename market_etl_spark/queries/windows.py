@@ -351,3 +351,48 @@ def q_gapfill_forward_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "minute")
     )
+
+
+@query(
+    "q_window_open_close_range",
+    oracle=f"""
+    WITH ms AS ({_MINUTE_SERIES_SQL})
+    SELECT event_type, minute, vwap_value,
+           ROUND(FIRST_VALUE(vwap_value) OVER w, 6) AS session_open,
+           ROUND(LAST_VALUE(vwap_value) OVER w, 6) AS running_close,
+           ROUND(MAX(vwap_value) OVER w - MIN(vwap_value) OVER w, 6)
+               AS running_range
+    FROM ms
+    WINDOW w AS (PARTITION BY event_type ORDER BY minute
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY event_type, minute
+    """,
+    tags=("windows", "extension"),
+)
+def q_window_open_close_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE/LAST_VALUE with an explicit growing frame: each
+    minute sees the session open (first value so far), the running
+    close (the frame's last row — CURRENT ROW, not the default peers
+    frame whose RANGE end would leak ties), and the running high-low
+    range — the candle-in-progress rendering of a live session.
+
+    One shuffle on event_type; all four window aggregates share the
+    single sorted frame pass. The explicit ROWS frame matters for
+    cross-engine parity: LAST_VALUE under the default RANGE frame
+    includes ORDER-BY peers, which engines tie-break differently."""
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("minute")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ms = _minute_series(spark, sf_dir)
+    return ms.select(
+        "event_type",
+        "minute",
+        "vwap_value",
+        round6(F.first("vwap_value").over(w)).alias("session_open"),
+        round6(F.last("vwap_value").over(w)).alias("running_close"),
+        round6(F.max("vwap_value").over(w) - F.min("vwap_value").over(w)).alias(
+            "running_range"
+        ),
+    ).orderBy("event_type", "minute")
