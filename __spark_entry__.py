@@ -5,17 +5,80 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
+The driver only checks the FIRST 50 entries of ``queries()`` per round,
+so ordering is part of the contract: :func:`queries` reads the
+CORRECTNESS ledgers already on disk and puts every query that does not
+yet have a green (or rows-only-by-design) row FIRST, in a priority
+order that favors the operators SURVEY.md §2 names.  Queries verified
+in an earlier round keep their recorded rows and sort last.  This makes
+coverage self-maintaining: each round's 50-slot window drains the
+unverified backlog automatically.
+
 All real work lives in :mod:`market_etl_spark`; this module only
 adapts the engine's query registry to the driver's shape.
 """
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 from market_etl_spark.queries import REGISTRY
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+#: Re-check these first: round-2 red rows that were fixed (array-column
+#: harness crash) or converted from rows-only to oracle-checked via the
+#: in-query-tolerance pattern (exact value + boolean bound, oracle
+#: returns exact + TRUE).
+_EARLY: tuple[str, ...] = (
+    "q_value_quartiles",
+    "q_approx_distinct_users",
+    "q_trades_whales_approx",
+    "llm_simhash_near_dup",
+    "llm_ann_lsh_topk",
+    "llm_ivf_topk",
+    "llm_embedding_near_dup",
+)
+
+#: Verified-by-pytest queries that can wait a round when the 50-slot
+#: window is oversubscribed (the window favors §2-tagged and headline
+#: extension queries: trades, windows, streaming, relational ext).
+_LATER: tuple[str, ...] = (
+    "llm_multimodal_features",
+    "llm_multimodal_frames",
+    "llm_embedding_quantization",
+    "llm_embedding_standardize",
+    "llm_incremental_dedup",
+)
+
+
+def _verified_names() -> set[str]:
+    """Names with a green row (or a successful rows-only check for a
+    deliberately oracle-less query) in any CORRECTNESS_r*.json so far."""
+    verified: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
+                verified.add(name)
+            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                # rows-only-by-design query that ran successfully; don't
+                # let it hog a window slot forever.
+                verified.add(name)
+    return verified
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -25,8 +88,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    """One entry per implemented operator from SURVEY.md §2, unverified
+    queries first (see module docstring)."""
+    verified = _verified_names()
+    names = list(REGISTRY)
+    pos = {n: i for i, n in enumerate(names)}
+
+    def rank(n: str) -> tuple[int, int]:
+        if n in _EARLY:
+            return (0, _EARLY.index(n))
+        if n in verified:
+            return (3, pos[n])
+        if n in _LATER:
+            return (2, _LATER.index(n))
+        return (1, pos[n])
+
+    return {n: REGISTRY[n].fn for n in sorted(names, key=rank)}
 
 
 def oracle_sql() -> dict[str, str]:
