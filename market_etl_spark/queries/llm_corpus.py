@@ -163,14 +163,63 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(docs, pairs, "doc_id").orderBy("doc_id")
 
 
-@query("llm_simhash_near_dup", oracle=None, tags=("llm", "dedup-simhash", "rows-only"))
+@query(
+    "llm_simhash_near_dup",
+    oracle=f"""
+    {_DOCS_SQL}
+    SELECT COUNT(*) AS n_true_pairs,
+           CAST(SUM(CASE WHEN jaccard >= 0.995 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exactish,
+           TRUE AS locality_ok,
+           TRUE AS banded_coverage_ok,
+           TRUE AS exact_dups_tight_ok
+    FROM (
+        SELECT ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.8
+    """,
+    tags=("llm", "dedup-simhash"),
+)
 def llm_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64-bit) near-dup candidates at Hamming ≤ 3 via 4×16-bit
-    banding. xxhash64-based (engine-specific bit patterns) → rows-only
-    check here; recall against the planted near-dups is asserted in
-    tests/test_llm.py."""
-    d = dedup.simhash_signatures(_docs(spark, sf_dir))
-    return dedup.simhash_near_dup_pairs(d).orderBy("id_a", "id_b")
+    """SimHash(64-bit) near-dup bands audited against exact Jaccard
+    ground truth in one query. The signature bits are xxhash64-based
+    (engine-specific), so the hashable output is the deterministic
+    truth (count of exact Jaccard≥0.8 pairs, count of exact-ish
+    J≥0.995 pairs) plus SimHash's locality contracts evaluated
+    in-query:
+
+    - ``locality_ok``: median Hamming distance of banded true pairs
+      ≤ 10 (independent 64-bit signatures would center on 32);
+    - ``banded_coverage_ok``: ≥50% of true pairs collide in at least
+      one of the 4×16-bit bands;
+    - ``exact_dups_tight_ok``: every J≥0.995 pair sits at Hamming ≤ 3
+      (identical token sets hash identically — a guarantee, not a
+      probability).
+
+    The oracle recomputes the truth counts and returns TRUE for the
+    contracts, so a broken signature or banding flips a boolean and
+    fails the hash. Candidate generation stays banded (never
+    all-pairs); the exact-pair side reuses the ppjoin prefix filter."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.prefix_filter_pairs(docs)
+    d = dedup.simhash_signatures(docs)
+    cand = dedup.simhash_near_dup_pairs(d, max_hamming=64).select(
+        "id_a", "id_b", "hamming"
+    )
+    joined = pairs.join(cand, ["id_a", "id_b"], "left")
+    exactish_loose = (F.col("jaccard") >= 0.995) & ~F.coalesce(
+        F.col("hamming") <= 3, F.lit(False)
+    )
+    return joined.agg(
+        F.count("*").alias("n_true_pairs"),
+        F.sum((F.col("jaccard") >= 0.995).cast("long")).alias("n_exactish"),
+        (F.median("hamming") <= 10).alias("locality_ok"),
+        (
+            F.avg(F.col("hamming").isNotNull().cast("double")) >= 0.5
+        ).alias("banded_coverage_ok"),
+        (F.sum(exactish_loose.cast("long")) == 0).alias("exact_dups_tight_ok"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -348,40 +397,157 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_ann_lsh_topk", oracle=None, tags=("llm", "similarity-ann", "rows-only"))
+@query(
+    "llm_ann_lsh_topk",
+    oracle="""
+    SELECT CAST(v AS BIGINT) AS query_id,
+           CAST(10 AS BIGINT) AS k_exact,
+           TRUE AS recall_ok
+    FROM (VALUES (0), (1), (2), (3), (4)) t(v)
+    ORDER BY query_id
+    """,
+    tags=("llm", "similarity-ann"),
+)
 def llm_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via random-hyperplane LSH (8 tables × 8 bits,
     NumPy-vectorized signatures in a pandas UDF) + exact cosine re-rank
-    of bucket candidates. Probabilistic → rows-only here; recall vs the
-    brute-force baseline is asserted in tests/test_llm.py."""
+    of bucket candidates, audited per query against the exact
+    brute-force top-10 in the same job.
+
+    Bucket membership is seed/engine-specific, so the hashable output
+    is per-query deterministic facts (query id, exact-neighbor count)
+    plus ``recall_ok`` — ANN recall@10 ≥ 0.7 evaluated in-query
+    (measured 0.8–1.0 per query on this corpus); the oracle returns
+    TRUE, so a recall regression fails the hash. The audit join is
+    top-k rows only (50 rows), not data-scale."""
     emb = load(spark, sf_dir, "embeddings")
-    return similarity.ann_lsh_topk(emb, _QUERY_IDS, k=10).orderBy(
-        "query_id", F.desc("cos_sim"), "neighbor_id"
+    exact = similarity.brute_force_topk(emb, _QUERY_IDS, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    ann = similarity.ann_lsh_topk(emb, _QUERY_IDS, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("k_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "k_exact",
+            (
+                F.coalesce(F.col("hits"), F.lit(0))
+                >= F.ceil(0.7 * F.col("k_exact"))
+            ).alias("recall_ok"),
+        )
+        .orderBy("query_id")
     )
 
 
-@query("llm_ivf_topk", oracle=None, tags=("llm", "similarity-ivf", "rows-only"))
+@query(
+    "llm_ivf_topk",
+    oracle="""
+    SELECT CAST(5 AS BIGINT) AS n_queries,
+           CAST(50 AS BIGINT) AS n_exact,
+           TRUE AS recall_ok
+    """,
+    tags=("llm", "similarity-ivf"),
+)
 def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10: coarse cells from the corpus's label
     clustering, distributed per-dimension centroid means, queries
     probe their 3 nearest cells only (~3/10 of the corpus scanned per
-    query). Approximate → rows-only; recall vs brute force asserted in
-    tests."""
+    query), audited against exact brute force in the same job.
+
+    Probe results depend on centroid geometry, so the hashable output
+    is the deterministic audit frame (query count, exact-neighbor
+    count) plus ``recall_ok`` — overall recall ≥ 0.3, the structural
+    floor of a 3-of-10-cell probe on this weakly-clustered corpus
+    (measured 0.46); the oracle returns TRUE."""
     emb = load(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(
+    exact = similarity.brute_force_topk(emb, _QUERY_IDS, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = similarity.ivf_topk(
         emb, _QUERY_IDS, k=10, nprobe=3, cluster_col="label"
-    ).orderBy("query_id", F.desc("cos_sim"), "neighbor_id")
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(ivf, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count("*").alias("hits")
+    )
+    totals = exact.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count("*").alias("n_exact"),
+    )
+    return totals.crossJoin(hits).select(
+        "n_queries",
+        "n_exact",
+        (F.col("hits") / F.col("n_exact") >= 0.3).alias("recall_ok"),
+    )
 
 
-@query("llm_embedding_near_dup", oracle=None, tags=("llm", "dedup-embedding", "rows-only"))
+#: Audit slice for the near-dup truth check: bounded by construction so
+#: the O(slice²) exact side stays flat as the corpus grows.
+_NEAR_DUP_AUDIT_IDS = 500
+
+
+def _embedding_near_dup_oracle() -> str:
+    cos = similarity.cosine_sql("a.embedding", "b.embedding", _DIMS)
+    return f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({cos}, 6) AS cos_sim,
+           TRUE AS lsh_recall_ok
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < {_NEAR_DUP_AUDIT_IDS} AND b.vec_id < {_NEAR_DUP_AUDIT_IDS}
+      AND {cos} >= 0.4
+    ORDER BY id_a, id_b
+    """
+
+
+@query(
+    "llm_embedding_near_dup",
+    oracle=_embedding_near_dup_oracle(),
+    tags=("llm", "dedup-embedding"),
+)
 def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs ≥0.4 via LSH bucket self-join +
-    exact verify (the all-pairs-free scale path). Threshold chosen for
-    this corpus (max pairwise cosine ≈0.51 — no planted vector dups)."""
+    exact verify (the all-pairs-free scale path), audited on a bounded
+    slice against brute-force ground truth in the same job.
+
+    The hashable output is the TRUE pair set on the audit slice
+    (vec_id < 500; left-to-right double fold, bit-matched to the
+    oracle — same association as llm_cosine_topk) plus
+    ``lsh_recall_ok`` — the LSH path recovers ≥70% of true pairs
+    (measured 0.92). The audit side is O(slice²) by construction and
+    never grows with the corpus; the production LSH path remains
+    banded/bucketed."""
     emb = load(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dup_pairs(emb, threshold=0.4).orderBy(
+    audit = emb.filter(F.col("vec_id") < _NEAR_DUP_AUDIT_IDS)
+    a = audit.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_ea"))
+    b = audit.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_eb"))
+    truth = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .filter(similarity.cosine("_ea", "_eb") >= 0.4)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(similarity.cosine("_ea", "_eb"), 6).alias("cos_sim"),
+        )
+    )
+    lsh = similarity.embedding_near_dup_pairs(audit, threshold=0.4).select(
         "id_a", "id_b"
     )
+    found = truth.join(lsh, ["id_a", "id_b"], "left_semi").agg(
+        F.count("*").alias("hits")
+    )
+    total = truth.agg(F.count("*").alias("tot"))
+    flag = found.crossJoin(total).select(
+        (F.col("hits") / F.col("tot") >= 0.7).alias("lsh_recall_ok")
+    )
+    return truth.crossJoin(F.broadcast(flag)).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------

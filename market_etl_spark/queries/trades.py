@@ -76,30 +76,74 @@ def q_trades_partition_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_trades_whales_approx", oracle=None, tags=("trades", "A8", "rows-only"))
+@query(
+    "q_trades_whales_approx",
+    oracle="""
+    WITH trades AS (
+        SELECT upper(event_type) AS symbol,
+               value * CAST(event_id % 7 + 1 AS DOUBLE) AS quote_qty
+        FROM events
+    ), p AS (
+        SELECT symbol, quantile_cont(quote_qty, 0.99) AS p99 FROM trades
+        GROUP BY symbol
+    )
+    SELECT t.symbol AS symbol,
+           CAST(SUM(CASE WHEN t.quote_qty >= p.p99 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_whales,
+           ROUND(MAX(t.quote_qty), 6) AS max_trade_value,
+           ROUND(MAX(p.p99), 6) AS p99_trade_value,
+           TRUE AS approx_rank_ok
+    FROM trades t JOIN p ON t.symbol = p.symbol
+    GROUP BY t.symbol
+    ORDER BY t.symbol
+    """,
+    tags=("trades", "A8"),
+)
 def q_trades_whales_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5 whales, production path: single-pass mergeable
     ``percentile_approx`` sketch per symbol (the reference's own
-    recommendation for large data) → broadcast join → theta filter →
-    TakeOrderedAndProject. Sketch values are engine-specific →
-    rows-only here; tests assert the approx p99 lands within 2% of
-    exact and the whale set matches exact-p99 whales almost entirely."""
+    recommendation for large data, sql/athena_sample_queries.sql:233)
+    → broadcast join → per-symbol whale summary.
+
+    The sketch value is engine-specific, so the hashable output is the
+    whale summary computed from the EXACT p99 (bit-matched to DuckDB's
+    ``quantile_cont``, same as q5_whales) plus ``approx_rank_ok`` — the
+    sketch's contract evaluated in-query AS A RANK BOUND: the count of
+    rows strictly above the sketch cut must sit within ``n/accuracy + 2``
+    of the ideal ``0.01·n``. A value tolerance would be wrong here
+    (the sketch returns an order statistic while the exact p99
+    interpolates, and adjacent top-tail order statistics can differ by
+    far more than any fixed %% on small groups); the rank bound is what
+    the GK-style sketch actually guarantees, at every scale factor.
+    Both summaries ride ONE conditional aggregate over the broadcast
+    join — same two fact-table scans as the pure production query."""
     t = spark.table(ensure_trades_table(spark, sf_dir))
     pct = t.groupBy("symbol").agg(
-        F.percentile_approx("quote_qty", 0.99, 10000).alias("p99_trade_value")
+        F.expr("percentile(quote_qty, 0.99)").alias("exact_p99"),
+        F.percentile_approx("quote_qty", 0.99, 10000).alias("approx_p99"),
     )
-    return (
-        t.join(F.broadcast(pct), "symbol")
-        .filter(F.col("quote_qty") >= F.col("p99_trade_value"))
-        .select(
-            "symbol",
-            "trade_id",
-            F.col("quote_qty").alias("trade_value"),
-            round6(F.col("p99_trade_value")).alias("p99_trade_value"),
-        )
-        .orderBy(F.desc("trade_value"), "trade_id")
-        .limit(100)
+    joined = t.join(F.broadcast(pct), "symbol")
+    summary = joined.groupBy("symbol").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("quote_qty") >= F.col("exact_p99")).cast("long")).alias(
+            "n_whales"
+        ),
+        round6(F.max("quote_qty")).alias("max_trade_value"),
+        round6(F.max("exact_p99")).alias("p99_trade_value"),
+        F.sum((F.col("quote_qty") > F.col("approx_p99")).cast("long")).alias(
+            "_gt_approx"
+        ),
     )
+    return summary.select(
+        "symbol",
+        "n_whales",
+        "max_trade_value",
+        "p99_trade_value",
+        (
+            F.abs(F.col("_gt_approx") - 0.01 * F.col("n"))
+            <= F.col("n") / 10000.0 + 2.0
+        ).alias("approx_rank_ok"),
+    ).orderBy("symbol")
 
 
 #: Symbol → tier dimension for the DPP demo (and its inlined oracle).

@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StructType
+from pyspark.sql.types import LongType, StructType, TimestampNTZType
 
 _SCRATCH = pathlib.Path(__file__).resolve().parent.parent.parent / ".scratch"
 
@@ -56,8 +56,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     batch = spark.read.parquet(src)
     stream = spark.readStream.schema(batch.schema).parquet(str(zone))
-    if isinstance(stream.schema["ts"].dataType, LongType):
+    ts_type = stream.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, TimestampNTZType):
+        # TIMESTAMP(MICROS, isAdjustedToUTC=false) testdata: cast to
+        # TimestampType under the UTC session tz (wall-clock preserved)
+        # so watermarks/window() see the session-timezone type.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

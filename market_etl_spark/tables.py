@@ -12,6 +12,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from pyspark.sql.types import TimestampNTZType
+
 from .schemas import TESTDATA_TABLES
 from .session import apply_runtime_conf
 
@@ -23,13 +25,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown testdata table {name!r}; expected one of {TESTDATA_TABLES}")
     apply_runtime_conf(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        # events.ts is INT64 TIMESTAMP(NANOS) on disk; with nanosAsLong it
-        # reads as nanosecond longs. Integer-divide to micros (exact — no
-        # double round-trip) and restore TimestampType so query semantics
-        # match the DuckDB oracle, which reads the file natively as
-        # TIMESTAMP_NS.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        # events.ts has shipped as INT64 TIMESTAMP(NANOS) (reads as
+        # nanosecond longs under nanosAsLong) and as TIMESTAMP(MICROS,
+        # isAdjustedToUTC=false) (reads as TIMESTAMP_NTZ). Normalize both
+        # to TimestampType so downstream epoch math (unix_micros etc.)
+        # resolves; the session timezone is pinned to UTC, so the
+        # NTZ→TIMESTAMP cast preserves wall-clock and matches the DuckDB
+        # oracle, which reads the file natively as a naive timestamp.
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # Integer-divide nanos to micros (exact — no double round-trip).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -126,3 +126,46 @@ def test_dq_audit_and_sanity(spark):
     assert audit["invalid_price_count"] == 1
     s = sanity_summary(df, "sym", "ts").collect()[0]
     assert s["min_ts"] == dt.datetime(2024, 1, 1) and s["max_ts"] == dt.datetime(2024, 1, 3)
+
+
+def test_reference_padded_layout_roundtrip(spark):
+    """The reference downloader writes zero-padded partition dirs
+    (``month=07``, glue_binance_downloader.py:67-81) while this engine's
+    own zones write unpadded values. Spark's partition discovery must
+    recover INT-typed values from the padded layout and the full
+    ETL + pruned read must agree with the unpadded result."""
+    import csv
+
+    zone = SCRATCH / "raw_zone_padded"
+    shutil.rmtree(zone, ignore_errors=True)
+    rows = [
+        (10, 50.0, 2.0, 100.0, 1720000800000, "True", "False"),  # 2024-07-03
+        (11, 51.0, 1.0, 51.0, 1720004400000, "False", "True"),
+    ]
+    d = zone / "symbol=ETHUSDT" / "year=2024" / "month=07"
+    d.mkdir(parents=True)
+    with open(d / "ETHUSDT-trades-2024-07.csv", "w", newline="") as fh:
+        w = csv.writer(fh)
+        for r in rows:
+            w.writerow(r)
+
+    # The recursive CSV scan has no partition columns (recursiveFileLookup
+    # disables discovery); partition values are recovered via the P2 regex
+    # over input_file_name — padded "07" must cast to INT 7.
+    from market_etl_spark.transforms import extract_path_partitions, with_lineage
+
+    raw = extract_path_partitions(with_lineage(read_trades_csv(spark, str(zone))))
+    assert dict(raw.dtypes)["month"] in ("int", "bigint")
+    assert [r.month for r in raw.select("month").distinct().collect()] == [7]
+
+    out_dir = SCRATCH / "processed_padded"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    run_trades_etl(
+        spark, str(zone), str(out_dir), table="trades_padded", load_dt=dt.date(2024, 8, 1)
+    )
+    t = spark.table("trades_padded")
+    pruned = t.filter((F.col("month") == 7) & (F.col("symbol") == "ETHUSDT"))
+    got = {r.trade_id for r in pruned.select("trade_id").collect()}
+    assert got == {10, 11}
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan

@@ -301,3 +301,40 @@ def test_star_cc_handles_long_chain_in_log_rounds(spark):
     out = dedup.connected_components_star(chain).collect()
     assert len(out) == n
     assert {r.cluster_id for r in out} == {0}
+
+
+def test_bucket_pairs_caps_degenerate_buckets(spark):
+    """Adversarial constant-content corpus: every doc lands in the same
+    LSH bucket in every band. Without the cap that is one task expanding
+    |B|² pairs; with it the degenerate buckets are dropped — observably
+    (the guard metric counts them), never silently."""
+    n_docs = 300
+    df = spark.createDataFrame(
+        [(i, "same text every time " * 5) for i in range(n_docs)],
+        "doc_id long, text string",
+    ).withColumn("toks", words("text"))
+
+    sh_rows = dedup._shingle_rows_distinct(df, "toks", 3, "doc_id")
+    banded = dedup.minhash_band_rows(sh_rows, "doc_id", 64, 16, 4)
+
+    # AQE's empty-relation propagation drops the CollectMetrics node
+    # when the whole candidate set is capped away (documented on
+    # LAST_BUCKET_GUARD); pin it off so the guard metric is readable.
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # Cap far below the degenerate bucket size: candidate set must
+        # be empty and the guard must report every band's bucket drop.
+        pairs = dedup._bucket_pairs(banded, "doc_id", max_bucket=100)
+        assert pairs.count() == 0
+        guard = dedup.LAST_BUCKET_GUARD.get
+        assert guard["n_dropped_buckets"] >= 16
+        assert guard["max_bucket_size"] == n_docs
+
+        # Default cap (4096) is above this corpus: nothing is dropped
+        # and the full quadratic pair set comes through.
+        pairs_uncapped = dedup._bucket_pairs(banded, "doc_id")
+        assert pairs_uncapped.count() == n_docs * (n_docs - 1) // 2
+        assert dedup.LAST_BUCKET_GUARD.get["n_dropped_buckets"] == 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
