@@ -54,6 +54,12 @@ _LATER: tuple[str, ...] = (
     "llm_embedding_quantization",
     "llm_embedding_standardize",
     "llm_incremental_dedup",
+    # round-3 additions: pytest+locally-oracle-verified; deferred so they
+    # don't displace the round-2 backlog from the 50-slot window.
+    "llm_cosine_topk_batch",
+    "llm_inverted_index",
+    "q_value_histogram",
+    "llm_text_normalize",
 )
 
 

@@ -115,6 +115,100 @@ def brute_force_topk(
     return out
 
 
+def brute_force_topk_batch(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    bucket_target: int = 8192,
+    n: int | None = None,
+) -> DataFrame:
+    """Exact cosine top-k for a LARGE query set — one corpus scan.
+
+    :func:`brute_force_topk` compiles one plan branch per query, so the
+    corpus (the WIDE vector rows) is scanned once per query: right for a
+    handful of ids, wrong for hundreds. This variant reads the vectors
+    exactly once:
+
+    1. broadcast the Q query vectors and score every corpus row against
+       all of them in one projection (same left-to-right double fold →
+       bit parity with the per-query path and the oracle);
+    2. bounded-state partial top-k: group scores by ``(query_id,
+       bucket)`` where ``bucket = xxhash64(neighbor) % B`` and B is
+       sized from planner statistics so each group holds about
+       ``bucket_target`` rows — ``sort_array(collect_list(...))[1:k]``
+       state is capped by construction, and no task ever sees a whole
+       query's N scores;
+    3. merge: a window over the surviving ``B·k`` rows per query — never
+       over N.
+
+    The unavoidable cost is the level-2 shuffle of Q·N *score* rows
+    (query_id, bucket, cos_sim, neighbor ≈ 28 bytes each) — tiny next to
+    shipping vectors, and the reason this scales: at 100 TB the vector
+    scan dominates, and it happens once regardless of Q. Ties break on
+    ascending neighbor id (struct sort on ``(cos_sim, -neighbor)``
+    descending), matching the per-query path and the SQL oracle's
+    ``ORDER BY cos_sim DESC, neighbor_id``.
+    """
+    import math
+
+    if n is None:
+        n = _estimate_n(embeddings, dims)
+    n_buckets = max(1, math.ceil(n / bucket_target))
+
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    scored = (
+        embeddings.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine("_qvec", vec_col), 6).alias("cos_sim"),
+        )
+    )
+    local = (
+        scored.withColumn(
+            "_b", F.pmod(F.xxhash64("neighbor_id"), F.lit(n_buckets))
+        )
+        .groupBy("query_id", "_b")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("cos_sim"),
+                            (-F.col("neighbor_id")).alias("_neg_id"),
+                        )
+                    ),
+                    asc=False,
+                ),
+                1,
+                k,
+            ).alias("_top")
+        )
+    )
+    merged = local.select(
+        "query_id", F.explode("_top").alias("_s")
+    ).select(
+        "query_id",
+        (-F.col("_s._neg_id")).alias("neighbor_id"),
+        F.col("_s.cos_sim").alias("cos_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH-bucketed ANN
 # ---------------------------------------------------------------------------

@@ -325,3 +325,57 @@ def build_vocab_sql(vocab_size: int = 1000) -> str:
                      ROWS UNBOUNDED PRECEDING) / total, 6) AS cum_coverage
         FROM top CROSS JOIN tot
     """
+
+
+def inverted_index(
+    docs, id_col: str = "doc_id", words_col: str = "toks", term_filter=None
+):
+    """Posting-list construction: one row per (term, doc) with term
+    frequency, document frequency, and collection frequency.
+
+    The plan is two aligned shuffles and nothing else: a partial-agg
+    ``groupBy(term, doc)`` collapses repeated occurrences map-side, then
+    a window over ``term`` adds df/cf without a second aggregate-join
+    round-trip (a join of a per-term stats aggregate would shuffle the
+    postings a third time). Per-term window state is the term's posting
+    count — bounded by document frequency, never by corpus size; at
+    100 TB a stopword's partition is the one skew risk, which callers
+    cut with ``term_filter`` (the filter sits on the partitioning key,
+    so Catalyst pushes it below the window and the shuffle).
+    """
+    from pyspark.sql import DataFrame, Window
+
+    toks = docs.select(id_col, F.explode(F.col(words_col)).alias("term")).filter(
+        F.col("term") != ""
+    )
+    if term_filter is not None:
+        toks = toks.filter(term_filter)
+    postings = toks.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.partitionBy("term")
+    return postings.select(
+        "term",
+        id_col,
+        "tf",
+        F.count(F.lit(1)).over(w).alias("df"),
+        F.sum("tf").over(w).alias("cf"),
+    )
+
+
+def normalize_text(text_col: str = "text") -> Column:
+    """Canonical text normalization: lowercase, non-alphanumerics → space,
+    whitespace runs collapsed, trimmed. Pure codegen string expressions
+    (no UDF); the regexes stay inside the shared RE2-compatible subset so
+    the DuckDB oracle reproduces them byte-for-byte."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+
+
+NORMALIZE_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({t}), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)

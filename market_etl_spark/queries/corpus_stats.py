@@ -677,3 +677,59 @@ def q_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kurtosis_pop"),
     ).orderBy("event_type")
+
+
+@query(
+    "q_value_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT MIN(value) AS mn, MAX(value) AS mx FROM events
+    ), h AS (
+        SELECT LEAST(CAST(FLOOR((value - mn) / (mx - mn) * 20) AS INT), 19)
+                   AS bucket,
+               mn, mx
+        FROM events, b
+    )
+    SELECT bucket,
+           ROUND(mn + bucket * (mx - mn) / 20, 6) AS lo,
+           ROUND(mn + (bucket + 1) * (mx - mn) / 20, 6) AS hi,
+           COUNT(*) AS cnt
+    FROM h
+    GROUP BY bucket, mn, mx
+    ORDER BY bucket
+    """,
+    tags=("aggregates", "histogram", "extension"),
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram of ``events.value`` — the
+    data-profiling primitive behind range-partition planning and
+    outlier triage. Two passes by necessity (bounds, then bucketing);
+    the 1-row bounds aggregate broadcasts back, so the second pass is a
+    pure map-side bucket projection + a 20-group aggregate — no wide
+    shuffle at any scale. The bucket expression keeps one explicit
+    association order ``(value-mn)/(mx-mn)*20`` so both engines run the
+    identical IEEE double sequence (boundary values land in the same
+    bucket bit-for-bit); the top bound closes into the last bucket."""
+    e = load(spark, sf_dir, "events")
+    bounds = e.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    h = e.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 20
+            ).cast("int"),
+            F.lit(19),
+        ).alias("bucket"),
+        "mn",
+        "mx",
+    )
+    return (
+        h.groupBy("bucket", "mn", "mx")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "bucket",
+            F.round(F.col("mn") + F.col("bucket") * (F.col("mx") - F.col("mn")) / 20, 6).alias("lo"),
+            F.round(F.col("mn") + (F.col("bucket") + 1) * (F.col("mx") - F.col("mn")) / 20, 6).alias("hi"),
+            "cnt",
+        )
+        .orderBy("bucket")
+    )

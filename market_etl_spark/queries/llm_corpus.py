@@ -15,11 +15,14 @@ from pyspark.sql import functions as F
 from ..llm import dedup, multimodal, similarity
 from ..llm.text import (
     BPE_TOKEN_COUNT_SQL,
+    NORMALIZE_SQL,
     bpe_token_count,
     content_hash,
+    inverted_index as text_index,
     lang_score,
     lang_score_sql,
     min_shingle_fingerprint,
+    normalize_text,
     predicted_lang,
     predicted_lang_sql,
     quality_score,
@@ -395,6 +398,25 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, _QUERY_IDS, k=10).orderBy(
         "query_id", F.desc("cos_sim"), "neighbor_id"
     )
+
+
+@query(
+    "llm_cosine_topk_batch",
+    oracle=_cosine_topk_oracle(),
+    tags=("llm", "similarity-brute", "batch"),
+)
+def llm_cosine_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10, hundreds-of-queries path: ONE corpus scan
+    (broadcast all query vectors), bounded-state partial top-k per
+    (query, hash bucket), window merge over B·k rows per query — never
+    over N. Same fold-based double dot product as the per-query path,
+    so the result (and oracle) are identical; what changes is the plan:
+    Q plan branches × Q vector scans collapse to one scan plus a
+    small-row shuffle. See similarity.brute_force_topk_batch."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk_batch(
+        emb, _QUERY_IDS, k=10, dims=_DIMS
+    ).orderBy("query_id", F.desc("cos_sim"), "neighbor_id")
 
 
 @query(
@@ -810,3 +832,71 @@ def llm_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index + normalization (round 3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_inverted_index",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    ), postings AS (
+        SELECT term, doc_id, COUNT(*) AS tf
+        FROM tok
+        WHERE term <> '' AND term LIKE 'p%'
+        GROUP BY term, doc_id
+    )
+    SELECT term, doc_id, tf,
+           CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+           CAST(SUM(tf) OVER (PARTITION BY term) AS BIGINT) AS cf
+    FROM postings
+    ORDER BY term, doc_id
+    """,
+    tags=("llm", "text-index", "extension"),
+)
+def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting lists (term, doc, tf) with per-term df/cf via a window
+    over the aggregated postings — two aligned shuffles, no stats-join
+    round-trip (see text.inverted_index). The prefix predicate stands
+    in for the stopword cut a production index applies: it sits on the
+    window's partitioning key, so it prunes before either shuffle."""
+    docs = _docs(spark, sf_dir)
+    idx = text_index(docs, term_filter=F.col("term").startswith("p"))
+    return idx.orderBy("term", "doc_id")
+
+
+@query(
+    "llm_text_normalize",
+    oracle=f"""
+    WITH n AS (
+        SELECT doc_id, lang, source,
+               {NORMALIZE_SQL.format(t="text")} AS norm_text
+        FROM documents
+    )
+    SELECT doc_id, lang, source, norm_text,
+           CAST(len(string_split(norm_text, ' ')) AS INT) AS n_tokens
+    FROM n
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text-normalize", "extension"),
+)
+def llm_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text cleanup for training corpora: lowercase,
+    punctuation → space, whitespace collapse, trim — all codegen string
+    expressions (no UDF), byte-identical to the oracle because the
+    regexes stay in the RE2-compatible subset both engines share."""
+    d = load(spark, sf_dir, "documents")
+    norm = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        normalize_text("text").alias("norm_text"),
+    )
+    return norm.withColumn(
+        "n_tokens", F.size(F.split("norm_text", " "))
+    ).orderBy("doc_id")
