@@ -60,6 +60,13 @@ _LATER: tuple[str, ...] = (
     "llm_inverted_index",
     "q_value_histogram",
     "llm_text_normalize",
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q10",
+    "q_tpch_q14",
+    "q_tpch_q18",
 )
 
 

@@ -18,6 +18,7 @@ from . import llm_corpus  # noqa: F401
 from . import relational_ext  # noqa: F401
 from . import sql_features  # noqa: F401
 from . import streaming_corpus  # noqa: F401
+from . import tpch  # noqa: F401
 from . import trades  # noqa: F401
 from . import windows  # noqa: F401
 from .registry import REGISTRY, QuerySpec, query

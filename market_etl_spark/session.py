@@ -39,6 +39,14 @@ RUNTIME_CONF = {
     # this flag nanos columns arrive as LongType nanoseconds; tables.load
     # converts back to TimestampType losslessly (integer div to micros).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # TIMESTAMP(MICROS, isAdjustedToUTC=false) testdata columns (events.ts,
+    # orders.o_orderdate, lineitem.l_shipdate in some rounds) read as plain
+    # TimestampType instead of TIMESTAMP_NTZ: with the session tz pinned to
+    # UTC the wall-clock is identical, literal comparisons resolve without
+    # casts, and — unlike a cast-projection in tables.load — parquet filter
+    # pushdown on those columns keeps working (verified: PushedFilters
+    # carries the o_orderdate range under this flag, not under a cast).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

@@ -25,20 +25,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown testdata table {name!r}; expected one of {TESTDATA_TABLES}")
     apply_runtime_conf(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-    if name == "events":
-        # events.ts has shipped as INT64 TIMESTAMP(NANOS) (reads as
-        # nanosecond longs under nanosAsLong) and as TIMESTAMP(MICROS,
-        # isAdjustedToUTC=false) (reads as TIMESTAMP_NTZ). Normalize both
-        # to TimestampType so downstream epoch math (unix_micros etc.)
-        # resolves; the session timezone is pinned to UTC, so the
-        # NTZ→TIMESTAMP cast preserves wall-clock and matches the DuckDB
-        # oracle, which reads the file natively as a naive timestamp.
-        ts_type = df.schema["ts"].dataType
-        if isinstance(ts_type, LongType):
-            # Integer-divide nanos to micros (exact — no double round-trip).
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif isinstance(ts_type, TimestampNTZType):
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    # Timestamp columns have shipped as INT64 TIMESTAMP(NANOS) (read as
+    # nanosecond longs under nanosAsLong — events.ts in some rounds) and
+    # as TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ
+    # — events.ts, orders.o_orderdate, lineitem.l_shipdate). Normalize
+    # both to TimestampType so downstream epoch math and literal
+    # comparisons resolve; the session timezone is pinned to UTC, so the
+    # NTZ→TIMESTAMP cast preserves wall-clock and matches the DuckDB
+    # oracle, which reads the files natively as naive timestamps. The
+    # casts are plan-level projections — pushdown/pruning on other
+    # columns is unaffected.
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # Integer-divide nanos to micros (exact — no double round-trip).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -115,6 +115,30 @@ AUDITED = [
         "along as a broadcast; the orders side is scanned once, never "
         "shuffled before the per-band aggregate.",
     ),
+    (
+        "llm_cosine_topk_batch",
+        "The WIDE vector rows are scanned once (plus a vec_id-pruned "
+        "5-row scan for the broadcast query side); the per-(query, bucket) "
+        "partial top-k is an ObjectHashAggregate whose state is capped at "
+        "bucket_target rows, and the final Window ranks only B·k surviving "
+        "rows per query — no window over the full corpus, no per-query "
+        "plan branches.",
+    ),
+    (
+        "q_tpch_q5",
+        "The 6-way star join: every dimension chain (region→nation→"
+        "supplier, customer→orders) collapses into BroadcastHashJoins; "
+        "lineitem is scanned once and never shuffled — the only exchange "
+        "carries the 25-nation aggregate. No SortMergeJoin, no "
+        "CartesianProduct anywhere.",
+    ),
+    (
+        "llm_inverted_index",
+        "The term-prefix filter evaluates BELOW both shuffles (it sits on "
+        "the window's partitioning key); postings aggregate with a partial "
+        "phase before the (term, doc) exchange and the df/cf window adds "
+        "no third shuffle.",
+    ),
 ]
 
 
