@@ -67,6 +67,7 @@ _LATER: tuple[str, ...] = (
     "q_tpch_q10",
     "q_tpch_q14",
     "q_tpch_q18",
+    "q_salted_skew_join",
 )
 
 

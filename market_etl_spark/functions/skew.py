@@ -53,3 +53,43 @@ def salted_agg(
         merge_exprs.append(merge(F.col(f"_p_{out}")).alias(out))
     partials = salted.groupBy(*keys, "_salt").agg(*partial_exprs)
     return partials.groupBy(*keys).agg(*merge_exprs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi join for when NEITHER side broadcasts.
+
+    AQE's skew-join splitting only fires on sort-merge joins with
+    materialized shuffle statistics; a hot key in a shuffled-hash join
+    — or a key hot enough that one split is still one task's worth —
+    funnels through a single reducer. The classic preventive fix:
+
+    - the BIG side salts each row into one of ``salt_buckets`` lanes
+      (row-position hash — independent of the data, no added skew);
+    - the SMALL side replicates ``salt_buckets``× via an exploded salt
+      range, so every (key, salt) pair it owned exists in every lane;
+    - the join key becomes (key, salt): a hot key's rows now spread
+      over ``salt_buckets`` reducers, at the price of shuffling the
+      small side ``salt_buckets`` times — the trade is right when
+      |small| · buckets ≪ hot-key row count.
+
+    The result is EXACTLY the unsalted join (each big row meets each
+    matching small row exactly once — in its own lane). Supported
+    ``how``: inner / left (the replicated side must stay the preserved
+    side's opposite so multiplicity is untouched).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salted_big = big.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)).cast("int"),
+    )
+    replicated = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return salted_big.join(replicated, on=[key, "_salt"], how=how).drop("_salt")

@@ -260,6 +260,59 @@ def q_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+@query(
+    "q_salted_skew_join",
+    oracle="""
+    WITH dim(event_type, category, weight) AS (
+        VALUES ('click', 'engage', 1.0), ('view', 'engage', 0.5),
+               ('purchase', 'revenue', 3.0), ('signup', 'growth', 2.0),
+               ('error', 'ops', 0.1)
+    )
+    SELECT d.category AS category,
+           COUNT(*) AS n_events,
+           ROUND(SUM(e.value * d.weight), 4) AS weighted_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY d.category
+    ORDER BY category
+    """,
+    tags=("extension", "skew-salting", "joins"),
+)
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted JOIN (:func:`..functions.skew.salted_join`):
+    events' 5-value event_type key would funnel each hot key through
+    one reducer in a shuffled join; salting spreads each key over 16
+    lanes while the 5-row dim replicates 16×. A shuffle_hash hint
+    forces the shuffled-join shape the salt exists for (with broadcast
+    allowed, Spark would — correctly — just broadcast the dim; the
+    pattern's target is the big-⋈-medium case where it can't). The
+    oracle is the plain unsalted join — identical result, different
+    shuffle shape."""
+    from ..functions.skew import salted_join
+
+    e = load(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [
+            ("click", "engage", 1.0),
+            ("view", "engage", 0.5),
+            ("purchase", "revenue", 3.0),
+            ("signup", "growth", 2.0),
+            ("error", "ops", 0.1),
+        ],
+        "event_type string, category string, weight double",
+    )
+    joined = salted_join(e, dim.hint("shuffle_hash"), "event_type", salt_buckets=16)
+    return (
+        joined.groupBy("category")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value") * F.col("weight")), 4).alias(
+                "weighted_value"
+            ),
+        )
+        .orderBy("category")
+    )
+
+
 _SQL_WHALES = """
     WITH percentiles AS (
         SELECT l_returnflag,

@@ -89,3 +89,44 @@ def test_range_band_join_half_open_edges(spark):
     got = {r.fid: r.band_id for r in range_band_join(facts, bands, "v").collect()}
     # 20.0 == hi of the last band → excluded (half-open)
     assert got == {1: 0, 2: 1, 3: 0}
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salted_join must be EXACTLY the unsalted join: every big row
+    meets each matching small row once (in its own salt lane)."""
+    from market_etl_spark.functions.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold") for i in range(1000)],
+        "id long, k string",
+    )
+    small = spark.createDataFrame(
+        [("hot", 1.0), ("cold", 2.0), ("absent", 3.0)], "k string, w double"
+    )
+    plain = sorted((r.id, r.k, r.w) for r in big.join(small, "k").collect())
+    salted = sorted(
+        (r.id, r.k, r.w) for r in salted_join(big, small, "k", 8).collect()
+    )
+    assert plain == salted
+    assert len(plain) == 1000  # every big row matched exactly once
+
+    # left join keeps unmatched big rows with NULL fill, same as unsalted
+    small2 = spark.createDataFrame([("hot", 1.0)], "k string, w double")
+    left = sorted(
+        (r.id, r.w) for r in salted_join(big, small2, "k", 8, how="left").collect()
+    )
+    assert len(left) == 1000
+    assert sum(1 for _, w in left if w is None) == 100  # the "cold" rows
+
+
+def test_salted_join_spreads_key_in_plan(spark):
+    """The physical join key must be (k, _salt), not k alone — that is
+    the whole point: a hot k now hashes into salt_buckets reducers."""
+    from market_etl_spark.functions.skew import salted_join
+
+    big = spark.createDataFrame([(1, "a")], "id long, k string")
+    small = spark.createDataFrame([("a", 1.0)], "k string, w double")
+    df = salted_join(big, small.hint("shuffle_hash"), "k", 4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "_salt" in plan
