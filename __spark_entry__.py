@@ -65,8 +65,10 @@ _LATER: tuple[str, ...] = (
     "q_tpch_q5",
     "q_tpch_q6",
     "q_tpch_q10",
+    "q_tpch_q13",
     "q_tpch_q14",
     "q_tpch_q18",
+    "q_tpch_q19",
     "q_salted_skew_join",
 )
 

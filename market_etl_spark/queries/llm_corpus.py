@@ -443,8 +443,14 @@ def llm_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TRUE, so a recall regression fails the hash. The audit join is
     top-k rows only (50 rows), not data-scale."""
     emb = load(spark, sf_dir, "embeddings")
-    exact = similarity.brute_force_topk(emb, _QUERY_IDS, k=10).select(
-        "query_id", "neighbor_id"
+    # Batch plan (one corpus scan for all 5 queries, bit-identical
+    # result — see brute_force_topk_batch); checkpointed because the
+    # 50-row exact set feeds both the recall numerator and the
+    # denominator, and would otherwise rescore the corpus twice.
+    exact = (
+        similarity.brute_force_topk_batch(emb, _QUERY_IDS, k=10, dims=_DIMS)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
     )
     ann = similarity.ann_lsh_topk(emb, _QUERY_IDS, k=10).select(
         "query_id", "neighbor_id"
@@ -491,8 +497,12 @@ def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor of a 3-of-10-cell probe on this weakly-clustered corpus
     (measured 0.46); the oracle returns TRUE."""
     emb = load(spark, sf_dir, "embeddings")
-    exact = similarity.brute_force_topk(emb, _QUERY_IDS, k=10).select(
-        "query_id", "neighbor_id"
+    # One-scan batch plan + lineage cut: the exact set feeds both the
+    # recall numerator and the totals aggregate (see llm_ann_lsh_topk).
+    exact = (
+        similarity.brute_force_topk_batch(emb, _QUERY_IDS, k=10, dims=_DIMS)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
     )
     ivf = similarity.ivf_topk(
         emb, _QUERY_IDS, k=10, nprobe=3, cluster_col="label"
@@ -558,6 +568,12 @@ def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
             F.round(similarity.cosine("_ea", "_eb"), 6).alias("cos_sim"),
         )
+        # truth feeds THREE consumers (recall numerator, denominator,
+        # and the output pair set); without a lineage cut each one
+        # recomputes the O(slice²) fold-based cosine join — measured
+        # 3× the whole query's cost at sf0.1. The checkpoint holds a
+        # few hundred 3-column rows.
+        .localCheckpoint()
     )
     lsh = similarity.embedding_near_dup_pairs(audit, threshold=0.4).select(
         "id_a", "id_b"
