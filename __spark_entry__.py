@@ -67,8 +67,11 @@ _LATER: tuple[str, ...] = (
     "q_tpch_q10",
     "q_tpch_q13",
     "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q17",
     "q_tpch_q18",
     "q_tpch_q19",
+    "q_tpch_q22",
     "q_salted_skew_join",
 )
 

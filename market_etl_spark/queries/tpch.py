@@ -480,3 +480,147 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@query(
+    "q_tpch_q15",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name, r.total_rev AS total_rev
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    tags=("tpch", "joins", "subquery", "extension"),
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: the revenue "view" aggregates lineitem
+    once per supplier, then self-references for its maximum. The
+    supplier-cardinality aggregate is localCheckpointed so the MAX
+    subquery and the final filter both read the materialized 8-byte-key
+    rows instead of re-scanning the fact table; the 1-row MAX broadcasts
+    back. Rounding happens BEFORE the max/equality on both engines, so
+    the float compare is on identical bit patterns."""
+    l = load(spark, sf_dir, "lineitem")
+    rev = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            round6(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("total_rev")
+        )
+        .localCheckpoint()
+    )
+    mx = rev.agg(F.max("total_rev").alias("_mx"))
+    s = load(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("_mx"))
+        .join(F.broadcast(s.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q_tpch_q17",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 6) AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3'
+      AND l.l_quantity < (
+          SELECT 0.2 * AVG(l2.l_quantity)
+          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+    tags=("tpch", "subquery", "extension"),
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity revenue: a correlated scalar aggregate
+    subquery (per-part average quantity), decorrelated by hand into the
+    aggregate-then-join shape Catalyst would produce: both the probe
+    side and the average side pre-restrict to the brand's parts via the
+    same broadcast, so the per-part AVG aggregate runs over the
+    brand-sliced fraction of lineitem — never the whole fact table —
+    and joins back on the part key. Quantities are integral doubles, so
+    sum/count are exact and the 0.2·avg threshold compares identically
+    in both engines."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3").select(
+        "p_partkey"
+    )
+    l = load(spark, sf_dir, "lineitem")
+    branded = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    avgq = branded.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (0.2 * F.avg("l_quantity")).alias("_qty_cut")
+    )
+    return (
+        branded.join(F.broadcast(avgq), F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("_qty_cut"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q22",
+    oracle="""
+    SELECT c.c_mktsegment AS c_mktsegment,
+           COUNT(*) AS numcust,
+           ROUND(SUM(c.c_acctbal), 6) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+    )
+    GROUP BY c.c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("tpch", "anti-join", "subquery", "extension"),
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 adapted (every customer here has SOME order, so the
+    dormancy window replaces the no-orders-ever test): high-balance
+    customers with no orders since 2000 — the global-average scalar
+    subquery broadcasts as a 1-row frame, the NOT EXISTS becomes a
+    LEFT ANTI join against the date-filtered order keys (the filter is
+    pushed to orders' scan, so the anti side ships only recent 8-byte
+    keys), and the report groups the survivors by segment."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("_avg_bal")
+    )
+    return (
+        rich.join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            round6(F.sum("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
