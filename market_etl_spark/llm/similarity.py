@@ -158,15 +158,26 @@ def brute_force_topk_batch(
         n = _estimate_n(embeddings, dims)
     n_buckets = max(1, math.ceil(n / bucket_target))
 
+    # Norms are per-VECTOR quantities: hoist them out of the pair loop
+    # (N + Q fold evaluations instead of 3 folds per scored pair — the
+    # dot is the only per-pair fold left). Bit parity with the oracle
+    # holds: each norm is the identical fold over the identical vector,
+    # and the divisor keeps the oracle's (query_norm · corpus_norm)
+    # multiplication order.
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        norm(vec_col).alias("_qn"),
     )
     scored = (
-        embeddings.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        embeddings.withColumn("_n", norm(vec_col))
+        .join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine("_qvec", vec_col), 6).alias("cos_sim"),
+            F.round(
+                dot("_qvec", vec_col) / (F.col("_qn") * F.col("_n")), 6
+            ).alias("cos_sim"),
         )
     )
     local = (

@@ -558,15 +558,27 @@ def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded/bucketed."""
     emb = load(spark, sf_dir, "embeddings")
     audit = emb.filter(F.col("vec_id") < _NEAR_DUP_AUDIT_IDS)
-    a = audit.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_ea"))
-    b = audit.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_eb"))
+    # Norms hoisted out of the O(slice²) pair loop: one fold per ROW on
+    # each side, one dot fold per pair — same bits as cosine() (identical
+    # per-vector folds, oracle's norm-product order preserved).
+    a = audit.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("_ea"),
+        similarity.norm("embedding").alias("_na"),
+    )
+    b = audit.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("_eb"),
+        similarity.norm("embedding").alias("_nb"),
+    )
+    pair_cos = similarity.dot("_ea", "_eb") / (F.col("_na") * F.col("_nb"))
     truth = (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .filter(similarity.cosine("_ea", "_eb") >= 0.4)
+        .filter(pair_cos >= 0.4)
         .select(
             "id_a",
             "id_b",
-            F.round(similarity.cosine("_ea", "_eb"), 6).alias("cos_sim"),
+            F.round(pair_cos, 6).alias("cos_sim"),
         )
         # truth feeds THREE consumers (recall numerator, denominator,
         # and the output pair set); without a lineage cut each one
