@@ -1,0 +1,104 @@
+"""S1/S2 as a first-class Spark source: the Python DataSource API.
+
+The reference's downloader is a driver-style script
+(jobs/downloader/glue_binance_downloader.py); `distributed.py` already
+fans the same idempotent unit across executors with an RDD. This module
+goes one step further and makes the archive fetch a *declarative Spark
+source* (Spark 4 Python DataSource API):
+
+    spark.dataSource.register(BinanceArchiveDataSource)
+    audit = (spark.read.format("binance_archive")
+             .option("base_url", ...)
+             .option("dest_root", ...)
+             .option("symbols", "BTCUSDT,ETHUSDT")
+             .option("start", "2024-01").option("end", "2024-03")
+             .load())
+
+Why this shape wins at scale:
+
+- the WORK LIST becomes the source's input partitions — one archive per
+  `InputPartition`, so Spark's scheduler owns parallelism, retries, and
+  speculative execution (safe: the per-file unit is idempotent — an
+  object present in the zone is never re-fetched);
+- the result is a DataFrame of audit rows (key/status/bytes), so the
+  ingest run composes with joins/aggregates like any other relation —
+  "which months failed" is a `filter`, not a log grep;
+- `partitions()` runs on the driver and is pure metadata (month-range ×
+  symbols cross product); no network I/O happens before the action.
+
+The download itself reuses :class:`..ingest.downloader.ArchiveDownloader`
+(streaming, bounded memory, 3× backoff, 404-permanent-skip).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+@dataclass
+class _ArchiveTask(InputPartition):
+    key: str
+    url: str
+
+
+class _ArchiveReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.base_url = options["base_url"]
+        self.dest_root = options["dest_root"]
+        self.symbols = [s for s in options.get("symbols", "").split(",") if s]
+        self.start = options["start"]
+        self.end = options["end"]
+        self.data_type = options.get("data_type", "trades")
+        self.retries = int(options.get("retries", 3))
+        self.backoff = float(options.get("backoff", 1.0))
+
+    def partitions(self):
+        # Driver-side metadata only: the month×symbol cross product.
+        from .downloader import build_archive_path, generate_months
+
+        base = self.base_url.rstrip("/")
+        return [
+            _ArchiveTask(
+                key=build_archive_path(s, y, m, self.data_type),
+                url=f"{base}/{build_archive_path(s, y, m, self.data_type)}",
+            )
+            for y, m in generate_months(self.start, self.end)
+            for s in self.symbols
+        ]
+
+    def read(self, partition: _ArchiveTask):
+        # Executor-side: one idempotent streaming fetch per partition.
+        from .downloader import ArchiveDownloader
+
+        dl = ArchiveDownloader(
+            self.base_url,
+            self.dest_root,
+            retries=self.retries,
+            backoff=self.backoff,
+        )
+        ok = dl.download_file(partition.url, partition.key)
+        if dl.stats["skipped_exists"]:
+            status = "skipped_exists"
+        elif dl.stats["skipped_404"]:
+            status = "skipped_404"
+        elif ok:
+            status = "downloaded"
+        else:
+            status = "failed"
+        yield (partition.key, status, dl.stats["bytes"])
+
+
+class BinanceArchiveDataSource(DataSource):
+    """``spark.read.format("binance_archive")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "binance_archive"
+
+    def schema(self) -> str:
+        return "key string, status string, bytes long"
+
+    def reader(self, schema) -> _ArchiveReader:
+        return _ArchiveReader(self.options)

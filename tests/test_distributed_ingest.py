@@ -76,3 +76,39 @@ def test_distributed_download(spark, http_base):
     )
     statuses = {r.status for r in out2.collect() if r.status != "skipped_404"}
     assert statuses == {"skipped_exists"}
+
+
+def test_python_datasource_archive_read(spark, http_base):
+    """The Spark 4 Python DataSource form of the same ingest: work list
+    = input partitions, executors fetch idempotently, result is an
+    audit DataFrame."""
+    from market_etl_spark.ingest.datasource import BinanceArchiveDataSource
+
+    base, handler = http_base
+    lake = SCRATCH / "lake_ds"
+    shutil.rmtree(lake, ignore_errors=True)
+    work = build_work_list(["DDD", "EEE"], "2024-01", "2024-02")
+    for key, _ in work[:3]:
+        handler.bodies["/" + key] = _zip_bytes(b"a,b\n" * 50)
+
+    spark.dataSource.register(BinanceArchiveDataSource)
+    reader = (
+        spark.read.format("binance_archive")
+        .option("base_url", base)
+        .option("dest_root", str(lake))
+        .option("symbols", "DDD,EEE")
+        .option("start", "2024-01")
+        .option("end", "2024-02")
+        .option("backoff", "0.01")
+    )
+    rows = reader.load().collect()
+    by_status: dict[str, int] = {}
+    for r in rows:
+        by_status[r.status] = by_status.get(r.status, 0) + 1
+    assert by_status == {"downloaded": 3, "skipped_404": 1}
+    assert len(list(lake.rglob("*.zip"))) == 3
+    assert all(r.bytes > 0 for r in rows if r.status == "downloaded")
+
+    # declarative re-read: idempotent (filesystem is the checkpoint)
+    rows2 = reader.load().collect()
+    assert {r.status for r in rows2} == {"skipped_exists", "skipped_404"}
