@@ -264,3 +264,62 @@ def q_anomaly_zscore_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence pattern matching (MATCH_RECOGNIZE-lite)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sequence_pattern",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS s
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(s) AS INT) AS n_events,
+           regexp_matches(s, 'v[^p]*c[^p]*p') AS matched
+    FROM seq
+    ORDER BY user_id
+    """,
+    tags=("behavior", "sequence-pattern", "extension"),
+)
+def q_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern detection (SQL:2016 MATCH_RECOGNIZE-lite):
+    per user, the time-ordered event-type initials collapse into one
+    string and a regex expresses the behavioral pattern — here
+    "view, then click, then purchase, with no purchase in between"
+    (``v[^p]*c[^p]*p``). Regex over a per-key sequence string is the
+    classic distributed rendering of row-pattern matching: arbitrary
+    patterns (alternation, negation, quantifiers) without bespoke
+    state machines, and the engine-side cost stays one hash shuffle on
+    ``user_id`` with per-key state bounded by that user's event count
+    (at 100 TB, window the sequence — e.g. per (user, week) — to cap
+    it). The ordering inside the unordered ``collect_list`` aggregate
+    is reimposed deterministically: ``array_sort`` over (ts, event_id,
+    initial) structs, unique because event_id is."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.substring("event_type", 1, 1).alias("initial"),
+    )
+    seq = e.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.expr(
+                "transform(array_sort(collect_list(struct(ts, event_id, initial))),"
+                " x -> x.initial)"
+            ),
+        ).alias("s")
+    )
+    return seq.select(
+        "user_id",
+        F.length("s").alias("n_events"),
+        F.col("s").rlike("v[^p]*c[^p]*p").alias("matched"),
+    ).orderBy("user_id")

@@ -11,6 +11,7 @@ Usage:  python tools/check.py [sf_dir] [query_name ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -41,9 +42,21 @@ def main() -> int:
     import duckdb
 
     import __spark_entry__ as ent
-    from market_etl_spark.session import get_spark
 
-    spark = get_spark("check")
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # Replicate the DRIVER's environment: a bare session (default 200
+        # shuffle partitions, no engine conf at build time). Everything
+        # the queries need must be applied at runtime by tables.load —
+        # this mode catches conf that only works builder-time and
+        # nondeterminism that appears under different partition counts
+        # (summation order vs the rounding discipline).
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName("check-vanilla").getOrCreate()
+    else:
+        from market_etl_spark.session import get_spark
+
+        spark = get_spark("check")
     qs = ent.queries()
     oracles = ent.oracle_sql()
 
