@@ -74,6 +74,7 @@ _LATER: tuple[str, ...] = (
     "q_tpch_q22",
     "q_salted_skew_join",
     "q_sequence_pattern",
+    "q_expectations_report",
 )
 
 

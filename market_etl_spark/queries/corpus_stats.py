@@ -733,3 +733,70 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q_expectations_report",
+    oracle="""
+    WITH m AS (
+        SELECT COUNT(*) AS total_rows,
+               SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS v1,
+               COUNT(*) - COUNT(DISTINCT event_id) AS v2,
+               SUM(CASE WHEN event_type IS NULL OR event_type NOT IN
+                   ('click','error','purchase','signup','view')
+                   THEN 1 ELSE 0 END) AS v3,
+               SUM(CASE WHEN value IS NULL OR value < 0
+                   OR value > 1000000000 THEN 1 ELSE 0 END) AS v4,
+               SUM(CASE WHEN props IS NULL OR NOT starts_with(props, '{')
+                   THEN 1 ELSE 0 END) AS v5
+        FROM events
+    )
+    SELECT * FROM (
+        SELECT 'not_null_user_id' AS expectation,
+               CAST(v1 AS BIGINT) AS violations, total_rows, v1 = 0 AS passed FROM m
+        UNION ALL
+        SELECT 'unique_event_id', CAST(v2 AS BIGINT), total_rows, v2 = 0 FROM m
+        UNION ALL
+        SELECT 'accepted_values_event_type', CAST(v3 AS BIGINT), total_rows, v3 = 0 FROM m
+        UNION ALL
+        SELECT 'in_range_value', CAST(v4 AS BIGINT), total_rows, v4 = 0 FROM m
+        UNION ALL
+        SELECT 'props_json_object', CAST(v5 AS BIGINT), total_rows, v5 = 0 FROM m
+    )
+    ORDER BY expectation
+    """,
+    tags=("quality", "expectations", "extension"),
+)
+def q_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite (dbt-test/Deequ
+    posture) evaluated in ONE aggregate pass: every check compiles to a
+    conditional count, so five checks — or fifty — cost one scan and a
+    1-row exchange at any table size, then ``stack`` reshapes the wide
+    metrics row into the long (expectation, violations, passed) report
+    a CI gate consumes. The reference recomputed its lineage once per
+    DQ metric; this is the same posture as its
+    single-pass observe() upgrade, generalized to a user-supplied
+    suite."""
+    from ..quality import (
+        expect_accepted_values,
+        expect_custom,
+        expect_in_range,
+        expect_not_null,
+        expect_unique,
+        run_expectations,
+    )
+
+    e = load(spark, sf_dir, "events")
+    suite = [
+        expect_not_null("user_id"),
+        expect_unique("event_id"),
+        expect_accepted_values(
+            "event_type", ["click", "error", "purchase", "signup", "view"]
+        ),
+        expect_in_range("value", 0, 1_000_000_000),
+        expect_custom(
+            "props_json_object",
+            F.col("props").isNull() | ~F.col("props").startswith("{"),
+        ),
+    ]
+    return run_expectations(e, suite).orderBy("expectation")

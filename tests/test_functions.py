@@ -93,3 +93,35 @@ def test_count_if(spark):
     df = spark.createDataFrame([(1,), (2,), (3,), (4,)], "x int")
     got = _one_col(df.agg(count_if(F.col("x") % 2 == 0)))
     assert got == [2]
+
+
+def test_expectations_one_pass_and_counts(spark):
+    from market_etl_spark.quality import (
+        expect_accepted_values,
+        expect_in_range,
+        expect_not_null,
+        expect_unique,
+        run_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", -1.0), (2, None, 50.0), (3, "z", 5.0)],
+        "id long, cat string, v double",
+    )
+    suite = [
+        expect_not_null("cat"),
+        expect_unique("id"),
+        expect_accepted_values("cat", ["a", "b"]),
+        expect_in_range("v", 0, 10),
+    ]
+    out = {r.expectation: (r.violations, r.passed) for r in run_expectations(df, suite).collect()}
+    assert out["not_null_cat"] == (1, False)
+    assert out["unique_id"] == (1, False)       # id=2 twice
+    assert out["accepted_values_cat"] == (2, False)  # 'z' and NULL
+    assert out["in_range_v"] == (2, False)      # -1 and 50
+    assert all(r.total_rows == 4 for r in run_expectations(df, suite).collect())
+
+    # one scan: the whole suite is a single aggregate -> plan has exactly
+    # one scan of the local relation
+    plan = run_expectations(df, suite)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") + plan.count("LocalTableScan") == 1
