@@ -34,7 +34,12 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 @dataclass
@@ -90,6 +95,50 @@ class _ArchiveReader(DataSourceReader):
         yield (partition.key, status, dl.stats["bytes"])
 
 
+class _ArchiveStreamReader(SimpleDataSourceStreamReader):
+    """Streaming tail over the archive work list.
+
+    The offset is an index into the DETERMINISTIC month×symbol work
+    list (chronological months, symbols in option order), so recovery
+    replay re-reads exactly the same key range. Each micro-batch
+    ingests up to ``batch_size`` next archives — a month not yet
+    published lands as a ``skipped_404`` audit row and a later
+    re-ingest run (new stream, same lake) picks it up idempotently.
+    The simple (driver-based) reader variant is the right fit: the
+    per-batch work is a handful of streamed HTTP fetches, not
+    data-plane compute — the heavy lifting (parsing the landed
+    archives) belongs to the downstream parquet/CSV streams.
+
+    Replay caveat, by design: on recovery the KEY RANGE is identical
+    but a row's status may differ (e.g. ``downloaded`` → became
+    ``skipped_exists``) because the filesystem is the idempotency
+    ledger; the audit stream describes actions taken, not immutable
+    facts.
+    """
+
+    def __init__(self, options: dict):
+        self._reader = _ArchiveReader(options)
+        self.batch_size = int(options.get("batch_size", 8))
+        self._work = self._reader.partitions()
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def _fetch(self, task: _ArchiveTask):
+        return next(iter(self._reader.read(task)))
+
+    def read(self, start: dict):
+        i = start["i"]
+        if i >= len(self._work):
+            return iter([]), {"i": i}
+        j = min(i + self.batch_size, len(self._work))
+        rows = [self._fetch(t) for t in self._work[i:j]]
+        return iter(rows), {"i": j}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._fetch(t) for t in self._work[start["i"] : end["i"]])
+
+
 class BinanceArchiveDataSource(DataSource):
     """``spark.read.format("binance_archive")`` — see module docstring."""
 
@@ -102,3 +151,6 @@ class BinanceArchiveDataSource(DataSource):
 
     def reader(self, schema) -> _ArchiveReader:
         return _ArchiveReader(self.options)
+
+    def simpleStreamReader(self, schema) -> _ArchiveStreamReader:
+        return _ArchiveStreamReader(self.options)

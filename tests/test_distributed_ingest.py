@@ -112,3 +112,54 @@ def test_python_datasource_archive_read(spark, http_base):
     # declarative re-read: idempotent (filesystem is the checkpoint)
     rows2 = reader.load().collect()
     assert {r.status for r in rows2} == {"skipped_exists", "skipped_404"}
+
+
+def test_python_datasource_streaming_tail(spark, http_base):
+    """The streaming form: the work list is consumed batch_size at a
+    time with the offset checkpointed — each availableNow start drains
+    one micro-batch and resumes where the last committed."""
+    import tempfile
+
+    from market_etl_spark.ingest.datasource import BinanceArchiveDataSource
+
+    base, handler = http_base
+    lake = SCRATCH / "lake_stream"
+    shutil.rmtree(lake, ignore_errors=True)
+    work = build_work_list(["FFF", "GGG"], "2024-01", "2024-02")  # 4 archives
+    for key, _ in work[:3]:
+        handler.bodies["/" + key] = _zip_bytes(b"s,t\n" * 20)
+
+    spark.dataSource.register(BinanceArchiveDataSource)
+    ckpt = tempfile.mkdtemp()
+    out_dir = tempfile.mkdtemp()
+
+    def drain_one_batch():
+        q = (
+            spark.readStream.format("binance_archive")
+            .option("base_url", base)
+            .option("dest_root", str(lake))
+            .option("symbols", "FFF,GGG")
+            .option("start", "2024-01")
+            .option("end", "2024-02")
+            .option("backoff", "0.01")
+            .option("batch_size", "2")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain_one_batch()  # items 0-1
+    assert spark.read.parquet(out_dir).count() == 2
+    drain_one_batch()  # items 2-3 (offset resumed from checkpoint)
+    rows = spark.read.parquet(out_dir).collect()
+    statuses = sorted(r.status for r in rows)
+    assert len(rows) == 4
+    assert statuses.count("downloaded") == 3
+    assert statuses.count("skipped_404") == 1
+    assert len(list(lake.rglob("*.zip"))) == 3
+    drain_one_batch()  # work list exhausted: no new rows
+    assert spark.read.parquet(out_dir).count() == 4
