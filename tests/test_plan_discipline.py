@@ -1,0 +1,110 @@
+"""Fleet-wide physical-plan discipline gate.
+
+Sweeps EVERY registered query's executed plan (no actions run for the
+pure ones) and enforces the engine-wide invariants:
+
+- no `CartesianProduct` anywhere;
+- `BroadcastNestedLoopJoin` only where a bounded side justifies it
+  (1-row bound frames, audit-slice pair joins, explicit tiny
+  cross-products) — allowlisted by query name;
+- every parquet relation reads a pruned schema (non-empty ReadSchema
+  is trivially true; the load-bearing per-query pruning/pushdown
+  assertions live next to their operators).
+
+A future query that accidentally plans a cartesian join fails HERE,
+not in a 100 TB run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from market_etl_spark.queries import REGISTRY
+
+from conftest import SF_SMOKE
+
+#: Queries whose CALL has side effects (stream execution, table/zone
+#: materialization, persisted index builds) — their plans are audited
+#: by their own tests; executing them here would re-run those jobs.
+_SKIP_PREFIXES = ("q_streaming_",)
+_SKIP = {
+    "q_etl_pipeline_roundtrip",
+    "q_sql_text_whales",
+    "llm_ivf_index_topk",
+    "q_trades_sanity_summary",
+    "q_trades_partition_histogram",
+    "q_trades_whales_approx",
+    "q_trades_pruned_day_vwap",
+    "q_trades_dpp_join",
+    "q_merge_upsert",
+    "q_snapshot_diff",
+    "q_json_source_roundtrip",
+    "q_orc_source_roundtrip",
+    "q_schema_evolution_roundtrip",
+    "q_tombstone_forget",
+    "q_rollup_incremental_refresh",
+    "llm_incremental_dedup",
+    "q_sessionize",  # pandas-state twin builds a stream zone
+}
+
+#: BroadcastNestedLoopJoin allowlist: every entry is a join against a
+#: frame bounded by construction (1-row aggregates / k-row bound sets /
+#: audit slices), where the NL join IS the intended plan.
+_BNLJ_OK = {
+    "llm_cosine_topk",
+    "llm_cosine_topk_batch",
+    "llm_ann_lsh_topk",
+    "llm_ivf_topk",
+    "llm_embedding_near_dup",
+    "llm_kmeans_fit",
+    "llm_kmeans_assign",
+    "llm_embedding_centroids",
+    "llm_embedding_quantization",
+    "llm_embedding_standardize",
+    "llm_dataset_mixture",
+    "llm_stratified_sample",
+    "llm_dataset_split",
+    "llm_vocab_coverage",
+    "llm_tfidf_keywords",
+    "llm_decontamination",
+    "q_value_histogram",
+    "q_value_quartiles",
+    "q_approx_distinct_users",
+    "q_quality_drop_rate",
+    "q_user_value_deciles",
+    "q_heavy_hitters_words",
+    "q_funnel_conversion",
+    "q_tpch_q15",
+    "q_tpch_q22",
+    "q_salted_skew_agg",
+    "q_range_band_join",
+    "q_interval_join",
+    "q_expectations_report",
+    "llm_simhash_near_dup",
+    "llm_minhash_near_dup",
+    "llm_ngram_jaccard_pairs",
+    "llm_dedup_clusters",
+    "llm_exact_dedup",
+    "q_recursive_calendar_spine",
+    "q_gapfill_forward_vwap",
+    "q9b_recent_activity",  # 1-row MAX(ts) anchor broadcast back
+}
+
+
+def _plannable_names():
+    for name in REGISTRY:
+        if name in _SKIP or name.startswith(_SKIP_PREFIXES):
+            continue
+        yield name
+
+
+@pytest.mark.parametrize("name", sorted(_plannable_names()))
+def test_no_cartesian_and_bounded_nl_joins(spark, name):
+    df = REGISTRY[name].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_OK:
+        raise AssertionError(
+            f"{name} plans BroadcastNestedLoopJoin but is not allowlisted — "
+            "either bound the build side and allowlist it, or fix the join"
+        )
