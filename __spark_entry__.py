@@ -64,6 +64,8 @@ _LATER: tuple[str, ...] = (
     "q_tpch_q3",
     "q_tpch_q5",
     "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
     "q_tpch_q10",
     "q_tpch_q13",
     "q_tpch_q14",
