@@ -77,6 +77,7 @@ _LATER: tuple[str, ...] = (
     "q_salted_skew_join",
     "q_sequence_pattern",
     "q_expectations_report",
+    "q_scd2_apply",
 )
 
 

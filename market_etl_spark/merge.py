@@ -122,3 +122,85 @@ def snapshot_diff(
         .filter(F.col("change_type").isNotNull())
         .select(*key_cols, "change_type")
     )
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+    effective_col: str = "effective_ts",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension apply: full history, closed
+    intervals.
+
+    ``current`` carries the versioned dimension — attribute columns plus
+    ``valid_from``, ``valid_to`` (NULL = open) and ``is_current``;
+    ``updates`` carries (keys, attrs, effective_ts). For each key whose
+    compared attributes actually changed, the open row closes
+    (``valid_to`` = effective time, ``is_current`` = false) and a new
+    open row appends; no-op updates (same attrs) are dropped — the
+    classic Kimball SCD2 contract.
+
+    Shape: ONE equi join of the open slice against the updates (shuffle
+    or broadcast — the planner decides from the updates' size; at
+    100 TB the updates side is a delta, typically broadcastable), then
+    pure unions: closed history passes through untouched, so the cost
+    scales with |open slice| + |delta|, never with history depth.
+    """
+    chg = [
+        ~F.col(f"c.{a}").eqNullSafe(F.col(f"u.{a}")) for a in compare_cols
+    ]
+    changed_pred = chg[0]
+    for p in chg[1:]:
+        changed_pred = changed_pred | p
+
+    open_rows = current.filter(F.col("is_current")).alias("c")
+    history = current.filter(~F.col("is_current"))
+    u = updates.alias("u")
+
+    key_eq = [F.col(f"c.{k}") == F.col(f"u.{k}") for k in key_cols]
+    matched = open_rows.join(u, key_eq, "inner")
+
+    out_cols = [*key_cols, *compare_cols, "valid_from", "valid_to", "is_current"]
+
+    closed = matched.filter(changed_pred).select(
+        *[F.col(f"c.{k}") for k in key_cols],
+        *[F.col(f"c.{a}") for a in compare_cols],
+        F.col("c.valid_from"),
+        F.col(f"u.{effective_col}").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    fresh = matched.filter(changed_pred).select(
+        *[F.col(f"u.{k}") for k in key_cols],
+        *[F.col(f"u.{a}") for a in compare_cols],
+        F.col(f"u.{effective_col}").alias("valid_from"),
+        F.lit(None).cast(current.schema["valid_to"].dataType).alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    # keys whose open row is unchanged, or with no update at all
+    changed_keys = matched.filter(changed_pred).select(
+        *[F.col(f"c.{k}").alias(k) for k in key_cols]
+    )
+    untouched_open = open_rows.join(changed_keys, key_cols, "left_anti").select(
+        *out_cols
+    )
+    # brand-new keys (no open row)
+    new_keys = u.join(
+        open_rows.select(*[F.col(f"c.{k}").alias(k) for k in key_cols]),
+        key_cols,
+        "left_anti",
+    ).select(
+        *key_cols,
+        *compare_cols,
+        F.col(effective_col).alias("valid_from"),
+        F.lit(None).cast(current.schema["valid_to"].dataType).alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return (
+        history.select(*out_cols)
+        .unionByName(closed)
+        .unionByName(untouched_open)
+        .unionByName(fresh)
+        .unionByName(new_keys)
+    )

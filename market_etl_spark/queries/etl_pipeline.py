@@ -430,3 +430,85 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return snapshot_diff(old_snap, new_snap, ["event_id"]).orderBy("event_id")
+
+
+@query(
+    "q_scd2_apply",
+    oracle="""
+    WITH current_dim(user_id, segment, valid_from, valid_to, is_current) AS (
+        VALUES
+            (1, 'stone',  TIMESTAMP '2023-06-01', TIMESTAMP '2024-01-01', FALSE),
+            (1, 'bronze', TIMESTAMP '2024-01-01', NULL, TRUE),
+            (2, 'silver', TIMESTAMP '2024-01-01', NULL, TRUE),
+            (3, 'gold',   TIMESTAMP '2024-01-01', NULL, TRUE)
+    ), upd(user_id, segment, effective_ts) AS (
+        VALUES
+            (1, 'gold',   TIMESTAMP '2024-02-01'),
+            (2, 'silver', TIMESTAMP '2024-02-01'),
+            (4, 'bronze', TIMESTAMP '2024-02-01')
+    ), open_rows AS (
+        SELECT * FROM current_dim WHERE is_current
+    ), matched AS (
+        SELECT c.user_id, c.segment AS c_seg, c.valid_from,
+               u.segment AS u_seg, u.effective_ts
+        FROM open_rows c JOIN upd u ON c.user_id = u.user_id
+    ), closed AS (
+        SELECT user_id, c_seg AS segment, valid_from,
+               effective_ts AS valid_to, FALSE AS is_current
+        FROM matched WHERE c_seg IS DISTINCT FROM u_seg
+    ), fresh AS (
+        SELECT user_id, u_seg AS segment, effective_ts AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+        FROM matched WHERE c_seg IS DISTINCT FROM u_seg
+    ), untouched AS (
+        SELECT * FROM open_rows
+        WHERE user_id NOT IN (SELECT user_id FROM closed)
+    ), new_keys AS (
+        SELECT u.user_id, u.segment, u.effective_ts AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+        FROM upd u WHERE u.user_id NOT IN (SELECT user_id FROM open_rows)
+    )
+    SELECT user_id, segment, valid_from, valid_to, is_current
+    FROM (
+        SELECT * FROM current_dim WHERE NOT is_current
+        UNION ALL SELECT * FROM closed
+        UNION ALL SELECT * FROM untouched
+        UNION ALL SELECT * FROM fresh
+        UNION ALL SELECT * FROM new_keys
+    )
+    ORDER BY user_id, valid_from
+    """,
+    tags=("merge", "scd2", "extension"),
+)
+def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD apply (:func:`market_etl_spark.merge.scd2_apply`) on a
+    deterministic versioned dimension: one changed key (close + new
+    open row), one no-op update (dropped), one untouched key, one
+    brand-new key, with closed history passing through untouched. The
+    oracle re-implements the Kimball contract in SQL over the same
+    literal inputs, so the operator's semantics — not the fixture —
+    are what's hash-checked. Cost shape at scale: one equi join of the
+    OPEN slice against the update delta + pure unions; history depth
+    never joins."""
+    from ..merge import scd2_apply
+
+    current = spark.createDataFrame(
+        [
+            (1, "stone", dt.datetime(2023, 6, 1), dt.datetime(2024, 1, 1), False),
+            (1, "bronze", dt.datetime(2024, 1, 1), None, True),
+            (2, "silver", dt.datetime(2024, 1, 1), None, True),
+            (3, "gold", dt.datetime(2024, 1, 1), None, True),
+        ],
+        "user_id int, segment string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "gold", dt.datetime(2024, 2, 1)),
+            (2, "silver", dt.datetime(2024, 2, 1)),
+            (4, "bronze", dt.datetime(2024, 2, 1)),
+        ],
+        "user_id int, segment string, effective_ts timestamp",
+    )
+    return scd2_apply(
+        current, updates, ["user_id"], ["segment"]
+    ).orderBy("user_id", "valid_from")

@@ -86,3 +86,42 @@ def test_snapshot_diff_classifies_all_change_types(spark):
     got = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
     # 1 removed, 2 unchanged (absent), 3 changed, 4 added
     assert got == {1: "removed", 3: "changed", 4: "added"}
+
+
+def test_scd2_apply_semantics(spark):
+    import datetime as dt
+
+    from market_etl_spark.merge import scd2_apply
+
+    current = spark.createDataFrame(
+        [
+            (1, "a", None, dt.datetime(2024, 1, 1), None, True),
+            (2, None, "x", dt.datetime(2024, 1, 1), None, True),
+        ],
+        "k int, attr string, attr2 string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    eff = dt.datetime(2024, 2, 1)
+    updates = spark.createDataFrame(
+        [
+            (1, "b", None, eff),   # attr changed (null-safe on attr2)
+            (2, None, "x", eff),   # identical incl. NULL → no-op
+        ],
+        "k int, attr string, attr2 string, effective_ts timestamp",
+    )
+    out = scd2_apply(current, updates, ["k"], ["attr", "attr2"])
+    rows = sorted(
+        ((r.k, r.attr, r.is_current, r.valid_to) for r in out.collect())
+    )
+    # k=1: closed old + new open; k=2: untouched open. 3 rows total.
+    assert rows == [
+        (1, "a", False, eff),
+        (1, "b", True, None),
+        (2, None, True, None),
+    ]
+
+    # re-applying the same updates is a no-op (idempotent): every attr
+    # now matches the open rows
+    again = scd2_apply(out, updates, ["k"], ["attr", "attr2"])
+    assert sorted(
+        ((r.k, r.attr, r.is_current, r.valid_to) for r in again.collect())
+    ) == rows
