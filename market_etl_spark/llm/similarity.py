@@ -283,7 +283,7 @@ def ann_lsh_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    tables: int = 32,
+    tables: int | None = None,
     bits: int | None = None,
     dims: int = 64,
     n: int | None = None,
@@ -294,15 +294,23 @@ def ann_lsh_topk(
 
     ``bits`` defaults to ``log2(n / 32)`` (clamped [4, 14]) so bucket
     sizes — and therefore candidate counts — stay roughly constant as
-    the corpus grows: more bits → smaller buckets → fewer candidates
-    but lower recall per table; compensate with more tables. ``n`` (the
-    corpus size the heuristic scales from) comes from planner statistics
-    when not given — no eager job. Measured 0.94 recall@10 on the
-    500-vector fixture (cosine ≈0.3-0.5 neighbors — hard for hyperplane
-    LSH).
+    the corpus grows; ``tables`` defaults to ``32 · (4/3)^(bits-5)``
+    (clamped [16, 128]) because per-table collision probability for a
+    true neighbor is ``p^bits`` (p ≈ 0.6-0.7 for the cosine range that
+    matters) — every extra bit sheds ~25-40%% of per-table recall, so
+    the table count must grow geometrically to hold overall recall
+    constant. That is LSH's actual cost law: candidate volume stays
+    ~flat (bucket size × tables), signature work grows ~(4/3)^Δbits.
+    Measured: 0.94 recall@10 at n=500 (bits 5, 32 tables) and ≥0.7 at
+    n=5000 (bits 8, 76 tables) on the same synthetic corpus. ``n``
+    comes from planner statistics when not given — no eager job.
     """
+    import math
+
     if bits is None:
         bits = _auto_bits(n if n is not None else _estimate_n(embeddings, dims), target_bucket=32)
+    if tables is None:
+        tables = max(16, min(128, math.ceil(32 * (4 / 3) ** (bits - 5))))
     sig = _hyperplane_signature_udf(dims, tables, bits)
     signed = embeddings.withColumn("_keys", sig(F.col(vec_col)))
     buckets = signed.select(
@@ -434,7 +442,7 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    tables: int = 32,
+    tables: int | None = None,
     bits: int | None = None,
     dims: int = 64,
     n: int | None = None,
@@ -443,10 +451,17 @@ def embedding_near_dup_pairs(
     exact cosine verify ≥ threshold. High-similarity pairs collide in
     ≥1 of the coarse tables with overwhelming probability; bucket
     granularity auto-scales with corpus size (constant expected bucket
-    size ⇒ candidate count grows linearly with n, never quadratically;
-    ``n`` comes from planner statistics when not given — no eager job)."""
+    size ⇒ candidate count grows linearly with n, never quadratically),
+    and the table count grows geometrically with bits to hold recall —
+    same cost law as :func:`ann_lsh_topk`. ``n`` comes from planner
+    statistics when not given (no eager job) — pass it explicitly for
+    FILTERED frames, whose planner size estimate is the whole file's."""
+    import math
+
     if bits is None:
         bits = _auto_bits(n if n is not None else _estimate_n(embeddings, dims), target_bucket=16)
+    if tables is None:
+        tables = max(16, min(128, math.ceil(32 * (4 / 3) ** (bits - 5))))
     sig = _hyperplane_signature_udf(dims, tables, bits)
     signed = embeddings.withColumn("_keys", sig(F.col(vec_col)))
     # The bucket rows carry ONLY (id, table, key): candidate pairs are

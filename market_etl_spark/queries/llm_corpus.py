@@ -587,9 +587,13 @@ def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # few hundred 3-column rows.
         .localCheckpoint()
     )
-    lsh = similarity.embedding_near_dup_pairs(audit, threshold=0.4).select(
-        "id_a", "id_b"
-    )
+    # n is passed explicitly: planner statistics on the FILTERED frame
+    # report the whole file's size (no CBO selectivity), which at sf0.1
+    # overestimated the slice 10x -> too many hyperplane bits -> recall
+    # collapse. The slice size is known by construction.
+    lsh = similarity.embedding_near_dup_pairs(
+        audit, threshold=0.4, n=_NEAR_DUP_AUDIT_IDS
+    ).select("id_a", "id_b")
     found = truth.join(lsh, ["id_a", "id_b"], "left_semi").agg(
         F.count("*").alias("hits")
     )

@@ -29,6 +29,7 @@ from .registry import query
            MIN(make_timestamp((epoch_us(ts) // 1000) * 1000)) AS first_trade,
            MAX(make_timestamp((epoch_us(ts) // 1000) * 1000)) AS last_trade
     FROM events
+    WHERE value > 0 AND ts IS NOT NULL
     GROUP BY upper(event_type)
     ORDER BY symbol
     """,
@@ -58,6 +59,7 @@ def q_trades_sanity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(day(ts) AS INT) AS day, upper(event_type) AS symbol,
            COUNT(*) AS cnt
     FROM events
+    WHERE value > 0 AND ts IS NOT NULL
     GROUP BY 1, 2, 3, 4
     ORDER BY year, month, day, symbol
     """,
@@ -83,6 +85,7 @@ def q_trades_partition_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT upper(event_type) AS symbol,
                value * CAST(event_id % 7 + 1 AS DOUBLE) AS quote_qty
         FROM events
+        WHERE value > 0 AND ts IS NOT NULL
     ), p AS (
         SELECT symbol, quantile_cont(quote_qty, 0.99) AS p99 FROM trades
         GROUP BY symbol
@@ -167,7 +170,7 @@ SYMBOL_TIERS = [
            COUNT(*) AS n_trades,
            ROUND(SUM(value * CAST(event_id % 7 + 1 AS DOUBLE)), 6) AS volume
     FROM events JOIN dim ON upper(event_type) = dim.symbol
-    WHERE dim.tier = 'conversion'
+    WHERE dim.tier = 'conversion' AND value > 0 AND ts IS NOT NULL
     GROUP BY 1, 2
     ORDER BY symbol, day
     """,
@@ -210,6 +213,7 @@ def q_trades_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) = 15
           AND upper(event_type) = 'PURCHASE'
+          AND value > 0 AND ts IS NOT NULL
     )
     SELECT hr,
            COUNT(*) AS trades,

@@ -79,13 +79,24 @@ def q_window_lag_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_window_rolling_vwap",
     oracle=f"""
-    WITH ms AS ({_MINUTE_SERIES_SQL})
+    WITH ms AS ({_MINUTE_SERIES_SQL}),
+    q AS (
+        SELECT event_type, minute,
+               CAST(ROUND(vwap_value * 1000000) AS BIGINT) AS v6,
+               CAST(vol AS BIGINT) AS voll
+        FROM ms
+    ), framed AS (
+        SELECT event_type, minute,
+               SUM(v6 * voll) OVER w AS num,
+               SUM(voll) OVER w AS den
+        FROM q
+        WINDOW w AS (PARTITION BY event_type ORDER BY minute
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    )
     SELECT event_type, minute,
-           ROUND(SUM(vwap_value * vol) OVER w / NULLIF(SUM(vol) OVER w, 0), 6)
+           CAST((2 * num + den) // (2 * den) AS DOUBLE) / 1000000
                AS rolling_vwap_5m
-    FROM ms
-    WINDOW w AS (PARTITION BY event_type ORDER BY minute
-                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    FROM framed
     ORDER BY event_type, minute
     """,
     tags=("windows", "extension"),
@@ -93,21 +104,42 @@ def q_window_lag_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window_rolling_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-minute rolling VWAP: ratio of two framed sums (ROWS BETWEEN 4
     PRECEDING AND CURRENT ROW) — incremental frame evaluation, no
-    self-join re-scan per offset."""
+    self-join re-scan per offset.
+
+    The entire computation after the per-minute aggregate runs in
+    exact INTEGER space — both the framed sums AND the final rounding:
+
+    - engines ORDER frame summation differently (sliding add/remove vs
+      segment trees), so double accumulation can differ in the last
+      ulp and straddle a rounding boundary; the per-minute vwap is
+      already quantized to 1e-6 by round6 (within one ulp of
+      integer×1e-6), so it scales losslessly to BIGINT and 64-bit sums
+      are identical in any order;
+    - engines also ROUND ties differently (Spark HALF_UP, DuckDB
+      half-even) — and a ratio of small integers CAN land exactly on a
+      tie (observed at sf0.1: 1741860003/26 = …615.5 precisely), so
+      the 6-decimal rounding is performed as integer math too:
+      ``(2·num + den) div (2·den)`` is HALF-UP in micro-units on both
+      engines by construction."""
     w = (
         Window.partitionBy("event_type")
         .orderBy("minute")
         .rowsBetween(-4, Window.currentRow)
     )
     ms = _minute_series(spark, sf_dir)
-    return ms.select(
+    v6 = F.round(F.col("vwap_value") * 1000000).cast("long")
+    voll = F.col("vol").cast("long")
+    framed = ms.select(
         "event_type",
         "minute",
-        round6(
-            safe_div(
-                F.sum(F.col("vwap_value") * F.col("vol")).over(w),
-                F.sum("vol").over(w),
-            )
+        F.sum(v6 * voll).over(w).alias("_num"),
+        F.sum(voll).over(w).alias("_den"),
+    )
+    return framed.select(
+        "event_type",
+        "minute",
+        (
+            F.expr("(2 * _num + _den) div (2 * _den)").cast("double") / 1000000
         ).alias("rolling_vwap_5m"),
     ).orderBy("event_type", "minute")
 
