@@ -84,7 +84,7 @@ def q_recursive_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS n_events,
            COUNT(CAST(props->>'$.k' AS INT)) AS n_with_k,
-           SUM(CAST(props->>'$.k' AS INT)) AS sum_k,
+           CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
            ROUND(AVG(CAST(props->>'$.k' AS INT)), 6) AS avg_k,
            MIN(CAST(props->>'$.k' AS INT)) AS min_k,
            MAX(CAST(props->>'$.k' AS INT)) AS max_k

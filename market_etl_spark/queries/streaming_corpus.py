@@ -429,7 +429,7 @@ def q_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            MIN(ts) AS session_start,
            COUNT(*) AS n_events,
-           list(event_type ORDER BY ts, event_id) AS path
+           string_agg(event_type, '→' ORDER BY ts, event_id) AS path
     FROM sess
     GROUP BY user_id, sid
     ORDER BY user_id, session_start
@@ -444,7 +444,13 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     structs → sort_array → field extraction — the struct sort carries
     the ordering through the unordered aggregate. Arrays stay
     session-sized (tens of elements); the extraction HOF runs over
-    aggregated rows only."""
+    aggregated rows only.
+
+    The path is rendered as ONE '→'-joined string, not a top-level
+    array column: the driver's canonicalizer hashes pandas values and
+    numpy arrays are unhashable (the round-2 q_value_quartiles /
+    round-3 q_session_paths failure class — guarded fleet-wide by
+    tests/test_registry_contract.py::test_no_complex_top_level_columns)."""
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
@@ -476,8 +482,8 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.count("*").alias("n_events"),
             F.expr(
-                "transform(sort_array(collect_list(struct(ts, event_id,"
-                " event_type))), x -> x.event_type)"
+                "array_join(transform(sort_array(collect_list(struct(ts,"
+                " event_id, event_type))), x -> x.event_type), '→')"
             ).alias("path"),
         )
         .drop("sid")
