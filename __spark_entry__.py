@@ -31,18 +31,13 @@ from market_etl_spark.queries import REGISTRY
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
-#: Re-check these first: round-2 red rows that were fixed (array-column
-#: harness crash) or converted from rows-only to oracle-checked via the
-#: in-query-tolerance pattern (exact value + boolean bound, oracle
-#: returns exact + TRUE).
+#: Re-check these first: round-3 red rows fixed this round (oracle
+#: HUGEINT type leak; array-column harness crash → string path).  The
+#: seven round-2 re-checks that previously lived here all went green in
+#: CORRECTNESS_r03 and now sort with the verified tail.
 _EARLY: tuple[str, ...] = (
-    "q_value_quartiles",
-    "q_approx_distinct_users",
-    "q_trades_whales_approx",
-    "llm_simhash_near_dup",
-    "llm_ann_lsh_topk",
-    "llm_ivf_topk",
-    "llm_embedding_near_dup",
+    "q_variant_props",
+    "q_session_paths",
 )
 
 #: Verified-by-pytest queries that can wait a round when the 50-slot
