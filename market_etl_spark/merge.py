@@ -147,7 +147,30 @@ def scd2_apply(
     100 TB the updates side is a delta, typically broadcastable), then
     pure unions: closed history passes through untouched, so the cost
     scales with |open slice| + |delta|, never with history depth.
+
+    CDC deltas routinely carry several changes for one key in one
+    batch; joining the open slice against a multi-row-per-key delta
+    would fan out (multiple closed rows AND multiple open rows per
+    key — a corrupted dimension).  The delta is therefore pre-reduced
+    to the LATEST row per key (greatest ``effective_col``, attribute
+    columns as a deterministic tie-break) before the join — batch
+    semantics are "apply the batch's end state", one version step per
+    apply, matching a periodically-snapshotting MERGE. Intermediate
+    same-batch versions are intentionally collapsed; callers that need
+    every intermediate version must apply batches at that granularity.
     """
+    from pyspark.sql import Window
+
+    latest = Window.partitionBy(*key_cols).orderBy(
+        F.col(effective_col).desc(),
+        *[F.col(c).desc() for c in compare_cols],
+    )
+    updates = (
+        updates.withColumn("_rn", F.row_number().over(latest))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
     chg = [
         ~F.col(f"c.{a}").eqNullSafe(F.col(f"u.{a}")) for a in compare_cols
     ]

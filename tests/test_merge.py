@@ -125,3 +125,43 @@ def test_scd2_apply_semantics(spark):
     assert sorted(
         ((r.k, r.attr, r.is_current, r.valid_to) for r in again.collect())
     ) == rows
+
+
+def test_scd2_apply_multi_update_per_key_takes_latest(spark):
+    """A CDC batch with several changes for one key must not fan out
+    the open slice (multiple closed + multiple is_current rows for the
+    same key). The delta is pre-reduced to its latest row per key, so
+    one apply = one version step to the batch's end state."""
+    import datetime as dt
+
+    from market_etl_spark.merge import scd2_apply
+
+    current = spark.createDataFrame(
+        [(1, "a", None, dt.datetime(2024, 1, 1), None, True)],
+        "k int, attr string, attr2 string, valid_from timestamp,"
+        " valid_to timestamp, is_current boolean",
+    )
+    t1, t2, t3 = (dt.datetime(2024, 2, d) for d in (1, 2, 3))
+    updates = spark.createDataFrame(
+        [(1, "b", None, t1), (1, "c", None, t3), (1, "bb", None, t2),
+         (5, "n1", None, t1), (5, "n2", None, t2)],
+        "k int, attr string, attr2 string, effective_ts timestamp",
+    )
+    out = scd2_apply(current, updates, ["k"], ["attr", "attr2"])
+    rows = sorted(
+        (r.k, r.attr, r.is_current, r.valid_from, r.valid_to)
+        for r in out.collect()
+    )
+    # k=1: one closed row (valid_to = latest effective t3) + one open
+    # row carrying the latest attrs; k=5 (brand-new): ONE open row from
+    # its latest update. No duplicates.
+    assert rows == [
+        (1, "a", False, dt.datetime(2024, 1, 1), t3),
+        (1, "c", True, t3, None),
+        (5, "n2", True, t2, None),
+    ]
+    open_per_key = {}
+    for r in out.collect():
+        if r.is_current:
+            open_per_key[r.k] = open_per_key.get(r.k, 0) + 1
+    assert all(v == 1 for v in open_per_key.values())
