@@ -65,17 +65,6 @@ def with_minhash_signature(
     )
 
 
-#: Diagnostic handle to the most recent `_bucket_pairs` overflow guard:
-#: after an action on the returned frame, ``LAST_BUCKET_GUARD.get`` holds
-#: {"n_dropped_buckets": …, "max_bucket_size": …}. Zero-cost (CollectMetrics
-#: rides the existing pass); exists so oversized-bucket drops are observable,
-#: never silent. Caveat: if EVERY bucket is dropped and AQE's
-#: empty-relation propagation collapses the downstream plan, the metrics
-#: row is lost with it (Spark behavior; the cap itself still applied) —
-#: ``.get`` then raises, so diagnostics on degenerate corpora should read
-#: it with AQE off.
-LAST_BUCKET_GUARD = None
-
 #: Buckets larger than this never expand to pairs. At the auto-scaled
 #: E[bucket] ≈ 16-32, a bucket 100× over target is a degenerate key
 #: (empty-shingle docs, constant content) whose |B|² expansion could sink
@@ -97,9 +86,18 @@ def _bucket_pairs(
     signature expressions for each side), one shuffle on (band, key),
     and the pair blow-up is bounded by bucket sizes — LSH's contract.
     ``max_bucket`` makes that contract a hard guarantee: degenerate keys
-    are dropped (counted via the observed metric, see
-    :data:`LAST_BUCKET_GUARD`) instead of expanding quadratically inside
-    one task.
+    are dropped instead of expanding quadratically inside one task.  The
+    drop is observable, never silent: the returned frame carries a
+    ``bucket_guard`` attribute (an :class:`Observation`; after an action
+    on the frame ``.get`` holds {"n_dropped_buckets": …,
+    "max_bucket_size": …}).  Each call gets its OWN observation — a
+    per-frame handle, not process state — so two frames built before
+    their actions run each report their own metric.  Zero-cost
+    (CollectMetrics rides the existing pass).  Caveat: if EVERY bucket
+    is dropped and AQE's empty-relation propagation collapses the
+    downstream plan, the metrics row is lost with it (Spark behavior;
+    the cap itself still applied) — ``.get`` then raises, so
+    diagnostics on degenerate corpora should read it with AQE off.
 
     With ``size_ratio`` t, the input must carry a ``sz`` column; pairs
     failing the length filter min(sz) ≥ t·max(sz) are dropped DURING
@@ -107,8 +105,7 @@ def _bucket_pairs(
     and on low-entropy corpora it prunes most of the candidate set
     before the expensive exact verify).
     """
-    global LAST_BUCKET_GUARD
-
+    guard = None
     elem = f"struct({id_col}, sz)" if size_ratio is not None else id_col
     buckets = (
         exploded.groupBy("band", "key")
@@ -118,9 +115,9 @@ def _bucket_pairs(
     if max_bucket is not None:
         from pyspark.sql import Observation
 
-        LAST_BUCKET_GUARD = Observation("lsh_bucket_guard")
+        guard = Observation("lsh_bucket_guard")
         buckets = buckets.observe(
-            LAST_BUCKET_GUARD,
+            guard,
             F.sum((F.size("ids") > max_bucket).cast("long")).alias(
                 "n_dropped_buckets"
             ),
@@ -132,17 +129,18 @@ def _bucket_pairs(
             "i -> transform(slice(ids, i + 1, size(ids) - i), "
             "p -> struct(element_at(ids, i) as id_a, p as id_b))))"
         )
-        pairs = buckets.select(F.explode(F.expr(pair_expr)).alias("pair"))
-        return pairs.select("pair.id_a", "pair.id_b").distinct()
-    pair_expr = (
-        "flatten(transform(sequence(1, size(ids) - 1), "
-        "i -> filter(transform(slice(ids, i + 1, size(ids) - i), "
-        f"p -> struct(element_at(ids, i).{id_col} as id_a, p.{id_col} as id_b, "
-        f"element_at(ids, i).sz as sz_a, p.sz as sz_b)), "
-        f"pr -> least(pr.sz_a, pr.sz_b) >= {size_ratio} * greatest(pr.sz_a, pr.sz_b))))"
-    )
+    else:
+        pair_expr = (
+            "flatten(transform(sequence(1, size(ids) - 1), "
+            "i -> filter(transform(slice(ids, i + 1, size(ids) - i), "
+            f"p -> struct(element_at(ids, i).{id_col} as id_a, p.{id_col} as id_b, "
+            f"element_at(ids, i).sz as sz_a, p.sz as sz_b)), "
+            f"pr -> least(pr.sz_a, pr.sz_b) >= {size_ratio} * greatest(pr.sz_a, pr.sz_b))))"
+        )
     pairs = buckets.select(F.explode(F.expr(pair_expr)).alias("pair"))
-    return pairs.select("pair.id_a", "pair.id_b").distinct()
+    out = pairs.select("pair.id_a", "pair.id_b").distinct()
+    out.bucket_guard = guard
+    return out
 
 
 def verify_jaccard(
@@ -212,7 +210,9 @@ def minhash_near_dup_pairs(
     banded = minhash_band_rows(sh_rows, id_col, k, bands, rows)
     cands = _bucket_pairs(banded, id_col)
     sets_ = sh_rows.groupBy(id_col).agg(F.collect_set("shingle").alias("sh"))
-    return verify_jaccard(cands, sets_, id_col, "sh", threshold)
+    out = verify_jaccard(cands, sets_, id_col, "sh", threshold)
+    out.bucket_guard = cands.bucket_guard
+    return out
 
 
 def _shingle_rows_distinct(
@@ -390,7 +390,9 @@ def prefix_filter_pairs(
     # verify against the md5 sets (J over injective hashes == J over
     # shingles) — rebuilt from the same exploded rows.
     sets_ = h_rows.groupBy(id_col).agg(F.sort_array(F.collect_set("h")).alias("_ordered"))
-    return verify_jaccard(cands, sets_, id_col, "_ordered", threshold)
+    out = verify_jaccard(cands, sets_, id_col, "_ordered", threshold)
+    out.bucket_guard = cands.bucket_guard
+    return out
 
 
 # ---------------------------------------------------------------------------

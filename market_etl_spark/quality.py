@@ -10,6 +10,7 @@ accumulator-style aggregates collected as a side effect of the write.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, Observation
@@ -130,9 +131,27 @@ def expect_in_range(col: str, lo, hi) -> tuple[str, Column]:
     )
 
 
+#: Expectation names are spliced into a ``stack()`` SQL expression, so
+#: they must be plain identifiers — anything else (quotes, spaces,
+#: hyphens) would produce a broken or injectable expression at runtime.
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
+def _check_ident(name: str) -> str:
+    if not _IDENT_RE.match(name):
+        raise ValueError(
+            f"expectation name {name!r} is not a valid identifier "
+            "([A-Za-z_][A-Za-z0-9_]*) — it is interpolated into a SQL "
+            "stack() expression"
+        )
+    return name
+
+
 def expect_custom(name: str, violation: Column) -> tuple[str, Column]:
-    """Arbitrary per-row violation predicate."""
-    return (name, F.count_if(violation).cast("long"))
+    """Arbitrary per-row violation predicate.  ``name`` must be a plain
+    identifier (validated here for an early failure; re-validated in
+    :func:`run_expectations` for suites built by hand)."""
+    return (_check_ident(name), F.count_if(violation).cast("long"))
 
 
 def run_expectations(df: DataFrame, expectations: list[tuple[str, Column]]) -> DataFrame:
@@ -144,7 +163,13 @@ def run_expectations(df: DataFrame, expectations: list[tuple[str, Column]]) -> D
     the reference recomputed its lineage per metric). The long report
     shape (one row per expectation: name, violations, passed) feeds
     dashboards and CI gates without schema churn when checks are added.
+
+    Names are validated as identifiers before being spliced into the
+    ``stack()`` projection (suites can be hand-built tuples, not just
+    the ``expect_*`` helpers).
     """
+    for name, _ in expectations:
+        _check_ident(name)
     wide = df.agg(
         F.count(F.lit(1)).alias("_rows"),
         *[expr.alias(name) for name, expr in expectations],

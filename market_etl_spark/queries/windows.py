@@ -94,7 +94,8 @@ def q_window_lag_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
     )
     SELECT event_type, minute,
-           CAST((2 * num + den) // (2 * den) AS DOUBLE) / 1000000
+           CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                * ((2 * ABS(num) + den) // (2 * den)) AS DOUBLE) / 1000000
                AS rolling_vwap_5m
     FROM framed
     ORDER BY event_type, minute
@@ -119,8 +120,13 @@ def q_window_rolling_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
       half-even) — and a ratio of small integers CAN land exactly on a
       tie (observed at sf0.1: 1741860003/26 = …615.5 precisely), so
       the 6-decimal rounding is performed as integer math too:
-      ``(2·num + den) div (2·den)`` is HALF-UP in micro-units on both
-      engines by construction."""
+      ``sign(num) · ((2·|num| + den) div (2·den))`` is HALF-AWAY-FROM-
+      ZERO in micro-units on both engines by construction.  The
+      explicit sign guard matters: Spark's ``div`` truncates toward
+      zero while DuckDB's ``//`` floors, so a NEGATIVE numerator
+      (events.value is not guaranteed positive) would otherwise
+      diverge between engines; over ``|num| ≥ 0`` and ``den > 0``
+      floor and truncate coincide."""
     w = (
         Window.partitionBy("event_type")
         .orderBy("minute")
@@ -139,7 +145,11 @@ def q_window_rolling_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "minute",
         (
-            F.expr("(2 * _num + _den) div (2 * _den)").cast("double") / 1000000
+            F.expr(
+                "(CASE WHEN _num < 0 THEN -1 ELSE 1 END)"
+                " * ((2 * abs(_num) + _den) div (2 * _den))"
+            ).cast("double")
+            / 1000000
         ).alias("rolling_vwap_5m"),
     ).orderBy("event_type", "minute")
 

@@ -125,3 +125,26 @@ def test_expectations_one_pass_and_counts(spark):
     # one scan of the local relation
     plan = run_expectations(df, suite)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ExistingRDD") + plan.count("LocalTableScan") == 1
+
+
+def test_expectation_names_must_be_identifiers(spark):
+    """Names are interpolated into a stack() SQL expression — anything
+    but a plain identifier must be rejected up front, not produce a
+    broken/injectable expression at runtime."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from market_etl_spark.quality import expect_custom, run_expectations
+
+    df = spark.createDataFrame([(1,)], "id long")
+    for bad in ("has space", "quo'te", "da-sh", "1starts_digit", ""):
+        with pytest.raises(ValueError, match="identifier"):
+            expect_custom(bad, F.col("id") < 0)
+        with pytest.raises(ValueError, match="identifier"):
+            run_expectations(df, [(bad, F.count_if(F.col("id") < 0))])
+    # a valid hand-built tuple still passes
+    out = run_expectations(
+        df, [("ok_name", F.count_if(F.col("id") < 0).cast("long"))]
+    ).collect()
+    assert out[0].passed

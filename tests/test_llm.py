@@ -319,22 +319,26 @@ def test_bucket_pairs_caps_degenerate_buckets(spark):
 
     # AQE's empty-relation propagation drops the CollectMetrics node
     # when the whole candidate set is capped away (documented on
-    # LAST_BUCKET_GUARD); pin it off so the guard metric is readable.
+    # _bucket_pairs); pin it off so the guard metric is readable.
     prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         # Cap far below the degenerate bucket size: candidate set must
         # be empty and the guard must report every band's bucket drop.
+        # The guard is a PER-FRAME attribute (not process state), so
+        # build BOTH frames up front — each must report its own metric
+        # even when actions run later (the ADVICE r3 interleaving bug).
         pairs = dedup._bucket_pairs(banded, "doc_id", max_bucket=100)
+        pairs_uncapped = dedup._bucket_pairs(banded, "doc_id")
+
         assert pairs.count() == 0
-        guard = dedup.LAST_BUCKET_GUARD.get
+        guard = pairs.bucket_guard.get
         assert guard["n_dropped_buckets"] >= 16
         assert guard["max_bucket_size"] == n_docs
 
         # Default cap (4096) is above this corpus: nothing is dropped
         # and the full quadratic pair set comes through.
-        pairs_uncapped = dedup._bucket_pairs(banded, "doc_id")
         assert pairs_uncapped.count() == n_docs * (n_docs - 1) // 2
-        assert dedup.LAST_BUCKET_GUARD.get["n_dropped_buckets"] == 0
+        assert pairs_uncapped.bucket_guard.get["n_dropped_buckets"] == 0
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
