@@ -98,7 +98,14 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "dup_count").orderBy("doc_id")
 
 
-@query("llm_minhash_near_dup", oracle=_PAIRS_ORACLE, tags=("llm", "dedup-minhash-lsh"))
+@query(
+    "llm_minhash_near_dup",
+    oracle=_PAIRS_ORACLE,
+    tags=("llm", "dedup-minhash-lsh"),
+    # Oracle is O(n²) brute force (all-pairs Jaccard): measured 18+ min
+    # in DuckDB over the 5k-doc sf0.1 corpus vs seconds at sf0.01.
+    max_verify_sf=0.01,
+)
 def llm_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64)-LSH(16×4) banded candidates → exact-Jaccard verify
     ≥0.8 over 3-word shingles. The oracle brute-forces all pairs; LSH
@@ -108,7 +115,13 @@ def llm_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_near_dup_pairs(_docs(spark, sf_dir)).orderBy("id_a", "id_b")
 
 
-@query("llm_ngram_jaccard_pairs", oracle=_PAIRS_ORACLE, tags=("llm", "dedup-ngram"))
+@query(
+    "llm_ngram_jaccard_pairs",
+    oracle=_PAIRS_ORACLE,
+    tags=("llm", "dedup-ngram"),
+    # Same O(n²) brute-force oracle as llm_minhash_near_dup.
+    max_verify_sf=0.01,
+)
 def llm_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT n-gram Jaccard self-join ≥0.8 via prefix filtering (ppjoin
     principle): index only each doc's smallest (1-t)·|S|+1 shingles
@@ -151,6 +164,8 @@ def llm_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id
     """,
     tags=("llm", "dedup-clusters"),
+    # Oracle: O(n²) all-pairs + recursive-CTE fixpoint — sf0.01 only.
+    max_verify_sf=0.01,
 )
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS, not just pairs: connected components over the
@@ -183,6 +198,8 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE jaccard >= 0.8
     """,
     tags=("llm", "dedup-simhash"),
+    # Oracle: O(n²) all-pairs Jaccard ground truth — sf0.01 only.
+    max_verify_sf=0.01,
 )
 def llm_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64-bit) near-dup bands audited against exact Jaccard

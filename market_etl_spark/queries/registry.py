@@ -27,19 +27,33 @@ class QuerySpec:
     oracle: str | None
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
+    #: Largest scale factor at which the ORACLE is feasible.  The Spark
+    #: side scales fine; this caps verification when the DuckDB oracle
+    #: is O(n²) by design (brute-force all-pairs ground truth — measured
+    #: 18+ min over the 5k-doc sf0.1 corpus vs seconds at sf0.01).
+    #: ``None`` = no cap.  Harnesses (tools/check.py) skip the oracle
+    #: compare above this SF instead of hanging in DuckDB.
+    max_verify_sf: float | None = None
 
 
 #: name -> spec; populated at import time by the query modules.
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+def query(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    max_verify_sf: float | None = None,
+):
     """Decorator registering a query builder under ``name``."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = QuerySpec(name, fn, oracle, fn.__doc__ or "", tuple(tags))
+        REGISTRY[name] = QuerySpec(
+            name, fn, oracle, fn.__doc__ or "", tuple(tags), max_verify_sf
+        )
         return fn
 
     return deco

@@ -97,6 +97,28 @@ def test_no_complex_top_level_columns_side_effect(spark, name):
     _assert_flat(name, REGISTRY[name].fn(spark, SF_SMOKE).schema)
 
 
+def test_quadratic_oracles_pinned_to_small_sf():
+    """The four queries whose DuckDB oracle brute-forces all pairs
+    (O(n²) ground truth; measured 18+ min at sf0.1 vs seconds at
+    sf0.01) must carry a spec-level scale cap so a harness running at
+    sf0.1 skips the oracle instead of hanging."""
+    quadratic = {
+        "llm_minhash_near_dup",
+        "llm_ngram_jaccard_pairs",
+        "llm_dedup_clusters",
+        "llm_simhash_near_dup",
+    }
+    for name in quadratic:
+        spec = REGISTRY[name]
+        assert spec.max_verify_sf is not None and spec.max_verify_sf <= 0.01, (
+            f"{name} has an O(n²) oracle but no max_verify_sf cap"
+        )
+    uncapped = {
+        n for n, s in REGISTRY.items() if s.max_verify_sf is None and s.oracle
+    }
+    assert quadratic.isdisjoint(uncapped)
+
+
 def test_coverage_md_counts_match_registry():
     """COVERAGE.md's headline totals are claims about REGISTRY; derive
     them here so the doc can't drift (r3: README said 124 while the
