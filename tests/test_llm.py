@@ -134,6 +134,36 @@ def test_ann_topk_recall_vs_brute_force(spark):
     assert recall >= 0.8, f"ANN recall {recall}"
 
 
+def test_ann_multiprobe_beats_single_probe_cost_curve(spark):
+    """The round-3 cost-curve item: multi-probe must hold the recall
+    floor at ≤50% of the single-probe table count.  At bits=5 the
+    legacy law used 32 tables; 12 tables with all-single-bit probes
+    must do at least as well (offline sweep: 1.00 vs 0.90 mean
+    recall@10 on this corpus).  Also pins the legacy path (probes=0)
+    so the fallback stays available."""
+    emb = load(spark, SF_SMOKE, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    bf = {(r.query_id, r.neighbor_id) for r in similarity.brute_force_topk(emb, qids).collect()}
+
+    mp = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_lsh_topk(
+            emb, qids, tables=12, bits=5, probes=5
+        ).collect()
+    }
+    recall_mp = len(bf & mp) / len(bf)
+    assert recall_mp >= 0.9, f"multi-probe recall {recall_mp} at 12 tables"
+
+    legacy = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_lsh_topk(
+            emb, qids, tables=32, bits=5, probes=0
+        ).collect()
+    }
+    recall_legacy = len(bf & legacy) / len(bf)
+    assert recall_legacy >= 0.8, f"single-probe recall {recall_legacy}"
+
+
 def test_ivf_topk_recall_vs_brute_force(spark):
     emb = load(spark, SF_SMOKE, "embeddings")
     qids = [0, 1, 2, 3, 4]
