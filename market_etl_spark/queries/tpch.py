@@ -760,3 +760,490 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2/Q4/Q9/Q11/Q12/Q16/Q20/Q21 — the eight queries whose canonical forms
+# need columns the driver testdata doesn't ship (partsupp, ps_supplycost/
+# ps_availqty, l_commitdate/l_receiptdate, l_shipmode).  Each is adapted to
+# the shipped columns while preserving the canonical PLAN SHAPE the query
+# exists to exercise: Q2's correlated-min subquery, Q4's EXISTS semi-join,
+# Q9's LIKE-filtered 5-way profit join, Q11's HAVING-vs-global-scalar,
+# Q12's conditional mode split, Q16's NOT IN + COUNT(DISTINCT), Q20's
+# nested-IN chain, Q21's EXISTS ∧ NOT EXISTS double correlation.  The
+# partsupp relation is derived as DISTINCT (l_partkey, l_suppkey) from
+# lineitem; "supply cost" is the pair's minimum observed unit price.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_tpch_q2",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_acctbal AS s_acctbal, s.s_name AS s_name, n.n_name AS n_name,
+           p.p_partkey AS p_partkey, p.p_name AS p_name,
+           ROUND(ps.unit_cost, 6) AS min_cost
+    FROM part p
+    JOIN ps ON ps.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size = 15 AND p.p_name LIKE '%ring'
+      AND r.r_name = 'EUROPE'
+      AND ps.unit_cost = (
+          SELECT MIN(ps2.unit_cost)
+          FROM ps ps2
+          JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+          JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+          JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+          WHERE ps2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    tags=("tpch", "joins", "subquery", "extension"),
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 minimum-cost supplier.  partsupp is derived from the fact
+    table (one groupBy over lineitem — the only full-fact shuffle here);
+    supply cost is the pair's minimum unit price.  The correlated
+    "= (SELECT MIN ...)" subquery is decorrelated into a window MIN over
+    the region-eligible pairs partitioned by part — the same shape
+    Catalyst rewrites the SQL form into — so the per-part minimum costs
+    one extra exchange over the already-small eligible set, never a
+    re-scan of lineitem.  Dimension chain (supplier→nation→region) and
+    the size/name-filtered part list both ride broadcasts.  The ORDER BY
+    carries (s_name, p_partkey) so the LIMIT boundary is total-ordered
+    and deterministic across engines."""
+    from pyspark.sql import Window
+
+    l = load(spark, sf_dir, "lineitem")
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    sn = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 15) & F.col("p_name").like("%ring"))
+        .select("p_partkey", "p_name")
+    )
+    eligible = (
+        ps.join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        eligible.withColumn("_mn", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("_mn"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            round6(F.col("unit_cost")).alias("min_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q4",
+    oracle="""
+    SELECT o.o_orderpriority AS o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("tpch", "joins", "subquery", "extension"),
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 order-priority check.  The canonical late-lineitem EXISTS
+    (l_commitdate < l_receiptdate — columns not shipped) becomes an
+    EXISTS over returned lineitems (l_returnflag = 'R'): the load-bearing
+    shape is the correlated EXISTS → LEFT SEMI join, which deduplicates
+    order keys inside the join instead of a DISTINCT afterwards.  The
+    quarter predicate prunes orders at its scan; the semi-join probe side
+    carries only l_orderkey, so the exchange moves 8 bytes per matching
+    line at any scale."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    l = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_tpch_q9",
+    oracle="""
+    SELECT nation, o_year, ROUND(SUM(amount), 6) AS sum_profit
+    FROM (
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS INT) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount)
+                   - p.p_retailprice * l.l_quantity / 100.0 AS amount
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE p.p_name LIKE '%widget'
+    )
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    tags=("tpch", "joins", "extension"),
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 product-type profit.  Supply cost (ps_supplycost not
+    shipped) is proxied as 1% of the part's retail price per unit, which
+    keeps the canonical profit expression referencing THREE tables'
+    columns post-join.  The LIKE-filtered part list and the
+    supplier→nation chain broadcast, so lineitem reaches the orders join
+    already sliced to the ~1/8 of rows matching the part filter; that
+    orders join is the query's one real key-to-key exchange (orders
+    carries only (orderkey, year)), and AQE is free to flip it to
+    broadcast when the slice is small enough."""
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = load(spark, sf_dir, "lineitem")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") / F.lit(100.0)
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(round6(F.sum(amount)).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "q_tpch_q11",
+    oracle="""
+    WITH val AS (
+        SELECT l.l_partkey AS l_partkey,
+               SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                   * CAST(l.l_quantity AS BIGINT)) AS value_cents
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_7'
+        GROUP BY l.l_partkey
+    )
+    SELECT l_partkey AS p_partkey,
+           CAST(value_cents AS BIGINT) AS part_value_cents
+    FROM val
+    WHERE value_cents * (SELECT COUNT(*) FROM val)
+          > 2 * (SELECT CAST(SUM(value_cents) AS BIGINT) FROM val)
+    ORDER BY part_value_cents DESC, p_partkey
+    """,
+    tags=("tpch", "subquery", "extension"),
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 important stock.  Stock value (ps_supplycost ×
+    ps_availqty not shipped) is the part's total extendedprice·quantity
+    over one nation's suppliers, in EXACT integer cents — the repo's
+    micro-unit discipline (queries/windows.py) — so the HAVING-vs-global
+    -scalar comparison (value > 2× the mean part value, expressed as
+    value·n_parts > 2·total so the fraction self-scales with SF like the
+    canonical 0.0001/SF) is bit-deterministic across engines instead of
+    hanging on float accumulation order.  Shape: one nation-sliced
+    aggregate over the fact, a 1-row global sum broadcast back via
+    crossJoin, and the threshold filter — the canonical
+    aggregate/scalar-subquery plan with no second fact scan
+    (localCheckpoint materializes the per-part aggregate for both
+    consumers)."""
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    l = load(spark, sf_dir, "lineitem")
+    cents = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * F.col("l_quantity").cast("long")
+    )
+    val = (
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(cents).alias("value_cents"))
+        .localCheckpoint()
+    )
+    total = val.agg(
+        F.sum("value_cents").alias("_total"), F.count("*").alias("_nparts")
+    )
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * F.col("_nparts") > 2 * F.col("_total"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("value_cents").alias("part_value_cents"),
+        )
+        .orderBy(F.col("part_value_cents").desc(), "p_partkey")
+    )
+
+
+@query(
+    "q_tpch_q12",
+    oracle="""
+    SELECT l.l_linestatus AS l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    tags=("tpch", "joins", "extension"),
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shipping-mode priority split.  l_shipmode isn't shipped,
+    so the grouping dimension is l_linestatus — the load-bearing shape is
+    unchanged: a year-sliced fact scan joining orders, with the
+    URGENT/HIGH split computed as two conditional sums in ONE aggregate
+    pass (no per-priority re-scan).  The ship-date range is a pushed scan
+    predicate; the join moves only (orderkey, priority)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "q_tpch_q16",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand AS p_brand, p.p_type AS p_type, p.p_size AS p_size,
+           COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_name NOT LIKE 'blue%'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND ps.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    tags=("tpch", "joins", "subquery", "extension"),
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 parts/supplier relationship.  partsupp := DISTINCT
+    (l_partkey, l_suppkey); the "customer complaints" exclusion becomes
+    suppliers with negative account balance.  Shape preserved exactly:
+    a NOT IN over a non-null key column compiles to a LEFT ANTI join
+    (broadcast — the exclusion list is tiny), the brand/name/size
+    predicates prune part before ITS broadcast, and COUNT(DISTINCT
+    suppkey) per (brand, type, size) is the one exchange, keyed on the
+    output grouping."""
+    l = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    bad = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("_bad"))
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#5")
+            & ~F.col("p_name").like("blue%")
+            & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        l.join(F.broadcast(bad), F.col("l_suppkey") == F.col("_bad"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q_tpch_q20",
+    oracle="""
+    SELECT s.s_name AS s_name, ROUND(s.s_acctbal, 6) AS s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'AFRICA'
+      AND s.s_suppkey IN (
+          SELECT l.l_suppkey FROM lineitem l
+          WHERE l.l_partkey IN
+                (SELECT p_partkey FROM part WHERE p_name LIKE 'hot%')
+            AND l.l_shipdate >= TIMESTAMP '1998-01-01'
+            AND l.l_shipdate < TIMESTAMP '1999-01-01'
+          GROUP BY l.l_suppkey, l.l_partkey
+          HAVING SUM(l.l_quantity) > 30
+      )
+    ORDER BY s_name
+    """,
+    tags=("tpch", "joins", "subquery", "extension"),
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 potential part promotion.  The availqty threshold (not
+    shipped) becomes a shipped-quantity threshold: suppliers who moved
+    > 30 units of some 'hot%' part in 1998.  The canonical nested-IN
+    chain is preserved as its decorrelated plan: part-name filter →
+    broadcast semi onto the year-sliced fact, a (suppkey, partkey)
+    HAVING aggregate, then a LEFT SEMI from supplier into the qualifying
+    keys, with the nation→region chain broadcast.  Quantities are
+    integral doubles, so the HAVING sum is exact on both engines."""
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("hot%"))
+        .select("p_partkey")
+    )
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    qualifying = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 30)
+        .select("l_suppkey")
+    )
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+    return (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", round6(F.col("s_acctbal")).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "q_tpch_q21",
+    oracle="""
+    WITH l1 AS (
+        SELECT l.l_orderkey, l.l_suppkey FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_returnflag = 'R' AND o.o_orderstatus = 'F'
+    )
+    SELECT s.s_name AS s_name, COUNT(*) AS numwait
+    FROM l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_4'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+    tags=("tpch", "joins", "subquery", "extension"),
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 suppliers who kept orders waiting.  The late-delivery
+    predicate (receipt/commit dates not shipped) becomes l_returnflag =
+    'R': count, per NATION_4 supplier, the returned lines in finished
+    multi-supplier orders where THIS supplier was the only one with a
+    return — the double correlation (EXISTS another-supplier line ∧ NOT
+    EXISTS another-supplier returned line) compiles to a LEFT SEMI plus
+    a LEFT ANTI join, each on the order key with the supplier-inequality
+    residual evaluated inside the join.  Both probe sides project two
+    8-byte keys; the anti side pre-filters to returned lines only."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    l = load(spark, sf_dir, "lineitem")
+    l1 = (
+        l.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+    )
+    l2 = l.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
+    )
+    l3 = (
+        l.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3"))
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("_ok2"))
+            & (F.col("l_suppkey") != F.col("_sk2")),
+            "left_semi",
+        ).join(
+            l3,
+            (F.col("l_orderkey") == F.col("_ok3"))
+            & (F.col("l_suppkey") != F.col("_sk3")),
+            "left_anti",
+        )
+    )
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_4")
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        waiting.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
