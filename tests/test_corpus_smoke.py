@@ -16,8 +16,9 @@ from conftest import SF_SMOKE
 #: Queries allowed to return 0 rows at the tiny smoke scale factor.
 #: q_tpch_q7 filters to two specific nations' suppliers — sf0.001 has
 #: only 10 suppliers total and none from that pair (sf0.01, the
-#: driver's scale, yields 14 rows).
-MAY_BE_EMPTY: set[str] = {"q_tpch_q7"}
+#: driver's scale, yields 14 rows).  q_tpch_q11 slices to NATION_7's
+#: suppliers, of which sf0.001 has zero (sf0.01 has 6 → 197 rows).
+MAY_BE_EMPTY: set[str] = {"q_tpch_q7", "q_tpch_q11"}
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
