@@ -378,3 +378,57 @@ def contamination_report(
         )
         .withColumnRenamed("train_id", id_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted priority sampling (deterministic, without replacement)
+# ---------------------------------------------------------------------------
+def priority_key(key: Column, weight: Column, seed: str = "wsample-v1") -> Column:
+    """Deterministic priority for weight-sensitive sampling without
+    replacement: ``u / w`` where ``u`` is the md5-derived uniform 32-bit
+    integer (+1, never zero) and ``w`` the item's weight — the k items
+    with the SMALLEST priorities form the sample (priority sampling,
+    Duffield/Lund/Thorup JACM 2007: selection probability grows with
+    weight; estimates from the sample are unbiased under their
+    threshold estimator).
+
+    Engine-portable by construction: the uniform comes from md5 (same
+    trick as :func:`hash_bucket`) and the only arithmetic is ONE
+    IEEE-754 double division, which every conforming engine rounds
+    identically — so the selected SET (not just its distribution) is
+    bit-reproducible across Spark, DuckDB, and re-runs, which is what
+    an auditable training-mixture pipeline needs."""
+    digest = F.md5(F.concat_ws("|", F.lit(seed), key.cast("string")))
+    u = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long") + F.lit(1)
+    return (u.cast("double") / weight.cast("double")).alias("priority")
+
+
+def priority_key_sql(key_expr: str, weight_expr: str, seed: str = "wsample-v1") -> str:
+    """DuckDB rendering of :func:`priority_key` (same digest, same
+    single division)."""
+    return (
+        f"(CAST(('0x' || substring(md5('{seed}' || '|' || CAST({key_expr} AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) + 1)::DOUBLE / CAST({weight_expr} AS DOUBLE)"
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "wsample-v1",
+) -> DataFrame:
+    """The k rows with the smallest :func:`priority_key` (ties broken by
+    key) — a weighted sample without replacement that is a pure
+    function of (keys, weights, seed). Plans as TakeOrderedAndProject:
+    each partition keeps its local top-k, the driver merges k·P rows —
+    no global sort, no shuffle of the data itself, so it runs at any
+    corpus size for any sane k."""
+    return (
+        df.withColumn(
+            "priority", priority_key(F.col(key_col), F.col(weight_col), seed)
+        )
+        .orderBy("priority", key_col)
+        .limit(k)
+    )

@@ -657,3 +657,164 @@ def dedup_against_index(
         .select("id_new", "id_corpus", "jaccard")
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# PassJoin: exact edit-distance self-join via segment pigeonhole
+# ---------------------------------------------------------------------------
+def passjoin_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_distance: int = 4,
+) -> DataFrame:
+    """EXACT edit-distance self-join: all pairs with
+    ``levenshtein(a, b) <= max_distance`` — no cross join, no sketch.
+
+    PassJoin (Li/Deng/Feng, VLDB 2011) pigeonhole: partition every
+    indexed string of length L into ``k = d+1`` contiguous segments
+    (the ``rem = L mod k`` longer ones last, deterministically). If
+    ``ed(a, b) <= d``, the <=d edit operations touch at most d of a's
+    k segments, so at least ONE segment survives untouched and appears
+    in b as an exact substring, displaced by at most the net indel
+    count before it (<= d). So an equi-join of a's segments against
+    b's substrings at positions within +-d of the segment start —
+    restricted to candidate source lengths ``Ls in [Lt-d, Lt+d]``,
+    since edit distance lower-bounds the length gap — is a provably
+    lossless candidate generator. An exact ``levenshtein`` with the
+    engine's early-exit threshold form then removes false candidates.
+
+    Cost shape: each doc emits k index segments and at most
+    ``(2d+1) lengths x k segments x (2d+1) positions`` probe
+    substrings (405 rows at d=4) — a CONSTANT per-doc expansion, all
+    codegen (sequence/explode/substring), joined hash-equi on
+    ``(source_len, segment_idx, content)``. Work is linear in corpus
+    size with small constants; bodies are joined back only for the
+    per-candidate verify. Compare :func:`prefix_filter_pairs` (set
+    similarity) — this is its string-metric sibling for typo-grade
+    near-dup detection where token sets barely move.
+    """
+    d, k = max_distance, max_distance + 1
+    base = docs.select(
+        F.col(id_col), F.col(text_col).alias("_t"), F.length(text_col).alias("_L")
+    )
+    # Segment scheme for a length expressed as SQL over column `n`:
+    #   base = n div k, rem = n % k; segment i has
+    #   len_i = base + (i >= k - rem), start_i = i*base + max(0, i-(k-rem)).
+    def seg_len(n: str, i: str) -> str:
+        return f"({n} div {k}) + CAST({i} >= {k} - ({n} % {k}) AS INT)"
+
+    def seg_start(n: str, i: str) -> str:
+        return f"{i} * ({n} div {k}) + greatest(0, {i} - ({k} - ({n} % {k})))"
+
+    idx = base.select(
+        F.col(id_col).alias("_id_src"),
+        F.col("_L").alias("_Ls"),
+        F.expr(f"explode(sequence(0, {k - 1}))").alias("_i"),
+        "_t",
+    ).select(
+        "_id_src",
+        "_Ls",
+        "_i",
+        F.expr(f"substring(_t, {seg_start('_Ls', '_i')} + 1, {seg_len('_Ls', '_i')})").alias(
+            "_seg"
+        ),
+    )
+    probe = (
+        base.select(
+            F.col(id_col).alias("_id_probe"),
+            F.col("_L").alias("_Lt"),
+            "_t",
+            F.expr(f"explode(sequence(greatest(_L - {d}, {k}), _L + {d}))").alias("_Ls"),
+        )
+        .select(
+            "_id_probe",
+            "_Lt",
+            "_t",
+            "_Ls",
+            F.expr(f"explode(sequence(0, {k - 1}))").alias("_i"),
+        )
+        .withColumn("_l", F.expr(seg_len("_Ls", "_i")))
+        .withColumn("_p", F.expr(seg_start("_Ls", "_i")))
+        .withColumn("_lo", F.expr(f"greatest(0, _p - {d})"))
+        .withColumn("_hi", F.expr(f"least(_Lt - _l, _p + {d})"))
+        .filter(F.col("_hi") >= F.col("_lo"))
+        .select(
+            "_id_probe",
+            "_Ls",
+            "_i",
+            F.expr("explode(sequence(_lo, _hi))").alias("_pos"),
+            "_t",
+            "_l",
+        )
+        .select(
+            "_id_probe",
+            "_Ls",
+            "_i",
+            F.expr("substring(_t, _pos + 1, _l)").alias("_sub"),
+        )
+    )
+    cands = (
+        idx.join(
+            probe,
+            (idx["_Ls"] == probe["_Ls"])
+            & (idx["_i"] == probe["_i"])
+            & (idx["_seg"] == probe["_sub"])
+            & (idx["_id_src"] != probe["_id_probe"]),
+        )
+        .select(
+            F.least("_id_src", "_id_probe").alias("id_a"),
+            F.greatest("_id_src", "_id_probe").alias("id_b"),
+        )
+        .distinct()
+    )
+    texts = docs.select(F.col(id_col), F.col(text_col))
+    return (
+        cands.join(
+            texts.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta")),
+            "id_a",
+        )
+        .join(
+            texts.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb")),
+            "id_b",
+        )
+        .withColumn("edit_distance", F.expr(f"levenshtein(_ta, _tb, {d})"))
+        .filter(F.col("edit_distance") >= 0)
+        .select("id_a", "id_b", "edit_distance")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Canonical document selection (cluster representative by quality)
+# ---------------------------------------------------------------------------
+def canonical_docs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per near-dup cluster: the member with the best
+    ``score_col`` (ties to the lowest id) — the doc a training corpus
+    actually KEEPS, replacing :func:`dedup_clusters`' min-id rule with
+    a quality-aware one. ``docs`` must carry ``score_col``; output is
+    ``(cluster_id, canonical_id, cluster_size, best_score)``.
+
+    The cluster graph runs over ids only (:func:`connected_components`);
+    scores join in per-doc and the per-cluster argmax is one
+    ``row_number`` window over the cluster partitioning — no second
+    pass over document bodies."""
+    clusters = dedup_clusters(docs, pairs, id_col)
+    scored = clusters.join(docs.select(id_col, score_col), id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col(id_col).alias("canonical_id"),
+            "cluster_size",
+            F.col(score_col).alias("best_score"),
+        )
+    )

@@ -323,3 +323,167 @@ def q_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("s").alias("n_events"),
         F.col("s").rlike("v[^p]*c[^p]*p").alias("matched"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distinct users (first-touch transform)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cumulative_distinct_users",
+    oracle="""
+    WITH f AS (
+        SELECT user_id, CAST(MIN(ts) AS DATE) AS first_day
+        FROM events GROUP BY user_id
+    ), daily AS (
+        SELECT first_day AS day, COUNT(*) AS new_users
+        FROM f GROUP BY first_day
+    )
+    SELECT day, new_users,
+           SUM(new_users) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+    FROM daily
+    ORDER BY day
+    """,
+    tags=("behavior", "cumulative-distinct", "extension"),
+)
+def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users-to-date per day. The naive rendering — COUNT(DISTINCT
+    user) over an expanding window — is non-mergeable and re-scans the
+    prefix per day; the scalable identity is *a user is new exactly
+    once*: reduce to (user → first_day) with one hash shuffle, count
+    arrivals per day, and a running SUM over the tiny per-day frame
+    turns arrivals into the cumulative distinct count. The expensive
+    distinct runs ONCE at full parallelism; the ordered window touches
+    only ~one row per day."""
+    e = load(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("day"))
+    daily = first.groupBy("day").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Feature-store point-in-time join (no training-serving leakage)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_feature_store_pit",
+    oracle="""
+    WITH versions AS (
+        SELECT user_id, ts AS eff_ts,
+               MAX(CAST(ROUND(value * 1e6, 0) AS BIGINT)) AS vmax
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+    ), tiers AS (
+        SELECT user_id, eff_ts,
+               CASE WHEN vmax >= 500000000 THEN 'whale'
+                    WHEN vmax >= 100000000 THEN 'mid'
+                    ELSE 'small' END AS tier
+        FROM versions
+    ), clicks AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'click'
+    ), pit AS (
+        SELECT c.event_id, c.user_id, c.ts, c.value,
+               (SELECT MAX(t.eff_ts) FROM tiers t
+                WHERE t.user_id = c.user_id AND t.eff_ts < c.ts) AS eff_ts
+        FROM clicks c
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           ROUND(p.value, 6) AS click_value,
+           t.tier AS feature_tier,
+           (epoch_us(p.ts) - epoch_us(p.eff_ts)) // 1000000 AS feature_age_sec
+    FROM pit p LEFT JOIN tiers t
+      ON t.user_id = p.user_id AND t.eff_ts = p.eff_ts
+    ORDER BY p.event_id
+    """,
+    tags=("behavior", "feature-store", "pit-join", "extension"),
+)
+def q_feature_store_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct training-set assembly: each click event
+    gains the user's tier feature as of STRICTLY BEFORE the event —
+    the feature-store join whose off-by-one (<= instead of <) is the
+    classic training-serving leakage bug, plus the feature's age as a
+    staleness signal.
+
+    Versions are derived per (user, purchase-ts) with the tier cut on
+    exact integer micro-units (no FP threshold flapping). The join is
+    the union + ordered-window carry-forward as-of plan — ONE shuffle
+    on user_id for both sides together, no per-row subquery: facts
+    sort BEFORE versions at equal timestamps (``_side`` in the sort
+    key), which implements the strict < without arithmetic on the
+    timestamps. The oracle renders the same semantics as a correlated
+    MAX subquery."""
+    e = load(spark, sf_dir, "events")
+    vmax = F.max(F.round(F.col("value") * 1e6, 0).cast("long")).alias("vmax")
+    versions = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("eff_ts"))
+        .agg(vmax)
+        .select(
+            "user_id",
+            "eff_ts",
+            F.when(F.col("vmax") >= 500000000, "whale")
+            .when(F.col("vmax") >= 100000000, "mid")
+            .otherwise("small")
+            .alias("tier"),
+        )
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    # Union carry-forward: facts (_side=0) sort before versions (_side=1)
+    # at equal ts, so last(version) over the preceding frame sees only
+    # versions with eff_ts strictly less than the fact's ts.
+    unioned = versions.select(
+        "user_id",
+        F.col("eff_ts").alias("ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+        "tier",
+        F.col("eff_ts").alias("_eff"),
+    ).unionByName(
+        clicks.select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("_side"),
+            "event_id",
+            "value",
+            F.lit(None).cast("string").alias("tier"),
+            F.lit(None).cast("timestamp").alias("_eff"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = unioned.select(
+        "*",
+        F.last("tier", ignorenulls=True).over(w).alias("_pit_tier"),
+        F.last("_eff", ignorenulls=True).over(w).alias("_pit_eff"),
+    )
+    return (
+        carried.filter(F.col("_side") == 0)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round("value", 6).alias("click_value"),
+            F.col("_pit_tier").alias("feature_tier"),
+            # Exact integer microseconds div 1e6 — both engines floor the
+            # positive quotient; DuckDB's date_diff('second', ...) counts
+            # boundary CROSSINGS and is off by one for most sub-second
+            # offsets, so neither side uses it.
+            F.expr("(unix_micros(ts) - unix_micros(_pit_eff)) div 1000000").alias(
+                "feature_age_sec"
+            ),
+        )
+        .orderBy("event_id")
+    )

@@ -800,3 +800,178 @@ def q_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return run_expectations(e, suite).orderBy("expectation")
+
+
+# ---------------------------------------------------------------------------
+# One-pass dataset profile (Deequ/dbt-profile posture)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_data_profile",
+    oracle="""
+    SELECT 'event_id' AS col_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(event_id) AS n_nulls,
+           COUNT(DISTINCT event_id) AS n_distinct,
+           ROUND(MIN(event_id), 6) AS num_min,
+           ROUND(MAX(event_id), 6) AS num_max,
+           CAST(NULL AS VARCHAR) AS str_min, CAST(NULL AS VARCHAR) AS str_max
+    FROM events
+    UNION ALL
+    SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+           COUNT(DISTINCT user_id),
+           ROUND(MIN(user_id), 6), ROUND(MAX(user_id), 6), NULL, NULL
+    FROM events
+    UNION ALL
+    SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+           COUNT(DISTINCT value),
+           ROUND(MIN(value), 6), ROUND(MAX(value), 6), NULL, NULL
+    FROM events
+    UNION ALL
+    SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+           COUNT(DISTINCT event_type), NULL, NULL,
+           MIN(event_type), MAX(event_type)
+    FROM events
+    UNION ALL
+    SELECT 'props', COUNT(*), COUNT(*) - COUNT(props),
+           COUNT(DISTINCT props), NULL, NULL, MIN(props), MAX(props)
+    FROM events
+    ORDER BY col_name
+    """,
+    tags=("profile", "quality", "extension"),
+)
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling as ONE job: per column — row/null/exact-distinct
+    counts, numeric min/max (rounded), string min/max — the
+    Deequ-analyzer / dbt-profile surface. All 5 columns' metrics are
+    aggregates of a single pass (the multi-COUNT(DISTINCT) plans as one
+    Expand: 5× row replication, each tagged with its distinct key —
+    linear, mergeable, no per-column rescans); the long output shape is
+    a driver-side stack of the 1-row aggregate. Numeric extremes stay
+    DOUBLE and strings stay strings — no lossy double→string casting,
+    which is what makes the profile hash-comparable across engines."""
+    e = load(spark, sf_dir, "events")
+    num_cols = ["event_id", "user_id", "value"]
+    str_cols = ["event_type", "props"]
+    aggs = [F.count("*").alias("n_rows")]
+    for c in num_cols + str_cols:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+        ]
+    for c in num_cols:
+        aggs += [
+            F.round(F.min(c).cast("double"), 6).alias(f"{c}__min"),
+            F.round(F.max(c).cast("double"), 6).alias(f"{c}__max"),
+        ]
+    for c in str_cols:
+        aggs += [F.min(c).alias(f"{c}__smin"), F.max(c).alias(f"{c}__smax")]
+    one = e.agg(*aggs)
+    rows = []
+    for c in num_cols:
+        rows.append(
+            f"named_struct('c', '{c}', 'r', n_rows, 'nl', n_rows - {c}__nn, "
+            f"'nd', {c}__nd, 'mn', {c}__min, 'mx', {c}__max, "
+            f"'smn', CAST(NULL AS STRING), 'smx', CAST(NULL AS STRING))"
+        )
+    for c in str_cols:
+        rows.append(
+            f"named_struct('c', '{c}', 'r', n_rows, 'nl', n_rows - {c}__nn, "
+            f"'nd', {c}__nd, 'mn', CAST(NULL AS DOUBLE), 'mx', CAST(NULL AS DOUBLE), "
+            f"'smn', {c}__smin, 'smx', {c}__smax)"
+        )
+    stacked = one.select(
+        F.expr(
+            "inline(array(" + ", ".join(rows) + "))"
+        ).alias("col_name", "n_rows", "n_nulls", "n_distinct",
+                "num_min", "num_max", "str_min", "str_max")
+    )
+    return stacked.orderBy("col_name")
+
+
+# ---------------------------------------------------------------------------
+# Chi-square feature association (training-signal screening)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_chi_square_features",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(ROUND(value * 1e6, 0) AS BIGINT) AS vmicro,
+               event_type
+        FROM events WHERE value IS NOT NULL
+    ), g AS (
+        SELECT SUM(vmicro) AS total, COUNT(*) AS n FROM m
+    ), cells AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN m.vmicro * g.n > g.total THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+               CAST(SUM(CASE WHEN m.vmicro * g.n <= g.total THEN 1 ELSE 0 END) AS BIGINT) AS n_below
+        FROM m CROSS JOIN g
+        GROUP BY event_type
+    ), tot AS (
+        SELECT SUM(n_above) AS ta, SUM(n_below) AS tb,
+               SUM(n_above + n_below) AS n FROM cells
+    )
+    SELECT c.event_type, c.n_above, c.n_below,
+           ROUND(
+             POW(c.n_above - (c.n_above + c.n_below) * t.ta / CAST(t.n AS DOUBLE), 2)
+               / ((c.n_above + c.n_below) * t.ta / CAST(t.n AS DOUBLE))
+             + POW(c.n_below - (c.n_above + c.n_below) * t.tb / CAST(t.n AS DOUBLE), 2)
+               / ((c.n_above + c.n_below) * t.tb / CAST(t.n AS DOUBLE)),
+             6) AS chi2_contrib
+    FROM cells c CROSS JOIN tot t
+    ORDER BY c.event_type
+    """,
+    tags=("stats", "feature-screening", "extension"),
+)
+def q_chi_square_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square screening of a candidate feature (event_type) against
+    a binary label (value above/below the global mean) — the
+    feature-selection pass a training pipeline runs before committing
+    GPU time. The above-mean flag avoids FP flapping by comparing in
+    exact integer micro-units (``v·n > Σv`` — no division); the only
+    doubles are the final expected-count terms, built from exact
+    integers with an identical expression tree on both engines. Two
+    broadcast 1-row joins (global sum, marginals) — the fact table is
+    scanned once and shuffled once on event_type."""
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    m = e.select(
+        "event_type",
+        F.round(F.col("value") * 1e6, 0).cast("long").alias("vmicro"),
+    )
+    g = m.agg(F.sum("vmicro").alias("_total"), F.count("*").alias("_n"))
+    cells = (
+        m.crossJoin(F.broadcast(g))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("vmicro") * F.col("_n") > F.col("_total"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_above"),
+            F.sum(
+                F.when(F.col("vmicro") * F.col("_n") <= F.col("_total"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_below"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("n_above").alias("_ta"),
+        F.sum("n_below").alias("_tb"),
+        F.sum(F.col("n_above") + F.col("n_below")).alias("_nn"),
+    )
+    ct = cells.crossJoin(F.broadcast(tot))
+    row_t = (F.col("n_above") + F.col("n_below")).cast("double")
+    ea = row_t * F.col("_ta") / F.col("_nn").cast("double")
+    eb = row_t * F.col("_tb") / F.col("_nn").cast("double")
+    contrib = (
+        F.pow(F.col("n_above") - ea, 2) / ea + F.pow(F.col("n_below") - eb, 2) / eb
+    )
+    return ct.select(
+        "event_type",
+        "n_above",
+        "n_below",
+        F.round(contrib, 6).alias("chi2_contrib"),
+    ).orderBy("event_type")

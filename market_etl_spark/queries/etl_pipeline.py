@@ -512,3 +512,63 @@ def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(
         current, updates, ["user_id"], ["segment"]
     ).orderBy("user_id", "valid_from")
+
+
+def ensure_manifested_events(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize-once accessor for the stats-manifested events layout
+    (:func:`..sinks.write_manifested`, clustered on ``value``). Same
+    memoization contract as :func:`ensure_trades_table`: keyed by
+    (sf, source fingerprint) so a regenerated testdata tree invalidates
+    the layout."""
+    from ..sinks import write_manifested
+
+    tag = pathlib.Path(sf_dir.rstrip("/")).name.replace(".", "_")
+    fp = _source_fingerprint(sf_dir)
+    out = SCRATCH / f"manifested_events_{tag}_{fp}"
+    if not (out / "manifest" / "_SUCCESS").exists():
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        write_manifested(events, str(out), "value", n_files=16)
+    return str(out)
+
+
+@query(
+    "q_stats_pruned_scan",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+               AS sum_value_micros
+    FROM events
+    WHERE value BETWEEN 100 AND 200
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("datalayout", "stats-skipping", "extension"),
+)
+def q_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-planned scan — the Iceberg/Delta data-skipping model on
+    plain parquet: events are laid out range-clustered on ``value``
+    with a file-level (min, max, rows) manifest written at write time;
+    the value-band query consults the MANIFEST (KBs) to pick the 3-4
+    overlapping files out of 16 and scans only those, with the
+    residual predicate re-applied so pruning can never change
+    semantics (tests assert the file-subset invariant and that
+    skipped + kept = all). At 100 TB, planning cost follows the
+    manifest row count (one row per file), not the data — and the
+    kept files' row groups prune further because the write clustered
+    on the same key. Oracle: the same aggregate over the raw table —
+    pruning must be invisible in the result."""
+    from ..sinks import read_stats_pruned
+
+    path = ensure_manifested_events(spark, sf_dir)
+    df, _scanned, _total = read_stats_pruned(spark, path, "value", 100.0, 200.0)
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 1e6, 0).cast("long"))
+            .cast("long")
+            .alias("sum_value_micros"),
+        )
+        .orderBy("event_type")
+    )

@@ -12,7 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..llm import dedup, multimodal, similarity
+from ..llm import datasets, dedup, multimodal, similarity
+from ..llm.datasets import priority_key_sql
 from ..llm.text import (
     BPE_TOKEN_COUNT_SQL,
     NORMALIZE_SQL,
@@ -951,3 +952,120 @@ def llm_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return norm.withColumn(
         "n_tokens", F.size(F.split("norm_text", " "))
     ).orderBy("doc_id")
+
+
+@query(
+    "llm_edit_distance_pairs",
+    oracle="""
+    WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.text, b.text) AS edit_distance
+    FROM d a JOIN d b
+      ON a.doc_id < b.doc_id AND abs(a.L - b.L) <= 4
+    WHERE levenshtein(a.text, b.text) <= 4
+    ORDER BY id_a, id_b
+    """,
+    tags=("llm", "dedup-editdistance", "extension"),
+    # Oracle is O(n²) brute force over the |ΔL|<=4 length band (2.3k
+    # pair evaluations at sf0.01; the Spark side is the linear PassJoin
+    # path and runs at any SF).
+    max_verify_sf=0.01,
+)
+def llm_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Levenshtein<=4 self-join via PassJoin segment pigeonhole
+    (:func:`..llm.dedup.passjoin_pairs`): every doc indexes its 5
+    length-scheme segments, probes constant-count substrings of
+    neighbouring lengths, and only hash-equal (length, segment,
+    content) triples become candidates — provably lossless, never
+    all-pairs. The string-metric sibling of the prefix-filter Jaccard
+    join: it catches typo-grade near-dups whose shingle sets barely
+    change. The engine's threshold levenshtein early-exits the
+    verify."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.passjoin_pairs(docs).orderBy("id_a", "id_b")
+
+
+@query(
+    "llm_canonical_selection",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents
+    ), s AS (
+        SELECT doc_id, text, w, {shingles_sql('w', 3)} AS sh FROM t
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                    / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.8
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ), r(node, lab) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lab FROM r JOIN edges e ON e.src = r.node
+    ), cc AS (
+        SELECT node, MIN(lab) AS cluster_id FROM r GROUP BY node
+    ), labeled AS (
+        SELECT s.doc_id, COALESCE(cc.cluster_id, s.doc_id) AS cluster_id,
+               {quality_score_sql('s.text', 's.w')} AS q
+        FROM s LEFT JOIN cc ON s.doc_id = cc.node
+    ), ranked AS (
+        SELECT cluster_id, doc_id, q,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY q DESC, doc_id) AS rn
+        FROM labeled
+    )
+    SELECT cluster_id, doc_id AS canonical_id, cluster_size,
+           ROUND(q, 6) AS best_score
+    FROM ranked WHERE rn = 1
+    ORDER BY cluster_id
+    """,
+    tags=("llm", "dedup-canonical", "extension"),
+    # Same O(n²)+recursive-CTE oracle class as llm_dedup_clusters.
+    max_verify_sf=0.01,
+)
+def llm_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What a dedup pipeline actually SHIPS: one canonical doc per
+    near-dup cluster, chosen by the composite quality score (ties to
+    the lowest id) instead of blind min-id — so the kept copy of each
+    duplicated document is its best-written variant. Clusters come
+    from the exact Jaccard pair graph (prefix filter → connected
+    components, ids only); the quality argmax is one window over the
+    cluster partitioning (:func:`..llm.dedup.canonical_docs`)."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "q", quality_score("text", "toks")
+    )
+    pairs = dedup.prefix_filter_pairs(docs)
+    out = dedup.canonical_docs(docs, pairs, "q", "doc_id")
+    return out.select(
+        "cluster_id",
+        "canonical_id",
+        "cluster_size",
+        F.round("best_score", 6).alias("best_score"),
+    ).orderBy("cluster_id")
+
+
+@query(
+    "llm_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, n_chars FROM documents
+    ORDER BY {priority_key_sql('doc_id', 'n_chars')}, doc_id
+    LIMIT 100
+    """,
+    tags=("llm", "sampling-weighted", "extension"),
+)
+def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement: 100 docs
+    drawn with probability growing in ``n_chars`` via priority keys
+    ``u/w`` (md5-uniform over weight — Duffield/Lund/Thorup priority
+    sampling). The selected SET is bit-reproducible across engines
+    (one IEEE double division on an md5-derived integer), which is the
+    property a training-mixture audit needs; the plan is a
+    TakeOrderedAndProject — per-partition top-k, no global sort."""
+    d = load(spark, sf_dir, "documents")
+    return datasets.weighted_sample(d, "doc_id", "n_chars", 100).select(
+        "doc_id", "n_chars"
+    )

@@ -76,6 +76,8 @@ _BNLJ_OK = {
     "q_funnel_conversion",
     "q_tpch_q15",
     "q_tpch_q22",
+    "q_tpch_q11",  # 1-row (total, n_parts) broadcast back for the HAVING cut
+    "q_chi_square_features",  # 1-row global-sum + 1-row marginals broadcasts
     "q_salted_skew_agg",
     "q_range_band_join",
     "q_interval_join",

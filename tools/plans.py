@@ -139,6 +139,34 @@ AUDITED = [
         "phase before the (term, doc) exchange and the df/cf window adds "
         "no third shuffle.",
     ),
+    (
+        "llm_edit_distance_pairs",
+        "Exact Levenshtein<=4 self-join with NO cartesian: the PassJoin "
+        "segment/substring expansion is codegen (sequence/explode/"
+        "substring), candidates come from a hash equi join on "
+        "(source_len, segment_idx, content), and document bodies join "
+        "back only for the per-candidate threshold-levenshtein verify.",
+    ),
+    (
+        "llm_weighted_sample",
+        "Weighted sampling plans as `TakeOrderedAndProject` on the md5 "
+        "priority key — per-partition top-k merged at the driver; no "
+        "global sort, no shuffle of the corpus.",
+    ),
+    (
+        "q_data_profile",
+        "All per-column profile metrics (null/exact-distinct/extremes for "
+        "5 columns) in ONE scan: the multi-COUNT(DISTINCT) compiles to a "
+        "single `Expand` feeding one partial aggregation — no per-column "
+        "rescans; the long output shape is built from the 1-row result.",
+    ),
+    (
+        "q_feature_store_pit",
+        "The strict-< point-in-time join is the union + window "
+        "carry-forward plan: versions and facts shuffle ONCE together on "
+        "user_id, the ordered window implements the as-of lookup, and no "
+        "per-row subquery or range join appears anywhere.",
+    ),
 ]
 
 
