@@ -716,9 +716,16 @@ def passjoin_pairs(
         "_id_src",
         "_Ls",
         "_i",
-        F.expr(f"substring(_t, {seg_start('_Ls', '_i')} + 1, {seg_len('_Ls', '_i')})").alias(
-            "_seg"
-        ),
+        # Join on the 8-byte xxhash64 of the segment, not the segment
+        # text: the shuffle then moves (long, int, long) keys instead of
+        # ~L/k-char strings, and any astronomically-rare hash collision
+        # is removed by the exact levenshtein verify — candidate
+        # generation only needs to stay a SUPERSET.
+        F.xxhash64(
+            F.expr(
+                f"substring(_t, {seg_start('_Ls', '_i')} + 1, {seg_len('_Ls', '_i')})"
+            )
+        ).alias("_seg"),
     )
     probe = (
         base.select(
@@ -751,7 +758,7 @@ def passjoin_pairs(
             "_id_probe",
             "_Ls",
             "_i",
-            F.expr("substring(_t, _pos + 1, _l)").alias("_sub"),
+            F.xxhash64(F.expr("substring(_t, _pos + 1, _l)")).alias("_sub"),
         )
     )
     cands = (

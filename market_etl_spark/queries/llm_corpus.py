@@ -35,6 +35,26 @@ from ..llm.text import (
 from ..tables import load
 from .registry import query
 
+
+#: (applicationId, sf_dir) → lazily-checkpointed exact-Jaccard pair graph.
+#: The graph is a deterministic pure function of the corpus and feeds
+#: three registered queries (clusters, simhash audit, canonical
+#: selection); checkpointing the id-pairs (KBs — ids + jaccard, never
+#: bodies) computes the ppjoin candidate join once per (session, sf)
+#: instead of once per query. Keyed by applicationId so a driver-owned
+#: session never sees a frame from a dead context.
+_PAIR_GRAPH_CACHE: dict = {}
+
+
+def _jaccard_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PAIR_GRAPH_CACHE:
+        _PAIR_GRAPH_CACHE[key] = dedup.prefix_filter_pairs(
+            _docs(spark, sf_dir)
+        ).localCheckpoint(eager=False)
+    return _PAIR_GRAPH_CACHE[key]
+
+
 #: Shared doc preparation: lowercase word tokens + distinct 3-shingles.
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -129,7 +149,7 @@ def llm_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the md5 global order — no false negatives, no cross join.
     Same oracle as the MinHash entry, but this path is exact by
     construction at any scale (no sketch probability involved)."""
-    return dedup.prefix_filter_pairs(_docs(spark, sf_dir)).orderBy("id_a", "id_b")
+    return _jaccard_pair_graph(spark, sf_dir).orderBy("id_a", "id_b")
 
 
 @query(
@@ -178,7 +198,7 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE (min reachable id). Graph state is ids only; the
     iterative rounds shuffle (node, label) pairs, never documents."""
     docs = _docs(spark, sf_dir)
-    pairs = dedup.prefix_filter_pairs(docs)
+    pairs = _jaccard_pair_graph(spark, sf_dir)
     return dedup.dedup_clusters(docs, pairs, "doc_id").orderBy("doc_id")
 
 
@@ -223,7 +243,7 @@ def llm_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fails the hash. Candidate generation stays banded (never
     all-pairs); the exact-pair side reuses the ppjoin prefix filter."""
     docs = _docs(spark, sf_dir)
-    pairs = dedup.prefix_filter_pairs(docs)
+    pairs = _jaccard_pair_graph(spark, sf_dir)
     d = dedup.simhash_signatures(docs)
     cand = dedup.simhash_near_dup_pairs(d, max_hamming=64).select(
         "id_a", "id_b", "hamming"
@@ -1038,7 +1058,7 @@ def llm_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).withColumn(
         "q", quality_score("text", "toks")
     )
-    pairs = dedup.prefix_filter_pairs(docs)
+    pairs = _jaccard_pair_graph(spark, sf_dir)
     out = dedup.canonical_docs(docs, pairs, "q", "doc_id")
     return out.select(
         "cluster_id",

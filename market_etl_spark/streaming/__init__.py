@@ -51,11 +51,16 @@ _STOP_NOISE_LOGGERS = (
 )
 
 
-def _quiet_stop(q, spark: SparkSession, idle_wait_secs: float = 5.0) -> None:
+def _quiet_stop(q, spark: SparkSession, idle_wait_secs: float = 1.0) -> None:
     """Stop a continuously-triggered streaming query without leaving
     executor stack traces in stderr.
 
-    Two layers (both needed — the idle wait alone is a race):
+    Two layers (both needed — the idle wait alone is a race; it is
+    also capped at ~1s because an ASAP/processing-time-timeout query
+    triggers near-continuously, so a long poll almost never observes
+    idle and just stalls the drain — callers only reach here AFTER the
+    state-store/commit conditions prove every output batch landed, so
+    the wait is cosmetic and layer 2 does the real silencing):
     1. Poll until no trigger is active, so stop() lands *between*
        micro-batches whenever possible.
     2. Raise the known abort-noise loggers to FATAL (log4j2
