@@ -799,6 +799,7 @@ def canonical_docs(
     pairs: DataFrame,
     score_col: str,
     id_col: str = "doc_id",
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """One row per near-dup cluster: the member with the best
     ``score_col`` (ties to the lowest id) — the doc a training corpus
@@ -809,8 +810,11 @@ def canonical_docs(
     The cluster graph runs over ids only (:func:`connected_components`);
     scores join in per-doc and the per-cluster argmax is one
     ``row_number`` window over the cluster partitioning — no second
-    pass over document bodies."""
-    clusters = dedup_clusters(docs, pairs, id_col)
+    pass over document bodies. Pass a precomputed ``clusters`` frame
+    (the :func:`dedup_clusters` output) to share the CC fixpoint with
+    other consumers."""
+    if clusters is None:
+        clusters = dedup_clusters(docs, pairs, id_col)
     scored = clusters.join(docs.select(id_col, score_col), id_col)
     w = Window.partitionBy("cluster_id").orderBy(
         F.col(score_col).desc(), F.col(id_col)

@@ -55,6 +55,23 @@ def _jaccard_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _PAIR_GRAPH_CACHE[key]
 
 
+#: Same contract for the cluster-label frame (the CC fixpoint over the
+#: pair graph) — shared by llm_dedup_clusters and
+#: llm_canonical_selection, and already ids-only/tiny by construction
+#: (the fixpoint internally checkpoints per round; this memo just
+#: avoids re-running the rounds).
+_CLUSTERS_CACHE: dict = {}
+
+
+def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CLUSTERS_CACHE:
+        _CLUSTERS_CACHE[key] = dedup.dedup_clusters(
+            _docs(spark, sf_dir), _jaccard_pair_graph(spark, sf_dir), "doc_id"
+        ).localCheckpoint(eager=False)
+    return _CLUSTERS_CACHE[key]
+
+
 #: Shared doc preparation: lowercase word tokens + distinct 3-shingles.
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -197,9 +214,7 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the decision. The oracle recomputes the same fixpoint with a
     recursive CTE (min reachable id). Graph state is ids only; the
     iterative rounds shuffle (node, label) pairs, never documents."""
-    docs = _docs(spark, sf_dir)
-    pairs = _jaccard_pair_graph(spark, sf_dir)
-    return dedup.dedup_clusters(docs, pairs, "doc_id").orderBy("doc_id")
+    return _cluster_labels(spark, sf_dir).orderBy("doc_id")
 
 
 @query(
@@ -1059,7 +1074,9 @@ def llm_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q", quality_score("text", "toks")
     )
     pairs = _jaccard_pair_graph(spark, sf_dir)
-    out = dedup.canonical_docs(docs, pairs, "q", "doc_id")
+    out = dedup.canonical_docs(
+        docs, pairs, "q", "doc_id", clusters=_cluster_labels(spark, sf_dir)
+    )
     return out.select(
         "cluster_id",
         "canonical_id",
