@@ -432,3 +432,32 @@ def weighted_sample(
         .orderBy("priority", key_col)
         .limit(k)
     )
+
+
+def stratified_weighted_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    weight_col: str,
+    k_per_stratum: int,
+    seed: str = "wsample-v1",
+) -> DataFrame:
+    """Per-stratum weighted sampling without replacement: within every
+    ``stratum_col`` group, the ``k_per_stratum`` rows with the smallest
+    priorities (ties by key). The per-group form of
+    :func:`weighted_sample` — one window over the stratum partitioning
+    (rank state is k rows per group, Spark's WindowGroupLimit prunes
+    rows past the cut before the sort buffers them), same
+    engine-portable determinism. This is how a training mixture takes
+    'the best-weighted N docs per language/source' reproducibly."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy("priority", key_col)
+    return (
+        df.withColumn(
+            "priority", priority_key(F.col(key_col), F.col(weight_col), seed)
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k_per_stratum)
+        .drop("_rn", "priority")
+    )

@@ -487,3 +487,58 @@ def q_feature_store_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day distinct users (exact, via contribution explode)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_rolling_distinct_users",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), days AS (
+        SELECT DISTINCT day FROM du
+    ), contrib AS (
+        SELECT DISTINCT d.day, du.user_id
+        FROM du JOIN days d
+          ON d.day >= du.day AND d.day <= du.day + INTERVAL 6 DAY
+    )
+    SELECT c.day, COUNT(*) AS active_users_7d
+    FROM contrib c
+    GROUP BY c.day
+    ORDER BY c.day
+    """,
+    tags=("behavior", "rolling-distinct", "extension"),
+)
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the metric every
+    dashboard wants and naive SQL cannot window (COUNT(DISTINCT) over a
+    RANGE frame rescans the frame per day). Scalable rendering: reduce
+    to distinct (user, day) pairs ONCE (the only pass over the fact
+    table), then explode each pair's 7-day contribution interval
+    (codegen ``sequence``) and count distinct per day — the exploded
+    relation is 7× the per-day-actives aggregate, independent of event
+    volume. Days with activity only in their trailing window (no
+    events that day) are excluded by the inner join on observed days,
+    matching the oracle's day spine."""
+    e = load(spark, sf_dir, "events")
+    du = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    days = du.select("day").distinct()
+    contrib = (
+        du.select(
+            "user_id",
+            F.explode(
+                F.expr("sequence(day, date_add(day, 6), interval 1 day)")
+            ).alias("day"),
+        )
+        .join(days, "day")
+        .distinct()
+    )
+    return (
+        contrib.groupBy("day")
+        .agg(F.count("*").alias("active_users_7d"))
+        .orderBy("day")
+    )

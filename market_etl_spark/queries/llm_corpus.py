@@ -1106,3 +1106,33 @@ def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return datasets.weighted_sample(d, "doc_id", "n_chars", 100).select(
         "doc_id", "n_chars"
     )
+
+
+@query(
+    "llm_stratified_weighted_sample",
+    oracle=f"""
+    SELECT lang, doc_id, n_chars FROM (
+        SELECT lang, doc_id, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY {priority_key_sql('doc_id', 'n_chars')}, doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 25
+    ORDER BY lang, doc_id
+    """,
+    tags=("llm", "sampling-stratified-weighted", "extension"),
+)
+def llm_stratified_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language weighted sample: the 25 docs per ``lang`` with the
+    smallest u/w priorities — 'best-weighted N per stratum', the
+    reproducible mixture-construction primitive. One window over the
+    lang partitioning (WindowGroupLimit prunes past the cut);
+    the selected set is bit-identical across engines because the
+    priority is one IEEE division on an md5 uniform."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        datasets.stratified_weighted_sample(d, "lang", "doc_id", "n_chars", 25)
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")
+    )
