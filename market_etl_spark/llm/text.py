@@ -361,6 +361,120 @@ def inverted_index(
     )
 
 
+def bm25_scores(
+    docs,
+    terms: tuple[str, ...],
+    id_col: str = "doc_id",
+    words_col: str = "toks",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Okapi BM25 ranked retrieval for a fixed query-term set
+    (Robertson/Sparck Jones; the Lucene ``+1`` idf form, so scores stay
+    positive even for terms in most documents).
+
+    Plan shape, sized for 100 TB:
+
+    - Collection stats (N, avgdl) are ONE partial-agg pass collapsing
+      to a single row, broadcast back — never a driver round-trip.
+    - The term filter sits on the exploded tokens BEFORE the postings
+      aggregation, so only query-term occurrences shuffle: the moved
+      volume is Σ df(term), not the corpus.
+    - df is a |terms|-row aggregate, broadcast into the scoring join.
+    - Per-document scores are built as one conditional sum PER QUERY
+      TERM added in fixed left-to-right term order — not an unordered
+      ``SUM`` over (term, doc) rows — so the floating-point result is
+      bit-reproducible across engines and partitionings (each
+      conditional sum has at most one non-zero addend per document).
+
+    Returns (id, score) for every document matching ≥1 term; callers
+    take top-k via ``orderBy().limit()`` (TakeOrderedAndProject —
+    distributed heaps, no global sort)."""
+    d = docs.select(
+        id_col, F.expr(f"filter({words_col}, x -> x <> '')").alias("_w")
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.avg(F.size("_w")).alias("_avgdl"),
+    )
+    tok = d.select(
+        id_col,
+        F.size("_w").cast("double").alias("_dl"),
+        F.explode("_w").alias("term"),
+    ).filter(F.col("term").isin(*terms))
+    postings = tok.groupBy("term", id_col).agg(
+        F.count(F.lit(1)).cast("double").alias("_tf"),
+        F.first("_dl").alias("_dl"),
+    )
+    df = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("_df")
+    )
+    idf = F.log((F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0)
+    contrib = idf * F.col("_tf") * (k1 + 1.0) / (
+        F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+    )
+    scored = (
+        postings.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_c", contrib)
+    )
+    # Fixed-order addition over the query terms (see docstring).
+    per_term = [
+        F.sum(F.when(F.col("term") == t, F.col("_c")).otherwise(0.0)).alias(
+            f"_s{i}"
+        )
+        for i, t in enumerate(terms)
+    ]
+    out = scored.groupBy(id_col).agg(*per_term)
+    score = F.col("_s0")
+    for i in range(1, len(terms)):
+        score = score + F.col(f"_s{i}")
+    return out.select(id_col, score.alias("score"))
+
+
+def bm25_sql(
+    terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB rendering of :func:`bm25_scores` over ``documents``,
+    with the identical fixed-term-order float addition."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    per_term = ",\n               ".join(
+        f"SUM(CASE WHEN term = '{t}' THEN c ELSE 0.0 END) AS s{i}"
+        for i, t in enumerate(terms)
+    )
+    add = " + ".join(f"s{i}" for i in range(len(terms)))
+    return f"""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        FROM documents
+    ), stats AS (
+        SELECT COUNT(*)::DOUBLE AS n, AVG(len(w))::DOUBLE AS avgdl FROM d
+    ), tok AS (
+        SELECT doc_id, len(w)::DOUBLE AS dl, unnest(w) AS term FROM d
+    ), postings AS (
+        SELECT term, doc_id, COUNT(*)::DOUBLE AS tf, MIN(dl) AS dl
+        FROM tok WHERE term IN ({in_list})
+        GROUP BY term, doc_id
+    ), df AS (
+        SELECT term, COUNT(*)::DOUBLE AS df FROM postings GROUP BY term
+    ), contrib AS (
+        SELECT p.doc_id, p.term,
+               ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+                 * p.tf * {k1 + 1.0}
+                 / (p.tf + {k1} * ({1.0 - b} + {b} * p.dl / s.avgdl)) AS c
+        FROM postings p JOIN df f USING (term) CROSS JOIN stats s
+    ), folded AS (
+        SELECT doc_id,
+               {per_term}
+        FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, ({add}) AS score FROM folded
+    """
+
+
 def normalize_text(text_col: str = "text") -> Column:
     """Canonical text normalization: lowercase, non-alphanumerics → space,
     whitespace runs collapsed, trimmed. Pure codegen string expressions

@@ -118,3 +118,77 @@ def llm_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration, not just one step."""
     emb = load(spark, sf_dir, "embeddings")
     return _cluster_stats(cluster.kmeans_fit(emb, _K, rounds=2))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-scoped semantic dedup (round 4)
+# ---------------------------------------------------------------------------
+
+_SEM_TAU = 0.4
+
+
+def _semdedup_oracle(k: int, tau: float) -> str:
+    """Nearest-seed assignment + within-cluster exact-cosine pair scan,
+    with the keep-most-central drop rule — every float built from the
+    same left-to-right folds the Spark side uses."""
+    from ..llm.semdedup import d2_sql
+    from ..llm.similarity import cosine_sql
+
+    return f"""
+    WITH seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS c
+        FROM embeddings ORDER BY vec_id LIMIT {k}
+    ), dist AS (
+        SELECT e.vec_id, s.cid, {d2_sql('e.embedding', 's.c', _DIMS)} AS d2
+        FROM embeddings e CROSS JOIN seeds s
+    ), best AS (
+        SELECT vec_id, cid, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM dist
+    ), v AS (
+        SELECT b.vec_id, b.cid, b.d2, e.embedding
+        FROM best b JOIN embeddings e USING (vec_id) WHERE b.rn = 1
+    ), pairs AS (
+        SELECT a.cid,
+               CASE WHEN a.d2 < b.d2 OR (a.d2 = b.d2 AND a.vec_id < b.vec_id)
+                    THEN b.vec_id ELSE a.vec_id END AS dropped
+        FROM v a JOIN v b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE {cosine_sql('a.embedding', 'b.embedding', _DIMS)} >= {tau}
+    ), members AS (
+        SELECT cid, COUNT(*) AS n_members FROM v GROUP BY cid
+    ), dup AS (
+        SELECT cid, COUNT(*) AS n_dup_pairs,
+               COUNT(DISTINCT dropped) AS n_dropped
+        FROM pairs GROUP BY cid
+    )
+    SELECT m.cid, m.n_members,
+           COALESCE(d.n_dup_pairs, 0) AS n_dup_pairs,
+           COALESCE(d.n_dropped, 0) AS n_dropped,
+           m.n_members - COALESCE(d.n_dropped, 0) AS n_kept
+    FROM members m LEFT JOIN dup d USING (cid)
+    ORDER BY m.cid
+    """
+
+
+@query(
+    "llm_semdedup_centroid",
+    oracle=_semdedup_oracle(_K, _SEM_TAU),
+    tags=("llm", "dedup-semantic", "clustering", "extension"),
+)
+def llm_semdedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): partition the embedding space into
+    k clusters, find cosine-duplicate pairs ONLY among cluster
+    co-members, and keep each neighborhood's most-central
+    representative. The per-cluster summary (members / dup pairs /
+    dropped / kept) is the curation report, all integers.
+
+    The cluster partition is what makes semantic dedup linear: the
+    pair join shuffles on ``cid`` and its cost is k·(n/k)² — pick
+    k ∝ n (paper: 50k clusters at web scale) and total work stays
+    O(n·c) for bounded cluster size c. Assignment itself is a
+    broadcast nearest-seed pass, no shuffle (see
+    :mod:`..llm.semdedup`)."""
+    from ..llm import semdedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semdedup.semantic_dedup_summary(emb, _K, _SEM_TAU)

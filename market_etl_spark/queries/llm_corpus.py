@@ -17,6 +17,8 @@ from ..llm.datasets import priority_key_sql
 from ..llm.text import (
     BPE_TOKEN_COUNT_SQL,
     NORMALIZE_SQL,
+    bm25_scores,
+    bm25_sql,
     bpe_token_count,
     content_hash,
     inverted_index as text_index,
@@ -955,6 +957,51 @@ def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     idx = text_index(docs, term_filter=F.col("term").startswith("p"))
     return idx.orderBy("term", "doc_id")
+
+
+#: Fixed BM25 query-term set: deterministic, present at every SF, and
+#: the fixed LEFT-TO-RIGHT order is part of the float-addition contract
+#: (see text.bm25_scores).
+_BM25_TERMS = ("vector", "stream", "merge")
+
+
+@query(
+    "llm_bm25_topk",
+    oracle=f"""
+    WITH scored AS ({bm25_sql(_BM25_TERMS)}),
+    r AS (SELECT doc_id, ROUND(score, 6) AS score FROM scored),
+    top AS (SELECT doc_id, score FROM r ORDER BY score DESC, doc_id LIMIT 20)
+    SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+           doc_id, score
+    FROM top
+    ORDER BY rank
+    """,
+    tags=("llm", "text-retrieval", "extension"),
+)
+def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for a fixed 3-term query over the corpus —
+    the ranked-retrieval primitive a curation pipeline uses to pull
+    topical slices out of a web crawl (:func:`..llm.text.bm25_scores`;
+    Lucene ``+1`` idf form).
+
+    Only query-term occurrences ever shuffle (the term filter sits
+    below the postings aggregation); the top-20 cut is a
+    TakeOrderedAndProject over per-partition heaps — no global sort,
+    no unpartitioned window over the corpus. Ranks are assigned AFTER
+    the cut over 20 rows, on scores already rounded to 6 dp on both
+    engines, so the rank column and the cut itself are
+    cross-engine-deterministic."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    scored = bm25_scores(d, _BM25_TERMS).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(20)
+    rank = F.row_number().over(
+        Window.orderBy(F.col("score").desc(), "doc_id")
+    )
+    return top.select(rank.alias("rank"), "doc_id", "score").orderBy("rank")
 
 
 @query(

@@ -372,3 +372,94 @@ def test_bucket_pairs_caps_degenerate_buckets(spark):
         assert pairs_uncapped.bucket_guard.get["n_dropped_buckets"] == 0
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+# ---------------------------------------------------------------------------
+# BM25 + SemDeDup (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_hand_computed_tiny_corpus(spark):
+    """Two docs, one query term: BM25 reduces to idf·tf·(k1+1)/(tf+k1·L)
+    — verify against a by-hand NumPy computation."""
+    from market_etl_spark.llm.text import bm25_scores, words
+
+    df = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "dog bird fish bird")],
+        "doc_id long, text string",
+    ).withColumn("toks", words("text"))
+    out = {
+        r.doc_id: r.score
+        for r in bm25_scores(df, ("cat",)).collect()
+    }
+    # Only doc 1 contains 'cat'.
+    assert set(out) == {1}
+    n, df_t, tf, dl, avgdl, k1, b = 2.0, 1.0, 2.0, 3.0, 3.5, 1.2, 0.75
+    idf = np.log((n - df_t + 0.5) / (df_t + 0.5) + 1.0)
+    expected = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    assert out[1] == pytest.approx(expected, rel=1e-12)
+
+
+def test_bm25_rarer_term_scores_higher(spark):
+    """idf ordering: a doc matching a rare term outranks a doc matching
+    a common term at equal tf/dl."""
+    from market_etl_spark.llm.text import bm25_scores, words
+
+    rows = [(i, "common filler text") for i in range(10)]
+    rows += [(10, "rare filler text"), (11, "common filler text")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).withColumn("toks", words("text"))
+    out = {
+        r.doc_id: r.score
+        for r in bm25_scores(df, ("rare", "common")).collect()
+    }
+    assert out[10] > out[11]
+
+
+def test_semdedup_drops_less_central_duplicate(spark):
+    """Toy geometry: two near-identical vectors in one cluster — the one
+    farther from its seed centroid is dropped; a lone vector in the
+    other cluster survives untouched."""
+    from market_etl_spark.llm import semdedup
+
+    rows = [
+        (0, [1.0, 0.0]),          # seed 0
+        (1, [0.0, 1.0]),          # seed 1
+        (2, [0.9, 0.05]),         # near seed 0, cos≈1 with id 0
+        (3, [-0.1, 0.95]),        # near seed 1, but cos with id 1 high
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r.cid: r
+        for r in semdedup.semantic_dedup_summary(emb, 2, 0.9).collect()
+    }
+    # Cluster 0: {0, 2} — cos(0,2) ≈ 0.998 ≥ 0.9; id 0 IS the seed
+    # (d2 = 0) so id 2 drops.
+    assert out[0].n_members == 2
+    assert out[0].n_dup_pairs == 1
+    assert out[0].n_dropped == 1
+    assert out[0].n_kept == 1
+    # Cluster 1: {1, 3} — cos(1,3) ≈ 0.97 ≥ 0.9, id 3 drops.
+    assert out[1].n_dropped == 1
+
+
+def test_semdedup_assignment_matches_numpy_argmin(spark):
+    """Nearest-seed assignment agrees with a NumPy argmin over the
+    corpus (ties broken by lowest cid — none at this data)."""
+    from market_etl_spark.llm import semdedup
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    got = {
+        r.vec_id: r.cid
+        for r in semdedup.nearest_seed_assign(emb, 4).select(
+            "vec_id", "cid"
+        ).collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    seeds = np.array([rows[i].embedding for i in range(4)], dtype=np.float64)
+    for r in rows:
+        v = np.array(r.embedding, dtype=np.float64)
+        want = int(np.argmin(((seeds - v) ** 2).sum(axis=1)))
+        assert got[r.vec_id] == want, r.vec_id

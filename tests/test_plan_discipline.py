@@ -90,6 +90,8 @@ _BNLJ_OK = {
     "q_recursive_calendar_spine",
     "q_gapfill_forward_vwap",
     "q9b_recent_activity",  # 1-row MAX(ts) anchor broadcast back
+    "llm_bm25_topk",  # 1-row (N, avgdl) stats broadcast into the scorer
+    "llm_semdedup_centroid",  # k-row seed-centroid broadcast fan-out
 }
 
 
