@@ -393,3 +393,89 @@ def llm_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space decontamination (round 4)
+# ---------------------------------------------------------------------------
+
+#: Cosine threshold for semantic train↔eval overlap. Calibrated so the
+#: contaminated set is non-trivial at every SF (51 flagged at sf0.01,
+#: 211 at sf0.1) without flooding the report.
+_EDECON_TAU = 0.35
+#: The held-out eval slice: deterministic id range, bounded at any SF.
+_EDECON_EVAL_IDS = 50
+
+
+def _edecon_oracle() -> str:
+    from ..llm.similarity import dot_sql
+
+    dims = 64
+    n = "sqrt(" + dot_sql("embedding", "embedding", dims) + ")"
+    return f"""
+    WITH ev AS (
+        SELECT vec_id, embedding, {n} AS nrm
+        FROM embeddings WHERE vec_id < {_EDECON_EVAL_IDS}
+    ), tr AS (
+        SELECT vec_id, embedding, {n} AS nrm
+        FROM embeddings WHERE vec_id >= {_EDECON_EVAL_IDS}
+    ), hits AS (
+        SELECT t.vec_id, e.vec_id AS eval_id,
+               ROUND(({dot_sql('t.embedding', 'e.embedding', dims)})
+                     / (t.nrm * e.nrm), 6) AS cos
+        FROM tr t CROSS JOIN ev e
+    )
+    SELECT vec_id,
+           COUNT(*) AS n_eval_matches,
+           MAX(cos) AS max_cos
+    FROM hits WHERE cos >= {_EDECON_TAU}
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """
+
+
+@query(
+    "llm_embedding_decontamination",
+    oracle=_edecon_oracle(),
+    tags=("llm", "decontamination", "embedding", "extension"),
+)
+def llm_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination: training vectors whose cosine to ANY
+    held-out eval vector reaches the threshold — the embedding-space
+    complement of the n-gram check (`llm_decontamination`), catching
+    paraphrased benchmark leakage that shares no 5-gram.
+
+    The eval side is bounded by construction (a benchmark is thousands
+    of rows, not a corpus) and BROADCAST with its norms precomputed;
+    the train side — the 100 TB one — is scanned once, scored map-side
+    against the broadcast slab, and only flagged (id, count, max-cos)
+    rows ever shuffle into the per-document aggregate. Cosines are the
+    shared left-to-right double fold, rounded to 6 dp BEFORE the
+    threshold and MAX on both engines."""
+    from ..llm import similarity
+
+    emb = load(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") < _EDECON_EVAL_IDS).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("_ee"),
+        similarity.norm("embedding").alias("_ne"),
+    )
+    tr = emb.filter(F.col("vec_id") >= _EDECON_EVAL_IDS).select(
+        "vec_id",
+        F.col("embedding").alias("_et"),
+        similarity.norm("embedding").alias("_nt"),
+    )
+    cos = F.round(
+        similarity.dot("_et", "_ee") / (F.col("_nt") * F.col("_ne")), 6
+    )
+    return (
+        tr.crossJoin(F.broadcast(ev))
+        .withColumn("_cos", cos)
+        .filter(F.col("_cos") >= _EDECON_TAU)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_matches"),
+            F.max("_cos").alias("max_cos"),
+        )
+        .orderBy("vec_id")
+    )

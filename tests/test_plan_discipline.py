@@ -92,6 +92,7 @@ _BNLJ_OK = {
     "q9b_recent_activity",  # 1-row MAX(ts) anchor broadcast back
     "llm_bm25_topk",  # 1-row (N, avgdl) stats broadcast into the scorer
     "llm_semdedup_centroid",  # k-row seed-centroid broadcast fan-out
+    "llm_embedding_decontamination",  # bounded eval-slice broadcast scorer
 }
 
 
