@@ -73,6 +73,10 @@ _LATER: tuple[str, ...] = (
     "q_sequence_pattern",
     "q_expectations_report",
     "q_scd2_apply",
+    # round-4 additions beyond the round's 50-slot budget (47 backlog +
+    # bm25/semdedup/edecon fill it exactly): verified locally at three
+    # SFs, deferred to round 5's window.
+    "llm_lm_perplexity",
 )
 
 

@@ -475,6 +475,78 @@ def bm25_sql(
     """
 
 
+def bigram_lm_scores(
+    docs,
+    ref,
+    id_col: str = "doc_id",
+    words_col: str = "toks",
+):
+    """CCNet-style n-gram language-model scoring (Wenzek et al.,
+    arXiv:1911.00359): train add-one-smoothed bigram counts on a clean
+    REFERENCE corpus, score every document by its mean bigram
+    log-probability — the fluency/quality filter big crawls run before
+    training (low avg_logp ⇒ boilerplate, gibberish, wrong-language).
+
+    ``lp(w1 w2) = ln((c(w1,w2) + 1) / (c(w1) + V))`` with counts from
+    ``ref`` and V its unigram vocabulary size; OOV backs off to counts
+    of zero. Returns (id, n_bigrams, avg_logp) for docs with ≥1 bigram.
+
+    Plan shape at 100 TB: the LM is trained once on the BOUNDED
+    reference slice (two partial-agg shuffles over ref only); V is a
+    one-row broadcast. Scoring explodes each document's bigrams ONCE
+    and joins the count tables on the bigram/unigram keys — Spark
+    broadcasts them when the reference is small enough, else they
+    shuffle; a stopword-pair hot key is absorbed by the partial
+    aggregate on the scoring side and the AQE skew backstop. The
+    per-doc mean is an unordered SUM of ~doc-length ln() terms; its
+    cross-engine fp noise (~1e-14 relative) sits far below the 6-dp
+    rounding, the same margin every ln/avg oracle in this engine
+    rides."""
+    def _w(df):
+        return df.select(
+            id_col, F.expr(f"filter({words_col}, x -> x <> '')").alias("_w")
+        )
+
+    def _bigrams(df):
+        return _w(df).filter(F.size("_w") >= 2).select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_w) - 1), i -> "
+                    "struct(concat_ws(' ', element_at(_w, i), "
+                    "element_at(_w, i + 1)) AS bg, "
+                    "element_at(_w, i) AS w1))"
+                )
+            ).alias("_b"),
+        ).select(id_col, F.col("_b.bg").alias("bg"), F.col("_b.w1").alias("w1"))
+
+    refuni = (
+        _w(ref)
+        .select(F.explode("_w").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    refbi = _bigrams(ref).groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    vocab = refuni.agg(F.count(F.lit(1)).cast("double").alias("_v"))
+
+    lp = F.log(
+        (F.coalesce("c12", F.lit(0)) + 1.0)
+        / (F.coalesce("c1", F.lit(0)) + F.col("_v"))
+    )
+    return (
+        _bigrams(docs)
+        .join(refbi, "bg", "left")
+        .join(refuni, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(id_col, lp.alias("_lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("_lp"), 6).alias("avg_logp"),
+        )
+    )
+
+
 def normalize_text(text_col: str = "text") -> Column:
     """Canonical text normalization: lowercase, non-alphanumerics → space,
     whitespace runs collapsed, trimmed. Pure codegen string expressions

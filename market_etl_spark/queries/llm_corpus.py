@@ -17,6 +17,7 @@ from ..llm.datasets import priority_key_sql
 from ..llm.text import (
     BPE_TOKEN_COUNT_SQL,
     NORMALIZE_SQL,
+    bigram_lm_scores,
     bm25_scores,
     bm25_sql,
     bpe_token_count,
@@ -957,6 +958,54 @@ def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     idx = text_index(docs, term_filter=F.col("term").startswith("p"))
     return idx.orderBy("term", "doc_id")
+
+
+@query(
+    "llm_lm_perplexity",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        FROM documents
+    ), ref AS (SELECT w FROM d WHERE source = 'src0'),
+    refuni AS (
+        SELECT t AS w1, COUNT(*) AS c1
+        FROM (SELECT unnest(w) AS t FROM ref) GROUP BY t
+    ), refbi AS (
+        SELECT bg, COUNT(*) AS c12 FROM (
+            SELECT unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bg
+            FROM ref
+        ) GROUP BY bg
+    ), vocab AS (SELECT COUNT(*)::DOUBLE AS v FROM refuni),
+    docbi AS (
+        SELECT doc_id,
+               unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bg
+        FROM d WHERE len(w) >= 2
+    ), scored AS (
+        SELECT db.doc_id,
+               ln((COALESCE(rb.c12, 0) + 1.0) /
+                  (COALESCE(ru.c1, 0) + vv.v)) AS lp
+        FROM docbi db
+        LEFT JOIN refbi rb ON db.bg = rb.bg
+        LEFT JOIN refuni ru ON string_split(db.bg, ' ')[1] = ru.w1
+        CROSS JOIN vocab vv
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(lp), 6) AS avg_logp
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("llm", "text-quality", "lm", "extension"),
+)
+def llm_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM fluency scoring: add-one-smoothed bigram
+    counts trained on the clean ``src0`` slice, every document scored
+    by mean bigram log-probability (:func:`..llm.text.bigram_lm_scores`
+    — the quality filter between lang-ID and dedup in a crawl
+    pipeline). The LM is reference-corpus-sized, never corpus-sized;
+    scoring is one bigram explode + two key joins + a per-doc
+    aggregate."""
+    d = load(spark, sf_dir, "documents").withColumn("toks", words("text"))
+    ref = d.filter(F.col("source") == "src0")
+    return bigram_lm_scores(d, ref).orderBy("doc_id")
 
 
 #: Fixed BM25 query-term set: deterministic, present at every SF, and

@@ -463,3 +463,40 @@ def test_semdedup_assignment_matches_numpy_argmin(spark):
         v = np.array(r.embedding, dtype=np.float64)
         want = int(np.argmin(((seeds - v) ** 2).sum(axis=1)))
         assert got[r.vec_id] == want, r.vec_id
+
+
+def test_bigram_lm_hand_computed(spark):
+    """Two-doc reference, one scored doc: verify the add-one-smoothed
+    bigram log-prob against a by-hand computation."""
+    from market_etl_spark.llm.text import bigram_lm_scores, words
+
+    ref = spark.createDataFrame(
+        [(100, "a b a b"), (101, "a b c")], "doc_id long, text string"
+    ).withColumn("toks", words("text"))
+    # ref unigrams: a:3 b:3 c:1 -> V=3
+    # ref bigrams: 'a b':3, 'b a':1, 'b c':1
+    docs = spark.createDataFrame(
+        [(1, "a b z")], "doc_id long, text string"
+    ).withColumn("toks", words("text"))
+    out = bigram_lm_scores(docs, ref).collect()
+    assert len(out) == 1 and out[0].n_bigrams == 2
+    lp1 = np.log((3 + 1) / (3 + 3.0))   # 'a b': c12=3, c1(a)=3
+    lp2 = np.log((0 + 1) / (3 + 3.0))   # 'b z': OOV bigram, c1(b)=3
+    assert out[0].avg_logp == pytest.approx(round((lp1 + lp2) / 2, 6), abs=1e-6)
+
+
+def test_bigram_lm_fluent_beats_shuffled(spark):
+    """A document written in reference order scores higher than the
+    same tokens in an order the reference never produces."""
+    from market_etl_spark.llm.text import bigram_lm_scores, words
+
+    ref = spark.createDataFrame(
+        [(100 + i, "the quick brown fox jumps") for i in range(5)],
+        "doc_id long, text string",
+    ).withColumn("toks", words("text"))
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "fox the brown quick")],
+        "doc_id long, text string",
+    ).withColumn("toks", words("text"))
+    out = {r.doc_id: r.avg_logp for r in bigram_lm_scores(docs, ref).collect()}
+    assert out[1] > out[2]

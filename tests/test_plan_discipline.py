@@ -93,6 +93,7 @@ _BNLJ_OK = {
     "llm_bm25_topk",  # 1-row (N, avgdl) stats broadcast into the scorer
     "llm_semdedup_centroid",  # k-row seed-centroid broadcast fan-out
     "llm_embedding_decontamination",  # bounded eval-slice broadcast scorer
+    "llm_lm_perplexity",  # 1-row vocab-size broadcast into the scorer
 }
 
 
