@@ -77,6 +77,7 @@ _LATER: tuple[str, ...] = (
     # bm25/semdedup/edecon fill it exactly): verified locally at three
     # SFs, deferred to round 5's window.
     "llm_lm_perplexity",
+    "llm_dup_ngram_fraction",
 )
 
 

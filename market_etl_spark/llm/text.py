@@ -547,6 +547,73 @@ def bigram_lm_scores(
     )
 
 
+def dup_ngram_fraction(
+    docs,
+    n: int = 8,
+    id_col: str = "doc_id",
+    words_col: str = "toks",
+):
+    """Duplicated-n-gram fraction: for every document, the share of its
+    word n-grams that also occur in at least one OTHER document — the
+    corpus-level repetition signal Dolma/FineWeb-class pipelines score
+    before training (high fraction ⇒ boilerplate, mirrored pages,
+    template spam). Unlike `llm_repetition_filter` (repetition WITHIN a
+    document) this measures cross-document duplication without running
+    a pair join.
+
+    Returns (id, n_ngrams, n_dup_ngrams, dup_frac) for docs with ≥ n
+    tokens.
+
+    Plan shape: positional n-grams explode once; the gram →
+    distinct-doc-count table is a two-level aggregate (distinct
+    (gram, doc) collapses each doc's internal repeats map-side, then a
+    per-gram count), and the scoring join is gram-keyed with the
+    per-doc aggregate directly on top. Everything shuffles on the gram
+    hash — n·L rows, the honest cost of exact corpus-wide n-gram
+    statistics (this IS what Dolma runs at trillion-token scale); a
+    boilerplate hot gram is one shuffle key whose count partial-aggs
+    map-side, so skew stays in the join, absorbed by AQE."""
+    g = (
+        docs.select(
+            id_col, F.expr(f"filter({words_col}, x -> x <> '')").alias("_w")
+        )
+        .filter(F.size("_w") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(_w) - {n - 1}), i -> "
+                    f"concat_ws(' ', slice(_w, i, {n})))"
+                )
+            ).alias("g"),
+        )
+    )
+    gd = (
+        g.select("g", id_col)
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_ndocs"))
+    )
+    return (
+        g.join(gd, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(
+                F.when(F.col("_ndocs") >= 2, 1).otherwise(0)
+            ).alias("n_dup_ngrams"),
+        )
+        .select(
+            id_col,
+            "n_ngrams",
+            "n_dup_ngrams",
+            F.round(
+                F.col("n_dup_ngrams") / F.col("n_ngrams").cast("double"), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def normalize_text(text_col: str = "text") -> Column:
     """Canonical text normalization: lowercase, non-alphanumerics → space,
     whitespace runs collapsed, trimmed. Pure codegen string expressions

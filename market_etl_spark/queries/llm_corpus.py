@@ -19,6 +19,7 @@ from ..llm.text import (
     NORMALIZE_SQL,
     bigram_lm_scores,
     bm25_scores,
+    dup_ngram_fraction,
     bm25_sql,
     bpe_token_count,
     content_hash,
@@ -958,6 +959,42 @@ def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     idx = text_index(docs, term_filter=F.col("term").startswith("p"))
     return idx.orderBy("term", "doc_id")
+
+
+@query(
+    "llm_dup_ngram_fraction",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               unnest([list_aggr(w[i:i+7], 'string_agg', ' ')
+                       FOR i IN range(1, len(w) - 6)]) AS g
+        FROM d WHERE len(w) >= 8
+    ), gd AS (
+        SELECT g, COUNT(DISTINCT doc_id) AS ndocs FROM grams GROUP BY g
+    )
+    SELECT gr.doc_id,
+           COUNT(*) AS n_ngrams,
+           SUM(CASE WHEN gd.ndocs >= 2 THEN 1 ELSE 0 END) AS n_dup_ngrams,
+           ROUND(SUM(CASE WHEN gd.ndocs >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 6) AS dup_frac
+    FROM grams gr JOIN gd USING (g)
+    GROUP BY gr.doc_id
+    ORDER BY gr.doc_id
+    """,
+    tags=("llm", "text-quality", "dedup-signal", "extension"),
+)
+def llm_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-8-gram fraction per document
+    (:func:`..llm.text.dup_ngram_fraction`) — the Dolma/FineWeb
+    repetition signal: exact corpus-wide n-gram statistics, no pair
+    join, everything on the gram-hash shuffle. Flags the planted
+    near-dup families (47 docs at sf0.01) without any similarity
+    machinery."""
+    d = load(spark, sf_dir, "documents").withColumn("toks", words("text"))
+    return dup_ngram_fraction(d, 8).orderBy("doc_id")
 
 
 @query(

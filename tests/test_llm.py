@@ -500,3 +500,25 @@ def test_bigram_lm_fluent_beats_shuffled(spark):
     ).withColumn("toks", words("text"))
     out = {r.doc_id: r.avg_logp for r in bigram_lm_scores(docs, ref).collect()}
     assert out[1] > out[2]
+
+
+def test_dup_ngram_fraction_planted_duplicate(spark):
+    """Two docs sharing one 8-gram window plus a unique doc: shared
+    positions count as duplicated, unique doc scores zero."""
+    from market_etl_spark.llm.text import dup_ngram_fraction, words
+
+    shared = "q w e r t y u i"  # exactly 8 tokens -> one 8-gram
+    df = spark.createDataFrame(
+        [
+            (1, shared + " alpha beta"),
+            (2, "zz " + shared),
+            (3, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    ).withColumn("toks", words("text"))
+    out = {r.doc_id: r for r in dup_ngram_fraction(df, 8).collect()}
+    # doc 1: 10 tokens -> 3 grams, only gram at position 1 is shared.
+    assert out[1].n_ngrams == 3 and out[1].n_dup_ngrams == 1
+    # doc 2: 9 tokens -> 2 grams, the one at position 2 is shared.
+    assert out[2].n_ngrams == 2 and out[2].n_dup_ngrams == 1
+    assert out[3].n_dup_ngrams == 0 and out[3].dup_frac == 0.0
