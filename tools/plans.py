@@ -47,11 +47,33 @@ AUDITED = [
     ),
     (
         "llm_kmeans_assign",
-        "Lloyd assignment as a BROADCAST fan-out join of the k·dim "
-        "centroid rows against the posexploded vectors: one shuffle of "
-        "n·k partial-agg accumulators, argmin via `min(struct(d2, cid))` "
-        "— the fact side is never shuffled pre-aggregation and there is "
-        "no cartesian.",
+        "Lloyd assignment as k BROADCAST in-row distance folds per "
+        "vector (centroids rolled up to k (cid, array) rows): the only "
+        "aggregation is the id-keyed argmin via `min(struct(d2, cid))` "
+        "— nothing n·dims·k-sized ever materializes, the fact side is "
+        "never shuffled pre-aggregation, and there is no cartesian.",
+    ),
+    (
+        "llm_bm25_topk",
+        "Query-term filter sits on the exploded tokens BELOW the postings "
+        "aggregation (only query-term occurrences shuffle); collection "
+        "stats and df are broadcast; the top-20 cut is "
+        "`TakeOrderedAndProject` — per-partition heaps, no global sort, "
+        "no unpartitioned window over the corpus.",
+    ),
+    (
+        "llm_semdedup_centroid",
+        "SemDeDup: nearest-seed assignment is a broadcast fold pass (no "
+        "shuffle); the duplicate-pair join is an equi join ON `cid` — "
+        "the cluster partition is the candidate cut, so there is no "
+        "all-pairs join anywhere in the plan.",
+    ),
+    (
+        "llm_lm_perplexity",
+        "The bigram LM tables are built from the bounded reference slice "
+        "and join the exploded document bigrams on gram keys "
+        "(broadcast when small); the 1-row vocabulary size rides a "
+        "broadcast; per-doc aggregation is two-phase.",
     ),
     (
         "q_hopping_window_vwap",
