@@ -78,6 +78,7 @@ _LATER: tuple[str, ...] = (
     # SFs, deferred to round 5's window.
     "llm_lm_perplexity",
     "llm_dup_ngram_fraction",
+    "llm_bpe_merges",
 )
 
 

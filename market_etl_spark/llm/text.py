@@ -614,6 +614,86 @@ def dup_ngram_fraction(
     )
 
 
+def bpe_merge_rounds(
+    docs,
+    rounds: int = 2,
+    words_col: str = "toks",
+):
+    """Byte-pair-encoding tokenizer training, ``rounds`` merge
+    iterations (Sennrich et al., arXiv:1508.07909) — the vocabulary
+    induction step of tokenizer training, run corpus-wide.
+
+    The distributed shape (how SentencePiece/HF train at scale too):
+    the corpus collapses FIRST to a (word, freq) table — vocabulary-
+    sized, not corpus-sized — and every BPE round runs over that
+    table: count adjacent symbol pairs weighted by word freq (one
+    vocab-sized shuffle), pick the argmax pair (cnt DESC, pair ASC —
+    a deterministic 1-row TakeOrdered), apply the merge map-side with
+    the rule riding a broadcast. No collect: the loop chains lazily,
+    one plan.
+
+    Symbols are rendered ``<a><b>...`` so a merge is a plain
+    ``replace(repr, '<a><b>', '<ab>')`` — the delimiters make
+    cross-symbol false matches impossible, and both engines apply
+    replace left-to-right non-overlapping, which IS greedy BPE merge
+    order. Returns one row per round: (round, merged_pair, cnt).
+    """
+    d = docs.select(
+        F.explode(
+            F.expr(f"filter({words_col}, x -> x <> '')")
+        ).alias("word")
+    )
+    w = d.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    sym = w.select(
+        F.regexp_replace("word", "(.)", "<$1>").alias("repr"), "freq"
+    )
+
+    def pair_counts(sym_df):
+        s = F.expr(r"regexp_extract_all(repr, '<[^>]+>', 0)")
+        return (
+            sym_df.select(s.alias("_s"), "freq")
+            .select(
+                # size<2 guard: sequence(1, 0) DESCENDS ([1, 0]) and
+                # element_at(_s, 0) throws — the shingles() pitfall.
+                F.explode(
+                    F.expr(
+                        "if(size(_s) < 2, cast(array() as array<string>), "
+                        "transform(sequence(1, size(_s) - 1), i -> "
+                        "concat(element_at(_s, i), element_at(_s, i + 1))))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+
+    rules = []
+    for r in range(1, rounds + 1):
+        rule = (
+            pair_counts(sym)
+            .orderBy(F.col("cnt").desc(), "p")
+            .limit(1)
+            .select(F.lit(r).alias("round"), F.col("p").alias("merged_pair"), "cnt")
+        )
+        rules.append(rule)
+        if r < rounds:
+            sym = sym.crossJoin(
+                F.broadcast(rule.select("merged_pair"))
+            ).select(
+                F.expr(
+                    "replace(repr, merged_pair,"
+                    " replace(merged_pair, '><', ''))"
+                ).alias("repr"),
+                "freq",
+            )
+
+    out = rules[0]
+    for rule in rules[1:]:
+        out = out.unionAll(rule)
+    return out.orderBy("round")
+
+
 def normalize_text(text_col: str = "text") -> Column:
     """Canonical text normalization: lowercase, non-alphanumerics → space,
     whitespace runs collapsed, trimmed. Pure codegen string expressions

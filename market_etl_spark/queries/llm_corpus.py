@@ -19,6 +19,7 @@ from ..llm.text import (
     NORMALIZE_SQL,
     bigram_lm_scores,
     bm25_scores,
+    bpe_merge_rounds,
     dup_ngram_fraction,
     bm25_sql,
     bpe_token_count,
@@ -959,6 +960,56 @@ def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     idx = text_index(docs, term_filter=F.col("term").startswith("p"))
     return idx.orderBy("term", "doc_id")
+
+
+@query(
+    "llm_bpe_merges",
+    oracle=r"""
+    WITH w AS (
+        SELECT t AS word, COUNT(*) AS freq FROM (
+            SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) AS t
+            FROM documents
+        ) GROUP BY t
+    ), sym0 AS (
+        SELECT regexp_replace(word, '(.)', '<\1>', 'g') AS repr, freq FROM w
+    ), pairs1 AS (
+        SELECT p, SUM(freq) AS cnt FROM (
+            SELECT unnest([s[i] || s[i+1] FOR i IN range(1, len(s))]) AS p, freq
+            FROM (SELECT regexp_extract_all(repr, '<[^>]+>') AS s, freq FROM sym0)
+        ) GROUP BY p
+    ), rule1 AS (
+        SELECT p, cnt FROM pairs1 ORDER BY cnt DESC, p LIMIT 1
+    ), sym1 AS (
+        SELECT replace(s0.repr, r.p, replace(r.p, '><', '')) AS repr, s0.freq
+        FROM sym0 s0 CROSS JOIN rule1 r
+    ), pairs2 AS (
+        SELECT p, SUM(freq) AS cnt FROM (
+            SELECT unnest([s[i] || s[i+1] FOR i IN range(1, len(s))]) AS p, freq
+            FROM (SELECT regexp_extract_all(repr, '<[^>]+>') AS s, freq FROM sym1)
+        ) GROUP BY p
+    ), rule2 AS (
+        SELECT p, cnt FROM pairs2 ORDER BY cnt DESC, p LIMIT 1
+    )
+    SELECT CAST(1 AS INT) AS round, p AS merged_pair, cnt FROM rule1
+    UNION ALL
+    SELECT 2, p, cnt FROM rule2
+    ORDER BY round
+    """,
+    tags=("llm", "tokenizer", "iterative", "extension"),
+)
+def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO BPE merge rounds over the corpus vocabulary
+    (:func:`..llm.text.bpe_merge_rounds`) — tokenizer training's
+    vocabulary-induction loop, certified end-to-end: the hash match on
+    (round, merged_pair, weighted count) proves both engines counted
+    every pair, picked the same argmax under the same tie-break, AND
+    applied round 1's merge identically before round 2 counted. Like
+    llm_kmeans_fit, the iteration is unrolled into chained oracle
+    CTEs; everything downstream of the (word, freq) collapse is
+    vocabulary-sized."""
+    d = load(spark, sf_dir, "documents").withColumn("toks", words("text"))
+    return bpe_merge_rounds(d, rounds=2)
 
 
 @query(

@@ -522,3 +522,36 @@ def test_dup_ngram_fraction_planted_duplicate(spark):
     # doc 2: 9 tokens -> 2 grams, the one at position 2 is shared.
     assert out[2].n_ngrams == 2 and out[2].n_dup_ngrams == 1
     assert out[3].n_dup_ngrams == 0 and out[3].dup_frac == 0.0
+
+
+def test_bpe_merge_rounds_hand_computed(spark):
+    """Tiny vocabulary where the two merge rounds are hand-checkable,
+    including the round-1 merge feeding round 2's counts."""
+    from market_etl_spark.llm.text import bpe_merge_rounds, words
+
+    # words: 'aab' x3, 'ab' x2 -> pairs r1: aa:3, ab:5 -> merge <a><b>
+    # r2 symbols: 'a ab' x3 (pairs: a-ab:3), 'ab' x2 -> merge <a><ab>
+    df = spark.createDataFrame(
+        [(1, "aab aab ab"), (2, "aab ab")], "doc_id long, text string"
+    ).withColumn("toks", words("text"))
+    out = bpe_merge_rounds(df, rounds=2).collect()
+    assert [(r.round, r.merged_pair, r.cnt) for r in out] == [
+        (1, "<a><b>", 5),
+        (2, "<a><ab>", 3),
+    ]
+
+
+def test_bpe_merge_greedy_nonoverlapping(spark):
+    """'aaaa' merges to two 'aa' symbols, not three overlapping pairs:
+    replace() is left-to-right non-overlapping — greedy BPE order."""
+    from market_etl_spark.llm.text import bpe_merge_rounds, words
+
+    df = spark.createDataFrame(
+        [(1, "aaaa aaaa")], "doc_id long, text string"
+    ).withColumn("toks", words("text"))
+    out = bpe_merge_rounds(df, rounds=2).collect()
+    # r1: pairs of 'aaaa' = 3 x <a><a> per word? One WORD type, freq 1
+    # (distinct word 'aaaa' counted twice -> freq 2): cnt = 3*2 = 6.
+    assert (out[0].merged_pair, out[0].cnt) == ("<a><a>", 6)
+    # r2: '<aa><aa>' per word -> pair <aa><aa> cnt 2 (freq 2, one pair).
+    assert (out[1].merged_pair, out[1].cnt) == ("<aa><aa>", 2)
