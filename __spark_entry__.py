@@ -79,6 +79,7 @@ _LATER: tuple[str, ...] = (
     "llm_lm_perplexity",
     "llm_dup_ngram_fraction",
     "llm_bpe_merges",
+    "q_zorder_pruned_scan",
 )
 
 

@@ -572,3 +572,62 @@ def q_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def ensure_zordered_events(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize-once accessor for the Z-ordered events layout
+    (:func:`..sinks.write_zordered`, Morton-clustered on
+    (user_id, value)). Same memoization contract as
+    :func:`ensure_manifested_events`."""
+    from ..sinks import write_zordered
+
+    tag = pathlib.Path(sf_dir.rstrip("/")).name.replace(".", "_")
+    fp = _source_fingerprint(sf_dir)
+    out = SCRATCH / f"zordered_events_{tag}_{fp}"
+    if not (out / "manifest" / "_SUCCESS").exists():
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        write_zordered(events, str(out), "user_id", "value", n_files=16)
+    return str(out)
+
+
+@query(
+    "q_zorder_pruned_scan",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+               AS sum_value_micros
+    FROM events
+    WHERE user_id BETWEEN 10 AND 40 AND value BETWEEN 100 AND 200
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("datalayout", "zorder", "stats-skipping", "extension"),
+)
+def q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional data skipping — the Delta/Iceberg OPTIMIZE
+    ZORDER model on plain parquet: events laid out range-clustered on
+    the Morton key of (user_id, value) with per-file min/max stats for
+    BOTH columns; a box predicate plans against the manifest and scans
+    only overlapping files, residual predicate re-applied. Because the
+    Morton interleave bounds every file in every dimension, the SAME
+    layout also serves single-column predicates on either column —
+    what a one-column clustering cannot do (tests assert both pruning
+    modes). Oracle: the identical box aggregate over the raw table;
+    micro-unit integer sums keep the hash FP-exact."""
+    from ..sinks import read_zorder_pruned
+
+    path = ensure_zordered_events(spark, sf_dir)
+    df, _scanned, _total = read_zorder_pruned(
+        spark, path, "user_id", (10, 40), "value", (100.0, 200.0)
+    )
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 1e6, 0).cast("long"))
+            .cast("long")
+            .alias("sum_value_micros"),
+        )
+        .orderBy("event_type")
+    )

@@ -169,3 +169,55 @@ def test_reference_padded_layout_roundtrip(spark):
     assert got == {10, 11}
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
+    """The Morton layout must (a) return exactly the same rows as a
+    direct filtered read for box AND single-dim predicates, (b) skip
+    files for a selective box, and (c) skip files for a predicate on
+    EITHER single column — the property a one-column clustering lacks."""
+    from market_etl_spark.sinks import read_zorder_pruned, write_zordered
+
+    src = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("a"),
+        (F.col("id") / 64).cast("int").alias("b"),
+        F.col("id").alias("payload"),
+    )
+    path = str(tmp_path / "z")
+    write_zordered(src, path, "a", "b", n_files=16)
+
+    # (a) correctness: box predicate
+    df, scanned, total = read_zorder_pruned(spark, path, "a", (0, 7), "b", (0, 7))
+    want = src.filter("a between 0 and 7 and b between 0 and 7")
+    assert sorted(r.payload for r in df.collect()) == sorted(
+        r.payload for r in want.collect()
+    )
+    # (b) the selective box skips most files
+    assert total == 16 and scanned < total, (scanned, total)
+
+    # (c) single-dimension predicates each prune too
+    _, scanned_a, _ = read_zorder_pruned(spark, path, "a", (0, 7), "b", None)
+    _, scanned_b, _ = read_zorder_pruned(spark, path, "a", None, "b", (0, 7))
+    assert scanned_a < total, scanned_a
+    assert scanned_b < total, scanned_b
+    da, _, _ = read_zorder_pruned(spark, path, "a", (0, 7), "b", None)
+    assert da.count() == src.filter("a between 0 and 7").count()
+
+
+def test_zorder_empty_overlap_returns_empty(spark, tmp_path):
+    from market_etl_spark.sinks import read_zorder_pruned, write_zordered
+
+    src = spark.range(0, 256).select(
+        (F.col("id") % 16).alias("a"), (F.col("id") % 7).alias("b")
+    )
+    path = str(tmp_path / "z2")
+    write_zordered(src, path, "a", "b", n_files=4)
+    df, scanned, total = read_zorder_pruned(
+        spark, path, "a", (1000, 2000), "b", None
+    )
+    assert scanned == 0 and df.count() == 0

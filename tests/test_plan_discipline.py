@@ -45,6 +45,7 @@ _SKIP = {
     "q_rollup_incremental_refresh",
     "llm_incremental_dedup",
     "q_sessionize",  # pandas-state twin builds a stream zone
+    "q_zorder_pruned_scan",  # materializes the z-ordered layout
 }
 
 #: BroadcastNestedLoopJoin allowlist: every entry is a join against a

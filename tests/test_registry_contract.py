@@ -56,6 +56,7 @@ _SIDE_EFFECT = {
     "llm_incremental_dedup",
     "q_sessionize",
     "q_scd2_apply",
+    "q_zorder_pruned_scan",
 }
 
 _COMPLEX = (T.ArrayType, T.MapType, T.StructType)
