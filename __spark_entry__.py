@@ -80,6 +80,8 @@ _LATER: tuple[str, ...] = (
     "llm_dup_ngram_fraction",
     "llm_bpe_merges",
     "q_zorder_pruned_scan",
+    "llm_importance_weights",
+    "llm_logreg_quality",
 )
 
 

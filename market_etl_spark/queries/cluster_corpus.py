@@ -192,3 +192,160 @@ def llm_semdedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return semdedup.semantic_dedup_summary(emb, _K, _SEM_TAU)
+
+
+# ---------------------------------------------------------------------------
+# Logistic-regression quality classifier (round 4)
+# ---------------------------------------------------------------------------
+
+_LR = 1.0
+_LR_ROUNDS = 2
+
+
+def _logreg_feats_sql() -> str:
+    """Per-doc features + label: bias, English-stopword ratio, scaled
+    mean chars/token; label = (lang = 'en')."""
+    stops = ", ".join(f"'{w}'" for w in
+                      ("the", "and", "of", "to", "a", "in", "is", "it",
+                       "for", "on"))
+    return f"""
+    feats AS (
+        SELECT doc_id,
+               1.0 AS x0,
+               len(list_filter(w, t -> t IN ({stops})))::DOUBLE
+                   / len(w) AS x1,
+               n_chars::DOUBLE / len(w) / 10.0 AS x2,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        FROM (
+            SELECT doc_id, lang, n_chars,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+            FROM documents
+        ) WHERE len(w) > 0
+    )"""
+
+
+def _logreg_oracle() -> str:
+    """Unroll the GD rounds into chained CTEs (the llm_kmeans_fit
+    pattern): every weight update is rounded to 8 dp on BOTH engines,
+    so cross-engine exp()/summation noise (~1e-13) can never compound
+    across rounds."""
+    ctes = [_logreg_feats_sql(),
+            "w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)"]
+    for r in range(1, _LR_ROUNDS + 1):
+        p = len(ctes)  # noqa: F841 (clarity)
+        ctes.append(f"""g{r} AS (
+        SELECT AVG((1.0 / (1.0 + exp(-(w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2))) - f.y) * f.x0) AS g0,
+               AVG((1.0 / (1.0 + exp(-(w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2))) - f.y) * f.x1) AS g1,
+               AVG((1.0 / (1.0 + exp(-(w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2))) - f.y) * f.x2) AS g2
+        FROM feats f CROSS JOIN w{r - 1} w
+    )""")
+        ctes.append(f"""w{r} AS (
+        SELECT ROUND(w.w0 - {_LR} * g.g0, 8) AS w0,
+               ROUND(w.w1 - {_LR} * g.g1, 8) AS w1,
+               ROUND(w.w2 - {_LR} * g.g2, 8) AS w2
+        FROM w{r - 1} w CROSS JOIN g{r} g
+    )""")
+    chain = ",\n    ".join(ctes)
+    R = _LR_ROUNDS
+    return f"""
+    WITH {chain},
+    acc AS (
+        SELECT AVG(CASE WHEN (1.0 / (1.0 + exp(-(w.w0 * f.x0 + w.w1 * f.x1
+                                               + w.w2 * f.x2))) >= 0.5)
+                            = (f.y = 1.0)
+                       THEN 1.0 ELSE 0.0 END) AS a
+        FROM feats f CROSS JOIN w{R} w
+    )
+    SELECT 'bias' AS feature, ROUND(w0, 6) AS value FROM w{R}
+    UNION ALL SELECT 'stop_ratio', ROUND(w1, 6) FROM w{R}
+    UNION ALL SELECT 'scaled_len', ROUND(w2, 6) FROM w{R}
+    UNION ALL SELECT 'train_acc', ROUND(a, 6) FROM acc
+    ORDER BY feature
+    """
+
+
+@query(
+    "llm_logreg_quality",
+    oracle=_logreg_oracle(),
+    tags=("llm", "classifier", "iterative", "extension"),
+)
+def llm_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed quality-classifier training: TWO batch
+    gradient-descent rounds of logistic regression (is-English from
+    bias / stopword-ratio / chars-per-token), the fastText/quality-
+    filter training pattern expressed as pure DataFrame aggregates.
+
+    The model is THREE numbers: each round is one partial-agg pass
+    computing the mean gradient (map-side combine; nothing but the
+    1-row weight frame ever broadcasts back), so a round costs one
+    corpus scan at any scale and the driver holds no data. Like
+    llm_kmeans_fit/llm_bpe_merges, the whole iteration is certified:
+    the oracle unrolls both rounds in chained CTEs, weights rounded to
+    8 dp per round on both engines so fp noise cannot compound.
+    Output: final weights + training accuracy."""
+    docs = load(spark, sf_dir, "documents")
+    stops = ("the", "and", "of", "to", "a", "in", "is", "it", "for", "on")
+    in_list = ", ".join(f"'{w}'" for w in stops)
+    feats = (
+        docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("_w"),
+        )
+        .filter(F.size("_w") > 0)
+        .select(
+            F.lit(1.0).alias("x0"),
+            (
+                F.size(F.expr(f"filter(_w, t -> t IN ({in_list}))")).cast(
+                    "double"
+                )
+                / F.size("_w")
+            ).alias("x1"),
+            (F.col("n_chars").cast("double") / F.size("_w") / 10.0).alias("x2"),
+            F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        )
+    )
+    w = spark.range(1).select(
+        F.lit(0.0).alias("w0"), F.lit(0.0).alias("w1"), F.lit(0.0).alias("w2")
+    )
+    margin = F.col("w0") * F.col("x0") + F.col("w1") * F.col("x1") + F.col(
+        "w2"
+    ) * F.col("x2")
+    resid = 1.0 / (1.0 + F.exp(-margin)) - F.col("y")
+    for _ in range(_LR_ROUNDS):
+        g = (
+            feats.crossJoin(F.broadcast(w))
+            .agg(
+                F.avg(resid * F.col("x0")).alias("g0"),
+                F.avg(resid * F.col("x1")).alias("g1"),
+                F.avg(resid * F.col("x2")).alias("g2"),
+            )
+        )
+        w = (
+            w.crossJoin(F.broadcast(g))
+            .select(
+                F.round(F.col("w0") - _LR * F.col("g0"), 8).alias("w0"),
+                F.round(F.col("w1") - _LR * F.col("g1"), 8).alias("w1"),
+                F.round(F.col("w2") - _LR * F.col("g2"), 8).alias("w2"),
+            )
+        )
+    acc = (
+        feats.crossJoin(F.broadcast(w))
+        .agg(
+            F.avg(
+                F.when(
+                    (1.0 / (1.0 + F.exp(-margin)) >= 0.5)
+                    == (F.col("y") == 1.0),
+                    1.0,
+                ).otherwise(0.0)
+            ).alias("a")
+        )
+    )
+    out = (
+        w.selectExpr("'bias' AS feature", "round(w0, 6) AS value")
+        .unionAll(w.selectExpr("'stop_ratio'", "round(w1, 6)"))
+        .unionAll(w.selectExpr("'scaled_len'", "round(w2, 6)"))
+        .unionAll(acc.selectExpr("'train_acc'", "round(a, 6)"))
+    )
+    return out.orderBy("feature")

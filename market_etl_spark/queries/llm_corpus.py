@@ -963,6 +963,80 @@ def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_importance_weights",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        FROM documents
+    ),
+    tgt AS (SELECT w FROM d WHERE source = 'src0'),
+    srcc AS (SELECT w FROM d WHERE source <> 'src0'),
+    tuni AS (SELECT t AS w1, COUNT(*) AS c1 FROM (SELECT unnest(w) AS t FROM tgt) GROUP BY t),
+    tbi AS (SELECT bg, COUNT(*) AS c12 FROM (
+        SELECT unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bg FROM tgt
+    ) GROUP BY bg),
+    tv AS (SELECT COUNT(*)::DOUBLE AS v FROM tuni),
+    suni AS (SELECT t AS w1, COUNT(*) AS c1 FROM (SELECT unnest(w) AS t FROM srcc) GROUP BY t),
+    sbi AS (SELECT bg, COUNT(*) AS c12 FROM (
+        SELECT unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bg FROM srcc
+    ) GROUP BY bg),
+    sv AS (SELECT COUNT(*)::DOUBLE AS v FROM suni),
+    docbi AS (
+        SELECT doc_id,
+               unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bg
+        FROM d WHERE len(w) >= 2
+    ),
+    scored AS (
+        SELECT db.doc_id,
+               ln((COALESCE(tb.c12, 0) + 1.0) /
+                  (COALESCE(tu.c1, 0) + tv.v)) AS lpt,
+               ln((COALESCE(sb.c12, 0) + 1.0) /
+                  (COALESCE(su.c1, 0) + sv.v)) AS lps
+        FROM docbi db
+        LEFT JOIN tbi tb ON db.bg = tb.bg
+        LEFT JOIN tuni tu ON string_split(db.bg, ' ')[1] = tu.w1
+        LEFT JOIN sbi sb ON db.bg = sb.bg
+        LEFT JOIN suni su ON string_split(db.bg, ' ')[1] = su.w1
+        CROSS JOIN tv CROSS JOIN sv
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(ROUND(AVG(lpt), 6) - ROUND(AVG(lps), 6), 6) AS log_importance
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("llm", "data-selection", "lm", "extension"),
+)
+def llm_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting for data selection (Xie et al.,
+    arXiv:2302.03169): per-document log importance = mean bigram
+    log-prob under the TARGET LM (trained on the clean ``src0`` slice)
+    minus the same under the SOURCE LM (the rest of the corpus) — the
+    resampling weight that tilts a raw crawl toward a target
+    distribution. Built by composing :func:`..llm.text.bigram_lm_scores`
+    twice on the same token frame: both LMs are reference-sized; the
+    document side explodes its bigrams once per LM and shares the scan.
+    Selection itself is then a deterministic top-k by
+    (log_importance, doc_id) — TakeOrderedAndProject, not done here so
+    the full weight table stays inspectable."""
+    d = load(spark, sf_dir, "documents").withColumn("toks", words("text"))
+    tgt = d.filter(F.col("source") == "src0")
+    src = d.filter(F.col("source") != "src0")
+    t = bigram_lm_scores(d, tgt).withColumnRenamed("avg_logp", "_lpt")
+    s = bigram_lm_scores(d, src).select(
+        "doc_id", F.col("avg_logp").alias("_lps")
+    )
+    return (
+        t.join(s, "doc_id")
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(F.col("_lpt") - F.col("_lps"), 6).alias("log_importance"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "llm_bpe_merges",
     oracle=r"""
     WITH w AS (

@@ -555,3 +555,36 @@ def test_bpe_merge_greedy_nonoverlapping(spark):
     assert (out[0].merged_pair, out[0].cnt) == ("<a><a>", 6)
     # r2: '<aa><aa>' per word -> pair <aa><aa> cnt 2 (freq 2, one pair).
     assert (out[1].merged_pair, out[1].cnt) == ("<aa><aa>", 2)
+
+
+def test_importance_weights_favor_target_like_docs(spark):
+    """A doc written in target-LM phrases gets a higher log-importance
+    than one written in source-LM phrases."""
+    from market_etl_spark.llm.text import bigram_lm_scores, words
+
+    # Reuse the registered query's shape on a toy corpus.
+    rows = [(i, "good clean text here", "src0", 20, "en") for i in range(5)]
+    rows += [(10 + i, "spam junk words now", "src1", 19, "en") for i in range(5)]
+    rows += [(20, "good clean text here", "srcX", 20, "en"),
+             (21, "spam junk words now", "srcX", 19, "en")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long, lang string"
+    ).withColumn("toks", words("text"))
+    tgt = df.filter(F.col("source") == "src0")
+    src = df.filter(F.col("source") == "src1")
+    t = {r.doc_id: r.avg_logp for r in bigram_lm_scores(df, tgt).collect()}
+    s = {r.doc_id: r.avg_logp for r in bigram_lm_scores(df, src).collect()}
+    assert (t[20] - s[20]) > (t[21] - s[21])
+
+
+def test_logreg_quality_learns_separable_labels(spark):
+    """On the real corpus the 2-round GD must move weights off zero and
+    train_acc must beat the majority-class baseline's complement
+    floor (sanity, not a convergence claim)."""
+    from market_etl_spark.queries import REGISTRY
+
+    out = {r.feature: r.value
+           for r in REGISTRY["llm_logreg_quality"].fn(spark, SF_SMOKE).collect()}
+    assert set(out) == {"bias", "stop_ratio", "scaled_len", "train_acc"}
+    assert any(abs(out[k]) > 1e-6 for k in ("bias", "stop_ratio", "scaled_len"))
+    assert 0.0 <= out["train_acc"] <= 1.0

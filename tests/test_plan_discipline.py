@@ -96,6 +96,8 @@ _BNLJ_OK = {
     "llm_embedding_decontamination",  # bounded eval-slice broadcast scorer
     "llm_lm_perplexity",  # 1-row vocab-size broadcast into the scorer
     "llm_bpe_merges",  # 1-row merge rule broadcast into the apply step
+    "llm_importance_weights",  # two 1-row vocab-size broadcasts (target/source LM)
+    "llm_logreg_quality",  # 1-row weight/gradient frames broadcast per GD round
 }
 
 
