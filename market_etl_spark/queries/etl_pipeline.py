@@ -576,17 +576,17 @@ def q_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ensure_zordered_events(spark: SparkSession, sf_dir: str) -> str:
     """Materialize-once accessor for the Z-ordered events layout
-    (:func:`..sinks.write_zordered`, Morton-clustered on
+    (:func:`..sinks.write_zorder_manifested`, Morton-clustered on
     (user_id, value)). Same memoization contract as
     :func:`ensure_manifested_events`."""
-    from ..sinks import write_zordered
+    from ..sinks import write_zorder_manifested
 
     tag = pathlib.Path(sf_dir.rstrip("/")).name.replace(".", "_")
     fp = _source_fingerprint(sf_dir)
     out = SCRATCH / f"zordered_events_{tag}_{fp}"
     if not (out / "manifest" / "_SUCCESS").exists():
         events = spark.read.parquet(f"{sf_dir}/events.parquet")
-        write_zordered(events, str(out), "user_id", "value", n_files=16)
+        write_zorder_manifested(events, str(out), "user_id", "value", n_files=16)
     return str(out)
 
 

@@ -275,71 +275,24 @@ def read_stats_pruned(spark, path: str, cluster_col: str, lo, hi):
     return df, len(keep), len(man)
 
 
-def zorder_value(col_a, col_b, stats_prefix: str = "_z", bits: int = 16):
-    """Z-order (Morton) key: interleave the bits of both columns'
-    min-max-normalized ranks. Expects 1-row global stats columns
-    ``{p}_min_a/{p}_max_a/{p}_min_b/{p}_max_b`` already joined in
-    (a broadcast — one tiny aggregate, never a driver round-trip).
-
-    The interleave is a codegen fold — no UDF: bit i of each
-    normalized value lands at position 2i / 2i+1, so a file holding a
-    narrow z-range holds a narrow range in EVERY dimension — the
-    property that lets one layout serve predicates on either column
-    (the Delta/Iceberg OPTIMIZE ZORDER model)."""
-    p = stats_prefix
-    top = (1 << bits) - 1
-
-    def norm(c, mn, mx):
-        return (
-            f"least({top}L, greatest(0L, cast(round("
-            f"(cast({c} as double) - {mn}) / "
-            f"(case when {mx} > {mn} then {mx} - {mn} else 1.0 end)"
-            f" * {top}.0, 0) as long)))"
-        )
-
-    xa = norm(col_a, f"{p}_min_a", f"{p}_max_a")
-    xb = norm(col_b, f"{p}_min_b", f"{p}_max_b")
-    return F.expr(
-        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> "
-        f"acc + shiftleft((shiftright({xa}, i) & 1L), 2 * i)"
-        f" + shiftleft((shiftright({xb}, i) & 1L), 2 * i + 1))"
-    )
-
-
-def write_zordered(
+def write_zorder_manifested(
     df: DataFrame,
     path: str,
     col_a: str,
     col_b: str,
     n_files: int = 16,
-    bits: int = 16,
+    bits: int = 12,
 ) -> None:
-    """Two-dimensional data-skipping layout: range-cluster files on the
-    Z-order key of (col_a, col_b) and write a per-file manifest with
-    min/max stats for BOTH columns.
-
-    Same contract as :func:`write_manifested`, one dimension up: a
-    single-column clustering can only skip on its own column, while
-    the Morton layout gives every file a bounded box in (a, b) space —
-    a box predicate on either or both columns prunes files. The global
-    (min, max) normalization stats are a 1-row broadcast."""
+    """:func:`write_zordered` plus a per-FILE stats manifest carrying
+    min/max for BOTH columns — the full Delta/Iceberg OPTIMIZE ZORDER
+    story on plain parquet: the Morton layout bounds every file in a
+    box of (a, b) space (row-group pruning within files), and the
+    manifest lets the READER plan file-level skips for box predicates
+    or single-column predicates on either dimension without touching a
+    footer. Same manifest contract as :func:`write_manifested`, one
+    dimension up."""
     data_path = f"{path}/data"
-    stats = df.agg(
-        F.min(col_a).alias("_z_min_a"),
-        F.max(col_a).alias("_z_max_a"),
-        F.min(col_b).alias("_z_min_b"),
-        F.max(col_b).alias("_z_max_b"),
-    )
-    z = df.crossJoin(F.broadcast(stats)).withColumn(
-        "_zv", zorder_value(col_a, col_b, bits=bits)
-    )
-    (
-        z.repartitionByRange(n_files, F.col("_zv"))
-        .sortWithinPartitions("_zv")
-        .drop("_zv", "_z_min_a", "_z_max_a", "_z_min_b", "_z_max_b")
-        .write.mode("overwrite")
-        .parquet(data_path)
-    )
+    write_zordered(df, data_path, col_a, col_b, bits=bits, n_files=n_files)
     spark = df.sparkSession
     manifest = (
         spark.read.parquet(data_path)

@@ -181,7 +181,7 @@ def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
     direct filtered read for box AND single-dim predicates, (b) skip
     files for a selective box, and (c) skip files for a predicate on
     EITHER single column — the property a one-column clustering lacks."""
-    from market_etl_spark.sinks import read_zorder_pruned, write_zordered
+    from market_etl_spark.sinks import read_zorder_pruned, write_zorder_manifested
 
     src = spark.range(0, 4096).select(
         (F.col("id") % 64).alias("a"),
@@ -189,7 +189,7 @@ def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
         F.col("id").alias("payload"),
     )
     path = str(tmp_path / "z")
-    write_zordered(src, path, "a", "b", n_files=16)
+    write_zorder_manifested(src, path, "a", "b", n_files=16)
 
     # (a) correctness: box predicate
     df, scanned, total = read_zorder_pruned(spark, path, "a", (0, 7), "b", (0, 7))
@@ -210,13 +210,13 @@ def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
 
 
 def test_zorder_empty_overlap_returns_empty(spark, tmp_path):
-    from market_etl_spark.sinks import read_zorder_pruned, write_zordered
+    from market_etl_spark.sinks import read_zorder_pruned, write_zorder_manifested
 
     src = spark.range(0, 256).select(
         (F.col("id") % 16).alias("a"), (F.col("id") % 7).alias("b")
     )
     path = str(tmp_path / "z2")
-    write_zordered(src, path, "a", "b", n_files=4)
+    write_zorder_manifested(src, path, "a", "b", n_files=4)
     df, scanned, total = read_zorder_pruned(
         spark, path, "a", (1000, 2000), "b", None
     )
