@@ -82,6 +82,7 @@ _LATER: tuple[str, ...] = (
     "q_zorder_pruned_scan",
     "llm_importance_weights",
     "llm_logreg_quality",
+    "llm_containment_pairs",
 )
 
 

@@ -829,3 +829,85 @@ def canonical_docs(
             F.col(score_col).alias("best_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Shingle containment (doc-in-doc detection, round 4)
+# ---------------------------------------------------------------------------
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "toks",
+    threshold: float = 0.9,
+    n: int = 3,
+) -> DataFrame:
+    """EXACT directional shingle containment ≥ t: pairs (a, b) where
+    ``|sh(a) ∩ sh(b)| / |sh(a)| ≥ t`` — the doc-IN-doc detector
+    (quoted articles, boilerplate-wrapped copies, excerpt spam) that
+    symmetric Jaccard misses when |b| ≫ |a|.
+
+    One-sided prefix filter, provably lossless: order shingles by the
+    md5 global order; if b covers ≥ t·|a| of a's shingles, at most
+    ``|a| - ⌈t·|a|⌉`` of a's shingles miss b, so b must contain one of
+    a's ``|a| - ⌈t·|a|⌉ + 1`` smallest — only that PREFIX probes the
+    index. The index side holds every shingle (the contained side
+    can't be prefix-cut without losing pairs), so candidate work is
+    Σ_h probe_df(h)·df(h) — the probe side is ~(1-t)·|a|+1 rows per
+    doc, and md5-smallest shingles are effectively random, not
+    stopword-skewed. A size filter (|b| ≥ ⌈t·|a|⌉) prunes during
+    candidate generation; exact verify on the md5 sets disposes.
+    Directional output: (id_a, id_b, containment), id_a ≠ id_b."""
+    from .datasets import shingle_rows
+
+    t = threshold
+    h_rows = shingle_rows(docs, tokens_col, n, id_col, id_col).select(
+        F.col(id_col), F.md5("shingle").alias("h")
+    ).distinct()
+    w = Window.partitionBy(id_col)
+    ranked = h_rows.select(
+        F.col(id_col),
+        F.col("h"),
+        F.row_number().over(w.orderBy("h")).alias("_rn"),
+        F.count(F.lit(1)).over(w).alias("sz"),
+    )
+    probe = ranked.filter(
+        F.col("_rn")
+        <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")).cast("int") + 1
+    ).select(
+        F.col(id_col).alias("id_a"), F.col("sz").alias("_sz_a"), "h"
+    )
+    index = ranked.select(
+        F.col(id_col).alias("id_b"), F.col("sz").alias("_sz_b"), "h"
+    )
+    cands = (
+        probe.join(index, "h")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(
+            F.col("_sz_b") >= F.ceil(F.lit(t) * F.col("_sz_a")).cast("int")
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets_ = h_rows.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("h")).alias("_hs")
+    )
+    return (
+        cands.join(
+            sets_.select(F.col(id_col).alias("id_a"), F.col("_hs").alias("_ha")),
+            "id_a",
+        )
+        .join(
+            sets_.select(F.col(id_col).alias("id_b"), F.col("_hs").alias("_hb")),
+            "id_b",
+        )
+        .withColumn(
+            "containment",
+            F.round(
+                F.size(F.array_intersect("_ha", "_hb"))
+                / F.size("_ha").cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("containment") >= t)
+        .select("id_a", "id_b", "containment")
+    )

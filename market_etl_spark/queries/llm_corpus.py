@@ -963,6 +963,42 @@ def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_containment_pairs",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), s AS (
+        SELECT doc_id, {shingles_sql('w', 3)} AS sh FROM t
+    )
+    SELECT id_a, id_b, containment FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / len(a.sh), 6) AS containment
+        FROM s a JOIN s b ON a.doc_id <> b.doc_id
+        WHERE len(a.sh) > 0
+    ) WHERE containment >= 0.9
+    ORDER BY id_a, id_b
+    """,
+    tags=("llm", "dedup-containment", "extension"),
+    # Brute-force directional all-pairs oracle — same O(n²) class as
+    # llm_ngram_jaccard_pairs (measured 5.6s at sf0.01; quadratic
+    # blowup at sf0.1).
+    max_verify_sf=0.01,
+)
+def llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle containment ≥ 0.9
+    (:func:`..llm.dedup.containment_pairs`): doc-IN-doc detection —
+    quoted copies and boilerplate-wrapped excerpts whose symmetric
+    Jaccard stays low because the container is much longer. One-sided
+    prefix filter (provably lossless, see the operator docstring), no
+    all-pairs work; the oracle brute-forces the same directional
+    predicate."""
+    return dedup.containment_pairs(_docs(spark, sf_dir)).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query(
     "llm_importance_weights",
     oracle="""
     WITH d AS (

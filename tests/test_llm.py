@@ -588,3 +588,57 @@ def test_logreg_quality_learns_separable_labels(spark):
     assert set(out) == {"bias", "stop_ratio", "scaled_len", "train_acc"}
     assert any(abs(out[k]) > 1e-6 for k in ("bias", "stop_ratio", "scaled_len"))
     assert 0.0 <= out["train_acc"] <= 1.0
+
+
+def test_containment_detects_doc_in_doc(spark):
+    """A short doc fully quoted inside a long doc must be flagged
+    (containment 1.0 in the short→long direction) even though the
+    symmetric Jaccard is far below any dedup threshold."""
+    from market_etl_spark.llm.dedup import containment_pairs, prefix_filter_pairs
+    from market_etl_spark.llm.text import shingles, words
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    rows = [(1, short), (2, filler + " " + short + " " + filler),
+            (3, "totally different content here and there again")]
+    df = (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .withColumn("toks", words("text"))
+        .withColumn("sh", shingles("toks", 3))
+    )
+    got = {(r.id_a, r.id_b): r.containment
+           for r in containment_pairs(df).collect()}
+    assert got.get((1, 2)) == 1.0
+    assert (2, 1) not in got            # direction matters
+    assert (1, 3) not in got and (3, 1) not in got
+    # symmetric Jaccard would have missed it entirely
+    assert prefix_filter_pairs(df).count() == 0
+
+
+def test_containment_prefix_filter_is_lossless(spark):
+    """Prefix-filtered result == brute force on the real corpus
+    (exactness is the operator's contract, not a recall target)."""
+    from market_etl_spark.llm.dedup import containment_pairs
+
+    docs = (
+        load(spark, SF_SMOKE, "documents")
+        .withColumn("toks", __import__("market_etl_spark.llm.text", fromlist=["words"]).words("text"))
+    )
+    from market_etl_spark.llm.text import shingles
+    docs = docs.withColumn("sh", shingles("toks", 3))
+    got = {(r.id_a, r.id_b) for r in containment_pairs(docs).collect()}
+    # brute force via the same engine primitives
+    s = docs.select("doc_id", F.expr("transform(sh, x -> md5(x))").alias("hs"))
+    a = s.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("ha"))
+    b = s.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hb"))
+    brute = (
+        a.crossJoin(b)
+        .filter("id_a <> id_b")
+        .withColumn(
+            "c",
+            F.round(F.size(F.array_intersect("ha", "hb")) / F.size("ha").cast("double"), 6),
+        )
+        .filter("c >= 0.9")
+    )
+    want = {(r.id_a, r.id_b) for r in brute.collect()}
+    assert got == want
