@@ -83,6 +83,7 @@ _LATER: tuple[str, ...] = (
     "llm_importance_weights",
     "llm_logreg_quality",
     "llm_containment_pairs",
+    "q_lateral_topn_suppliers",
 )
 
 

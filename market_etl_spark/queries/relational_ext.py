@@ -652,3 +652,44 @@ def q_user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "q_lateral_topn_suppliers",
+    oracle="""
+    SELECT n.n_name, s.s_name, s.s_acctbal
+    FROM nation n,
+         LATERAL (
+             SELECT s_name, s_acctbal
+             FROM supplier
+             WHERE s_nationkey = n.n_nationkey
+             ORDER BY s_acctbal DESC, s_name
+             LIMIT 2
+         ) s
+    ORDER BY n.n_name, s.s_acctbal DESC, s.s_name
+    """,
+    tags=("extension", "lateral-join", "sql-surface"),
+)
+def q_lateral_topn_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — top-2 suppliers by account balance
+    per nation, written as the SQL-standard lateral join both engines
+    parse natively. Catalyst DECORRELATES it into the same plan as the
+    window rendering (DomainJoin → partitioned rank — no per-outer-row
+    re-execution), so the n_topk-per-group idiom costs one shuffle on
+    the correlation key at any scale; this query pins the SQL surface
+    while `q_window_topn_per_group` pins the DataFrame rendering."""
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, s.s_name, s.s_acctbal
+        FROM nation n,
+             LATERAL (
+                 SELECT s_name, s_acctbal
+                 FROM supplier
+                 WHERE s_nationkey = n.n_nationkey
+                 ORDER BY s_acctbal DESC, s_name
+                 LIMIT 2
+             ) s
+        ORDER BY n.n_name, s.s_acctbal DESC, s.s_name
+        """
+    )
