@@ -84,6 +84,7 @@ _LATER: tuple[str, ...] = (
     "llm_logreg_quality",
     "llm_containment_pairs",
     "q_lateral_topn_suppliers",
+    "q_recursive_tree_traversal",
 )
 
 

@@ -693,3 +693,43 @@ def q_lateral_topn_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n.n_name, s.s_acctbal DESC, s.s_name
         """
     )
+
+
+_RECURSIVE_TREE_SQL = """
+    WITH RECURSIVE tree(p_partkey, depth) AS (
+        SELECT p_partkey, 0 AS depth FROM part WHERE p_partkey = 1
+        UNION ALL
+        SELECT c.p_partkey, t.depth + 1
+        FROM part c JOIN tree t
+          ON CAST(FLOOR(c.p_partkey / 2.0) AS BIGINT) = t.p_partkey
+         AND c.p_partkey > 1
+        WHERE t.depth < 10
+    )
+    SELECT depth,
+           COUNT(*) AS n_nodes,
+           MIN(p_partkey) AS min_key,
+           MAX(p_partkey) AS max_key
+    FROM tree
+    GROUP BY depth
+    ORDER BY depth
+"""
+
+
+@query(
+    "q_recursive_tree_traversal",
+    oracle=_RECURSIVE_TREE_SQL,
+    tags=("extension", "recursive-cte", "sql-surface", "iterative"),
+)
+def q_recursive_tree_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard RECURSIVE CTE (new in Spark 4): breadth-first
+    traversal of the implicit binary tree ``parent = ⌊key/2⌋`` over the
+    part table, per-depth roll-up. Both engines execute the identical
+    recursion (DuckDB has native WITH RECURSIVE), so the hash match
+    certifies Spark's recursive-CTE execution end-to-end — the
+    SQL-surface twin of the engine's driver-side iterative operators
+    (connected components, k-means, BPE), which remain the 100 TB
+    path: the recursive CTE re-joins the full child table per level,
+    where the hand-rolled fixpoints checkpoint ids-only state per
+    round and stop on convergence, not a depth literal."""
+    register_all(spark, sf_dir)
+    return spark.sql(_RECURSIVE_TREE_SQL)
