@@ -85,6 +85,7 @@ _LATER: tuple[str, ...] = (
     "llm_containment_pairs",
     "q_lateral_topn_suppliers",
     "q_recursive_tree_traversal",
+    "llm_token_entropy",
 )
 
 

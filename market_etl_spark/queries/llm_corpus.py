@@ -963,6 +963,64 @@ def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_token_entropy",
+    oracle="""
+    WITH tok AS (
+        SELECT source,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS t
+        FROM documents
+    ), cnt AS (
+        SELECT source, t, COUNT(*) AS c FROM tok GROUP BY source, t
+    ), tot AS (
+        SELECT source, SUM(c)::DOUBLE AS n FROM cnt GROUP BY source
+    )
+    SELECT cnt.source,
+           CAST(tot.n AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_distinct,
+           ROUND(-SUM((c / tot.n) * ln(c / tot.n)), 6) AS token_entropy
+    FROM cnt JOIN tot USING (source)
+    GROUP BY cnt.source, tot.n
+    ORDER BY cnt.source
+    """,
+    tags=("llm", "corpus-stats", "diversity", "extension"),
+)
+def llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Shannon token entropy — the lexical-diversity metric
+    a dataset card reports (low entropy flags templated/boilerplate
+    sources before they skew a training mix). Two partial-agg shuffles:
+    (source, token) counts collapse map-side, per-source totals are a
+    source-cardinality frame broadcast back, and the entropy sum runs
+    over the vocabulary-sized count table — the corpus is scanned
+    once and never reshuffled."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.explode(
+            F.expr("filter(split(lower(text), ' '), x -> x <> '')")
+        ).alias("t"),
+    )
+    cnt = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").cast("double").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        cnt.join(F.broadcast(tot), "source")
+        .groupBy("source", "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("token_entropy"),
+        )
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_tokens"),
+            "n_distinct",
+            "token_entropy",
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "llm_containment_pairs",
     oracle=f"""
     WITH t AS (
