@@ -76,6 +76,26 @@ AUDITED = [
         "broadcast; per-doc aggregation is two-phase.",
     ),
     (
+        "llm_containment_pairs",
+        "Doc-in-doc detection with NO cartesian anywhere: the probe side "
+        "is the md5-prefix slice of each doc's shingles, the index side "
+        "joins hash-equi on the shingle, and the exact verify runs only "
+        "on surviving candidates.",
+    ),
+    (
+        "q_lateral_topn_suppliers",
+        "The correlated LATERAL subquery is DECORRELATED by Catalyst into "
+        "a partitioned rank/filter over one join — no per-outer-row "
+        "re-execution, no nested loop over the supplier table.",
+    ),
+    (
+        "q_zorder_pruned_scan",
+        "The box query scans only the z-order files whose manifest "
+        "(a, b) stats box overlaps the predicate box; the residual "
+        "predicate is re-applied on the kept files (pushed to the "
+        "parquet scan as PushedFilters).",
+    ),
+    (
         "q_hopping_window_vwap",
         "Overlapping 10-min/5-min windows via a single `Expand` node "
         "(each row duplicated into its 2 windows) feeding one partial "
