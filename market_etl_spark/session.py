@@ -72,7 +72,7 @@ def get_spark(app_name: str = "market_etl_spark", master: str | None = None) -> 
         builder = builder.master(master)
     builder = (
         builder.config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in RUNTIME_CONF.items():
