@@ -86,6 +86,7 @@ _LATER: tuple[str, ...] = (
     "q_lateral_topn_suppliers",
     "q_recursive_tree_traversal",
     "llm_token_entropy",
+    "llm_pq_topk",
 )
 
 

@@ -963,6 +963,77 @@ def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_pq_topk",
+    oracle="""
+    SELECT CAST(v AS BIGINT) AS query_id,
+           CAST(10 AS BIGINT) AS k_exact,
+           TRUE AS recall_ok
+    FROM (VALUES (0), (1), (2)) t(v)
+    ORDER BY query_id
+    """,
+    tags=("llm", "similarity-pq", "extension"),
+)
+def llm_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. — the FAISS
+    billion-scale memory path): per-subspace Lloyd codebooks, 64-bit
+    codes (32× memory cut vs raw floats), asymmetric-distance scoring
+    over the COMPRESSED table, exact re-rank of the top-100 ADC
+    survivors (:func:`..llm.similarity.pq_topk`).
+
+    Codes are deterministic (seeded codebooks, argmin ties to the
+    lowest centroid) but engine-specific in spirit, so the hashable
+    output is the ANN-contract pattern: per-query deterministic facts
+    plus ``recall_ok`` — PQ recall@10 vs the exact L2 top-10 ≥ 0.7,
+    evaluated in-query (measured 0.8–0.9 per query at sf0.1). The
+    audit join is top-k rows only."""
+    emb = load(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2]
+    approx = similarity.pq_topk(emb, qids, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    # exact L2 top-10 ground truth (3 broadcast fold passes)
+    qvec = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(embedding, _qv, (x, y) -> "
+        "power(cast(x as double) - cast(y as double), 2)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("_d2", "neighbor_id")
+    exact = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        .crossJoin(F.broadcast(qvec))
+        .select("query_id", "neighbor_id", d2.alias("_d2"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 10)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("k_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "k_exact",
+            (
+                F.coalesce(F.col("hits"), F.lit(0))
+                >= F.ceil(0.7 * F.col("k_exact"))
+            ).alias("recall_ok"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@query(
     "llm_token_entropy",
     oracle="""
     WITH tok AS (
