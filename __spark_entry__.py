@@ -87,6 +87,7 @@ _LATER: tuple[str, ...] = (
     "q_recursive_tree_traversal",
     "llm_token_entropy",
     "llm_pq_topk",
+    "llm_training_pipeline_e2e",
 )
 
 

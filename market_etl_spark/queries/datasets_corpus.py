@@ -13,7 +13,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..llm import datasets
-from ..llm.text import BPE_TOKEN_COUNT_SQL, bpe_token_count, shingles_sql, words
+from ..llm.text import (
+    BPE_TOKEN_COUNT_SQL,
+    bpe_token_count,
+    quality_score,
+    shingles_sql,
+    words,
+)
 from ..tables import load
 from .registry import query
 
@@ -478,4 +484,96 @@ def llm_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
             F.max("_cos").alias("max_cos"),
         )
         .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end training-data pipeline (round 4)
+# ---------------------------------------------------------------------------
+_E2E_QUALITY_FLOOR = 0.4
+
+
+def _e2e_oracle() -> str:
+    from ..llm.text import quality_score_sql
+
+    return f"""
+    WITH t AS (
+        SELECT doc_id, source, text,
+               string_split(lower(text), ' ') AS w
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, source, text,
+               {quality_score_sql('text', 'w')} AS q
+        FROM t
+    ), filtered AS (
+        SELECT * FROM scored WHERE q >= {_E2E_QUALITY_FLOOR}
+    ), deduped AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY text ORDER BY doc_id) AS _rn
+            FROM filtered
+        ) WHERE _rn = 1
+    ), split AS (
+        SELECT doc_id, source,
+               {BPE_TOKEN_COUNT_SQL.format(col="text")} AS n_tokens
+        FROM deduped
+        WHERE {datasets.split_sql("doc_id")} = 'train'
+    ), packed AS (
+        SELECT source, n_tokens,
+               {datasets.pack_sequences_sql("source", "doc_id", "n_tokens", 512)}
+                   AS chunk_id
+        FROM split
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT chunk_id) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM packed
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@query(
+    "llm_training_pipeline_e2e",
+    oracle=_e2e_oracle(),
+    tags=("llm", "pipeline-composite", "extension"),
+)
+def llm_training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assembled training-data pipeline, one lazy plan end to end:
+    quality filter (composite score ≥ 0.4) → exact dedup (min-id per
+    body) → deterministic hash-bucket train split → 512-token sequence
+    packing per source shard — i.e. the stages every other query in
+    the LLM pillar verifies in isolation, COMPOSED, with the hash
+    check certifying the stage boundaries (a row dropped or duplicated
+    between stages shifts every downstream count).
+
+    Plan shape: the stages chain filter → window-on-text → filter →
+    window-on-source with no action in between, so Catalyst sees ONE
+    tree — the corpus is scanned once, and the only exchanges are the
+    dedup hash on the body digest and the shard hash for packing.
+    That composability IS the 100 TB pitch: a user swaps any stage
+    (MinHash for exact dedup, a classifier for the heuristic score)
+    without re-materializing intermediates."""
+    d = load(spark, sf_dir, "documents").withColumn("toks", words("text"))
+    scored = d.withColumn("q", quality_score("text", "toks"))
+    filtered = scored.filter(F.col("q") >= _E2E_QUALITY_FLOOR)
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(Window.partitionBy("text").orderBy("doc_id"))
+    deduped = filtered.withColumn("_rn", rn).filter(F.col("_rn") == 1)
+    split = (
+        datasets.assign_split(deduped, "doc_id")
+        .filter(F.col("split") == "train")
+        .withColumn("n_tokens", bpe_token_count("text"))
+    )
+    packed = datasets.pack_sequences(split, "source", "doc_id", "n_tokens", 512)
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("chunk_id").alias("n_chunks"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("source")
     )
