@@ -126,3 +126,123 @@ def test_minhash_estimates_jaccard_direction(spark, texts):
                 assert sig_a == sig_b
             elif not set(sh_a) & set(sh_b):
                 assert sig_a != sig_b
+
+
+def _py_bpe(words_freq, rounds):
+    """Pure-Python reference BPE (delimiter-wrapped symbols, greedy
+    left-to-right merge), mirroring llm.text.bpe_merge_rounds."""
+    sym = {("".join(f"<{c}>" for c in w)): f for w, f in words_freq.items()}
+    out = []
+    for _ in range(rounds):
+        counts = {}
+        for repr_, f in sym.items():
+            toks = repr_.replace("><", ">|<").split("|")
+            for a, b in zip(toks, toks[1:]):
+                counts[a + b] = counts.get(a + b, 0) + f
+        if not counts:
+            break
+        best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        out.append(best)
+        merged = best[0].replace("><", "")
+        sym = {
+            k.replace(best[0], merged): v for k, v in sym.items()
+        }
+    return out
+
+
+@settings(**_SETTINGS)
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=5),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_bpe_merges_match_python_reference(spark, words):
+    """Two engine BPE rounds == a pure-Python reference on arbitrary
+    tiny corpora (incl. single-char words, repeats, 'aaaa' overlaps)."""
+    from market_etl_spark.llm.text import bpe_merge_rounds
+    from market_etl_spark.llm.text import words as words_col
+
+    text = " ".join(words)
+    df = spark.createDataFrame(
+        [(1, text)], "doc_id long, text string"
+    ).withColumn("toks", words_col("text"))
+    got = [
+        (r.merged_pair, r.cnt) for r in bpe_merge_rounds(df, rounds=2).collect()
+    ]
+    freq = {}
+    for w in words:
+        freq[w] = freq.get(w, 0) + 1
+    want = _py_bpe(freq, 2)
+    assert got == want, (words, got, want)
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 4095), st.integers(0, 4095)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_zorder_key_matches_python_interleave(spark, rows):
+    """The Morton fold equals a pure-Python bit interleave for every
+    12-bit pair."""
+    from market_etl_spark.sinks import zorder_key
+
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = df.select(
+        "a", "b", zorder_key(F.col("a"), F.col("b"), 12).alias("z")
+    ).collect()
+
+    def interleave(a, b):
+        z = 0
+        for i in range(12):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    for r in got:
+        assert r.z == interleave(r.a, r.b), (r.a, r.b)
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("pq rs tu vw xy".split()), min_size=1, max_size=12),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_containment_matches_bruteforce_random_corpora(spark, docs):
+    """Prefix-filtered containment == brute force on arbitrary tiny
+    corpora (shared vocab forces collisions; short docs stress the
+    empty-shingle guard)."""
+    from market_etl_spark.llm.dedup import containment_pairs
+    from market_etl_spark.llm.text import shingles, words as words_col
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .withColumn("toks", words_col("text"))
+        .withColumn("sh", shingles("toks", 3))
+    )
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(df).collect()
+    }
+    sh = {
+        r.doc_id: set(r.sh) for r in df.select("doc_id", "sh").collect()
+    }
+    want = {}
+    for a, sa in sh.items():
+        if not sa:
+            continue
+        for b, sb in sh.items():
+            if a == b:
+                continue
+            c = round(len(sa & sb) / len(sa), 6)
+            if c >= 0.9:
+                want[(a, b)] = c
+    assert got == want, (docs, got, want)
