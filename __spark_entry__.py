@@ -88,6 +88,7 @@ _LATER: tuple[str, ...] = (
     "llm_token_entropy",
     "llm_pq_topk",
     "llm_training_pipeline_e2e",
+    "q_window_ewma",
 )
 
 

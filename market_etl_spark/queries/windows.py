@@ -438,3 +438,62 @@ def q_window_open_close_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             "running_range"
         ),
     ).orderBy("event_type", "minute")
+
+
+@query(
+    "q_window_ewma",
+    oracle="""
+    WITH r AS (
+        SELECT event_type, ts, event_id, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        FROM events WHERE user_id < 5
+    )
+    SELECT a.event_type, a.rn, COUNT(*) AS n_terms,
+           ROUND(SUM(b.value * POWER(0.8, a.rn - b.rn)) /
+                 SUM(POWER(0.8, a.rn - b.rn)), 6) AS ewma
+    FROM r a JOIN r b
+      ON a.event_type = b.event_type AND b.rn BETWEEN a.rn - 19 AND a.rn
+    GROUP BY a.event_type, a.rn
+    ORDER BY a.event_type, a.rn
+    """,
+    tags=("window", "financial", "extension"),
+)
+def q_window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average over the trailing 20
+    observations per series (α = 0.2, normalized weights) — the
+    smoothing every market feed applies before signals. The linear
+    recurrence is unrolled over a BOUNDED frame: a rank band self-join
+    (b.rn ∈ [a.rn-19, a.rn]) with weight (1-α)^(a.rn-b.rn), so the
+    fan-out is a constant 20× of the series rows — never history-deep —
+    and both engines evaluate the identical finite sum (the infinite-
+    history recurrence would accumulate engine-specific fp drift).
+    Rank assignment is one window per series; the band join shuffles
+    rank-keyed rows, frame-bounded state."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    r = e.select(
+        "event_type", "value", F.row_number().over(w).alias("rn")
+    )
+    a = r.select(F.col("event_type"), F.col("rn").alias("rn_a"))
+    b = r.select(
+        F.col("event_type"),
+        F.col("rn").alias("rn_b"),
+        F.col("value").alias("v_b"),
+    )
+    wgt = F.pow(F.lit(0.8), F.col("rn_a") - F.col("rn_b"))
+    return (
+        a.join(b, "event_type")
+        .filter(
+            (F.col("rn_b") >= F.col("rn_a") - 19)
+            & (F.col("rn_b") <= F.col("rn_a"))
+        )
+        .groupBy("event_type", F.col("rn_a").alias("rn"))
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(
+                F.sum(F.col("v_b") * wgt) / F.sum(wgt), 6
+            ).alias("ewma"),
+        )
+        .orderBy("event_type", "rn")
+    )
