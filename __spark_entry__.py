@@ -89,6 +89,7 @@ _LATER: tuple[str, ...] = (
     "llm_pq_topk",
     "llm_training_pipeline_e2e",
     "q_window_ewma",
+    "q_window_drawdown",
 )
 
 

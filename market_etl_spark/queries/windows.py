@@ -497,3 +497,63 @@ def q_window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "rn")
     )
+
+
+@query(
+    "q_window_drawdown",
+    oracle="""
+    WITH vv AS (
+        SELECT event_type, ts, event_id, value,
+               MAX(value) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS running_peak
+        FROM events WHERE user_id < 5
+    ), dd AS (
+        SELECT event_type,
+               ROUND(running_peak - value, 6) AS drawdown,
+               CASE WHEN running_peak > 0
+                    THEN ROUND((running_peak - value) / running_peak, 6)
+                    ELSE 0 END AS drawdown_pct
+        FROM vv
+    )
+    SELECT event_type,
+           ROUND(MAX(drawdown), 6) AS max_drawdown,
+           ROUND(MAX(drawdown_pct), 6) AS max_drawdown_pct,
+           COUNT(*) AS n_obs
+    FROM dd
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("window", "financial", "extension"),
+)
+def q_window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per series — peak-to-trough loss under a
+    running maximum, the standard risk statistic. One window pass
+    (running MAX over the (ts, event_id) order, partitioned per
+    series — state is a single scalar per partition) followed by a
+    partial-agg roll-up; nothing history-deep, nothing quadratic."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peak = F.max("value").over(w)
+    vv = e.select(
+        "event_type",
+        F.round(peak - F.col("value"), 6).alias("drawdown"),
+        F.when(
+            peak > 0, F.round((peak - F.col("value")) / peak, 6)
+        )
+        .otherwise(0.0)
+        .alias("drawdown_pct"),
+    )
+    return (
+        vv.groupBy("event_type")
+        .agg(
+            F.round(F.max("drawdown"), 6).alias("max_drawdown"),
+            F.round(F.max("drawdown_pct"), 6).alias("max_drawdown_pct"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .orderBy("event_type")
+    )
