@@ -90,6 +90,8 @@ _LATER: tuple[str, ...] = (
     "llm_training_pipeline_e2e",
     "q_window_ewma",
     "q_window_drawdown",
+    "q_streaming_windowed_topk",
+    "q_histogram_2d",
 )
 
 

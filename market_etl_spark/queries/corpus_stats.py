@@ -975,3 +975,61 @@ def q_chi_square_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_below",
         F.round(contrib, 6).alias("chi2_contrib"),
     ).orderBy("event_type")
+
+
+@query(
+    "q_histogram_2d",
+    oracle="""
+    WITH b AS (
+        SELECT MIN(value) AS mn, MAX(value) AS mx,
+               MIN(user_id) AS umn, MAX(user_id) AS umx
+        FROM events
+    ), h AS (
+        SELECT LEAST(CAST(FLOOR((CAST(user_id AS DOUBLE) - umn)
+                                / (umx - umn) * 8) AS INT), 7) AS ub,
+               LEAST(CAST(FLOOR((value - mn) / (mx - mn) * 8) AS INT), 7)
+                   AS vb
+        FROM events, b
+    )
+    SELECT ub, vb, COUNT(*) AS cnt
+    FROM h GROUP BY ub, vb
+    ORDER BY ub, vb
+    """,
+    tags=("aggregates", "histogram", "extension"),
+)
+def q_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dimensional equi-width 8×8 heatmap of (user_id, value) —
+    the density grid a profiling dashboard or a skew investigation
+    draws. Same discipline as the 1-D histogram: a 1-row bounds
+    aggregate broadcasts back, bucketing is map-side with one explicit
+    association order per axis (identical IEEE sequence on both
+    engines; top bounds close into the last bucket), and the output
+    is at most 64 groups at any corpus size."""
+    e = load(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.min("user_id").alias("umn"),
+        F.max("user_id").alias("umx"),
+    )
+    h = e.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor(
+                (F.col("user_id").cast("double") - F.col("umn"))
+                / (F.col("umx") - F.col("umn"))
+                * 8
+            ).cast("int"),
+            F.lit(7),
+        ).alias("ub"),
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 8
+            ).cast("int"),
+            F.lit(7),
+        ).alias("vb"),
+    )
+    return (
+        h.groupBy("ub", "vb")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("ub", "vb")
+    )

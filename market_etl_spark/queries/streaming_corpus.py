@@ -489,3 +489,71 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("sid")
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "q_streaming_windowed_topk",
+    oracle="""
+    WITH agg AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+                   AS value_micros
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-16'
+        GROUP BY 1, 2
+    )
+    SELECT hour, event_type, n_events, value_micros
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY hour
+            ORDER BY value_micros DESC, event_type) AS rn
+        FROM agg
+    ) WHERE rn <= 3
+    ORDER BY hour, value_micros DESC, event_type
+    """,
+    tags=("streaming", "topk", "extension"),
+)
+def q_streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 'trending' top-k: the replayed stream aggregates into
+    hourly per-event-type totals (watermarked tumbling windows, the
+    streaming-state side), and the top-3-per-window rank runs OVER THE
+    SINK — windows × types rows, never events — the standard
+    two-layer serving shape for leaderboards (state in the stream,
+    ranking at read time). Totals carried as exact integer micro-units
+    so the cross-engine hash is FP-proof."""
+    stream = streaming.read_events_stream(spark, sf_dir).filter(
+        (F.col("ts") >= F.lit("2024-01-15").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("ts", "2 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 1e6, 0).cast("long"))
+            .cast("long")
+            .alias("value_micros"),
+        )
+    )
+    sink = streaming.run_to_memory(agg)
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("hour").orderBy(
+            F.col("value_micros").desc(), "event_type"
+        )
+    )
+    return (
+        spark.table(sink)
+        .select(
+            F.col("w.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "value_micros",
+        )
+        .withColumn("_rn", rn)
+        .filter(F.col("_rn") <= 3)
+        .drop("_rn")
+        .orderBy("hour", F.col("value_micros").desc(), "event_type")
+    )

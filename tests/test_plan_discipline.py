@@ -69,6 +69,7 @@ _BNLJ_OK = {
     "llm_tfidf_keywords",
     "llm_decontamination",
     "q_value_histogram",
+    "q_histogram_2d",
     "q_value_quartiles",
     "q_approx_distinct_users",
     "q_quality_drop_rate",
