@@ -92,6 +92,7 @@ _LATER: tuple[str, ...] = (
     "q_window_drawdown",
     "q_streaming_windowed_topk",
     "q_histogram_2d",
+    "q_time_to_convert",
 )
 
 

@@ -542,3 +542,79 @@ def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("active_users_7d"))
         .orderBy("day")
     )
+
+
+@query(
+    "q_time_to_convert",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS last_click_us
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+    ), conv AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               epoch_us(ts) - last_click_us AS delta_us
+        FROM ordered
+        WHERE event_type = 'purchase' AND last_click_us IS NOT NULL
+    )
+    SELECT day,
+           COUNT(*) AS n_conversions,
+           CAST(MIN(delta_us) AS BIGINT) AS min_us,
+           ROUND(quantile_cont(delta_us, 0.5), 1) AS median_us,
+           CAST(MAX(delta_us) AS BIGINT) AS max_us
+    FROM conv
+    GROUP BY day
+    ORDER BY day
+    """,
+    tags=("behavior", "attribution", "extension"),
+)
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: each purchase attributed to the
+    user's most recent click at-or-before it (one carry-forward window
+    pass over the two event types — the as-of pattern, never a
+    self-join), rolled up to per-day conversion counts and exact
+    min/median/max latencies in integer microseconds (continuous-
+    interpolation median, the q_value_quartiles parity convention).
+    State per partition is one scalar; the scan reads two event types
+    and nothing else reaches the shuffle."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click = F.max(
+        F.when(
+            F.col("event_type") == "click", F.unix_micros(F.col("ts"))
+        )
+    ).over(w)
+    conv = (
+        e.withColumn("last_click_us", last_click)
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_click_us").isNotNull()
+        )
+        .select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            (F.unix_micros(F.col("ts")) - F.col("last_click_us")).alias(
+                "delta_us"
+            ),
+        )
+    )
+    return (
+        conv.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.min("delta_us").cast("long").alias("min_us"),
+            F.round(F.expr("percentile(delta_us, 0.5)"), 1).alias("median_us"),
+            F.max("delta_us").cast("long").alias("max_us"),
+        )
+        .orderBy("day")
+    )
