@@ -93,6 +93,8 @@ _LATER: tuple[str, ...] = (
     "q_streaming_windowed_topk",
     "q_histogram_2d",
     "q_time_to_convert",
+    "q_skyline_pareto_users",
+    "llm_prefix_dup_groups",
 )
 
 

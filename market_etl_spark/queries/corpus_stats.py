@@ -1033,3 +1033,54 @@ def q_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("ub", "vb")
     )
+
+
+@query(
+    "q_skyline_pareto_users",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+                   AS value_micros
+        FROM events GROUP BY user_id
+    ), s AS (
+        SELECT *, MAX(n_events) OVER (
+            ORDER BY value_micros DESC, user_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_n
+        FROM per_user
+    )
+    SELECT user_id, n_events, value_micros
+    FROM s WHERE best_n IS NULL OR n_events > best_n
+    ORDER BY value_micros DESC, user_id
+    """,
+    tags=("analytics", "skyline", "extension"),
+)
+def q_skyline_pareto_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier, Börzsönyi et al. ICDE 2001): the
+    users no other user dominates on (total value, event count). The
+    two-dimensional case needs NO dominance join: sort by the first
+    metric, and a point survives iff its second metric beats the
+    running max of everything sorted before it — one window over the
+    per-user AGGREGATE (user cardinality, not events). Exactly-tied
+    (value, count) pairs keep their lowest-id representative — the
+    deterministic rendering both engines share. Totals in integer
+    micro-units."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 1e6, 0).cast("long"))
+        .cast("long")
+        .alias("value_micros"),
+    )
+    w = (
+        Window.orderBy(F.col("value_micros").desc(), "user_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = per_user.withColumn("best_n", F.max("n_events").over(w))
+    return (
+        s.filter(F.col("best_n").isNull() | (F.col("n_events") > F.col("best_n")))
+        .select("user_id", "n_events", "value_micros")
+        .orderBy(F.col("value_micros").desc(), "user_id")
+    )

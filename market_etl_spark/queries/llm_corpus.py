@@ -1559,3 +1559,47 @@ def llm_stratified_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFram
         .select("lang", "doc_id", "n_chars")
         .orderBy("lang", "doc_id")
     )
+
+
+@query(
+    "llm_prefix_dup_groups",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        FROM documents
+    ), p AS (
+        SELECT doc_id, md5(list_aggr(w[1:10], 'string_agg', ' ')) AS ph
+        FROM d WHERE len(w) >= 10
+    )
+    SELECT ph AS prefix_hash, MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_docs
+    FROM p GROUP BY ph HAVING COUNT(*) >= 2
+    ORDER BY keep_id
+    """,
+    tags=("llm", "dedup-prefix", "extension"),
+)
+def llm_prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-prefix detection: documents sharing their first 10
+    tokens — the truncated-copy signal (same article cut at different
+    lengths) that full-body exact dedup misses and pairwise similarity
+    finds only at quadratic candidate cost. One groupBy on the 16-byte
+    prefix digest: the shuffle carries (hash, id), never text, and the
+    min-id representative follows the engine's dedup keep convention."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("_w"),
+    )
+    p = d.filter(F.size("_w") >= 10).select(
+        "doc_id",
+        F.md5(F.expr("concat_ws(' ', slice(_w, 1, 10))")).alias("prefix_hash"),
+    )
+    return (
+        p.groupBy("prefix_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("keep_id")
+    )
