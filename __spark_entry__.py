@@ -95,6 +95,8 @@ _LATER: tuple[str, ...] = (
     "q_time_to_convert",
     "q_skyline_pareto_users",
     "llm_prefix_dup_groups",
+    "q_activity_islands",
+    "llm_embedding_outliers",
 )
 
 

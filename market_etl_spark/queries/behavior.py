@@ -618,3 +618,57 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q_activity_islands",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events WHERE user_id < 10
+    ), r AS (
+        SELECT user_id, d,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn
+        FROM days
+    ), g AS (
+        SELECT user_id, d, d - CAST(rn AS INT) AS grp FROM r
+    )
+    SELECT user_id, MIN(d) AS island_start, MAX(d) AS island_end,
+           COUNT(*) AS n_days
+    FROM g GROUP BY user_id, grp
+    ORDER BY user_id, island_start
+    """,
+    tags=("behavior", "gaps-islands", "extension"),
+)
+def q_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active days per
+    user, via the classic rank-difference trick — consecutive dates
+    share ``date - row_number`` — so the whole pattern is one distinct
+    (one hash shuffle of (user, day) pairs, events collapse map-side),
+    one window, one aggregate; no self-join, no recursion, state
+    bounded by active days. The streak/churn-gap primitive every
+    engagement report needs."""
+    from pyspark.sql import Window
+
+    days = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 10)
+        .select(
+            "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+        )
+        .distinct()
+    )
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("d"))
+    g = days.withColumn("rn", rn).withColumn(
+        "grp", F.expr("date_sub(d, rn)")
+    )
+    return (
+        g.groupBy("user_id", "grp")
+        .agg(
+            F.min("d").alias("island_start"),
+            F.max("d").alias("island_end"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .drop("grp")
+        .orderBy("user_id", "island_start")
+    )

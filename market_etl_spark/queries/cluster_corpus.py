@@ -349,3 +349,72 @@ def llm_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(acc.selectExpr("'train_acc'", "round(a, 6)"))
     )
     return out.orderBy("feature")
+
+
+# ---------------------------------------------------------------------------
+# Embedding outlier pruning (round 4)
+# ---------------------------------------------------------------------------
+from ..llm.semdedup import d2_sql as _semdedup_d2  # noqa: E402
+
+
+@query(
+    "llm_embedding_outliers",
+    oracle=f"""
+    WITH seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS c
+        FROM embeddings ORDER BY vec_id LIMIT {_K}
+    ), dist AS (
+        SELECT e.vec_id, s.cid,
+               {{d2}} AS d2
+        FROM embeddings e CROSS JOIN seeds s
+    ), best AS (
+        SELECT vec_id, cid, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM dist
+    ), v AS (SELECT vec_id, cid, d2 FROM best WHERE rn = 1),
+    thr AS (
+        SELECT cid, quantile_cont(d2, 0.9) AS p90 FROM v GROUP BY cid
+    )
+    SELECT v.cid,
+           COUNT(*) AS n_members,
+           SUM(CASE WHEN v.d2 > thr.p90 THEN 1 ELSE 0 END) AS n_outliers,
+           ROUND(thr.p90, 4) AS p90_d2
+    FROM v JOIN thr USING (cid)
+    GROUP BY v.cid, thr.p90
+    ORDER BY v.cid
+    """.format(d2=_semdedup_d2("e.embedding", "s.c", _DIMS)),
+    tags=("llm", "outlier-pruning", "clustering", "extension"),
+)
+def llm_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster embedding outlier pruning — the curation step that
+    drops the farthest tail of each semantic neighborhood (points past
+    the cluster's p90 distance-to-centroid; SemDeDup's companion:
+    semdedup removes the redundant CORE, this flags the noisy FRINGE).
+    Nearest-seed assignment is the shared broadcast fold pass; the
+    threshold is one exact continuous-interpolation quantile per
+    cluster (k rows broadcast back); the audit is integers + one
+    rounded threshold."""
+    from ..llm import semdedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = semdedup.nearest_seed_assign(emb, _K).select("vec_id", "cid", "d2")
+    thr = v.groupBy("cid").agg(
+        F.expr("percentile(d2, 0.9)").alias("p90")
+    )
+    return (
+        v.join(F.broadcast(thr), "cid")
+        .groupBy("cid", "p90")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(
+                F.when(F.col("d2") > F.col("p90"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select(
+            "cid",
+            "n_members",
+            "n_outliers",
+            F.round("p90", 4).alias("p90_d2"),
+        )
+        .orderBy("cid")
+    )

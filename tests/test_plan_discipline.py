@@ -94,6 +94,7 @@ _BNLJ_OK = {
     "q9b_recent_activity",  # 1-row MAX(ts) anchor broadcast back
     "llm_bm25_topk",  # 1-row (N, avgdl) stats broadcast into the scorer
     "llm_semdedup_centroid",  # k-row seed-centroid broadcast fan-out
+    "llm_embedding_outliers",  # same k-row seed fan-out + k-row threshold broadcast
     "llm_embedding_decontamination",  # bounded eval-slice broadcast scorer
     "llm_lm_perplexity",  # 1-row vocab-size broadcast into the scorer
     "llm_bpe_merges",  # 1-row merge rule broadcast into the apply step
