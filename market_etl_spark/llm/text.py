@@ -636,7 +636,12 @@ def bpe_merge_rounds(
     ``replace(repr, '<a><b>', '<ab>')`` — the delimiters make
     cross-symbol false matches impossible, and both engines apply
     replace left-to-right non-overlapping, which IS greedy BPE merge
-    order. Returns one row per round: (round, merged_pair, cnt).
+    order. Literal ``<``/``>`` characters inside a token would corrupt
+    that encoding (``<>>`` segments silently vanish from the
+    ``<[^>]+>`` scan, skewing pair counts), so they are STRIPPED from
+    tokens up front — the standard pre-tokenizer normalization step,
+    applied identically in the SQL oracle. Returns one row per round:
+    (round, merged_pair, cnt).
     """
     d = docs.select(
         F.explode(
@@ -645,7 +650,10 @@ def bpe_merge_rounds(
     )
     w = d.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
     sym = w.select(
-        F.regexp_replace("word", "(.)", "<$1>").alias("repr"), "freq"
+        F.regexp_replace(
+            F.regexp_replace("word", "[<>]", ""), "(.)", "<$1>"
+        ).alias("repr"),
+        "freq",
     )
 
     def pair_counts(sym_df):

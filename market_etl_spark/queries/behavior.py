@@ -341,8 +341,9 @@ def q_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM f GROUP BY first_day
     )
     SELECT day, new_users,
-           SUM(new_users) OVER (ORDER BY day
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+           CAST(SUM(new_users) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_users
     FROM daily
     ORDER BY day
     """,

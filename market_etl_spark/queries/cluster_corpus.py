@@ -373,11 +373,12 @@ from ..llm.semdedup import d2_sql as _semdedup_d2  # noqa: E402
         FROM dist
     ), v AS (SELECT vec_id, cid, d2 FROM best WHERE rn = 1),
     thr AS (
-        SELECT cid, quantile_cont(d2, 0.9) AS p90 FROM v GROUP BY cid
+        SELECT cid, ROUND(quantile_cont(d2, 0.9), 6) AS p90 FROM v GROUP BY cid
     )
     SELECT v.cid,
            COUNT(*) AS n_members,
-           SUM(CASE WHEN v.d2 > thr.p90 THEN 1 ELSE 0 END) AS n_outliers,
+           CAST(SUM(CASE WHEN v.d2 > thr.p90 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
            ROUND(thr.p90, 4) AS p90_d2
     FROM v JOIN thr USING (cid)
     GROUP BY v.cid, thr.p90
@@ -392,14 +393,20 @@ def llm_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     semdedup removes the redundant CORE, this flags the noisy FRINGE).
     Nearest-seed assignment is the shared broadcast fold pass; the
     threshold is one exact continuous-interpolation quantile per
-    cluster (k rows broadcast back); the audit is integers + one
-    rounded threshold."""
+    cluster, rounded to 6 dp before the compare so both engines cut on
+    the identical value (k rows broadcast back); the audit is integers
+    + one rounded threshold."""
     from ..llm import semdedup
 
     emb = load(spark, sf_dir, "embeddings")
     v = semdedup.nearest_seed_assign(emb, _K).select("vec_id", "cid", "d2")
     thr = v.groupBy("cid").agg(
-        F.expr("percentile(d2, 0.9)").alias("p90")
+        # round6 BEFORE the threshold compare: Spark percentile() and
+        # DuckDB quantile_cont() interpolate independently; an ulp of
+        # divergence next to a near-equal d2 would flip the integer
+        # n_outliers (the cosine convention llm_embedding_decontamination
+        # already uses).
+        F.round(F.expr("percentile(d2, 0.9)"), 6).alias("p90")
     )
     return (
         v.join(F.broadcast(thr), "cid")

@@ -985,10 +985,12 @@ def q_chi_square_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                MIN(user_id) AS umn, MAX(user_id) AS umx
         FROM events
     ), h AS (
-        SELECT LEAST(CAST(FLOOR((CAST(user_id AS DOUBLE) - umn)
-                                / (umx - umn) * 8) AS INT), 7) AS ub,
-               LEAST(CAST(FLOOR((value - mn) / (mx - mn) * 8) AS INT), 7)
-                   AS vb
+        SELECT CASE WHEN umx = umn THEN 0 ELSE
+                 LEAST(CAST(FLOOR((CAST(user_id AS DOUBLE) - umn)
+                                  / (umx - umn) * 8) AS INT), 7) END AS ub,
+               CASE WHEN mx = mn THEN 0 ELSE
+                 LEAST(CAST(FLOOR((value - mn) / (mx - mn) * 8) AS INT), 7)
+               END AS vb
         FROM events, b
     )
     SELECT ub, vb, COUNT(*) AS cnt
@@ -1003,8 +1005,10 @@ def q_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     draws. Same discipline as the 1-D histogram: a 1-row bounds
     aggregate broadcasts back, bucketing is map-side with one explicit
     association order per axis (identical IEEE sequence on both
-    engines; top bounds close into the last bucket), and the output
-    is at most 64 groups at any corpus size."""
+    engines; top bounds close into the last bucket; a constant axis
+    degenerates to a single defined bucket 0 instead of a 0-width
+    division), and the output is at most 64 groups at any corpus
+    size."""
     e = load(spark, sf_dir, "events")
     bounds = e.agg(
         F.min("value").alias("mn"),
@@ -1013,20 +1017,28 @@ def q_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("user_id").alias("umx"),
     )
     h = e.crossJoin(F.broadcast(bounds)).select(
-        F.least(
-            F.floor(
-                (F.col("user_id").cast("double") - F.col("umn"))
-                / (F.col("umx") - F.col("umn"))
-                * 8
-            ).cast("int"),
-            F.lit(7),
-        ).alias("ub"),
-        F.least(
-            F.floor(
-                (F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 8
-            ).cast("int"),
-            F.lit(7),
-        ).alias("vb"),
+        F.when(F.col("umx") == F.col("umn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("user_id").cast("double") - F.col("umn"))
+                    / (F.col("umx") - F.col("umn"))
+                    * 8
+                ).cast("int"),
+                F.lit(7),
+            )
+        )
+        .alias("ub"),
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 8
+                ).cast("int"),
+                F.lit(7),
+            )
+        )
+        .alias("vb"),
     )
     return (
         h.groupBy("ub", "vb")
@@ -1045,7 +1057,7 @@ def q_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY user_id
     ), s AS (
         SELECT *, MAX(n_events) OVER (
-            ORDER BY value_micros DESC, user_id
+            ORDER BY value_micros DESC, n_events DESC, user_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_n
         FROM per_user
     )
@@ -1059,12 +1071,14 @@ def q_skyline_pareto_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D skyline (Pareto frontier, Börzsönyi et al. ICDE 2001): the
     users no other user dominates on (total value, event count). The
     two-dimensional case needs NO dominance join: sort by the first
-    metric, and a point survives iff its second metric beats the
-    running max of everything sorted before it — one window over the
-    per-user AGGREGATE (user cardinality, not events). Exactly-tied
-    (value, count) pairs keep their lowest-id representative — the
-    deterministic rendering both engines share. Totals in integer
-    micro-units."""
+    metric (ties broken by the second DESC, so an equal-value user
+    with strictly more events eliminates its peers — true dominance,
+    not just prefix-max), and a point survives iff its second metric
+    beats the running max of everything sorted before it — one window
+    over the per-user AGGREGATE (user cardinality, not events).
+    Exactly-tied (value, count) pairs keep their lowest-id
+    representative — the deterministic rendering both engines share.
+    Totals in integer micro-units."""
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "events")
@@ -1075,8 +1089,9 @@ def q_skyline_pareto_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value_micros"),
     )
     w = (
-        Window.orderBy(F.col("value_micros").desc(), "user_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+        Window.orderBy(
+            F.col("value_micros").desc(), F.col("n_events").desc(), "user_id"
+        ).rowsBetween(Window.unboundedPreceding, -1)
     )
     s = per_user.withColumn("best_n", F.max("n_events").over(w))
     return (

@@ -1211,7 +1211,8 @@ def llm_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         ) GROUP BY t
     ), sym0 AS (
-        SELECT regexp_replace(word, '(.)', '<\1>', 'g') AS repr, freq FROM w
+        SELECT regexp_replace(regexp_replace(word, '[<>]', '', 'g'),
+                              '(.)', '<\1>', 'g') AS repr, freq FROM w
     ), pairs1 AS (
         SELECT p, SUM(freq) AS cnt FROM (
             SELECT unnest([s[i] || s[i+1] FOR i IN range(1, len(s))]) AS p, freq
@@ -1230,9 +1231,10 @@ def llm_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), rule2 AS (
         SELECT p, cnt FROM pairs2 ORDER BY cnt DESC, p LIMIT 1
     )
-    SELECT CAST(1 AS INT) AS round, p AS merged_pair, cnt FROM rule1
+    SELECT CAST(1 AS INT) AS round, p AS merged_pair,
+           CAST(cnt AS BIGINT) AS cnt FROM rule1
     UNION ALL
-    SELECT 2, p, cnt FROM rule2
+    SELECT 2, p, CAST(cnt AS BIGINT) FROM rule2
     ORDER BY round
     """,
     tags=("llm", "tokenizer", "iterative", "extension"),
@@ -1267,7 +1269,8 @@ def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT gr.doc_id,
            COUNT(*) AS n_ngrams,
-           SUM(CASE WHEN gd.ndocs >= 2 THEN 1 ELSE 0 END) AS n_dup_ngrams,
+           CAST(SUM(CASE WHEN gd.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_ngrams,
            ROUND(SUM(CASE WHEN gd.ndocs >= 2 THEN 1 ELSE 0 END)::DOUBLE
                  / COUNT(*), 6) AS dup_frac
     FROM grams gr JOIN gd USING (g)

@@ -468,22 +468,39 @@ def q_window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out is a constant 20× of the series rows — never history-deep —
     and both engines evaluate the identical finite sum (the infinite-
     history recurrence would accumulate engine-specific fp drift).
-    Rank assignment is one window per series; the band join shuffles
-    rank-keyed rows, frame-bounded state."""
+    Rank assignment is one window per series; the band is realized as a
+    BUCKETED range join (ADVICE r4): ranks hash into width-20 buckets,
+    each anchor probes only the ≤2 consecutive buckets its 20-row band
+    can span, and the exact band predicate filters inside the bucket —
+    candidate fan-out is ≤40 rows per anchor regardless of series
+    length, vs the per-series cross product a bare equi-join on the
+    low-cardinality event_type would produce."""
     e = load(spark, sf_dir, "events").filter(F.col("user_id") < 5)
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     r = e.select(
         "event_type", "value", F.row_number().over(w).alias("rn")
     )
-    a = r.select(F.col("event_type"), F.col("rn").alias("rn_a"))
+    a = r.select(
+        F.col("event_type"),
+        F.col("rn").alias("rn_a"),
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor(F.greatest(F.col("rn") - 19, F.lit(1)) / 20),
+                    F.floor(F.col("rn") / 20),
+                )
+            )
+        ).alias("bkt"),
+    )
     b = r.select(
         F.col("event_type"),
+        F.floor(F.col("rn") / 20).alias("bkt"),
         F.col("rn").alias("rn_b"),
         F.col("value").alias("v_b"),
     )
     wgt = F.pow(F.lit(0.8), F.col("rn_a") - F.col("rn_b"))
     return (
-        a.join(b, "event_type")
+        a.join(b, ["event_type", "bkt"])
         .filter(
             (F.col("rn_b") >= F.col("rn_a") - 19)
             & (F.col("rn_b") <= F.col("rn_a"))

@@ -130,13 +130,19 @@ def test_minhash_estimates_jaccard_direction(spark, texts):
 
 def _py_bpe(words_freq, rounds):
     """Pure-Python reference BPE (delimiter-wrapped symbols, greedy
-    left-to-right merge), mirroring llm.text.bpe_merge_rounds."""
-    sym = {("".join(f"<{c}>" for c in w)): f for w, f in words_freq.items()}
+    left-to-right merge), mirroring llm.text.bpe_merge_rounds: literal
+    '<'/'>' are stripped from tokens before wrapping (they would corrupt
+    the delimiter encoding), and freqs ACCUMULATE when two words land on
+    the same repr (the engine never re-groups reprs, it sums rows)."""
+    sym = {}
+    for w, f in words_freq.items():
+        repr_ = "".join(f"<{c}>" for c in w if c not in "<>")
+        sym[repr_] = sym.get(repr_, 0) + f
     out = []
     for _ in range(rounds):
         counts = {}
         for repr_, f in sym.items():
-            toks = repr_.replace("><", ">|<").split("|")
+            toks = repr_.replace("><", ">|<").split("|") if repr_ else []
             for a, b in zip(toks, toks[1:]):
                 counts[a + b] = counts.get(a + b, 0) + f
         if not counts:
@@ -144,23 +150,27 @@ def _py_bpe(words_freq, rounds):
         best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         out.append(best)
         merged = best[0].replace("><", "")
-        sym = {
-            k.replace(best[0], merged): v for k, v in sym.items()
-        }
+        nxt = {}
+        for k, v in sym.items():
+            nk = k.replace(best[0], merged)
+            nxt[nk] = nxt.get(nk, 0) + v
+        sym = nxt
     return out
 
 
 @settings(**_SETTINGS)
 @given(
     words=st.lists(
-        st.text(alphabet="abc", min_size=1, max_size=5),
+        st.text(alphabet="abc<>", min_size=1, max_size=5),
         min_size=1,
         max_size=25,
     )
 )
 def test_bpe_merges_match_python_reference(spark, words):
     """Two engine BPE rounds == a pure-Python reference on arbitrary
-    tiny corpora (incl. single-char words, repeats, 'aaaa' overlaps)."""
+    tiny corpora (incl. single-char words, repeats, 'aaaa' overlaps,
+    and literal angle brackets — which both sides strip before the
+    delimiter wrap; ADVICE r4)."""
     from market_etl_spark.llm.text import bpe_merge_rounds
     from market_etl_spark.llm.text import words as words_col
 

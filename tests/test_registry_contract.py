@@ -98,6 +98,126 @@ def test_no_complex_top_level_columns_side_effect(spark, name):
     _assert_flat(name, REGISTRY[name].fn(spark, SF_SMOKE).schema)
 
 
+# ---------------------------------------------------------------------------
+# Oracle output-type lint (the DuckDB HUGEINT class — cost rounds 3 AND 4)
+# ---------------------------------------------------------------------------
+#
+# DuckDB widens integer SUM (plain or windowed) to HUGEINT (int128).
+# ``fetchall()`` hands HUGEINT back as a Python int, so a fetchall-based
+# local check passes — but the DRIVER canonicalizes through pandas, where
+# HUGEINT coerces to float64 and ``5.0`` hash-mismatches Spark's ``5``.
+# ``q_variant_props`` (r3) and ``q_cumulative_distinct_users`` (r4) each
+# lost a round to exactly this.  Two gates make a third impossible:
+#
+#  1. ``DESCRIBE`` every oracle (plans without executing — covers ALL
+#     oracles, side-effect queries included) and reject any HUGEINT /
+#     UHUGEINT / unknown output column.
+#  2. For every fast query, compare the oracle's DESCRIBE types against
+#     the Spark query's declared schema per column at the class level
+#     (int / float / bool / str / date / ts) — catching the *general*
+#     repr-divergence family (int-vs-float, date-vs-timestamp), not just
+#     the SUM-widening instance of it.
+
+_DUCK_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in _DUCK_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_SMOKE}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _duck_class(t: str) -> str:
+    t = t.upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
+        return "int"
+    if t in ("DOUBLE", "FLOAT", "REAL") or t.startswith("DECIMAL"):
+        return "float"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "VARCHAR":
+        return "str"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    return t  # HUGEINT, INTERVAL, LIST(...) … — never class-equal, so flagged
+
+
+def _spark_class(dt: T.DataType) -> str:
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return "float"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "ts"
+    return str(dt)
+
+
+def test_oracle_types_no_hugeint(duck):
+    """Gate 1: no oracle's output schema may contain an int128 column.
+    The fix at the query site is a one-line ``CAST(... AS BIGINT)`` on
+    the final projection (pattern: etl_pipeline.py z-order oracle)."""
+    leaks = []
+    for name, spec in REGISTRY.items():
+        if not spec.oracle:
+            continue
+        for col, typ, *_ in duck.execute("DESCRIBE " + spec.oracle).fetchall():
+            if "HUGEINT" in typ.upper():
+                leaks.append((name, col, typ))
+    assert not leaks, (
+        f"DuckDB int128 leak in final oracle projection: {leaks} — pandas "
+        "coerces HUGEINT to float64, so the driver hash-mismatches Spark's "
+        "BIGINT (r3 q_variant_props / r4 q_cumulative_distinct_users class). "
+        "CAST the offending aggregate to BIGINT in the oracle."
+    )
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n in _fast_names() if REGISTRY[n].oracle)
+)
+def test_oracle_types_match_spark_classes(duck, spark, name):
+    """Gate 2: per-column type-class parity between the oracle's
+    DESCRIBE output and the Spark query's declared schema."""
+    spec = REGISTRY[name]
+    dcols = {
+        c: _duck_class(t)
+        for c, t, *_ in duck.execute("DESCRIBE " + spec.oracle).fetchall()
+    }
+    scols = {
+        f.name: _spark_class(f.dataType)
+        for f in spec.fn(spark, SF_SMOKE).schema.fields
+    }
+    mismatches = {
+        c: (dcols[c], scols[c])
+        for c in dcols
+        if c in scols and dcols[c] != scols[c]
+    }
+    assert not mismatches, (
+        f"{name}: oracle/Spark type-class mismatch {mismatches} (duck, spark)"
+        " — values canonicalize to different reprs through pandas, so the"
+        " driver hash will diverge even when the numbers agree. CAST one"
+        " side so the classes line up."
+    )
+
+
 def test_quadratic_oracles_pinned_to_small_sf():
     """The four queries whose DuckDB oracle brute-forces all pairs
     (O(n²) ground truth; measured 18+ min at sf0.1 vs seconds at
@@ -118,6 +238,36 @@ def test_quadratic_oracles_pinned_to_small_sf():
         n for n, s in REGISTRY.items() if s.max_verify_sf is None and s.oracle
     }
     assert quadratic.isdisjoint(uncapped)
+
+
+def test_entry_ordering_unverified_first():
+    """The driver checks only the first 50 ``queries()`` entries per
+    round, so the ordering IS the verification schedule.  It must be
+    derived from the CORRECTNESS ledgers (no hand lists — they drifted
+    two rounds running): every unverified name sorts strictly before
+    every verified one, registration order within each class."""
+    import __spark_entry__ as ent
+
+    ordered = list(ent.queries())
+    assert sorted(ordered) == sorted(REGISTRY), "queries() must cover REGISTRY"
+
+    verified = ent._verified_names() & set(REGISTRY)
+    flags = [n in verified for n in ordered]
+    # once we hit the verified tail we must never see an unverified name
+    if True in flags:
+        first_verified = flags.index(True)
+        assert all(flags[first_verified:]), (
+            "unverified query sorted after a verified one — the 50-slot "
+            "window would skip it: "
+            f"{[n for n, f in zip(ordered[first_verified:], flags[first_verified:]) if not f]}"
+        )
+    # registration order preserved within each class
+    pos = {n: i for i, n in enumerate(REGISTRY)}
+    for cls in (False, True):
+        sub = [pos[n] for n, f in zip(ordered, flags) if f is cls]
+        assert sub == sorted(sub), f"registration order broken in class verified={cls}"
+    # the hand-maintained tuples must stay deleted
+    assert not hasattr(ent, "_EARLY") and not hasattr(ent, "_LATER")
 
 
 def test_coverage_md_counts_match_registry():

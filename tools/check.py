@@ -105,6 +105,23 @@ def main() -> int:
             n_rowsonly += 1
             continue
         try:
+            # DRIVER-PARITY GUARD: fetchall() returns DuckDB HUGEINT as a
+            # Python int, hiding the int128→float64 coercion the driver's
+            # pandas canonicalizer applies (cost rounds 3 AND 4).  DESCRIBE
+            # the oracle and fail loudly instead of passing a query the
+            # driver will redline.
+            hug = [
+                (c, t)
+                for c, t, *_ in con.execute("DESCRIBE " + oracles[name]).fetchall()
+                if "HUGEINT" in t.upper()
+            ]
+            if hug:
+                print(
+                    f"FAIL  {name}: oracle HUGEINT column(s) {hug} — pandas "
+                    "coerces int128 to float64; CAST(... AS BIGINT) in the oracle"
+                )
+                n_fail += 1
+                continue
             ores = con.execute(oracles[name])
             ocols = [d[0] for d in ores.description]
             orows = ores.fetchall()
