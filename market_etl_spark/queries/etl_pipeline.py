@@ -69,13 +69,13 @@ def materialize_raw_zone(spark: SparkSession, sf_dir: str, zone_dir: str) -> Non
     )
 
 
-def _source_fingerprint(sf_dir: str) -> str:
-    """Size+mtime digest of the source events parquet, so on-disk scratch
+def _source_fingerprint(sf_dir: str, fname: str = "events.parquet") -> str:
+    """Size+mtime digest of a source parquet, so on-disk scratch
     zones invalidate when the driver regenerates testdata between rounds
     (observed: same path, new file — silent staleness otherwise)."""
     import hashlib
 
-    p = pathlib.Path(sf_dir.rstrip("/")) / "events.parquet"
+    p = pathlib.Path(sf_dir.rstrip("/")) / fname
     try:
         st = p.stat()
         raw = f"{st.st_size}:{st.st_mtime_ns}"

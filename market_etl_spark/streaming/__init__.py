@@ -13,6 +13,7 @@ user key and emits on timeout — both bounded-memory under load.
 
 from __future__ import annotations
 
+import os
 import pathlib
 import uuid
 from collections.abc import Iterable
@@ -24,6 +25,17 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import LongType, StructType, TimestampNTZType
 
 _SCRATCH = pathlib.Path(__file__).resolve().parent.parent.parent / ".scratch"
+
+#: State-store partition count pinned for every memory-sink drain in
+#: this module.  Each micro-batch checkpoints EVERY state partition, so
+#: the right count is the stream's keyed-state cardinality, not the
+#: session's shuffle default: the bench corpora key on ≤40 users / ≤5
+#: event types, and an interleaved warm A/B at sf0.1 measured the
+#: 7-query streaming family at 16.0-16.6s with 4 partitions vs
+#: 17.1-17.3s with 16 (first-run cost also drops — fewer checkpoint
+#: files to create).  At production key cardinality raise this via the
+#: env knob (SCALE.md "Streaming").
+STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
 
 
 def _discard_checkpoint(ckpt: pathlib.Path) -> None:
@@ -162,7 +174,7 @@ def run_to_memory(result: DataFrame, name: str | None = None) -> str:
     spark = result.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
         q = (
             result.writeStream.format("memory")
             .queryName(name)
@@ -179,7 +191,7 @@ def run_to_memory(result: DataFrame, name: str | None = None) -> str:
 
 
 def run_to_memory_append_available_now(
-    result: DataFrame, name: str | None = None, partitions: int = 16
+    result: DataFrame, name: str | None = None, partitions: int | None = None
 ) -> str:
     """Append-mode ``trigger(availableNow)`` drain for stateful
     operators WITHOUT processing-time timeouts (streaming dedup,
@@ -195,7 +207,10 @@ def run_to_memory_append_available_now(
     spark = result.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(STATE_PARTITIONS if partitions is None else partitions),
+        )
         q = (
             result.writeStream.format("memory")
             .queryName(name)
@@ -248,7 +263,7 @@ def run_to_memory_append(
     # value) — use the no-default form to capture the real setting.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
         q = (
             result.writeStream.format("memory")
             .queryName(name)

@@ -270,6 +270,23 @@ def test_entry_ordering_unverified_first():
     assert not hasattr(ent, "_EARLY") and not hasattr(ent, "_LATER")
 
 
+def test_window_budget_not_oversubscribed():
+    """The driver verifies at most 50 queries per round, so the number
+    of registered-but-unverified names must NEVER exceed 50 — rounds 3
+    and 4 each recreated a deferred backlog by registering past the
+    window's capacity.  This makes the budget structural: registering a
+    query that would overflow the next round's window fails CI."""
+    import __spark_entry__ as ent
+
+    unverified = [n for n in REGISTRY if n not in ent._verified_names()]
+    assert len(unverified) <= 50, (
+        f"{len(unverified)} unverified queries exceed the driver's 50-slot "
+        f"verification window; the overflow would carry to the round after "
+        f"next unchecked. Stop registering until the ledger catches up. "
+        f"Unverified: {unverified}"
+    )
+
+
 def test_coverage_md_counts_match_registry():
     """COVERAGE.md's headline totals are claims about REGISTRY; derive
     them here so the doc can't drift (r3: README said 124 while the
