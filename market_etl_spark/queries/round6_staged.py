@@ -1,0 +1,567 @@
+"""Round-6 staged queries — implemented and tested THIS round, but NOT
+registered: VERDICT r4 froze new-query registration until the
+CORRECTNESS ledger covers all 167 current names, so these ship as plain
+functions plus oracle strings and join :data:`..queries.REGISTRY` next
+round via :func:`register_staged` (one call in ``queries/__init__``).
+
+Every entry follows the registry conventions so activation is purely
+mechanical: flat scalar output schemas, identical column aliases on
+both engines, ``round6`` on cross-engine doubles, BIGINT casts on any
+DuckDB integer aggregate that would widen to HUGEINT, deterministic
+ORDER BY.
+
+Contents (training-data-pipeline + graph-analytics gaps in SURVEY §2's
+extension surface):
+
+- ``llm_gopher_rules`` — per-document rule-based quality gates in the
+  Gopher / RedPajama style (Rae et al., arXiv:2112.11446 §A1.1): word
+  count bounds, mean word length band, distinct-word fraction,
+  stopword evidence — each rule a named boolean column plus the
+  conjunction, so downstream mixtures can audit WHY a document fell
+  out (the composite-score variant lives in ``llm_quality_scores``).
+- ``llm_zipf_fit`` — least-squares fit of log(freq) vs log(rank) over
+  the top-100 vocabulary: the Zipf-law audit that flags synthetic or
+  templated corpora (slope far from −1, r² near 1 on natural text).
+- ``llm_tokenizer_fertility`` — tokens-per-word by language under the
+  BPE-ish regex tokenizer: the standard tokenizer-efficiency metric
+  (fertility ≈ how many subword tokens a word costs; SentencePiece
+  reports the same ratio).
+- ``llm_embedding_covariance`` — second-moment audit of the embedding
+  table (trace / Frobenius norm / off-diagonal L1 of the covariance
+  matrix): the whitening precondition check before PCA'd ANN or
+  matryoshka truncation.
+- ``q_pagerank_transitions`` — damped PageRank (3 unrolled power
+  iterations, d=0.85) over the event-type transition graph mined from
+  per-user event sequences; dangling nodes redistribute uniformly.
+- ``llm_source_overlap`` — pairwise Jaccard overlap between SOURCES on
+  their distinct 3-shingle sets: the contamination / provenance audit
+  run before mixing crawls (which feeds dataset-mixture weights).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..llm.text import STOPWORDS, bpe_token_count, shingles, shingles_sql, words
+from ..tables import load
+
+#: DuckDB CTE shared by the document-table oracles (mirrors the
+#: registry modules' ``_DOCS_SQL`` shape).
+_DOCS_SQL = """
+    WITH t AS (
+        SELECT doc_id, lang, source, text, n_chars,
+               string_split(lower(text), ' ') AS w
+        FROM documents
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule gates
+# ---------------------------------------------------------------------------
+def _stop_hits_spark(words_col: str) -> F.Column:
+    """Max stopword-hit count across the four language lists — the
+    language-agnostic 'has stopword evidence' signal."""
+    scores = [
+        F.expr(
+            f"size(filter({words_col}, t -> array_contains("
+            + "array(" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "), t)))"
+        )
+        for lang in STOPWORDS
+    ]
+    return F.greatest(*scores)
+
+
+def _stop_hits_sql(words_expr: str) -> str:
+    scores = [
+        f"len(list_filter({words_expr}, t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        + "], t)))"
+        for lang in STOPWORDS
+    ]
+    return "greatest(" + ", ".join(scores) + ")"
+
+
+def llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based quality gating, one named boolean per rule.
+
+    All four metrics are codegen string/array expressions over one
+    narrow scan — no shuffle at all until the final ORDER BY (which a
+    production pipeline drops): the filter is embarrassingly map-side
+    at any corpus size. Thresholds are the Gopher paper's, adapted to
+    this corpus's 5-char synthetic vocabulary (mean word length band
+    [2, 8] instead of [3, 10])."""
+    d = load(spark, sf_dir, "documents").withColumn("toks", words("text"))
+    n_words = F.size("toks")
+    sum_len = F.expr("aggregate(toks, 0, (a, x) -> a + length(x))")
+    mean_len = F.round(sum_len.cast("double") / n_words, 6)
+    distinct_frac = F.round(
+        F.size(F.array_distinct("toks")).cast("double") / n_words, 6
+    )
+    stop_hits = _stop_hits_spark("toks")
+    d = d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        distinct_frac.alias("distinct_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+    )
+    r_len = (F.col("n_words") >= 10) & (F.col("n_words") <= 1000)
+    r_wordlen = (F.col("mean_word_len") >= 2.0) & (F.col("mean_word_len") <= 8.0)
+    r_distinct = F.col("distinct_frac") >= 0.3
+    r_stop = F.col("stop_hits") >= 1
+    return d.select(
+        "*",
+        r_len.alias("r_len"),
+        r_wordlen.alias("r_wordlen"),
+        r_distinct.alias("r_distinct"),
+        r_stop.alias("r_stop"),
+        (r_len & r_wordlen & r_distinct & r_stop).alias("keep"),
+    ).orderBy("doc_id")
+
+
+_GOPHER_ORACLE = f"""
+    {_DOCS_SQL}, m AS (
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_words,
+               ROUND(list_sum(list_transform(w, x -> length(x)))::DOUBLE
+                     / len(w), 6) AS mean_word_len,
+               ROUND(len(list_distinct(w))::DOUBLE / len(w), 6) AS distinct_frac,
+               CAST({_stop_hits_sql('w')} AS BIGINT) AS stop_hits
+        FROM t
+    )
+    SELECT *,
+           (n_words >= 10 AND n_words <= 1000) AS r_len,
+           (mean_word_len >= 2.0 AND mean_word_len <= 8.0) AS r_wordlen,
+           (distinct_frac >= 0.3) AS r_distinct,
+           (stop_hits >= 1) AS r_stop,
+           ((n_words >= 10 AND n_words <= 1000)
+            AND (mean_word_len >= 2.0 AND mean_word_len <= 8.0)
+            AND (distinct_frac >= 0.3) AND (stop_hits >= 1)) AS keep
+    FROM m
+    ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit
+# ---------------------------------------------------------------------------
+def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares line through (ln rank, ln freq) for the top-100
+    vocabulary terms (rank by freq DESC, term ASC — deterministic).
+
+    The corpus-scale work is ONE word-count aggregate (map-side
+    partial combine, vocabulary-sized shuffle); everything after the
+    top-100 cut is 100 rows, so the single-partition rank window is
+    constant-sized by construction, not a data-scale sort. Closed-form
+    normal equations — no iteration."""
+    d = load(spark, sf_dir, "documents").withColumn("toks", words("text"))
+    freq = (
+        d.select(F.explode(F.expr("filter(toks, x -> x <> '')")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "term")
+        .limit(100)
+    )
+    ranked = freq.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("freq"), "term"))
+    ).select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / denx
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round(num * num / (denx * deny), 6).alias("r2"),
+    )
+
+
+_ZIPF_ORACLE = f"""
+    {_DOCS_SQL}, freq AS (
+        SELECT term, COUNT(*) AS freq FROM (
+            SELECT unnest(list_filter(w, x -> x <> '')) AS term FROM t
+        ) GROUP BY term
+        ORDER BY freq DESC, term LIMIT 100
+    ), ranked AS (
+        SELECT ln(row_number() OVER (ORDER BY freq DESC, term)::DOUBLE) AS x,
+               ln(freq::DOUBLE) AS y
+        FROM freq
+    ), s AS (
+        SELECT COUNT(*)::DOUBLE AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+               AS intercept,
+           ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility
+# ---------------------------------------------------------------------------
+def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens-per-word by language (ratio of SUMS — exact integer
+    numerator/denominator, one division at the end, so no fp
+    accumulation at any scale). One narrow scan + 5-group aggregate."""
+    d = load(spark, sf_dir, "documents").withColumn("toks", words("text"))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.size("toks")).cast("long").alias("total_words"),
+            F.sum(bpe_token_count("text")).cast("long").alias("total_tokens"),
+        )
+        .select(
+            "lang",
+            "docs",
+            "total_words",
+            "total_tokens",
+            F.round(
+                F.col("total_tokens").cast("double") / F.col("total_words"), 6
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
+_FERTILITY_ORACLE = f"""
+    {_DOCS_SQL}
+    SELECT lang,
+           COUNT(*) AS docs,
+           CAST(SUM(len(w)) AS BIGINT) AS total_words,
+           CAST(SUM(len(regexp_extract_all(text,
+                '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0))) AS BIGINT)
+               AS total_tokens,
+           ROUND(SUM(len(regexp_extract_all(text,
+                '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0)))::DOUBLE
+                 / SUM(len(w)), 6) AS fertility
+    FROM t
+    GROUP BY lang
+    ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding covariance audit
+# ---------------------------------------------------------------------------
+_DIMS = 64
+
+
+def llm_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance-matrix summary of the embedding table: trace,
+    Frobenius norm, off-diagonal L1 — the whitening audit (an
+    isotropic table has trace ≈ d·σ², tiny off-diagonal mass).
+
+    Scale shape: the d² fan-out (4096 cells at d=64) happens MAP-SIDE
+    under Spark's partial hash aggregation — each partition emits at
+    most d² accumulator rows regardless of row count, so the shuffle
+    is model-sized, never data-sized. The d² per-row compute is
+    inherent to covariance; nothing vector-count-sized is collected.
+    Population covariance (÷ n, matching the oracle)."""
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "xi"),
+        F.col("embedding").cast("array<double>").alias("_v"),
+    ).select("i", "xi", F.posexplode("_v").alias("j", "xj"))
+    cells = ex.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("xi").alias("si"),
+        F.sum("xj").alias("sj"),
+        F.sum(F.col("xi") * F.col("xj")).alias("sij"),
+    )
+    cov = (F.col("sij") / F.col("n")) - (
+        (F.col("si") / F.col("n")) * (F.col("sj") / F.col("n"))
+    )
+    return cells.select("i", "j", cov.alias("c"), "n").agg(
+        F.max("n").cast("long").alias("n_vectors"),
+        F.round(F.sum(F.when(F.col("i") == F.col("j"), F.col("c")).otherwise(0.0)), 6)
+        .alias("trace"),
+        F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("fro_norm"),
+        F.round(
+            F.sum(F.when(F.col("i") != F.col("j"), F.abs(F.col("c"))).otherwise(0.0)),
+            6,
+        ).alias("offdiag_l1"),
+    )
+
+
+_COVARIANCE_ORACLE = f"""
+    WITH ex AS (
+        SELECT vec_id, i - 1 AS i, j - 1 AS j,
+               CAST(embedding[i] AS DOUBLE) AS xi,
+               CAST(embedding[j] AS DOUBLE) AS xj
+        FROM embeddings,
+             range(1, {_DIMS + 1}) r1(i), range(1, {_DIMS + 1}) r2(j)
+    ), cells AS (
+        SELECT i, j, COUNT(*)::DOUBLE AS n, SUM(xi) AS si, SUM(xj) AS sj,
+               SUM(xi * xj) AS sij
+        FROM ex GROUP BY i, j
+    ), cov AS (
+        SELECT i, j, n, sij / n - (si / n) * (sj / n) AS c FROM cells
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_vectors,
+           ROUND(SUM(CASE WHEN i = j THEN c ELSE 0.0 END), 6) AS trace,
+           ROUND(SQRT(SUM(c * c)), 6) AS fro_norm,
+           ROUND(SUM(CASE WHEN i <> j THEN ABS(c) ELSE 0.0 END), 6)
+               AS offdiag_l1
+    FROM cov
+"""
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the event-type transition graph
+# ---------------------------------------------------------------------------
+_PR_D = 0.85
+_PR_ROUNDS = 3
+
+
+def _transition_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, w): observed consecutive event-type transitions per
+    user under the (ts, event_id) order — the data-scale step (one
+    user-keyed window + one small aggregate); the graph itself is
+    event-type-cardinality-sized."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    return nxt.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+
+
+def q_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank, {r} power-iteration rounds (d = {d}), over the
+    event-type transition graph.
+
+    The graph build is the only data-scale stage. The iteration runs
+    over node-cardinality frames (≤ event-type count): per round,
+    rank mass flows along out-degree-normalized edges, dangling-node
+    mass (no out-edges) redistributes uniformly, then the damping mix.
+    The loop is a fixed {r}-round driver-side unroll producing ONE
+    lazy plan — node frames are broadcast-sized, so each round is a
+    broadcast join, never a shuffle of the edge-build's scale. Both
+    engines compute the identical finite iteration; the oracle unrolls
+    the same three rounds as chained CTEs.""".format(r=_PR_ROUNDS, d=_PR_D)
+    edges = _transition_edges(spark, sf_dir).cache()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+        .cache()
+    )
+    n_nodes = nodes.count()  # node-cardinality scalar (bounded: event types)
+    out = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    # normalized edge weight
+    norm = edges.join(out, "src").select(
+        "src", "dst", (F.col("w") / F.col("outw")).alias("p")
+    )
+    pr = nodes.select("node", F.lit(1.0 / n_nodes).alias("pr"))
+    for _ in range(_PR_ROUNDS):
+        dangling = (
+            pr.join(out.withColumnRenamed("src", "node"), "node", "left_anti")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm"))
+        )
+        flow = (
+            norm.join(pr.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("p") * F.col("pr")).alias("inflow"))
+        )
+        pr = (
+            nodes.join(F.broadcast(flow), "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - _PR_D) / n_nodes)
+                    + F.lit(_PR_D)
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("dm") / n_nodes)
+                ).alias("pr"),
+            )
+        )
+    return pr.select(
+        F.col("node").alias("event_type"), F.round("pr", 6).alias("pr")
+    ).orderBy("event_type")
+
+
+def _pagerank_oracle() -> str:
+    rounds = []
+    prev = "pr0"
+    for r in range(1, _PR_ROUNDS + 1):
+        rounds.append(f"""
+    , dang{r} AS (
+        SELECT COALESCE(SUM(pr), 0.0) AS dm FROM {prev}
+        WHERE node NOT IN (SELECT src FROM outw)
+    ), flow{r} AS (
+        SELECT n.dst AS node, SUM(n.p * p.pr) AS inflow
+        FROM norm n JOIN {prev} p ON p.node = n.src
+        GROUP BY n.dst
+    ), pr{r} AS (
+        SELECT nd.node,
+               (1.0 - {_PR_D}) / (SELECT n FROM nn)
+               + {_PR_D} * (COALESCE(f.inflow, 0.0)
+                            + (SELECT dm FROM dang{r}) / (SELECT n FROM nn))
+                   AS pr
+        FROM nodes nd LEFT JOIN flow{r} f ON f.node = nd.node
+    )""")
+        prev = f"pr{r}"
+    return f"""
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        FROM events
+    ), edges AS (
+        SELECT event_type AS src, dst, COUNT(*) AS w
+        FROM seq WHERE dst IS NOT NULL GROUP BY event_type, dst
+    ), nodes AS (
+        SELECT DISTINCT src AS node FROM edges
+        UNION SELECT DISTINCT dst FROM edges
+    ), nn AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+    outw AS (
+        SELECT src, SUM(w)::DOUBLE AS outw FROM edges GROUP BY src
+    ), norm AS (
+        SELECT e.src, e.dst, e.w / o.outw AS p
+        FROM edges e JOIN outw o ON o.src = e.src
+    ), pr0 AS (
+        SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes
+    ){''.join(rounds)}
+    SELECT node AS event_type, ROUND(pr, 6) AS pr FROM {prev}
+    ORDER BY event_type
+    """
+
+
+# ---------------------------------------------------------------------------
+# Source-pair shingle overlap
+# ---------------------------------------------------------------------------
+def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jaccard between sources over their distinct 3-shingle
+    sets.
+
+    One shuffle on shingle; per-shingle fan-out is bounded by the
+    SOURCE count squared (provenance cardinality — tens, never
+    data-scale), and the pair aggregate is |sources|²-sized. Per-source
+    distinct counts ride the same shingle-keyed shuffle. Only pairs
+    with at least one common shingle appear (a zero-overlap pair's
+    Jaccard is 0 by definition and is omitted — documented contract,
+    mirrored in the oracle)."""
+    d = load(spark, sf_dir, "documents").withColumn("toks", words("text"))
+    ss = (
+        d.select("source", F.explode(shingles("toks", 3)).alias("sh"))
+        .distinct()
+    )
+    sizes = ss.groupBy("source").agg(F.count(F.lit(1)).alias("nsh"))
+    a = ss.select(F.col("source").alias("src_a"), "sh")
+    b = ss.select(F.col("source").alias("src_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(
+            F.broadcast(sizes.withColumnRenamed("source", "src_a")), "src_a"
+        )
+        .withColumnRenamed("nsh", "n_a")
+        .join(F.broadcast(sizes.withColumnRenamed("source", "src_b")), "src_b")
+        .withColumnRenamed("nsh", "n_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+_SOURCE_OVERLAP_ORACLE = f"""
+    {_DOCS_SQL}, ss AS (
+        SELECT DISTINCT source, unnest({shingles_sql('w', 3)}) AS sh FROM t
+    ), sizes AS (
+        SELECT source, COUNT(*) AS nsh FROM ss GROUP BY source
+    ), common AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+        FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT c.src_a, c.src_b,
+           CAST(sa.nsh AS BIGINT) AS n_a,
+           CAST(sb.nsh AS BIGINT) AS n_b,
+           CAST(c.n_common AS BIGINT) AS n_common,
+           ROUND(c.n_common::DOUBLE / (sa.nsh + sb.nsh - c.n_common), 6)
+               AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.source = c.src_a
+    JOIN sizes sb ON sb.source = c.src_b
+    ORDER BY c.src_a, c.src_b
+"""
+
+
+#: name -> (builder, oracle_sql, tags).  ``register_staged`` turns each
+#: into a registry entry; until then the correctness harness ignores
+#: them and ``tests/test_round6_staged.py`` runs the same
+#: engine-vs-DuckDB compare inline.
+STAGED: dict = {
+    "llm_gopher_rules": (
+        llm_gopher_rules,
+        _GOPHER_ORACLE,
+        ("llm", "quality-rules", "extension"),
+    ),
+    "llm_zipf_fit": (llm_zipf_fit, _ZIPF_ORACLE, ("llm", "corpus-stats", "extension")),
+    "llm_tokenizer_fertility": (
+        llm_tokenizer_fertility,
+        _FERTILITY_ORACLE,
+        ("llm", "tokenizer", "extension"),
+    ),
+    "llm_embedding_covariance": (
+        llm_embedding_covariance,
+        _COVARIANCE_ORACLE,
+        ("llm", "embedding-stats", "extension"),
+    ),
+    "q_pagerank_transitions": (
+        q_pagerank_transitions,
+        _pagerank_oracle(),
+        ("analytics", "graph", "iterative", "extension"),
+    ),
+    "llm_source_overlap": (
+        llm_source_overlap,
+        _SOURCE_OVERLAP_ORACLE,
+        ("llm", "provenance", "dedup-signal", "extension"),
+    ),
+}
+
+
+def register_staged() -> None:
+    """Activate the staged queries (round-6: call from
+    ``queries/__init__`` after the ledger covers the current 167)."""
+    from .registry import query
+
+    for name, (fn, oracle, tags) in STAGED.items():
+        query(name, oracle=oracle, tags=tags)(fn)

@@ -1,0 +1,227 @@
+"""Staged round-6 queries: engine-vs-DuckDB parity, hand-computed
+semantics, and the same type-class gates the registry enforces — so
+activation via ``register_staged()`` is a no-risk one-liner next round.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_etl_spark.queries import round6_staged as r6
+from market_etl_spark.queries.round6_staged import STAGED
+
+from conftest import SF_SMOKE
+
+_DUCK_TABLES = ("events", "documents", "embeddings")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in _DUCK_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_SMOKE}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else round(v, 9)
+    return str(v)
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_matches_oracle(spark, duck, name):
+    """The driver's compare, inline: row count, column set, and
+    order-insensitive canonicalized values."""
+    fn, oracle, _tags = STAGED[name]
+    sdf = fn(spark, SF_SMOKE)
+    srows, scols = sdf.collect(), sdf.columns
+    ores = duck.execute(oracle)
+    ocols = [d[0] for d in ores.description]
+    orows = ores.fetchall()
+    assert len(srows) == len(orows), (len(srows), len(orows))
+    assert sorted(scols) == sorted(ocols)
+    cs = sorted(scols)
+    si = {c: i for i, c in enumerate(scols)}
+    oi = {c: i for i, c in enumerate(ocols)}
+    sk = sorted(tuple(repr(_canon(r[si[c]])) for c in cs) for r in srows)
+    ok = sorted(tuple(repr(_canon(r[oi[c]])) for c in cs) for r in orows)
+    assert sk == ok
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_oracle_types_clean(spark, duck, name):
+    """The registry's HUGEINT + type-class gates, applied pre-activation
+    (an int128 leak or an int/float class split would otherwise only
+    surface as a driver red row AFTER registration)."""
+    from test_registry_contract import _duck_class, _spark_class
+
+    fn, oracle, _tags = STAGED[name]
+    dcols = {}
+    for col, typ, *_ in duck.execute("DESCRIBE " + oracle).fetchall():
+        assert "HUGEINT" not in typ.upper(), (name, col, typ)
+        dcols[col] = _duck_class(typ)
+    scols = {
+        f.name: _spark_class(f.dataType) for f in fn(spark, SF_SMOKE).schema.fields
+    }
+    mismatches = {
+        c: (dcols[c], scols[c]) for c in dcols if c in scols and dcols[c] != scols[c]
+    }
+    assert not mismatches, mismatches
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_plan_no_cartesian(spark, name):
+    """The only nested-loop shapes allowed are 1-row broadcast
+    fan-outs (pagerank's dangling-mass scalar)."""
+    fn, _oracle, _tags = STAGED[name]
+    plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, name
+
+
+def test_staged_not_registered():
+    """The freeze is part of the contract this round: importing the
+    staged module must NOT touch the registry (activation is an
+    explicit register_staged() call, next round)."""
+    from market_etl_spark.queries import REGISTRY
+
+    assert not (set(STAGED) & set(REGISTRY))
+
+
+# ---------------------------------------------------------------------------
+# Hand-computed semantics
+# ---------------------------------------------------------------------------
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en", f"src{i % 2}", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_gopher_rules_flags(spark, monkeypatch):
+    texts = [
+        "the " + " ".join(f"w{i}" for i in range(20)),  # keeps: 21 words, stopword
+        "too short",  # fails r_len (2 words)
+        "the " + "word " * 30,  # fails r_distinct (2 distinct / 31)
+        " ".join(f"w{i}" for i in range(15)),  # fails r_stop (no stopword)
+    ]
+    monkeypatch.setattr(r6, "load", lambda s, d, n: _docs_df(spark, texts))
+    got = {r.doc_id: r for r in r6.llm_gopher_rules(spark, "unused").collect()}
+    assert got[0].keep
+    assert not got[1].r_len and not got[1].keep
+    assert not got[2].r_distinct and not got[2].keep
+    assert got[3].r_len and not got[3].r_stop and not got[3].keep
+
+
+def test_zipf_exact_power_law(spark, monkeypatch):
+    # freq(rank) = 2^(10-rank) for rank 1..8 → ln f = 10ln2 - rank·ln2;
+    # x = ln rank is NOT linear in rank, so build freq = C / rank
+    # instead: f = 840 / rank exactly for rank 1..8 → slope -1, r2 1.
+    texts = []
+    for rank, term in enumerate("abcdefgh", start=1):
+        texts.extend([term] * (840 // rank))
+    monkeypatch.setattr(
+        r6, "load", lambda s, d, n: _docs_df(spark, [" ".join(texts)])
+    )
+    row = r6.llm_zipf_fit(spark, "unused").collect()[0]
+    assert row.n_terms == 8
+    assert abs(row.slope - (-1.0)) < 1e-6
+    assert abs(row.r2 - 1.0) < 1e-6
+
+
+def test_fertility_counts_punct(spark, monkeypatch):
+    # "ab cd" → 2 words, 2 tokens; "ab, cd!" → 2 words, 4 tokens
+    monkeypatch.setattr(
+        r6, "load", lambda s, d, n: _docs_df(spark, ["ab cd", "ab, cd!"])
+    )
+    row = r6.llm_tokenizer_fertility(spark, "unused").collect()[0]
+    assert row.total_words == 4
+    assert row.total_tokens == 6
+    assert row.fertility == 1.5
+
+
+def test_covariance_hand_computed(spark, monkeypatch):
+    # Two 2-dim vectors (1,0) and (3,4): means (2,2); population cov
+    # [[1, 2], [2, 4]] → trace 5, fro sqrt(1+4+4+16)=5, offdiag L1 4.
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [3.0, 4.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    monkeypatch.setattr(r6, "load", lambda s, d, n: emb)
+    row = r6.llm_embedding_covariance(spark, "unused").collect()[0]
+    assert row.n_vectors == 2
+    assert abs(row.trace - 5.0) < 1e-6
+    assert abs(row.fro_norm - 5.0) < 1e-6
+    assert abs(row.offdiag_l1 - 4.0) < 1e-6
+
+
+def test_pagerank_uniform_cycle(spark, monkeypatch):
+    # a→b→c→a with equal weights: uniform PR 1/3 is the fixed point,
+    # so 3 damped rounds stay exactly uniform.
+    import datetime as dt
+
+    rows = []
+    t0 = dt.datetime(2024, 1, 15, 9)
+    for u in range(4):
+        for i, et in enumerate(["a", "b", "c", "a"]):
+            rows.append((u * 10 + i, t0 + dt.timedelta(seconds=i), u, et, 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(r6, "load", lambda s, d, n: ev)
+    got = {r.event_type: r.pr for r in r6.q_pagerank_transitions(spark, "unused").collect()}
+    for v in got.values():
+        assert abs(v - round(1 / 3, 6)) < 2e-6, got
+
+
+def test_pagerank_sink_attracts_mass(spark, monkeypatch):
+    # a→b only: b is dangling (mass redistributes uniformly), and b
+    # must end with more rank than a.
+    import datetime as dt
+
+    rows = []
+    t0 = dt.datetime(2024, 1, 15, 9)
+    for u in range(3):
+        rows.append((u * 10, t0, u, "a", 1.0, "{}"))
+        rows.append((u * 10 + 1, t0 + dt.timedelta(seconds=1), u, "b", 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(r6, "load", lambda s, d, n: ev)
+    got = {r.event_type: r.pr for r in r6.q_pagerank_transitions(spark, "unused").collect()}
+    assert got["b"] > got["a"]
+    assert abs(sum(got.values()) - 1.0) < 1e-4  # mass conserved
+
+
+def test_source_overlap_hand_computed(spark, monkeypatch):
+    # srcA docs share the shingle set {x y z}; srcB has {x y z, y z w}:
+    # common 1, n_a 1, n_b 2 → jaccard 0.5.
+    docs = spark.createDataFrame(
+        [
+            (0, "x y z", "en", "srcA", 5),
+            (1, "x y z", "en", "srcA", 5),
+            (2, "x y z w", "en", "srcB", 7),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(r6, "load", lambda s, d, n: docs)
+    rows = r6.llm_source_overlap(spark, "unused").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.src_a, r.src_b, r.n_a, r.n_b, r.n_common) == ("srcA", "srcB", 1, 2, 1)
+    assert r.jaccard == 0.5
