@@ -560,7 +560,17 @@ STAGED: dict = {
 
 def register_staged() -> None:
     """Activate the staged queries (round-6: call from
-    ``queries/__init__`` after the ledger covers the current 167)."""
+    ``queries/__init__`` after the ledger covers the current 167).
+
+    Activation checklist (all mechanical):
+      1. add ``from . import round6_staged`` +
+         ``round6_staged.register_staged()`` to ``queries/__init__``;
+      2. allowlist ``q_pagerank_transitions`` in
+         ``tests/test_plan_discipline.py::_BNLJ_OK`` (its dangling-mass
+         scalar is a 1-row broadcast crossJoin, same class as the other
+         allowlisted 1-row fan-outs);
+      3. bump the COVERAGE.md/README totals the contract tests derive.
+    """
     from .registry import query
 
     for name, (fn, oracle, tags) in STAGED.items():

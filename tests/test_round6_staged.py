@@ -225,3 +225,108 @@ def test_source_overlap_hand_computed(spark, monkeypatch):
     r = rows[0]
     assert (r.src_a, r.src_b, r.n_a, r.n_b, r.n_common) == ("srcA", "srcB", 1, 2, 1)
     assert r.jaccard == 0.5
+
+
+# ---------------------------------------------------------------------------
+# Property tests vs pure-Python references
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-5, 5, allow_nan=False, width=32), min_size=3, max_size=3
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_covariance_matches_numpy(spark, vecs):
+    import numpy as np
+
+    emb = spark.createDataFrame(
+        [(i, v, 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    import unittest.mock as mock
+
+    with mock.patch.object(r6, "load", lambda s, d, n: emb):
+        row = r6.llm_embedding_covariance(spark, "unused").collect()[0]
+    # float32 storage: reference must see the same rounded inputs
+    a = np.array(vecs, dtype=np.float32).astype(np.float64)
+    cov = np.cov(a, rowvar=False, bias=True)
+    assert row.n_vectors == len(vecs)
+    assert abs(row.trace - round(float(np.trace(cov)), 6)) < 1e-5
+    assert abs(row.fro_norm - round(float(np.sqrt((cov * cov).sum())), 6)) < 1e-5
+    off = float(np.abs(cov - np.diag(np.diag(cov))).sum())
+    assert abs(row.offdiag_l1 - round(off, 6)) < 1e-5
+
+
+def _py_pagerank(edges, d=0.85, rounds=3):
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    n = len(nodes)
+    w = {}
+    for s, t in edges:
+        w[(s, t)] = w.get((s, t), 0) + 1
+    outw = {}
+    for (s, _t), c in w.items():
+        outw[s] = outw.get(s, 0) + c
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(rounds):
+        dm = sum(pr[v] for v in nodes if v not in outw)
+        nxt = {}
+        for v in nodes:
+            inflow = sum(
+                pr[s] * c / outw[s] for (s, t), c in w.items() if t == v
+            )
+            nxt[v] = (1 - d) / n + d * (inflow + dm / n)
+        pr = nxt
+    return {v: round(p, 6) for v, p in pr.items()}
+
+
+@settings(**_SETTINGS)
+@given(
+    transitions=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=2, max_size=6),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_pagerank_matches_python_reference(spark, transitions):
+    """Each inner list is one user's event-type sequence; the engine
+    must reproduce a dict-based damped power iteration exactly
+    (same dangling handling, same 3 rounds)."""
+    import datetime as dt
+    import unittest.mock as mock
+
+    rows, eid = [], 0
+    t0 = dt.datetime(2024, 1, 15, 9)
+    edges = []
+    for u, seq in enumerate(transitions):
+        for i, et in enumerate(seq):
+            rows.append((eid, t0 + dt.timedelta(seconds=i), u, et, 1.0, "{}"))
+            eid += 1
+        edges.extend(zip(seq, seq[1:]))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with mock.patch.object(r6, "load", lambda s, d, n: ev):
+        got = {
+            r.event_type: r.pr
+            for r in r6.q_pagerank_transitions(spark, "unused").collect()
+        }
+    want = _py_pagerank(edges)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 2e-6, (v, got[v], want[v])
