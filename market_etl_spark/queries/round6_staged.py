@@ -36,6 +36,9 @@ extension surface):
 - ``llm_source_overlap`` — pairwise Jaccard overlap between SOURCES on
   their distinct 3-shingle sets: the contamination / provenance audit
   run before mixing crawls (which feeds dataset-mixture weights).
+- ``q_bollinger_breakouts`` — trailing-20 Bollinger %b breakout flags
+  on the minute-VWAP series (rounded-z comparison convention, shared
+  with q_anomaly_zscore_days).
 """
 
 from __future__ import annotations
@@ -524,6 +527,88 @@ _SOURCE_OVERLAP_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Bollinger-band breakouts on the minute-VWAP series
+# ---------------------------------------------------------------------------
+def q_bollinger_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger %b breakout flags over the trailing 20 minutes of each
+    series' minute-VWAP: z20 = (v − SMA20) / σ20, breakout when
+    |z20| > 2 — the band-touch signal every charting stack computes.
+
+    One minute-bucketed aggregate (the same partial-agg collapse as
+    q2) then a single frame-bounded window per series — state is 20
+    rows, never history-deep. Rows before the 20th minute are dropped
+    (warm-up; both engines share the n_obs = 20 cut). The flag
+    compares the ROUNDED z-score, the q_anomaly_zscore_days
+    convention, so the boolean is bit-stable across engines; a
+    zero-variance frame defines z20 = 0 (no breakout) instead of a
+    division by zero."""
+    from .windows import _minute_series
+
+    ms = _minute_series(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("minute")
+        .rowsBetween(-19, 0)
+    )
+    n_obs = F.count(F.lit(1)).over(w)
+    mid = F.avg("vwap_value").over(w)
+    sd = F.stddev_samp("vwap_value").over(w)
+    z = F.when(sd > 0, F.round((F.col("vwap_value") - mid) / sd, 6)).otherwise(
+        0.0
+    )
+    return (
+        ms.select(
+            "event_type",
+            "minute",
+            "vwap_value",
+            n_obs.alias("_n"),
+            z.alias("z20"),
+        )
+        .filter(F.col("_n") == 20)
+        .drop("_n")
+        .select(
+            "event_type",
+            "minute",
+            "vwap_value",
+            "z20",
+            (F.col("z20") > 2.0).alias("breakout_up"),
+            (F.col("z20") < -2.0).alias("breakout_down"),
+        )
+        .orderBy("event_type", "minute")
+    )
+
+
+_BOLLINGER_ORACLE = """
+    WITH ms AS (
+        SELECT event_type,
+               date_trunc('minute', ts) AS minute,
+               ROUND(SUM(value * qty) / NULLIF(SUM(qty), 0), 6) AS vwap_value
+        FROM (SELECT *, CAST(event_id % 7 + 1 AS DOUBLE) AS qty FROM events)
+        WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-16'
+        GROUP BY event_type, date_trunc('minute', ts)
+    ), b AS (
+        SELECT event_type, minute, vwap_value,
+               COUNT(*) OVER w AS n_obs,
+               AVG(vwap_value) OVER w AS mid,
+               STDDEV_SAMP(vwap_value) OVER w AS sd
+        FROM ms
+        WINDOW w AS (PARTITION BY event_type ORDER BY minute
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ), z AS (
+        SELECT event_type, minute, vwap_value,
+               CASE WHEN sd > 0
+                    THEN ROUND((vwap_value - mid) / sd, 6) ELSE 0.0 END AS z20
+        FROM b WHERE n_obs = 20
+    )
+    SELECT event_type, minute, vwap_value, z20,
+           (z20 > 2.0) AS breakout_up,
+           (z20 < -2.0) AS breakout_down
+    FROM z
+    ORDER BY event_type, minute
+"""
+
+
 #: name -> (builder, oracle_sql, tags).  ``register_staged`` turns each
 #: into a registry entry; until then the correctness harness ignores
 #: them and ``tests/test_round6_staged.py`` runs the same
@@ -554,6 +639,11 @@ STAGED: dict = {
         llm_source_overlap,
         _SOURCE_OVERLAP_ORACLE,
         ("llm", "provenance", "dedup-signal", "extension"),
+    ),
+    "q_bollinger_breakouts": (
+        q_bollinger_breakouts,
+        _BOLLINGER_ORACLE,
+        ("window", "financial", "extension"),
     ),
 }
 

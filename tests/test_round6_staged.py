@@ -330,3 +330,37 @@ def test_pagerank_matches_python_reference(spark, transitions):
     assert set(got) == set(want)
     for v in want:
         assert abs(got[v] - want[v]) < 2e-6, (v, got[v], want[v])
+
+
+def test_bollinger_spike_breaks_out(spark, monkeypatch):
+    """25 flat minutes then one spike: the spike minute must flag
+    breakout_up; the flat stretch defines z20 = 0 (zero variance)."""
+    import datetime as dt
+
+    rows, eid = [], 0
+    t0 = dt.datetime(2024, 1, 15, 9)
+    for m in range(26):
+        val = 100.0 if m < 25 else 500.0
+        rows.append((eid, t0 + dt.timedelta(minutes=m), 1, "trade", val, "{}"))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import unittest.mock as mock
+
+    import market_etl_spark.queries.windows as windows_mod
+
+    with mock.patch.object(windows_mod, "load", lambda s, d, n: ev):
+        got = {
+            r.minute.minute: r
+            for r in r6.q_bollinger_breakouts(spark, "unused").collect()
+        }
+    # warm-up drops the first 19 minutes; minutes 19..24 are flat
+    assert len(got) == 7
+    for m in range(19, 25):
+        assert got[m].z20 == 0.0 and not got[m].breakout_up
+    spike = got[25]
+    assert spike.breakout_up and not spike.breakout_down
+    assert spike.z20 > 2.0
