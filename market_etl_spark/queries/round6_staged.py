@@ -39,6 +39,12 @@ extension surface):
 - ``q_bollinger_breakouts`` — trailing-20 Bollinger %b breakout flags
   on the minute-VWAP series (rounded-z comparison convention, shared
   with q_anomaly_zscore_days).
+- ``q_hll_mergeable_rollup`` / ``q_theta_sketch_setops`` /
+  ``q_kll_mergeable_quantiles`` — the DataSketches mergeable-summary
+  pattern (Spark 4.1 hll/theta/kll builtins): per-day sketches merged
+  to answer distinct counts, audience set algebra, and quantiles
+  without rescanning raw data; accuracy contracts evaluated in-query
+  (the ANN/percentile contract-boolean discipline).
 """
 
 from __future__ import annotations
@@ -609,6 +615,167 @@ _BOLLINGER_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Mergeable-sketch roll-ups (DataSketches family, Spark 4.1)
+# ---------------------------------------------------------------------------
+#
+# THE 100 TB serving pattern for distinct counts / quantiles: build a
+# tiny mergeable sketch per partition (per day, per shard), persist it,
+# and answer ANY date-range / group combination by merging sketches —
+# never rescanning the raw data. These three queries prove the
+# two-level shape end to end (per-day sketch → merged estimate) with
+# the accuracy contract evaluated in-query against the exact answer,
+# the same contract-boolean pattern the ANN/percentile queries use: the
+# oracle recomputes the exact side and returns TRUE, so a drifting
+# sketch flips the boolean and fails the hash.
+
+
+def q_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct users via PER-DAY HyperLogLog sketches
+    merged with ``hll_union_agg`` — the pre-aggregated roll-up a
+    dashboard serves from. At the test cardinality HLL is exact; the
+    contract allows the 2% standard error of the default lgConfigK=12
+    at production cardinality."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("_approx")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= F.greatest(
+                    F.round(F.col("exact_users") * 0.02, 0), F.lit(1.0)
+                )
+            ).alias("hll_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_HLL_ORACLE = """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS hll_ok
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+def q_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-space SET ALGEBRA: distinct users who did BOTH 'click'
+    and 'purchase' (theta intersection) and who clicked but NEVER
+    purchased (theta difference) — the audience-overlap queries a
+    join-based exact path answers only with a full shuffle; theta
+    sketches answer them from two tiny pre-built summaries. Exact
+    answers ride the same query as the contract."""
+    e = load(spark, sf_dir, "events")
+    th = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.expr("theta_sketch_agg(user_id)").alias("tsk"))
+    )
+    pair = th.groupBy().pivot("event_type", ["click", "purchase"]).agg(
+        F.first("tsk")
+    )
+    est = pair.select(
+        F.expr("theta_sketch_estimate(theta_intersection(click, purchase))")
+        .alias("_both"),
+        F.expr("theta_sketch_estimate(theta_difference(click, purchase))")
+        .alias("_only_click"),
+    )
+    clickers = e.filter(F.col("event_type") == "click").select("user_id").distinct()
+    purchasers = (
+        e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    exact = (
+        clickers.join(purchasers, "user_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("both_exact"))
+        .crossJoin(
+            clickers.join(purchasers, "user_id", "left_anti").agg(
+                F.count(F.lit(1)).alias("only_click_exact")
+            )
+        )
+    )
+    tol = lambda c: F.greatest(F.round(F.col(c) * 0.02, 0), F.lit(1.0))  # noqa: E731
+    return est.crossJoin(F.broadcast(exact)).select(
+        "both_exact",
+        "only_click_exact",
+        (F.abs(F.col("_both") - F.col("both_exact")) <= tol("both_exact")).alias(
+            "theta_intersect_ok"
+        ),
+        (
+            F.abs(F.col("_only_click") - F.col("only_click_exact"))
+            <= tol("only_click_exact")
+        ).alias("theta_diff_ok"),
+    )
+
+
+_THETA_ORACLE = """
+    WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT (SELECT COUNT(*) FROM c WHERE user_id IN (SELECT user_id FROM p))
+               AS both_exact,
+           (SELECT COUNT(*) FROM c WHERE user_id NOT IN (SELECT user_id FROM p))
+               AS only_click_exact,
+           TRUE AS theta_intersect_ok,
+           TRUE AS theta_diff_ok
+"""
+
+
+def q_kll_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from PER-DAY KLL sketches folded into one global
+    summary (``aggregate`` over the day-bounded sketch array — the
+    array is calendar-sized, never data-sized). KLL compaction is
+    randomized, so the hashable output is the exact stream length from
+    the sketch plus RANK-BOUND contracts: the merged sketch's p50/p95
+    must land within ±5pp of the true rank, checked against exact
+    in-query rank counts (the A8 approx-percentile discipline)."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.expr("kll_sketch_agg_double(value)").alias("k")
+    )
+    folded = daily.agg(F.expr("collect_list(k)").alias("ks")).select(
+        F.expr(
+            "aggregate(slice(ks, 2, size(ks) - 1), ks[0], "
+            "(a, x) -> kll_sketch_merge_double(a, x))"
+        ).alias("m")
+    )
+    qs = folded.select(
+        F.expr("kll_sketch_get_n_double(m)").alias("n"),
+        F.expr("kll_sketch_get_quantile_double(m, 0.5)").alias("_q50"),
+        F.expr("kll_sketch_get_quantile_double(m, 0.95)").alias("_q95"),
+    )
+    ranks = e.crossJoin(F.broadcast(qs)).agg(
+        F.first("n").alias("n"),
+        (F.sum(F.when(F.col("value") <= F.col("_q50"), 1).otherwise(0))
+         / F.count(F.lit(1))).alias("_r50"),
+        (F.sum(F.when(F.col("value") <= F.col("_q95"), 1).otherwise(0))
+         / F.count(F.lit(1))).alias("_r95"),
+    )
+    return ranks.select(
+        F.col("n").cast("long").alias("n"),
+        ((F.col("_r50") >= 0.45) & (F.col("_r50") <= 0.55)).alias("p50_rank_ok"),
+        ((F.col("_r95") >= 0.90) & (F.col("_r95") <= 1.0)).alias("p95_rank_ok"),
+    )
+
+
+_KLL_ORACLE = """
+    SELECT COUNT(*) AS n, TRUE AS p50_rank_ok, TRUE AS p95_rank_ok
+    FROM events
+"""
+
+
 #: name -> (builder, oracle_sql, tags).  ``register_staged`` turns each
 #: into a registry entry; until then the correctness harness ignores
 #: them and ``tests/test_round6_staged.py`` runs the same
@@ -644,6 +811,21 @@ STAGED: dict = {
         q_bollinger_breakouts,
         _BOLLINGER_ORACLE,
         ("window", "financial", "extension"),
+    ),
+    "q_hll_mergeable_rollup": (
+        q_hll_mergeable_rollup,
+        _HLL_ORACLE,
+        ("aggregates", "sketch", "mergeable", "extension"),
+    ),
+    "q_theta_sketch_setops": (
+        q_theta_sketch_setops,
+        _THETA_ORACLE,
+        ("aggregates", "sketch", "set-ops", "extension"),
+    ),
+    "q_kll_mergeable_quantiles": (
+        q_kll_mergeable_quantiles,
+        _KLL_ORACLE,
+        ("aggregates", "sketch", "quantiles", "extension"),
     ),
 }
 

@@ -364,3 +364,44 @@ def test_bollinger_spike_breaks_out(spark, monkeypatch):
     spike = got[25]
     assert spike.breakout_up and not spike.breakout_down
     assert spike.z20 > 2.0
+
+
+def _events_df(spark, rows):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 15, 9)
+    return spark.createDataFrame(
+        [
+            (i, t0 + dt.timedelta(minutes=i), uid, et, float(v), "{}")
+            for i, (uid, et, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_theta_setops_hand_computed(spark, monkeypatch):
+    # clickers {1..5}, purchasers {3..8} → both 3, click-only 2
+    rows = [(u, "click", 1.0) for u in range(1, 6)]
+    rows += [(u, "purchase", 1.0) for u in range(3, 9)]
+    monkeypatch.setattr(r6, "load", lambda s, d, n: _events_df(spark, rows))
+    r = r6.q_theta_sketch_setops(spark, "unused").collect()[0]
+    assert (r.both_exact, r.only_click_exact) == (3, 2)
+    assert r.theta_intersect_ok and r.theta_diff_ok
+
+
+def test_hll_rollup_exact_at_small_cardinality(spark, monkeypatch):
+    rows = [(u % 7, "view", 1.0) for u in range(50)]
+    monkeypatch.setattr(r6, "load", lambda s, d, n: _events_df(spark, rows))
+    r = r6.q_hll_mergeable_rollup(spark, "unused").collect()[0]
+    assert r.exact_users == 7 and r.hll_ok
+
+
+def test_kll_quantiles_rank_bounds(spark, monkeypatch):
+    # values 1..200 across multiple days (minutes span >1 day? keep one
+    # day — the fold handles a single sketch too)
+    rows = [(1, "view", float(v)) for v in range(1, 201)]
+    monkeypatch.setattr(r6, "load", lambda s, d, n: _events_df(spark, rows))
+    r = r6.q_kll_mergeable_quantiles(spark, "unused").collect()[0]
+    assert r.n == 200
+    assert r.p50_rank_ok and r.p95_rank_ok
