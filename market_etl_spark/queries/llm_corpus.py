@@ -60,6 +60,34 @@ def _jaccard_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _PAIR_GRAPH_CACHE[key]
 
 
+def _code_fingerprint(*fns) -> str:
+    """Source-hash of the functions whose semantics define a persisted
+    index layout.  Any edit to them changes the digest, so a scratch
+    index built by OLDER code can never be silently reused (the data
+    fingerprint alone cannot see code changes — review finding r5)."""
+    import hashlib
+    import inspect
+
+    h = hashlib.sha1()
+    for fn in fns:
+        h.update(inspect.getsource(fn).encode())
+    return h.hexdigest()[:8]
+
+
+def _prune_stale_indexes(scratch, prefix: str, keep: str) -> None:
+    """Delete sibling index layouts under ``scratch`` that share
+    ``prefix`` but are not ``keep`` — each is a full data-sized copy
+    (orphaned by a testdata regeneration or a builder-code change), so
+    without pruning scratch grows by O(corpus) per round."""
+    import pathlib
+    import shutil
+
+    keep_name = pathlib.Path(keep).name
+    for p in pathlib.Path(scratch).glob(prefix + "*"):
+        if p.is_dir() and p.name != keep_name:
+            shutil.rmtree(p, ignore_errors=True)
+
+
 #: Same contract for the cluster-label frame (the CC fixpoint over the
 #: pair graph) — shared by llm_dedup_clusters and
 #: llm_canonical_selection, and already ids-only/tiny by construction
@@ -834,15 +862,22 @@ def llm_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .etl_pipeline import _source_fingerprint
 
     # Memoized build (ensure_zordered_events pattern): the INDEX is a
-    # deterministic function of the embeddings source, so the bench —
-    # and any real serving path — measures routing + pruned scan, not a
-    # full corpus rewrite per query batch.  The fingerprint in the path
-    # invalidates the layout when the driver regenerates testdata.
+    # deterministic function of the embeddings source AND the builder
+    # code, so the bench — and any real serving path — measures
+    # routing + pruned scan, not a full corpus rewrite per query
+    # batch.  The path fingerprint covers both: the data digest
+    # invalidates on driver testdata regeneration, and the CODE digest
+    # (source hash of the build/centroid functions) invalidates when a
+    # later round changes index semantics — without it a stale layout
+    # built under old code would silently serve wrong candidates.
+    # Stale sibling layouts (older fingerprints) are pruned on build.
     tag = _pl.Path(sf_dir.rstrip("/")).name.replace(".", "_")
     fp = _source_fingerprint(sf_dir, "embeddings.parquet")
-    path = str(_SCRATCH / f"ivf_index_{tag}_{fp}")
+    code_fp = _code_fingerprint(similarity.ivf_write_index, similarity.cell_centroids)
+    path = str(_SCRATCH / f"ivf_index_{tag}_{fp}_{code_fp}")
     emb = load(spark, sf_dir, "embeddings")
     if not (_pl.Path(path) / "centroids" / "_SUCCESS").exists():
+        _prune_stale_indexes(_SCRATCH, f"ivf_index_{tag}", keep=path)
         similarity.ivf_write_index(emb, path, cluster_col="label")
     queries = emb.filter(F.col("vec_id").isin(_QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qvec")
@@ -881,14 +916,16 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .etl_pipeline import _source_fingerprint
 
     # Same memoization as llm_ivf_index_topk: the corpus index is built
-    # once per source fingerprint; each invocation then measures what
-    # the daily-crawl shape actually costs — signatures for the NEW
-    # batch plus an index join, never a corpus re-index.
+    # once per (source, builder-code) fingerprint; each invocation then
+    # measures what the daily-crawl shape actually costs — signatures
+    # for the NEW batch plus an index join, never a corpus re-index.
     tag = _pl.Path(sf_dir.rstrip("/")).name.replace(".", "_")
     fp = _source_fingerprint(sf_dir, "documents.parquet")
-    path = str(_SCRATCH / f"minhash_index_{tag}_{fp}")
+    code_fp = _code_fingerprint(dedup.write_minhash_index, dedup.minhash_band_rows)
+    path = str(_SCRATCH / f"minhash_index_{tag}_{fp}_{code_fp}")
     d = _docs(spark, sf_dir)
     if not (_pl.Path(path) / "shingles" / "_SUCCESS").exists():
+        _prune_stale_indexes(_SCRATCH, f"minhash_index_{tag}", keep=path)
         dedup.write_minhash_index(d.filter(F.col("doc_id") % 5 != 0), path)
     return dedup.dedup_against_index(
         spark, d.filter(F.col("doc_id") % 5 == 0), path

@@ -52,7 +52,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..llm.text import STOPWORDS, bpe_token_count, shingles, shingles_sql, words
+from ..llm.text import (
+    BPE_TOKEN_COUNT_SQL,
+    STOPWORDS,
+    bpe_token_count,
+    shingles,
+    shingles_sql,
+    words,
+)
 from ..tables import load
 
 #: DuckDB CTE shared by the document-table oracles (mirrors the
@@ -259,11 +266,9 @@ _FERTILITY_ORACLE = f"""
     SELECT lang,
            COUNT(*) AS docs,
            CAST(SUM(len(w)) AS BIGINT) AS total_words,
-           CAST(SUM(len(regexp_extract_all(text,
-                '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0))) AS BIGINT)
+           CAST(SUM({BPE_TOKEN_COUNT_SQL.format(col='text')}) AS BIGINT)
                AS total_tokens,
-           ROUND(SUM(len(regexp_extract_all(text,
-                '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0)))::DOUBLE
+           ROUND(SUM({BPE_TOKEN_COUNT_SQL.format(col='text')})::DOUBLE
                  / SUM(len(w)), 6) AS fertility
     FROM t
     GROUP BY lang
@@ -359,24 +364,26 @@ def _transition_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Damped PageRank, {r} power-iteration rounds (d = {d}), over the
+    """Damped PageRank, 3 power-iteration rounds (d = 0.85), over the
     event-type transition graph.
 
-    The graph build is the only data-scale stage. The iteration runs
-    over node-cardinality frames (≤ event-type count): per round,
+    The graph build is the only data-scale stage; it is materialized
+    ONCE via localCheckpoint (truncated lineage — the lazy 3-round
+    plan must not re-scan events per round, and nothing stays pinned
+    in executor storage the way a .cache() entry would). The iteration
+    runs over node-cardinality frames (≤ event-type count): per round,
     rank mass flows along out-degree-normalized edges, dangling-node
     mass (no out-edges) redistributes uniformly, then the damping mix.
-    The loop is a fixed {r}-round driver-side unroll producing ONE
-    lazy plan — node frames are broadcast-sized, so each round is a
+    The loop is a fixed 3-round driver-side unroll producing ONE lazy
+    plan — node frames are broadcast-sized, so each round is a
     broadcast join, never a shuffle of the edge-build's scale. Both
     engines compute the identical finite iteration; the oracle unrolls
-    the same three rounds as chained CTEs.""".format(r=_PR_ROUNDS, d=_PR_D)
-    edges = _transition_edges(spark, sf_dir).cache()
+    the same three rounds as chained CTEs."""
+    edges = _transition_edges(spark, sf_dir).localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select("dst"))
         .distinct()
-        .cache()
     )
     n_nodes = nodes.count()  # node-cardinality scalar (bounded: event types)
     out = edges.groupBy("src").agg(F.sum("w").alias("outw"))
@@ -708,15 +715,21 @@ def q_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tol = lambda c: F.greatest(F.round(F.col(c) * 0.02, 0), F.lit(1.0))  # noqa: E731
+    # If either event type is absent from the slice, its pivot cell is
+    # NULL and the sketch estimates are NULL; the exact sets are then
+    # degenerate (both = 0; click-only = all clickers), so the contract
+    # coalesces to TRUE — there is nothing for the sketch to estimate.
     return est.crossJoin(F.broadcast(exact)).select(
         "both_exact",
         "only_click_exact",
-        (F.abs(F.col("_both") - F.col("both_exact")) <= tol("both_exact")).alias(
-            "theta_intersect_ok"
-        ),
-        (
+        F.coalesce(
+            F.abs(F.col("_both") - F.col("both_exact")) <= tol("both_exact"),
+            F.col("both_exact") == 0,
+        ).alias("theta_intersect_ok"),
+        F.coalesce(
             F.abs(F.col("_only_click") - F.col("only_click_exact"))
-            <= tol("only_click_exact")
+            <= tol("only_click_exact"),
+            F.lit(True),
         ).alias("theta_diff_ok"),
     )
 

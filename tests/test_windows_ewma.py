@@ -78,7 +78,9 @@ def test_ewma_band_join_is_bucketed(spark):
     """The physical join must carry the bkt column as an equi-key —
     otherwise the band degenerates to a per-event_type cross product
     with the rank predicate as a post-filter (quadratic per series)."""
-    df = windows.q_window_ewma(spark, "/root/testdata/sf0.001")
+    from conftest import SF_SMOKE
+
+    df = windows.q_window_ewma(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
