@@ -45,6 +45,9 @@ extension surface):
   to answer distinct counts, audience set algebra, and quantiles
   without rescanning raw data; accuracy contracts evaluated in-query
   (the ANN/percentile contract-boolean discipline).
+- ``llm_approx_topk_terms`` — frequent-items sketch heavy hitters
+  (``approx_top_k``) audited against the exact top-10 with a
+  containment-and-tolerance contract.
 """
 
 from __future__ import annotations
@@ -789,6 +792,75 @@ _KLL_ORACLE = """
 """
 
 
+def llm_approx_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter terms via the ``approx_top_k`` frequent-items
+    sketch (Spark 4.1 DataSketches builtin) audited against the exact
+    top-10 in the same job — the mergeable alternative to a full
+    vocabulary aggregate when the term universe is too large to
+    shuffle (the sketch tracks a bounded item set per partition and
+    merges).
+
+    Hashable output is the EXACT top-10 (count DESC, term — both
+    engines' tie rule) plus a per-term contract boolean: the term must
+    appear in the sketch's top-30 with an estimate within 2% (top-30,
+    not top-10, so a tie at the sketch's cut boundary cannot drop a
+    qualifying term)."""
+    d = load(spark, sf_dir, "documents").withColumn("toks", words("text"))
+    terms = d.select(
+        F.explode(F.expr("filter(toks, x -> x <> '')")).alias("term")
+    )
+    exact = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), "term")
+        .limit(10)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("exact_count"), "term")),
+        )
+    )
+    sk = terms.agg(
+        F.map_from_arrays(
+            F.expr("transform(approx_top_k(term, 30), x -> x.item)"),
+            F.expr("transform(approx_top_k(term, 30), x -> x.count)"),
+        ).alias("est")
+    )
+    est = F.element_at(F.col("est"), F.col("term"))
+    return (
+        exact.crossJoin(F.broadcast(sk))
+        .select(
+            "rank",
+            "term",
+            "exact_count",
+            (
+                est.isNotNull()
+                & (
+                    F.abs(est - F.col("exact_count"))
+                    <= F.greatest(
+                        F.round(F.col("exact_count") * 0.02, 0), F.lit(1.0)
+                    )
+                )
+            ).alias("sketch_ok"),
+        )
+        .orderBy("rank")
+    )
+
+
+_APPROX_TOPK_ORACLE = f"""
+    {_DOCS_SQL}, freq AS (
+        SELECT term, COUNT(*) AS exact_count FROM (
+            SELECT unnest(list_filter(w, x -> x <> '')) AS term FROM t
+        ) GROUP BY term
+        ORDER BY exact_count DESC, term LIMIT 10
+    )
+    SELECT CAST(row_number() OVER (ORDER BY exact_count DESC, term) AS INT)
+               AS rank,
+           term, exact_count, TRUE AS sketch_ok
+    FROM freq
+    ORDER BY rank
+"""
+
+
 #: name -> (builder, oracle_sql, tags).  ``register_staged`` turns each
 #: into a registry entry; until then the correctness harness ignores
 #: them and ``tests/test_round6_staged.py`` runs the same
@@ -839,6 +911,11 @@ STAGED: dict = {
         q_kll_mergeable_quantiles,
         _KLL_ORACLE,
         ("aggregates", "sketch", "quantiles", "extension"),
+    ),
+    "llm_approx_topk_terms": (
+        llm_approx_topk_terms,
+        _APPROX_TOPK_ORACLE,
+        ("llm", "sketch", "heavy-hitters", "extension"),
     ),
 }
 

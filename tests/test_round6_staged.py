@@ -437,3 +437,13 @@ def test_bollinger_parity_nonvacuous_sf001(spark):
     sk = sorted(tuple(repr(_canon(r[si[c]])) for c in cs) for r in srows)
     ok = sorted(tuple(repr(_canon(r[oi[c]])) for c in cs) for r in orows)
     assert sk == ok
+
+
+def test_approx_topk_hand_computed(spark, monkeypatch):
+    # 'x'*30, 'y'*20, 'z'*10 plus singleton noise → exact top-3 known
+    text = " ".join(["x"] * 30 + ["y"] * 20 + ["z"] * 10 + ["n%d" % i for i in range(5)])
+    monkeypatch.setattr(r6, "load", lambda s, d, n: _docs_df(spark, [text]))
+    rows = r6.llm_approx_topk_terms(spark, "unused").collect()
+    top = [(r.rank, r.term, r.exact_count, r.sketch_ok) for r in rows[:3]]
+    assert top == [(1, "x", 30, True), (2, "y", 20, True), (3, "z", 10, True)]
+    assert all(r.sketch_ok for r in rows)
