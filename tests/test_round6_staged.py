@@ -447,3 +447,89 @@ def test_approx_topk_hand_computed(spark, monkeypatch):
     top = [(r.rank, r.term, r.exact_count, r.sketch_ok) for r in rows[:3]]
     assert top == [(1, "x", 30, True), (2, "y", 20, True), (3, "z", 10, True)]
     assert all(r.sketch_ok for r in rows)
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["sA", "sB", "sC"]),
+            st.lists(st.sampled_from("pqr"), min_size=3, max_size=6),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_source_overlap_matches_python_reference(spark, docs):
+    """Pairwise source Jaccard on distinct 3-shingles vs a set-based
+    Python reference (including the only-overlapping-pairs contract)."""
+    import unittest.mock as mock
+
+    rows = [
+        (i, " ".join(toks), "en", src, len(" ".join(toks)))
+        for i, (src, toks) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with mock.patch.object(r6, "load", lambda s, d, n: df):
+        got = {
+            (r.src_a, r.src_b): (r.n_a, r.n_b, r.n_common, r.jaccard)
+            for r in r6.llm_source_overlap(spark, "unused").collect()
+        }
+    sets: dict = {}
+    for src, toks in docs:
+        sh = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+        sets.setdefault(src, set()).update(sh)
+    want = {}
+    srcs = sorted(sets)
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            a, b = srcs[i], srcs[j]
+            common = len(sets[a] & sets[b])
+            if common:
+                want[(a, b)] = (
+                    len(sets[a]),
+                    len(sets[b]),
+                    common,
+                    round(common / len(sets[a] | sets[b]), 6),
+                )
+    assert got == want, (got, want)
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab <>the", min_size=1, max_size=60),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_gopher_rules_match_python_reference(spark, texts):
+    """Metrics and keep flags vs a direct Python computation over the
+    same whitespace split (single-space split semantics: empty tokens
+    from doubled spaces COUNT as words, like Spark's split)."""
+    import unittest.mock as mock
+
+    from market_etl_spark.llm.text import STOPWORDS as SW
+
+    df = _docs_df(spark, texts)
+    with mock.patch.object(r6, "load", lambda s, d, n: df):
+        got = {r.doc_id: r for r in r6.llm_gopher_rules(spark, "unused").collect()}
+    for i, t in enumerate(texts):
+        w = t.lower().split(" ")
+        n = len(w)
+        mean_len = round(sum(len(x) for x in w) / n, 6)
+        dfrac = round(len(set(w)) / n, 6)
+        hits = max(
+            sum(1 for x in w if x in SW[lang]) for lang in SW
+        )
+        r = got[i]
+        assert r.n_words == n
+        assert abs(r.mean_word_len - mean_len) < 1e-9, (t, r.mean_word_len, mean_len)
+        assert abs(r.distinct_frac - dfrac) < 1e-9
+        assert r.stop_hits == hits
+        keep = (10 <= n <= 1000) and (2.0 <= mean_len <= 8.0) and (dfrac >= 0.3) and hits >= 1
+        assert r.keep == keep, (t, keep)
