@@ -48,6 +48,9 @@ extension surface):
 - ``llm_approx_topk_terms`` — frequent-items sketch heavy hitters
   (``approx_top_k``) audited against the exact top-10 with a
   containment-and-tolerance contract.
+- ``q_window_range_interval`` — trailing-10-minute time-RANGE window
+  frame (value-defined frames with timestamp peers, vs the ROWS
+  frames used elsewhere).
 """
 
 from __future__ import annotations
@@ -861,6 +864,47 @@ _APPROX_TOPK_ORACLE = f"""
 """
 
 
+def q_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per event, the count and sum of the
+    SAME series' events in the trailing 10 real-time minutes
+    (``RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW``)
+    — the frame every rolling-exposure / rate-limit computation needs,
+    and semantically distinct from ROWS frames: the frame is defined
+    by the ORDER-BY VALUE, peers with equal timestamps are all
+    included, and gaps shrink the frame to match elapsed time, not row
+    count. One hash shuffle per series + an in-partition sort; frame
+    state is bounded by the 10-minute data rate, never history-deep.
+    The user_id < 2 cut keeps the driver-collected output audit-sized
+    (the EWMA/drawdown convention)."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 2)
+    e.createOrReplaceTempView("_rng_events")
+    return spark.sql(
+        """
+        SELECT event_type, ts, event_id,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_10m,
+               ROUND(SUM(value) OVER w, 6) AS sum_10m
+        FROM _rng_events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                     RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING
+                     AND CURRENT ROW)
+        ORDER BY event_type, ts, event_id
+        """
+    )
+
+
+_RANGE_INTERVAL_ORACLE = """
+    SELECT event_type, ts, event_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_10m,
+           ROUND(SUM(value) OVER w, 6) AS sum_10m
+    FROM events
+    WHERE user_id < 2
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                 RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING
+                 AND CURRENT ROW)
+    ORDER BY event_type, ts, event_id
+"""
+
+
 #: name -> (builder, oracle_sql, tags).  ``register_staged`` turns each
 #: into a registry entry; until then the correctness harness ignores
 #: them and ``tests/test_round6_staged.py`` runs the same
@@ -916,6 +960,11 @@ STAGED: dict = {
         llm_approx_topk_terms,
         _APPROX_TOPK_ORACLE,
         ("llm", "sketch", "heavy-hitters", "extension"),
+    ),
+    "q_window_range_interval": (
+        q_window_range_interval,
+        _RANGE_INTERVAL_ORACLE,
+        ("window", "range-frame", "extension"),
     ),
 }
 

@@ -533,3 +533,31 @@ def test_gopher_rules_match_python_reference(spark, texts):
         assert r.stop_hits == hits
         keep = (10 <= n <= 1000) and (2.0 <= mean_len <= 8.0) and (dfrac >= 0.3) and hits >= 1
         assert r.keep == keep, (t, keep)
+
+
+def test_range_interval_frame_semantics(spark, monkeypatch):
+    """Hand case distinguishing RANGE from ROWS: events at t=0, 5, 9,
+    20 minutes — the 9-minute event sees 3 in-frame rows, the
+    20-minute event only itself (the 9-minute event is 11 min back);
+    equal-timestamp peers are BOTH included in each other's frame."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 15, 9)
+    mk = lambda eid, mins, v: (  # noqa: E731
+        eid, t0 + dt.timedelta(minutes=mins), 0, "trade", float(v), "{}"
+    )
+    rows = [mk(0, 0, 1), mk(1, 5, 2), mk(2, 9, 4), mk(3, 20, 8),
+            mk(4, 20, 16)]  # eid 3 and 4 share a timestamp (peers)
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(r6, "load", lambda s, d, n: ev)
+    got = {r.event_id: (r.n_10m, r.sum_10m)
+           for r in r6.q_window_range_interval(spark, "unused").collect()}
+    assert got[0] == (1, 1.0)
+    assert got[1] == (2, 3.0)        # t=5 sees t=0 and itself
+    assert got[2] == (3, 7.0)        # t=9 sees 0,5,9
+    assert got[3] == (2, 24.0)       # t=20 sees both timestamp peers only
+    assert got[4] == (2, 24.0)       # peer symmetry: RANGE includes peers
