@@ -51,6 +51,10 @@ extension surface):
 - ``q_window_range_interval`` — trailing-10-minute time-RANGE window
   frame (value-defined frames with timestamp peers, vs the ROWS
   frames used elsewhere).
+- ``q_streaming_hll_distinct`` — HLL sketches INSIDE streaming state:
+  hourly windowed distinct users as a watermarked streaming sketch
+  aggregation, contract-checked against batch-exact counts in the
+  same job.
 """
 
 from __future__ import annotations
@@ -905,6 +909,75 @@ _RANGE_INTERVAL_ORACLE = """
 """
 
 
+def q_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKETCHES INSIDE STREAMING STATE: hourly tumbling-window distinct
+    users computed as an HLL sketch aggregation in a watermarked
+    Structured Streaming query (replayed events zone → memory sink) —
+    the production shape for high-cardinality streaming distinct
+    counts, where exact per-window sets would make state unbounded but
+    sketch state is a fixed few KB per (window, key).
+
+    The streamed estimates join the batch-exact counts in the same
+    job; the hashable output is the exact side plus the 2% accuracy
+    contract (exact at this corpus's cardinality)."""
+    from .. import streaming
+
+    day = (
+        F.col("ts") >= F.lit("2024-01-15").cast("timestamp"),
+        F.col("ts") < F.lit("2024-01-16").cast("timestamp"),
+    )
+    stream = streaming.read_events_stream(spark, sf_dir).filter(day[0] & day[1])
+    agg = (
+        stream.withWatermark("ts", "2 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias(
+                "_approx"
+            )
+        )
+    )
+    sink = streaming.run_to_memory(agg)
+    est = spark.table(sink).select(
+        F.col("w.start").alias("hour"), "event_type", "_approx"
+    )
+    exact = (
+        load(spark, sf_dir, "events")
+        .filter(day[0] & day[1])
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return (
+        exact.join(est, ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            "exact_users",
+            F.coalesce(
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= F.greatest(
+                    F.round(F.col("exact_users") * 0.02, 0), F.lit(1.0)
+                ),
+                F.lit(False),
+            ).alias("hll_ok"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+_STREAMING_HLL_ORACLE = """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+           event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS hll_ok
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-16'
+    GROUP BY 1, 2
+    ORDER BY hour, event_type
+"""
+
+
 #: name -> (builder, oracle_sql, tags).  ``register_staged`` turns each
 #: into a registry entry; until then the correctness harness ignores
 #: them and ``tests/test_round6_staged.py`` runs the same
@@ -965,6 +1038,11 @@ STAGED: dict = {
         q_window_range_interval,
         _RANGE_INTERVAL_ORACLE,
         ("window", "range-frame", "extension"),
+    ),
+    "q_streaming_hll_distinct": (
+        q_streaming_hll_distinct,
+        _STREAMING_HLL_ORACLE,
+        ("streaming", "sketch", "extension"),
     ),
 }
 
