@@ -55,6 +55,11 @@ extension surface):
   hourly windowed distinct users as a watermarked streaming sketch
   aggregation, contract-checked against batch-exact counts in the
   same job.
+- ``q_grouping_sets_profile`` — explicit GROUPING SETS multi-grain
+  aggregate with GROUPING_ID tags (one Expand + one aggregate, not a
+  UNION of scans).
+- ``q_user_value_gini`` — Gini coefficient of per-user value via the
+  closed form over exact integer micro-units.
 """
 
 from __future__ import annotations
@@ -978,6 +983,97 @@ _STREAMING_HLL_ORACLE = """
 """
 
 
+def q_grouping_sets_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with ``grouping_id`` — the multi-grain
+    aggregate a reporting layer computes in ONE pass instead of a
+    UNION of three GROUP BYs: (event_type, dow), (event_type), and the
+    grand total, each row tagged with its grain. Distinct from the
+    registry's CUBE query: the set list is explicit (no dow-only
+    grain), and GROUPING() disambiguates real NULLs from roll-up
+    NULLs. Spark executes one Expand + one hash aggregate — the scan
+    is not repeated per grain."""
+    e = load(spark, sf_dir, "events")
+    e.select(
+        "event_type",
+        F.dayofweek("ts").alias("dow"),
+        "value",
+    ).createOrReplaceTempView("_gs_events")
+    return spark.sql(
+        """
+        SELECT COALESCE(event_type, '(all)') AS event_type,
+               COALESCE(CAST(dow AS STRING), '(all)') AS dow,
+               CAST(GROUPING_ID(event_type, dow) AS INT) AS grain,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+                   AS sum_value_micros
+        FROM _gs_events
+        GROUP BY GROUPING SETS ((event_type, dow), (event_type), ())
+        ORDER BY grain, event_type, dow
+        """
+    )
+
+
+_GROUPING_SETS_ORACLE = """
+    SELECT COALESCE(event_type, '(all)') AS event_type,
+           COALESCE(CAST(dow AS VARCHAR), '(all)') AS dow,
+           CAST(GROUPING(event_type, dow) AS INT) AS grain,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+               AS sum_value_micros
+    FROM (SELECT event_type, dayofweek(ts) + 1 AS dow, value FROM events)
+    GROUP BY GROUPING SETS ((event_type, dow), (event_type), ())
+    ORDER BY grain, event_type, dow
+"""
+
+
+def q_user_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user total value — the inequality /
+    concentration statistic behind whale-risk monitoring, computed by
+    the closed form over the SORTED per-user aggregate:
+    G = (2·Σ i·xᵢ) / (n·Σ xᵢ) − (n+1)/n with xᵢ ascending.
+
+    The fact table collapses to one row per user (the only data-scale
+    shuffle); the rank window runs over user cardinality. Totals are
+    exact integer micro-units, so Σ i·xᵢ and Σ xᵢ are exact BIGINTs on
+    both engines and the single final division is the only float —
+    bit-stable at any scale. Ascending (value, user_id) rank is the
+    shared total order."""
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 1e6, 0).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    w = Window.orderBy("v", "user_id")
+    ranked = per_user.withColumn("i", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("v").cast("long").alias("total_micros"),
+        F.round(
+            (2.0 * F.sum(F.col("i") * F.col("v")))
+            / (F.count(F.lit(1)) * F.sum("v"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
+
+
+_GINI_ORACLE = """
+    WITH pu AS (
+        SELECT user_id,
+               CAST(SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY user_id
+    ), r AS (
+        SELECT v, row_number() OVER (ORDER BY v, user_id) AS i FROM pu
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(v) AS BIGINT) AS total_micros,
+           ROUND((2.0 * SUM(i * v)) / (COUNT(*) * SUM(v))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+    FROM r
+"""
+
+
 #: name -> (builder, oracle_sql, tags).  ``register_staged`` turns each
 #: into a registry entry; until then the correctness harness ignores
 #: them and ``tests/test_round6_staged.py`` runs the same
@@ -1043,6 +1139,16 @@ STAGED: dict = {
         q_streaming_hll_distinct,
         _STREAMING_HLL_ORACLE,
         ("streaming", "sketch", "extension"),
+    ),
+    "q_grouping_sets_profile": (
+        q_grouping_sets_profile,
+        _GROUPING_SETS_ORACLE,
+        ("aggregates", "grouping-sets", "extension"),
+    ),
+    "q_user_value_gini": (
+        q_user_value_gini,
+        _GINI_ORACLE,
+        ("analytics", "inequality", "extension"),
     ),
 }
 

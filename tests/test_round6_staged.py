@@ -561,3 +561,56 @@ def test_range_interval_frame_semantics(spark, monkeypatch):
     assert got[2] == (3, 7.0)        # t=9 sees 0,5,9
     assert got[3] == (2, 24.0)       # t=20 sees both timestamp peers only
     assert got[4] == (2, 24.0)       # peer symmetry: RANGE includes peers
+
+
+def test_grouping_sets_grains_consistent(spark, monkeypatch):
+    """Grain totals must telescope: each event_type subtotal equals the
+    sum of its dow cells, the grand total equals the sum of subtotals,
+    and GROUPING_ID tags the three grains 0/1/3."""
+    import datetime as dt
+
+    rows = []
+    for i in range(20):
+        rows.append((i, dt.datetime(2024, 1, 15 + i % 3, 9), 1,
+                     "click" if i % 2 else "view", float(i), "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(r6, "load", lambda s, d, n: ev)
+    out = r6.q_grouping_sets_profile(spark, "unused").collect()
+    grains = {r.grain for r in out}
+    assert grains == {0, 1, 3}
+    cells = [r for r in out if r.grain == 0]
+    subs = {r.event_type: r for r in out if r.grain == 1}
+    grand = [r for r in out if r.grain == 3][0]
+    for et, sub in subs.items():
+        mine = [c for c in cells if c.event_type == et]
+        assert sum(c.n_events for c in mine) == sub.n_events
+        assert sum(c.sum_value_micros for c in mine) == sub.sum_value_micros
+    assert sum(s.n_events for s in subs.values()) == grand.n_events == 20
+    assert grand.event_type == "(all)" and grand.dow == "(all)"
+
+
+def test_gini_known_distributions(spark, monkeypatch):
+    """Perfect equality → G = 0; one user holding everything among n
+    users → G = (n−1)/n."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 15, 9)
+    mk = lambda eid, uid, v: (eid, t0, uid, "view", float(v), "{}")  # noqa: E731
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    equal = spark.createDataFrame([mk(i, i, 10) for i in range(5)], schema)
+    monkeypatch.setattr(r6, "load", lambda s, d, n: equal)
+    r = r6.q_user_value_gini(spark, "unused").collect()[0]
+    assert r.n_users == 5 and r.gini == 0.0
+
+    skewed = spark.createDataFrame(
+        [mk(i, i, 0) for i in range(4)] + [mk(4, 4, 1000)], schema
+    )
+    monkeypatch.setattr(r6, "load", lambda s, d, n: skewed)
+    r = r6.q_user_value_gini(spark, "unused").collect()[0]
+    assert r.n_users == 5
+    assert abs(r.gini - 0.8) < 1e-9  # (n-1)/n = 4/5
