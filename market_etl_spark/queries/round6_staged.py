@@ -60,6 +60,9 @@ extension surface):
   UNION of scans).
 - ``q_user_value_gini`` — Gini coefficient of per-user value via the
   closed form over exact integer micro-units.
+- ``q_asof_nearest`` — nearest-direction as-of join (closest match in
+  EITHER direction, exact µs deltas, ties to backward) via two frames
+  over one sort; brute-force min-by oracle.
 """
 
 from __future__ import annotations
@@ -1074,6 +1077,120 @@ _GINI_ORACLE = """
 """
 
 
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join: every purchase gains the closest
+    click of the same user in EITHER time direction — the quote-to-
+    trade matching variant the backward-only as-of (q_asof_join)
+    cannot express.
+
+    One union + one hash shuffle on the key, then TWO frames over the
+    SAME (key, ts, side, id) sort — a backward carry (last right row
+    at-or-before, peers resolved to the highest id) and a forward
+    carry (first strictly-later right row, peers to the lowest id) —
+    so Spark sorts once and never joins. The winner is the smaller
+    |Δt| in exact integer microseconds, ties to backward; rows with no
+    click at all surface as direction='none'. The user_id < 30 cut
+    keeps the brute-force oracle (per-user cross product) feasible —
+    the ENGINE shape is linear and uncut at any scale."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    right = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("r_id")
+    )
+    lt = left.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("_side"),
+        "event_id",
+        F.lit(None).cast("long").alias("r_id"),
+    )
+    rt = right.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("_side"),
+        F.lit(None).cast("long").alias("event_id"),
+        "r_id",
+    )
+    u = lt.unionByName(rt).withColumn("_t", F.unix_micros("ts"))
+    order = [F.col("_t").asc(), F.col("_side").asc(), F.col("r_id").asc()]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    carried = u.select(
+        "user_id",
+        "event_id",
+        "_side",
+        "_t",
+        F.last("r_id", ignorenulls=True).over(wb).alias("b_id"),
+        F.last(F.when(F.col("r_id").isNotNull(), F.col("_t")), ignorenulls=True)
+        .over(wb)
+        .alias("b_t"),
+        F.first("r_id", ignorenulls=True).over(wf).alias("f_id"),
+        F.first(F.when(F.col("r_id").isNotNull(), F.col("_t")), ignorenulls=True)
+        .over(wf)
+        .alias("f_t"),
+    ).filter(F.col("_side") == 1)
+    db = F.col("_t") - F.col("b_t")  # >= 0
+    df_ = F.col("f_t") - F.col("_t")  # >= 0 (peers excluded, backward owns ties)
+    pick_b = F.col("b_t").isNotNull() & (F.col("f_t").isNull() | (db <= df_))
+    return carried.select(
+        "user_id",
+        "event_id",
+        F.when(pick_b, F.col("b_id")).otherwise(F.col("f_id")).alias(
+            "matched_click_id"
+        ),
+        F.when(pick_b, -db)
+        .otherwise(F.when(F.col("f_t").isNotNull(), df_))
+        .cast("long")
+        .alias("delta_us"),
+        F.when(pick_b, F.lit("backward"))
+        .when(F.col("f_t").isNotNull(), F.lit("forward"))
+        .otherwise(F.lit("none"))
+        .alias("direction"),
+    ).orderBy("user_id", "event_id")
+
+
+_ASOF_NEAREST_ORACLE = """
+    WITH p AS (
+        SELECT user_id, ts, event_id FROM events
+        WHERE event_type = 'purchase' AND user_id < 30
+    ), c AS (
+        SELECT user_id, ts, event_id FROM events
+        WHERE event_type = 'click' AND user_id < 30
+    ), cand AS (
+        SELECT p.user_id, p.event_id, c.event_id AS matched_click_id,
+               epoch_us(c.ts) - epoch_us(p.ts) AS delta_us,
+               row_number() OVER (
+                   PARTITION BY p.user_id, p.event_id
+                   ORDER BY ABS(epoch_us(c.ts) - epoch_us(p.ts)),
+                            CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END,
+                            CASE WHEN c.ts <= p.ts THEN -c.event_id
+                                 ELSE c.event_id END
+               ) AS rn
+        FROM p JOIN c ON c.user_id = p.user_id
+    )
+    SELECT p.user_id, p.event_id,
+           cand.matched_click_id,
+           CAST(cand.delta_us AS BIGINT) AS delta_us,
+           CASE WHEN cand.matched_click_id IS NULL THEN 'none'
+                WHEN cand.delta_us <= 0 THEN 'backward'
+                ELSE 'forward' END AS direction
+    FROM p LEFT JOIN cand
+      ON cand.user_id = p.user_id AND cand.event_id = p.event_id
+         AND cand.rn = 1
+    ORDER BY p.user_id, p.event_id
+"""
+
+
 #: name -> (builder, oracle_sql, tags).  ``register_staged`` turns each
 #: into a registry entry; until then the correctness harness ignores
 #: them and ``tests/test_round6_staged.py`` runs the same
@@ -1149,6 +1266,11 @@ STAGED: dict = {
         q_user_value_gini,
         _GINI_ORACLE,
         ("analytics", "inequality", "extension"),
+    ),
+    "q_asof_nearest": (
+        q_asof_nearest,
+        _ASOF_NEAREST_ORACLE,
+        ("join", "asof-nearest", "extension"),
     ),
 }
 

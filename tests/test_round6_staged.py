@@ -614,3 +614,39 @@ def test_gini_known_distributions(spark, monkeypatch):
     r = r6.q_user_value_gini(spark, "unused").collect()[0]
     assert r.n_users == 5
     assert abs(r.gini - 0.8) < 1e-9  # (n-1)/n = 4/5
+
+
+def test_asof_nearest_directions_and_ties(spark, monkeypatch):
+    """Hand case covering backward pick, forward pick, the exact-tie
+    preference for backward, equal-timestamp peers, and no-match."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 15, 9)
+    mk = lambda eid, uid, et, secs: (  # noqa: E731
+        eid, t0 + dt.timedelta(seconds=secs), uid, et, 1.0, "{}"
+    )
+    rows = [
+        # user 0: clicks at 0 and 20; purchases at 5 (back), 19 (fwd),
+        # 10 (exact tie 10us? seconds: |10-0|=10 vs |20-10|=10 → backward)
+        mk(0, 0, "click", 0), mk(1, 0, "click", 20),
+        mk(2, 0, "purchase", 5), mk(3, 0, "purchase", 19),
+        mk(4, 0, "purchase", 10),
+        # user 1: two clicks at the same instant (peers: ids 6,7); a
+        # purchase at the same instant takes the HIGHEST backward peer
+        mk(5, 1, "purchase", 50), mk(6, 1, "click", 50), mk(7, 1, "click", 50),
+        # user 2: purchase with no clicks at all
+        mk(8, 2, "purchase", 0),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(r6, "load", lambda s, d, n: ev)
+    got = {r.event_id: (r.matched_click_id, r.delta_us, r.direction)
+           for r in r6.q_asof_nearest(spark, "unused").collect()}
+    assert got[2] == (0, -5_000_000, "backward")
+    assert got[3] == (1, 1_000_000, "forward")
+    assert got[4] == (0, -10_000_000, "backward")  # tie → backward
+    assert got[5] == (7, 0, "backward")            # peer tie → highest id
+    assert got[8] == (None, None, "none")
