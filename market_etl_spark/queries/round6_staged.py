@@ -215,14 +215,21 @@ def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    slope = num / denx
+    # Degenerate guards (ANSI-safe, found by the hypothesis fuzz): a
+    # single rank has no x-variance (slope undefined), and a FLAT
+    # frequency profile has no y-variance (r² is 0/0 — any horizontal
+    # line fits; slope is still well-defined at 0). NULL on both
+    # engines for the undefined cells.
+    slope = F.when(denx != 0, num / denx)
     return s.select(
         F.col("n").cast("long").alias("n_terms"),
         F.round(slope, 6).alias("slope"),
         F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
             "intercept"
         ),
-        F.round(num * num / (denx * deny), 6).alias("r2"),
+        F.round(
+            F.when((denx != 0) & (deny != 0), num * num / (denx * deny)), 6
+        ).alias("r2"),
     )
 
 
@@ -242,11 +249,13 @@ _ZIPF_ORACLE = f"""
         FROM ranked
     )
     SELECT CAST(n AS BIGINT) AS n_terms,
-           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
-               AS intercept,
+           ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 6)
+               AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) * sx)
+                 / n, 6) AS intercept,
            ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
-                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+                 / NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6)
+               AS r2
     FROM s
 """
 

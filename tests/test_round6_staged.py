@@ -650,3 +650,65 @@ def test_asof_nearest_directions_and_ties(spark, monkeypatch):
     assert got[4] == (0, -10_000_000, "backward")  # tie → backward
     assert got[5] == (7, 0, "backward")            # peer tie → highest id
     assert got[8] == (None, None, "none")
+
+
+@settings(**_SETTINGS)
+@given(
+    freqs=st.lists(st.integers(1, 50), min_size=2, max_size=15),
+)
+def test_zipf_matches_numpy_lstsq(spark, freqs, monkeypatch):
+    """Arbitrary frequency profiles vs numpy's least-squares fit over
+    the same deterministic (freq DESC, term) ranking."""
+    import numpy as np
+
+    words_ = []
+    for k, f in enumerate(freqs):
+        words_.extend([f"t{k:02d}"] * f)
+    monkeypatch.setattr(
+        r6, "load", lambda s, d, n: _docs_df(spark, [" ".join(words_)])
+    )
+    row = r6.llm_zipf_fit(spark, "unused").collect()[0]
+    ordered = sorted(
+        ((f, f"t{k:02d}") for k, f in enumerate(freqs)),
+        key=lambda t: (-t[0], t[1]),
+    )[:100]
+    x = np.log(np.arange(1, len(ordered) + 1, dtype=float))
+    y = np.log(np.array([f for f, _ in ordered], dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert row.n_terms == len(ordered)
+    assert abs(row.slope - round(float(slope), 6)) < 1e-5
+    assert abs(row.intercept - round(float(intercept), 6)) < 1e-5
+    if np.allclose(y.var(), 0):
+        assert row.r2 is None  # flat profile: r² is 0/0, NULL by contract
+    else:
+        assert -1e-9 <= row.r2 <= 1.0 + 1e-6
+
+
+@settings(**_SETTINGS)
+@given(
+    offsets=st.lists(st.integers(0, 40), min_size=1, max_size=25, unique=False),
+)
+def test_range_interval_matches_pandas(spark, offsets, monkeypatch):
+    """Trailing-10-minute RANGE frame vs a direct per-row Python scan
+    (duplicate timestamps included as peers)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 15, 9)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=m), 0, "trade", float(i + 1), "{}")
+        for i, m in enumerate(offsets)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(r6, "load", lambda s, d, n: ev)
+    got = {r.event_id: (r.n_10m, r.sum_10m)
+           for r in r6.q_window_range_interval(spark, "unused").collect()}
+    for i, m in enumerate(offsets):
+        in_frame = [
+            j for j, mj in enumerate(offsets) if 0 <= (m - mj) <= 10
+        ]
+        want = (len(in_frame), round(float(sum(j + 1 for j in in_frame)), 6))
+        assert got[i] == want, (i, m, got[i], want)
