@@ -712,3 +712,77 @@ def test_range_interval_matches_pandas(spark, offsets, monkeypatch):
         ]
         want = (len(in_frame), round(float(sum(j + 1 for j in in_frame)), 6))
         assert got[i] == want, (i, m, got[i], want)
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(
+        st.integers(1, 10_000_000), min_size=1, max_size=20
+    )
+)
+def test_gini_matches_python_reference(spark, vals, monkeypatch):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 15, 9)
+    rows = [
+        (i, t0, i, "view", v / 1e6, "{}") for i, v in enumerate(vals)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(r6, "load", lambda s, d, n: ev)
+    r = r6.q_user_value_gini(spark, "unused").collect()[0]
+    micros = sorted(round(v / 1e6 * 1e6) for v in vals)  # the engine's grid
+    n, tot = len(micros), sum(micros)
+    want = round(2 * sum((i + 1) * x for i, x in enumerate(micros)) / (n * tot)
+                 - (n + 1) / n, 6)
+    assert r.n_users == n and r.total_micros == tot
+    assert abs(r.gini - want) < 1e-9, (vals, r.gini, want)
+
+
+@settings(**_SETTINGS)
+@given(
+    pts=st.lists(st.integers(0, 100), min_size=1, max_size=12),
+    cks=st.lists(st.integers(0, 100), min_size=0, max_size=12),
+)
+def test_asof_nearest_matches_python_reference(spark, pts, cks, monkeypatch):
+    """Arbitrary purchase/click second-offsets (duplicates included)
+    vs a brute-force reference implementing the documented tie order:
+    min |Δ|, backward beats forward, peers to highest id backward /
+    lowest id forward."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 15, 9)
+    rows, eid = [], 0
+    pids, cids = [], []
+    for m in pts:
+        rows.append((eid, t0 + dt.timedelta(seconds=m), 0, "purchase", 1.0, "{}"))
+        pids.append((eid, m)); eid += 1
+    for m in cks:
+        rows.append((eid, t0 + dt.timedelta(seconds=m), 0, "click", 1.0, "{}"))
+        cids.append((eid, m)); eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(r6, "load", lambda s, d, n: ev)
+    got = {r.event_id: (r.matched_click_id, r.delta_us, r.direction)
+           for r in r6.q_asof_nearest(spark, "unused").collect()}
+    for peid, pm in pids:
+        if not cids:
+            assert got[peid] == (None, None, "none")
+            continue
+        best = min(
+            cids,
+            key=lambda c: (
+                abs(c[1] - pm),
+                0 if c[1] <= pm else 1,
+                -c[0] if c[1] <= pm else c[0],
+            ),
+        )
+        delta = (best[1] - pm) * 1_000_000
+        direction = "backward" if best[1] <= pm else "forward"
+        assert got[peid] == (best[0], delta, direction), (pts, cks, peid)
