@@ -78,7 +78,7 @@ from ..llm.text import (
     shingles_sql,
     words,
 )
-from ..tables import load
+from ..tables import load, register_all
 
 #: DuckDB CTE shared by the document-table oracles (mirrors the
 #: registry modules' ``_DOCS_SQL`` shape).
@@ -219,8 +219,14 @@ def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single rank has no x-variance (slope undefined), and a FLAT
     # frequency profile has no y-variance (r² is 0/0 — any horizontal
     # line fits; slope is still well-defined at 0). NULL on both
-    # engines for the undefined cells.
-    slope = F.when(denx != 0, num / denx)
+    # engines for the undefined cells. The flatness test is an EPSILON
+    # compare, not == 0: sequential fp summation leaves deny ≈ 1e-16
+    # noise on an exactly-flat profile (review r5, confirmed by
+    # execution), while any genuinely non-flat profile has
+    # deny ≥ (ln 2)² ≈ 0.48 — 1e-6 separates them by 5 orders.
+    flat_x = F.abs(denx) <= 1e-6
+    flat_y = F.abs(deny) <= 1e-6
+    slope = F.when(~flat_x, num / denx)
     return s.select(
         F.col("n").cast("long").alias("n_terms"),
         F.round(slope, 6).alias("slope"),
@@ -228,7 +234,7 @@ def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
         F.round(
-            F.when((denx != 0) & (deny != 0), num * num / (denx * deny)), 6
+            F.when(~flat_x & ~flat_y, num * num / (denx * deny)), 6
         ).alias("r2"),
     )
 
@@ -249,12 +255,16 @@ _ZIPF_ORACLE = f"""
         FROM ranked
     )
     SELECT CAST(n AS BIGINT) AS n_terms,
-           ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 6)
+           ROUND(CASE WHEN ABS(n * sxx - sx * sx) > 1e-6
+                      THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6)
                AS slope,
-           ROUND((sy - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) * sx)
-                 / n, 6) AS intercept,
-           ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
-                 / NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6)
+           ROUND(CASE WHEN ABS(n * sxx - sx * sx) > 1e-6
+                      THEN (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                           / n END, 6) AS intercept,
+           ROUND(CASE WHEN ABS(n * sxx - sx * sx) > 1e-6
+                       AND ABS(n * syy - sy * sy) > 1e-6
+                      THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                           / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6)
                AS r2
     FROM s
 """
@@ -897,14 +907,14 @@ def q_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     state is bounded by the 10-minute data rate, never history-deep.
     The user_id < 2 cut keeps the driver-collected output audit-sized
     (the EWMA/drawdown convention)."""
-    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 2)
-    e.createOrReplaceTempView("_rng_events")
+    register_all(spark, sf_dir)
     return spark.sql(
         """
         SELECT event_type, ts, event_id,
                CAST(COUNT(*) OVER w AS BIGINT) AS n_10m,
                ROUND(SUM(value) OVER w, 6) AS sum_10m
-        FROM _rng_events
+        FROM events
+        WHERE user_id < 2
         WINDOW w AS (PARTITION BY event_type ORDER BY ts
                      RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING
                      AND CURRENT ROW)
@@ -928,11 +938,19 @@ _RANGE_INTERVAL_ORACLE = """
 
 def q_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SKETCHES INSIDE STREAMING STATE: hourly tumbling-window distinct
-    users computed as an HLL sketch aggregation in a watermarked
-    Structured Streaming query (replayed events zone → memory sink) —
-    the production shape for high-cardinality streaming distinct
-    counts, where exact per-window sets would make state unbounded but
-    sketch state is a fixed few KB per (window, key).
+    users computed as an HLL sketch aggregation in a Structured
+    Streaming query (replayed events zone → memory sink) — the shape
+    for high-cardinality streaming distinct counts, where exact
+    per-window sets would grow with cardinality but a sketch is a
+    fixed few KB per (window, key).
+
+    This replay drains in COMPLETE output mode (the finite source
+    collapses to one batch, and append mode would withhold the final
+    window because the watermark never advances past it) — so here the
+    state bound comes from the bounded replay, not eviction. On an
+    unbounded 24/7 stream use append mode + the watermark, where
+    closed windows are evicted and the sketch keeps per-(window, key)
+    state at a few KB; the aggregation expression is identical.
 
     The streamed estimates join the batch-exact counts in the same
     job; the hashable output is the exact side plus the 2% accuracy
@@ -1004,12 +1022,7 @@ def q_grouping_sets_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain), and GROUPING() disambiguates real NULLs from roll-up
     NULLs. Spark executes one Expand + one hash aggregate — the scan
     is not repeated per grain."""
-    e = load(spark, sf_dir, "events")
-    e.select(
-        "event_type",
-        F.dayofweek("ts").alias("dow"),
-        "value",
-    ).createOrReplaceTempView("_gs_events")
+    register_all(spark, sf_dir)
     return spark.sql(
         """
         SELECT COALESCE(event_type, '(all)') AS event_type,
@@ -1018,7 +1031,7 @@ def q_grouping_sets_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n_events,
                CAST(SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) AS BIGINT)
                    AS sum_value_micros
-        FROM _gs_events
+        FROM (SELECT event_type, dayofweek(ts) AS dow, value FROM events)
         GROUP BY GROUPING SETS ((event_type, dow), (event_type), ())
         ORDER BY grain, event_type, dow
         """
@@ -1045,11 +1058,13 @@ def q_user_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     G = (2·Σ i·xᵢ) / (n·Σ xᵢ) − (n+1)/n with xᵢ ascending.
 
     The fact table collapses to one row per user (the only data-scale
-    shuffle); the rank window runs over user cardinality. Totals are
-    exact integer micro-units, so Σ i·xᵢ and Σ xᵢ are exact BIGINTs on
-    both engines and the single final division is the only float —
-    bit-stable at any scale. Ascending (value, user_id) rank is the
-    shared total order."""
+    shuffle); the rank window runs over user cardinality. Per-user
+    totals are exact integer micro-units; the Σ i·xᵢ moment is summed
+    in DOUBLE — a BIGINT Σ i·xᵢ overflows 2⁶³ around n·total ≈ 1e19
+    (ANSI Spark throws where DuckDB silently widens — review r5), while
+    the double path loses only ~1e-16 relative, far inside the 6-dp
+    rounding of the final O(1) ratio. Ascending (value, user_id) rank
+    is the shared total order."""
     e = load(spark, sf_dir, "events")
     per_user = e.groupBy("user_id").agg(
         F.sum(F.round(F.col("value") * 1e6, 0).cast("long"))
@@ -1062,8 +1077,8 @@ def q_user_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.sum("v").cast("long").alias("total_micros"),
         F.round(
-            (2.0 * F.sum(F.col("i") * F.col("v")))
-            / (F.count(F.lit(1)) * F.sum("v"))
+            (2.0 * F.sum(F.col("i") * F.col("v").cast("double")))
+            / (F.count(F.lit(1)) * F.sum(F.col("v").cast("double")))
             - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
             6,
         ).alias("gini"),
@@ -1080,7 +1095,7 @@ _GINI_ORACLE = """
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
            CAST(SUM(v) AS BIGINT) AS total_micros,
-           ROUND((2.0 * SUM(i * v)) / (COUNT(*) * SUM(v))
+           ROUND((2.0 * SUM(i * v::DOUBLE)) / (COUNT(*) * SUM(v::DOUBLE))
                  - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
     FROM r
 """

@@ -553,7 +553,9 @@ def test_range_interval_frame_semantics(spark, monkeypatch):
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string",
     )
-    monkeypatch.setattr(r6, "load", lambda s, d, n: ev)
+    monkeypatch.setattr(
+        r6, "register_all", lambda s, d: ev.createOrReplaceTempView("events")
+    )
     got = {r.event_id: (r.n_10m, r.sum_10m)
            for r in r6.q_window_range_interval(spark, "unused").collect()}
     assert got[0] == (1, 1.0)
@@ -578,7 +580,9 @@ def test_grouping_sets_grains_consistent(spark, monkeypatch):
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string",
     )
-    monkeypatch.setattr(r6, "load", lambda s, d, n: ev)
+    monkeypatch.setattr(
+        r6, "register_all", lambda s, d: ev.createOrReplaceTempView("events")
+    )
     out = r6.q_grouping_sets_profile(spark, "unused").collect()
     grains = {r.grain for r in out}
     assert grains == {0, 1, 3}
@@ -703,7 +707,9 @@ def test_range_interval_matches_pandas(spark, offsets, monkeypatch):
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string",
     )
-    monkeypatch.setattr(r6, "load", lambda s, d, n: ev)
+    monkeypatch.setattr(
+        r6, "register_all", lambda s, d: ev.createOrReplaceTempView("events")
+    )
     got = {r.event_id: (r.n_10m, r.sum_10m)
            for r in r6.q_window_range_interval(spark, "unused").collect()}
     for i, m in enumerate(offsets):
