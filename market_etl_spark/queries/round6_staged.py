@@ -63,6 +63,10 @@ extension surface):
 - ``q_asof_nearest`` — nearest-direction as-of join (closest match in
   EITHER direction, exact µs deltas, ties to backward) via two frames
   over one sort; brute-force min-by oracle.
+- ``q_percentile_modes`` — DISCRETE vs CONTINUOUS percentile modes on
+  one grouped pass (SLO-grade actual-value quantiles vs interpolated).
+- ``q_median_abs_deviation`` — robust dispersion (MAD) via two exact
+  percentile passes with the per-series median broadcast between them.
 """
 
 from __future__ import annotations
@@ -1215,6 +1219,88 @@ _ASOF_NEAREST_ORACLE = """
 """
 
 
+def q_percentile_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both ANSI percentile modes side by side per series: DISCRETE
+    (an actual data value — the mode a latency SLO needs, since an
+    interpolated p99 can be a value that never occurred) and
+    CONTINUOUS (linear interpolation — the mode every BI tool
+    defaults to). Pinning both on one grouped pass documents the
+    engine's interpolation convention against DuckDB's; the discrete
+    value is hash-stable BY CONSTRUCTION (it is one of the inputs),
+    the continuous one via round6. One partial-agg shuffle per group;
+    exact percentiles over the per-group sorted runs."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_cont"),
+            F.round(
+                F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)"), 6
+            ).alias("p50_disc"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95_cont"),
+            F.round(
+                F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)"), 6
+            ).alias("p95_disc"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_PERCENTILE_MODES_ORACLE = """
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50_cont,
+           ROUND(quantile_disc(value, 0.5), 6) AS p50_disc,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95_cont,
+           ROUND(quantile_disc(value, 0.95), 6) AS p95_disc
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+def q_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per series — the robust dispersion
+    statistic (outlier-immune, unlike stddev): median(|x − median(x)|).
+    Two grouped exact-percentile passes with the per-series median
+    broadcast back between them (group-cardinality rows move, never
+    data); deviations are rounded to the 1e-6 grid BEFORE the second
+    median so both engines interpolate over identical values."""
+    e = load(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("_med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.round(F.abs(F.col("value") - F.col("_med")), 6).alias("adev"),
+    )
+    return (
+        dev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(adev, 0.5)"), 6).alias("mad"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_MAD_ORACLE = """
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS m
+        FROM events GROUP BY event_type
+    ), dev AS (
+        SELECT e.event_type, ROUND(ABS(e.value - med.m), 6) AS adev
+        FROM events e JOIN med USING (event_type)
+    )
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(quantile_cont(adev, 0.5), 6) AS mad
+    FROM dev
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
 #: name -> (builder, oracle_sql, tags).  ``register_staged`` turns each
 #: into a registry entry; until then the correctness harness ignores
 #: them and ``tests/test_round6_staged.py`` runs the same
@@ -1295,6 +1381,16 @@ STAGED: dict = {
         q_asof_nearest,
         _ASOF_NEAREST_ORACLE,
         ("join", "asof-nearest", "extension"),
+    ),
+    "q_percentile_modes": (
+        q_percentile_modes,
+        _PERCENTILE_MODES_ORACLE,
+        ("aggregates", "percentile-modes", "extension"),
+    ),
+    "q_median_abs_deviation": (
+        q_median_abs_deviation,
+        _MAD_ORACLE,
+        ("aggregates", "robust-stats", "extension"),
     ),
 }
 

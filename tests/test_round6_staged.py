@@ -792,3 +792,47 @@ def test_asof_nearest_matches_python_reference(spark, pts, cks, monkeypatch):
         delta = (best[1] - pm) * 1_000_000
         direction = "backward" if best[1] <= pm else "forward"
         assert got[peid] == (best[0], delta, direction), (pts, cks, peid)
+
+
+def test_percentile_modes_disc_is_data_value(spark, monkeypatch):
+    """On 1..4 the continuous median interpolates (2.5) while the
+    discrete median is an actual input (2 under the <=-cumulative
+    convention both engines share)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 15, 9)
+    ev = spark.createDataFrame(
+        [(i, t0, 1, "view", float(v), "{}") for i, v in enumerate([1, 2, 3, 4])],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(r6, "load", lambda s, d, n: ev)
+    row = r6.q_percentile_modes(spark, "unused").collect()[0]
+    assert row.p50_cont == 2.5
+    assert row.p50_disc == 2.0
+    assert row.p95_disc in (3.0, 4.0) and row.p95_disc == 4.0
+
+
+def test_mad_robust_to_outlier(spark, monkeypatch):
+    """Values [1..5] have median 3, MAD 1; replacing 5 with 1000 moves
+    stddev by orders of magnitude but MAD stays 1 — the statistic's
+    point."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 15, 9)
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    base = spark.createDataFrame(
+        [(i, t0, 1, "view", float(v), "{}") for i, v in enumerate([1, 2, 3, 4, 5])],
+        schema,
+    )
+    monkeypatch.setattr(r6, "load", lambda s, d, n: base)
+    assert r6.q_median_abs_deviation(spark, "unused").collect()[0].mad == 1.0
+
+    spiked = spark.createDataFrame(
+        [(i, t0, 1, "view", float(v), "{}")
+         for i, v in enumerate([1, 2, 3, 4, 1000])],
+        schema,
+    )
+    monkeypatch.setattr(r6, "load", lambda s, d, n: spiked)
+    assert r6.q_median_abs_deviation(spark, "unused").collect()[0].mad == 1.0
