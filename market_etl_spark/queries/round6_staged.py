@@ -67,6 +67,9 @@ extension surface):
   one grouped pass (SLO-grade actual-value quantiles vs interpolated).
 - ``q_median_abs_deviation`` — robust dispersion (MAD) via two exact
   percentile passes with the per-series median broadcast between them.
+- ``q_bitmap_distinct_rollup`` — EXACT mergeable distinct counts via
+  bucketed bitmap aggregation (OR-mergeable 4 KB bitmaps per 32k-id
+  range; popcount cardinality, no estimate).
 """
 
 from __future__ import annotations
@@ -1301,6 +1304,49 @@ _MAD_ORACLE = """
 """
 
 
+def q_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counts via bitmap aggregation — the
+    deterministic complement to the HLL roll-up for bounded integer
+    domains: per-(type, day, bucket) bitmaps of user-id bit positions
+    merge with OR (associative, re-aggregable at any grain, persistable
+    like the sketch table) and cardinality is a popcount — no estimate,
+    no contract boolean, the output IS COUNT(DISTINCT).
+
+    Bucketing (``bitmap_bucket_number``) keys each 32k-id range to its
+    own bitmap so the domain can be arbitrarily large while every
+    individual bitmap stays 4 KB; the per-type total is the popcount
+    sum over buckets. Two model-sized shuffles after the fact table
+    collapses to (type, day, bucket) groups map-side."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm")
+    )
+    merged = daily.groupBy("event_type", "bkt").agg(
+        F.expr("bitmap_or_agg(bm)").alias("bm")
+    )
+    return (
+        merged.groupBy("event_type")
+        .agg(
+            F.sum(F.expr("bitmap_count(bm)")).cast("long").alias(
+                "distinct_users"
+            )
+        )
+        .orderBy("event_type")
+    )
+
+
+_BITMAP_ORACLE = """
+    SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
 #: name -> (builder, oracle_sql, tags).  ``register_staged`` turns each
 #: into a registry entry; until then the correctness harness ignores
 #: them and ``tests/test_round6_staged.py`` runs the same
@@ -1391,6 +1437,11 @@ STAGED: dict = {
         q_median_abs_deviation,
         _MAD_ORACLE,
         ("aggregates", "robust-stats", "extension"),
+    ),
+    "q_bitmap_distinct_rollup": (
+        q_bitmap_distinct_rollup,
+        _BITMAP_ORACLE,
+        ("aggregates", "bitmap", "mergeable", "extension"),
     ),
 }
 

@@ -836,3 +836,20 @@ def test_mad_robust_to_outlier(spark, monkeypatch):
     )
     monkeypatch.setattr(r6, "load", lambda s, d, n: spiked)
     assert r6.q_median_abs_deviation(spark, "unused").collect()[0].mad == 1.0
+
+
+def test_bitmap_rollup_crosses_buckets(spark, monkeypatch):
+    """User ids straddling the 32k bitmap-bucket boundary must still
+    count exactly once each (the bucket key is load-bearing)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 15, 9)
+    ids = [1, 2, 32767, 32768, 32769, 70000, 70000]  # dup on purpose
+    ev = spark.createDataFrame(
+        [(i, t0, uid, "view", 1.0, "{}") for i, uid in enumerate(ids)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(r6, "load", lambda s, d, n: ev)
+    row = r6.q_bitmap_distinct_rollup(spark, "unused").collect()[0]
+    assert row.distinct_users == 6
