@@ -33,9 +33,16 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def _verified_names() -> set[str]:
-    """Names with a green row (or a successful rows-only check for a
-    deliberately oracle-less query) in any CORRECTNESS_r*.json so far."""
-    verified: set[str] = set()
+    """Names whose LATEST CORRECTNESS_r*.json row is green (or a
+    successful rows-only check for a deliberately oracle-less query).
+
+    Latest-row-wins (ADVICE r5): iterating the ledgers in round order
+    and letting later rows overwrite earlier ones means a query that
+    regresses green→red drops back out of the verified set and
+    re-enters the front of the driver's 50-slot window, instead of
+    staying "verified" forever on the strength of an old green row.
+    """
+    status: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
@@ -48,12 +55,14 @@ def _verified_names() -> set[str]:
             if not isinstance(row, dict):
                 continue
             if row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
-                verified.add(name)
+                status[name] = True
             elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
                 # rows-only-by-design query that ran successfully; don't
                 # let it hog a window slot forever.
-                verified.add(name)
-    return verified
+                status[name] = True
+            else:
+                status[name] = False
+    return {name for name, ok in status.items() if ok}
 
 
 def entry(spark: SparkSession) -> DataFrame:

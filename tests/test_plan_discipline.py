@@ -52,6 +52,10 @@ _SKIP = {
 #: frame bounded by construction (1-row aggregates / k-row bound sets /
 #: audit slices), where the NL join IS the intended plan.
 _BNLJ_OK = {
+    "q_pagerank_transitions",  # dangling-mass scalar: 1-row broadcast crossJoin
+    "llm_approx_topk_terms",  # 1-row approx_top_k sketch broadcast into the audit
+    "q_theta_sketch_setops",  # 1-row sketch-pair × 1-row exact-pair crossJoin
+    "q_kll_mergeable_quantiles",  # 1-row merged-sketch broadcast into the audit
     "llm_cosine_topk",
     "llm_cosine_topk_batch",
     "llm_ann_lsh_topk",

@@ -90,13 +90,17 @@ def test_staged_plan_no_cartesian(spark, name):
     assert "CartesianProduct" not in plan, name
 
 
-def test_staged_not_registered():
-    """The freeze is part of the contract this round: importing the
-    staged module must NOT touch the registry (activation is an
-    explicit register_staged() call, next round)."""
+def test_staged_registered():
+    """Round-6 activation: every staged query is live in the registry
+    with its oracle attached (the r5 ledger reached 167/167, lifting
+    the r4 registration freeze)."""
     from market_etl_spark.queries import REGISTRY
 
-    assert not (set(STAGED) & set(REGISTRY))
+    assert set(STAGED) <= set(REGISTRY)
+    for name, (fn, oracle, tags) in STAGED.items():
+        spec = REGISTRY[name]
+        assert spec.oracle == oracle, name
+        assert spec.fn is fn, name
 
 
 # ---------------------------------------------------------------------------
