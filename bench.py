@@ -53,6 +53,13 @@ def main() -> None:
 
     spark.range(32).select(_warm("id")).count()
 
+    # The bench stops ASAP-triggered streams; apply the abort-noise
+    # mute NOW so even the first kill's asynchronous executor logging
+    # cannot race a stop-time mute into stderr (r5: 66 ERROR frames).
+    from market_etl_spark.streaming import mute_stop_noise
+
+    mute_stop_noise(spark)
+
     timings: dict[str, float] = {}
     for name, spec in sorted(REGISTRY.items()):
         t0 = time.perf_counter()
@@ -67,6 +74,22 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     ordered = sorted(timings.values())
     median = round(ordered[len(ordered) // 2], 3) if ordered else None
+
+    # Apples-to-apples across rounds: bench_common_set.json pins the
+    # r5 167-query set, so the stdout line carries the common-set total
+    # (comparable to BENCH_r05) separately from the cost of queries
+    # registered since (this round: the 19 activated staged entries).
+    common_file = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_common_set.json"
+    )
+    try:
+        with open(common_file) as f:
+            common_names = set(json.load(f))
+    except (OSError, ValueError):
+        common_names = set(timings)
+    total_common = round(sum(v for k, v in timings.items() if k in common_names), 3)
+    total_new = round(total - total_common, 3)
+    n_new = sum(1 for k in timings if k not in common_names)
 
     # Full per-query dict → file (the driver's line capture truncates
     # multi-KB lines; stderr already has the per-query trace above).
@@ -88,6 +111,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": headline,
                 "n_queries": len(timings),
+                "common_set_sec": total_common,
+                "new_queries_sec": total_new,
+                "n_new_queries": n_new,
                 "median_sec": median,
                 "queries_file": "bench_queries.json",
                 "sf": sf,

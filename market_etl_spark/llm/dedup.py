@@ -808,27 +808,27 @@ def canonical_docs(
     ``(cluster_id, canonical_id, cluster_size, best_score)``.
 
     The cluster graph runs over ids only (:func:`connected_components`);
-    scores join in per-doc and the per-cluster argmax is one
-    ``row_number`` window over the cluster partitioning — no second
-    pass over document bodies. Pass a precomputed ``clusters`` frame
-    (the :func:`dedup_clusters` output) to share the CC fixpoint with
-    other consumers."""
+    scores join in per-doc and the per-cluster argmax is a
+    ``max_by`` aggregation over a (score, -id) ordering struct — a
+    partial-aggregatable shuffle (map-side combine shrinks each
+    partition to one candidate row per cluster before the exchange),
+    strictly cheaper at scale than the earlier ``row_number`` window,
+    which had to shuffle AND sort every member row. The struct order
+    (score DESC, id ASC via negation) is total because ids are unique,
+    so the argmax is deterministic. Pass a precomputed ``clusters``
+    frame (the :func:`dedup_clusters` output) to share the CC fixpoint
+    with other consumers."""
     if clusters is None:
         clusters = dedup_clusters(docs, pairs, id_col)
     scored = clusters.join(docs.select(id_col, score_col), id_col)
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.col(score_col).desc(), F.col(id_col)
+    ordkey = F.struct(
+        F.col(score_col).alias("_s"), (-F.col(id_col)).alias("_nid")
     )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "cluster_id",
-            F.col(id_col).alias("canonical_id"),
-            "cluster_size",
-            F.col(score_col).alias("best_score"),
-        )
-    )
+    return scored.groupBy("cluster_id").agg(
+        F.max_by(F.col(id_col), ordkey).alias("canonical_id"),
+        F.max("cluster_size").alias("cluster_size"),
+        F.max(score_col).alias("best_score"),
+    ).select("cluster_id", "canonical_id", "cluster_size", "best_score")
 
 
 # ---------------------------------------------------------------------------

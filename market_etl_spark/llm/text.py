@@ -25,6 +25,13 @@ STOPWORDS = {
 #: "BPE-ish" token pattern: letter runs, digit runs, single punctuation.
 TOKEN_REGEX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
+#: BPE symbol delimiters (U+001F unit separator / U+001E record
+#: separator): control characters that cannot occur in real tokens, so
+#: the delimiter encoding in :func:`bpe_merge_rounds` is collision-free
+#: for arbitrary text including literal angle brackets.
+BPE_OPEN = "\x1f"
+BPE_CLOSE = "\x1e"
+
 
 # ---------------------------------------------------------------------------
 # Tokenization / shingling
@@ -632,16 +639,18 @@ def bpe_merge_rounds(
     the rule riding a broadcast. No collect: the loop chains lazily,
     one plan.
 
-    Symbols are rendered ``<a><b>...`` so a merge is a plain
-    ``replace(repr, '<a><b>', '<ab>')`` — the delimiters make
+    Symbols are rendered ``␟a␞␟b␞...`` (U+001F unit-separator open,
+    U+001E record-separator close) so a merge is a plain
+    ``replace(repr, '␟a␞␟b␞', '␟ab␞')`` — the delimiters make
     cross-symbol false matches impossible, and both engines apply
     replace left-to-right non-overlapping, which IS greedy BPE merge
-    order. Literal ``<``/``>`` characters inside a token would corrupt
-    that encoding (``<>>`` segments silently vanish from the
-    ``<[^>]+>`` scan, skewing pair counts), so they are STRIPPED from
-    tokens up front — the standard pre-tokenizer normalization step,
-    applied identically in the SQL oracle. Returns one row per round:
-    (round, merged_pair, cnt).
+    order. Control delimiters (r5 ADVICE upgrade from ``<``/``>``)
+    cannot occur in real tokens, so literal angle brackets now merge
+    like any other character; only the two control characters
+    themselves are stripped up front (an innocuous normalization —
+    they never carry meaning in text), identically in the SQL oracle.
+    Returns one row per round: (round, merged_pair, cnt) with the
+    merged pair in raw delimiter encoding.
     """
     d = docs.select(
         F.explode(
@@ -651,13 +660,17 @@ def bpe_merge_rounds(
     w = d.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
     sym = w.select(
         F.regexp_replace(
-            F.regexp_replace("word", "[<>]", ""), "(.)", "<$1>"
+            F.regexp_replace("word", f"[{BPE_OPEN}{BPE_CLOSE}]", ""),
+            "(.)",
+            f"{BPE_OPEN}$1{BPE_CLOSE}",
         ).alias("repr"),
         "freq",
     )
 
     def pair_counts(sym_df):
-        s = F.expr(r"regexp_extract_all(repr, '<[^>]+>', 0)")
+        s = F.expr(
+            f"regexp_extract_all(repr, '{BPE_OPEN}[^{BPE_CLOSE}]+{BPE_CLOSE}', 0)"
+        )
         return (
             sym_df.select(s.alias("_s"), "freq")
             .select(
@@ -691,7 +704,7 @@ def bpe_merge_rounds(
             ).select(
                 F.expr(
                     "replace(repr, merged_pair,"
-                    " replace(merged_pair, '><', ''))"
+                    f" replace(merged_pair, '{BPE_CLOSE}{BPE_OPEN}', ''))"
                 ).alias("repr"),
                 "freq",
             )

@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 from ..llm import datasets, dedup, multimodal, similarity
 from ..llm.datasets import priority_key_sql
 from ..llm.text import (
+    BPE_CLOSE,
+    BPE_OPEN,
     BPE_TOKEN_COUNT_SQL,
     NORMALIZE_SQL,
     bigram_lm_scores,
@@ -1301,7 +1303,9 @@ def llm_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_bpe_merges",
-    oracle=r"""
+    # Delimiters are the U+001F/U+001E control pair (llm.text.BPE_OPEN/
+    # BPE_CLOSE), embedded raw in the SQL literals below.
+    oracle=rf"""
     WITH w AS (
         SELECT t AS word, COUNT(*) AS freq FROM (
             SELECT unnest(list_filter(string_split(lower(text), ' '),
@@ -1309,22 +1313,22 @@ def llm_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         ) GROUP BY t
     ), sym0 AS (
-        SELECT regexp_replace(regexp_replace(word, '[<>]', '', 'g'),
-                              '(.)', '<\1>', 'g') AS repr, freq FROM w
+        SELECT regexp_replace(regexp_replace(word, '[{BPE_OPEN}{BPE_CLOSE}]', '', 'g'),
+                              '(.)', '{BPE_OPEN}\1{BPE_CLOSE}', 'g') AS repr, freq FROM w
     ), pairs1 AS (
         SELECT p, SUM(freq) AS cnt FROM (
             SELECT unnest([s[i] || s[i+1] FOR i IN range(1, len(s))]) AS p, freq
-            FROM (SELECT regexp_extract_all(repr, '<[^>]+>') AS s, freq FROM sym0)
+            FROM (SELECT regexp_extract_all(repr, '{BPE_OPEN}[^{BPE_CLOSE}]+{BPE_CLOSE}') AS s, freq FROM sym0)
         ) GROUP BY p
     ), rule1 AS (
         SELECT p, cnt FROM pairs1 ORDER BY cnt DESC, p LIMIT 1
     ), sym1 AS (
-        SELECT replace(s0.repr, r.p, replace(r.p, '><', '')) AS repr, s0.freq
+        SELECT replace(s0.repr, r.p, replace(r.p, '{BPE_CLOSE}{BPE_OPEN}', '')) AS repr, s0.freq
         FROM sym0 s0 CROSS JOIN rule1 r
     ), pairs2 AS (
         SELECT p, SUM(freq) AS cnt FROM (
             SELECT unnest([s[i] || s[i+1] FOR i IN range(1, len(s))]) AS p, freq
-            FROM (SELECT regexp_extract_all(repr, '<[^>]+>') AS s, freq FROM sym1)
+            FROM (SELECT regexp_extract_all(repr, '{BPE_OPEN}[^{BPE_CLOSE}]+{BPE_CLOSE}') AS s, freq FROM sym1)
         ) GROUP BY p
     ), rule2 AS (
         SELECT p, cnt FROM pairs2 ORDER BY cnt DESC, p LIMIT 1

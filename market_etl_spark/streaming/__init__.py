@@ -98,6 +98,18 @@ def _quiet_stop(q, spark: SparkSession, idle_wait_secs: float = 1.0) -> None:
             break
         time.sleep(0.05)
 
+    mute_stop_noise(spark)
+    q.stop()
+    q.awaitTermination()
+
+
+def mute_stop_noise(spark: SparkSession) -> None:
+    """Raise the known stop-abort noise loggers to FATAL (see
+    :func:`_quiet_stop` layer 2).  Exposed so a harness that will stop
+    streams (the bench) can apply the mute at session warm-up — the
+    in-stop call still races the very first kill's asynchronous
+    executor logging, which is where the residual ERROR frames in the
+    r5 bench stderr came from."""
     try:
         jvm = spark.sparkContext._jvm
         configurator = jvm.org.apache.logging.log4j.core.config.Configurator
@@ -106,8 +118,6 @@ def _quiet_stop(q, spark: SparkSession, idle_wait_secs: float = 1.0) -> None:
             configurator.setLevel(logger_name, fatal)
     except Exception:
         pass  # non-log4j2 runtime: stop un-silenced
-    q.stop()
-    q.awaitTermination()
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

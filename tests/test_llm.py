@@ -529,15 +529,18 @@ def test_bpe_merge_rounds_hand_computed(spark):
     including the round-1 merge feeding round 2's counts."""
     from market_etl_spark.llm.text import bpe_merge_rounds, words
 
-    # words: 'aab' x3, 'ab' x2 -> pairs r1: aa:3, ab:5 -> merge <a><b>
-    # r2 symbols: 'a ab' x3 (pairs: a-ab:3), 'ab' x2 -> merge <a><ab>
+    from market_etl_spark.llm.text import BPE_CLOSE as C
+    from market_etl_spark.llm.text import BPE_OPEN as O
+
+    # words: 'aab' x3, 'ab' x2 -> pairs r1: aa:3, ab:5 -> merge (a,b)
+    # r2 symbols: 'a ab' x3 (pairs: a-ab:3), 'ab' x2 -> merge (a,ab)
     df = spark.createDataFrame(
         [(1, "aab aab ab"), (2, "aab ab")], "doc_id long, text string"
     ).withColumn("toks", words("text"))
     out = bpe_merge_rounds(df, rounds=2).collect()
     assert [(r.round, r.merged_pair, r.cnt) for r in out] == [
-        (1, "<a><b>", 5),
-        (2, "<a><ab>", 3),
+        (1, f"{O}a{C}{O}b{C}", 5),
+        (2, f"{O}a{C}{O}ab{C}", 3),
     ]
 
 
@@ -546,15 +549,18 @@ def test_bpe_merge_greedy_nonoverlapping(spark):
     replace() is left-to-right non-overlapping — greedy BPE order."""
     from market_etl_spark.llm.text import bpe_merge_rounds, words
 
+    from market_etl_spark.llm.text import BPE_CLOSE as C
+    from market_etl_spark.llm.text import BPE_OPEN as O
+
     df = spark.createDataFrame(
         [(1, "aaaa aaaa")], "doc_id long, text string"
     ).withColumn("toks", words("text"))
     out = bpe_merge_rounds(df, rounds=2).collect()
-    # r1: pairs of 'aaaa' = 3 x <a><a> per word? One WORD type, freq 1
+    # r1: pairs of 'aaaa' = 3 x (a,a) per word? One WORD type, freq 1
     # (distinct word 'aaaa' counted twice -> freq 2): cnt = 3*2 = 6.
-    assert (out[0].merged_pair, out[0].cnt) == ("<a><a>", 6)
-    # r2: '<aa><aa>' per word -> pair <aa><aa> cnt 2 (freq 2, one pair).
-    assert (out[1].merged_pair, out[1].cnt) == ("<aa><aa>", 2)
+    assert (out[0].merged_pair, out[0].cnt) == (f"{O}a{C}{O}a{C}", 6)
+    # r2: 'aa aa' per word -> pair (aa,aa) cnt 2 (freq 2, one pair).
+    assert (out[1].merged_pair, out[1].cnt) == (f"{O}aa{C}{O}aa{C}", 2)
 
 
 def test_importance_weights_favor_target_like_docs(spark):

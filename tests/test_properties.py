@@ -129,27 +129,32 @@ def test_minhash_estimates_jaccard_direction(spark, texts):
 
 
 def _py_bpe(words_freq, rounds):
-    """Pure-Python reference BPE (delimiter-wrapped symbols, greedy
-    left-to-right merge), mirroring llm.text.bpe_merge_rounds: literal
-    '<'/'>' are stripped from tokens before wrapping (they would corrupt
-    the delimiter encoding), and freqs ACCUMULATE when two words land on
-    the same repr (the engine never re-groups reprs, it sums rows)."""
+    """Pure-Python reference BPE (control-delimiter-wrapped symbols,
+    greedy left-to-right merge), mirroring llm.text.bpe_merge_rounds:
+    only the U+001F/U+001E delimiter characters themselves are stripped
+    from tokens (they cannot carry meaning in text; everything else —
+    including literal angle brackets — merges normally), and freqs
+    ACCUMULATE when two words land on the same repr (the engine never
+    re-groups reprs, it sums rows)."""
+    from market_etl_spark.llm.text import BPE_CLOSE as C
+    from market_etl_spark.llm.text import BPE_OPEN as O
+
     sym = {}
     for w, f in words_freq.items():
-        repr_ = "".join(f"<{c}>" for c in w if c not in "<>")
+        repr_ = "".join(f"{O}{c}{C}" for c in w if c not in O + C)
         sym[repr_] = sym.get(repr_, 0) + f
     out = []
     for _ in range(rounds):
         counts = {}
         for repr_, f in sym.items():
-            toks = repr_.replace("><", ">|<").split("|") if repr_ else []
+            toks = repr_.replace(C + O, C + "|" + O).split("|") if repr_ else []
             for a, b in zip(toks, toks[1:]):
                 counts[a + b] = counts.get(a + b, 0) + f
         if not counts:
             break
         best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         out.append(best)
-        merged = best[0].replace("><", "")
+        merged = best[0].replace(C + O, "")
         nxt = {}
         for k, v in sym.items():
             nk = k.replace(best[0], merged)
@@ -161,7 +166,7 @@ def _py_bpe(words_freq, rounds):
 @settings(**_SETTINGS)
 @given(
     words=st.lists(
-        st.text(alphabet="abc<>", min_size=1, max_size=5),
+        st.text(alphabet="abc<>.,!?-\x1f\x1e", min_size=1, max_size=5),
         min_size=1,
         max_size=25,
     )
@@ -169,8 +174,9 @@ def _py_bpe(words_freq, rounds):
 def test_bpe_merges_match_python_reference(spark, words):
     """Two engine BPE rounds == a pure-Python reference on arbitrary
     tiny corpora (incl. single-char words, repeats, 'aaaa' overlaps,
-    and literal angle brackets — which both sides strip before the
-    delimiter wrap; ADVICE r4)."""
+    literal angle brackets and punctuation — which now merge as normal
+    characters under the control-delimiter encoding — and even stray
+    delimiter control characters, which both sides strip)."""
     from market_etl_spark.llm.text import bpe_merge_rounds
     from market_etl_spark.llm.text import words as words_col
 
