@@ -56,6 +56,10 @@ _BNLJ_OK = {
     "llm_approx_topk_terms",  # 1-row approx_top_k sketch broadcast into the audit
     "q_theta_sketch_setops",  # 1-row sketch-pair × 1-row exact-pair crossJoin
     "q_kll_mergeable_quantiles",  # 1-row merged-sketch broadcast into the audit
+    "llm_psi_drift",  # two 1-row snapshot-total broadcasts into the PSI fold
+    "llm_ks_drift",  # 1-row (na, nb) totals broadcast into the CDF diff
+    "llm_token_budget_select",  # 1-row token-budget broadcast into the filter
+    "llm_embedding_pca_power",  # 1-row model vectors (mean/v1/v2/λ) broadcasts
     "llm_cosine_topk",
     "llm_cosine_topk_batch",
     "llm_ann_lsh_topk",
