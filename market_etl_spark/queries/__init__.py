@@ -22,6 +22,7 @@ from . import tpch  # noqa: F401
 from . import trades  # noqa: F401
 from . import windows  # noqa: F401
 from . import governance  # noqa: F401
+from . import monitoring  # noqa: F401
 from . import round6_staged  # noqa: F401
 from .registry import REGISTRY, QuerySpec, query
 

@@ -1,0 +1,273 @@
+"""Feed-monitoring & forensic-DQ queries (round 6).
+
+Three detection primitives a production data platform runs against a
+live feed, complementing the threshold z-score alerting already in
+``behavior.py`` (``q_anomaly_zscore_days``):
+
+- ``q_benford_audit`` — first-digit (Benford's-law) distribution audit
+  of the value column with the chi-square goodness-of-fit statistic:
+  the classic forensic test for fabricated or truncated numeric feeds.
+- ``q_cusum_changepoint`` — CUSUM (cumulative sum of standardized
+  deviations) over daily event counts with the max-|S| changepoint:
+  detects sustained level shifts that per-day z-scores miss.
+- ``q_seasonal_baseline_backtest`` — walk-forward evaluation of an
+  hour-of-day seasonal-mean forecast (trailing 7 same-hour days):
+  the backtest loop behind "is our volume forecast still calibrated".
+
+No reference counterpart; extends SURVEY.md §2.13's governance layer
+on the events feed.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+#: Benford expected proportions log10(1 + 1/d), precomputed as Python
+#: literals so BOTH engines consume identical double constants instead
+#: of each evaluating log10 themselves.
+_BENFORD_P = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+#: chi-square 95% critical value at df = 8.
+_CHI2_95_DF8 = 15.507
+
+
+@query(
+    "q_benford_audit",
+    oracle=f"""
+    WITH v AS (
+        SELECT substr(CAST(CAST(FLOOR(value * 1e6) AS BIGINT) AS VARCHAR), 1, 1)
+                   AS digit
+        FROM events WHERE value > 0
+    ), obs AS (
+        SELECT CAST(digit AS INT) AS digit, COUNT(*) AS n_obs,
+               SUM(COUNT(*)) OVER () AS n
+        FROM v GROUP BY digit
+    ), scored AS (
+        SELECT digit, n_obs, n,
+               CASE digit
+                   {' '.join(f'WHEN {d} THEN CAST({p!r} AS DOUBLE) * n' for d, p in _BENFORD_P.items())}
+               END AS expected
+        FROM obs
+    )
+    SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+           ROUND(expected, 6) AS expected,
+           ROUND(SUM((n_obs - expected) * (n_obs - expected) / expected)
+                 OVER (), 6) AS chi2,
+           SUM((n_obs - expected) * (n_obs - expected) / expected) OVER ()
+               > {_CHI2_95_DF8} AS reject_benford_95
+    FROM scored ORDER BY digit
+    """,
+    tags=("monitoring", "dq-forensic", "extension"),
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit distribution of the (positive) value column vs
+    Benford's law, with the chi-square goodness-of-fit statistic and
+    the 95% rejection verdict (df = 8) — the forensic audit that
+    catches fabricated, clipped, or unit-mangled numeric feeds.
+
+    Cross-engine determinism: the leading digit comes from the DECIMAL
+    STRING of floor(value·1e6) — integer formatting, no float-to-text
+    divergence and no log10-of-a-power-of-ten edge; the Benford
+    expectations are shared Python double literals.
+
+    Scale: digit extraction is map-side; the audit aggregates to 9
+    rows (partial agg), and chi-square folds over those 9."""
+    v = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value") > 0)
+        .select(
+            F.substring(
+                F.floor(F.col("value") * 1e6).cast("long").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    wall = Window.partitionBy()
+    obs = v.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs")).select(
+        "digit", "n_obs", F.sum("n_obs").over(wall).alias("n")
+    )
+    expected = None
+    for d, p in _BENFORD_P.items():
+        branch = F.lit(p) * F.col("n")
+        expected = (
+            F.when(F.col("digit") == d, branch)
+            if expected is None
+            else expected.when(F.col("digit") == d, branch)
+        )
+    scored = obs.select("digit", "n_obs", expected.alias("expected"))
+    chi2 = F.sum(
+        (F.col("n_obs") - F.col("expected"))
+        * (F.col("n_obs") - F.col("expected"))
+        / F.col("expected")
+    ).over(wall)
+    return scored.select(
+        "digit",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.round("expected", 6).alias("expected"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > _CHI2_95_DF8).alias("reject_benford_95"),
+    ).orderBy("digit")
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint over daily counts
+# ---------------------------------------------------------------------------
+@query(
+    "q_cusum_changepoint",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               COUNT(*) AS n_events
+        FROM events GROUP BY day
+    ), stats AS (
+        SELECT AVG(n_events::DOUBLE) AS mu,
+               STDDEV_SAMP(n_events::DOUBLE) AS sd
+        FROM d
+    ), cus AS (
+        SELECT day, n_events,
+               SUM((n_events - mu) / sd) OVER (ORDER BY day) AS s
+        FROM d, stats
+    )
+    SELECT day, CAST(n_events AS BIGINT) AS n_events,
+           ROUND(s, 6) + 0.0 AS cusum,
+           ABS(ROUND(s, 6)) = MAX(ABS(ROUND(s, 6))) OVER ()
+               AND MIN(day) OVER (PARTITION BY ABS(ROUND(s, 6))) = day
+               AS is_changepoint
+    FROM cus ORDER BY day
+    """,
+    tags=("monitoring", "changepoint", "extension"),
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detection on daily event counts: standardize
+    each day against the global mean/stddev, accumulate S_t = Σ z_i in
+    day order, and flag the day where |S| peaks — the classic
+    changepoint locator for sustained drifts that per-day z-score
+    alerting (q_anomaly_zscore_days) cannot see.  The argmax flag
+    compares ROUNDED |S| (bit-stable cross-engine) with a min-day tie
+    rule.  The final S is mathematically zero (Σz = 0), so the
+    residual noise's SIGN is engine-dependent — `+ 0.0` after the
+    round collapses IEEE −0.0 to +0.0 on both engines.
+
+    Scale: the fact table collapses to day-cardinality rows in one
+    partial-agg shuffle; the 1-row (μ, σ) broadcast and the ordered
+    running sum both run on the tiny aggregated side."""
+    d = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    stats = d.agg(
+        F.avg(F.col("n_events").cast("double")).alias("mu"),
+        F.stddev_samp(F.col("n_events").cast("double")).alias("sd"),
+    )
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cus = d.crossJoin(F.broadcast(stats)).select(
+        "day",
+        "n_events",
+        F.sum((F.col("n_events") - F.col("mu")) / F.col("sd"))
+        .over(wcum)
+        .alias("s"),
+    )
+    wall = Window.partitionBy()
+    rs = F.round(F.col("s"), 6)
+    return cus.select(
+        "day",
+        F.col("n_events").cast("long").alias("n_events"),
+        (rs + F.lit(0.0)).alias("cusum"),
+        (
+            (F.abs(rs) == F.max(F.abs(rs)).over(wall))
+            & (F.min("day").over(Window.partitionBy(F.abs(rs))) == F.col("day"))
+        ).alias("is_changepoint"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Walk-forward seasonal baseline backtest
+# ---------------------------------------------------------------------------
+@query(
+    "q_seasonal_baseline_backtest",
+    oracle="""
+    WITH hourly AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+               COUNT(*) AS n
+        FROM events GROUP BY day, hour
+    ), fc AS (
+        SELECT day, hour, n,
+               AVG(n::DOUBLE) OVER (
+                   PARTITION BY hour ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
+               ) AS forecast,
+               COUNT(*) OVER (
+                   PARTITION BY hour ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
+               ) AS n_hist
+        FROM hourly
+    )
+    SELECT day,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           ROUND(AVG(ABS(n - forecast)), 6) AS mae,
+           ROUND(MAX(ABS(n - forecast)), 6) AS max_abs_err
+    FROM fc WHERE n_hist = 7
+    GROUP BY day HAVING COUNT(*) = 24
+    ORDER BY day
+    """,
+    tags=("monitoring", "forecast-backtest", "extension"),
+)
+def q_seasonal_baseline_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward backtest of the hour-of-day seasonal-mean
+    forecast: predict each (day, hour) count as the mean of the SAME
+    hour over the trailing 7 days (never looking forward), then score
+    per-day MAE and worst-hour error over fully-forecast days (7 days
+    of history for every one of the 24 hours).  This is the
+    calibration loop run before trusting a volume forecast for
+    capacity or alert thresholds.
+
+    Scale: raw events collapse to |days|·24 rows in one partial-agg
+    shuffle; the trailing window partitions BY HOUR (24 parallel
+    series) over the aggregated side, and the per-day scoring
+    re-aggregates 24 rows per day."""
+    hourly = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            F.hour("ts").cast("int").alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wtrail = (
+        Window.partitionBy("hour").orderBy("day").rowsBetween(-7, -1)
+    )
+    fc = hourly.select(
+        "day",
+        "hour",
+        "n",
+        F.avg(F.col("n").cast("double")).over(wtrail).alias("forecast"),
+        F.count(F.lit(1)).over(wtrail).alias("n_hist"),
+    )
+    return (
+        fc.filter(F.col("n_hist") == 7)
+        .groupBy("day")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.round(F.avg(F.abs(F.col("n") - F.col("forecast"))), 6).alias(
+                "mae"
+            ),
+            F.round(F.max(F.abs(F.col("n") - F.col("forecast"))), 6).alias(
+                "max_abs_err"
+            ),
+            F.count(F.lit(1)).alias("_nh"),
+        )
+        .filter(F.col("_nh") == 24)
+        .drop("_nh")
+        .orderBy("day")
+    )

