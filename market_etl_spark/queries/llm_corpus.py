@@ -124,9 +124,9 @@ def _prune_stale_indexes(scratch, prefix: str, keep: str) -> None:
 
 #: Same contract for the cluster-label frame (the CC fixpoint over the
 #: pair graph) — shared by llm_dedup_clusters and
-#: llm_canonical_selection, and already ids-only/tiny by construction
-#: (the fixpoint internally checkpoints per round; this memo just
-#: avoids re-running the rounds).
+#: llm_canonical_selection, ids-only/tiny by construction, and since
+#: round 6 persisted to scratch via _materialized (the fixpoint runs
+#: once per corpus snapshot; every later consumer reads the artifact).
 _CLUSTERS_CACHE: dict = {}
 
 
