@@ -848,6 +848,86 @@ def llm_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_wav_decode_stats",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(441 AS INT) AS n_samples,
+           CAST(44100 AS INT) AS sample_rate,
+           CAST(SUM(ABS((d.doc_id * 37 + r.i * 11) % 4096 - 2048)) AS BIGINT)
+               AS sum_abs,
+           CAST(MAX(ABS((d.doc_id * 37 + r.i * 11) % 4096 - 2048)) AS INT)
+               AS peak,
+           TRUE AS roundtrip_ok
+    FROM documents d, range(0, 441) r(i)
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+    tags=("llm", "multimodal", "codec", "extension"),
+)
+def llm_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-codec roundtrip (round 6, the PNG pattern applied to
+    sound): each doc synthesizes a deterministic 10 ms 16-bit PCM
+    waveform (sample_i = (doc_id·37 + i·11) mod 4096 − 2048, 441
+    samples at 44.1 kHz), encodes it to an actual RIFF/WAVE file via
+    the STDLIB ``wave`` writer, then decodes the bytes back with the
+    engine's independent struct-level RIFF parser
+    (:mod:`..llm.wav_audio`) and reports sample statistics from the
+    DECODED stream plus exact roundtrip equality.  The oracle computes
+    the same statistics from the waveform definition alone — it never
+    sees a WAV container — so the hash match proves the container
+    write→parse→unpack path is lossless.  Encoder (CPython stdlib) and
+    decoder (ours) share no code: equality evidences RIFF conformance,
+    not mutual consistency.
+
+    Scale: identical shape to llm_png_decode_stats — per-row codec CPU
+    under one Arrow-batched mapInPandas, zero shuffle, nothing
+    driver-side."""
+    import pandas as _pd
+
+    from ..llm import wav_audio as _wav
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                samples = [
+                    (did * 37 + i * 11) % 4096 - 2048 for i in range(441)
+                ]
+                blob = _wav.encode_wav(samples, sample_rate=44100, channels=1)
+                rate, channels, decoded = _wav.decode_wav(blob)
+                rows.append(
+                    (
+                        did,
+                        len(decoded) // channels,
+                        rate,
+                        sum(abs(s) for s in decoded),
+                        max(abs(s) for s in decoded),
+                        decoded == samples,
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_samples",
+                    "sample_rate",
+                    "sum_abs",
+                    "peak",
+                    "roundtrip_ok",
+                ],
+            )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, n_samples int, sample_rate int,"
+            " sum_abs long, peak int, roundtrip_ok boolean"
+        ),
+    ).orderBy("doc_id")
+
+
+@query(
     "llm_multimodal_frames",
     oracle="""
     SELECT d.doc_id,

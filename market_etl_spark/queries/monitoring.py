@@ -271,3 +271,100 @@ def q_seasonal_baseline_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_nh")
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Association rules (market-basket lift) over per-user event-type sets
+# ---------------------------------------------------------------------------
+@query(
+    "q_association_rules",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    ), n_users AS (
+        SELECT COUNT(DISTINCT user_id) AS n FROM baskets
+    ), singles AS (
+        SELECT event_type, COUNT(*) AS cnt FROM baskets GROUP BY event_type
+    ), pairs AS (
+        SELECT a.event_type AS ante, b.event_type AS cons, COUNT(*) AS both_cnt
+        FROM baskets a JOIN baskets b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY ante, cons
+    )
+    SELECT p.ante, p.cons,
+           CAST(p.both_cnt AS BIGINT) AS n_both,
+           ROUND(p.both_cnt::DOUBLE / n.n, 6) AS support,
+           ROUND(p.both_cnt::DOUBLE / sa.cnt, 6) AS confidence,
+           ROUND(p.both_cnt::DOUBLE * n.n / (sa.cnt::DOUBLE * sc.cnt), 6)
+               AS lift
+    FROM pairs p
+    JOIN singles sa ON sa.event_type = p.ante
+    JOIN singles sc ON sc.event_type = p.cons
+    CROSS JOIN n_users n
+    ORDER BY ante, cons
+    """,
+    tags=("analytics", "association-rules", "extension"),
+)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over per-user event-type sets:
+    for every unordered type pair (ante < cons) report support
+    (P(both)), confidence (P(cons|ante)), and lift
+    (P(both) / P(ante)·P(cons)) — the co-occurrence screen behind
+    cross-sell and funnel-design decisions.
+
+    Scale: baskets are DISTINCT (user, type) — one partial-agg
+    exchange; the pair self-join is keyed on user_id with per-user
+    fan-out bounded by |event types|² (≤ 10 pairs for 5 types), so
+    candidate volume is users × 10, never events². The singles table
+    broadcasts (type-cardinality rows)."""
+    e = load(spark, sf_dir, "events")
+    baskets = e.select("user_id", "event_type").distinct()
+    n_users = baskets.agg(
+        F.countDistinct("user_id").cast("double").alias("n")
+    )
+    singles = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ante"),
+            F.col("b.event_type").alias("cons"),
+        )
+        .agg(F.count(F.lit(1)).alias("both_cnt"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("ante"), F.col("cnt").alias("_ca")
+    )
+    sc = singles.select(
+        F.col("event_type").alias("cons"), F.col("cnt").alias("_cc")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "ante")
+        .join(F.broadcast(sc), "cons")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "ante",
+            "cons",
+            F.col("both_cnt").cast("long").alias("n_both"),
+            F.round(F.col("both_cnt").cast("double") / F.col("n"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("both_cnt").cast("double") / F.col("_ca"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("both_cnt").cast("double")
+                * F.col("n")
+                / (F.col("_ca").cast("double") * F.col("_cc")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("ante", "cons")
+    )

@@ -131,3 +131,52 @@ def test_resize_images_png_path(spark):
     expected = png.resize_nearest(pixels, 8, 8, 1, 4, 4)
     assert bytes(out.resized) == expected
     assert (out.width, out.height) == (4, 4)
+
+
+# ---------------------------------------------------------------------------
+# WAV codec (stdlib wave encoder vs independent RIFF decoder)
+# ---------------------------------------------------------------------------
+@settings(**_SETTINGS)
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=300),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip(samples, rate):
+    from market_etl_spark.llm import wav_audio
+
+    blob = wav_audio.encode_wav(samples, sample_rate=rate, channels=1)
+    got_rate, channels, got = wav_audio.decode_wav(blob)
+    assert got_rate == rate and channels == 1
+    assert got == samples
+
+
+def test_wav_rejects_malformed():
+    from market_etl_spark.llm import wav_audio
+
+    with pytest.raises(ValueError):
+        wav_audio.decode_wav(b"RIFFxxxxNOPE")
+    with pytest.raises(ValueError):
+        wav_audio.decode_wav(b"not riff at all, clearly")
+    # 8-bit PCM rejected: hand-build fmt with bits=8
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    blob = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError):
+        wav_audio.decode_wav(blob)
+
+
+def test_decode_payload_wav_dispatch():
+    from market_etl_spark.llm import wav_audio
+
+    blob = wav_audio.encode_wav([0, 1000, -1000, 32767], sample_rate=8000)
+    feats = decode_payload(blob)
+    assert feats["format"] == "audio/wav"
+    assert feats["n_frames"] == 4
