@@ -60,6 +60,8 @@ _BNLJ_OK = {
     "llm_ks_drift",  # 1-row (na, nb) totals broadcast into the CDF diff
     "llm_token_budget_select",  # 1-row token-budget broadcast into the filter
     "llm_embedding_pca_power",  # 1-row model vectors (mean/v1/v2/λ) broadcasts
+    "q_cusum_changepoint",  # 1-row (μ, σ) broadcast into the running sum
+    "q_association_rules",  # 1-row n_users broadcast into the lift ratio
     "llm_cosine_topk",
     "llm_cosine_topk_batch",
     "llm_ann_lsh_topk",
