@@ -1,8 +1,9 @@
-"""Round-6 staged queries — implemented and tested THIS round, but NOT
-registered: VERDICT r4 froze new-query registration until the
-CORRECTNESS ledger covers all 167 current names, so these ship as plain
-functions plus oracle strings and join :data:`..queries.REGISTRY` next
-round via :func:`register_staged` (one call in ``queries/__init__``).
+"""Round-5-staged queries, ACTIVE since round 6: VERDICT r4 froze
+new-query registration until the CORRECTNESS ledger covered all 167
+then-current names; the r5 ledger landed 167/167 green, so
+``queries/__init__`` now calls :func:`register_staged` and every entry
+below is a live :data:`..queries.REGISTRY` member (the module name
+records the round the freeze lifted).
 
 Every entry follows the registry conventions so activation is purely
 mechanical: flat scalar output schemas, identical column aliases on

@@ -1,6 +1,7 @@
-"""Staged round-6 queries: engine-vs-DuckDB parity, hand-computed
-semantics, and the same type-class gates the registry enforces — so
-activation via ``register_staged()`` is a no-risk one-liner next round.
+"""Round-5-staged queries (ACTIVE in the registry since round 6):
+engine-vs-DuckDB parity, hand-computed semantics, and the same
+type-class gates the registry enforces — these tests predate the
+activation and keep guarding the same 19 entries post-registration.
 """
 
 from __future__ import annotations
