@@ -368,3 +368,191 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ante", "cons")
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (recency / frequency / monetary quintiles)
+# ---------------------------------------------------------------------------
+@query(
+    "q_rfm_segments",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               date_diff('day', MAX(CAST(date_trunc('day', ts) AS DATE)),
+                         (SELECT MAX(CAST(date_trunc('day', ts) AS DATE))
+                          FROM events)) AS recency_days,
+               COUNT(*) AS frequency,
+               SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS monetary_micro
+        FROM events GROUP BY user_id
+    ), scored AS (
+        SELECT user_id, recency_days, frequency, monetary_micro,
+               NTILE(5) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
+               NTILE(5) OVER (ORDER BY frequency, user_id) AS f_score,
+               NTILE(5) OVER (ORDER BY monetary_micro, user_id) AS m_score
+        FROM u
+    )
+    SELECT CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(frequency) AS BIGINT) AS n_events,
+           CAST(SUM(monetary_micro) AS BIGINT) AS monetary_micro
+    FROM scored GROUP BY segment ORDER BY segment
+    """,
+    tags=("analytics", "rfm-segmentation", "extension"),
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-user Recency (days since last
+    event vs the feed's last day), Frequency (event count), and
+    Monetary (value mass) quintiled into 1–5 scores (5 = best:
+    most-recent / most-frequent / highest-spend) and rolled up per
+    RFM segment code — the standard lifecycle-marketing partition.
+
+    Monetary ranks on EXACT integer micro-units (per-event
+    floor(value·1e6) summed as BIGINT) so the quintile ordering can
+    never flip on last-ulp float summation differences between
+    engines — the quantile-norm lesson applied to ranking keys.
+
+    Scale: the fact table collapses to user cardinality in one
+    partial-agg shuffle; the three NTILEs are global windows over the
+    AGGREGATED side (users, not events); the segment rollup partial-
+    aggregates to ≤125 rows."""
+    e = load(spark, sf_dir, "events")
+    max_day = e.agg(
+        F.max(F.date_trunc("day", F.col("ts")).cast("date")).alias("_d")
+    )
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(F.date_trunc("day", F.col("ts")).cast("date")).alias("_last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.floor(F.col("value") * 1e6).cast("long")).alias(
+                "monetary_micro"
+            ),
+        )
+        .crossJoin(F.broadcast(max_day))
+        .select(
+            "user_id",
+            F.datediff(F.col("_d"), F.col("_last")).alias("recency_days"),
+            "frequency",
+            "monetary_micro",
+        )
+    )
+    scored = u.select(
+        "user_id",
+        "frequency",
+        "monetary_micro",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_days").desc(), "user_id"))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy("frequency", "user_id"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary_micro", "user_id"))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy(
+            (
+                F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+            )
+            .cast("int")
+            .alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("frequency").cast("long").alias("n_events"),
+            F.sum("monetary_micro").cast("long").alias("monetary_micro"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA: weekday seasonality of daily volumes
+# ---------------------------------------------------------------------------
+@query(
+    "q_weekday_anova",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+        FROM events GROUP BY day
+    ), g AS (
+        SELECT dayofweek(day) AS wd, n, n::DOUBLE AS x FROM d
+    ), stats AS (
+        SELECT COUNT(*) AS n_days,
+               COUNT(DISTINCT wd) AS k,
+               AVG(x) AS grand
+        FROM g
+    ), per_group AS (
+        SELECT wd, COUNT(*) AS ng, AVG(x) AS mg,
+               SUM(x * x) - COUNT(*) * AVG(x) * AVG(x) AS ssw_g
+        FROM g GROUP BY wd
+    ), sums AS (
+        SELECT SUM(ng * (mg - s.grand) * (mg - s.grand)) AS ssb,
+               SUM(ssw_g) AS ssw,
+               MAX(s.n_days) AS n_days, MAX(s.k) AS k
+        FROM per_group, stats s
+    )
+    SELECT CAST(n_days AS BIGINT) AS n_days,
+           CAST(k AS INT) AS k_groups,
+           ROUND(ssb, 6) AS ss_between,
+           ROUND(ssw, 6) AS ss_within,
+           ROUND((ssb / (k - 1)) / (ssw / (n_days - k)), 6) AS f_stat
+    FROM sums
+    """,
+    tags=("monitoring", "anova", "extension"),
+)
+def q_weekday_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of daily event volumes grouped by weekday: the
+    variance decomposition (between-group vs within-group sums of
+    squares) and the F statistic that answers "is there a real
+    day-of-week seasonality, or is the weekday spread noise" — the
+    test run before shipping weekday-conditioned capacity plans.
+    Degrees of freedom ride along (k−1, n−k) so the reader applies the
+    right F critical value for the observed day count.
+
+    Scale: events collapse to day-cardinality rows in one partial-agg
+    shuffle; weekday stats aggregate 7 groups; everything after the
+    first exchange is constant-size."""
+    d = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    g = d.select(
+        F.dayofweek("day").alias("wd"), F.col("n").cast("double").alias("x")
+    )
+    stats = g.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.countDistinct("wd").alias("k"),
+        F.avg("x").alias("grand"),
+    )
+    per_group = g.groupBy("wd").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.avg("x").alias("mg"),
+        (
+            F.sum(F.col("x") * F.col("x"))
+            - F.count(F.lit(1)) * F.avg("x") * F.avg("x")
+        ).alias("ssw_g"),
+    )
+    sums = per_group.crossJoin(F.broadcast(stats)).agg(
+        F.sum(
+            F.col("ng")
+            * (F.col("mg") - F.col("grand"))
+            * (F.col("mg") - F.col("grand"))
+        ).alias("ssb"),
+        F.sum("ssw_g").alias("ssw"),
+        F.max("n_days").alias("n_days"),
+        F.max("k").alias("k"),
+    )
+    return sums.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("k").cast("int").alias("k_groups"),
+        F.round("ssb", 6).alias("ss_between"),
+        F.round("ssw", 6).alias("ss_within"),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("n_days") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+    )

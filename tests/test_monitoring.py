@@ -99,3 +99,50 @@ def test_seasonal_backtest_perfect_on_constant_series(spark):
         mon.load = orig
     assert out, "constant series produced no scored days"
     assert all(r.mae == 0.0 and r.max_abs_err == 0.0 for r in out)
+
+
+def test_rfm_segments_partition_users(spark):
+    """Segments partition the user base; scores stay in 1..5; user and
+    event totals reconcile with the raw feed."""
+    import duckdb
+
+    con = duckdb.connect()
+    n_users, n_events = con.execute(
+        f"SELECT COUNT(DISTINCT user_id), COUNT(*) FROM "
+        f"read_parquet('{SF_GATE}/events.parquet')"
+    ).fetchone()
+    con.close()
+    rows = REGISTRY["q_rfm_segments"].fn(spark, SF_GATE).collect()
+    assert sum(r.n_users for r in rows) == n_users
+    assert sum(r.n_events for r in rows) == n_events
+    for r in rows:
+        rs, fs, ms = r.segment // 100, (r.segment // 10) % 10, r.segment % 10
+        assert 1 <= rs <= 5 and 1 <= fs <= 5 and 1 <= ms <= 5
+
+
+def test_weekday_anova_matches_python(spark):
+    """F statistic == pure-Python one-way ANOVA on the daily counts."""
+    import duckdb
+
+    con = duckdb.connect()
+    days = con.execute(
+        f"SELECT CAST(date_trunc('day', ts) AS DATE) d, COUNT(*) FROM "
+        f"read_parquet('{SF_GATE}/events.parquet') GROUP BY d"
+    ).fetchall()
+    con.close()
+    groups: dict = {}
+    for d, n in days:
+        groups.setdefault(d.isoweekday() % 7 + 1, []).append(float(n))
+    xs = [x for g in groups.values() for x in g]
+    grand = sum(xs) / len(xs)
+    ssb = sum(len(g) * (sum(g) / len(g) - grand) ** 2 for g in groups.values())
+    ssw = sum(
+        sum((x - sum(g) / len(g)) ** 2 for x in g) for g in groups.values()
+    )
+    k, n = len(groups), len(xs)
+    f_ref = (ssb / (k - 1)) / (ssw / (n - k))
+    row = REGISTRY["q_weekday_anova"].fn(spark, SF_GATE).collect()[0]
+    assert row.n_days == n and row.k_groups == k
+    assert row.f_stat == pytest.approx(f_ref, abs=1e-4)
+    assert row.ss_between == pytest.approx(ssb, abs=1e-3)
+    assert row.ss_within == pytest.approx(ssw, abs=1e-3)

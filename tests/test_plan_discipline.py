@@ -62,6 +62,8 @@ _BNLJ_OK = {
     "llm_embedding_pca_power",  # 1-row model vectors (mean/v1/v2/λ) broadcasts
     "q_cusum_changepoint",  # 1-row (μ, σ) broadcast into the running sum
     "q_association_rules",  # 1-row n_users broadcast into the lift ratio
+    "q_rfm_segments",  # 1-row global max-day broadcast into recency
+    "q_weekday_anova",  # 1-row grand-mean broadcast into the SS fold
     "llm_cosine_topk",
     "llm_cosine_topk_batch",
     "llm_ann_lsh_topk",
