@@ -1870,3 +1870,149 @@ def llm_prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .orderBy("keep_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty curve (round 6)
+# ---------------------------------------------------------------------------
+@query(
+    "llm_ngram_novelty",
+    oracle=f"""
+    {_DOCS_SQL}, dg AS (
+        SELECT DISTINCT doc_id, unnest(sh) AS g FROM s
+    ), firsts AS (
+        SELECT g, MIN(doc_id) AS first_doc FROM dg GROUP BY g
+    )
+    SELECT dg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = dg.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(SUM(CASE WHEN f.first_doc = dg.doc_id THEN 1 ELSE 0 END)
+                 ::DOUBLE / COUNT(*), 6) AS novelty
+    FROM dg JOIN firsts f USING (g)
+    GROUP BY dg.doc_id ORDER BY dg.doc_id
+    """,
+    tags=("llm", "novelty", "curation", "extension"),
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY under the ingestion order (doc_id):
+    the fraction of a doc's distinct 3-shingles never seen in any
+    earlier document — the freshness curve a curation team watches to
+    decide when additional crawl of a source stops contributing new
+    content (novelty decays toward the near-dup floor as a source is
+    exhausted).
+
+    Scale: distinct (doc, gram) pairs partial-aggregate; the
+    first-seen owner per gram is one MIN aggregation; membership comes
+    back as a hash equi-join on the gram. No ordered scan or window —
+    'earlier' is resolved by the global MIN, so the plan is two
+    exchanges regardless of corpus size."""
+    d = _docs(spark, sf_dir)
+    dg = d.select("doc_id", F.explode("sh").alias("g")).distinct()
+    firsts = dg.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        dg.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_grams"), 6
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup threshold sweep (round 6)
+# ---------------------------------------------------------------------------
+_SWEEP_THRESHOLDS = (0.8, 0.9, 0.95, 0.99)
+
+
+@query(
+    "llm_dedup_threshold_sweep",
+    oracle=f"""
+    {_DOCS_SQL}, p AS (
+        SELECT id_a, id_b, jaccard FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                         / len(list_distinct(list_concat(a.sh, b.sh))), 6)
+                       AS jaccard
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+        ) WHERE jaccard >= 0.8
+    ), th AS (
+        SELECT CAST(unnest({list(_SWEEP_THRESHOLDS)}) AS DOUBLE) AS t
+    ), counts AS (
+        SELECT t, COUNT(p.id_a) AS n_pairs
+        FROM th LEFT JOIN p ON p.jaccard >= th.t GROUP BY t
+    ), docs AS (
+        SELECT t, COUNT(DISTINCT q.d) AS n_docs
+        FROM th LEFT JOIN (
+            SELECT id_a AS d, jaccard FROM p
+            UNION ALL SELECT id_b, jaccard FROM p
+        ) q ON q.jaccard >= th.t
+        GROUP BY t
+    )
+    SELECT th.t AS threshold,
+           CAST(counts.n_pairs AS BIGINT) AS n_pairs,
+           CAST(docs.n_docs AS BIGINT) AS n_docs_in_pairs
+    FROM th JOIN counts USING (t) JOIN docs USING (t)
+    ORDER BY threshold
+    """,
+    tags=("llm", "dedup-tuning", "extension"),
+    # Oracle: O(n²) all-pairs Jaccard — sf0.01 only (engine side reads
+    # the materialized pair graph and is linear).
+    max_verify_sf=0.01,
+)
+def llm_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup THRESHOLD TUNING in one pass: for each candidate Jaccard
+    cut (0.8/0.9/0.95/0.99) report how many near-dup pairs survive and
+    how many documents participate — the sweep a curation team runs to
+    pick the dedup threshold before committing to a corpus-wide pass
+    (the 0.8-vs-0.95 delta IS the aggressiveness/recall trade).
+
+    Scale: the engine side never recomputes similarity — it reads the
+    MATERIALIZED ≥0.8 pair graph (the build-once artifact shared with
+    clusters/canonical-selection) and fans each pair out to the ≤4
+    qualifying thresholds; the brute-force all-pairs cost exists only
+    in the oracle, which is scale-capped."""
+    pairs = _jaccard_pair_graph(spark, sf_dir)
+    th = F.explode(
+        F.array(*[F.lit(t) for t in _SWEEP_THRESHOLDS])
+    ).alias("threshold")
+    pe = pairs.select("id_a", "id_b", "jaccard", th).filter(
+        F.col("jaccard") >= F.col("threshold")
+    )
+    counts = pe.groupBy("threshold").agg(F.count(F.lit(1)).alias("n_pairs"))
+    docs = (
+        pe.select(
+            "threshold", F.explode(F.array("id_a", "id_b")).alias("d")
+        )
+        .distinct()
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).alias("n_docs_in_pairs"))
+    )
+    base = spark.createDataFrame(
+        [(float(t),) for t in _SWEEP_THRESHOLDS], "threshold double"
+    )
+    return (
+        base.join(counts, "threshold", "left")
+        .join(docs, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce(F.col("n_docs_in_pairs"), F.lit(0))
+            .cast("long")
+            .alias("n_docs_in_pairs"),
+        )
+        .orderBy("threshold")
+    )

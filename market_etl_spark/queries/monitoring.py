@@ -556,3 +556,142 @@ def q_weekday_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test (A/B experiment primitive)
+# ---------------------------------------------------------------------------
+_TT_A, _TT_B = "click", "purchase"
+
+
+@query(
+    "q_welch_ttest",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type, value FROM events
+        WHERE event_type IN ('{_TT_A}', '{_TT_B}')
+    ), s AS (
+        SELECT
+            COUNT(*) FILTER (event_type = '{_TT_A}') AS na,
+            COUNT(*) FILTER (event_type = '{_TT_B}') AS nb,
+            AVG(value) FILTER (event_type = '{_TT_A}') AS ma,
+            AVG(value) FILTER (event_type = '{_TT_B}') AS mb,
+            VAR_SAMP(value) FILTER (event_type = '{_TT_A}') AS va,
+            VAR_SAMP(value) FILTER (event_type = '{_TT_B}') AS vb
+        FROM g
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+           ROUND((ma - mb) / SQRT(va / na + vb / nb), 6) AS t_stat,
+           ROUND(
+               (va / na + vb / nb) * (va / na + vb / nb)
+               / ((va / na) * (va / na) / (na - 1)
+                  + (vb / nb) * (vb / nb) / (nb - 1)), 6) AS welch_dof
+    FROM s
+    """,
+    tags=("monitoring", "ab-test", "extension"),
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two event types' value
+    distributions — the A/B experimentation primitive (difference of
+    means, standard error from per-group variances, and the
+    Welch–Satterthwaite effective degrees of freedom so the reader
+    applies the right t critical value).
+
+    Scale: ONE conditional-aggregation pass (count/mean/var per group
+    via FILTER) — no join, no window; the statistic folds a 1-row
+    frame."""
+    g = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_TT_A, _TT_B)
+    )
+    is_a = F.col("event_type") == _TT_A
+    is_b = F.col("event_type") == _TT_B
+    s = g.agg(
+        F.count(F.when(is_a, 1)).alias("na"),
+        F.count(F.when(is_b, 1)).alias("nb"),
+        F.avg(F.when(is_a, F.col("value"))).alias("ma"),
+        F.avg(F.when(is_b, F.col("value"))).alias("mb"),
+        F.var_samp(F.when(is_a, F.col("value"))).alias("va"),
+        F.var_samp(F.when(is_b, F.col("value"))).alias("vb"),
+    )
+    se2 = F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+    return s.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round("ma", 6).alias("mean_a"),
+        F.round("mb", 6).alias("mean_b"),
+        F.round((F.col("ma") - F.col("mb")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            se2
+            * se2
+            / (
+                (F.col("va") / F.col("na"))
+                * (F.col("va") / F.col("na"))
+                / (F.col("na") - 1)
+                + (F.col("vb") / F.col("nb"))
+                * (F.col("vb") / F.col("nb"))
+                / (F.col("nb") - 1)
+            ),
+            6,
+        ).alias("welch_dof"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters double exponential smoothing (recursive CTE, α = β = ½)
+# ---------------------------------------------------------------------------
+#: Shared verbatim between spark.sql and the DuckDB oracle (the
+#: recursive-tree pattern): the recursion is SEQUENTIAL by construction
+#: and every update multiplies by the dyadic constant 0.5 (IEEE-exact),
+#: so both engines produce bit-identical levels/trends.
+_HOLT_WINTERS_SQL = """
+    WITH RECURSIVE d AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS rn,
+               day, n
+        FROM (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                     COUNT(*) AS n
+              FROM events GROUP BY day)
+    ), hw(rn, day, x, level, trend) AS (
+        SELECT d1.rn, d1.day, CAST(d1.n AS DOUBLE), CAST(d1.n AS DOUBLE),
+               (SELECT CAST(n AS DOUBLE) FROM d WHERE rn = 2)
+                   - CAST(d1.n AS DOUBLE)
+        FROM d d1 WHERE d1.rn = 1
+        UNION ALL
+        SELECT d.rn, d.day, CAST(d.n AS DOUBLE),
+               0.5 * CAST(d.n AS DOUBLE) + 0.5 * (hw.level + hw.trend),
+               0.5 * ((0.5 * CAST(d.n AS DOUBLE)
+                       + 0.5 * (hw.level + hw.trend)) - hw.level)
+                   + 0.5 * hw.trend
+        FROM d JOIN hw ON d.rn = hw.rn + 1
+    )
+    SELECT day, CAST(x AS BIGINT) AS n_events,
+           ROUND(level, 6) AS level,
+           ROUND(trend, 6) AS trend,
+           ROUND(level + trend, 6) AS forecast_next
+    FROM hw ORDER BY day
+"""
+
+
+@query(
+    "q_holt_winters_smoothing",
+    oracle=_HOLT_WINTERS_SQL,
+    tags=("monitoring", "forecast", "recursive-cte", "iterative", "extension"),
+)
+def q_holt_winters_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's double exponential smoothing (level + trend, α = β = ½)
+    over daily event counts via a SQL-standard RECURSIVE CTE — the
+    time-series recurrence that window frames cannot express (each
+    state depends on the previous OUTPUT, not the previous input).
+    Emits the smoothed level, trend, and one-step-ahead forecast per
+    day.  α = β = ½ makes every update a dyadic multiply (IEEE-exact),
+    and the recursion forces identical sequential evaluation on both
+    engines, so levels hash-match bit-for-bit.
+
+    Scale: the recursion runs over DAY-cardinality rows (the fact
+    table collapses first); like the recursive tree traversal, the
+    per-level re-join is fine at day counts — a years-long horizon is
+    still thousands of rows."""
+    from .relational_ext import register_all
+
+    register_all(spark, sf_dir)
+    return spark.sql(_HOLT_WINTERS_SQL)

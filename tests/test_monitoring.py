@@ -146,3 +146,66 @@ def test_weekday_anova_matches_python(spark):
     assert row.f_stat == pytest.approx(f_ref, abs=1e-4)
     assert row.ss_between == pytest.approx(ssb, abs=1e-3)
     assert row.ss_within == pytest.approx(ssw, abs=1e-3)
+
+
+def test_welch_ttest_matches_python(spark):
+    """t statistic and Welch dof == a pure-Python computation."""
+    import duckdb
+
+    con = duckdb.connect()
+    vals: dict = {"click": [], "purchase": []}
+    for et, v in con.execute(
+        f"SELECT event_type, value FROM read_parquet('{SF_GATE}/events.parquet')"
+        f" WHERE event_type IN ('click', 'purchase')"
+    ).fetchall():
+        vals[et].append(v)
+    con.close()
+
+    def mv(xs):
+        m = sum(xs) / len(xs)
+        return m, sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+
+    (ma, va), (mb, vb) = mv(vals["click"]), mv(vals["purchase"])
+    na, nb = len(vals["click"]), len(vals["purchase"])
+    se2 = va / na + vb / nb
+    t_ref = (ma - mb) / math.sqrt(se2)
+    dof_ref = se2**2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    row = REGISTRY["q_welch_ttest"].fn(spark, SF_GATE).collect()[0]
+    assert (row.n_a, row.n_b) == (na, nb)
+    assert row.t_stat == pytest.approx(t_ref, abs=1e-4)
+    assert row.welch_dof == pytest.approx(dof_ref, abs=1e-2)
+
+
+def test_holt_winters_matches_python(spark):
+    """Level/trend sequence == the recurrence run in Python (α=β=½)."""
+    import duckdb
+
+    con = duckdb.connect()
+    days = con.execute(
+        f"SELECT CAST(date_trunc('day', ts) AS DATE) d, COUNT(*) FROM "
+        f"read_parquet('{SF_GATE}/events.parquet') GROUP BY d ORDER BY d"
+    ).fetchall()
+    con.close()
+    xs = [float(n) for _, n in days]
+    level, trend = xs[0], xs[1] - xs[0]
+    ref = [(level, trend)]
+    for x in xs[1:]:
+        new_level = 0.5 * x + 0.5 * (level + trend)
+        trend = 0.5 * (new_level - level) + 0.5 * trend
+        level = new_level
+        ref.append((level, trend))
+    rows = REGISTRY["q_holt_winters_smoothing"].fn(spark, SF_GATE).collect()
+    assert len(rows) == len(xs)
+    got = [(r.level, r.trend) for r in rows]
+    # The reference stays UNROUNDED: the dyadic state hits exact .5
+    # boundaries at 6 dp, where Python's round() (half-even) differs
+    # from SQL ROUND (half-up). The two ENGINES agree bit-for-bit (the
+    # oracle gate); here the engine's half-up value must sit within a
+    # half-ulp of the exact recurrence.
+    for (gl, gt), (rl, rt) in zip(got, ref):
+        assert gl == pytest.approx(rl, abs=5.1e-7)
+        assert gt == pytest.approx(rt, abs=5.1e-7)
+    for r in rows:
+        assert r.forecast_next == round(r.level + r.trend, 6) or abs(
+            r.forecast_next - (r.level + r.trend)
+        ) < 2e-6
