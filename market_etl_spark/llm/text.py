@@ -587,13 +587,19 @@ def dup_ngram_fraction(
         .filter(F.size("_w") >= n)
         .select(
             id_col,
-            F.explode(
+            # explode_outer, NOT explode: plain explode makes Catalyst
+            # infer a non-empty guard (InferFiltersFromGenerate) that
+            # inlines the whole tokenize→n-gram pipeline a second time
+            # below the projection; the outer variant infers nothing
+            # and the (impossible, size≥n) null rows are dropped after.
+            F.explode_outer(
                 F.expr(
                     f"transform(sequence(1, size(_w) - {n - 1}), i -> "
                     f"concat_ws(' ', slice(_w, i, {n})))"
                 )
             ).alias("g"),
         )
+        .filter(F.col("g").isNotNull())
     )
     gd = (
         g.select("g", id_col)

@@ -684,15 +684,20 @@ def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(
         F.length("text") >= _SUB_K
     )
+    # explode_outer + post-filter: plain explode triggers Catalyst's
+    # InferFiltersFromGenerate, which re-inlines the whole gram
+    # transform into a pushed-down guard (the tokenize-pipeline-twice
+    # anti-pattern found on llm_ngram_novelty); length≥K makes the
+    # null rows impossible anyway.
     grams = d.select(
         "doc_id",
-        F.explode(
+        F.explode_outer(
             F.expr(
                 f"transform(sequence(1, length(text) - {_SUB_K - 1}),"
                 f" i -> md5(substring(text, i, {_SUB_K})))"
             )
         ).alias("h"),
-    )
+    ).filter(F.col("h").isNotNull())
     shared = (
         grams.distinct()
         .groupBy("h")

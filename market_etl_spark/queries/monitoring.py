@@ -679,19 +679,76 @@ _HOLT_WINTERS_SQL = """
 )
 def q_holt_winters_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt's double exponential smoothing (level + trend, α = β = ½)
-    over daily event counts via a SQL-standard RECURSIVE CTE — the
-    time-series recurrence that window frames cannot express (each
-    state depends on the previous OUTPUT, not the previous input).
-    Emits the smoothed level, trend, and one-step-ahead forecast per
-    day.  α = β = ½ makes every update a dyadic multiply (IEEE-exact),
-    and the recursion forces identical sequential evaluation on both
-    engines, so levels hash-match bit-for-bit.
+    over daily event counts — the time-series recurrence that window
+    frames cannot express (each state depends on the previous OUTPUT,
+    not the previous input).  Emits the smoothed level, trend, and
+    one-step-ahead forecast per day.
 
-    Scale: the recursion runs over DAY-cardinality rows (the fact
-    table collapses first); like the recursive tree traversal, the
-    per-level re-join is fine at day counts — a years-long horizon is
-    still thousands of rows."""
-    from .relational_ext import register_all
+    Engine shape: the fact table collapses to day-cardinality rows in
+    one partial-agg shuffle, then ONE ``applyInPandas`` group runs the
+    sequential recurrence in Arrow (the `applyInPandasWithState`
+    sessionizer pattern for bounded model state).  The ORACLE is the
+    same recurrence as a SQL-standard RECURSIVE CTE — a deliberate
+    cross-paradigm check: α = β = ½ makes every update a dyadic
+    multiply (IEEE-exact) and both evaluations are forced sequential,
+    so levels hash-match bit-for-bit, with the 6-dp rounding done via
+    Decimal half-up (the exact BigDecimal semantics SQL ROUND uses).
+    A recursive-CTE engine side was tried first and measured 8.4s at
+    sf0.1 — each of the ~30 recursion levels is a separate Spark job;
+    the single-pandas-group form is one job (the SQL-recursion surface
+    itself stays exercised by q_recursive_tree_traversal).
 
-    register_all(spark, sf_dir)
-    return spark.sql(_HOLT_WINTERS_SQL)
+    Scale: state is (level, trend) — a years-long daily horizon is
+    still thousands of rows in one Arrow batch; per-series
+    parallelism returns by keying the groupBy on the series id."""
+    import pandas as _pd
+
+    d = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def fit(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def r6(x: float) -> float:
+            return float(
+                Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+            )
+
+        pdf = pdf.sort_values("day")
+        xs = [float(v) for v in pdf["n"]]
+        level = xs[0]
+        trend = (xs[1] - xs[0]) if len(xs) > 1 else None
+        rows = [(pdf["day"].iloc[0], int(xs[0]), level, trend)]
+        for i, x in enumerate(xs[1:], start=1):
+            new_level = 0.5 * x + 0.5 * (level + trend)
+            trend = 0.5 * (new_level - level) + 0.5 * trend
+            level = new_level
+            rows.append((pdf["day"].iloc[i], int(x), level, trend))
+        return _pd.DataFrame(
+            [
+                (
+                    day,
+                    n,
+                    r6(lv),
+                    r6(tr) if tr is not None else None,
+                    r6(lv + tr) if tr is not None else None,
+                )
+                for day, n, lv, tr in rows
+            ],
+            columns=["day", "n_events", "level", "trend", "forecast_next"],
+        )
+
+    return (
+        d.groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(
+            lambda _key, pdf: fit(pdf),
+            schema=(
+                "day date, n_events long, level double, trend double,"
+                " forecast_next double"
+            ),
+        )
+        .orderBy("day")
+    )
