@@ -95,8 +95,11 @@ def _rolling_hash(data: bytes, mod: int = (1 << 61) - 1, base: int = 257) -> int
     return h
 
 
-#: Output schema of the resize stage (image-shaped metadata).
-RESIZED_SCHEMA = "doc_id long, width int, height int, resized binary"
+#: Output schema of the resize stage (image-shaped metadata).  The
+#: sizing contract is ``len(resized) == width * height * channels`` —
+#: channels is carried explicitly because RGB/RGBA PNGs emit 3/4 bytes
+#: per pixel and downstream stages must not assume grayscale (ADVICE r6).
+RESIZED_SCHEMA = "doc_id long, width int, height int, channels int, resized binary"
 
 #: Output schema of frame sampling (one row per sampled frame).
 FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_offset long, frame binary"
@@ -107,9 +110,10 @@ def resize_images(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame
 
     PNG payloads decode through the real codec and resample with
     true nearest-neighbor (:func:`..llm.png.resize_nearest`); non-PNG
-    payloads keep the deterministic tile/truncate fake so output
-    sizing — the property downstream stages depend on — stays honest
-    for formats with no available decoder.
+    payloads keep the deterministic tile/truncate fake (channels=1) so
+    output sizing — ``len(resized) == width * height * channels``, the
+    property downstream stages depend on — stays honest for formats
+    with no available decoder and for multi-channel PNGs alike.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -122,10 +126,11 @@ def resize_images(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame
                     w, h, ch, pixels = _png.decode_png(b)
                     scaled = _png.resize_nearest(pixels, w, h, ch, width, height)
                 else:
+                    ch = 1
                     scaled = (b * (target // max(len(b), 1) + 1))[:target]
-                out_rows.append((doc_id, width, height, scaled))
+                out_rows.append((doc_id, width, height, ch, scaled))
             yield pd.DataFrame(
-                out_rows, columns=["doc_id", "width", "height", "resized"]
+                out_rows, columns=["doc_id", "width", "height", "channels", "resized"]
             )
 
     return df.select("doc_id", "payload").mapInPandas(run, schema=RESIZED_SCHEMA)

@@ -114,7 +114,9 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
-        if len(body) != length:
+        if len(body) != length or pos + 12 + length > len(data):
+            # the CRC guard keeps a stream cut inside the 4 CRC bytes on
+            # the documented ValueError path instead of struct.error
             raise ValueError("truncated chunk")
         (crc,) = struct.unpack(
             ">I", data[pos + 8 + length : pos + 12 + length]

@@ -53,6 +53,8 @@ def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
         if len(body) != size:
             raise ValueError(f"truncated {tag!r} chunk")
         if tag == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
             fmt, channels, sample_rate, _brate, _align, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )

@@ -61,7 +61,7 @@ def _jaccard_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             sf_dir,
             "jaccard_pairs",
             lambda: dedup.prefix_filter_pairs(_docs(spark, sf_dir)),
-            code_fns=(dedup.prefix_filter_pairs, words, shingles),
+            code_fns=(dedup, words, shingles),
         )
     return _PAIR_GRAPH_CACHE[key]
 
@@ -95,10 +95,14 @@ def _materialized(spark, sf_dir, kind, build, code_fns) -> DataFrame:
 
 
 def _code_fingerprint(*fns) -> str:
-    """Source-hash of the functions whose semantics define a persisted
-    index layout.  Any edit to them changes the digest, so a scratch
-    index built by OLDER code can never be silently reused (the data
-    fingerprint alone cannot see code changes — review finding r5)."""
+    """Source-hash of the functions OR MODULES whose semantics define a
+    persisted index layout.  Any edit to them changes the digest, so a
+    scratch index built by OLDER code can never be silently reused (the
+    data fingerprint alone cannot see code changes — review finding r5).
+    Callers pass whole modules (e.g. ``llm.dedup``) rather than
+    individual functions so transitively-called helpers are covered too
+    (review finding r6: fingerprinting only ``prefix_filter_pairs``
+    missed an edit to ``verify_jaccard`` it delegates to)."""
     import hashlib
     import inspect
 
@@ -140,13 +144,7 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda: dedup.dedup_clusters(
                 _docs(spark, sf_dir), _jaccard_pair_graph(spark, sf_dir), "doc_id"
             ),
-            code_fns=(
-                dedup.prefix_filter_pairs,
-                dedup.connected_components,
-                dedup.dedup_clusters,
-                words,
-                shingles,
-            ),
+            code_fns=(dedup, words, shingles),
         )
     return _CLUSTERS_CACHE[key]
 

@@ -45,7 +45,7 @@ _CHI2_95_DF8 = 15.507
     WITH v AS (
         SELECT substr(CAST(CAST(FLOOR(value * 1e6) AS BIGINT) AS VARCHAR), 1, 1)
                    AS digit
-        FROM events WHERE value > 0
+        FROM events WHERE value >= 1e-6
     ), obs AS (
         SELECT CAST(digit AS INT) AS digit, COUNT(*) AS n_obs,
                SUM(COUNT(*)) OVER () AS n
@@ -76,13 +76,16 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine determinism: the leading digit comes from the DECIMAL
     STRING of floor(value·1e6) — integer formatting, no float-to-text
     divergence and no log10-of-a-power-of-ten edge; the Benford
-    expectations are shared Python double literals.
+    expectations are shared Python double literals.  The filter is
+    ``value >= 1e-6`` (not ``> 0``): a value in (0, 1e-6) floors to 0,
+    whose "digit 0" has no Benford expectation and would NULL the
+    window chi2 — the audit must always return a verdict (ADVICE r6).
 
     Scale: digit extraction is map-side; the audit aggregates to 9
     rows (partial agg), and chi-square folds over those 9."""
     v = (
         load(spark, sf_dir, "events")
-        .filter(F.col("value") > 0)
+        .filter(F.col("value") >= 1e-6)
         .select(
             F.substring(
                 F.floor(F.col("value") * 1e6).cast("long").cast("string"), 1, 1

@@ -76,6 +76,32 @@ def test_crc_corruption_detected():
         png.decode_png(bytes(blob))
 
 
+def test_truncated_inside_crc_raises_valueerror():
+    """A stream cut INSIDE a chunk's 4 CRC bytes must raise the
+    documented ValueError, not struct.error (ADVICE r6)."""
+    blob = png.encode_png(bytes(64), 8, 8, 0)
+    # cut 2 bytes into the IHDR CRC: sig(8) + len(4) + tag(4) + body(13) + 2
+    with pytest.raises(ValueError):
+        png.decode_png(blob[: 8 + 4 + 4 + 13 + 2])
+
+
+def test_wav_truncated_fmt_raises_valueerror():
+    """fmt chunk shorter than 16 bytes → ValueError, not struct.error."""
+    from market_etl_spark.llm import wav_audio
+
+    short_fmt = struct.pack("<HH", 1, 1)  # only 4 of 16 bytes
+    blob = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(short_fmt))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(short_fmt))
+        + short_fmt
+    )
+    with pytest.raises(ValueError):
+        wav_audio.decode_wav(blob)
+
+
 def test_bad_signature_and_unsupported_rejected():
     with pytest.raises(ValueError):
         png.decode_png(b"JFIF not a png at all")
@@ -130,7 +156,22 @@ def test_resize_images_png_path(spark):
     out = resize_images(df, width=4, height=4).collect()[0]
     expected = png.resize_nearest(pixels, 8, 8, 1, 4, 4)
     assert bytes(out.resized) == expected
-    assert (out.width, out.height) == (4, 4)
+    assert (out.width, out.height, out.channels) == (4, 4, 1)
+    assert len(out.resized) == 4 * 4 * out.channels
+
+
+def test_resize_images_rgb_channels_contract(spark):
+    """Multi-channel PNGs report channels=3/4 and size w*h*channels —
+    the explicit-channels contract from ADVICE r6."""
+    from market_etl_spark.llm.multimodal import resize_images
+
+    rgb = bytes((i * 7) % 256 for i in range(4 * 4 * 3))
+    blob = png.encode_png(rgb, 4, 4, 2)  # color type 2 = RGB
+    df = spark.createDataFrame([(1, bytearray(blob))], "doc_id long, payload binary")
+    out = resize_images(df, width=2, height=2).collect()[0]
+    assert out.channels == 3
+    assert len(out.resized) == 2 * 2 * 3
+    assert bytes(out.resized) == png.resize_nearest(rgb, 4, 4, 3, 2, 2)
 
 
 # ---------------------------------------------------------------------------
