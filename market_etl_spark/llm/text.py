@@ -214,7 +214,11 @@ def tfidf_top_terms(
     from pyspark.sql import functions as F
 
     tf = (
-        df.select(F.col(id_col), F.explode(F.col(tokens_col)).alias("term"))
+        # explode_outer: plain explode of the computed token array makes
+        # Catalyst infer a guard that re-inlines the tokenize pipeline
+        # below this projection (planlint); the != '' filter already
+        # drops the outer variant's null rows.
+        df.select(F.col(id_col), F.explode_outer(F.col(tokens_col)).alias("term"))
         .filter(F.col("term") != "")
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -289,7 +293,8 @@ def build_vocab(df, tokens_col: str = "toks", vocab_size: int = 1000):
     from pyspark.sql import functions as F
 
     counts = (
-        df.select(F.explode(F.col(tokens_col)).alias("token"))
+        # explode_outer + the != '' filter: see planlint (inferred-guard trap)
+        df.select(F.explode_outer(F.col(tokens_col)).alias("token"))
         .filter(F.col("token") != "")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -352,7 +357,8 @@ def inverted_index(
     """
     from pyspark.sql import DataFrame, Window
 
-    toks = docs.select(id_col, F.explode(F.col(words_col)).alias("term")).filter(
+    # explode_outer + the != '' filter: see planlint (inferred-guard trap)
+    toks = docs.select(id_col, F.explode_outer(F.col(words_col)).alias("term")).filter(
         F.col("term") != ""
     )
     if term_filter is not None:
@@ -407,7 +413,9 @@ def bm25_scores(
     tok = d.select(
         id_col,
         F.size("_w").cast("double").alias("_dl"),
-        F.explode("_w").alias("term"),
+        # explode_outer: the isin() filter drops the null rows; plain
+        # explode would re-inline the _w pipeline (planlint)
+        F.explode_outer("_w").alias("term"),
     ).filter(F.col("term").isin(*terms))
     postings = tok.groupBy("term", id_col).agg(
         F.count(F.lit(1)).cast("double").alias("_tf"),
@@ -515,9 +523,14 @@ def bigram_lm_scores(
         )
 
     def _bigrams(df):
+        # explode_outer + post-Generate null filter: plain explode of
+        # the computed bigram array re-inlines the whole tokenize →
+        # transform pipeline in an inferred guard (planlint); the
+        # size>=2 guard makes the array non-empty so the filter is a
+        # row-identical no-op that just suppresses the inference.
         return _w(df).filter(F.size("_w") >= 2).select(
             id_col,
-            F.explode(
+            F.explode_outer(
                 F.expr(
                     "transform(sequence(1, size(_w) - 1), i -> "
                     "struct(concat_ws(' ', element_at(_w, i), "
@@ -525,11 +538,14 @@ def bigram_lm_scores(
                     "element_at(_w, i) AS w1))"
                 )
             ).alias("_b"),
-        ).select(id_col, F.col("_b.bg").alias("bg"), F.col("_b.w1").alias("w1"))
+        ).filter(F.col("_b").isNotNull()).select(
+            id_col, F.col("_b.bg").alias("bg"), F.col("_b.w1").alias("w1")
+        )
 
     refuni = (
         _w(ref)
-        .select(F.explode("_w").alias("w1"))
+        .select(F.explode_outer("_w").alias("w1"))
+        .filter(F.col("w1").isNotNull())
         .groupBy("w1")
         .agg(F.count(F.lit(1)).alias("c1"))
     )

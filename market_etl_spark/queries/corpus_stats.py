@@ -131,7 +131,9 @@ def q_heavy_hitters_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic tie-break on the word makes the LIMIT oracle-stable."""
     d = load(spark, sf_dir, "documents").withColumn("toks", words("text"))
     return (
-        d.select(F.explode("toks").alias("word"))
+        # explode_outer + null filter: see planlint (inferred-guard trap)
+        d.select(F.explode_outer("toks").alias("word"))
+        .filter(F.col("word").isNotNull())
         .groupBy("word")
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), "word")

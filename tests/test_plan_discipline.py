@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import pytest
 
+from market_etl_spark import planlint
 from market_etl_spark.queries import REGISTRY
 
 from conftest import SF_SMOKE
@@ -132,3 +133,53 @@ def test_no_cartesian_and_bounded_nl_joins(spark, name):
             f"{name} plans BroadcastNestedLoopJoin but is not allowlisted — "
             "either bound the build side and allowlist it, or fix the join"
         )
+    # Fleet-wide gate for the explode-inferred-filter anti-pattern
+    # (VERDICT r6 item 1): plain explode of a computed array makes
+    # Catalyst push a guard that re-inlines the whole upstream
+    # expression pipeline (~6× per-row CPU, SCALE.md). The optimized
+    # plan is already cached on this queryExecution, so the check is
+    # string-scan-cheap.
+    planlint.assert_no_inferred_generate_guard(df, name)
+
+
+# ---------------------------------------------------------------------------
+# Linter self-test: the gate must be RED on a seeded plain-explode
+# regression and GREEN on both safe rewrites, or the sweep above proves
+# nothing.
+# ---------------------------------------------------------------------------
+def _expensive_arr(F):
+    return F.array_distinct(
+        F.transform(F.split(F.lower("text"), " "), lambda x: F.concat(x, F.lit("_s")))
+    )
+
+
+def test_planlint_flags_seeded_plain_explode(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "a b c")], "id long, text string")
+    bad = df.withColumn("arr", _expensive_arr(F)).select(
+        "id", F.explode("arr").alias("w")
+    )
+    with pytest.raises(AssertionError, match="InferFiltersFromGenerate"):
+        planlint.assert_no_inferred_generate_guard(bad, "seeded")
+
+
+def test_planlint_passes_safe_shapes(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "a b c")], "id long, text string")
+    # safe shape 1: explode_outer + post-Generate IS NOT NULL
+    good = (
+        df.withColumn("arr", _expensive_arr(F))
+        .select("id", F.explode_outer("arr").alias("w"))
+        .filter(F.col("w").isNotNull())
+    )
+    planlint.assert_no_inferred_generate_guard(good, "outer")
+    # a hand-written bare-attribute size guard is NOT the anti-pattern
+    guarded = (
+        df.select("id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 2)
+        .select("id", F.explode_outer("w").alias("t"))
+        .filter(F.col("t").isNotNull())
+    )
+    planlint.assert_no_inferred_generate_guard(guarded, "attr-guard")
