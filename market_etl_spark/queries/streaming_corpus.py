@@ -211,10 +211,19 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The custom stateful operator end to end:
     ``applyInPandasWithState`` session windows over a replayed stream,
     drained to a memory sink — hash-verified against the batch SQL
-    oracle (closed sessions emit incrementally; open ones flush on
-    processing-time timeout during the drain)."""
-    stream = streaming.read_events_stream(spark, sf_dir).filter(F.col("user_id") < 30)
-    sink = streaming.run_to_memory_append(streaming.sessionize_stream(stream))
+    oracle.  The replay carries a per-user end-of-stream sentinel
+    (:data:`market_etl_spark.streaming.FLUSH_SENTINEL_US`), so open
+    sessions close in-band, state drains to zero inside the data batch,
+    and ``trigger(availableNow)`` terminates deterministically — no
+    processing-time-timeout wall-clock (was a hard 3s floor; the
+    timeout path remains in the operator for live 24/7 streams and is
+    equivalence-tested in tests/test_streaming.py)."""
+    stream = streaming.read_events_stream_with_flush(spark, sf_dir).filter(
+        F.col("user_id") < 30
+    )
+    sink = streaming.run_to_memory_append_available_now(
+        streaming.sessionize_stream(stream, live=False)
+    )
     return spark.table(sink).orderBy("user_id", "session_start")
 
 

@@ -141,6 +141,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     batch = spark.read.parquet(src)
     stream = spark.readStream.schema(batch.schema).parquet(str(zone))
+    return _convert_ts(stream)
+
+
+def _convert_ts(stream: DataFrame) -> DataFrame:
     ts_type = stream.schema["ts"].dataType
     if isinstance(ts_type, LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -150,6 +154,73 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # so watermarks/window() see the session-timezone type.
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
+
+
+#: End-of-stream punctuation timestamp (µs since epoch, 2099-01-01).
+#: A replayed finite source appends one row per key at this timestamp;
+#: the sessionizer treats any event at/after it as "the stream is
+#: over": it closes the key's open session and removes the state, so
+#: the state store drains in the data batch itself and a
+#: trigger(availableNow) drain terminates with no processing-time
+#: timeout wait.  This is the classic finite-source end-of-stream
+#: marker (Flink emits MAX_WATERMARK the same way); a live 24/7 stream
+#: simply never carries the sentinel and flushes via timeout instead.
+FLUSH_SENTINEL_US = 4_070_908_800_000_000  # 2099-01-01T00:00:00Z
+
+
+def read_events_stream_with_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source replay of the events table PLUS a one-row-per-user
+    end-of-stream sentinel file (ts = :data:`FLUSH_SENTINEL_US`), for
+    stateful operators that flush open state on the sentinel instead of
+    on a processing-time timeout (cuts the drain from ~3s of mandatory
+    timeout wall-clock to zero).  The sentinel zone is separate from
+    the plain replay zone so windowed/candle streams never see 2099
+    rows."""
+    from ..session import apply_runtime_conf
+
+    apply_runtime_conf(spark)
+    src = f"{sf_dir.rstrip('/')}/events.parquet"
+    tag = pathlib.Path(sf_dir.rstrip("/")).name.replace(".", "_")
+    zone = _SCRATCH / f"stream_src_{tag}_flush"
+    zone.mkdir(parents=True, exist_ok=True)
+    link = zone / "events-part-0.parquet"
+    if not link.exists():
+        link.symlink_to(src)
+    sentinel = zone / "events-part-1-sentinel.parquet"
+    if not sentinel.exists():
+        _write_sentinel_file(src, sentinel)
+
+    batch = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(str(zone))
+    return _convert_ts(stream)
+
+
+def _write_sentinel_file(src: str, dest: pathlib.Path) -> None:
+    """One sentinel row per distinct user_id, physical-schema-identical
+    to the source file (same ts parquet type — INT64 nanos or
+    timestamp — so the pinned stream schema reads both files)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(src)
+    users = pq.read_table(src, columns=["user_id"])["user_id"]
+    uniq = sorted(set(users.to_pylist()))
+    n = len(uniq)
+    cols = []
+    for field in schema:
+        if field.name == "user_id":
+            cols.append(pa.array(uniq, type=field.type))
+        elif field.name == "ts":
+            if pa.types.is_integer(field.type):  # raw INT64 nanos
+                cols.append(pa.array([FLUSH_SENTINEL_US * 1000] * n, type=field.type))
+            else:
+                ts = pd.Timestamp(FLUSH_SENTINEL_US * 1000)
+                cols.append(pa.array([ts] * n, type=field.type))
+        else:
+            cols.append(pa.nulls(n, type=field.type))
+    tmp = dest.with_suffix(".tmp")
+    pq.write_table(pa.Table.from_arrays(cols, schema=schema), tmp)
+    tmp.rename(dest)  # atomic: the stream source never lists a partial file
 
 
 def minute_candles(stream: DataFrame, watermark: str = "2 minutes") -> DataFrame:
@@ -434,11 +505,14 @@ def _sessionize_group(
     key: tuple,
     pdfs: Iterable[pd.DataFrame],
     state: GroupState,
+    set_timeout: bool = True,
 ):
     """applyInPandasWithState body: fold this user's events into
     gap-separated sessions, carrying the open session across batches.
     Emits closed sessions; the final open session flushes on timeout
-    (or, in an availableNow replay, at stream end via timeout)."""
+    (live streams) or on the end-of-stream sentinel (finite replays,
+    ``set_timeout=False`` — the NoTimeout mode forbids
+    setTimeoutDuration)."""
     gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
     (user_id,) = key
 
@@ -461,6 +535,13 @@ def _sessionize_group(
         ts_us.extend(int(t.value // 1000) for t in pdf["ts"])
     ts_us.sort()
 
+    # End-of-stream punctuation (finite replays): any event at/after
+    # the sentinel closes the open session IN-BAND and drops the state,
+    # so the drain needs no timeout wall-clock at all.
+    flush = bool(ts_us) and ts_us[-1] >= FLUSH_SENTINEL_US
+    if flush:
+        ts_us = [t for t in ts_us if t < FLUSH_SENTINEL_US]
+
     start, last, n = state.get if state.exists else (None, None, 0)
     out = []
     for t in ts_us:
@@ -471,12 +552,19 @@ def _sessionize_group(
             start, last, n = t, t, 1
         else:
             last, n = t, n + 1
-    state.update((start, last, n))
-    # Short processing-time timeout: an availableNow replay keeps
-    # issuing (empty) micro-batches until all state times out, so this
-    # bounds the drain tail; a live 24/7 stream would use the session
-    # gap here instead.
-    state.setTimeoutDuration(3_000)
+    if flush:
+        if start is not None:
+            out.append((start, last, n))
+        if state.exists:
+            state.remove()
+    else:
+        state.update((start, last, n))
+        if set_timeout:
+            # Short processing-time timeout: an ASAP-trigger replay
+            # without the sentinel keeps issuing (empty) micro-batches
+            # until all state times out, so this bounds the drain tail;
+            # a live 24/7 stream would use the session gap here instead.
+            state.setTimeoutDuration(3_000)
     if out:
         yield pd.DataFrame(
             {
@@ -488,19 +576,34 @@ def _sessionize_group(
         )
 
 
-def sessionize_stream(stream: DataFrame) -> DataFrame:
+def _sessionize_group_replay(key, pdfs, state):
+    yield from _sessionize_group(key, pdfs, state, set_timeout=False)
+
+
+def sessionize_stream(stream: DataFrame, live: bool = True) -> DataFrame:
     """Session windows (30-min gap) per user as a custom stateful
     streaming operator. State = the open session per user; closed
-    sessions emit incrementally."""
+    sessions emit incrementally.
+
+    ``live=True`` (24/7 streams): open sessions flush via
+    processing-time timeout.  ``live=False`` (finite replays whose
+    source carries the :data:`FLUSH_SENTINEL_US` punctuation): open
+    sessions flush on the sentinel and the operator runs in NoTimeout
+    mode — any ProcessingTimeTimeout configuration makes
+    ``trigger(availableNow)`` reschedule empty micro-batches forever
+    (observed: 35+ post-data epochs), while NoTimeout terminates the
+    drain right after the data batch."""
     return (
         stream.select("user_id", "ts")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _sessionize_group,
+            _sessionize_group if live else _sessionize_group_replay,
             outputStructType=_SESSION_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout
+            if live
+            else GroupStateTimeout.NoTimeout,
         )
     )
 
