@@ -514,6 +514,111 @@ def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "valid_from")
 
 
+@query(
+    "q_scd2_history_build",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               event_type
+        FROM events WHERE user_id < 20 AND ts < TIMESTAMP '2024-01-11'
+    ), counts AS (
+        SELECT user_id, day, event_type, COUNT(*) AS c
+        FROM e GROUP BY user_id, day, event_type
+    ), snap AS (
+        SELECT user_id, day, event_type AS segment FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id, day
+                ORDER BY c DESC, event_type ASC) AS rn
+            FROM counts
+        ) WHERE rn = 1
+    ), chg AS (
+        SELECT user_id, day, segment,
+               LAG(segment) OVER (PARTITION BY user_id ORDER BY day) AS prev
+        FROM snap
+    ), ver AS (
+        SELECT user_id, day, segment FROM chg
+        WHERE prev IS NULL OR segment <> prev
+    )
+    SELECT user_id, segment, day AS valid_from,
+           LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS valid_to,
+           LEAD(day) OVER (PARTITION BY user_id ORDER BY day) IS NULL
+               AS is_current
+    FROM ver ORDER BY user_id, valid_from
+    """,
+    tags=("merge", "scd2", "history-build", "extension"),
+)
+def q_scd2_history_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 HISTORY BUILD over real data (VERDICT r6 item 7): ten daily
+    deltas — each user's dominant event type per day (count-desc,
+    type-asc tie-break), users < 20, days 2024-01-01..10 — fold
+    through :func:`market_etl_spark.merge.scd2_apply` one MERGE at a
+    time, exactly how a warehouse dimension accretes version history
+    from periodic snapshots.  The oracle builds the SAME history in
+    closed form (LAG change detection → LEAD interval close), so the
+    hash match proves ten iterated applies — close-on-change,
+    no-op-drop, new-key insert, carry-forward across absent days —
+    compose to the Kimball contract, not just one apply on a literal
+    fixture (q_scd2_apply covers that base case).
+
+    Scale: each apply joins the OPEN slice (≤ |users|) against a
+    day-sized delta — history depth never joins; the per-iteration
+    ``localCheckpoint`` caps lineage growth the way a real pipeline's
+    per-batch dimension write does.  The day loop is driver-side
+    orchestration of 10 bounded jobs (the CDC cadence), not a
+    data-sized loop."""
+    from pyspark.sql import Window
+
+    from ..merge import scd2_apply
+
+    e = load(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 20)
+        & (F.col("ts") < F.lit("2024-01-11").cast("timestamp"))
+    )
+    counts = e.groupBy(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("user_id", "day").orderBy(
+        F.col("c").desc(), F.col("event_type").asc()
+    )
+    snap = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "day", F.col("event_type").alias("segment"))
+        .cache()
+    )
+    dim = spark.createDataFrame(
+        [],
+        "user_id bigint, segment string, valid_from timestamp,"
+        " valid_to timestamp, is_current boolean",
+    )
+    # The dimension is key-bounded (≤ 20 users), so the loop's joins
+    # and windows need 8-wide shuffles, not the session default (a
+    # vanilla 200-partition session spent 23s scheduling near-empty
+    # tasks across 10 iterations; 8 wide runs in ~6s).  Restored after.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        for i in range(1, 11):
+            delta = snap.filter(
+                F.col("day") == F.lit(f"2024-01-{i:02d}").cast("timestamp")
+            ).select("user_id", "segment", F.col("day").alias("effective_ts"))
+            # coalesce BEFORE the checkpoint: scd2_apply unions five
+            # branches, so the partition count otherwise grows ~3× per
+            # iteration (measured 97 → 23,813 by day 7 — the loop
+            # drowned in empty-task scheduling).
+            dim = (
+                scd2_apply(dim, delta, ["user_id"], ["segment"])
+                .coalesce(8)
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    snap.unpersist()
+    return dim.orderBy("user_id", "valid_from")
+
+
 def ensure_manifested_events(spark: SparkSession, sf_dir: str) -> str:
     """Materialize-once accessor for the stats-manifested events layout
     (:func:`..sinks.write_manifested`, clustered on ``value``). Same

@@ -175,6 +175,74 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_streaming_late_data_audit",
+    oracle="""
+    WITH wm AS (
+        SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM events
+        WHERE ts >= TIMESTAMP '2024-01-30'
+    ), fin AS (
+        SELECT event_type, date_trunc('minute', ts) AS wstart
+        FROM events, wm
+        WHERE date_trunc('minute', ts) + INTERVAL 1 MINUTE <= wm.w
+    )
+    SELECT event_type,
+           CAST(COUNT(DISTINCT wstart) AS BIGINT) AS n_windows_finalized,
+           CAST(COUNT(*) AS BIGINT) AS n_events_finalized,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+            WHERE ts >= TIMESTAMP '2024-01-30') AS n_ontime_arrivals,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+            WHERE ts < TIMESTAMP '2024-01-30') AS n_late_arrivals
+    FROM fin GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("streaming", "watermark", "late-data", "extension"),
+)
+def q_streaming_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data accounting + watermark finalization on a two-batch
+    replay (VERDICT r6 item 7): batch 1 delivers the final day's
+    events (driving the watermark to max(head) − 30 min), batch 2
+    delivers every EARLIER event — hours-to-days late.  The
+    watermarked 1-minute append aggregation then exhibits the 4.1.x
+    semantics this build MEASURES (empirically pinned, see
+    tests/test_streaming.py): late rows join their (long-expired)
+    windows and those windows finalize immediately — emission is
+    ``window.end <= watermark``, boundary-exact — while the head's
+    last 30 minutes of windows stay open in state and never reach the
+    append sink.  The result reports, per event type, the finalized
+    window/event counts plus the arrival accounting a production
+    stream alarms on (on-time vs late input rows, from per-batch
+    progress).  The oracle reconstructs all four numbers from the
+    cutoff definition and the ``end <= max(head) − 30min`` emission
+    frontier in pure SQL, so the hash match pins watermark
+    computation, the finalization boundary, and state eviction.
+
+    Scale: windowed-agg state is watermark-bounded (the 100-TB
+    contract for unbounded streams); the audit columns are progress
+    metadata — zero extra data-plane cost."""
+    stream = streaming.read_events_stream_late_replay(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sink, metrics = streaming.run_to_memory_append_with_metrics(
+        agg, partitions=4
+    )
+    ontime = metrics["batch_inputs"][0] if metrics["batch_inputs"] else 0
+    late = metrics["input_rows"] - ontime
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows_finalized"),
+            F.sum("n").cast("long").alias("n_events_finalized"),
+        )
+        .withColumn("n_ontime_arrivals", F.lit(ontime).cast("long"))
+        .withColumn("n_late_arrivals", F.lit(late).cast("long"))
+        .orderBy("event_type")
+    )
+
+
 _SESSIONIZE_ORACLE = """
     WITH flagged AS (
         SELECT user_id, ts,

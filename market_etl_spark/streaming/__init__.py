@@ -669,6 +669,98 @@ def read_events_stream_multibatch(
     )
 
 
+def read_events_stream_late_replay(
+    spark: SparkSession, sf_dir: str, cutoff: str = "2024-01-30"
+) -> DataFrame:
+    """Two-batch replay that makes LATE DATA real: file 0 carries the
+    events at/after ``cutoff`` (the live head — processed first, it
+    drives the watermark high), file 1 carries every EARLIER event and
+    arrives in the second micro-batch — i.e. hours-to-days behind the
+    watermark, the way a delayed backfill or a lagging producer shows
+    up in production.  File order is pinned via modification times
+    (the file source processes oldest-mtime first) and
+    ``maxFilesPerTrigger=1`` splits the two files into two batches."""
+    import os
+    import shutil
+
+    from ..session import apply_runtime_conf
+    from ..tables import load
+
+    apply_runtime_conf(spark)
+    tag = pathlib.Path(sf_dir.rstrip("/")).name.replace(".", "_")
+    zone = _SCRATCH / f"stream_src_late_{tag}"
+    marker = zone / "_READY"
+    if not marker.exists():
+        shutil.rmtree(zone, ignore_errors=True)
+        zone.mkdir(parents=True)
+        e = load(spark, sf_dir, "events")
+        for i, (name, pred) in enumerate(
+            (
+                ("part-0-head", F.col("ts") >= F.lit(cutoff).cast("timestamp")),
+                ("part-1-late", F.col("ts") < F.lit(cutoff).cast("timestamp")),
+            )
+        ):
+            tmp = zone / f"_tmp_{name}"
+            e.filter(pred).coalesce(1).write.mode("overwrite").parquet(str(tmp))
+            (part,) = [p for p in tmp.glob("part-*.parquet")]
+            dest = zone / f"{name}.parquet"
+            part.rename(dest)
+            shutil.rmtree(tmp)
+            # oldest mtime first = processing order: head, then late
+            os.utime(dest, (1_000_000_000 + i * 1000, 1_000_000_000 + i * 1000))
+        marker.touch()
+    schema = spark.read.parquet(str(zone / "part-0-head.parquet")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(zone))
+    )
+
+
+def run_to_memory_append_with_metrics(
+    result: DataFrame, name: str | None = None, partitions: int | None = None
+) -> tuple[str, dict]:
+    """:func:`run_to_memory_append_available_now` plus the progress
+    accounting a production stream job alarms on: total input rows and
+    ``numRowsDroppedByWatermark`` summed over the run's state
+    operators.  Metadata-sized driver state — the rows themselves stay
+    in the sink."""
+    name = name or f"sink_{uuid.uuid4().hex[:8]}"
+    ckpt = _SCRATCH / "checkpoints" / name
+    spark = result.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(STATE_PARTITIONS if partitions is None else partitions),
+        )
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    dropped = 0
+    batch_inputs: list[int] = []
+    for p in q.recentProgress:
+        n = p.get("numInputRows", 0) or 0
+        if n:
+            batch_inputs.append(n)
+        for op in p.get("stateOperators") or []:
+            dropped += op.get("numRowsDroppedByWatermark", 0) or 0
+    _discard_checkpoint(ckpt)
+    return name, {
+        "dropped_by_watermark": dropped,
+        "input_rows": sum(batch_inputs),
+        "batch_inputs": batch_inputs,
+    }
+
+
 def run_cdc_apply(
     stream: DataFrame,
     path: str,

@@ -45,6 +45,7 @@ _SKIP = {
     "q_tombstone_forget",
     "q_rollup_incremental_refresh",
     "llm_incremental_dedup",
+    "q_scd2_history_build",  # the fold runs 10 eager localCheckpoints
     "q_sessionize",  # pandas-state twin builds a stream zone
     "q_zorder_pruned_scan",  # materializes the z-ordered layout
 }

@@ -211,3 +211,66 @@ def test_rocksdb_state_store_provider_equivalent(spark):
             "total_volume", "vwap_value").collect())
     )
     assert got == want
+
+
+def test_watermark_finalization_semantics_pinned(spark, tmp_path):
+    """Pin the 4.1.x behaviors q_streaming_late_data_audit depends on,
+    measured on a two-batch file replay with an exact boundary case:
+
+    1. append emission is ``window.end <= watermark`` (boundary
+       INCLUSIVE — a window ending exactly at the watermark emits);
+    2. rows arriving BEHIND the watermark are not dropped: they join
+       their (long-expired) windows, which finalize immediately;
+    3. windows past the frontier stay in state (never reach the sink).
+
+    If a Spark upgrade changes any of these, this test fails before
+    the driver's oracle compare does.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    zone = tmp_path / "zone"
+    zone.mkdir()
+    # head: max ts 10:00:15, delay 10s -> wm 10:00:05; the [10:00:00,
+    # 10:00:05) window ends EXACTLY at the watermark.  Late file: one
+    # row at 08:00:01, hours behind.
+    head = spark.createDataFrame(
+        [("2024-01-01 10:00:03",), ("2024-01-01 10:00:15",)], "ts string"
+    ).select(F.col("ts").cast("timestamp").alias("ts"))
+    late = spark.createDataFrame(
+        [("2024-01-01 08:00:01",)], "ts string"
+    ).select(F.col("ts").cast("timestamp").alias("ts"))
+    for i, (df, nm) in enumerate(((head, "a"), (late, "b"))):
+        tmp = zone / f"_t{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        (part,) = [p for p in tmp.glob("part-*.parquet")]
+        part.rename(zone / f"{nm}.parquet")
+        os.utime(zone / f"{nm}.parquet", (1_000_000 + i * 100,) * 2)
+    schema = spark.read.parquet(str(zone / "a.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(zone))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "5 seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from market_etl_spark.streaming import run_to_memory_append_with_metrics
+
+    sink, metrics = run_to_memory_append_with_metrics(agg, partitions=2)
+    rows = {
+        (str(r["w"]["start"]), str(r["w"]["end"]), r["n"])
+        for r in spark.table(sink).collect()
+    }
+    assert metrics["batch_inputs"] == [2, 1]  # head batch, then late batch
+    # (1) boundary window end == wm emits; (2) the late 08:00 window
+    # finalized despite arriving behind the watermark; (3) the
+    # 10:00:15 window (beyond the frontier) is withheld.
+    assert rows == {
+        ("2024-01-01 10:00:00", "2024-01-01 10:00:05", 1),
+        ("2024-01-01 08:00:00", "2024-01-01 08:00:05", 1),
+    }
+    assert metrics["dropped_by_watermark"] == 0
