@@ -430,6 +430,71 @@ def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_streaming_attribution_outer",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts AS click_ts FROM events
+        WHERE event_type = 'click' AND user_id >= 0 AND user_id < 40
+    ), purchases AS (
+        SELECT user_id, ts AS purchase_ts, value FROM events
+        WHERE event_type = 'purchase' AND user_id >= 0 AND user_id < 40
+    )
+    SELECT c.user_id,
+           COUNT(*) AS n_rows,
+           COUNT(p.purchase_ts) AS n_matched,
+           CAST(SUM(CASE WHEN p.purchase_ts IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unmatched_clicks,
+           ROUND(SUM(COALESCE(p.value, 0)), 4) AS attributed_value
+    FROM clicks c LEFT JOIN purchases p
+      ON c.user_id = p.user_id
+     AND p.purchase_ts >= c.click_ts
+     AND p.purchase_ts < c.click_ts + INTERVAL 2 HOUR
+    GROUP BY c.user_id
+    ORDER BY c.user_id
+    """,
+    tags=("streaming", "stream-stream-join", "outer-join", "extension"),
+)
+def q_streaming_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join, fully drained: clicks
+    with no purchase in their 2-hour forward window emit null-extended
+    rows — but ONLY in a batch whose watermark has passed
+    click_ts + 2h, so the replay appends two far-future sentinel waves
+    (user −1, both event types — the global watermark is the MIN of
+    the two sides) that push the watermark months ahead and force the
+    final eviction pass.  After the drain, the streamed LEFT OUTER
+    result must equal the batch LEFT OUTER join exactly, which is
+    what the oracle computes — no watermark term appears in the SQL,
+    so the hash match proves the outer-join state machine (eager inner
+    matches + watermark-certified null emission + state reclaim)
+    converges to relational semantics on a finite replay.
+
+    Scale: join state is bounded by watermark + window on both sides
+    (the production contract for unbounded outer joins); the sentinel
+    waves are O(1) rows."""
+    stream = streaming.read_events_stream_outer_drain(spark, sf_dir).filter(
+        F.col("user_id") < 40
+    )
+    pairs = streaming.attributed_clicks_outer_stream(stream)
+    sink = streaming.run_to_memory_append_available_now(pairs, partitions=4)
+    return (
+        spark.table(sink)
+        .filter(F.col("c_user") >= 0)  # drop the sentinel key
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("purchase_ts").alias("n_matched"),
+            F.sum(F.when(F.col("purchase_ts").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_unmatched_clicks"),
+            F.round(F.sum(F.coalesce("purchase_value", F.lit(0.0))), 4).alias(
+                "attributed_value"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
     "q_streaming_cdc_upsert",
     oracle="""
     SELECT event_type,

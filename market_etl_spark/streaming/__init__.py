@@ -669,6 +669,131 @@ def read_events_stream_multibatch(
     )
 
 
+def read_events_stream_outer_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay for OUTER stream-stream joins: the real events first,
+    then TWO sentinel waves (user_id = −1 click+purchase pairs at
+    2024-02-15 and 2024-02-20, months past the data).  Outer-join null
+    rows only emit when a LATER batch runs with a watermark past the
+    left row's join-condition upper bound, so wave 1 advances the
+    global watermark far beyond every click + 2h and wave 2 triggers
+    the eviction pass — after which the streamed LEFT OUTER result
+    equals the batch LEFT OUTER exactly (consumers drop user −1).
+    Both event types appear in each wave because the join's global
+    watermark is the MIN over both sides' watermark nodes."""
+    import os
+
+    from ..session import apply_runtime_conf
+
+    apply_runtime_conf(spark)
+    src = f"{sf_dir.rstrip('/')}/events.parquet"
+    tag = pathlib.Path(sf_dir.rstrip("/")).name.replace(".", "_")
+    import shutil
+
+    zone = _SCRATCH / f"stream_src_{tag}_outer"
+    zone.mkdir(parents=True, exist_ok=True)
+    link = zone / "events-part-0.parquet"
+    if not link.exists():
+        # COPY, not symlink: the file source orders batches by mtime,
+        # and a symlink exposes the target's mtime (the testdata file
+        # is newer than the pinned sentinel stamps, which replayed the
+        # waves FIRST and the data last).
+        tmp = link.with_suffix(".tmp")
+        shutil.copyfile(src, tmp)
+        tmp.rename(link)
+    os.utime(link, (1_000_000_000,) * 2)
+    waves = (
+        ("events-part-1-wave1.parquet", 1_707_000_000_000_000),  # 2024-02-03+
+        ("events-part-2-wave2.parquet", 1_708_400_000_000_000),
+    )
+    for i, (name, ts_us) in enumerate(waves):
+        dest = zone / name
+        if not dest.exists():
+            _write_marker_rows(
+                src, dest, [(-1, "click", ts_us), (-1, "purchase", ts_us)]
+            )
+        os.utime(dest, (1_000_000_000 + (i + 1) * 1000,) * 2)
+
+    batch = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(zone))
+    )
+    return _convert_ts(stream)
+
+
+def _write_marker_rows(
+    src: str, dest: pathlib.Path, rows: list[tuple[int, str, int]]
+) -> None:
+    """Write (user_id, event_type, ts_µs) marker rows in the source
+    file's exact physical schema (other columns null)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(src)
+    n = len(rows)
+    cols = []
+    for field in schema:
+        if field.name == "user_id":
+            cols.append(pa.array([r[0] for r in rows], type=field.type))
+        elif field.name == "event_type":
+            cols.append(pa.array([r[1] for r in rows], type=field.type))
+        elif field.name == "ts":
+            if pa.types.is_integer(field.type):  # raw INT64 nanos
+                cols.append(
+                    pa.array([r[2] * 1000 for r in rows], type=field.type)
+                )
+            else:
+                cols.append(
+                    pa.array([pd.Timestamp(r[2] * 1000) for r in rows], type=field.type)
+                )
+        else:
+            cols.append(pa.nulls(n, type=field.type))
+    tmp = dest.with_suffix(".tmp")
+    pq.write_table(pa.Table.from_arrays(cols, schema=schema), tmp)
+    tmp.rename(dest)
+
+
+def attributed_clicks_outer_stream(
+    stream: DataFrame,
+    attribution_window: str = "2 hours",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every click row emits —
+    matched to each purchase in its forward attribution window, or as
+    a null-extended row once the watermark proves no match can arrive.
+    Same state-reclaim contract as the inner variant
+    (:func:`attributed_purchases_stream`); the OUTER semantics
+    additionally exercise watermark-driven null emission, which only
+    happens in a batch AFTER the watermark passes click_ts + window
+    (see :func:`read_events_stream_outer_drain`)."""
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND purchase_ts >= click_ts "
+            f"AND purchase_ts < click_ts + interval {attribution_window}"
+        ),
+        "leftOuter",
+    )
+
+
 def read_events_stream_late_replay(
     spark: SparkSession, sf_dir: str, cutoff: str = "2024-01-30"
 ) -> DataFrame:
