@@ -1,0 +1,917 @@
+"""Round-7 capability extensions (beyond the reference surface).
+
+Nine operators a production analytics / feature-store / curation team
+reaches for that the corpus did not yet cover, each with a DuckDB
+oracle and the repo's cross-engine discipline (integer micro-units
+where ranking or sums must be exact, ``ROUND(x, 6)`` on doubles,
+deterministic ORDER BY, BIGINT casts on DuckDB integer aggregates):
+
+- point-in-time (as-of) join of facts against an SCD2 dimension —
+  the feature-store correctness primitive;
+- a base-2^(1/8) DDSketch-style mergeable quantile sketch whose
+  buckets are PURE INTEGER math (bit width + top mantissa bits), so
+  the sketch is bit-identical on both engines;
+- Mann-Whitney U (nonparametric A/B) with tie-corrected normal
+  approximation;
+- cohort × day-offset retention triangle;
+- autocorrelation function + Ljung-Box portmanteau on daily counts,
+  assembled from exact integer power sums;
+- Pareto frontier (skyline) of price/recency dominance;
+- mutual information between document source and language;
+- Lorenz curve deciles (the Gini query's distributional complement);
+- Bloom-filter membership audit with measured false-positive rate
+  from md5-derived bit positions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+from .registry import query
+
+
+# ---------------------------------------------------------------------------
+# 1. Point-in-time join against an SCD2 dimension (feature-store as-of)
+# ---------------------------------------------------------------------------
+_SCD2_DIM_SQL = """
+    WITH e AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               event_type
+        FROM events WHERE user_id < 20 AND ts < TIMESTAMP '2024-01-11'
+    ), counts AS (
+        SELECT user_id, day, event_type, COUNT(*) AS c
+        FROM e GROUP BY user_id, day, event_type
+    ), snap AS (
+        SELECT user_id, day, event_type AS segment FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id, day
+                ORDER BY c DESC, event_type ASC) AS rn
+            FROM counts
+        ) WHERE rn = 1
+    ), chg AS (
+        SELECT user_id, day, segment,
+               LAG(segment) OVER (PARTITION BY user_id ORDER BY day) AS prev
+        FROM snap
+    ), ver AS (
+        SELECT user_id, day, segment FROM chg
+        WHERE prev IS NULL OR segment <> prev
+    )
+    SELECT user_id, segment, day AS valid_from,
+           LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS valid_to
+    FROM ver
+"""
+
+
+@query(
+    "q_scd2_point_in_time_join",
+    oracle=f"""
+    WITH dim AS ({_SCD2_DIM_SQL})
+    SELECT f.user_id, d.segment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(f.value), 4) AS sum_value
+    FROM (SELECT user_id, ts, value FROM events
+          WHERE user_id < 20 AND ts < TIMESTAMP '2024-01-11') f
+    JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    GROUP BY f.user_id, d.segment
+    ORDER BY f.user_id, d.segment
+    """,
+    tags=("merge", "scd2", "as-of-join", "feature-store", "extension"),
+)
+def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join: every event joined to the dimension version
+    that was valid AT ITS TIMESTAMP — the feature-store primitive that
+    prevents label leakage (training rows must see yesterday's
+    features, not today's).  The dimension is the SCD2 history of each
+    user's daily dominant event type (closed-form window construction;
+    the iterated-MERGE build of the same history is verified by
+    ``q_scd2_history_build``).
+
+    Plan shape: the dimension is key-bounded (open+closed versions of
+    ≤20 users) so it BROADCASTS; the fact side streams through a
+    broadcast hash join on ``user_id`` with the validity range as a
+    residual filter — no shuffle of the fact table, the exact shape a
+    100 TB feature backfill needs.  Every event falls in exactly one
+    version interval by construction (versions start at the user's
+    first observed day), so the join neither drops nor fans out."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 20)
+        & (F.col("ts") < F.lit("2024-01-11").cast("timestamp"))
+    )
+    counts = e.groupBy(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("user_id", "day").orderBy(
+        F.col("c").desc(), F.col("event_type").asc()
+    )
+    snap = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "day", F.col("event_type").alias("segment"))
+    )
+    seq = Window.partitionBy("user_id").orderBy("day")
+    ver = snap.withColumn("_prev", F.lag("segment").over(seq)).filter(
+        F.col("_prev").isNull() | (F.col("segment") != F.col("_prev"))
+    )
+    dim = ver.select(
+        "user_id",
+        "segment",
+        F.col("day").alias("valid_from"),
+        F.lead("day").over(seq.orderBy("day")).alias("valid_to"),
+    )
+    facts = e.select("user_id", "ts", "value")
+    joined = facts.join(
+        F.broadcast(dim),
+        on=[
+            facts["user_id"] == dim["user_id"],
+            facts["ts"] >= dim["valid_from"],
+            dim["valid_to"].isNull() | (facts["ts"] < dim["valid_to"]),
+        ],
+    )
+    return (
+        joined.groupBy(facts["user_id"].alias("user_id"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("user_id", "segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. DDSketch-style mergeable quantiles with INTEGER-EXACT buckets
+# ---------------------------------------------------------------------------
+@query(
+    "q_ddsketch_quantiles",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(FLOOR(value * 1e6) AS BIGINT) AS n FROM events
+        WHERE value >= 1e-6
+    ), b AS (
+        SELECT n,
+               CASE WHEN length(printf('%b', n)) <= 4 THEN n
+                    ELSE 8 * length(printf('%b', n))
+                         + CAST((n >> (length(printf('%b', n)) - 4)) AS BIGINT) - 8
+               END AS bucket,
+               CASE WHEN length(printf('%b', n)) <= 4 THEN n
+                    ELSE (8 + CAST((n >> (length(printf('%b', n)) - 4))
+                                   AS BIGINT) - 8)
+                         * CAST(POWER(2, length(printf('%b', n)) - 4) AS BIGINT)
+               END AS rep
+        FROM v
+    ), counts AS (
+        SELECT bucket, MIN(rep) AS rep, COUNT(*) AS c FROM b GROUP BY bucket
+    ), cum AS (
+        SELECT bucket, rep, c,
+               SUM(c) OVER (ORDER BY bucket) AS cum_c,
+               SUM(c) OVER () AS total
+        FROM counts
+    )
+    SELECT q,
+           CAST(MIN(rep) AS BIGINT) AS est_micros,
+           CAST(MIN(bucket) AS BIGINT) AS bucket
+    FROM cum, (SELECT UNNEST(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS q) qs
+    WHERE cum_c >= CAST(ceil(q * total) AS BIGINT)
+    GROUP BY q ORDER BY q
+    """,
+    tags=("sketch", "quantile", "mergeable", "extension"),
+)
+def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch-flavored mergeable quantile sketch whose buckets are
+    PURE INTEGER math, so the sketch is bit-identical across engines
+    (unlike log-γ bucketing, where a libm ULP at a boundary flips a
+    bucket): values go to integer micro-units, and the bucket id is
+    ``8·bitwidth + top-4-mantissa-bits − 8`` — i.e. base 2^(1/8)
+    log-buckets read straight off the binary representation
+    (relative-error bound 2^-3 per bucket).  Counts per bucket are
+    sum-mergeable — the 100 TB pattern: map-side partial bucket
+    counts, one tiny shuffle, quantile lookup by cumulative rank on
+    the ~100-bucket frame.  The oracle rebuilds the identical sketch
+    in SQL (bit width via ``printf('%b')`` there, ``bin()`` here) and
+    must land on the same bucket and representative for p50/p90/p99."""
+    v = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value") >= 1e-6)
+        .select(F.floor(F.col("value") * 1e6).cast("long").alias("n"))
+    )
+    width = F.length(F.conv(F.col("n"), 10, 2))
+    # shiftright's Python signature wants a literal; the SQL form takes
+    # a column shift amount
+    top4 = F.expr(
+        "cast(shiftright(n, cast(length(conv(n, 10, 2)) as int) - 4) as bigint)"
+    )
+    small = width <= 4
+    b = v.select(
+        F.when(small, F.col("n"))
+        .otherwise(F.lit(8) * width + top4 - F.lit(8))
+        .cast("long")
+        .alias("bucket"),
+        F.when(small, F.col("n"))
+        .otherwise(
+            (F.lit(8) + top4 - F.lit(8))
+            * F.pow(F.lit(2.0), (width - F.lit(4)).cast("double")).cast("long")
+        )
+        .cast("long")
+        .alias("rep"),
+    )
+    counts = b.groupBy("bucket").agg(
+        F.min("rep").alias("rep"), F.count(F.lit(1)).alias("c")
+    )
+    from pyspark.sql import Window
+
+    wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "bucket",
+        "rep",
+        F.sum("c").over(wcum).alias("cum_c"),
+        F.sum("c").over(Window.partitionBy()).alias("total"),
+    )
+    qs = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    hit = cum.crossJoin(F.broadcast(qs)).filter(
+        F.col("cum_c") >= F.ceil(F.col("q") * F.col("total")).cast("long")
+    )
+    return (
+        hit.groupBy("q")
+        .agg(
+            F.min("rep").cast("long").alias("est_micros"),
+            F.min("bucket").cast("long").alias("bucket"),
+        )
+        .orderBy("q")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. Mann-Whitney U (nonparametric A/B: weekend vs weekday values)
+# ---------------------------------------------------------------------------
+@query(
+    "q_mann_whitney_u",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(FLOOR(value * 1e6) AS BIGINT) AS x,
+               CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS grp
+        FROM events
+    ), ranked AS (
+        SELECT x, grp,
+               (CAST(RANK() OVER (ORDER BY x) AS DOUBLE)
+                + CAST(RANK() OVER (ORDER BY x) AS DOUBLE)
+                  + COUNT(*) OVER (PARTITION BY x) - 1) / 2.0 AS avg_rank
+        FROM v
+    ), ties AS (
+        SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie_sum FROM (
+            SELECT COUNT(*) AS t FROM v GROUP BY x
+        )
+    ), agg AS (
+        SELECT CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               SUM(CASE WHEN grp = 1 THEN avg_rank ELSE 0 END) AS r1
+        FROM ranked
+    )
+    SELECT n1, n2,
+           ROUND(r1 - n1 * (n1 + 1) / 2.0, 6) AS u_stat,
+           ROUND(
+               (r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+               / SQRT(n1 * n2 / 12.0 * ((n1 + n2 + 1)
+                      - CAST(tie_sum AS DOUBLE)
+                        / ((n1 + n2) * (n1 + n2 - 1.0)))),
+               6) AS z_score
+    FROM agg, ties
+    """,
+    tags=("monitoring", "stats", "nonparametric", "extension"),
+)
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U: do weekend event values stochastically dominate
+    weekday ones?  The nonparametric A/B primitive (no normality
+    assumption — the complement of ``q_welch_ttest``).  Ranks use the
+    midrank convention for ties, built from exact integer micro-units
+    so the rank sums are identical across engines; the z score carries
+    the standard tie-corrected variance.
+
+    Scale: one global rank (sort-based window — at 100 TB this is the
+    one shuffle), tie sizes from a value-grouped partial agg, then a
+    1-row fold.  Weekend flag via dayofweek (Sunday=1 in Spark,
+    Sunday=0 in DuckDB — both expressions pin Saturday/Sunday)."""
+    from pyspark.sql import Window
+
+    v = load(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 1e6).cast("long").alias("x"),
+        F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("grp"),
+    )
+    rk = Window.orderBy("x")
+    ranked = v.select(
+        "x",
+        "grp",
+        (
+            (
+                F.rank().over(rk).cast("double") * 2
+                + F.count(F.lit(1)).over(Window.partitionBy("x"))
+                - 1
+            )
+            / 2.0
+        ).alias("avg_rank"),
+    )
+    ties = (
+        v.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+            .cast("long")
+            .alias("tie_sum")
+        )
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("grp") == 1, F.col("avg_rank")).otherwise(0.0)).alias(
+            "r1"
+        ),
+    )
+    n1, n2, r1 = F.col("n1"), F.col("n2"), F.col("r1")
+    u = r1 - n1 * (n1 + 1) / 2.0
+    z = (u - n1 * n2 / 2.0) / F.sqrt(
+        n1 * n2 / 12.0
+        * (
+            (n1 + n2 + 1)
+            - F.col("tie_sum").cast("double") / ((n1 + n2) * (n1 + n2 - 1.0))
+        )
+    )
+    return agg.crossJoin(F.broadcast(ties)).select(
+        "n1",
+        "n2",
+        F.round(u, 6).alias("u_stat"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. Cohort retention triangle
+# ---------------------------------------------------------------------------
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH activity AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        FROM events
+    ), cohorts AS (
+        SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+    ), sizes AS (
+        SELECT cohort_day, COUNT(*) AS cohort_size FROM cohorts
+        GROUP BY cohort_day
+    ), joined AS (
+        SELECT c.cohort_day,
+               CAST(date_diff('day', c.cohort_day, a.day) AS BIGINT) AS offset_days,
+               a.user_id
+        FROM cohorts c JOIN activity a USING (user_id)
+        WHERE date_diff('day', c.cohort_day, a.day) BETWEEN 0 AND 7
+    )
+    SELECT j.cohort_day,
+           j.offset_days,
+           CAST(COUNT(DISTINCT j.user_id) AS BIGINT) AS n_active,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           ROUND(COUNT(DISTINCT j.user_id)
+                 / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+    FROM joined j JOIN sizes s USING (cohort_day)
+    WHERE j.cohort_day < TIMESTAMP '2024-01-08'
+    GROUP BY j.cohort_day, j.offset_days, s.cohort_size
+    ORDER BY j.cohort_day, j.offset_days
+    """,
+    tags=("behavior", "cohort", "retention", "extension"),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort × day-offset retention triangle: users grouped by first
+    active day; for offsets 0..7, the fraction of the cohort active
+    again that day — the canonical product-analytics table.
+
+    Scale: distinct (user, day) first (partial-agg dedup), cohorts via
+    min-day agg, both shuffles keyed on user_id and reusable; the
+    cohort-size frame is day-cardinality and broadcasts into the
+    ratio.  First week of cohorts only, so the triangle is
+    fixed-size."""
+    activity = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .distinct()
+    )
+    cohorts = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = cohorts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    joined = (
+        cohorts.join(activity, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day"))
+            .cast("long")
+            .alias("offset_days"),
+            "user_id",
+        )
+        .filter(
+            (F.col("offset_days") >= 0)
+            & (F.col("offset_days") <= 7)
+            & (F.col("cohort_day") < F.lit("2024-01-08").cast("timestamp"))
+        )
+    )
+    return (
+        joined.groupBy("cohort_day", "offset_days")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "offset_days",
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.round(
+                F.col("n_active") / F.col("cohort_size").cast("double"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_day", "offset_days")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. Autocorrelation + Ljung-Box over daily counts
+# ---------------------------------------------------------------------------
+@query(
+    "q_acf_ljung_box",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY day
+    ), idx AS (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY day) AS t FROM daily
+    ), base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM idx
+    ), lags AS (
+        SELECT k.k,
+               CAST(SUM(a.x * b.x) AS BIGINT) AS sxy,
+               CAST(SUM(a.x) AS BIGINT) AS sa,
+               CAST(SUM(b.x) AS BIGINT) AS sb,
+               CAST(COUNT(*) AS BIGINT) AS m
+        FROM idx a
+        JOIN (SELECT UNNEST([1, 2, 3, 4, 5, 6, 7]) AS k) k ON TRUE
+        JOIN idx b ON b.t = a.t + k.k
+        GROUP BY k.k
+    ), acfs AS (
+        SELECT l.k AS lag, b.n,
+               (l.sxy - (CAST(b.sx AS DOUBLE) / b.n) * (l.sa + l.sb)
+                + l.m * (CAST(b.sx AS DOUBLE) / b.n)
+                      * (CAST(b.sx AS DOUBLE) / b.n))
+               / (b.sxx - CAST(b.sx AS DOUBLE) * b.sx / b.n) AS r
+        FROM lags l, base b
+    )
+    SELECT lag,
+           ROUND(r, 6) AS acf,
+           ROUND(n * (n + 2.0) * SUM(r * r / (n - lag))
+                 OVER (ORDER BY lag), 6) AS q_lb
+    FROM acfs ORDER BY lag
+    """,
+    tags=("monitoring", "timeseries", "extension"),
+)
+def q_acf_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of daily event counts at lags 1..7 plus
+    the cumulative Ljung-Box portmanteau Q — the standard "is there
+    structure left in this series" audit (weekly seasonality shows as
+    a lag-7 spike; Q vs χ²(k) rejects white noise).
+
+    Cross-engine determinism: every sum entering r_k is an EXACT
+    integer power sum (counts are integers; Σx, Σx², Σx_t·x_{t+k} and
+    the head/tail partials are BIGINTs), so the double assembly
+    ``r_k = (Σxy − x̄(sa+sb) + m·x̄²) / (Σx² − N·x̄²)`` is bit-identical
+    regardless of aggregation order.
+
+    Scale: the daily rollup is the only data-sized pass (partial-agg
+    to ~30 rows); lag products are a self-join on the tiny frame."""
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    idx = daily.select(
+        "x", F.row_number().over(Window.orderBy("day")).alias("t")
+    )
+    base = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    ks = spark.createDataFrame([(k,) for k in range(1, 8)], "k long")
+    a = idx.alias("a")
+    b = idx.alias("b")
+    lags = (
+        a.crossJoin(F.broadcast(ks))
+        .join(b, F.col("b.t") == F.col("a.t") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("a.x") * F.col("b.x")).cast("long").alias("sxy"),
+            F.sum("a.x").cast("long").alias("sa"),
+            F.sum("b.x").cast("long").alias("sb"),
+            F.count(F.lit(1)).cast("long").alias("m"),
+        )
+    )
+    xbar = F.col("sx").cast("double") / F.col("n")
+    r = (
+        F.col("sxy") - xbar * (F.col("sa") + F.col("sb")) + F.col("m") * xbar * xbar
+    ) / (F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("n"))
+    acfs = lags.crossJoin(F.broadcast(base)).select(
+        F.col("k").alias("lag"), F.col("n"), r.alias("r")
+    )
+    wq = Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, 0)
+    return acfs.select(
+        "lag",
+        F.round("r", 6).alias("acf"),
+        F.round(
+            F.col("n")
+            * (F.col("n") + 2.0)
+            * F.sum(F.col("r") * F.col("r") / (F.col("n") - F.col("lag"))).over(
+                wq
+            ),
+            6,
+        ).alias("q_lb"),
+    ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# 6. Pareto frontier (skyline) of order price vs recency
+# ---------------------------------------------------------------------------
+@query(
+    "q_pareto_frontier",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents,
+               MAX(o_orderdate) AS best_date
+        FROM orders GROUP BY price_cents
+    ), flagged AS (
+        SELECT price_cents, best_date,
+               MAX(best_date) OVER (
+                   ORDER BY price_cents DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS better_date
+        FROM pts
+    )
+    SELECT price_cents, best_date
+    FROM flagged
+    WHERE better_date IS NULL OR best_date > better_date
+    ORDER BY price_cents DESC
+    """,
+    tags=("relational", "skyline", "extension"),
+)
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline): orders not dominated on the
+    (price, recency) plane — a point survives iff no other point has
+    both ≥ price and ≥ date with one strict.  The classic
+    multi-criteria shortlist operator (best-price-for-freshness).
+
+    Shape: collapse to distinct price levels map-side (cents as exact
+    BIGINTs; best date per price), then ONE descending-price window
+    whose running MAX(date) over strictly-higher prices decides
+    domination — an O(n log n) sort instead of the naive O(n²)
+    dominance join, and the window input is already price-distinct so
+    the sort is over a reduced frame.  Random 2-D data yields an
+    O(log n)-sized frontier, so the result is report-sized at any
+    scale."""
+    from pyspark.sql import Window
+
+    pts = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents")
+        )
+        .agg(F.max("o_orderdate").alias("best_date"))
+    )
+    w = Window.orderBy(F.col("price_cents").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    flagged = pts.withColumn("better_date", F.max("best_date").over(w))
+    return (
+        flagged.filter(
+            F.col("better_date").isNull()
+            | (F.col("best_date") > F.col("better_date"))
+        )
+        .select("price_cents", "best_date")
+        .orderBy(F.col("price_cents").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# 7. Mutual information between document source and language
+# ---------------------------------------------------------------------------
+@query(
+    "llm_mutual_information",
+    oracle="""
+    WITH joint AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_sl
+        FROM documents GROUP BY source, lang
+    ), m AS (
+        SELECT CAST(SUM(n_sl) AS BIGINT) AS n FROM joint
+    ), marg_s AS (
+        SELECT source, CAST(SUM(n_sl) AS BIGINT) AS n_s FROM joint
+        GROUP BY source
+    ), marg_l AS (
+        SELECT lang, CAST(SUM(n_sl) AS BIGINT) AS n_l FROM joint
+        GROUP BY lang
+    )
+    SELECT ROUND(SUM((CAST(j.n_sl AS DOUBLE) / m.n)
+                     * LN(CAST(j.n_sl AS DOUBLE) * m.n
+                          / (CAST(s.n_s AS DOUBLE) * l.n_l))), 6) AS mi_nats,
+           ROUND((SELECT -SUM((CAST(n_s AS DOUBLE) / m2.n)
+                              * LN(CAST(n_s AS DOUBLE) / m2.n))
+                  FROM marg_s, m m2), 6) AS h_source,
+           ROUND((SELECT -SUM((CAST(n_l AS DOUBLE) / m3.n)
+                              * LN(CAST(n_l AS DOUBLE) / m3.n))
+                  FROM marg_l, m m3), 6) AS h_lang
+    FROM joint j
+    JOIN marg_s s USING (source)
+    JOIN marg_l l USING (lang)
+    CROSS JOIN m
+    """,
+    tags=("llm", "governance", "information-theory", "extension"),
+)
+def llm_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(source; lang) plus both marginal entropies
+    — the governance number for "how much does knowing the crawl
+    source tell you about language mix" (high MI = sources are
+    language-siloed; the mixture sampler should stratify on both).
+
+    Determinism: all probabilities come from exact integer counts;
+    the ln/Σ assembly follows the PSI/KS convention (6-dp round on a
+    |sources|×|langs|-sized frame, far from boundary sensitivity).
+
+    Scale: one groupBy over (source, lang) with partial aggregation;
+    marginals re-aggregate the joint frame (model-sized), never the
+    corpus."""
+    joint = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sl"))
+    )
+    total = joint.agg(F.sum("n_sl").cast("long").alias("n"))
+    marg_s = joint.groupBy("source").agg(
+        F.sum("n_sl").cast("long").alias("n_s")
+    )
+    marg_l = joint.groupBy("lang").agg(F.sum("n_sl").cast("long").alias("n_l"))
+    n = F.col("n").cast("double")
+    mi = (
+        joint.join(marg_s, "source")
+        .join(marg_l, "lang")
+        .crossJoin(F.broadcast(total))
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("n_sl").cast("double") / n)
+                    * F.log(
+                        F.col("n_sl").cast("double")
+                        * n
+                        / (F.col("n_s").cast("double") * F.col("n_l"))
+                    )
+                ),
+                6,
+            ).alias("mi_nats")
+        )
+    )
+    hs = (
+        marg_s.crossJoin(F.broadcast(total))
+        .agg(
+            F.round(
+                -F.sum(
+                    (F.col("n_s").cast("double") / n)
+                    * F.log(F.col("n_s").cast("double") / n)
+                ),
+                6,
+            ).alias("h_source")
+        )
+    )
+    hl = (
+        marg_l.crossJoin(F.broadcast(total))
+        .agg(
+            F.round(
+                -F.sum(
+                    (F.col("n_l").cast("double") / n)
+                    * F.log(F.col("n_l").cast("double") / n)
+                ),
+                6,
+            ).alias("h_lang")
+        )
+    )
+    return mi.crossJoin(F.broadcast(hs)).crossJoin(F.broadcast(hl))
+
+
+# ---------------------------------------------------------------------------
+# 8. Lorenz curve deciles (distributional complement of the Gini query)
+# ---------------------------------------------------------------------------
+@query(
+    "q_lorenz_curve",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT)
+                   AS micros
+        FROM events GROUP BY user_id
+    ), tiled AS (
+        SELECT micros,
+               NTILE(10) OVER (ORDER BY micros ASC, user_id ASC) AS decile
+        FROM per_user
+    ), sums AS (
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(micros) AS BIGINT) AS decile_micros
+        FROM tiled GROUP BY decile
+    )
+    SELECT decile, n_users, decile_micros,
+           ROUND(CAST(SUM(decile_micros) OVER (ORDER BY decile) AS DOUBLE)
+                 / SUM(decile_micros) OVER (), 6) AS cum_share
+    FROM sums ORDER BY decile
+    """,
+    tags=("analytics", "distribution", "extension"),
+)
+def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve: users in ascending-value deciles with each
+    decile's cumulative share of total value — the distribution curve
+    the Gini query (``q_user_value_gini``) integrates; together they
+    answer "how concentrated is usage" with both the scalar and the
+    shape.
+
+    Determinism: per-user totals in exact integer micro-units;
+    NTILE's ordering carries the user_id tie-break so decile
+    membership is identical across engines.
+
+    Scale: per-user partial-agg rollup, then windows over the
+    user-cardinality frame (the NTILE global sort is over users, not
+    events)."""
+    from pyspark.sql import Window
+
+    per_user = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.floor(F.col("value") * 1e6).cast("long"))
+            .cast("long")
+            .alias("micros")
+        )
+    )
+    tiled = per_user.select(
+        "micros",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("micros").asc(), F.col("user_id").asc()))
+        .alias("decile"),
+    )
+    sums = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("micros").cast("long").alias("decile_micros"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    return sums.select(
+        "decile",
+        "n_users",
+        "decile_micros",
+        F.round(
+            F.sum("decile_micros").over(wc).cast("double")
+            / F.sum("decile_micros").over(wall),
+            6,
+        ).alias("cum_share"),
+    ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# 10. Bloom-filter membership audit with measured FPR
+# ---------------------------------------------------------------------------
+_BLOOM_M = 1024  # bits
+_BLOOM_K = 3  # hash functions
+
+
+def _bloom_pos_spark(j: int):
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"b{j}|"), F.col("c_custkey").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _BLOOM_M
+    )
+
+
+def _bloom_pos_sql(j: int) -> str:
+    return (
+        f"CAST(('0x' || substring(md5('b{j}|' || CAST(c_custkey AS VARCHAR)),"
+        f" 1, 8)) AS BIGINT) % {_BLOOM_M}"
+    )
+
+
+@query(
+    "q_bloom_membership_audit",
+    oracle=f"""
+    WITH members AS (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ), bits AS (
+        SELECT DISTINCT pos FROM (
+            {" UNION ALL ".join(f"SELECT {_bloom_pos_sql(j)} AS pos FROM members" for j in range(_BLOOM_K))}
+        )
+    ), tests AS (
+        SELECT c.c_custkey,
+               (c.c_mktsegment = 'BUILDING') AS is_member,
+               {" AND ".join(f"({_bloom_pos_sql(j)}) IN (SELECT pos FROM bits)" for j in range(_BLOOM_K))}
+                   AS bloom_hit
+        FROM customer c
+    )
+    SELECT CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS bits_set,
+           CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_members,
+           CAST(SUM(CASE WHEN is_member AND NOT bloom_hit THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_negatives,
+           CAST(SUM(CASE WHEN NOT is_member AND bloom_hit THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positives,
+           ROUND(SUM(CASE WHEN NOT is_member AND bloom_hit THEN 1.0
+                          ELSE 0 END)
+                 / SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END), 6)
+               AS measured_fpr
+    FROM tests
+    """,
+    tags=("sketch", "bloom", "membership", "extension"),
+)
+def q_bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership end to end with the property that
+    matters audited: build a {_BLOOM_M}-bit / k={_BLOOM_K} filter over
+    the BUILDING-segment customers from md5-derived bit positions
+    (engine-portable — the same primitive as the CMS/shard queries),
+    probe EVERY customer, and report bits set, the false-positive rate
+    measured against ground truth, and the false-negative count, which
+    a correct Bloom filter must pin at ZERO — that's the guarantee the
+    structure exists to provide.
+
+    Scale: the filter is the mergeable pre-aggregation pattern — each
+    partition ORs its bit positions (distinct pos), the ≤{_BLOOM_M}-row
+    bit set broadcasts into the probe side, and the probe is map-side
+    (this is exactly how a 100 TB anti-join prefilter deploys; Spark's
+    own runtime bloom pruning is plan-asserted in
+    tests/test_runtime_filters.py, this query makes the mechanics
+    first-class and measurable)."""
+    cust = load(spark, sf_dir, "customer")
+    members = cust.filter(F.col("c_mktsegment") == "BUILDING")
+    bits = None
+    for j in range(_BLOOM_K):
+        part = members.select(_bloom_pos_spark(j).alias("pos"))
+        bits = part if bits is None else bits.unionByName(part)
+    bits = bits.distinct()
+    bits_ct = bits.agg(F.count(F.lit(1)).cast("long").alias("bits_set"))
+    probe = cust.select(
+        "c_custkey",
+        (F.col("c_mktsegment") == "BUILDING").alias("is_member"),
+        *[_bloom_pos_spark(j).alias(f"p{j}") for j in range(_BLOOM_K)],
+    )
+    hit = probe
+    for j in range(_BLOOM_K):
+        hit = hit.join(
+            F.broadcast(bits.withColumnRenamed("pos", f"b{j}")),
+            F.col(f"p{j}") == F.col(f"b{j}"),
+            "left",
+        )
+    bloom_hit = None
+    for j in range(_BLOOM_K):
+        c = F.col(f"b{j}").isNotNull()
+        bloom_hit = c if bloom_hit is None else (bloom_hit & c)
+    agg = hit.select("is_member", bloom_hit.alias("bloom_hit")).agg(
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_members"),
+        F.sum(F.when(F.col("is_member") & ~F.col("bloom_hit"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_negatives"),
+        F.sum(F.when(~F.col("is_member") & F.col("bloom_hit"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_positives"),
+        F.round(
+            F.sum(
+                F.when(~F.col("is_member") & F.col("bloom_hit"), 1.0).otherwise(
+                    0.0
+                )
+            )
+            / F.sum(F.when(~F.col("is_member"), 1).otherwise(0)),
+            6,
+        ).alias("measured_fpr"),
+    )
+    return F.broadcast(bits_ct).crossJoin(agg).select(
+        "bits_set",
+        "n_members",
+        "n_false_negatives",
+        "n_false_positives",
+        "measured_fpr",
+    )

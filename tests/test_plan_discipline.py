@@ -114,6 +114,11 @@ _BNLJ_OK = {
     "llm_bpe_merges",  # 1-row merge rule broadcast into the apply step
     "llm_importance_weights",  # two 1-row vocab-size broadcasts (target/source LM)
     "llm_logreg_quality",  # 1-row weight/gradient frames broadcast per GD round
+    "q_mann_whitney_u",  # 1-row tie-sum broadcast into the z-score fold
+    "q_ddsketch_quantiles",  # 3-row quantile-probe broadcast into the ~100-bucket sketch
+    "q_acf_ljung_box",  # 7-row lag frame + 1-row power-sum base broadcasts
+    "llm_mutual_information",  # three 1-row entropy/total broadcasts assembled
+    "q_bloom_membership_audit",  # 1-row bits-set count broadcast into the audit row
 }
 
 
