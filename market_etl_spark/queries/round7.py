@@ -915,3 +915,350 @@ def q_bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_false_positives",
         "measured_fpr",
     )
+
+
+# ---------------------------------------------------------------------------
+# 10. Kaplan-Meier retention survival
+# ---------------------------------------------------------------------------
+@query(
+    "q_kaplan_meier_retention",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                         - LAG(CAST(floor(epoch(ts)) AS BIGINT))
+                           OVER (PARTITION BY user_id ORDER BY ts) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sid
+        FROM flagged
+    ), sess AS (
+        SELECT user_id, sid,
+               (CAST(floor(epoch(MAX(ts))) AS BIGINT)
+                - CAST(floor(epoch(MIN(ts))) AS BIGINT)) // 60 AS dur_min,
+               MAX(ts) AS e
+        FROM numbered GROUP BY user_id, sid
+    ), spans AS (
+        SELECT dur_min,
+               e >= (SELECT MAX(ts) FROM events) - INTERVAL 30 MINUTE
+                   AS censored
+        FROM sess
+    ), death_times AS (
+        SELECT dur_min AS t,
+               CAST(SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT)
+                   AS d
+        FROM spans GROUP BY dur_min
+        HAVING SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END) > 0
+    ), at_risk AS (
+        SELECT dt.t, dt.d,
+               CAST((SELECT COUNT(*) FROM spans s WHERE s.dur_min >= dt.t)
+                    AS BIGINT) AS n_risk
+        FROM death_times dt
+    )
+    SELECT CAST(t AS BIGINT) AS t_min, n_risk, d AS n_deaths,
+           CASE WHEN MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+                     OVER (ORDER BY t) = 1
+                THEN 0.0
+                ELSE ROUND(EXP(SUM(
+                         CASE WHEN d = n_risk THEN 0.0
+                              ELSE LN(1.0 - CAST(d AS DOUBLE) / n_risk) END)
+                     OVER (ORDER BY t)), 6) END AS survival
+    FROM at_risk ORDER BY t_min
+    """,
+    tags=("analytics", "survival", "extension"),
+)
+def q_kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of SESSION duration (30-min-gap
+    sessions, the engine's sessionizer): how long does an engagement
+    session survive before ending?  Sessions still within one gap of
+    the observation horizon are right-censored — they may be ongoing,
+    and dropping or counting them as ended would bias the curve, which
+    is the reason KM exists over a naive duration histogram.
+    S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) over death times, censored sessions in
+    the at-risk denominator through their censor time.
+
+    Determinism: durations are integer minutes from epoch seconds
+    (the sessionize-oracle arithmetic); dᵢ/nᵢ are exact integer
+    ratios; the product is exp(Σ ln(·)) over a window whose ORDER BY
+    fixes summation order; 6-dp round.
+
+    Scale: sessionization is the existing lag-gap window (one shuffle
+    keyed on user); every KM step then runs on the ≤|distinct
+    durations| frame (37 rows here).  The at-risk counts come from a
+    duration-level inequality join on that tiny frame, not the
+    session table."""
+    from pyspark.sql import Window
+
+    from .. import streaming
+
+    e = load(spark, sf_dir, "events")
+    sess = streaming.sessionize_batch(e)
+    horizon = e.agg(
+        (
+            F.max("ts").cast("long") - F.lit(1800)
+        ).alias("censor_floor")
+    )
+    spans = sess.crossJoin(F.broadcast(horizon)).select(
+        (
+            (
+                F.col("session_end").cast("long")
+                - F.col("session_start").cast("long")
+            )
+            / 60
+        )
+        .cast("long")
+        .alias("dur_min"),
+        (F.col("session_end").cast("long") >= F.col("censor_floor")).alias(
+            "censored"
+        ),
+    )
+    deaths = (
+        spans.groupBy(F.col("dur_min").alias("t"))
+        .agg(
+            F.sum(F.when(~F.col("censored"), 1).otherwise(0))
+            .cast("long")
+            .alias("d")
+        )
+        .filter(F.col("d") > 0)
+    )
+    risk = (
+        deaths.join(
+            spans.select("dur_min"), deaths["t"] <= F.col("dur_min"), "left"
+        )
+        .groupBy("t", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_risk"))
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    # the final death time has d == n_risk (everyone still at risk
+    # dies), where ln(1 - d/n) is -inf: mask those factors out of the
+    # log-sum and pin survival to exactly 0.0 from that step on
+    zero_hit = F.max(
+        F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)
+    ).over(w)
+    log_term = F.when(F.col("d") == F.col("n_risk"), 0.0).otherwise(
+        F.log(1.0 - F.col("d").cast("double") / F.col("n_risk"))
+    )
+    return risk.select(
+        F.col("t").cast("long").alias("t_min"),
+        "n_risk",
+        F.col("d").alias("n_deaths"),
+        F.when(zero_hit == 1, 0.0)
+        .otherwise(F.round(F.exp(F.sum(log_term).over(w)), 6))
+        .alias("survival"),
+    ).orderBy("t_min")
+
+
+# ---------------------------------------------------------------------------
+# 11. Poisson-bootstrap confidence interval for the mean
+# ---------------------------------------------------------------------------
+_POIS_C = (
+    0.36787944117144233,  # P(X=0)
+    0.7357588823428847,  # + P(1)
+    0.9196986029286058,  # + P(2)
+    0.9810118431238462,  # + P(3); else 4
+)
+
+
+@query(
+    "q_bootstrap_ci_poisson",
+    oracle=f"""
+    WITH x AS (
+        SELECT event_id, CAST(FLOOR(value * 1e6) AS BIGINT) AS v FROM events
+    ), draws AS (
+        SELECT b.b, x.v,
+               (CAST(('0x' || substring(
+                    md5(CAST(b.b AS VARCHAR) || '|'
+                        || CAST(x.event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                + 1.0) / 4294967297.0 AS u
+        FROM x, (SELECT UNNEST(range(1, 201)) AS b) b
+    ), weighted AS (
+        SELECT b,
+               CASE WHEN u < {_POIS_C[0]} THEN 0
+                    WHEN u < {_POIS_C[1]} THEN 1
+                    WHEN u < {_POIS_C[2]} THEN 2
+                    WHEN u < {_POIS_C[3]} THEN 3
+                    ELSE 4 END AS w,
+               v
+        FROM draws
+    ), means AS (
+        SELECT b,
+               CAST(SUM(CAST(w AS BIGINT) * v) AS DOUBLE)
+                   / SUM(CAST(w AS BIGINT)) AS m
+        FROM weighted GROUP BY b
+    ), ranked AS (
+        SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS r FROM means
+    )
+    SELECT CAST(200 AS BIGINT) AS n_replicates,
+           ROUND((SELECT CAST(SUM(v) AS DOUBLE) / COUNT(*) FROM x), 6)
+               AS point_est_micros,
+           ROUND((SELECT m FROM ranked WHERE r = 5), 6) AS ci_lo_micros,
+           ROUND((SELECT m FROM ranked WHERE r = 196), 6) AS ci_hi_micros
+    """,
+    tags=("analytics", "bootstrap", "extension"),
+)
+def q_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap: 200 deterministic resample replicates of the
+    mean event value, each row weighted by a Poisson(1) draw derived
+    from an md5 uniform (inverse-CDF on shared double constants), and
+    the 95% percentile interval read off the ranked replicate means —
+    THE distributed bootstrap (per-row independent weights, no
+    resample shuffle, exactly how uncertainty is bootstrapped over
+    data too big to multinomial-resample).
+
+    Determinism: weights are integers from md5; Σw·x and Σw are exact
+    BIGINTs, so every replicate mean is the same double on both
+    engines; the CI picks ranked elements 5/196 of 200 — exact order
+    statistics, no interpolation.
+
+    Scale: the 200× fan-out is map-side (replicate id explodes before
+    the partial agg); the shuffle carries 200 partial rows per
+    partition, and everything after runs on a 200-row frame."""
+    from pyspark.sql import Window
+
+    x = load(spark, sf_dir, "events").select(
+        "event_id", F.floor(F.col("value") * 1e6).cast("long").alias("v")
+    )
+    bs = spark.range(1, 201).select(F.col("id").alias("b"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("b").cast("string"), F.col("event_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .cast("double")
+        + 1.0
+    ) / 4294967297.0
+    w = (
+        F.when(u < _POIS_C[0], 0)
+        .when(u < _POIS_C[1], 1)
+        .when(u < _POIS_C[2], 2)
+        .when(u < _POIS_C[3], 3)
+        .otherwise(4)
+        .cast("long")
+    )
+    means = (
+        x.crossJoin(F.broadcast(bs))
+        .select("b", (w * F.col("v")).alias("wv"), w.alias("w"))
+        .groupBy("b")
+        .agg(
+            (
+                F.sum("wv").cast("double") / F.sum("w").cast("double")
+            ).alias("m")
+        )
+    )
+    ranked = means.select(
+        "m", F.row_number().over(Window.orderBy("m")).alias("r")
+    )
+    point = x.agg(
+        F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 6).alias(
+            "point_est_micros"
+        )
+    )
+    lo = ranked.filter(F.col("r") == 5).select(
+        F.round("m", 6).alias("ci_lo_micros")
+    )
+    hi = ranked.filter(F.col("r") == 196).select(
+        F.round("m", 6).alias("ci_hi_micros")
+    )
+    return (
+        point.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.lit(200).cast("long").alias("n_replicates"),
+            "point_est_micros",
+            "ci_lo_micros",
+            "ci_hi_micros",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 12. Reciprocal-rank fusion of two keyword rankings
+# ---------------------------------------------------------------------------
+@query(
+    "q_reciprocal_rank_fusion",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                                    x -> x = 'join')) AS BIGINT) AS tf_a,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                                    x -> x = 'vector')) AS BIGINT) AS tf_b
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, tf_a, tf_b,
+               ROW_NUMBER() OVER (ORDER BY tf_a DESC, doc_id ASC) AS rank_a,
+               ROW_NUMBER() OVER (ORDER BY tf_b DESC, doc_id ASC) AS rank_b
+        FROM tf
+    )
+    SELECT doc_id, rank_a, rank_b,
+           ROUND(1.0 / (60 + rank_a) + 1.0 / (60 + rank_b), 6) AS rrf
+    FROM ranked
+    ORDER BY rrf DESC, doc_id LIMIT 25
+    """,
+    tags=("llm", "retrieval", "rank-fusion", "extension"),
+)
+def q_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (RRF, k=60) of two retrieval rankings —
+    term-frequency rankings for 'join' and 'vector' standing in for a
+    lexical and a semantic ranker.  RRF is how hybrid search engines
+    merge heterogeneous scorers without calibrating their score
+    scales; only RANKS enter the fused score, so the fusion is
+    bit-stable wherever the input rankings are (integer tf with
+    doc_id tie-breaks here).
+
+    Scale: tf columns are map-side array ops; each ranking is one
+    sort (window) over the doc-cardinality frame; fusion is
+    arithmetic on the already-ranked rows and a top-k."""
+    from pyspark.sql import Window
+
+    tf = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x == "join")
+        )
+        .cast("long")
+        .alias("tf_a"),
+        F.size(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x == "vector")
+        )
+        .cast("long")
+        .alias("tf_b"),
+    )
+    ranked = tf.select(
+        "doc_id",
+        "tf_a",
+        "tf_b",
+        F.row_number()
+        .over(Window.orderBy(F.col("tf_a").desc(), F.col("doc_id").asc()))
+        .alias("rank_a"),
+        F.row_number()
+        .over(Window.orderBy(F.col("tf_b").desc(), F.col("doc_id").asc()))
+        .alias("rank_b"),
+    )
+    return (
+        ranked.select(
+            "doc_id",
+            "rank_a",
+            "rank_b",
+            F.round(
+                1.0 / (60 + F.col("rank_a")) + 1.0 / (60 + F.col("rank_b")), 6
+            ).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(25)
+    )

@@ -119,6 +119,8 @@ _BNLJ_OK = {
     "q_acf_ljung_box",  # 7-row lag frame + 1-row power-sum base broadcasts
     "llm_mutual_information",  # three 1-row entropy/total broadcasts assembled
     "q_bloom_membership_audit",  # 1-row bits-set count broadcast into the audit row
+    "q_kaplan_meier_retention",  # ≤|durations|-row death frame broadcast into at-risk
+    "q_bootstrap_ci_poisson",  # 200-row replicate-id broadcast fan-out (map-side)
 }
 
 
