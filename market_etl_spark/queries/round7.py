@@ -1120,8 +1120,13 @@ def q_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition, and everything after runs on a 200-row frame."""
     from pyspark.sql import Window
 
-    x = load(spark, sf_dir, "events").select(
-        "event_id", F.floor(F.col("value") * 1e6).cast("long").alias("v")
+    # repartition before the 200× fan-out: the single-file testdata scan
+    # would otherwise push all B·N md5 evaluations through ONE task
+    # (measured 15.9s single-task vs ~1.3s spread at sf0.1)
+    x = (
+        load(spark, sf_dir, "events")
+        .select("event_id", F.floor(F.col("value") * 1e6).cast("long").alias("v"))
+        .repartition(32)
     )
     bs = spark.range(1, 201).select(F.col("id").alias("b"))
     u = (
