@@ -1267,3 +1267,293 @@ def q_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# 13. Incremental view maintenance of an aggregated JOIN
+# ---------------------------------------------------------------------------
+@query(
+    "q_ivm_join_maintenance",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    tags=("warehouse", "ivm", "materialized-view", "extension"),
+)
+def q_ivm_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of an aggregated JOIN view — the
+    delta-join algebra behind every streaming materialized view:
+    with base snapshots A₀ (orders before 1998) ⋈ B₀ (first 60% of
+    customers) aggregated into M₀, the arrival of ΔA (remaining
+    orders) and ΔB (remaining customers) folds in as
+
+        ΔM = agg(ΔA ⋈ B₀) ⊕ agg(A₀ ⋈ ΔB) ⊕ agg(ΔA ⋈ ΔB)
+
+    — three DELTA-sized joins, never a re-join of the full bases.  The
+    oracle computes the view over the FINAL state directly, so the
+    hash match proves the maintenance algebra (including the easy-to-
+    drop ΔA⋈ΔB cross term) converges to the from-scratch answer.
+
+    Determinism: the mergeable measures are counts and exact
+    cent-integers.  Scale: this is the production IVM cost model —
+    work ∝ |Δ| per refresh; M is segment-cardinality and the merge is
+    a tiny partial agg.  At 100 TB the deltas would broadcast against
+    bucketed bases."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cut_date = F.lit("1998-01-01").cast("timestamp")
+    max_key = cust.agg(F.max("c_custkey")).collect()[0][0]
+    key_cut = int(max_key * 6 // 10)
+
+    a0 = orders.filter(F.col("o_orderdate") < cut_date)
+    da = orders.filter(F.col("o_orderdate") >= cut_date)
+    b0 = cust.filter(F.col("c_custkey") <= key_cut)
+    db = cust.filter(F.col("c_custkey") > key_cut)
+
+    def agg_join(a, b):
+        return (
+            a.join(b, a["o_custkey"] == b["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum("cents").cast("long").alias("revenue_cents"),
+            )
+        )
+
+    m0 = agg_join(a0, b0).localCheckpoint(eager=True)  # the stored view
+    deltas = (
+        agg_join(da, b0)
+        .unionByName(agg_join(a0, db))
+        .unionByName(agg_join(da, db))
+    )
+    return (
+        m0.unionByName(deltas)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 14. Position-based (U-shaped) marketing attribution
+# ---------------------------------------------------------------------------
+@query(
+    "q_position_attribution",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id AS p_id, user_id, ts AS p_ts,
+               CAST(FLOOR(value * 1e6) AS BIGINT) AS v
+        FROM events WHERE event_type = 'purchase' AND user_id < 40
+    ), touches AS (
+        SELECT p.p_id, p.v, e.event_type, e.ts, e.event_id,
+               ROW_NUMBER() OVER (PARTITION BY p.p_id
+                                  ORDER BY e.ts, e.event_id) AS pos,
+               COUNT(*) OVER (PARTITION BY p.p_id) AS k
+        FROM purchases p
+        JOIN events e
+          ON e.user_id = p.user_id
+         AND e.event_type IN ('click', 'view')
+         AND e.ts < p.p_ts
+         AND e.ts >= p.p_ts - INTERVAL 2 HOUR
+    ), credited AS (
+        SELECT event_type,
+               CASE WHEN k = 1 THEN v
+                    WHEN k = 2 AND pos = 1 THEN v // 2
+                    WHEN k = 2 AND pos = 2 THEN v - v // 2
+                    WHEN pos = 1 THEN (v * 2) // 5
+                    WHEN pos = k THEN
+                        v - (v * 2) // 5
+                          - (k - 2) * ((v // 5) // (k - 2))
+                    ELSE (v // 5) // (k - 2) END AS credit
+        FROM touches
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(credit) AS BIGINT) AS credited_micros
+    FROM credited GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("analytics", "attribution", "extension"),
+)
+def q_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) attribution: each purchase's
+    value is credited across its preceding 2-hour click/view
+    touchpoints — 40% to the first touch, 40% to the last, the middle
+    20% split evenly — the standard multi-touch model between
+    last-click and linear.
+
+    Determinism: credit allocation is INTEGER micro-unit arithmetic
+    with the remainder assigned to the last touch (the
+    largest-remainder discipline from llm_mixture_temperature), so
+    credits sum exactly to the purchase value and every engine-side
+    double-summation hazard disappears.
+
+    Scale: one interval join keyed on user (the attribution shuffle),
+    windows partitioned per purchase, then a types-sized rollup."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.floor(F.col("value") * 1e6).cast("long").alias("v"),
+    )
+    touches = e.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    joined = purchases.join(
+        touches,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("ts") < F.col("p_ts"))
+        & (F.col("ts") >= F.col("p_ts") - F.expr("interval 2 hours")),
+    )
+    wp = Window.partitionBy("p_id")
+    pos = F.row_number().over(wp.orderBy("ts", "event_id"))
+    ranked = joined.select(
+        "event_type",
+        "v",
+        pos.alias("pos"),
+        F.count(F.lit(1)).over(wp).alias("k"),
+    )
+    v, k, p = F.col("v"), F.col("k"), F.col("pos")
+    mid = (v.cast("long") / 5).cast("long")  # v // 5 (v >= 0)
+    first40 = (v * 2 / 5).cast("long")
+    mid_each = (mid / (k - 2)).cast("long")
+    credit = (
+        F.when(k == 1, v)
+        .when((k == 2) & (p == 1), (v / 2).cast("long"))
+        .when((k == 2) & (p == 2), v - (v / 2).cast("long"))
+        .when(p == 1, first40)
+        .when(p == k, v - first40 - (k - 2) * mid_each)
+        .otherwise(mid_each)
+    )
+    return (
+        ranked.select("event_type", credit.alias("credit"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.sum("credit").cast("long").alias("credited_micros"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 15. Blocking-quality audit (pair completeness / reduction ratio)
+# ---------------------------------------------------------------------------
+@query(
+    "llm_blocking_quality",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]
+                              FOR i IN range(1, greatest(len(w) - 1, 1))])
+                   AS s,
+               len(w) // 8 AS block
+        FROM toks
+    ), true_pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.block = b.block AS blocked
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+    ), cand AS (
+        SELECT CAST(SUM(cnt * (cnt - 1) / 2) AS BIGINT) AS n_candidates
+        FROM (SELECT block, COUNT(*) AS cnt FROM sh GROUP BY block)
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM sh)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM true_pairs) AS n_true_pairs,
+           (SELECT CAST(SUM(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT)
+            FROM true_pairs) AS n_true_in_block,
+           ROUND((SELECT SUM(CASE WHEN blocked THEN 1.0 ELSE 0 END)
+                  FROM true_pairs)
+                 / (SELECT COUNT(*) FROM true_pairs), 6)
+               AS pair_completeness,
+           (SELECT n_candidates FROM cand) AS n_candidates,
+           ROUND(1.0 - (SELECT n_candidates FROM cand)
+                 / (n.n_docs * (n.n_docs - 1) / 2.0), 6) AS reduction_ratio
+    FROM n
+    """,
+    tags=("llm", "dedup", "blocking-audit", "extension"),
+    max_verify_sf=0.01,
+)
+def llm_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality audit — the two numbers every entity-resolution
+    / dedup pipeline tracks for its candidate generator: PAIR
+    COMPLETENESS (what fraction of true near-dup pairs land in the
+    same block) and REDUCTION RATIO (what fraction of the n² pair
+    space the blocker prunes), here for a token-count blocker
+    (length // 8) against ground-truth Jaccard ≥ 0.8 pairs.
+
+    The Spark side reads true pairs from the MATERIALIZED pair graph
+    (`.scratch/`, shared with clusters/canonical/sweep — zero
+    recompute); the oracle brute-forces all pairs, hence the
+    ``max_verify_sf=0.01`` cap shared by the other pair-graph
+    oracles.  Scale: candidates count from per-block tallies (never
+    enumerated), completeness from a pairs-sized broadcast join."""
+    from .llm_corpus import _docs, _jaccard_pair_graph
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", (F.size("toks") / 8).cast("long").alias("block")
+    )
+    n_docs = d.count()
+    pairs = _jaccard_pair_graph(spark, sf_dir).select("id_a", "id_b")
+    blocked = (
+        pairs.join(
+            d.select(F.col("doc_id").alias("id_a"), F.col("block").alias("ba")),
+            "id_a",
+        )
+        .join(
+            d.select(F.col("doc_id").alias("id_b"), F.col("block").alias("bb")),
+            "id_b",
+        )
+        .select((F.col("ba") == F.col("bb")).alias("blocked"))
+    )
+    tp = blocked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_true_pairs"),
+        F.sum(F.when(F.col("blocked"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_true_in_block"),
+        F.round(
+            F.sum(F.when(F.col("blocked"), 1.0).otherwise(0.0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("pair_completeness"),
+    )
+    cand = (
+        d.groupBy("block")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.sum(F.col("cnt") * (F.col("cnt") - 1) / 2)
+            .cast("long")
+            .alias("n_candidates")
+        )
+    )
+    return (
+        tp.crossJoin(F.broadcast(cand))
+        .select(
+            "n_true_pairs",
+            "n_true_in_block",
+            "pair_completeness",
+            "n_candidates",
+            F.round(
+                1.0
+                - F.col("n_candidates")
+                / F.lit(n_docs * (n_docs - 1) / 2.0),
+                6,
+            ).alias("reduction_ratio"),
+        )
+    )

@@ -121,6 +121,7 @@ _BNLJ_OK = {
     "q_bloom_membership_audit",  # 1-row bits-set count broadcast into the audit row
     "q_kaplan_meier_retention",  # ≤|durations|-row death frame broadcast into at-risk
     "q_bootstrap_ci_poisson",  # 200-row replicate-id broadcast fan-out (map-side)
+    "llm_blocking_quality",  # 1-row candidate-count broadcast into the audit row
 }
 
 
