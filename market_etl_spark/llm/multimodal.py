@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import gif as _gif
 from . import jpeg as _jpeg
 from . import png as _png
 from . import wav_audio as _wav
@@ -68,6 +69,14 @@ def decode_payload(payload: bytes) -> dict:
             "byte_len": len(payload),
             "n_frames": 1,
             "format": "image/png",
+            "feature_crc": _rolling_hash(pixels),
+        }
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, pixels = _gif.decode_gif(payload)
+        return {
+            "byte_len": len(payload),
+            "n_frames": 1,
+            "format": "image/gif",
             "feature_crc": _rolling_hash(pixels),
         }
     if payload[:2] == b"\xff\xd8":

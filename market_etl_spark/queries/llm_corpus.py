@@ -1031,6 +1031,82 @@ def llm_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_gif_decode_stats",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+           CAST(SUM((d.doc_id * 13 + r.i * 7) % 256) AS BIGINT) AS pix_sum,
+           CAST(MIN((d.doc_id * 13 + r.i * 7) % 256) AS INT) AS pix_min,
+           CAST(MAX((d.doc_id * 13 + r.i * 7) % 256) AS INT) AS pix_max,
+           TRUE AS roundtrip_ok
+    FROM documents d, range(0, 256) r(i)
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+    tags=("llm", "multimodal", "codec", "extension"),
+)
+def llm_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF87a/LZW codec roundtrip (round 7 — the third
+    independent compression class after PNG's DEFLATE and JPEG's
+    DCT+Huffman): each doc renders a deterministic 16×16 grayscale
+    pattern (pixel_i = (doc_id·13 + i·7) mod 256), encodes it to an
+    actual GIF87a stream (``llm/gif.py`` — grayscale global color
+    table, variable-width 9→12-bit LSB-first LZW with CLEAR/EOI and
+    4096-entry dictionary reset, 255-byte sub-blocks), DECODES it back
+    with the independent LZW decoder (including the KwKwK case), and
+    reports pixel statistics plus exact roundtrip equality.  GIF is
+    lossless, so like PNG the oracle computes the statistics from the
+    pattern definition alone — a hash match proves the whole
+    LZW encode→pack→frame→decode chain is identity.
+
+    Scale: per-row codec CPU under one Arrow-batched mapInPandas over
+    a repartitioned doc-id scan, zero shuffle."""
+    import pandas as _pd
+
+    from ..llm import gif as _gif
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                pixels = bytes((did * 13 + i * 7) % 256 for i in range(256))
+                blob = _gif.encode_gif(pixels, 16, 16)
+                w, h, decoded = _gif.decode_gif(blob)
+                rows.append(
+                    (
+                        did,
+                        w,
+                        h,
+                        sum(decoded),
+                        min(decoded),
+                        max(decoded),
+                        decoded == pixels,
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "pix_sum",
+                    "pix_min",
+                    "pix_max",
+                    "roundtrip_ok",
+                ],
+            )
+
+    d = load(spark, sf_dir, "documents").select("doc_id").repartition(32)
+    return d.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, width int, height int,"
+            " pix_sum long, pix_min int, pix_max int, roundtrip_ok boolean"
+        ),
+    ).orderBy("doc_id")
+
+
+@query(
     "llm_multimodal_frames",
     oracle="""
     SELECT d.doc_id,

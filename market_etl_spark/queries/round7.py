@@ -1697,3 +1697,80 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") + noise, 6).alias("noisy_count"),
         F.lit(1.0).cast("double").alias("epsilon"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# 18. Multi-window SLO burn rate
+# ---------------------------------------------------------------------------
+@query(
+    "q_slo_burn_rate",
+    oracle="""
+    WITH hourly AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_err
+        FROM events GROUP BY hour
+    ), windowed AS (
+        SELECT hour, n_total, n_err,
+               SUM(n_err) OVER (ORDER BY hour
+                   ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS err_6h,
+               SUM(n_total) OVER (ORDER BY hour
+                   ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS tot_6h
+        FROM hourly
+    )
+    SELECT hour,
+           ROUND(CAST(n_err AS DOUBLE) / n_total / 0.2, 6) AS burn_1h,
+           ROUND(CAST(err_6h AS DOUBLE) / tot_6h / 0.2, 6) AS burn_6h,
+           (CAST(n_err AS DOUBLE) / n_total / 0.2 > 1.0
+            AND CAST(err_6h AS DOUBLE) / tot_6h / 0.2 > 1.0) AS page_alert
+    FROM windowed
+    ORDER BY hour
+    """,
+    tags=("monitoring", "slo", "sre", "extension"),
+)
+def q_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn rate — the SRE alerting arithmetic (the
+    Google SRE-workbook pattern): with a 20% error-budget SLO, the
+    burn rate is observed-error-rate / budget over a short (1 h) AND a
+    long (trailing 6 h) window, and the page fires only when BOTH
+    exceed 1× — the short window gives fast detection, the long one
+    suppresses blips.
+
+    Determinism: hourly error/total counts are exact integers; both
+    burn ratios are single double divisions, 6-dp rounded; the AND of
+    two >1.0 comparisons is far from representational noise at this
+    budget.
+
+    Scale: the hourly rollup is the one corpus-sized pass
+    (partial-agg); burn windows run on the ~720-row hour frame per
+    month — this is exactly how a 100 TB event firehose serves SLO
+    dashboards, never scanning raw events per evaluation."""
+    from pyspark.sql import Window
+
+    hourly = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("n_err"),
+        )
+    )
+    w6 = Window.orderBy("hour").rowsBetween(-5, 0)
+    windowed = hourly.select(
+        "hour",
+        "n_total",
+        "n_err",
+        F.sum("n_err").over(w6).alias("err_6h"),
+        F.sum("n_total").over(w6).alias("tot_6h"),
+    )
+    burn1 = F.col("n_err").cast("double") / F.col("n_total") / 0.2
+    burn6 = F.col("err_6h").cast("double") / F.col("tot_6h") / 0.2
+    return windowed.select(
+        "hour",
+        F.round(burn1, 6).alias("burn_1h"),
+        F.round(burn6, 6).alias("burn_6h"),
+        ((burn1 > 1.0) & (burn6 > 1.0)).alias("page_alert"),
+    ).orderBy("hour")

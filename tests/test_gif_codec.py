@@ -1,0 +1,91 @@
+"""GIF87a/LZW codec (llm/gif.py): exact roundtrips across dictionary
+growth/reset and the KwKwK case, malformed-input rejection, and the
+multimodal dispatch."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from market_etl_spark.llm import gif
+from market_etl_spark.llm.multimodal import decode_payload
+
+_SETTINGS = dict(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    dims=st.sampled_from([(1, 1), (8, 8), (16, 16), (13, 9), (40, 25)]),
+    data=st.data(),
+)
+def test_roundtrip_exact(dims, data):
+    w, h = dims
+    px = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=w * h, max_size=w * h))
+    )
+    ww, hh, dec = gif.decode_gif(gif.encode_gif(px, w, h))
+    assert (ww, hh, dec) == (w, h, px)
+
+
+def test_dictionary_reset_roundtrip():
+    """A 100×100 noise image drives the LZW dictionary past 4096
+    entries, forcing a mid-stream CLEAR + table reset on both sides."""
+    import random
+
+    rng = random.Random(3)
+    px = bytes(rng.randrange(256) for _ in range(100 * 100))
+    w, h, dec = gif.decode_gif(gif.encode_gif(px, 100, 100))
+    assert dec == px
+
+
+def test_kwkwk_case_roundtrip():
+    """aaaa... runs hit the code == next_code (KwKwK) decoder branch."""
+    px = bytes([7]) * 400
+    _, _, dec = gif.decode_gif(gif.encode_gif(px, 20, 20))
+    assert dec == px
+
+
+def test_malformed_rejected():
+    with pytest.raises(ValueError):
+        gif.decode_gif(b"\x89PNG not a gif")
+    blob = bytearray(gif.encode_gif(bytes(64), 8, 8))
+    # flip the interlace flag in the image descriptor (0x2C also occurs
+    # as a color value inside the GCT, so use the fixed 13+768 offset)
+    idx = 13 + 768
+    assert blob[idx] == 0x2C
+    blob[idx + 9] |= 0x40
+    with pytest.raises(ValueError):
+        gif.decode_gif(bytes(blob))
+    # truncated inside the color table
+    with pytest.raises(ValueError):
+        gif.decode_gif(gif.encode_gif(bytes(64), 8, 8)[:100])
+
+
+def test_structure_is_spec_shaped():
+    """Header, LSD, 256-entry grayscale GCT, image descriptor, LZW min
+    code size, trailer — byte-level layout per the 87a spec."""
+    blob = gif.encode_gif(bytes(range(256)), 16, 16)
+    assert blob[:6] == b"GIF87a"
+    w, h, packed, _, _ = struct.unpack("<HHBBB", blob[6:13])
+    assert (w, h) == (16, 16)
+    assert packed & 0x80 and (packed & 0x07) == 7  # GCT, 256 entries
+    gct = blob[13 : 13 + 768]
+    assert all(gct[3 * i] == gct[3 * i + 1] == gct[3 * i + 2] == i for i in range(256))
+    assert blob[13 + 768] == 0x2C
+    assert blob[13 + 768 + 10] == 8  # LZW min code size
+    assert blob[-1] == 0x3B
+
+
+def test_decode_payload_gif_dispatch():
+    px = bytes((i * 11) % 256 for i in range(64))
+    blob = gif.encode_gif(px, 8, 8)
+    feats = decode_payload(blob)
+    assert feats["format"] == "image/gif"
+    assert feats["byte_len"] == len(blob)
