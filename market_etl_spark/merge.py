@@ -130,6 +130,8 @@ def scd2_apply(
     key_cols: list[str],
     compare_cols: list[str],
     effective_col: str = "effective_ts",
+    updates_unique: bool = False,
+    broadcast_updates: bool = False,
 ) -> DataFrame:
     """Type-2 slowly-changing-dimension apply: full history, closed
     intervals.
@@ -158,18 +160,33 @@ def scd2_apply(
     apply, matching a periodically-snapshotting MERGE. Intermediate
     same-batch versions are intentionally collapsed; callers that need
     every intermediate version must apply batches at that granularity.
+
+    ``updates_unique=True`` declares the batch already carries at most
+    one row per key, skipping the pre-reduce window (one shuffle saved
+    per apply — material when the apply is iterated, e.g. a per-day
+    CDC fold).  ``broadcast_updates=True`` declares the delta small
+    enough to broadcast: the join and both anti joins then build their
+    hash sides from delta-bounded relations (the delta itself, the
+    changed keys ⊆ delta, the matched keys ⊆ delta), so an apply
+    against a checkpointed dimension — whose unknown stats otherwise
+    push the planner to shuffle both sides — runs shuffle-free.  Both
+    flags are caller contracts, not inferred; the default path is
+    unchanged and planner-decided.
     """
     from pyspark.sql import Window
 
-    latest = Window.partitionBy(*key_cols).orderBy(
-        F.col(effective_col).desc(),
-        *[F.col(c).desc() for c in compare_cols],
-    )
-    updates = (
-        updates.withColumn("_rn", F.row_number().over(latest))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    if not updates_unique:
+        latest = Window.partitionBy(*key_cols).orderBy(
+            F.col(effective_col).desc(),
+            *[F.col(c).desc() for c in compare_cols],
+        )
+        updates = (
+            updates.withColumn("_rn", F.row_number().over(latest))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    if broadcast_updates:
+        updates = F.broadcast(updates)
 
     chg = [
         ~F.col(f"c.{a}").eqNullSafe(F.col(f"u.{a}")) for a in compare_cols
@@ -205,12 +222,25 @@ def scd2_apply(
     changed_keys = matched.filter(changed_pred).select(
         *[F.col(f"c.{k}").alias(k) for k in key_cols]
     )
+    if broadcast_updates:
+        changed_keys = F.broadcast(changed_keys)
     untouched_open = open_rows.join(changed_keys, key_cols, "left_anti").select(
         *out_cols
     )
-    # brand-new keys (no open row)
+    # brand-new keys (no open row).  With a broadcastable delta, anti
+    # join against the MATCHED delta keys (⊆ delta, broadcastable)
+    # instead of the open slice's keys — same set-difference, but the
+    # build side stays delta-sized rather than dimension-sized.
+    if broadcast_updates:
+        anti_rhs = F.broadcast(
+            matched.select(*[F.col(f"u.{k}").alias(k) for k in key_cols])
+        )
+    else:
+        anti_rhs = open_rows.select(
+            *[F.col(f"c.{k}").alias(k) for k in key_cols]
+        )
     new_keys = u.join(
-        open_rows.select(*[F.col(f"c.{k}").alias(k) for k in key_cols]),
+        anti_rhs,
         key_cols,
         "left_anti",
     ).select(
