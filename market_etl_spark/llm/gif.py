@@ -174,11 +174,39 @@ def encode_gif(pixels: bytes, width: int, height: int) -> bytes:
     return bytes(out)
 
 
-def decode_gif(data: bytes) -> tuple[int, int, bytes]:
-    """Decode a GIF87a/89a stream (single image, global color table, no
-    interlace); returns ``(width, height, grayscale_pixels)`` where
-    each pixel is the color table's red channel.  Raises ``ValueError``
-    on malformed or unsupported input."""
+def encode_gif_frames(frames: list[bytes], width: int, height: int) -> bytes:
+    """Encode a SEQUENCE of full-screen 8-bit grayscale frames as one
+    GIF87a stream: one logical screen, one grayscale global color
+    table, and one image descriptor + LZW-coded raster per frame
+    (multiple image blocks are legal 87a; the 89a animation extras —
+    graphic-control delays, Netscape looping — are presentation
+    metadata the raster path does not need)."""
+    if not frames:
+        raise ValueError("at least one frame required")
+    out = bytearray(_HEADER)
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    for i in range(256):  # grayscale GCT
+        out += bytes((i, i, i))
+    for pixels in frames:
+        if len(pixels) != width * height:
+            raise ValueError("frame buffer does not match dimensions")
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out.append(8)  # LZW minimum code size
+        out += _lzw_encode(pixels, 8)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(
+    data: bytes,
+) -> tuple[int, int, list[tuple[int, int, int, int, int, bytes]]]:
+    """Decode EVERY image block of a GIF87a/89a stream: returns
+    ``(screen_w, screen_h, frames)`` where each frame is ``(left, top,
+    width, height, byte_offset, grayscale_pixels)`` — byte_offset is
+    the position of the frame's image descriptor in ``data`` and each
+    pixel is the color table's red channel.  Raises ``ValueError`` on
+    malformed or unsupported input (interlace, local color tables,
+    out-of-range palette indices)."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad signature)")
     if len(data) < 13:
@@ -186,16 +214,19 @@ def decode_gif(data: bytes) -> tuple[int, int, bytes]:
     sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
     pos = 13
     gct = None
+    gct_entries = 0
     if packed & 0x80:
         n = 2 << (packed & 0x07)
         gct = data[pos : pos + 3 * n]
         if len(gct) != 3 * n:
             raise ValueError("truncated global color table")
+        gct_entries = n
         pos += 3 * n
+    frames: list[tuple[int, int, int, int, int, bytes]] = []
     while pos < len(data):
         block = data[pos]
         if block == 0x3B:  # trailer
-            raise ValueError("no image data before trailer")
+            break
         if block == 0x21:  # extension: label + sub-blocks, skip
             pos += 2
             while pos < len(data) and data[pos] != 0:
@@ -204,6 +235,7 @@ def decode_gif(data: bytes) -> tuple[int, int, bytes]:
             continue
         if block != 0x2C:
             raise ValueError(f"unexpected block 0x{block:02x}")
+        desc_pos = pos
         left, top, w, h, ipacked = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
         if ipacked & 0x40:
             raise ValueError("interlaced GIF not supported")
@@ -217,6 +249,28 @@ def decode_gif(data: bytes) -> tuple[int, int, bytes]:
         indices, pos = _lzw_decode(data, pos, min_code_size)
         if len(indices) < w * h:
             raise ValueError("decoded pixel count short of image size")
-        px = bytes(gct[3 * i] for i in indices[: w * h])
-        return w, h, px
-    raise ValueError("no image descriptor")
+        indices = indices[: w * h]
+        # an externally-produced stream may carry a small GCT
+        # (packed & 0x07 < 7) or corrupt indices past the table — the
+        # malformed-input contract is ValueError, not IndexError
+        if indices and max(indices) >= gct_entries:
+            raise ValueError(
+                f"palette index {max(indices)} out of range "
+                f"(color table has {gct_entries} entries)"
+            )
+        px = bytes(gct[3 * i] for i in indices)
+        frames.append((left, top, w, h, desc_pos, px))
+    if not frames:
+        raise ValueError("no image descriptor")
+    return sw, sh, frames
+
+
+def decode_gif(data: bytes) -> tuple[int, int, bytes]:
+    """Decode the FIRST image of a GIF87a/89a stream (global color
+    table, no interlace); returns ``(width, height, grayscale_pixels)``
+    where each pixel is the color table's red channel.  Raises
+    ``ValueError`` on malformed or unsupported input.  Multi-frame
+    streams: :func:`decode_gif_frames`."""
+    _sw, _sh, frames = decode_gif_frames(data)
+    _left, _top, w, h, _off, px = frames[0]
+    return w, h, px

@@ -136,6 +136,10 @@ class _BitWriter:
             self.out.append(byte)
             if byte == 0xFF:  # byte stuffing
                 self.out.append(0x00)
+        # truncate the accumulator to the residual bits: emitted high
+        # bits otherwise pile up in an unbounded bigint and bit I/O
+        # turns quadratic over a corpus-scale entropy stream
+        self._acc &= (1 << self._nbits) - 1
 
     def flush(self) -> None:
         if self._nbits:
@@ -294,7 +298,10 @@ class _BitReader:
             self._acc = (self._acc << 8) | b
             self._nbits += 8
         self._nbits -= n
-        return (self._acc >> self._nbits) & ((1 << n) - 1)
+        v = (self._acc >> self._nbits) & ((1 << n) - 1)
+        # same accumulator truncation as the writer (see _BitWriter)
+        self._acc &= (1 << self._nbits) - 1
+        return v
 
 
 def _build_decode_table(bits: tuple, vals: tuple) -> dict[tuple[int, int], int]:
@@ -411,6 +418,14 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
             if ns != 1:
                 raise ValueError("interleaved scans unsupported")
             dc_tid, ac_tid = body[2] >> 4, body[2] & 0xF
+            # malformed-input contract is ValueError, not KeyError, when
+            # a stream reaches SOS without its referenced DQT/DHT tables
+            if comp_q not in quant:
+                raise ValueError(f"missing quantization table {comp_q}")
+            if (0, dc_tid) not in huff or (1, ac_tid) not in huff:
+                raise ValueError(
+                    f"missing huffman table (dc={dc_tid}, ac={ac_tid})"
+                )
             scan = data[pos + seglen :]
             return _decode_scan(
                 scan,

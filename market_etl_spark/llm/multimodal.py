@@ -72,12 +72,15 @@ def decode_payload(payload: bytes) -> dict:
             "feature_crc": _rolling_hash(pixels),
         }
     if payload[:6] in (b"GIF87a", b"GIF89a"):
-        w, h, pixels = _gif.decode_gif(payload)
+        _sw, _sh, frames = _gif.decode_gif_frames(payload)
         return {
             "byte_len": len(payload),
-            "n_frames": 1,
+            "n_frames": len(frames),
             "format": "image/gif",
-            "feature_crc": _rolling_hash(pixels),
+            # hashed over the FIRST frame's decoded pixels (stable for
+            # the single-frame corpus; multi-frame streams pin their
+            # per-frame stats through sample_frames)
+            "feature_crc": _rolling_hash(frames[0][5]),
         }
     if payload[:2] == b"\xff\xd8":
         w, h, pixels = _jpeg.decode_jpeg(payload)
@@ -155,17 +158,32 @@ def resize_images(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame
 
 
 def sample_frames(df: DataFrame, every_n_bytes: int = 1000, max_frames: int = 8) -> DataFrame:
-    """Frame-sampling stage: one output row per sampled 'frame'
-    (fixed-stride byte windows — a real build would seek keyframes via
-    ffmpeg). Demonstrates the 1→N mapInPandas fan-out shape a video
-    pipeline needs: output row count is data-dependent, schemas typed,
-    partition-parallel."""
+    """Frame-sampling stage: one output row per sampled frame.
+
+    GIF payloads (signature-sniffed) take the REAL path: every image
+    block is decoded by the independent GIF87a/LZW codec
+    (:func:`..llm.gif.decode_gif_frames`), up to ``max_frames`` frames
+    are sampled EVENLY across the sequence (stride =
+    ``ceil(n/max_frames)`` — keyframe-style sampling, not a prefix),
+    ``frame`` carries the decoded grayscale raster and
+    ``frame_offset`` the image descriptor's byte offset in the stream.
+    Other formats keep the byte-stride stand-in (a video build would
+    seek keyframes via ffmpeg, unavailable here).  Either way this is
+    the 1→N mapInPandas fan-out shape a video pipeline needs: output
+    row count is data-dependent, schemas typed, partition-parallel."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
+                if b[:6] in (b"GIF87a", b"GIF89a"):
+                    _sw, _sh, frames = _gif.decode_gif_frames(b)
+                    stride = max(1, -(-len(frames) // max_frames))
+                    for idx, fi in enumerate(range(0, len(frames), stride)):
+                        _l, _t, _w, _h, off, px = frames[fi]
+                        rows.append((doc_id, idx, off, px))
+                    continue
                 for idx in range(min(max_frames, len(b) // every_n_bytes + 1)):
                     off = idx * every_n_bytes
                     rows.append((doc_id, idx, off, b[off : off + every_n_bytes]))

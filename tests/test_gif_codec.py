@@ -89,3 +89,50 @@ def test_decode_payload_gif_dispatch():
     feats = decode_payload(blob)
     assert feats["format"] == "image/gif"
     assert feats["byte_len"] == len(blob)
+
+
+def test_multiframe_roundtrip_and_offsets():
+    """encode_gif_frames -> decode_gif_frames is identity per frame;
+    byte offsets point at each frame's image descriptor (0x2C)."""
+    frames = [bytes((f * 31 + i * 7) % 256 for i in range(256)) for f in range(4)]
+    blob = gif.encode_gif_frames(frames, 16, 16)
+    sw, sh, dec = gif.decode_gif_frames(blob)
+    assert (sw, sh) == (16, 16)
+    assert len(dec) == 4
+    for f, (left, top, w, h, off, px) in enumerate(dec):
+        assert (left, top, w, h) == (0, 0, 16, 16)
+        assert px == frames[f]
+        assert blob[off] == 0x2C
+    # first-frame back-compat through the single-image API
+    assert gif.decode_gif(blob) == (16, 16, frames[0])
+
+
+def test_palette_index_out_of_range_is_valueerror():
+    """A stream with a small GCT whose LZW indices exceed the table
+    must raise the documented ValueError, not IndexError (ADVICE r7)."""
+    bad = bytearray(b"GIF87a") + struct.pack("<HHBBB", 2, 1, 0x80, 0, 0)
+    bad += bytes((0, 0, 0, 255, 255, 255))  # 2-entry GCT
+    bad += b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 1, 0)
+    bad.append(2)  # LZW min code size
+    bad += gif._lzw_encode(bytes([3, 1]), 2)  # index 3 > table size 2
+    bad += b"\x3b"
+    with pytest.raises(ValueError, match="palette index"):
+        gif.decode_gif(bytes(bad))
+
+
+def test_sample_frames_uses_real_codec(spark):
+    """The production frame sampler decodes GIF payloads with the real
+    codec: per-frame bytes are the decoded rasters, offsets are image
+    descriptor positions, and >max_frames sequences sample evenly."""
+    from market_etl_spark.llm.multimodal import sample_frames
+
+    frames = [bytes([f * 10] * 64) for f in range(16)]
+    blob = gif.encode_gif_frames(frames, 8, 8)
+    df = spark.createDataFrame([(1, bytearray(blob))], "doc_id long, payload binary")
+    out = sample_frames(df, max_frames=8).orderBy("frame_idx").collect()
+    assert len(out) == 8  # stride 2 over 16 frames
+    for row in out:
+        assert bytes(row.frame) == frames[row.frame_idx * 2]
+        assert blob[row.frame_offset] == 0x2C
+    feats = decode_payload(blob)
+    assert feats["n_frames"] == 16

@@ -139,3 +139,38 @@ def test_edge_padding_cropped():
     w, h, dec = jpeg.decode_jpeg(jpeg.encode_jpeg(px, 13, 9, quant=_ONES))
     assert (w, h) == (13, 9)
     assert len(dec) == 13 * 9
+
+
+def test_missing_tables_are_valueerror():
+    """A stream reaching SOS without its DQT/DHT tables must raise the
+    documented ValueError, not KeyError (ADVICE r7)."""
+    blob = jpeg.encode_jpeg(bytes(range(64)), 8, 8)
+    for strip_marker, msg in ((0xC4, "huffman"), (0xDB, "quantization")):
+        out = bytearray(blob[:2])
+        pos = 2
+        while pos < len(blob):
+            marker = blob[pos + 1]
+            if marker == 0xDA:
+                out += blob[pos:]
+                break
+            seglen = int.from_bytes(blob[pos + 2 : pos + 4], "big")
+            if marker != strip_marker:
+                out += blob[pos : pos + 2 + seglen]
+            pos += 2 + seglen
+        with pytest.raises(ValueError, match=msg):
+            jpeg.decode_jpeg(bytes(out))
+
+
+def test_bit_io_accumulator_stays_bounded():
+    """The entropy-stream bit accumulators must truncate to their
+    residual bits (ADVICE r7: unbounded bigint growth turns bit I/O
+    quadratic on corpus-scale images)."""
+    w = jpeg._BitWriter()
+    for i in range(10_000):
+        w.write(i & 0x3FF, 10)
+    assert w._acc.bit_length() <= 8
+    data = bytes(w.out) + b"\xff\xd9"
+    r = jpeg._BitReader(bytes(w.out))
+    for i in range(10_000):
+        assert r.read(10) == (i & 0x3FF)
+        assert r._acc.bit_length() <= 8
