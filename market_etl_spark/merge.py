@@ -75,8 +75,16 @@ def merge_into_partitioned(
     )
     affected = target.filter(cond)
     merged = merge_upsert(affected, updates.select(*target.columns), key_cols)
+    # Cluster on the partition columns before the write: every
+    # partition directory then lands in ONE task and emits ONE file,
+    # instead of (shuffle.partitions × dirs) fragments per merge — an
+    # iterated CDC apply otherwise compounds a tiny-files explosion
+    # that slows every later scan.  The extra shuffle moves only the
+    # affected slice (batch-sized).  For partitions too large for one
+    # writer, add a bounded salt column here to split files.
     (
-        merged.write.mode("overwrite")
+        merged.repartition(*partition_cols)
+        .write.mode("overwrite")
         .partitionBy(*partition_cols)
         .parquet(path)
     )

@@ -530,8 +530,13 @@ def q_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     seed.write.mode("overwrite").partitionBy("day").parquet(path)
+    # 3 time-ranged replay files (round-8 floor cut): the day > 10 CDC
+    # cut still spans ≥2 non-empty micro-batches — one update-heavy
+    # (poisoned days), one insert-heavy (new partitions) — so all
+    # three MERGE paths replay across batches, at one less per-batch
+    # fixed cost (trigger + checkpoint commit + merge job round).
     stream = (
-        streaming.read_events_stream_multibatch(spark, sf_dir)
+        streaming.read_events_stream_multibatch(spark, sf_dir, n_files=3)
         .withColumn("day", F.dayofmonth("ts"))
         .filter(F.col("day") > 10)
     )

@@ -714,9 +714,19 @@ def read_events_stream_outer_drain(spark: SparkSession, sf_dir: str) -> DataFram
         os.utime(dest, (1_000_000_000 + (i + 1) * 1000,) * 2)
 
     batch = spark.read.parquet(src)
+    # maxFilesPerTrigger=2 pairs [data, wave 1] into micro-batch 1 and
+    # leaves wave 2 as micro-batch 2 — the minimum batch count for
+    # OUTER drain semantics: batch 1 finds every inner match (the join
+    # matches within a batch as well as against state) and its max
+    # event time (wave 1) sets batch 2's watermark months past every
+    # click + 2h, so batch 2 (kept non-empty by wave 2) runs the
+    # eviction pass that emits the null-extended rows.  One fewer
+    # stateful micro-batch than the 1-file-per-trigger replay at an
+    # identical drained result (hash-verified), and each micro-batch
+    # saved is a full state-store commit cycle.
     stream = (
         spark.readStream.schema(batch.schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .parquet(str(zone))
     )
     return _convert_ts(stream)
