@@ -669,6 +669,36 @@ def read_events_stream_multibatch(
     )
 
 
+def read_table_stream_multibatch(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    range_col: str,
+    n_files: int = 3,
+) -> DataFrame:
+    """Generalization of :func:`read_events_stream_multibatch` to any
+    registered table: replay ``table`` as ``n_files`` range-partitioned
+    parquet files with ``maxFilesPerTrigger=1`` — each micro-batch
+    approximates one time/key slice of a CDC feed.  Staged once per
+    (table, sf, n) and reused."""
+    from ..session import apply_runtime_conf
+    from ..tables import load
+
+    apply_runtime_conf(spark)
+    tag = pathlib.Path(sf_dir.rstrip("/")).name.replace(".", "_")
+    zone = _SCRATCH / f"stream_src_multi_{table}_{tag}_{n_files}"
+    if not (zone / "_SUCCESS").exists():
+        load(spark, sf_dir, table).repartitionByRange(
+            n_files, range_col
+        ).write.mode("overwrite").parquet(str(zone))
+    schema = spark.read.parquet(str(zone)).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(zone))
+    )
+
+
 def read_events_stream_outer_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay for OUTER stream-stream joins: the real events first,
     then TWO sentinel waves (user_id = −1 click+purchase pairs at

@@ -46,6 +46,9 @@ _SKIP = {
     "q_rollup_incremental_refresh",
     "llm_incremental_dedup",
     "q_scd2_history_build",  # the fold runs 10 eager localCheckpoints
+    "q_streaming_ivm",  # foreachBatch view maintenance runs a stream
+    "q_rowgroup_stats_audit",  # materializes the manifested layout once
+    "llm_density_dedup",  # hash-min CC runs eager label-propagation jobs
     "q_sessionize",  # pandas-state twin builds a stream zone
     "q_zorder_pruned_scan",  # materializes the z-ordered layout
 }
@@ -58,6 +61,7 @@ _BNLJ_OK = {
     "llm_approx_topk_terms",  # 1-row approx_top_k sketch broadcast into the audit
     "q_theta_sketch_setops",  # 1-row sketch-pair × 1-row exact-pair crossJoin
     "q_kll_mergeable_quantiles",  # 1-row merged-sketch broadcast into the audit
+    "llm_density_dedup",  # 400-row bounded slice: broadcast theta self-join IS the plan
     "llm_psi_drift",  # two 1-row snapshot-total broadcasts into the PSI fold
     "llm_ks_drift",  # 1-row (na, nb) totals broadcast into the CDF diff
     "llm_token_budget_select",  # 1-row token-budget broadcast into the filter
