@@ -396,3 +396,402 @@ def q_rowgroup_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.round(F.col("footer_max"), 6) == F.round(F.col("man_max"), 6))
         ).alias("manifest_consistent"),
     )
+
+
+@query(
+    "q_triangle_count",
+    oracle="""
+    WITH pd AS (
+        SELECT DISTINCT user_id AS u, date_trunc('hour', ts) AS h
+        FROM events WHERE event_type = 'purchase' AND user_id < 60
+    ), edges AS (
+        SELECT DISTINCT a.u AS ua, b.u AS ub
+        FROM pd a JOIN pd b ON a.h = b.h AND a.u < b.u
+    ), deg AS (
+        SELECT u, COUNT(*) AS deg FROM (
+            SELECT ua AS u FROM edges UNION ALL SELECT ub FROM edges
+        ) GROUP BY u
+    ), tri AS (
+        SELECT COUNT(*) AS t
+        FROM edges e1
+        JOIN edges e2 ON e2.ua = e1.ua AND e2.ub > e1.ub
+        JOIN edges e3 ON e3.ua = e1.ub AND e3.ub = e2.ub
+    )
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
+           ROUND(3.0 * (SELECT t FROM tri)
+                 / (SELECT SUM(deg * (deg - 1) / 2) FROM deg), 6)
+               AS clustering_coef
+    """,
+    tags=("graph", "triangle-count", "extension"),
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting with DEGREE-ORDERED edge
+    orientation (round-8): the co-purchase graph (users < 60 who
+    purchased in the same hour) is oriented from the endpoint with the
+    smaller (degree, id) to the larger, so every triangle is counted
+    exactly once from its lowest-degree corner and each adjacency-list
+    self-join key fans out by O(sqrt(|E|)) even on power-law graphs —
+    the standard trick that keeps the wedge join from exploding on hub
+    nodes (a naive undirected wedge join fans out quadratically in the
+    max degree).  Global clustering coefficient = 3·triangles /
+    wedges closes the audit.  The oracle counts the same triangles
+    with an unoriented 3-way self-join — safe at oracle scale, wrong
+    at 100 TB, which is exactly the point of pinning the oriented
+    plan against it.
+
+    Scale: the graph build is an equi join on the hour bucket; edges
+    ship as (src, dst) id pairs; both triangle joins are
+    broadcastable id-pair relations at any realistic edge count for a
+    bounded user slice, and partition by src otherwise."""
+    e = (
+        load(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & (F.col("user_id") < 60))
+        .select(
+            F.col("user_id").alias("u"),
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+        )
+        .distinct()
+    )
+    b = e.select(F.col("u").alias("v"), F.col("h").alias("h2"))
+    edges = (
+        e.join(b, (F.col("h") == F.col("h2")) & (F.col("u") < F.col("v")))
+        .select(F.col("u").alias("ua"), F.col("v").alias("ub"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        edges.select(F.col("ua").alias("u"))
+        .unionByName(edges.select(F.col("ub").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient each edge from the smaller (deg, id) endpoint to the larger
+    da = deg.select(F.col("u").alias("ua"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("u").alias("ub"), F.col("deg").alias("deg_b"))
+    oriented = (
+        edges.join(F.broadcast(da), "ua")
+        .join(F.broadcast(db), "ub")
+        .select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("ua") < F.col("ub"))),
+                F.struct(F.col("ua").alias("src"), F.col("ub").alias("dst")),
+            )
+            .otherwise(
+                F.struct(F.col("ub").alias("src"), F.col("ua").alias("dst"))
+            )
+            .alias("e")
+        )
+        .select("e.src", "e.dst")
+        .localCheckpoint(eager=False)
+    )
+    # wedges at the low-degree corner: (src, d1, d2); triangle iff the
+    # closing edge (d1, d2) exists in EITHER orientation
+    w1 = oriented.select("src", F.col("dst").alias("d1"))
+    w2 = oriented.select(F.col("src").alias("src"), F.col("dst").alias("d2"))
+    wedges = w1.join(w2, "src").filter(F.col("d1") < F.col("d2"))
+    closing = oriented.select(
+        F.col("src").alias("d1"), F.col("dst").alias("d2")
+    ).unionByName(
+        oriented.select(F.col("dst").alias("d1"), F.col("src").alias("d2"))
+    )
+    tri = wedges.join(closing, ["d1", "d2"]).count()
+    stats = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2).alias("n_wedges"),
+    )
+    n_edges = edges.count()
+    return stats.select(
+        "n_nodes",
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        F.lit(tri).cast("long").alias("n_triangles"),
+        F.round(F.lit(3.0) * F.lit(tri) / F.col("n_wedges"), 6).alias(
+            "clustering_coef"
+        ),
+    )
+
+
+#: Fellegi–Sunter field parameters (m = P(agree | match),
+#: u = P(agree | non-match)) — fixed textbook values.  The per-field
+#: log-likelihood weights ln(m/u) / ln((1−m)/(1−u)) are PRECOMPUTED in
+#: Python and inlined as identical full-precision double literals into
+#: BOTH engines: DuckDB would otherwise parse ``0.9/0.2`` as DECIMAL
+#: division (exact 4.5) where Python divides doubles — a 1-ulp drift
+#: the rounding convention shouldn't have to absorb.
+import math as _math
+
+_FS_FIELDS = tuple(
+    (name, _math.log(m / u), _math.log((1 - m) / (1 - u)))
+    for name, m, u in (
+        ("seg_agree", 0.9, 0.2),
+        ("bal_agree", 0.8, 0.05),
+        ("sign_agree", 0.95, 0.55),
+    )
+)
+_FS_SLICE = 900  # constant comparison slice (quadratic-within-block recipe)
+
+
+def _fs_weight_sql() -> str:
+    # each literal is CAST to DOUBLE: DuckDB otherwise parses the
+    # full-precision literals as DECIMAL and sums them EXACTLY, while
+    # Spark folds doubles left-to-right — the standing decimal-literal
+    # trap (memory: "DuckDB decimal literals")
+    terms = []
+    for name, w_agree, w_dis in _FS_FIELDS:
+        terms.append(
+            f"CASE WHEN {name} THEN CAST({w_agree!r} AS DOUBLE)"
+            f" ELSE CAST({w_dis!r} AS DOUBLE) END"
+        )
+    return " + ".join(terms)
+
+
+@query(
+    "q_fellegi_sunter_linkage",
+    oracle=f"""
+    WITH c AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal
+        FROM customer WHERE c_custkey < {_FS_SLICE}
+    ), pairs AS (
+        SELECT a.c_mktsegment = b.c_mktsegment AS seg_agree,
+               ABS(a.c_acctbal - b.c_acctbal) < 100 AS bal_agree,
+               SIGN(a.c_acctbal) = SIGN(b.c_acctbal) AS sign_agree
+        FROM c a JOIN c b
+          ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    )
+    SELECT seg_agree, bal_agree, sign_agree,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND({_fs_weight_sql()}, 6) AS fs_weight,
+           CASE WHEN ({_fs_weight_sql()}) > 2 THEN 'match'
+                WHEN ({_fs_weight_sql()}) < -2 THEN 'non-match'
+                ELSE 'review' END AS classification
+    FROM pairs
+    GROUP BY seg_agree, bal_agree, sign_agree
+    ORDER BY seg_agree, bal_agree, sign_agree
+    """,
+    tags=("entity-resolution", "record-linkage", "extension"),
+)
+def q_fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage (round-8 — the
+    scoring stage ``llm_blocking_quality`` stops short of): customer
+    pairs within a NATION block are compared on three fields (market
+    segment, balance within 100, balance sign) and scored with the
+    classic sum of log-likelihood weights ln(m/u) / ln((1−m)/(1−u))
+    under fixed published m/u parameters; scores bucket pairs into
+    match / review / non-match.  Grouping by full agreement pattern
+    makes the output the 2³-row decision table the FS model actually
+    produces — every pattern's weight and classification is pinned to
+    6 dp (natural log is libm-stable under the rounding convention).
+
+    Scale: blocking bounds the pair space (nation blocks here; any
+    LSH/sorted-neighborhood key at 100 TB), the comparison slice is
+    constant, and the score is a map-side expression — no shuffle
+    beyond the 8-row rollup."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < _FS_SLICE)
+        .select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    )
+    a = c.select(
+        F.col("c_custkey").alias("ka"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("sa"),
+        F.col("c_acctbal").alias("ba"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("kb"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("sb"),
+        F.col("c_acctbal").alias("bb"),
+    )
+    pairs = (
+        a.join(b, "nk")
+        .filter(F.col("ka") < F.col("kb"))
+        .select(
+            (F.col("sa") == F.col("sb")).alias("seg_agree"),
+            (F.abs(F.col("ba") - F.col("bb")) < 100).alias("bal_agree"),
+            (F.signum("ba") == F.signum("bb")).alias("sign_agree"),
+        )
+    )
+    weight = None
+    for name, w_agree, w_dis in _FS_FIELDS:
+        term = F.when(F.col(name), F.lit(w_agree)).otherwise(F.lit(w_dis))
+        weight = term if weight is None else weight + term
+    return (
+        pairs.groupBy("seg_agree", "bal_agree", "sign_agree")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.max(weight), 6).alias("fs_weight"),
+            F.max(
+                F.when(weight > 2, F.lit("match"))
+                .when(weight < -2, F.lit("non-match"))
+                .otherwise(F.lit("review"))
+            ).alias("classification"),
+        )
+        .orderBy("seg_agree", "bal_agree", "sign_agree")
+    )
+
+
+@query(
+    "q_streaming_full_outer",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts AS click_ts FROM events
+        WHERE event_type = 'click' AND user_id >= 0 AND user_id < 40
+    ), purchases AS (
+        SELECT user_id, ts AS purchase_ts, value FROM events
+        WHERE event_type = 'purchase' AND user_id >= 0 AND user_id < 40
+    ), j AS (
+        SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+               c.click_ts, p.purchase_ts, p.value
+        FROM clicks c FULL JOIN purchases p
+          ON c.user_id = p.user_id
+         AND p.purchase_ts >= c.click_ts
+         AND p.purchase_ts < c.click_ts + INTERVAL 2 HOUR
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN click_ts IS NOT NULL
+                          AND purchase_ts IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN purchase_ts IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unmatched_clicks,
+           CAST(SUM(CASE WHEN click_ts IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unmatched_purchases,
+           ROUND(SUM(CASE WHEN click_ts IS NOT NULL
+                          THEN COALESCE(value, 0) ELSE 0 END), 4)
+               AS attributed_value
+    FROM j GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("streaming", "stream-stream-join", "outer-join", "extension"),
+)
+def q_streaming_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join, fully drained (round-8
+    — completes the outer-join matrix next to the LEFT OUTER variant):
+    clicks with no purchase in their forward 2-hour window AND
+    purchases with no click in their backward window both emit
+    null-extended rows, each only once the watermark certifies no
+    match can arrive on the other side.  Same sentinel-wave drain as
+    ``q_streaming_attribution_outer`` (the global watermark is the MIN
+    over both sides, so both event types ride each wave); after the
+    drain the streamed FULL OUTER equals the batch FULL OUTER exactly
+    — the oracle computes the batch join with no watermark term, so
+    the hash match proves BOTH null-emission state machines and their
+    independent eviction bounds converge to relational semantics.
+
+    Scale: state on each side is bounded by watermark + the join
+    condition (the production contract for unbounded outer joins);
+    sentinel waves are O(1) rows."""
+    from .. import streaming
+
+    stream = streaming.read_events_stream_outer_drain(spark, sf_dir).filter(
+        F.col("user_id") < 40
+    )
+    pairs = streaming.attributed_clicks_outer_stream(stream, how="fullOuter")
+    sink = streaming.run_to_memory_append_available_now(pairs, partitions=4)
+    matched = F.col("click_ts").isNotNull() & F.col("purchase_ts").isNotNull()
+    return (
+        spark.table(sink)
+        .withColumn("user_id", F.coalesce("c_user", "p_user"))
+        .filter(F.col("user_id") >= 0)  # drop the sentinel key
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(matched, 1).otherwise(0)).cast("long").alias("n_matched"),
+            F.sum(F.when(F.col("purchase_ts").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_unmatched_clicks"),
+            F.sum(F.when(F.col("click_ts").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_unmatched_purchases"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("click_ts").isNotNull(),
+                        F.coalesce("purchase_value", F.lit(0.0)),
+                    ).otherwise(F.lit(0.0))
+                ),
+                4,
+            ).alias("attributed_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_compaction_plan",
+    oracle="""
+    SELECT CAST(16 AS INT) AS n_files,
+           CAST(4 AS INT) AS n_bins,
+           CAST(COUNT(*) AS BIGINT) AS total_rows,
+           ROUND(MIN(value), 6) AS min_value,
+           ROUND(MAX(value), 6) AS max_value,
+           TRUE AS coverage_ok,
+           TRUE AS disjoint_ok
+    FROM events
+    """,
+    tags=("datalayout", "compaction", "maintenance", "extension"),
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-driven small-file COMPACTION PLANNER (round-8): the
+    manifested layout's 16 value-clustered files are bin-packed into 4
+    rewrite groups by a running-row-count window over the manifest —
+    files ordered by their value range, bin = floor(rows-before /
+    ceil(total/4)) — the planning step behind every table-maintenance
+    `OPTIMIZE`/compaction job, driven entirely by KB-sized manifest
+    metadata (never a data scan).  Contiguous range-ordered bins mean
+    each rewrite group stays value-clustered, so compaction preserves
+    the layout's pruning power.  The audited contract: the plan covers
+    every row exactly once (bin totals == the oracle's full-table
+    COUNT), the bins' combined range equals the data's true min/max,
+    and consecutive bins are range-disjoint — all recomputed by the
+    oracle from raw data the manifest never sees.
+
+    Scale: planning cost ∝ file count (a window over manifest rows);
+    at 100 TB this is the metadata pass that turns a million-file
+    table into thousands of right-sized rewrite tasks."""
+    from pyspark.sql import Window
+
+    from .etl_pipeline import ensure_manifested_events
+
+    root = ensure_manifested_events(spark, sf_dir)
+    man = spark.read.parquet(f"{root}/manifest")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    worder = Window.orderBy("stat_min", "file_path").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    planned = (
+        man.withColumn("total", F.sum("n_rows").over(wall))
+        .withColumn("target", F.ceil(F.col("total") / 4))
+        .withColumn(
+            "cum_before", F.coalesce(F.sum("n_rows").over(worder), F.lit(0))
+        )
+        .withColumn(
+            "bin", F.floor(F.col("cum_before") / F.col("target")).cast("int")
+        )
+    )
+    bins = planned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("int").alias("bin_files"),
+        F.sum("n_rows").cast("long").alias("bin_rows"),
+        F.min("stat_min").alias("lo"),
+        F.max("stat_max").alias("hi"),
+    )
+    wbin = Window.orderBy("bin")
+    audited = bins.withColumn(
+        "disjoint", F.col("lo") >= F.coalesce(F.lag("hi").over(wbin), F.col("lo"))
+    )
+    total_rows = (
+        load(spark, sf_dir, "events").count()
+    )  # the oracle-side truth, recomputed once for the coverage bit
+    return audited.agg(
+        F.sum("bin_files").cast("int").alias("n_files"),
+        F.count(F.lit(1)).cast("int").alias("n_bins"),
+        F.sum("bin_rows").cast("long").alias("total_rows"),
+        F.round(F.min("lo"), 6).alias("min_value"),
+        F.round(F.max("hi"), 6).alias("max_value"),
+        (F.sum("bin_rows") == F.lit(total_rows)).alias("coverage_ok"),
+        F.min("disjoint").alias("disjoint_ok"),
+    )

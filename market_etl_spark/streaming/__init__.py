@@ -798,15 +798,19 @@ def attributed_clicks_outer_stream(
     stream: DataFrame,
     attribution_window: str = "2 hours",
     watermark: str = "10 minutes",
+    how: str = "leftOuter",
 ) -> DataFrame:
-    """LEFT OUTER stream-stream interval join: every click row emits —
-    matched to each purchase in its forward attribution window, or as
-    a null-extended row once the watermark proves no match can arrive.
-    Same state-reclaim contract as the inner variant
+    """OUTER stream-stream interval join (``how`` = ``leftOuter`` or
+    ``fullOuter``): every click row emits — matched to each purchase in
+    its forward attribution window, or as a null-extended row once the
+    watermark proves no match can arrive; under ``fullOuter``,
+    purchases with no click in their backward window additionally emit
+    null-extended rows on their own eviction bound.  Same state-reclaim
+    contract as the inner variant
     (:func:`attributed_purchases_stream`); the OUTER semantics
     additionally exercise watermark-driven null emission, which only
-    happens in a batch AFTER the watermark passes click_ts + window
-    (see :func:`read_events_stream_outer_drain`)."""
+    happens in a batch AFTER the watermark passes the row's
+    join-condition bound (see :func:`read_events_stream_outer_drain`)."""
     clicks = (
         stream.filter(F.col("event_type") == "click")
         .select(
@@ -830,7 +834,7 @@ def attributed_clicks_outer_stream(
             "c_user = p_user AND purchase_ts >= click_ts "
             f"AND purchase_ts < click_ts + interval {attribution_window}"
         ),
-        "leftOuter",
+        how,
     )
 
 

@@ -49,6 +49,9 @@ _SKIP = {
     "q_streaming_ivm",  # foreachBatch view maintenance runs a stream
     "q_rowgroup_stats_audit",  # materializes the manifested layout once
     "llm_density_dedup",  # hash-min CC runs eager label-propagation jobs
+    "q_streaming_full_outer",  # stream drain
+    "q_compaction_plan",  # materializes the manifested layout once
+    "q_triangle_count",  # counts triangles eagerly (two count() actions)
     "q_sessionize",  # pandas-state twin builds a stream zone
     "q_zorder_pruned_scan",  # materializes the z-ordered layout
 }
