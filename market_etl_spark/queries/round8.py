@@ -795,3 +795,367 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("bin_rows") == F.lit(total_rows)).alias("coverage_ok"),
         F.min("disjoint").alias("disjoint_ok"),
     )
+
+
+@query(
+    "q_time_travel_read",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, COUNT(*) AS n,
+               SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS v
+        FROM events WHERE day(ts) <= 15 GROUP BY user_id
+    ), s2 AS (
+        SELECT user_id, COUNT(*) AS n,
+               SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS v
+        FROM events GROUP BY user_id
+    ), d AS (
+        SELECT s1.user_id AS u1, s2.user_id AS u2,
+               s1.n AS n1, s1.v AS v1, s2.n AS n2, s2.v AS v2
+        FROM s1 FULL JOIN s2 ON s1.user_id = s2.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS v1_users,
+           CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS v2_users,
+           CAST(SUM(CASE WHEN u1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_added,
+           CAST(SUM(CASE WHEN u1 IS NOT NULL AND u2 IS NOT NULL
+                          AND (n1 <> n2 OR v1 <> v2)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           CAST(SUM(CASE WHEN u2 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+           CAST((SELECT SUM(n) FROM s1) AS BIGINT) AS v1_events,
+           CAST((SELECT SUM(n) FROM s2) AS BIGINT) AS v2_events
+    FROM d
+    """,
+    tags=("datalayout", "time-travel", "versioning", "extension"),
+)
+def q_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TRAVEL on a versioned snapshot store (round-8): a per-user
+    activity snapshot is committed twice through
+    :func:`..sinks.write_versioned` — v1 from the first half-month of
+    events, v2 from the full table — then both versions are read back
+    AS COMMITTED (:func:`..sinks.read_version`, marker-gated so torn
+    writes are invisible) and diffed with the engine's CDC operator
+    (:func:`..merge.snapshot_diff`).  The output folds the two reads
+    and the diff into one audit row the oracle recomputes from raw
+    events alone, so a hash match proves the version chain stores,
+    isolates, and replays historical states exactly — the
+    Delta/Iceberg `VERSION AS OF` contract on plain parquet.
+
+    Scale: each version is an immutable directory + one marker file;
+    commits are O(1) renames after the data write; the diff ships
+    (key, xxhash64) pairs only."""
+    import shutil
+
+    from ..merge import snapshot_diff
+    from ..sinks import read_version, write_versioned
+    from ..streaming import _SCRATCH
+
+    tag = pathlib.Path(sf_dir.rstrip("/")).name.replace(".", "_")
+    path = str(_SCRATCH / f"ttravel_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+
+    e = load(spark, sf_dir, "events")
+    snap = lambda df: df.groupBy("user_id").agg(  # noqa: E731
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 1e6).cast("long"))
+        .cast("long")
+        .alias("value_micros"),
+    )
+    v1 = write_versioned(snap(e.filter(F.dayofmonth("ts") <= 15)), path)
+    v2 = write_versioned(snap(e), path)
+
+    s1 = read_version(spark, path, v1)
+    s2 = read_version(spark, path, v2)
+    diff = snapshot_diff(s1, s2, ["user_id"]).groupBy().pivot(
+        "change_type", ["added", "changed", "removed"]
+    ).count()
+    stats1 = s1.agg(
+        F.count(F.lit(1)).cast("long").alias("v1_users"),
+        F.sum("n_events").cast("long").alias("v1_events"),
+    )
+    stats2 = s2.agg(
+        F.count(F.lit(1)).cast("long").alias("v2_users"),
+        F.sum("n_events").cast("long").alias("v2_events"),
+    )
+    return (
+        stats1.crossJoin(F.broadcast(stats2))
+        .crossJoin(F.broadcast(diff))
+        .select(
+            "v1_users",
+            "v2_users",
+            F.coalesce(F.col("added"), F.lit(0)).cast("long").alias("n_added"),
+            F.coalesce(F.col("changed"), F.lit(0)).cast("long").alias("n_changed"),
+            F.coalesce(F.col("removed"), F.lit(0)).cast("long").alias("n_removed"),
+            "v1_events",
+            "v2_events",
+        )
+    )
+
+
+def _hard_negative_oracle() -> str:
+    from ..llm.similarity import cosine_sql
+
+    cos = cosine_sql("q.qe", "e.embedding", 64)
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe, label AS ql
+        FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+    ), scored AS (
+        SELECT q.query_id, q.ql, e.vec_id AS cid, e.label AS cl,
+               ROUND({cos}, 6) AS sim
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    ), pos AS (
+        SELECT query_id, cid AS pos_id, sim AS pos_sim FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim ASC, cid
+            ) AS rn FROM scored WHERE cl = ql
+        ) WHERE rn = 1
+    ), neg AS (
+        SELECT query_id, cid AS neg_id, sim AS neg_sim FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, cid
+            ) AS rn FROM scored WHERE cl <> ql
+        ) WHERE rn = 1
+    )
+    SELECT p.query_id, p.pos_id, p.pos_sim, n.neg_id, n.neg_sim,
+           ROUND(p.pos_sim - n.neg_sim, 6) AS margin
+    FROM pos p JOIN neg n ON n.query_id = p.query_id
+    ORDER BY p.query_id
+    """
+
+
+@query(
+    "llm_hard_negatives",
+    oracle=_hard_negative_oracle(),
+    tags=("llm", "contrastive-mining", "similarity-brute", "extension"),
+)
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair HARD-NEGATIVE MINING (round-8 — the training-
+    data step between embedding and contrastive fine-tuning): for each
+    anchor vector, find the hardest negative (the MOST similar
+    embedding with a DIFFERENT label — the pair the model most needs
+    to push apart) and the hardest positive (the LEAST similar
+    embedding with the SAME label — the pair it most needs to pull
+    together), plus the resulting margin.  One corpus scan against 5
+    broadcast anchors, the same fold-ordered dot product as the
+    similarity family (bit-matched to the oracle), and two
+    row_number windows — never an all-pairs graph.
+
+    Scale: work ∝ |corpus| × |anchors|; at 100 TB anchors broadcast
+    and each partition emits only its partial top-1s under the
+    windows' WindowGroupLimit pushdown."""
+    from ..llm.similarity import cosine
+
+    emb = load(spark, sf_dir, "embeddings")
+    anchors = F.broadcast(
+        emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("label").alias("ql"),
+        )
+    )
+    scored = (
+        emb.join(anchors, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "ql",
+            F.col("vec_id").alias("cid"),
+            F.col("label").alias("cl"),
+            F.round(cosine("qe", "embedding"), 6).alias("sim"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    from pyspark.sql import Window
+
+    wpos = Window.partitionBy("query_id").orderBy(F.asc("sim"), F.asc("cid"))
+    wneg = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cid"))
+    pos = (
+        scored.filter(F.col("cl") == F.col("ql"))
+        .withColumn("rn", F.row_number().over(wpos))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("cid").alias("pos_id"), F.col("sim").alias("pos_sim"))
+    )
+    neg = (
+        scored.filter(F.col("cl") != F.col("ql"))
+        .withColumn("rn", F.row_number().over(wneg))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("cid").alias("neg_id"), F.col("sim").alias("neg_sim"))
+    )
+    return (
+        pos.join(neg, "query_id")
+        .select(
+            "query_id",
+            "pos_id",
+            "pos_sim",
+            "neg_id",
+            "neg_sim",
+            F.round(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@query(
+    "q_streaming_session_native",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts
+                    ) >= 1800000000
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WHERE user_id < 30
+    ), sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 6) AS total_value
+    FROM sess
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    tags=("streaming", "session-window", "extension"),
+)
+def q_streaming_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst's native ``session_window`` run as a STREAM (round-8 —
+    the third rendering of sessionization next to the batch native
+    window and the applyInPandasWithState twin, and a different state
+    operator from both: streaming session aggregation uses the
+    merging-sessions state store, which unions overlapping
+    [start, last+gap) ranges per key across micro-batches).  The
+    replay is the sentinel-flushed zone split 1-file-per-trigger:
+    batch 1 carries the data (watermark still at zero — nothing
+    emits), the sentinel batch moves the watermark months past every
+    real session's end, and the closing no-data micro-batch emits all
+    finalized sessions in append mode.  Sentinel sessions (one per
+    user at 2099) never close and are dropped by the year filter; what
+    remains must hash-match the batch lag-gap formulation — the
+    oracle — proving the merging-session state machine converges to
+    relational gap semantics on a finite replay.
+
+    Scale: state is one [start, end) range per OPEN session per user,
+    reclaimed at the watermark — the production contract for unbounded
+    sessionization."""
+    from .. import streaming
+    from ..streaming import _SCRATCH, _convert_ts
+
+    # same staged zone as the pandas-state sessionizer, but replayed
+    # 1-file-per-trigger so the watermark advances BETWEEN batches
+    streaming.read_events_stream_with_flush(spark, sf_dir)  # stage zone
+    tag = pathlib.Path(sf_dir.rstrip("/")).name.replace(".", "_")
+    zone = _SCRATCH / f"stream_src_{tag}_flush"
+    schema = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").schema
+    stream = _convert_ts(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(zone))
+    ).filter(F.col("user_id") < 30)
+    sessions = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    sink = streaming.run_to_memory_append_available_now(sessions, partitions=4)
+    return (
+        spark.table(sink)
+        .filter(F.col("session_start") < F.lit("2030-01-01").cast("timestamp"))
+        .orderBy("user_id", "session_start")
+    )
+
+
+@query(
+    "llm_udtf_token_runs",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), tok AS (
+        SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS word
+        FROM t
+    ), flag AS (
+        SELECT doc_id, i, word,
+               CASE WHEN word IS DISTINCT FROM LAG(word) OVER (
+                        PARTITION BY doc_id ORDER BY i
+                    ) THEN 1 ELSE 0 END AS nr
+        FROM tok
+    ), runs AS (
+        SELECT doc_id, word,
+               SUM(nr) OVER (
+                   PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING
+               ) AS rid
+        FROM flag
+    ), g AS (
+        SELECT doc_id, rid, COUNT(*) AS run_len FROM runs GROUP BY doc_id, rid
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(SUM(run_len) AS BIGINT) AS n_tokens,
+           CAST(MAX(run_len) AS BIGINT) AS max_run
+    FROM g GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("llm", "udtf", "text", "extension"),
+)
+def llm_udtf_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (round-8 — Spark 4's user-defined TABLE
+    function, the one Python extension API the engine had not yet
+    exercised): an Arrow-optimized UDTF run-length-encodes each
+    document's token sequence — ``eval`` yields one (run_start, word,
+    run_len) row per maximal run of consecutive equal tokens — and a
+    LATERAL join fans the rows out per document.  RLE is the shape a
+    UDTF genuinely earns: a stateful sequential scan that SQL needs
+    two window passes to express (the oracle does exactly that —
+    LAG-flag → running-sum run ids → group), while the UDTF emits runs
+    in one forward pass.  ``useArrow=True`` keeps the exchange
+    Arrow-batched per the engine's no-row-at-a-time discipline;
+    repetition statistics (run counts, longest run) are the
+    boilerplate/repetition signal the quality suite thresholds.
+
+    Scale: embarrassingly parallel per document; output rows ∝ runs;
+    the only shuffle is the final per-doc rollup."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="run_start int, word string, run_len int", useArrow=True)
+    class TokenRuns:
+        def eval(self, text):
+            toks = (text or "").split(" ")
+            start = 0
+            for i in range(1, len(toks) + 1):
+                if i == len(toks) or toks[i] != toks[start]:
+                    yield start + 1, toks[start], i - start
+                    start = i
+
+    tag = pathlib.Path(sf_dir.rstrip("/")).name.replace(".", "_")
+    view = f"docs_udtf_{tag}"
+    load(spark, sf_dir, "documents").select("doc_id", "text").createOrReplaceTempView(view)
+    spark.udtf.register("token_runs", TokenRuns)
+    runs = spark.sql(
+        f"SELECT d.doc_id, r.run_len FROM {view} d, LATERAL token_runs(d.text) r"
+    )
+    return (
+        runs.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_runs"),
+            F.sum("run_len").cast("long").alias("n_tokens"),
+            F.max("run_len").cast("long").alias("max_run"),
+        )
+        .orderBy("doc_id")
+    )

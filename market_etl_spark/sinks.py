@@ -342,3 +342,57 @@ def read_zorder_pruned(
     if range_b is not None:
         df = df.filter(F.col(col_b).between(*range_b))
     return df, len(keep), len(man)
+
+
+def write_versioned(df: DataFrame, path: str) -> int:
+    """Append a new immutable VERSION of a snapshot table — the
+    time-travel storage primitive (Delta/Iceberg's version chain on
+    plain parquet).  Data lands under ``path/v=N`` via
+    write-to-temp + atomic directory rename, then ``N`` is committed
+    by atomically renaming a one-line version marker into
+    ``path/_versions/`` — readers (:func:`read_version`,
+    :func:`latest_version`) resolve versions from the marker directory
+    only, so a torn write (data dir without marker) is invisible, the
+    same last-writer-wins commit protocol as the run manifests.
+    Returns the committed version number (1-based)."""
+    import os
+    import pathlib as _pl
+
+    root = _pl.Path(path)
+    (root / "_versions").mkdir(parents=True, exist_ok=True)
+    version = latest_version(path) + 1
+    tmp = root / f"_tmp_v{version}"
+    df.write.mode("overwrite").parquet(str(tmp))
+    dest = root / f"v={version}"
+    if dest.exists():  # concurrent writer won the race — retry
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        return write_versioned(df, path)
+    os.rename(tmp, dest)
+    marker_tmp = root / "_versions" / f".{version}.tmp"
+    marker_tmp.write_text(str(version))
+    os.rename(marker_tmp, root / "_versions" / str(version))
+    return version
+
+
+def latest_version(path: str) -> int:
+    """Highest committed version (0 = no commits yet)."""
+    import pathlib as _pl
+
+    vdir = _pl.Path(path) / "_versions"
+    if not vdir.exists():
+        return 0
+    versions = [int(p.name) for p in vdir.iterdir() if p.name.isdigit()]
+    return max(versions, default=0)
+
+
+def read_version(spark, path: str, version: int) -> DataFrame:
+    """Time-travel read: the snapshot exactly as committed at
+    ``version``.  Raises ValueError for an uncommitted version (a data
+    directory without its marker is a torn write, not a version)."""
+    import pathlib as _pl
+
+    if not (_pl.Path(path) / "_versions" / str(version)).exists():
+        raise ValueError(f"version {version} not committed at {path}")
+    return spark.read.parquet(f"{path}/v={version}")

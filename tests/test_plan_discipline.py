@@ -52,6 +52,8 @@ _SKIP = {
     "q_streaming_full_outer",  # stream drain
     "q_compaction_plan",  # materializes the manifested layout once
     "q_triangle_count",  # counts triangles eagerly (two count() actions)
+    "q_time_travel_read",  # commits two snapshot versions
+    "q_streaming_session_native",  # stream drain
     "q_sessionize",  # pandas-state twin builds a stream zone
     "q_zorder_pruned_scan",  # materializes the z-ordered layout
 }
