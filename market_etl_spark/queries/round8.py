@@ -1159,3 +1159,346 @@ def llm_udtf_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_regression_ols",
+    oracle="""
+    WITH d AS (
+        SELECT event_type,
+               date_diff('day',
+                         (SELECT MIN(CAST(ts AS DATE)) FROM events),
+                         CAST(ts AS DATE)) AS x,
+               ROUND(SUM(value), 6) AS y
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT event_type,
+           ROUND(regr_slope(y, x), 6) AS slope,
+           ROUND(regr_intercept(y, x), 6) AS intercept,
+           ROUND(regr_r2(y, x), 6) AS r2,
+           CAST(regr_count(y, x) AS BIGINT) AS n_days
+    FROM d GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("analytics", "regression", "extension"),
+)
+def q_regression_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary-least-squares TREND fitting with the SQL-standard
+    linear-regression aggregates (round-8): per event type, regress
+    the daily value total on the day index and report slope,
+    intercept, R² and the point count — ``regr_slope`` /
+    ``regr_intercept`` / ``regr_r2`` / ``regr_count``, the one
+    ANSI aggregate family the engine had not yet exercised (both
+    engines implement it natively, so the oracle is the same four
+    aggregates in DuckDB).  The day index is re-based to the corpus's
+    first day via a 1-row broadcast min — regressing on raw epoch
+    days puts the intercept ~20k days from the data and amplifies
+    cross-engine last-bit covariance noise past the 6-dp hash; x∈[0,
+    ~90] keeps every reported magnitude at data scale.  Daily y is
+    rounded to 6 dp first so both engines regress bit-identical
+    inputs.
+
+    Scale: two partial aggregations (events→days→types); the
+    regression state is six running sums per group — mergeable,
+    no sort, no window."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.unix_date(F.to_date("ts")).alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("y"))
+    day0 = daily.agg(F.min("day").alias("day0"))
+    d = daily.crossJoin(F.broadcast(day0)).select(
+        "event_type", (F.col("day") - F.col("day0")).alias("x"), "y"
+    )
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.round(F.expr("regr_slope(y, x)"), 6).alias("slope"),
+            F.round(F.expr("regr_intercept(y, x)"), 6).alias("intercept"),
+            F.round(F.expr("regr_r2(y, x)"), 6).alias("r2"),
+            F.expr("regr_count(y, x)").cast("long").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_pipe_syntax",
+    oracle="""
+    SELECT event_type, CAST(ts AS DATE) AS d,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 6) AS total_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE value > 0
+    GROUP BY event_type, CAST(ts AS DATE)
+    HAVING COUNT(*) >= 5
+    ORDER BY event_type, d
+    """,
+    tags=("sql-surface", "pipe-syntax", "extension"),
+)
+def q_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL PIPE syntax (round-8 — the ``|>`` operator
+    chain added in Spark 4.0): the daily event rollup expressed as
+    ``FROM … |> WHERE … |> EXTEND … |> AGGREGATE … GROUP BY …
+    |> WHERE … |> ORDER BY``, with the post-aggregate ``|> WHERE``
+    standing in for HAVING.  The oracle is the classic ANSI rendering
+    of the same query, so the hash match pins that the pipe chain
+    lowers to exactly the relational plan the keyword form produces —
+    pipe syntax is surface, Catalyst sees one Aggregate + Filter.
+
+    Scale: identical plan to the ANSI form — partial aggregation,
+    pushed filter, no extra exchange for the pipe stages."""
+    tag = pathlib.Path(sf_dir.rstrip("/")).name.replace(".", "_")
+    view = f"events_pipe_{tag}"
+    load(spark, sf_dir, "events").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        FROM {view}
+        |> WHERE value > 0
+        |> EXTEND CAST(ts AS DATE) AS d
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_events,
+                     ROUND(SUM(value), 6) AS total_value,
+                     CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+           GROUP BY event_type, d
+        |> WHERE n_events >= 5
+        |> ORDER BY event_type, d
+        """
+    )
+
+
+@query(
+    "q_fourier_periodogram",
+    oracle="""
+    WITH h AS (
+        SELECT epoch_us(ts) // 3600000000 AS h,
+               CAST(COUNT(*) AS DOUBLE) AS cnt
+        FROM events GROUP BY 1
+    ), t AS (
+        SELECT h - (SELECT MIN(h) FROM h) AS t, cnt FROM h
+    ), g AS (
+        SELECT CAST(p.period AS BIGINT) AS period, t.t, t.cnt
+        FROM t, (SELECT UNNEST([6, 12, 24, 48, 168]) AS period) p
+    ), s AS (
+        SELECT period,
+               CAST(COUNT(*) AS BIGINT) AS n_hours,
+               ROUND(SUM(cnt * COS(2 * PI() * (t % period) / period)), 6)
+                   AS c_sum,
+               ROUND(SUM(cnt * SIN(2 * PI() * (t % period) / period)), 6)
+                   AS s_sum
+        FROM g GROUP BY period
+    ), p2 AS (
+        SELECT *, ROUND(c_sum * c_sum + s_sum * s_sum, 6) AS power FROM s
+    )
+    SELECT period, n_hours, c_sum, s_sum, power,
+           (ROW_NUMBER() OVER (ORDER BY power DESC, period) = 1) AS dominant
+    FROM p2 ORDER BY period
+    """,
+    tags=("timeseries", "spectral", "extension"),
+)
+def q_fourier_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFT PERIODOGRAM over the hourly event-count series (round-8 —
+    spectral periodicity detection, the frequency-domain complement to
+    the ACF/Ljung-Box autocorrelation query): for each candidate
+    period P ∈ {6, 12, 24, 48, 168} hours, the spectral power
+    |Σ_t c_t·e^{-2πi·t/P}|² of the raw hourly counts, with the
+    dominant period flagged.  Missing hours contribute zero to both
+    engines identically (they are simply absent rows).  Three
+    portability locks: the phase is computed from ``t mod P`` (an
+    exact BIGINT) so the trig argument stays in [0, 2π) — libm
+    argument-reduction of ~10⁶-radian epoch-hour angles is where
+    cross-engine cos() drifts; the magnitude is shift-invariant so
+    re-basing t to the corpus start changes nothing but the argument
+    size; and power is computed from the 6-dp-ROUNDED component sums
+    so both engines square bit-identical inputs.
+
+    Scale: hourly rollup partial-aggregates; the spectral fold is a
+    5×-fanout map over (hour, count) pairs — never the raw events —
+    and a second partial aggregation to 5 rows."""
+    import math
+
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.select(F.expr("unix_micros(ts) div 3600000000").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    h0 = hourly.agg(F.min("h").alias("h0"))
+    t = hourly.crossJoin(F.broadcast(h0)).select(
+        (F.col("h") - F.col("h0")).alias("t"), "cnt"
+    )
+    g = t.select(
+        "t",
+        "cnt",
+        F.explode(
+            F.array(*[F.lit(p).cast("long") for p in (6, 12, 24, 48, 168)])
+        ).alias("period"),
+    )
+    ang = (
+        F.lit(2 * math.pi) * (F.col("t") % F.col("period"))
+        / F.col("period")
+    )
+    s = g.groupBy("period").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.round(F.sum(F.col("cnt") * F.cos(ang)), 6).alias("c_sum"),
+        F.round(F.sum(F.col("cnt") * F.sin(ang)), 6).alias("s_sum"),
+    )
+    p2 = s.withColumn(
+        "power",
+        F.round(F.col("c_sum") * F.col("c_sum") + F.col("s_sum") * F.col("s_sum"), 6),
+    )
+    w = Window.orderBy(F.desc("power"), F.asc("period"))
+    return p2.withColumn("dominant", F.row_number().over(w) == 1).orderBy("period")
+
+
+@query(
+    "q_vacuum_retention",
+    oracle="""
+    SELECT CAST(3 AS BIGINT) AS versions_before,
+           CAST(2 AS BIGINT) AS versions_after,
+           CAST(1 AS BIGINT) AS n_removed,
+           CAST(1 AS BIGINT) AS orphans_removed,
+           TRUE AS removed_unreadable,
+           CAST(COUNT(DISTINCT CASE WHEN day(ts) <= 20 THEN user_id END)
+                AS BIGINT) AS oldest_kept_users,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS latest_users,
+           CAST(COUNT(*) AS BIGINT) AS latest_events
+    FROM events
+    """,
+    tags=("datalayout", "time-travel", "vacuum", "extension"),
+)
+def q_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM with a retention window on the versioned snapshot store
+    (round-8 — the lifecycle half of ``q_time_travel_read``'s commit
+    protocol): three versions are committed (users active through day
+    10 / day 20 / all), a torn write is staged (a ``_tmp`` data dir
+    with no marker — exactly what a crash between data write and
+    marker rename leaves), then :func:`..sinks.vacuum_versions`
+    retains the newest 2.  The audit row folds the protocol outcomes
+    (counts before/after, the expired version count, the torn-write
+    sweep, and that reading the expired version now raises)
+    with data facts the oracle recomputes from raw events — user
+    counts of the oldest RETAINED version (day ≤ 20) and the latest.
+    Expired versions never show up as orphans: the marker delete and
+    data delete run together, so vacuum's only orphan here is the
+    staged tmp dir.
+    A hash match proves retention expired exactly the oldest version,
+    swept exactly the torn writes, and left every retained version
+    byte-readable.
+
+    Scale: vacuum is pure marker-directory metadata — O(versions)
+    renames/deletes, no data scan; snapshot stats read only the two
+    retained version directories."""
+    import shutil
+
+    from ..sinks import read_version, vacuum_versions, write_versioned
+    from ..streaming import _SCRATCH
+
+    tag = pathlib.Path(sf_dir.rstrip("/")).name.replace(".", "_")
+    path = str(_SCRATCH / f"vacuum_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+
+    e = load(spark, sf_dir, "events")
+    snap = lambda df: df.groupBy("user_id").agg(  # noqa: E731
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    write_versioned(snap(e.filter(F.dayofmonth("ts") <= 10)), path)
+    v2 = write_versioned(snap(e.filter(F.dayofmonth("ts") <= 20)), path)
+    v3 = write_versioned(snap(e), path)
+    # torn write: data landed, marker never did (crash mid-commit)
+    snap(e.filter(F.dayofmonth("ts") <= 5)).write.mode("overwrite").parquet(
+        f"{path}/_tmp_v99"
+    )
+    res = vacuum_versions(path, keep_last=2)
+    try:
+        read_version(spark, path, 1)
+        removed_unreadable = False
+    except ValueError:
+        removed_unreadable = True
+
+    oldest = read_version(spark, path, v2).agg(
+        F.count(F.lit(1)).cast("long").alias("oldest_kept_users")
+    )
+    latest = read_version(spark, path, v3).agg(
+        F.count(F.lit(1)).cast("long").alias("latest_users"),
+        F.sum("n_events").cast("long").alias("latest_events"),
+    )
+    return oldest.crossJoin(F.broadcast(latest)).select(
+        F.lit(res["versions_before"]).cast("long").alias("versions_before"),
+        F.lit(res["versions_after"]).cast("long").alias("versions_after"),
+        F.lit(len(res["removed"])).cast("long").alias("n_removed"),
+        F.lit(res["orphans_removed"]).cast("long").alias("orphans_removed"),
+        F.lit(removed_unreadable).alias("removed_unreadable"),
+        "oldest_kept_users",
+        "latest_users",
+        "latest_events",
+    )
+
+
+@query(
+    "q_sql_scripting",
+    oracle="""
+    WITH i1 AS (
+        SELECT ROUND(AVG(value) - 2 * STDDEV_SAMP(value), 6) AS lo,
+               ROUND(AVG(value) + 2 * STDDEV_SAMP(value), 6) AS hi
+        FROM events
+    ), i2 AS (
+        SELECT ROUND(AVG(e.value) - 2 * STDDEV_SAMP(e.value), 6) AS lo,
+               ROUND(AVG(e.value) + 2 * STDDEV_SAMP(e.value), 6) AS hi
+        FROM events e, i1 WHERE e.value BETWEEN i1.lo AND i1.hi
+    ), i3 AS (
+        SELECT ROUND(AVG(e.value) - 2 * STDDEV_SAMP(e.value), 6) AS lo,
+               ROUND(AVG(e.value) + 2 * STDDEV_SAMP(e.value), 6) AS hi
+        FROM events e, i2 WHERE e.value BETWEEN i2.lo AND i2.hi
+    ), k AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+               ROUND(AVG(e.value), 6) AS clipped_mean
+        FROM events e, i3 WHERE e.value BETWEEN i3.lo AND i3.hi
+    )
+    SELECT CAST(3 AS BIGINT) AS n_iter, i3.lo, i3.hi, k.n_kept,
+           k.clipped_mean
+    FROM i3, k
+    """,
+    tags=("sql-surface", "scripting", "robust-stats", "extension"),
+)
+def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL SCRIPTING (round-8 — ``BEGIN…END`` procedural
+    blocks with DECLARE / multi-variable SET / WHILE, the second new
+    Spark 4 SQL surface next to pipe syntax): iterative 2-sigma
+    clipping of the value column — three WHILE passes each tighten
+    [lo, hi] to mean ± 2·stddev of the rows inside the previous
+    bounds, the textbook robust-mean loop that plain SQL cannot
+    express without unrolling.  The oracle IS that unrolling (three
+    chained CTEs), so the hash match pins the script's loop-carried
+    variable semantics to the relational fixpoint.  Bounds are
+    rounded to 6 dp at every iteration boundary on BOTH sides, so
+    each pass filters on bit-identical thresholds.
+
+    Scale: each iteration is one partial-aggregated scan (2 running
+    moments), driver-side state is two doubles — the loop shape of
+    any convergent refinement at 100 TB."""
+    tag = pathlib.Path(sf_dir.rstrip("/")).name.replace(".", "_")
+    view = f"events_script_{tag}"
+    load(spark, sf_dir, "events").createOrReplaceTempView(view)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        f"""
+        BEGIN
+          DECLARE lo DOUBLE DEFAULT -1e308;
+          DECLARE hi DOUBLE DEFAULT 1e308;
+          DECLARE it INT DEFAULT 0;
+          WHILE it < 3 DO
+            SET (lo, hi) = (
+              SELECT ROUND(AVG(value) - 2 * STDDEV_SAMP(value), 6),
+                     ROUND(AVG(value) + 2 * STDDEV_SAMP(value), 6)
+              FROM {view} WHERE value BETWEEN lo AND hi);
+            SET it = it + 1;
+          END WHILE;
+          SELECT CAST(it AS BIGINT) AS n_iter, lo, hi,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM {view}
+                  WHERE value BETWEEN lo AND hi) AS n_kept,
+                 (SELECT ROUND(AVG(value), 6) FROM {view}
+                  WHERE value BETWEEN lo AND hi) AS clipped_mean;
+        END
+        """
+    )

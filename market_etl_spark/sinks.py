@@ -396,3 +396,47 @@ def read_version(spark, path: str, version: int) -> DataFrame:
     if not (_pl.Path(path) / "_versions" / str(version)).exists():
         raise ValueError(f"version {version} not committed at {path}")
     return spark.read.parquet(f"{path}/v={version}")
+
+
+def vacuum_versions(path: str, keep_last: int) -> dict:
+    """VACUUM the versioned snapshot store: retain the newest
+    ``keep_last`` committed versions, delete the data directories and
+    markers of everything older, and sweep torn writes (``_tmp_*``
+    staging dirs and ``v=N`` data dirs that never got a marker).
+    Deletion is crash-safe in the same direction as the commit
+    protocol is torn-write-safe: the marker is removed FIRST, so a
+    vacuum interrupted mid-delete leaves an unmarkered data dir that
+    the next vacuum sweeps as an orphan — readers never observe a
+    marker whose data is gone.  Returns a summary dict
+    (versions_before / versions_after / removed / orphans_removed /
+    kept)."""
+    import pathlib as _pl
+    import shutil
+
+    root = _pl.Path(path)
+    vdir = root / "_versions"
+    committed = sorted(
+        int(p.name) for p in vdir.iterdir() if p.name.isdigit()
+    ) if vdir.exists() else []
+    keep = set(committed[-keep_last:]) if keep_last > 0 else set()
+    removed = [v for v in committed if v not in keep]
+    for v in removed:  # marker first, then data
+        (vdir / str(v)).unlink()
+        shutil.rmtree(root / f"v={v}", ignore_errors=True)
+    orphans = 0
+    for p in root.iterdir():
+        if p.name.startswith("_tmp_"):
+            shutil.rmtree(p, ignore_errors=True)
+            orphans += 1
+        elif p.name.startswith("v="):
+            v = p.name[2:]
+            if not (vdir / v).exists():
+                shutil.rmtree(p, ignore_errors=True)
+                orphans += 1
+    return {
+        "versions_before": len(committed),
+        "versions_after": len(keep),
+        "removed": removed,
+        "orphans_removed": orphans,
+        "kept": sorted(keep),
+    }

@@ -53,6 +53,8 @@ _SKIP = {
     "q_compaction_plan",  # materializes the manifested layout once
     "q_triangle_count",  # counts triangles eagerly (two count() actions)
     "q_time_travel_read",  # commits two snapshot versions
+    "q_vacuum_retention",  # commits three versions + vacuums the store
+    "q_sql_scripting",  # BEGIN..END WHILE loop executes at sql() time
     "q_streaming_session_native",  # stream drain
     "q_sessionize",  # pandas-state twin builds a stream zone
     "q_zorder_pruned_scan",  # materializes the z-ordered layout
@@ -75,6 +77,8 @@ _BNLJ_OK = {
     "q_association_rules",  # 1-row n_users broadcast into the lift ratio
     "q_rfm_segments",  # 1-row global max-day broadcast into recency
     "q_weekday_anova",  # 1-row grand-mean broadcast into the SS fold
+    "q_regression_ols",  # 1-row first-day broadcast re-bases the x axis
+    "q_fourier_periodogram",  # 1-row min-hour broadcast re-bases the phase
     "llm_cosine_topk",
     "llm_cosine_topk_batch",
     "llm_ann_lsh_topk",
