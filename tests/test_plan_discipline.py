@@ -55,6 +55,7 @@ _SKIP = {
     "q_time_travel_read",  # commits two snapshot versions
     "q_vacuum_retention",  # commits three versions + vacuums the store
     "q_sql_scripting",  # BEGIN..END WHILE loop executes at sql() time
+    "q_bfs_shortest_paths",  # frontier loop runs eager localCheckpoints
     "q_streaming_session_native",  # stream drain
     "q_sessionize",  # pandas-state twin builds a stream zone
     "q_zorder_pruned_scan",  # materializes the z-ordered layout
@@ -79,6 +80,7 @@ _BNLJ_OK = {
     "q_weekday_anova",  # 1-row grand-mean broadcast into the SS fold
     "q_regression_ols",  # 1-row first-day broadcast re-bases the x axis
     "q_fourier_periodogram",  # 1-row min-hour broadcast re-bases the phase
+    "q_benjamini_hochberg",  # 1-row (mu, sd) broadcast into the z-tests
     "llm_cosine_topk",
     "llm_cosine_topk_batch",
     "llm_ann_lsh_topk",
