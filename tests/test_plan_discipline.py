@@ -81,6 +81,8 @@ _BNLJ_OK = {
     "q_regression_ols",  # 1-row first-day broadcast re-bases the x axis
     "q_fourier_periodogram",  # 1-row min-hour broadcast re-bases the phase
     "q_benjamini_hochberg",  # 1-row (mu, sd) broadcast into the z-tests
+    "q_time_decay_trending",  # 1-row max-ts anchor broadcast into the decay
+    "q_skew_advisor",  # 1-row census + 1-row top-key broadcasts assembled
     "llm_cosine_topk",
     "llm_cosine_topk_batch",
     "llm_ann_lsh_topk",
