@@ -422,3 +422,198 @@ def q_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b", "common", "deg_a", "deg_b", "jaccard")
         .orderBy("a", "b")
     )
+
+
+@query(
+    "q_xml_source_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+           ROUND(SUM(value), 6) AS value_sum,
+           CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_us,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-16'
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("sources", "xml", "roundtrip", "extension"),
+)
+def q_xml_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML SOURCE roundtrip (round-8 — Spark 4 ships the
+    spark-xml reader/writer built in; this completes the source-format
+    matrix next to CSV/JSON/ORC/parquet/binaryFile): one day of events
+    is written as XML documents (``rowTag=event``), read back with an
+    EXPLICIT schema (schema-on-read — inference would double-scan at
+    100 TB), and aggregated.  Timestamps travel as exact integer
+    micros (XML is a text format; a BIGINT column cannot lose
+    precision to a format string), doubles round-trip through Java's
+    shortest-repr text form which reparses exactly.  The oracle
+    aggregates the parquet zone directly, so the hash match proves
+    the XML write→parse path is lossless.
+
+    Scale: the writer shards one XML document per partition file like
+    any Spark sink; the reader splits on row tags — both sides stay
+    distributed, no driver funnel."""
+    from .etl_pipeline import SCRATCH
+
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(
+            (F.col("ts") >= F.lit("2024-01-15").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.expr("unix_micros(ts)").alias("tus"),
+        )
+    )
+    tag = pathlib.Path(sf_dir.rstrip("/")).name.replace(".", "_")
+    zone = SCRATCH / f"xml_zone_{tag}"
+    e.write.mode("overwrite").format("xml").option("rowTag", "event").save(
+        str(zone)
+    )
+    back = (
+        spark.read.schema(e.schema)
+        .format("xml")
+        .option("rowTag", "event")
+        .load(str(zone))
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("event_id").cast("long").alias("id_checksum"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+            F.min("tus").cast("long").alias("first_us"),
+            F.max("tus").cast("long").alias("last_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+#: VAD fixture: 441 samples/doc, 7 blocks of 63 samples alternating
+#: loud/quiet by (block + doc_id) parity, 21 frames of 21 samples,
+#: frame active iff sum(|s|) > 2100 (mean |s| > 100).
+_VAD_N = 441
+_VAD_BLOCK = 63
+_VAD_FRAME = 21
+_VAD_THRESH = 2100
+
+
+@query(
+    "llm_audio_vad",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, UNNEST(range({_VAD_N})) AS i FROM documents
+    ), samp AS (
+        SELECT doc_id, i, i // {_VAD_FRAME} AS frame,
+               CASE WHEN ((i // {_VAD_BLOCK}) + doc_id) % 2 = 0
+                    THEN (doc_id * 29 + i * 13) % 3000 - 1500
+                    ELSE (doc_id + i) % 7 - 3
+               END AS s
+        FROM base
+    ), fr AS (
+        SELECT doc_id, frame,
+               SUM(ABS(s)) AS sum_abs,
+               (SUM(ABS(s)) > {_VAD_THRESH}) AS active
+        FROM samp GROUP BY doc_id, frame
+    ), runs AS (
+        SELECT doc_id, frame, sum_abs, active,
+               CASE WHEN active AND NOT COALESCE(LAG(active) OVER (
+                        PARTITION BY doc_id ORDER BY frame), FALSE)
+                    THEN 1 ELSE 0 END AS seg_start
+        FROM fr
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_active,
+           CAST(SUM(seg_start) AS BIGINT) AS n_segments,
+           CAST(SUM(sum_abs) AS BIGINT) AS total_abs,
+           TRUE AS roundtrip_ok
+    FROM runs GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal", "audio", "vad", "extension"),
+)
+def llm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity detection through the REAL audio codec (round-8
+    — the frame-level analysis step on top of ``llm_wav_decode_stats``'
+    container roundtrip: decode, frame, energy-gate, segment): each
+    doc synthesizes a waveform of alternating loud bursts and
+    near-silence blocks, encodes it to an actual RIFF/WAVE file
+    (stdlib writer), decodes it back with the engine's independent
+    struct-level parser (:mod:`..llm.wav_audio`), then runs VAD on
+    the DECODED samples — 21-sample frames, a frame is speech-active
+    when its mean |amplitude| clears the gate, and consecutive active
+    frames merge into segments.  The oracle computes identical frame
+    energies and segment runs from the closed-form waveform definition
+    (it never sees a WAV container), so the hash match proves both the
+    codec path and the segmentation are exact.
+
+    Scale: per-row codec + VAD CPU under one Arrow-batched
+    mapInPandas after an explicit repartition (single-file scans
+    otherwise land on one task); zero shuffle until the final sort."""
+    import pandas as _pd
+
+    from ..llm import wav_audio as _wav
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                samples = [
+                    (did * 29 + i * 13) % 3000 - 1500
+                    if ((i // _VAD_BLOCK) + did) % 2 == 0
+                    else (did + i) % 7 - 3
+                    for i in range(_VAD_N)
+                ]
+                blob = _wav.encode_wav(samples, sample_rate=44100, channels=1)
+                _rate, _ch, decoded = _wav.decode_wav(blob)
+                frames = [
+                    sum(
+                        abs(s)
+                        for s in decoded[f * _VAD_FRAME : (f + 1) * _VAD_FRAME]
+                    )
+                    for f in range(_VAD_N // _VAD_FRAME)
+                ]
+                active = [fa > _VAD_THRESH for fa in frames]
+                segments = sum(
+                    1
+                    for f, a in enumerate(active)
+                    if a and (f == 0 or not active[f - 1])
+                )
+                rows.append(
+                    (
+                        did,
+                        len(frames),
+                        sum(active),
+                        segments,
+                        sum(frames),
+                        decoded == samples,
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_frames",
+                    "n_active",
+                    "n_segments",
+                    "total_abs",
+                    "roundtrip_ok",
+                ],
+            )
+
+    d = load(spark, sf_dir, "documents").select("doc_id").repartition(32)
+    return d.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, n_frames long, n_active long,"
+            " n_segments long, total_abs long, roundtrip_ok boolean"
+        ),
+    ).orderBy("doc_id")

@@ -42,6 +42,7 @@ _SKIP = {
     "q_json_source_roundtrip",
     "q_orc_source_roundtrip",
     "q_schema_evolution_roundtrip",
+    "q_xml_source_roundtrip",
     "q_tombstone_forget",
     "q_rollup_incremental_refresh",
     "llm_incremental_dedup",
