@@ -358,21 +358,29 @@ def write_versioned(df: DataFrame, path: str) -> int:
     import os
     import pathlib as _pl
 
+    import shutil
+
     root = _pl.Path(path)
-    (root / "_versions").mkdir(parents=True, exist_ok=True)
+    vdir = root / "_versions"
+    vdir.mkdir(parents=True, exist_ok=True)
     version = latest_version(path) + 1
     tmp = root / f"_tmp_v{version}"
     df.write.mode("overwrite").parquet(str(tmp))
-    dest = root / f"v={version}"
-    if dest.exists():  # concurrent writer won the race — retry
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
-        return write_versioned(df, path)
+    while True:
+        dest = root / f"v={version}"
+        if dest.exists():
+            if (vdir / str(version)).exists():
+                # concurrent writer committed this slot — take the next
+                version += 1
+                continue
+            # torn write from a crashed commit (data dir, no marker):
+            # the slot was never visible to readers, reclaim it
+            shutil.rmtree(dest, ignore_errors=True)
+        break
     os.rename(tmp, dest)
-    marker_tmp = root / "_versions" / f".{version}.tmp"
+    marker_tmp = vdir / f".{version}.tmp"
     marker_tmp.write_text(str(version))
-    os.rename(marker_tmp, root / "_versions" / str(version))
+    os.rename(marker_tmp, vdir / str(version))
     return version
 
 
