@@ -1,0 +1,399 @@
+"""Round-8 additions, fourth batch.
+
+Four operators, each oracle-checked:
+
+- ``q_weighted_median`` — weighted quantiles by cumulative-weight
+  crossing (exact integer weights; the quantile the unweighted
+  percentile family cannot express).
+- ``q_rolling_median_window`` — rolling-median outlier screen
+  (Hampel-style) over the hourly series; Spark renders the holistic
+  window via a sorted frame list (no framed MEDIAN in Catalyst).
+- ``llm_preference_pairs`` — DPO/RLHF preference-pair mining: best
+  vs worst document per (lang, source) group by the composite
+  quality score, with the score margin.
+- ``q_fk_integrity_audit`` — referential-integrity audit over the
+  TPC-H-lite star: orphan counts per FK edge + fan-out stats.
+"""
+
+from __future__ import annotations
+
+import pathlib  # noqa: F401  (parity with sibling modules)
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+from .registry import query
+
+
+@query(
+    "q_weighted_median",
+    oracle="""
+    WITH w AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 1e6) AS BIGINT) AS v,
+               CAST(event_id % 7 + 1 AS BIGINT) AS wt
+        FROM events
+    ), c AS (
+        SELECT event_type, v, wt,
+               SUM(wt) OVER (PARTITION BY event_type ORDER BY v, wt
+                             ROWS UNBOUNDED PRECEDING) AS cumw,
+               SUM(wt) OVER (PARTITION BY event_type) AS total
+        FROM w
+    )
+    SELECT event_type,
+           CAST(MIN(CASE WHEN 2 * cumw >= total THEN v END) AS BIGINT)
+               AS wmedian_micros,
+           CAST(MIN(CASE WHEN 10 * cumw >= 9 * total THEN v END) AS BIGINT)
+               AS wp90_micros,
+           CAST(MAX(total) AS BIGINT) AS total_weight
+    FROM c GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("aggregates", "weighted-quantile", "extension"),
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median / p90 (round-8 — the quantile the whole
+    percentile family cannot express: every existing mode weights rows
+    equally, but "median trade price weighted by quantity" is the
+    production question): the lower weighted quantile — the smallest
+    value whose cumulative weight reaches q·W — computed by a
+    per-group cumulative-weight window and a conditional MIN.  Values
+    are integer micros and weights integers, so the crossing
+    comparisons (2·cumw ≥ W, 10·cumw ≥ 9·W) are exact on both
+    engines — no float thresholds anywhere.
+
+    Scale: one sort-once window per group + a partial-aggregated
+    fold; same shuffle shape as any grouped percentile, and the
+    integer-crossing trick ports to any weighted quantile."""
+    e = load(spark, sf_dir, "events")
+    w = e.select(
+        "event_type",
+        F.floor(F.col("value") * 1e6).cast("long").alias("v"),
+        (F.col("event_id") % 7 + 1).cast("long").alias("wt"),
+    )
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy(F.asc("v"), F.asc("wt"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = w.select(
+        "event_type",
+        "v",
+        F.sum("wt").over(win).alias("cumw"),
+        F.sum("wt").over(Window.partitionBy("event_type")).alias("total"),
+    )
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.min(F.when(2 * F.col("cumw") >= F.col("total"), F.col("v")))
+            .cast("long")
+            .alias("wmedian_micros"),
+            F.min(F.when(10 * F.col("cumw") >= 9 * F.col("total"), F.col("v")))
+            .cast("long")
+            .alias("wp90_micros"),
+            F.max("total").cast("long").alias("total_weight"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_HAMPEL_K = 11  # frame: 11 preceding hours + current
+
+
+@query(
+    "q_rolling_median_window",
+    oracle=f"""
+    WITH h AS (
+        SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+               CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ), fr AS (
+        SELECT event_type, hour, v,
+               list_sort(list(v) OVER (
+                   PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN {_HAMPEL_K} PRECEDING AND CURRENT ROW
+               )) AS frame
+        FROM h
+    ), med AS (
+        SELECT event_type, hour, v,
+               CAST(len(frame) AS BIGINT) AS n_frame,
+               frame[(len(frame) + 1) // 2] AS rmed
+        FROM fr
+    )
+    SELECT event_type, hour, v, n_frame,
+           CAST(rmed AS BIGINT) AS rolling_median,
+           (5 * ABS(v - rmed) > 2 * ABS(rmed)) AS is_outlier
+    FROM med
+    WHERE n_frame > {_HAMPEL_K}
+    ORDER BY event_type, hour
+    """,
+    tags=("windows", "rolling-median", "outlier", "extension"),
+)
+def q_rolling_median_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING MEDIAN outlier screen (round-8 — the Hampel-style
+    robust complement to the rolling-mean family: EWMA and Bollinger
+    flag against moving AVERAGES, which an outlier itself drags; the
+    moving median does not): per event type, the median of the last
+    {_HAMPEL_K}+1 hourly value totals, flagging hours that deviate
+    from their rolling median by more than 40% (compared in exact
+    integers: 5·|v − med| > 2·|med|).  Catalyst has no framed MEDIAN
+    window, so the engine renders the holistic aggregate honestly:
+    ``collect_list`` over the ROWS frame → ``array_sort`` →
+    lower-middle element — exact, and the frame is a constant 12
+    values per row.  Warm-up rows (incomplete frames) are excluded
+    on both sides.
+
+    Scale: one sort-once window per series; per-row state is the
+    O(k) frame, never the series — the standard bounded-memory
+    rolling-holistic shape."""
+    e = load(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type", F.expr("unix_micros(ts) div 3600000000").alias("hour")
+    ).agg(F.sum(F.floor(F.col("value") * 1e6).cast("long")).cast("long").alias("v"))
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-_HAMPEL_K, 0)
+    )
+    fr = h.select(
+        "event_type",
+        "hour",
+        "v",
+        F.array_sort(F.collect_list("v").over(win)).alias("frame"),
+    )
+    med = fr.select(
+        "event_type",
+        "hour",
+        "v",
+        F.size("frame").cast("long").alias("n_frame"),
+        F.expr("frame[cast((size(frame) + 1) / 2 as int) - 1]").alias("rmed"),
+    )
+    return (
+        med.filter(F.col("n_frame") > _HAMPEL_K)
+        .select(
+            "event_type",
+            "hour",
+            "v",
+            "n_frame",
+            F.col("rmed").cast("long").alias("rolling_median"),
+            (
+                5 * F.abs(F.col("v") - F.col("rmed"))
+                > 2 * F.abs(F.col("rmed"))
+            ).alias("is_outlier"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+def _pref_oracle() -> str:
+    from ..llm.text import quality_score_sql
+
+    q = quality_score_sql("text", "w")
+    return f"""
+    WITH d AS (
+        SELECT doc_id, lang, source, {q} AS q
+        FROM (SELECT *, string_split(lower(text), ' ') AS w FROM documents)
+    ), r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY lang, source
+                                  ORDER BY q DESC, doc_id) AS rb,
+               ROW_NUMBER() OVER (PARTITION BY lang, source
+                                  ORDER BY q ASC, doc_id) AS rw,
+               COUNT(*) OVER (PARTITION BY lang, source) AS grp_n
+        FROM d
+    ), best AS (
+        SELECT lang, source, grp_n, doc_id AS chosen_id, q AS chosen_q
+        FROM r WHERE rb = 1
+    ), worst AS (
+        SELECT lang, source, doc_id AS rejected_id, q AS rejected_q
+        FROM r WHERE rw = 1
+    )
+    SELECT b.lang, b.source, CAST(b.grp_n AS BIGINT) AS grp_n,
+           b.chosen_id, b.chosen_q, w.rejected_id, w.rejected_q,
+           ROUND(b.chosen_q - w.rejected_q, 6) AS margin
+    FROM best b JOIN worst w ON w.lang = b.lang AND w.source = b.source
+    WHERE b.chosen_id <> w.rejected_id
+    ORDER BY b.lang, b.source
+    """
+
+
+@query(
+    "llm_preference_pairs",
+    oracle=_pref_oracle(),
+    tags=("llm", "preference-pairs", "rlhf", "extension"),
+)
+def llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFERENCE-PAIR mining (round-8 — the DPO/RLHF data step after
+    quality scoring: alignment training consumes (chosen, rejected)
+    pairs, and at corpus scale they are MINED, not hand-labeled): per
+    (lang, source) group, the highest- and lowest-quality documents
+    under the composite quality score become the chosen/rejected pair,
+    with the score margin — exactly the margin a DPO loss trains
+    against.  Ties break to the lowest doc_id (a total order);
+    single-document groups cannot form a pair and are excluded on
+    both sides.
+
+    Scale: one scan computes (group, quality) per doc; the pair pick
+    is two WindowGroupLimit top-1 scans over scored ids — never the
+    text — and groups fan out trivially to any cardinality."""
+    from ..llm.text import quality_score, words
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .withColumn("toks", words("text"))
+        .select("doc_id", "lang", "source", quality_score().alias("q"))
+    )
+    wb = Window.partitionBy("lang", "source").orderBy(F.desc("q"), F.asc("doc_id"))
+    ww = Window.partitionBy("lang", "source").orderBy(F.asc("q"), F.asc("doc_id"))
+    wn = Window.partitionBy("lang", "source")
+    r = d.select(
+        "lang",
+        "source",
+        "doc_id",
+        "q",
+        F.row_number().over(wb).alias("rb"),
+        F.row_number().over(ww).alias("rw"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("grp_n"),
+    )
+    best = r.filter(F.col("rb") == 1).select(
+        "lang",
+        "source",
+        "grp_n",
+        F.col("doc_id").alias("chosen_id"),
+        F.col("q").alias("chosen_q"),
+    )
+    worst = r.filter(F.col("rw") == 1).select(
+        "lang",
+        "source",
+        F.col("doc_id").alias("rejected_id"),
+        F.col("q").alias("rejected_q"),
+    )
+    return (
+        best.join(worst, ["lang", "source"])
+        .filter(F.col("chosen_id") != F.col("rejected_id"))
+        .select(
+            "lang",
+            "source",
+            "grp_n",
+            "chosen_id",
+            "chosen_q",
+            "rejected_id",
+            "rejected_q",
+            F.round(F.col("chosen_q") - F.col("rejected_q"), 6).alias("margin"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@query(
+    "q_fk_integrity_audit",
+    oracle="""
+    SELECT 'customer->nation' AS fk_edge,
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_child,
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT) AS n_orphans,
+           CAST((SELECT COUNT(DISTINCT c_nationkey) FROM customer)
+                AS BIGINT) AS n_parents_hit,
+           CAST((SELECT MAX(cnt) FROM (SELECT COUNT(*) AS cnt
+                 FROM customer GROUP BY c_nationkey)) AS BIGINT)
+               AS max_fanout
+    UNION ALL
+    SELECT 'lineitem->orders',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(DISTINCT l_orderkey) FROM lineitem)
+                AS BIGINT),
+           CAST((SELECT MAX(cnt) FROM (SELECT COUNT(*) AS cnt
+                 FROM lineitem GROUP BY l_orderkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem->part',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(DISTINCT l_partkey) FROM lineitem)
+                AS BIGINT),
+           CAST((SELECT MAX(cnt) FROM (SELECT COUNT(*) AS cnt
+                 FROM lineitem GROUP BY l_partkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders) AS BIGINT),
+           CAST((SELECT MAX(cnt) FROM (SELECT COUNT(*) AS cnt
+                 FROM orders GROUP BY o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'supplier->nation',
+           CAST((SELECT COUNT(*) FROM supplier) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM supplier s
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = s.s_nationkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(DISTINCT s_nationkey) FROM supplier)
+                AS BIGINT),
+           CAST((SELECT MAX(cnt) FROM (SELECT COUNT(*) AS cnt
+                 FROM supplier GROUP BY s_nationkey)) AS BIGINT)
+    ORDER BY fk_edge
+    """,
+    tags=("quality", "referential-integrity", "extension"),
+)
+def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REFERENTIAL-INTEGRITY audit over the TPC-H-lite star (round-8 —
+    the relationship half of the DQ surface: the expectations suite
+    checks columns, this checks EDGES): for five FK relationships,
+    the child row count, the orphan count (children whose parent key
+    does not exist — LEFT ANTI against the parent's key set), the
+    number of distinct parents actually referenced, and the maximum
+    fan-out.  Orphans are expected to be zero; the audit PROVES it
+    per edge rather than assuming it, and the fan-out column is the
+    join-explosion early warning a planner wants before running the
+    star join.
+
+    Scale: each edge is one anti-join on the FK (parent side reduced
+    to its key column — broadcastable for dims) plus one key-grouped
+    count; edges are independent and union at the end."""
+    edges = [
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+    out = None
+    for name, child, fk, parent, pk in edges:
+        cdf = load(spark, sf_dir, child).select(F.col(fk).alias("fk"))
+        pdf = load(spark, sf_dir, parent).select(F.col(pk).alias("pk")).distinct()
+        orphans = cdf.join(
+            F.broadcast(pdf) if parent in ("nation", "part", "customer") else pdf,
+            cdf["fk"] == pdf["pk"],
+            "left_anti",
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+        fan = cdf.groupBy("fk").agg(F.count(F.lit(1)).alias("cnt"))
+        stats = cdf.agg(
+            F.count(F.lit(1)).cast("long").alias("n_child")
+        ).crossJoin(
+            F.broadcast(
+                fan.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_parents_hit"),
+                    F.max("cnt").cast("long").alias("max_fanout"),
+                )
+            )
+        )
+        row = stats.crossJoin(F.broadcast(orphans)).select(
+            F.lit(name).alias("fk_edge"),
+            "n_child",
+            "n_orphans",
+            "n_parents_hit",
+            "max_fanout",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fk_edge")
