@@ -199,8 +199,10 @@ def encode_gif_frames(frames: list[bytes], width: int, height: int) -> bytes:
 
 def decode_gif_frames(
     data: bytes,
+    max_frames: int | None = None,
 ) -> tuple[int, int, list[tuple[int, int, int, int, int, bytes]]]:
-    """Decode EVERY image block of a GIF87a/89a stream: returns
+    """Decode EVERY image block of a GIF87a/89a stream (or just the
+    first ``max_frames`` when given — the scan stops early): returns
     ``(screen_w, screen_h, frames)`` where each frame is ``(left, top,
     width, height, byte_offset, grayscale_pixels)`` — byte_offset is
     the position of the frame's image descriptor in ``data`` and each
@@ -224,6 +226,10 @@ def decode_gif_frames(
         pos += 3 * n
     frames: list[tuple[int, int, int, int, int, bytes]] = []
     while pos < len(data):
+        if max_frames is not None and len(frames) >= max_frames:
+            # lazy scan: a first-frame caller never pays for (or
+            # fails on) later frames
+            break
         block = data[pos]
         if block == 0x3B:  # trailer
             break
@@ -236,6 +242,9 @@ def decode_gif_frames(
         if block != 0x2C:
             raise ValueError(f"unexpected block 0x{block:02x}")
         desc_pos = pos
+        if pos + 11 > len(data):
+            # malformed-input contract is ValueError, not struct.error
+            raise ValueError("truncated image descriptor")
         left, top, w, h, ipacked = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
         if ipacked & 0x40:
             raise ValueError("interlaced GIF not supported")
@@ -270,7 +279,10 @@ def decode_gif(data: bytes) -> tuple[int, int, bytes]:
     table, no interlace); returns ``(width, height, grayscale_pixels)``
     where each pixel is the color table's red channel.  Raises
     ``ValueError`` on malformed or unsupported input.  Multi-frame
-    streams: :func:`decode_gif_frames`."""
-    _sw, _sh, frames = decode_gif_frames(data)
+    streams: :func:`decode_gif_frames`.  Decodes LAZILY (``max_frames=1``):
+    the scan stops after the first image block, so a stream with a
+    valid first frame but truncated later frames still decodes and a
+    long animation costs one frame's LZW work here."""
+    _sw, _sh, frames = decode_gif_frames(data, max_frames=1)
     _left, _top, w, h, _off, px = frames[0]
     return w, h, px

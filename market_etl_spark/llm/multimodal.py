@@ -178,12 +178,19 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 1000, max_frames: int = 8)
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
                 if b[:6] in (b"GIF87a", b"GIF89a"):
-                    _sw, _sh, frames = _gif.decode_gif_frames(b)
-                    stride = max(1, -(-len(frames) // max_frames))
-                    for idx, fi in enumerate(range(0, len(frames), stride)):
-                        _l, _t, _w, _h, off, px = frames[fi]
-                        rows.append((doc_id, idx, off, px))
-                    continue
+                    # signature sniffing sees only 6 bytes — a payload
+                    # that merely STARTS like a GIF (e.g. text) must
+                    # degrade to the stride path, not kill the stage
+                    try:
+                        _sw, _sh, frames = _gif.decode_gif_frames(b)
+                    except ValueError:
+                        frames = None
+                    if frames is not None:
+                        stride = max(1, -(-len(frames) // max_frames))
+                        for idx, fi in enumerate(range(0, len(frames), stride)):
+                            _l, _t, _w, _h, off, px = frames[fi]
+                            rows.append((doc_id, idx, off, px))
+                        continue
                 for idx in range(min(max_frames, len(b) // every_n_bytes + 1)):
                     off = idx * every_n_bytes
                     rows.append((doc_id, idx, off, b[off : off + every_n_bytes]))

@@ -1480,8 +1480,10 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = pathlib.Path(sf_dir.rstrip("/")).name.replace(".", "_")
     view = f"events_script_{tag}"
     load(spark, sf_dir, "events").createOrReplaceTempView(view)
+    prev = spark.conf.get("spark.sql.scripting.enabled", "false")
     spark.conf.set("spark.sql.scripting.enabled", "true")
-    return spark.sql(
+    try:
+        return spark.sql(
         f"""
         BEGIN
           DECLARE lo DOUBLE DEFAULT -1e308;
@@ -1501,4 +1503,6 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHERE value BETWEEN lo AND hi) AS clipped_mean;
         END
         """
-    )
+        )
+    finally:
+        spark.conf.set("spark.sql.scripting.enabled", prev)

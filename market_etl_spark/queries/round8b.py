@@ -262,6 +262,28 @@ def q_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def coactivity_edges(e, bucket_micros: int, user_bound: int | None = None):
+    """Symmetric co-activity edge list shared by the graph family
+    (BFS here, Jaccard link prediction in round8c): users are adjacent
+    when active in the same ``bucket_micros`` time bucket.  Returns
+    the directed-both-ways (x, y) frame; callers bound/cache it."""
+    if user_bound is not None:
+        e = e.filter(F.col("user_id") < user_bound)
+    h = e.select(
+        F.col("user_id").alias("u"),
+        F.expr(f"unix_micros(ts) div {bucket_micros}").alias("m"),
+    ).distinct()
+    co = (
+        h.alias("p")
+        .join(h.alias("q"), F.expr("p.m = q.m AND p.u < q.u"))
+        .select(F.col("p.u").alias("x"), F.col("q.u").alias("y"))
+        .distinct()
+    )
+    return co, co.unionByName(
+        co.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    )
+
+
 _BFS_MAX_DEPTH = 6
 
 
@@ -320,23 +342,8 @@ def q_bfs_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
-        h = e.select(
-            F.col("user_id").alias("u"),
-            F.expr("unix_micros(ts) div 60000000").alias("m"),
-        ).distinct()
-        co = (
-            h.alias("a")
-            .join(h.alias("b"), F.expr("a.m = b.m AND a.u < b.u"))
-            .select(F.col("a.u").alias("x"), F.col("b.u").alias("y"))
-            .distinct()
-        )
-        edges = (
-            co.unionByName(
-                co.select(F.col("y").alias("x"), F.col("x").alias("y"))
-            )
-            .coalesce(8)
-            .localCheckpoint()
-        )
+        _co, sym = coactivity_edges(e, 60000000)
+        edges = sym.coalesce(8).localCheckpoint()
         src = e.agg(F.min("user_id").alias("node")).select(
             "node", F.lit(0).alias("d")
         )

@@ -356,24 +356,10 @@ def q_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     middle node; work ∝ Σ deg²) and the anti-join against the edge
     list removes existing edges before scoring — the standard
     candidate-generation shape for link prediction at scale."""
+    from .round8b import coactivity_edges
+
     e = load(spark, sf_dir, "events")
-    h = (
-        e.filter(F.col("user_id") < _LP_USERS)
-        .select(
-            F.col("user_id").alias("u"),
-            F.expr("unix_micros(ts) div 60000000").alias("m"),
-        )
-        .distinct()
-    )
-    co = (
-        h.alias("p")
-        .join(h.alias("q"), F.expr("p.m = q.m AND p.u < q.u"))
-        .select(F.col("p.u").alias("x"), F.col("q.u").alias("y"))
-        .distinct()
-    )
-    edges = co.unionByName(
-        co.select(F.col("y").alias("x"), F.col("x").alias("y"))
-    )
+    co, edges = coactivity_edges(e, 60000000, user_bound=_LP_USERS)
     deg = edges.groupBy(F.col("x").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )

@@ -406,7 +406,7 @@ def read_version(spark, path: str, version: int) -> DataFrame:
     return spark.read.parquet(f"{path}/v={version}")
 
 
-def vacuum_versions(path: str, keep_last: int) -> dict:
+def vacuum_versions(path: str, keep_last: int, min_orphan_age_sec: float = 0.0) -> dict:
     """VACUUM the versioned snapshot store: retain the newest
     ``keep_last`` committed versions, delete the data directories and
     markers of everything older, and sweep torn writes (``_tmp_*``
@@ -415,11 +415,24 @@ def vacuum_versions(path: str, keep_last: int) -> dict:
     protocol is torn-write-safe: the marker is removed FIRST, so a
     vacuum interrupted mid-delete leaves an unmarkered data dir that
     the next vacuum sweeps as an orphan — readers never observe a
-    marker whose data is gone.  Returns a summary dict
-    (versions_before / versions_after / removed / orphans_removed /
-    kept)."""
+    marker whose data is gone.
+
+    CONCURRENCY CONTRACT: the orphan sweep cannot distinguish a
+    crashed commit's debris from a LIVE writer's in-flight state (a
+    writer between its data rename and marker rename looks exactly
+    like a torn write — sweeping it would commit a marker whose data
+    is gone).  Either run vacuum with no concurrent writers (this
+    engine's posture), or pass ``min_orphan_age_sec`` greater than
+    the longest plausible commit (Delta's VACUUM retention-window
+    posture): unmarkered dirs younger than the threshold are left
+    alone and picked up by a later vacuum.  Expired COMMITTED
+    versions are safe at any age — their markers are removed first.
+
+    Returns a summary dict (versions_before / versions_after /
+    removed / orphans_removed / kept)."""
     import pathlib as _pl
     import shutil
+    import time
 
     root = _pl.Path(path)
     vdir = root / "_versions"
@@ -431,14 +444,23 @@ def vacuum_versions(path: str, keep_last: int) -> dict:
     for v in removed:  # marker first, then data
         (vdir / str(v)).unlink()
         shutil.rmtree(root / f"v={v}", ignore_errors=True)
+    now = time.time()
+
+    def _old_enough(p: _pl.Path) -> bool:
+        try:
+            return now - p.stat().st_mtime >= min_orphan_age_sec
+        except OSError:
+            return False
+
     orphans = 0
     for p in root.iterdir():
         if p.name.startswith("_tmp_"):
-            shutil.rmtree(p, ignore_errors=True)
-            orphans += 1
+            if _old_enough(p):
+                shutil.rmtree(p, ignore_errors=True)
+                orphans += 1
         elif p.name.startswith("v="):
             v = p.name[2:]
-            if not (vdir / v).exists():
+            if not (vdir / v).exists() and _old_enough(p):
                 shutil.rmtree(p, ignore_errors=True)
                 orphans += 1
     return {

@@ -176,6 +176,9 @@ def read_events_stream_with_flush(spark: SparkSession, sf_dir: str) -> DataFrame
     timeout wall-clock to zero).  The sentinel zone is separate from
     the plain replay zone so windowed/candle streams never see 2099
     rows."""
+    import os
+    import shutil
+
     from ..session import apply_runtime_conf
 
     apply_runtime_conf(spark)
@@ -184,11 +187,23 @@ def read_events_stream_with_flush(spark: SparkSession, sf_dir: str) -> DataFrame
     zone = _SCRATCH / f"stream_src_{tag}_flush"
     zone.mkdir(parents=True, exist_ok=True)
     link = zone / "events-part-0.parquet"
+    if link.is_symlink():
+        # legacy staging: a symlink exposes the TARGET's mtime, and the
+        # file source orders batches by mtime — a regenerated testdata
+        # tree would replay the sentinel FIRST under
+        # maxFilesPerTrigger=1 and the advanced watermark would drop
+        # every real event.  Re-stage as a copy with pinned utimes
+        # (same fix as the outer-drain zone).
+        link.unlink()
     if not link.exists():
-        link.symlink_to(src)
+        tmp = link.with_suffix(".tmp")
+        shutil.copyfile(src, tmp)
+        tmp.rename(link)
+    os.utime(link, (1_000_000_000,) * 2)
     sentinel = zone / "events-part-1-sentinel.parquet"
     if not sentinel.exists():
         _write_sentinel_file(src, sentinel)
+    os.utime(sentinel, (1_000_001_000,) * 2)
 
     batch = spark.read.parquet(src)
     stream = spark.readStream.schema(batch.schema).parquet(str(zone))

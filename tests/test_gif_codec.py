@@ -136,3 +136,34 @@ def test_sample_frames_uses_real_codec(spark):
         assert blob[row.frame_offset] == 0x2C
     feats = decode_payload(blob)
     assert feats["n_frames"] == 16
+
+
+def test_first_frame_decode_is_lazy():
+    """decode_gif must not pay for (or fail on) frames after the
+    first: a valid first frame followed by truncated garbage still
+    decodes, and max_frames stops the scan early."""
+    two = gif.encode_gif_frames([bytes(range(16))] * 2, 4, 4)
+    # chop mid-way through the SECOND image block (its descriptor
+    # offset comes from the codec itself): full decode raises,
+    # first-frame decode succeeds
+    _sw0, _sh0, full = gif.decode_gif_frames(two)
+    second_desc = full[1][4]
+    truncated = two[: second_desc + 5]
+    with pytest.raises(ValueError):
+        gif.decode_gif_frames(truncated)
+    w, h, px = gif.decode_gif(truncated)
+    assert (w, h, px) == (4, 4, bytes(range(16)))
+    _sw, _sh, frames = gif.decode_gif_frames(two, max_frames=1)
+    assert len(frames) == 1
+
+
+def test_sample_frames_degrades_on_gif_lookalike(spark):
+    """A payload that merely STARTS with a GIF signature (e.g. text)
+    must fall back to byte-stride sampling, not kill the stage."""
+    from market_etl_spark.llm.multimodal import sample_frames
+
+    fake = b"GIF87a this is just text that sniffs like a gif " * 40
+    df = spark.createDataFrame([(1, bytearray(fake))], "doc_id long, payload binary")
+    rows = sample_frames(df).collect()
+    assert len(rows) == min(8, len(fake) // 1000 + 1)
+    assert rows[0].frame_offset == 0  # stride path, not a decoded frame

@@ -47,17 +47,14 @@ _SKIP = {
     "q_rollup_incremental_refresh",
     "llm_incremental_dedup",
     "q_scd2_history_build",  # the fold runs 10 eager localCheckpoints
-    "q_streaming_ivm",  # foreachBatch view maintenance runs a stream
     "q_rowgroup_stats_audit",  # materializes the manifested layout once
     "llm_density_dedup",  # hash-min CC runs eager label-propagation jobs
-    "q_streaming_full_outer",  # stream drain
     "q_compaction_plan",  # materializes the manifested layout once
     "q_triangle_count",  # counts triangles eagerly (two count() actions)
     "q_time_travel_read",  # commits two snapshot versions
     "q_vacuum_retention",  # commits three versions + vacuums the store
     "q_sql_scripting",  # BEGIN..END WHILE loop executes at sql() time
     "q_bfs_shortest_paths",  # frontier loop runs eager localCheckpoints
-    "q_streaming_session_native",  # stream drain
     "q_sessionize",  # pandas-state twin builds a stream zone
     "q_zorder_pruned_scan",  # materializes the z-ordered layout
 }
