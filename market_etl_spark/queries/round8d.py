@@ -397,3 +397,146 @@ def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("fk_edge")
+
+
+
+#: Perceptual-hash fixture: 32x32 grayscale images of 16 flat 8x8
+#: blocks; 25 base patterns (doc_id % 25) with a small per-doc
+#: perturbation on the last block ((doc_id // 25) % 5) producing
+#: near-duplicate variants whose aHash lands 0-1 bits from the base.
+_PH_GROUPS = 25
+_PH_NOISE = 5
+_PH_HAM = 2  # near-bucket radius in hash bits
+
+
+@query(
+    "llm_phash_near_dup",
+    oracle=f"""
+    WITH blk AS (
+        SELECT d.doc_id, r.b,
+               CASE WHEN r.b = 15
+                    THEN ((d.doc_id % {_PH_GROUPS}) * 53 + 15 * 67
+                          + (d.doc_id // {_PH_GROUPS}) % {_PH_NOISE}) % 256
+                    ELSE ((d.doc_id % {_PH_GROUPS}) * 53 + r.b * 67) % 256
+               END AS v
+        FROM documents d, range(0, 16) r(b)
+    ), dec AS (
+        SELECT doc_id, b,
+               LEAST(255, GREATEST(0,
+                   128 + CAST(ROUND(ROUND(8 * (v - 128) / 16.0) * 16 / 8.0)
+                              AS INT))) AS dec
+        FROM blk
+    ), tot AS (
+        SELECT doc_id, SUM(dec) AS s FROM dec GROUP BY doc_id
+    ), ph AS (
+        SELECT d.doc_id,
+               CAST(SUM(CASE WHEN 16 * d.dec > t.s THEN 1 << d.b
+                             ELSE 0 END) AS BIGINT) AS phash
+        FROM dec d JOIN tot t USING (doc_id) GROUP BY d.doc_id
+    ), bucket AS (
+        SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM ph GROUP BY phash
+    ), near AS (
+        SELECT a.phash, CAST(COUNT(b.phash) AS BIGINT) AS n_near_buckets
+        FROM bucket a LEFT JOIN bucket b
+          ON b.phash <> a.phash
+         AND bit_count(xor(a.phash, b.phash)) <= {_PH_HAM}
+        GROUP BY a.phash
+    )
+    SELECT bucket.phash, bucket.n_docs, bucket.min_doc, bucket.max_doc,
+           near.n_near_buckets, TRUE AS all_flat
+    FROM bucket JOIN near USING (phash) ORDER BY phash
+    """,
+    tags=("llm", "multimodal", "perceptual-hash", "dedup", "extension"),
+)
+def llm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL-HASH image dedup through the REAL JPEG codec
+    (round-8 — the multimodal member of the near-dup family: MinHash
+    buckets text shingles, SimHash buckets term vectors, this buckets
+    PIXELS, and unlike both it survives lossy compression because the
+    hash is computed from DECODED output): each doc renders a 32×32
+    grayscale image of 16 flat 8×8 blocks (25 base patterns + a small
+    per-doc perturbation on one block — near-duplicate variants),
+    encodes it to an actual JFIF stream and decodes it back
+    (``llm/jpeg.py``), then computes the aHash — each block's mean
+    against the global mean, compared in exact integers
+    (16·block > Σblocks), one bit per block.  Equal hashes form dedup
+    buckets; a bucket-level self-join counts neighbors within
+    Hamming ≤ {_PH_HAM} (``bit_count(xor)``) — the candidate edges a
+    full perceptual clustering would union.  The oracle recomputes
+    every decoded block from the flat-block closed form
+    (clamp(128 + round(round(8(v−128)/16)·16/8)), q00 = 16 Annex K)
+    and the same integer bit rule — no codec, pure SQL — so the hash
+    match proves encode→decode→hash lands exactly where the DCT math
+    says it must.
+
+    Scale: codec + hash are per-row mapInPandas CPU (zero shuffle);
+    dedup shuffles 8-byte hashes, never pixels; the Hamming probe is
+    bucket-cardinality quadratic, not document-quadratic — the same
+    collapse MinHash banding buys text."""
+    import pandas as _pd
+
+    from ..llm import jpeg as _jpeg
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                g = did % _PH_GROUPS
+                vals = [(g * 53 + b * 67) % 256 for b in range(16)]
+                vals[15] = (g * 53 + 15 * 67 + (did // _PH_GROUPS) % _PH_NOISE) % 256
+                px = bytearray(32 * 32)
+                for b in range(16):
+                    bx, by = b % 4, b // 4
+                    for y in range(8):
+                        row = (by * 8 + y) * 32 + bx * 8
+                        px[row : row + 8] = bytes([vals[b]]) * 8
+                blob = _jpeg.encode_jpeg(bytes(px), 32, 32)
+                _w, _h, dec = _jpeg.decode_jpeg(blob)
+                blocks = []
+                flat = True
+                for b in range(16):
+                    bx, by = b % 4, b // 4
+                    got = {
+                        dec[(by * 8 + y) * 32 + bx * 8 + x]
+                        for y in range(8)
+                        for x in range(8)
+                    }
+                    flat = flat and len(got) == 1
+                    blocks.append(next(iter(got)))
+                s = sum(blocks)
+                phash = sum(1 << b for b in range(16) if 16 * blocks[b] > s)
+                rows.append((did, phash, flat))
+            yield _pd.DataFrame(rows, columns=["doc_id", "phash", "all_flat"])
+
+    d = load(spark, sf_dir, "documents").select("doc_id").repartition(32)
+    ph = d.mapInPandas(run, schema="doc_id long, phash long, all_flat boolean")
+    bucket = ph.groupBy("phash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.min("all_flat").alias("all_flat"),
+    )
+    a = bucket.select(F.col("phash"))
+    near = (
+        a.alias("x")
+        .join(
+            a.alias("y"),
+            F.expr(
+                f"x.phash <> y.phash AND "
+                f"bit_count(x.phash ^ y.phash) <= {_PH_HAM}"
+            ),
+            "left",
+        )
+        .groupBy(F.col("x.phash").alias("phash"))
+        .agg(F.count(F.col("y.phash")).cast("long").alias("n_near_buckets"))
+    )
+    return (
+        bucket.join(near, "phash")
+        .select(
+            "phash", "n_docs", "min_doc", "max_doc", "n_near_buckets", "all_flat"
+        )
+        .orderBy("phash")
+    )

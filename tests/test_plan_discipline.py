@@ -82,6 +82,7 @@ _BNLJ_OK = {
     "q_time_decay_trending",  # 1-row max-ts anchor broadcast into the decay
     "q_skew_advisor",  # 1-row census + 1-row top-key broadcasts assembled
     "q_fk_integrity_audit",  # per-edge 1-row count/orphan/fan-out broadcasts
+    "llm_phash_near_dup",  # bucket-cardinality Hamming probe (≤ distinct hashes²)
     "llm_cosine_topk",
     "llm_cosine_topk_batch",
     "llm_ann_lsh_topk",
