@@ -540,3 +540,92 @@ def llm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phash")
     )
+
+
+def _cuped_oracle() -> str:
+    from ..llm.datasets import hash_bucket_sql
+
+    arm = hash_bucket_sql("user_id", "ab-v1", 2)
+    return f"""
+    WITH u AS (
+        SELECT user_id, {arm} AS arm,
+               ROUND(SUM(CASE WHEN day(ts) <= 10 THEN value ELSE 0 END), 6)
+                   AS x,
+               ROUND(SUM(CASE WHEN day(ts) > 10 THEN value ELSE 0 END), 6)
+                   AS y
+        FROM events GROUP BY user_id
+    ), th AS (
+        SELECT ROUND(COVAR_SAMP(x, y) / VAR_SAMP(x), 6) AS theta,
+               ROUND(AVG(x), 6) AS mx
+        FROM u
+    ), adj AS (
+        SELECT u.arm, u.y, ROUND(u.y - th.theta * (u.x - th.mx), 6) AS yc
+        FROM u, th
+    )
+    SELECT arm,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(AVG(y), 6) AS mean_y,
+           ROUND(AVG(yc), 6) AS mean_y_cuped,
+           ROUND(VAR_SAMP(yc) / VAR_SAMP(y), 6) AS var_ratio
+    FROM adj GROUP BY arm ORDER BY arm
+    """
+
+
+@query(
+    "q_cuped_variance_reduction",
+    oracle=_cuped_oracle(),
+    tags=("experimentation", "cuped", "variance-reduction", "extension"),
+)
+def q_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (round-8 — the experimentation-
+    platform op the test-statistics family feeds into: Welch/MW tell
+    you IF arms differ, CUPED makes the experiment SENSITIVE enough
+    to tell sooner by regressing out pre-experiment behavior): each
+    user's pre-period value total (days ≤ 10) is the covariate x, the
+    experiment-period total the metric y, arms assigned by the
+    engine-portable md5 bucket; θ = cov(x,y)/var(x) over all users,
+    and the adjusted metric y − θ·(x − x̄) keeps each arm's mean
+    estimate unbiased while shrinking its variance by the covariate's
+    explained share — var_ratio per arm is the measured payoff.
+    x, y, θ and the adjusted values are 6-dp-rounded at each stage so
+    both engines fold bit-identical inputs.
+
+    Scale: one partial-aggregated scan to per-user rows, a 1-row
+    (θ, x̄) broadcast, one more partial aggregation per arm — CUPED at
+    a billion users is exactly these three exchanges."""
+    from ..llm.datasets import hash_bucket
+
+    e = load(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.round(
+            F.sum(F.when(F.dayofmonth("ts") <= 10, F.col("value")).otherwise(0.0)),
+            6,
+        ).alias("x"),
+        F.round(
+            F.sum(F.when(F.dayofmonth("ts") > 10, F.col("value")).otherwise(0.0)),
+            6,
+        ).alias("y"),
+    ).select(
+        hash_bucket(F.col("user_id"), "ab-v1", 2).alias("arm"), "x", "y"
+    )
+    th = u.agg(
+        F.round(F.covar_samp("x", "y") / F.var_samp("x"), 6).alias("theta"),
+        F.round(F.avg("x"), 6).alias("mx"),
+    )
+    adj = u.crossJoin(F.broadcast(th)).select(
+        "arm",
+        "y",
+        F.round(
+            F.col("y") - F.col("theta") * (F.col("x") - F.col("mx")), 6
+        ).alias("yc"),
+    )
+    return (
+        adj.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(F.avg("y"), 6).alias("mean_y"),
+            F.round(F.avg("yc"), 6).alias("mean_y_cuped"),
+            F.round(F.var_samp("yc") / F.var_samp("y"), 6).alias("var_ratio"),
+        )
+        .orderBy("arm")
+    )
