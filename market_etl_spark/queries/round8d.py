@@ -629,3 +629,119 @@ def q_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+#: SPRT design constants in INTEGER micro-log-likelihood units:
+#: H0: p = 0.18 vs H1: p = 0.22 purchase share, alpha = beta = 0.05.
+#: A = round(ln(p1/p0)*1e6), B = round(ln((1-p1)/(1-p0))*1e6),
+#: U/L = Wald boundaries ln((1-b)/a), ln(b/(1-a)) in the same units —
+#: pinning the test to integers makes every crossing comparison exact
+#: in both engines (the walk is A*k + B*(t-k) over BIGINTs).
+_SPRT_A = 200671
+_SPRT_B = -50010
+_SPRT_U = 2944439
+_SPRT_L = -2944439
+
+
+@query(
+    "q_sprt_sequential_test",
+    oracle=f"""
+    WITH x AS (
+        SELECT ts, event_id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+        FROM events
+    ), c AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY ts, event_id) AS t,
+               SUM(x) OVER (ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS k
+        FROM x
+    ), l AS (
+        SELECT t, k, {_SPRT_A} * k + {_SPRT_B} * (t - k) AS llr FROM c
+    ), fin AS (
+        SELECT *,
+               CASE WHEN llr >= {_SPRT_U} THEN 'accept_h1'
+                    WHEN llr <= {_SPRT_L} THEN 'accept_h0' END AS d
+        FROM l
+    ), first_cross AS (
+        SELECT * FROM fin WHERE d IS NOT NULL ORDER BY t LIMIT 1
+    ), fallback AS (
+        SELECT t, k, llr, 'undecided' AS d FROM l ORDER BY t DESC LIMIT 1
+    ), pick AS (
+        SELECT t, k, llr, d FROM first_cross
+        UNION ALL
+        SELECT t, k, llr, d FROM fallback
+        WHERE NOT EXISTS (SELECT 1 FROM first_cross)
+    )
+    SELECT d AS decision,
+           CAST(t AS BIGINT) AS n_at_decision,
+           CAST(k AS BIGINT) AS conversions,
+           CAST(llr AS BIGINT) AS llr_micro,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM x) AS n_total
+    FROM pick
+    """,
+    tags=("experimentation", "sequential-test", "sprt", "extension"),
+)
+def q_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT sequential test (round-8 — the EARLY-STOPPING member
+    of the experimentation family: fixed-horizon tests (Welch, MW)
+    read the whole sample, CUPED shrinks its variance, the SPRT stops
+    the moment the evidence crosses a boundary): the event stream in
+    time order is a Bernoulli walk (purchase or not); the
+    log-likelihood ratio for H1: p=0.22 vs H0: p=0.18 advances by a
+    constant per step, and the test decides at the FIRST crossing of
+    the Wald boundaries (α = β = 0.05) — here after n_at_decision
+    events, a tiny fraction of the corpus.  The whole walk is carried
+    in INTEGER micro-log-units (constants pre-rounded once, the walk
+    is A·k + B·(t−k) over BIGINTs), so the crossing row is exact on
+    both engines — no float boundary anywhere.
+
+    Scale: the cumulative walk is one ordered window per experiment
+    key (global here for the single corpus-wide test; a platform
+    partitions by experiment id) and the first-crossing pick is a
+    top-1 sort — the sequential decision costs one scan of the
+    PREFIX the test actually needed, which is the point of SPRT."""
+    e = load(spark, sf_dir, "events")
+    x = e.select(
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("x"),
+    )
+    w = Window.orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    l = x.select(
+        F.row_number().over(Window.orderBy("ts", "event_id")).alias("t"),
+        F.sum("x").over(w).alias("k"),
+    ).select(
+        "t",
+        "k",
+        (
+            F.lit(_SPRT_A) * F.col("k")
+            + F.lit(_SPRT_B) * (F.col("t") - F.col("k"))
+        ).alias("llr"),
+    )
+    fin = l.withColumn(
+        "d",
+        F.when(F.col("llr") >= _SPRT_U, F.lit("accept_h1")).when(
+            F.col("llr") <= _SPRT_L, F.lit("accept_h0")
+        ),
+    )
+    first_cross = fin.filter(F.col("d").isNotNull()).orderBy("t").limit(1)
+    fallback = (
+        l.orderBy(F.desc("t")).limit(1).withColumn("d", F.lit("undecided"))
+    )
+    n_cross = first_cross.agg(F.count(F.lit(1)).alias("nc"))
+    pick = first_cross.select("t", "k", "llr", "d").unionByName(
+        fallback.select("t", "k", "llr", "d")
+        .crossJoin(F.broadcast(n_cross))
+        .filter(F.col("nc") == 0)
+        .drop("nc")
+    )
+    total = x.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return pick.crossJoin(F.broadcast(total)).select(
+        F.col("d").alias("decision"),
+        F.col("t").cast("long").alias("n_at_decision"),
+        F.col("k").cast("long").alias("conversions"),
+        F.col("llr").cast("long").alias("llr_micro"),
+        "n_total",
+    )

@@ -84,6 +84,7 @@ _BNLJ_OK = {
     "q_fk_integrity_audit",  # per-edge 1-row count/orphan/fan-out broadcasts
     "llm_phash_near_dup",  # bucket-cardinality Hamming probe (≤ distinct hashes²)
     "q_cuped_variance_reduction",  # 1-row (theta, mean-x) broadcast adjustment
+    "q_sprt_sequential_test",  # 1-row crossing-count + 1-row total broadcasts
     "llm_cosine_topk",
     "llm_cosine_topk_batch",
     "llm_ann_lsh_topk",
