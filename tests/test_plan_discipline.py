@@ -57,6 +57,8 @@ _SKIP = {
     "q_bfs_shortest_paths",  # frontier loop runs eager localCheckpoints
     "q_sessionize",  # pandas-state twin builds a stream zone
     "q_zorder_pruned_scan",  # materializes the z-ordered layout
+    "q_bucketed_join_no_shuffle",  # writes+registers the bucketed tables
+    "q_dynamic_partition_overwrite",  # rewrites the day-partitioned zone
 }
 
 #: BroadcastNestedLoopJoin allowlist: every entry is a join against a
@@ -85,6 +87,10 @@ _BNLJ_OK = {
     "llm_phash_near_dup",  # bucket-cardinality Hamming probe (≤ distinct hashes²)
     "q_cuped_variance_reduction",  # 1-row (theta, mean-x) broadcast adjustment
     "q_sprt_sequential_test",  # 1-row crossing-count + 1-row total broadcasts
+    "q_kruskal_wallis",  # 1-row rank-sum fold x 1-row tie-sum broadcast
+    "q_mcnemar_test",  # 1-row micros-midpoint anchor broadcast
+    "q_difference_in_differences",  # 1-row midpoint-day anchor broadcast
+    "q_kalman_filter_1d",  # 1-row day anchor + 1-row tmax broadcasts
     "llm_cosine_topk",
     "llm_cosine_topk_batch",
     "llm_ann_lsh_topk",
