@@ -470,6 +470,120 @@ def llm_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Audio resampling (2:1 decimation) through the real WAV codec
+# ---------------------------------------------------------------------------
+#: Resample fixture: 400 samples/doc of integer pseudo-noise
+#: s(i) = (doc_id*17 + i*11) % 4000 - 2000 (all intermediate terms
+#: non-negative before the shift, so % agrees across engines), decoded
+#: from a real RIFF/WAVE container and decimated 2:1 with a 2-tap
+#: boxcar SUM (gain 2 — integer-exact, no division-rounding hazards).
+_RS_N = 400
+_RS_OUT = _RS_N // 2
+
+
+@query(
+    "llm_audio_resample",
+    oracle=f"""
+    WITH j AS (
+        SELECT doc_id, UNNEST(range({_RS_OUT})) AS j FROM documents
+    ), r AS (
+        SELECT doc_id, j,
+               ((doc_id * 17 + (2 * j) * 11) % 4000 - 2000)
+             + ((doc_id * 17 + (2 * j + 1) * 11) % 4000 - 2000) AS r2
+        FROM j
+    ), x AS (
+        SELECT doc_id, j, r2,
+               LAG(r2) OVER (PARTITION BY doc_id ORDER BY j) AS prev
+        FROM r
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_out,
+           CAST(SUM(ABS(r2)) AS BIGINT) AS sum_abs,
+           CAST(MAX(ABS(r2)) AS BIGINT) AS max_abs,
+           CAST(SUM(CASE WHEN (prev > 0 AND r2 < 0)
+                           OR (prev < 0 AND r2 > 0) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_zero_cross,
+           TRUE AS roundtrip_ok
+    FROM x GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal", "audio", "resample", "extension"),
+)
+def llm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO sample-rate conversion through the REAL codec (round-8f —
+    the rate-change step the audio family lacked: llm_wav_decode_stats
+    proves the container roundtrip, llm_audio_vad gates frames, this
+    DECIMATES — the preprocessing every speech model's 16 kHz intake
+    runs on arbitrary-rate corpora): each doc's integer pseudo-noise
+    waveform is encoded to an actual RIFF/WAVE file, decoded back with
+    the engine's independent parser (:mod:`..llm.wav_audio`), then
+    downsampled 2:1 with a 2-tap boxcar (anti-alias sum, gain 2 —
+    SUM not average, so every value stays an exact integer and no
+    engine-specific negative-division rounding can enter), with
+    energy/peak/zero-crossing stats on the resampled signal.  The
+    oracle computes the identical statistics from the closed-form
+    waveform definition and never sees a WAV container — the hash
+    match proves codec + decimation are exact.
+
+    Scale: per-row codec CPU under one Arrow-batched mapInPandas after
+    an explicit repartition (same contract as llm_audio_vad); the
+    decimator is a streaming fold per row, zero shuffle until the
+    final sort."""
+    import pandas as _pd
+
+    from ..llm import wav_audio as _wav
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                samples = [
+                    (did * 17 + i * 11) % 4000 - 2000 for i in range(_RS_N)
+                ]
+                blob = _wav.encode_wav(samples, sample_rate=8000, channels=1)
+                _rate, _ch, decoded = _wav.decode_wav(blob)
+                r2 = [
+                    decoded[2 * j] + decoded[2 * j + 1]
+                    for j in range(_RS_OUT)
+                ]
+                crossings = sum(
+                    1
+                    for a, b in zip(r2, r2[1:])
+                    if (a > 0 and b < 0) or (a < 0 and b > 0)
+                )
+                rows.append(
+                    (
+                        did,
+                        len(r2),
+                        sum(abs(v) for v in r2),
+                        max(abs(v) for v in r2),
+                        crossings,
+                        decoded == samples,
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_out",
+                    "sum_abs",
+                    "max_abs",
+                    "n_zero_cross",
+                    "roundtrip_ok",
+                ],
+            )
+
+    d = load(spark, sf_dir, "documents").select("doc_id").repartition(32)
+    return d.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, n_out long, sum_abs long, max_abs long,"
+            " n_zero_cross long, roundtrip_ok boolean"
+        ),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Chained streaming windows: two stateful operators in one query
 # ---------------------------------------------------------------------------
 @query(
