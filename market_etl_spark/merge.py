@@ -60,6 +60,11 @@ def merge_into_partitioned(
     import operator
 
     parts = [tuple(r) for r in updates.select(*partition_cols).distinct().collect()]
+    if not parts:
+        # empty update set: nothing to prune, merge, or rewrite — and
+        # callers (foreachBatch appliers) rely on this instead of a
+        # separate isEmpty() job per micro-batch.
+        return 0
     target = spark.read.parquet(path)
     # OR-of-conjunctions, not struct-isin: equality conjunctions over
     # partition columns are what the source's partition pruning matches.

@@ -524,19 +524,28 @@ def q_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = _pl.Path(sf_dir.rstrip("/")).name.replace(".", "_")
     path = str(_SCRATCH / f"cdc_target_{tag}")
     e = load(spark, sf_dir, "events").withColumn("day", F.dayofmonth("ts"))
-    seed = e.filter(F.col("day") <= 10).unionByName(
-        e.filter((F.col("day") > 10) & (F.col("day") <= 20)).withColumn(
-            "value", F.lit(-999.0)
-        )
+    # one-scan seed: survive days (<=10) verbatim + poisoned days
+    # (11-20) in a single projected pass (the prior unionByName form
+    # scanned events twice for the same rows)
+    seed = e.filter(F.col("day") <= 20).withColumn(
+        "value",
+        F.when(F.col("day") > 10, F.lit(-999.0)).otherwise(F.col("value")),
     )
+    # no repartition before this write: the single-file source scan
+    # runs in a handful of tasks, so fragmentation is bounded at
+    # tasks x 20 dirs, and a day-clustering shuffle costs more than it
+    # saves here (and would fan to shuffle.partitions empty tasks in a
+    # vanilla 200-partition session)
     seed.write.mode("overwrite").partitionBy("day").parquet(path)
-    # 3 time-ranged replay files (round-8 floor cut): the day > 10 CDC
-    # cut still spans ≥2 non-empty micro-batches — one update-heavy
-    # (poisoned days), one insert-heavy (new partitions) — so all
-    # three MERGE paths replay across batches, at one less per-batch
-    # fixed cost (trigger + checkpoint commit + merge job round).
+    # 2 time-ranged replay files (round-8 floor cuts: 5 → 3 → 2): the
+    # day > 10 CDC cut still spans 2 non-empty micro-batches — the
+    # first update-only (poisoned days 11-15), the second mixed
+    # update+insert (16-20 updates, 21+ new partitions) — so all three
+    # MERGE paths (survive / update / insert) still replay across
+    # batch boundaries, at the minimum per-batch fixed cost (each
+    # extra batch is a trigger + checkpoint commit + merge job round).
     stream = (
-        streaming.read_events_stream_multibatch(spark, sf_dir, n_files=3)
+        streaming.read_events_stream_multibatch(spark, sf_dir, n_files=2)
         .withColumn("day", F.dayofmonth("ts"))
         .filter(F.col("day") > 10)
     )

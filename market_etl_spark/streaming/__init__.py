@@ -970,12 +970,14 @@ def run_cdc_apply(
     applied = []
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        merge_into_partitioned(
+        # no isEmpty() pre-flight: merge_into_partitioned's
+        # affected-partitions collect doubles as the empty check (one
+        # job per batch instead of two)
+        n = merge_into_partitioned(
             batch_df.sparkSession, path, batch_df, key_cols, partition_cols
         )
-        applied.append(batch_id)
+        if n:
+            applied.append(batch_id)
 
     ckpt = _SCRATCH / "checkpoints" / f"cdc_{uuid.uuid4().hex[:8]}"
     spark = stream.sparkSession
