@@ -209,6 +209,22 @@ AUDITED = [
         "user_id, the ordered window implements the as-of lookup, and no "
         "per-row subquery or range join appears anywhere.",
     ),
+    (
+        "q_jarque_bera_normality",
+        "The shifted-power-sum recipe stays two partial-aggregated scans "
+        "joined through a 5-row `BroadcastHashJoin` (the pseudo-mean "
+        "frame): no window over the fact table, no shuffle beyond the "
+        "5-key aggregations, all four power sums in one `HashAggregate`.",
+    ),
+    (
+        "llm_winnowing_fingerprint",
+        "Winnowing is a per-doc windowed min (one shuffle on doc_id) and "
+        "the pair mining is an EQUI-join on the fingerprint hash — a hash "
+        "join keyed on fph (AQE broadcasts the small fingerprint frame "
+        "here; at corpus scale it shuffles on the key), never a "
+        "cartesian; the doc_id bound is pushed to the parquet scan "
+        "(`PushedFilters: LessThan(doc_id,300)`).",
+    ),
 ]
 
 
