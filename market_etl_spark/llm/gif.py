@@ -274,6 +274,56 @@ def decode_gif_frames(
     return sw, sh, frames
 
 
+def count_frames(data: bytes) -> int:
+    """Count a GIF's image blocks by walking the descriptor / sub-block
+    FRAMING only — no LZW decode, so a long animation costs O(bytes
+    skipped) instead of O(pixels decoded) (ADVICE r8: the metadata
+    path was paying full per-frame LZW just to report n_frames).
+    Framing-level validation matches :func:`decode_gif_frames`
+    (ValueError on a bad signature, truncated descriptor, unexpected
+    block, or zero image blocks); pixel-level corruption is
+    intentionally NOT detected here — counting is a metadata
+    operation, the decode path owns pixel validation."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    if len(data) < 13:
+        raise ValueError("truncated logical screen descriptor")
+    packed = data[10]
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+        if pos > len(data):
+            raise ValueError("truncated global color table")
+    n = 0
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks, skip
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected block 0x{block:02x}")
+        if pos + 11 > len(data):
+            raise ValueError("truncated image descriptor")
+        ipacked = data[pos + 9]
+        pos += 10
+        if ipacked & 0x80:  # local color table rides before the data
+            pos += 3 * (2 << (ipacked & 0x07))
+        pos += 1  # LZW min code size
+        # skip the data sub-blocks by their length bytes
+        while pos < len(data) and data[pos] != 0:
+            pos += 1 + data[pos]
+        pos += 1
+        n += 1
+    if n == 0:
+        raise ValueError("no image descriptor")
+    return n
+
+
 def decode_gif(data: bytes) -> tuple[int, int, bytes]:
     """Decode the FIRST image of a GIF87a/89a stream (global color
     table, no interlace); returns ``(width, height, grayscale_pixels)``

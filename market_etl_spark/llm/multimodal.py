@@ -72,10 +72,14 @@ def decode_payload(payload: bytes) -> dict:
             "feature_crc": _rolling_hash(pixels),
         }
     if payload[:6] in (b"GIF87a", b"GIF89a"):
-        _sw, _sh, frames = _gif.decode_gif_frames(payload)
+        # frame COUNT by walking the sub-block framing (no LZW work —
+        # a long animation costs O(bytes), ADVICE r8); the feature
+        # hash LZW-decodes ONLY frame 0 (lazy max_frames=1 scan)
+        n_frames = _gif.count_frames(payload)
+        _sw, _sh, frames = _gif.decode_gif_frames(payload, max_frames=1)
         return {
             "byte_len": len(payload),
-            "n_frames": len(frames),
+            "n_frames": n_frames,
             "format": "image/gif",
             # hashed over the FIRST frame's decoded pixels (stable for
             # the single-frame corpus; multi-frame streams pin their

@@ -1409,7 +1409,9 @@ def q_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap(e.filter(F.dayofmonth("ts") <= 5)).write.mode("overwrite").parquet(
         f"{path}/_tmp_v99"
     )
-    res = vacuum_versions(path, keep_last=2)
+    # single-writer engine posture: immediate orphan sweep is safe and
+    # opted into explicitly (the default is the 300 s retention window)
+    res = vacuum_versions(path, keep_last=2, min_orphan_age_sec=0.0)
     try:
         read_version(spark, path, 1)
         removed_unreadable = False

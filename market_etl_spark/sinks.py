@@ -376,8 +376,16 @@ def write_versioned(df: DataFrame, path: str) -> int:
             # torn write from a crashed commit (data dir, no marker):
             # the slot was never visible to readers, reclaim it
             shutil.rmtree(dest, ignore_errors=True)
+        try:
+            os.rename(tmp, dest)
+        except OSError:
+            # a concurrent writer claimed the slot between the
+            # exists() check and our rename (TOCTOU — ENOTEMPTY /
+            # EEXIST): last-writer-wins means the loser takes the
+            # next slot, never crashes
+            version += 1
+            continue
         break
-    os.rename(tmp, dest)
     marker_tmp = vdir / f".{version}.tmp"
     marker_tmp.write_text(str(version))
     os.rename(marker_tmp, vdir / str(version))
@@ -406,11 +414,15 @@ def read_version(spark, path: str, version: int) -> DataFrame:
     return spark.read.parquet(f"{path}/v={version}")
 
 
-def vacuum_versions(path: str, keep_last: int, min_orphan_age_sec: float = 0.0) -> dict:
+def vacuum_versions(
+    path: str, keep_last: int, min_orphan_age_sec: float = 300.0
+) -> dict:
     """VACUUM the versioned snapshot store: retain the newest
     ``keep_last`` committed versions, delete the data directories and
     markers of everything older, and sweep torn writes (``_tmp_*``
-    staging dirs and ``v=N`` data dirs that never got a marker).
+    staging dirs, ``v=N`` data dirs that never got a marker, and
+    ``.N.tmp`` marker staging files a crash between marker write and
+    marker rename leaves in ``_versions/``).
     Deletion is crash-safe in the same direction as the commit
     protocol is torn-write-safe: the marker is removed FIRST, so a
     vacuum interrupted mid-delete leaves an unmarkered data dir that
@@ -421,12 +433,14 @@ def vacuum_versions(path: str, keep_last: int, min_orphan_age_sec: float = 0.0) 
     crashed commit's debris from a LIVE writer's in-flight state (a
     writer between its data rename and marker rename looks exactly
     like a torn write — sweeping it would commit a marker whose data
-    is gone).  Either run vacuum with no concurrent writers (this
-    engine's posture), or pass ``min_orphan_age_sec`` greater than
-    the longest plausible commit (Delta's VACUUM retention-window
-    posture): unmarkered dirs younger than the threshold are left
-    alone and picked up by a later vacuum.  Expired COMMITTED
-    versions are safe at any age — their markers are removed first.
+    is gone).  The DEFAULT ``min_orphan_age_sec`` is therefore 300 s
+    (Delta's VACUUM retention-window posture): unmarkered dirs
+    younger than the threshold are left alone and picked up by a
+    later vacuum, so the dangerous immediate sweep is opt-in — pass
+    ``0`` explicitly when the caller guarantees no concurrent writers
+    (this engine's single-writer posture does, at its own call
+    sites).  Expired COMMITTED versions are safe at any age — their
+    markers are removed first.
 
     Returns a summary dict (versions_before / versions_after /
     removed / orphans_removed / kept)."""
@@ -463,6 +477,16 @@ def vacuum_versions(path: str, keep_last: int, min_orphan_age_sec: float = 0.0) 
             if not (vdir / v).exists() and _old_enough(p):
                 shutil.rmtree(p, ignore_errors=True)
                 orphans += 1
+    if vdir.exists():
+        # marker staging files (.N.tmp) stranded by a crash between
+        # marker write and marker rename — same age gate as data dirs
+        for p in vdir.iterdir():
+            if p.name.startswith(".") and p.name.endswith(".tmp") and _old_enough(p):
+                try:
+                    p.unlink()
+                    orphans += 1
+                except OSError:
+                    pass
     return {
         "versions_before": len(committed),
         "versions_after": len(keep),

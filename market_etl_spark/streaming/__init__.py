@@ -658,24 +658,56 @@ def sessionize_batch(events: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _src_fingerprint(sf_dir: str, fname: str) -> str:
+    """Size+mtime digest of a source parquet (same contract as
+    ``queries.etl_pipeline._source_fingerprint``, duplicated here to
+    keep the package layering acyclic): staged replay zones keyed by
+    it invalidate when the driver regenerates testdata between rounds
+    instead of silently replaying stale rows."""
+    import hashlib
+
+    p = pathlib.Path(sf_dir.rstrip("/")) / fname
+    try:
+        st = p.stat()
+        raw = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        raw = "missing"
+    return hashlib.sha1(raw.encode()).hexdigest()[:10]
+
+
+def _pin_part_order(zone: pathlib.Path) -> None:
+    """Pin the staged part files' modification times in FILE-NAME order
+    (part-00000 first — the lowest range slice from
+    ``repartitionByRange``).  The file source processes oldest-mtime
+    first, and freshly-written parts otherwise share one mtime second,
+    leaving micro-batch order unguaranteed; pinning makes the replay
+    order deterministic (ascending range) for order-sensitive callers,
+    the same discipline as the flush/outer-drain zones above."""
+    for i, part in enumerate(sorted(zone.glob("part-*.parquet"))):
+        os.utime(part, (1_000_000_000 + i * 1000,) * 2)
+
+
 def read_events_stream_multibatch(
     spark: SparkSession, sf_dir: str, n_files: int = 4
 ) -> DataFrame:
     """Replay the events table as ``n_files`` time-ranged parquet files
     with ``maxFilesPerTrigger=1`` — a REAL multi-micro-batch replay
     (the single-symlink source above collapses to one batch). Staged
-    once per (sf, n) and reused; range-partitioned on ts so each batch
-    approximates one CDC time slice."""
+    once per (sf, source fingerprint, n) and reused; range-partitioned
+    on ts with mtimes pinned in range order, so each batch is one
+    ascending CDC time slice."""
     from ..session import apply_runtime_conf
     from ..tables import load
 
     apply_runtime_conf(spark)
     tag = pathlib.Path(sf_dir.rstrip("/")).name.replace(".", "_")
-    zone = _SCRATCH / f"stream_src_multi_{tag}_{n_files}"
+    fp = _src_fingerprint(sf_dir, "events.parquet")
+    zone = _SCRATCH / f"stream_src_multi_{tag}_{fp}_{n_files}"
     if not (zone / "_SUCCESS").exists():
         load(spark, sf_dir, "events").repartitionByRange(
             n_files, "ts"
         ).write.mode("overwrite").parquet(str(zone))
+        _pin_part_order(zone)
     schema = spark.read.parquet(str(zone)).schema
     return (
         spark.readStream.schema(schema)
@@ -693,19 +725,24 @@ def read_table_stream_multibatch(
 ) -> DataFrame:
     """Generalization of :func:`read_events_stream_multibatch` to any
     registered table: replay ``table`` as ``n_files`` range-partitioned
-    parquet files with ``maxFilesPerTrigger=1`` — each micro-batch
-    approximates one time/key slice of a CDC feed.  Staged once per
-    (table, sf, n) and reused."""
+    parquet files with ``maxFilesPerTrigger=1`` — each micro-batch is
+    one ascending ``range_col`` slice of a CDC feed (mtimes pinned in
+    range order — deterministic batch order, not just a deterministic
+    batch SET).  Staged once per (table, sf, source fingerprint, n)
+    and reused; a regenerated testdata tree changes the fingerprint
+    and restages instead of replaying stale rows."""
     from ..session import apply_runtime_conf
     from ..tables import load
 
     apply_runtime_conf(spark)
     tag = pathlib.Path(sf_dir.rstrip("/")).name.replace(".", "_")
-    zone = _SCRATCH / f"stream_src_multi_{table}_{tag}_{n_files}"
+    fp = _src_fingerprint(sf_dir, f"{table}.parquet")
+    zone = _SCRATCH / f"stream_src_multi_{table}_{tag}_{fp}_{n_files}"
     if not (zone / "_SUCCESS").exists():
         load(spark, sf_dir, table).repartitionByRange(
             n_files, range_col
         ).write.mode("overwrite").parquet(str(zone))
+        _pin_part_order(zone)
     schema = spark.read.parquet(str(zone)).schema
     return (
         spark.readStream.schema(schema)

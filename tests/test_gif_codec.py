@@ -167,3 +167,44 @@ def test_sample_frames_degrades_on_gif_lookalike(spark):
     rows = sample_frames(df).collect()
     assert len(rows) == min(8, len(fake) // 1000 + 1)
     assert rows[0].frame_offset == 0  # stride path, not a decoded frame
+
+
+def test_count_frames_matches_decode_without_lzw():
+    """count_frames agrees with the full decode on every well-formed
+    stream, costs no LZW work (it never touches the code tables), and
+    carries the same framing-level ValueError contract (ADVICE r8)."""
+    for n in (1, 2, 4, 16):
+        frames = [bytes((f * 13 + i) % 256 for i in range(64)) for f in range(n)]
+        blob = gif.encode_gif_frames(frames, 8, 8)
+        assert gif.count_frames(blob) == n
+        _sw, _sh, dec = gif.decode_gif_frames(blob)
+        assert len(dec) == n
+    with pytest.raises(ValueError, match="signature"):
+        gif.count_frames(b"NOTAGIF")
+    with pytest.raises(ValueError, match="no image descriptor"):
+        gif.count_frames(b"GIF87a" + struct.pack("<HHBBB", 1, 1, 0, 0, 0) + b"\x3b")
+    # truncated descriptor is a framing error -> ValueError, like decode
+    one = gif.encode_gif(bytes(range(16)), 4, 4)
+    _sw, _sh, full = gif.decode_gif_frames(one)
+    with pytest.raises(ValueError):
+        gif.count_frames(one[: full[0][4] + 5])
+
+
+def test_decode_payload_counts_frames_without_decoding_them():
+    """The metadata path reports n_frames over a CORRUPT-later-frame
+    animation (framing intact, pixels broken): count_frames walks the
+    sub-block lengths so the corruption is invisible to it, while the
+    feature hash still comes from the real frame-0 decode."""
+    frames = [bytes([f * 10] * 64) for f in range(6)]
+    blob = bytearray(gif.encode_gif_frames(frames, 8, 8))
+    # corrupt one LZW byte INSIDE frame 4's data sub-blocks (framing
+    # lengths untouched): full decode now raises, counting does not
+    _sw, _sh, full = gif.decode_gif_frames(blob)
+    off4 = full[4][4]
+    blob[off4 + 12] ^= 0xFF
+    blob = bytes(blob)
+    assert gif.count_frames(blob) == 6
+    feats = decode_payload(blob)
+    assert feats["n_frames"] == 6
+    ref = decode_payload(gif.encode_gif_frames(frames, 8, 8))
+    assert feats["feature_crc"] == ref["feature_crc"]  # frame 0 decode
