@@ -21,16 +21,33 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def merge_upsert(target: DataFrame, updates: DataFrame, key_cols: list[str]) -> DataFrame:
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    op_col: str | None = None,
+    delete_op: str = "D",
+) -> DataFrame:
     """SCD1 merge as a DataFrame op: ``updates ∪ (target ⟕̸ updates)``.
 
     The anti join ships only the update KEYS against the target (the
     key set broadcasts when small — the common case for a CDC batch);
     the target side is scanned once and never shuffled when the
     broadcast applies. Column sets must match (whole-row upsert).
+
+    ``op_col`` enables TOMBSTONES (the MERGE third clause — ``WHEN
+    MATCHED AND op = 'D' THEN DELETE``, the shape every real CDC feed
+    carries per Debezium/Delta): rows whose ``op_col`` equals
+    ``delete_op`` remove their key from the target and emit nothing;
+    every other op value upserts.  One plan either way — the anti join
+    already removes ALL batch keys from the target, so deletes fall
+    out of simply not re-inserting the tombstoned rows.  A delete for
+    an absent key is a no-op (idempotent, like re-applying any batch).
     """
     keys = updates.select(*key_cols).distinct()
     survivors = target.join(F.broadcast(keys), key_cols, "left_anti")
+    if op_col is not None:
+        updates = updates.filter(F.col(op_col) != F.lit(delete_op)).drop(op_col)
     return survivors.unionByName(updates)
 
 
@@ -40,6 +57,8 @@ def merge_into_partitioned(
     updates: DataFrame,
     key_cols: list[str],
     partition_cols: list[str],
+    op_col: str | None = None,
+    delete_op: str = "D",
 ) -> int:
     """Partition-scoped MERGE into a Hive-partitioned parquet directory.
 
@@ -55,11 +74,24 @@ def merge_into_partitioned(
     :mod:`..session`). New rows may introduce brand-new partitions —
     dynamic overwrite creates them; existing-but-unaffected partitions
     survive byte-for-byte (asserted in tests/test_merge.py).
+
+    ``op_col`` threads tombstones through (``delete_op`` rows remove
+    their key — see :func:`merge_upsert`).  Deletes have one physical
+    wrinkle dynamic overwrite cannot express: a partition whose EVERY
+    row is deleted produces zero output rows, so no file lands in it
+    and the stale directory would survive the "overwrite".  The merge
+    therefore materializes the merged slice once (``localCheckpoint``
+    — batch-sized), diffs the affected partition list against the
+    partitions actually present in the output, and clears the
+    fully-emptied directories explicitly.  That check runs only on
+    the tombstone path; the upsert-only path keeps its two-job shape
+    (parts collect + write).
     """
     import functools
     import operator
 
-    parts = [tuple(r) for r in updates.select(*partition_cols).distinct().collect()]
+    batch_parts = updates.select(*partition_cols).distinct()
+    parts = [tuple(r) for r in batch_parts.collect()]
     if not parts:
         # empty update set: nothing to prune, merge, or rewrite — and
         # callers (foreachBatch appliers) rely on this instead of a
@@ -79,7 +111,20 @@ def merge_into_partitioned(
         ],
     )
     affected = target.filter(cond)
-    merged = merge_upsert(affected, updates.select(*target.columns), key_cols)
+    batch_cols = [*target.columns, *([op_col] if op_col else [])]
+    merged = merge_upsert(
+        affected, updates.select(*batch_cols), key_cols, op_col, delete_op
+    )
+    emptied: list[tuple] = []
+    if op_col is not None:
+        # materialize once: the empty-partition diff and the write
+        # both read the checkpointed slice instead of re-running the
+        # scan + merge lineage twice
+        merged = merged.localCheckpoint()
+        present = {
+            tuple(r) for r in merged.select(*partition_cols).distinct().collect()
+        }
+        emptied = [p for p in parts if p not in present]
     # Cluster on the partition columns before the write: every
     # partition directory then lands in ONE task and emits ONE file,
     # instead of (shuffle.partitions × dirs) fragments per merge — an
@@ -93,6 +138,18 @@ def merge_into_partitioned(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+    if emptied:
+        # dynamic overwrite never visits a zero-row partition: clear
+        # the fully-deleted directories explicitly (driver-side,
+        # O(affected partitions) — metadata work, not a data job)
+        import pathlib
+        import shutil
+
+        for p in emptied:
+            d = pathlib.Path(path).joinpath(
+                *[f"{c}={v}" for c, v in zip(partition_cols, p)]
+            )
+            shutil.rmtree(d, ignore_errors=True)
     return len(parts)
 
 

@@ -987,6 +987,8 @@ def run_cdc_apply(
     path: str,
     key_cols: list[str],
     partition_cols: list[str],
+    op_col: str | None = None,
+    delete_op: str = "D",
 ) -> int:
     """Continuous CDC apply: every micro-batch MERGEs into a
     Hive-partitioned parquet target via
@@ -1001,6 +1003,12 @@ def run_cdc_apply(
     Batches must be key-unique (true for any keyed CDC feed after
     upstream compaction; enforce with a per-batch latest-wins window
     if the feed can carry multiple versions of a key per batch).
+
+    ``op_col`` makes the feed a FULL CDC stream: a micro-batch may mix
+    inserts, updates, and ``delete_op`` tombstones (Debezium's
+    ``op='d'`` shape) — deletes remove their key from the target, and
+    a delete landing in a LATER batch than the insert it kills works
+    because every batch merges against the accumulated on-disk state.
     Returns the number of micro-batches applied."""
     from ..merge import merge_into_partitioned
 
@@ -1011,7 +1019,13 @@ def run_cdc_apply(
         # affected-partitions collect doubles as the empty check (one
         # job per batch instead of two)
         n = merge_into_partitioned(
-            batch_df.sparkSession, path, batch_df, key_cols, partition_cols
+            batch_df.sparkSession,
+            path,
+            batch_df,
+            key_cols,
+            partition_cols,
+            op_col=op_col,
+            delete_op=delete_op,
         )
         if n:
             applied.append(batch_id)

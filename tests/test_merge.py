@@ -165,3 +165,98 @@ def test_scd2_apply_multi_update_per_key_takes_latest(spark):
         if r.is_current:
             open_per_key[r.k] = open_per_key.get(r.k, 0) + 1
     assert all(v == 1 for v in open_per_key.values())
+
+
+def test_merge_tombstone_deletes_and_upserts_in_one_batch(spark):
+    """op_col path: 'D' rows remove their key, other ops upsert, a
+    delete for an absent key is a no-op (idempotent re-apply)."""
+    t = _target(spark)
+    batch = spark.createDataFrame(
+        [
+            (2, 1, 99.0, "U"),   # update existing
+            (6, 4, 60.0, "I"),   # insert new
+            (3, 2, 0.0, "D"),    # delete existing
+            (42, 9, 0.0, "D"),   # delete absent key -> no-op
+        ],
+        "id long, day int, val double, op string",
+    )
+    got = {
+        r.id: (r.day, r.val)
+        for r in merge_upsert(t, batch, ["id"], op_col="op").collect()
+    }
+    assert got == {
+        1: (1, 10.0),
+        2: (1, 99.0),
+        4: (2, 40.0),
+        5: (3, 50.0),
+        6: (4, 60.0),
+    }
+
+
+def test_merge_into_partitioned_clears_fully_deleted_partition(spark, tmp_path):
+    """Dynamic overwrite never writes a zero-row partition: the merge
+    must clear a directory whose every row was tombstoned, while a
+    partially-deleted partition is rewritten without the victims."""
+    path = str(tmp_path / "t")
+    _target(spark).write.partitionBy("day").parquet(path)
+
+    batch = spark.createDataFrame(
+        # day=3 has only id=5 -> fully deleted; day=1 loses id=1 only
+        [(5, 3, 0.0, "D"), (1, 1, 0.0, "D"), (2, 1, 21.0, "U")],
+        "id long, day int, val double, op string",
+    )
+    n = merge_into_partitioned(spark, path, batch, ["id"], ["day"], op_col="op")
+    assert n == 2  # day=1 and day=3 affected
+    assert not pathlib.Path(path, "day=3").exists()
+    got = {r.id: (r.day, r.val) for r in spark.read.parquet(path).collect()}
+    assert got == {2: (1, 21.0), 3: (2, 30.0), 4: (2, 40.0)}
+
+
+def test_cdc_apply_delete_lands_in_later_batch_than_insert(spark, tmp_path):
+    """Cross-batch tombstone through run_cdc_apply: batch 0 INSERTS a
+    key, batch 1 DELETES it — the delete must kill the insert it never
+    shared a micro-batch with (each batch merges against accumulated
+    on-disk state, not against its own batch)."""
+    import os
+
+    from market_etl_spark.streaming import run_cdc_apply
+
+    path = str(tmp_path / "t")
+    _target(spark).write.partitionBy("day").parquet(path)
+
+    zone = tmp_path / "feed"
+    zone.mkdir()
+    b0 = spark.createDataFrame(
+        [(7, 1, 70.0, "I"), (8, 2, 80.0, "I")],
+        "id long, day int, val double, op string",
+    )
+    b1 = spark.createDataFrame(
+        [(7, 1, 0.0, "D"), (1, 1, 0.0, "D")],
+        "id long, day int, val double, op string",
+    )
+    for i, b in enumerate((b0, b1)):
+        tmp = zone / f"_tmp_{i}"
+        b.coalesce(1).write.parquet(str(tmp))
+        (part,) = list(tmp.glob("part-*.parquet"))
+        part.rename(zone / f"batch-{i}.parquet")
+        import shutil
+
+        shutil.rmtree(tmp)
+        os.utime(zone / f"batch-{i}.parquet", (1_000_000_000 + i * 1000,) * 2)
+
+    stream = (
+        spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(zone))
+    )
+    applied = run_cdc_apply(stream, path, ["id"], ["day"], op_col="op")
+    assert applied == 2
+    got = {r.id: (r.day, r.val) for r in spark.read.parquet(path).collect()}
+    # 7 inserted then deleted (cross-batch), 1 deleted, 8 survives
+    assert got == {
+        2: (1, 20.0),
+        3: (2, 30.0),
+        4: (2, 40.0),
+        5: (3, 50.0),
+        8: (2, 80.0),
+    }
