@@ -45,24 +45,30 @@ from .registry import query
 _FEED_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props", "day"]
 
 
-def _stage_cdc_delete_feed(spark: SparkSession, sf_dir: str) -> str:
-    """Stage the 2-file CDC feed for :func:`q_streaming_cdc_delete`
-    (fingerprint-keyed, mtime-pinned — the multibatch zone
-    discipline):
+def _stage_cdc_feed(spark: SparkSession, sf_dir: str, n_files: int) -> str:
+    """Stage the mixed CDC feed (fingerprint-keyed, mtime-pinned — the
+    multibatch zone discipline).  Four deterministic change sets
+    derived from the events table:
 
-    - ``batch-0``: updates (days 11–15, value + 1000, op = 'U') and
-      inserts (days 21–25 re-keyed to event_id + 1e8, value × 2,
-      op = 'I').
-    - ``batch-1``: tombstones (op = 'D') for the original day 1–5
-      clicks AND for the day 21–23 subset of batch-0's inserts — the
-      cross-batch insert-then-delete case.
+    - updates: days 11–15, value + 1000, op = 'U'
+    - inserts: days 21–25 re-keyed to event_id + 1e8, value × 2,
+      op = 'I'
+    - tombstones (op = 'D'): the original day 1–5 clicks AND the day
+      21–23 subset of the inserts — the cross-batch
+      insert-then-delete case.
+
+    ``n_files=2`` packs [updates+inserts, deletes]; ``n_files=3``
+    packs [updates, inserts, deletes] (the crash-recovery drill needs
+    a committed batch BEFORE the crash batch).  Deletes always ride
+    last, after the inserts they kill.  The final applied state is
+    identical for both splits.
     """
     from ..session import apply_runtime_conf
 
     apply_runtime_conf(spark)
     tag = pathlib.Path(sf_dir.rstrip("/")).name.replace(".", "_")
     fp = _src_fingerprint(sf_dir, "events.parquet")
-    zone = _SCRATCH / f"cdc_delete_feed_{tag}_{fp}"
+    zone = _SCRATCH / f"cdc_delete_feed_{tag}_{fp}_{n_files}"
     marker = zone / "_READY"
     if not marker.exists():
         shutil.rmtree(zone, ignore_errors=True)
@@ -88,13 +94,16 @@ def _stage_cdc_delete_feed(spark: SparkSession, sf_dir: str) -> str:
             .withColumn("event_id", new_id)
             .withColumn("op", F.lit("D"))
         )
-        batches = (
-            upd.unionByName(ins).select(*_FEED_COLS, "op"),
-            del_orig.unionByName(del_ins).select(*_FEED_COLS, "op"),
-        )
+        deletes = del_orig.unionByName(del_ins)
+        if n_files == 2:
+            batches = (upd.unionByName(ins), deletes)
+        else:
+            batches = (upd, ins, deletes)
         for i, b in enumerate(batches):
             tmp = zone / f"_tmp_{i}"
-            b.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+            b.select(*_FEED_COLS, "op").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(tmp))
             (part,) = list(tmp.glob("part-*.parquet"))
             dest = zone / f"batch-{i}.parquet"
             part.rename(dest)
@@ -154,7 +163,7 @@ def q_streaming_cdc_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partition-pruned merge); the value sum is integer-quantized
     micros (exact arithmetic — no cross-engine float association).
     """
-    zone = _stage_cdc_delete_feed(spark, sf_dir)
+    zone = _stage_cdc_feed(spark, sf_dir, n_files=2)
     tag = pathlib.Path(sf_dir.rstrip("/")).name.replace(".", "_")
     path = str(_SCRATCH / f"cdc_del_target_{tag}")
     e = load(spark, sf_dir, "events").withColumn("day", F.dayofmonth("ts"))
@@ -176,5 +185,101 @@ def q_streaming_cdc_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value_micros"),
             F.countDistinct("day").alias("n_days"),
         )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_streaming_crash_recovery",
+    oracle="""
+    WITH base AS (
+        SELECT event_type, value, day(ts) AS d FROM events
+    ), final AS (
+        SELECT event_type,
+               CASE WHEN d BETWEEN 11 AND 15 THEN value + 1000
+                    ELSE value END AS value,
+               d
+        FROM base
+        WHERE NOT (d BETWEEN 1 AND 5 AND event_type = 'click')
+        UNION ALL
+        SELECT event_type, value * 2 AS value, d
+        FROM base
+        WHERE d BETWEEN 24 AND 25
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+               AS total_value_micros,
+           COUNT(DISTINCT d) AS n_days,
+           FALSE AS batch0_reprocessed,
+           TRUE AS crash_batch_replayed
+    FROM final
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("streaming", "cdc", "crash-recovery", "exactly-once", "extension"),
+)
+def q_streaming_crash_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint CRASH-RECOVERY drill (exactly-once audit): a
+    foreachBatch CDC stream over a 3-batch feed [updates / inserts /
+    deletes] is KILLED by an injected fault after batch 1's merge has
+    landed on disk but before its commit — the smallest window where
+    at-least-once duplication is possible — then restarted from the
+    SAME checkpoint.
+
+    What the restart must prove (and the oracle + telemetry columns
+    pin): batch 0's files are NOT re-read (its commit is in the log —
+    ``batch0_reprocessed`` comes from the restarted run's applied-batch
+    ids), batch 1 IS replayed from the offset log with the identical
+    file set (``crash_batch_replayed``) and its double-applied merge is
+    idempotent (last-writer-wins upserts), and batch 2's deletes —
+    which kill a subset of the twice-applied inserts — still land.
+    The final table state therefore equals the clean-run oracle
+    exactly: no dups, no loss, across a kill/restart boundary.
+
+    Scale posture: recovery work is O(uncommitted batch), never a
+    re-scan of the feed; this is the property that makes a 1000-box
+    streaming job restartable at all."""
+    zone = _stage_cdc_feed(spark, sf_dir, n_files=3)
+    tag = pathlib.Path(sf_dir.rstrip("/")).name.replace(".", "_")
+    path = str(_SCRATCH / f"cdc_crash_target_{tag}")
+    ckpt = _SCRATCH / f"cdc_crash_ckpt_{tag}"
+    shutil.rmtree(ckpt, ignore_errors=True)  # fresh drill every run
+    e = load(spark, sf_dir, "events").withColumn("day", F.dayofmonth("ts"))
+    e.write.mode("overwrite").partitionBy("day").parquet(path)
+    schema = spark.read.parquet(f"{zone}/batch-0.parquet").schema
+
+    def feed() -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(zone)
+        )
+
+    run1: list[int] = []
+    clean = streaming.run_cdc_apply_resumable(
+        feed(), path, ["event_id"], ["day"], str(ckpt),
+        op_col="op", crash_after_batch=1, applied_log=run1,
+    )
+    assert not clean and run1 == [0, 1], (clean, run1)
+    run2: list[int] = []
+    clean = streaming.run_cdc_apply_resumable(
+        feed(), path, ["event_id"], ["day"], str(ckpt),
+        op_col="op", applied_log=run2,
+    )
+    assert clean, "restarted run must terminate cleanly"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    final = spark.read.parquet(path)
+    return (
+        final.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 1e6, 0).cast("long"))
+            .cast("long")
+            .alias("total_value_micros"),
+            F.countDistinct("day").alias("n_days"),
+        )
+        .withColumn("batch0_reprocessed", F.lit(0 in run2))
+        .withColumn("crash_batch_replayed", F.lit(1 in run2))
         .orderBy("event_type")
     )

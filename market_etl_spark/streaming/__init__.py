@@ -1046,3 +1046,72 @@ def run_cdc_apply(
     q.awaitTermination()
     _discard_checkpoint(ckpt)
     return len(applied)
+
+
+def run_cdc_apply_resumable(
+    stream: DataFrame,
+    path: str,
+    key_cols: list[str],
+    partition_cols: list[str],
+    checkpoint: str,
+    op_col: str | None = None,
+    crash_after_batch: int | None = None,
+    applied_log: list[int] | None = None,
+) -> bool:
+    """:func:`run_cdc_apply` with a CALLER-PINNED checkpoint — the
+    crash-recovery primitive.  The checkpoint survives the call, so a
+    killed run restarts exactly where the commit log left off: batches
+    whose commit landed are never re-read (their offsets are in the
+    commit log), and a batch that applied its side effect but died
+    before the commit is REPLAYED from the offset log with the
+    identical file set — the merge's last-writer-wins upserts and
+    key-absent-no-op deletes make the re-apply idempotent, which is
+    what turns at-least-once replay into exactly-once table state.
+
+    ``crash_after_batch`` injects the worst-case fault for the drill:
+    the apply RAISES after batch N's merge has fully landed on disk
+    but before Structured Streaming can write batch N's commit — a
+    crash in the smallest window where at-least-once duplication is
+    possible.  ``applied_log`` (caller list) records each batch id
+    whose merge ran, so a test can assert the restarted run replays
+    only the uncommitted batch.  Returns True if the run terminated
+    cleanly, False if the injected crash stopped it."""
+    from ..merge import merge_into_partitioned
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        merge_into_partitioned(
+            batch_df.sparkSession,
+            path,
+            batch_df,
+            key_cols,
+            partition_cols,
+            op_col=op_col,
+        )
+        if applied_log is not None:
+            applied_log.append(batch_id)
+        if crash_after_batch is not None and batch_id == crash_after_batch:
+            raise RuntimeError(
+                f"injected crash after batch {batch_id} side effect"
+            )
+
+    spark = stream.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            stream.writeStream.foreachBatch(apply)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    from pyspark.errors import StreamingQueryException
+
+    try:
+        q.awaitTermination()
+    except StreamingQueryException:
+        if crash_after_batch is None:
+            raise  # a real failure, not the injected one
+        return False
+    return True

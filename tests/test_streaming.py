@@ -375,3 +375,67 @@ def test_transform_with_state_running_totals(spark):
         .collect()
     )
     assert got == want
+
+
+def test_crash_recovery_reuses_checkpointed_offsets(spark, tmp_path):
+    """Kill a foreachBatch CDC stream AFTER batch 1's merge landed but
+    BEFORE its commit, restart from the same checkpoint: the committed
+    batch 0 must NOT be re-read (its offsets are in the commit log),
+    the uncommitted batch 1 must be REPLAYED with the identical file
+    set, and the double-applied merge must be idempotent (no dups, no
+    loss)."""
+    import os
+    import shutil
+
+    from market_etl_spark.streaming import run_cdc_apply_resumable
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, 1, 10.0), (2, 2, 20.0)], "id long, day int, val double"
+    ).write.partitionBy("day").parquet(path)
+
+    zone = tmp_path / "feed"
+    zone.mkdir()
+    b0 = spark.createDataFrame(
+        [(3, 1, 30.0, "I")], "id long, day int, val double, op string"
+    )
+    b1 = spark.createDataFrame(
+        [(4, 2, 40.0, "I"), (1, 1, 0.0, "D")],
+        "id long, day int, val double, op string",
+    )
+    for i, b in enumerate((b0, b1)):
+        tmp = zone / f"_tmp_{i}"
+        b.coalesce(1).write.parquet(str(tmp))
+        (part,) = list(tmp.glob("part-*.parquet"))
+        part.rename(zone / f"batch-{i}.parquet")
+        shutil.rmtree(tmp)
+        os.utime(zone / f"batch-{i}.parquet", (1_000_000_000 + i * 1000,) * 2)
+
+    ckpt = str(tmp_path / "ckpt")
+
+    def feed():
+        return (
+            spark.readStream.schema(b0.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(zone))
+        )
+
+    run1: list[int] = []
+    clean = run_cdc_apply_resumable(
+        feed(), path, ["id"], ["day"], ckpt,
+        op_col="op", crash_after_batch=1, applied_log=run1,
+    )
+    assert not clean and run1 == [0, 1]
+    # batch 1's side effect landed before the crash (insert 4, delete 1)
+    mid = {r.id for r in spark.read.parquet(path).collect()}
+    assert mid == {2, 3, 4}
+
+    run2: list[int] = []
+    clean = run_cdc_apply_resumable(
+        feed(), path, ["id"], ["day"], ckpt, op_col="op", applied_log=run2,
+    )
+    assert clean
+    assert run2 == [1], "restart must replay ONLY the uncommitted batch"
+    got = {r.id: (r.day, r.val) for r in spark.read.parquet(path).collect()}
+    # idempotent replay: one copy of each insert, delete stays applied
+    assert got == {2: (2, 20.0), 3: (1, 30.0), 4: (2, 40.0)}
