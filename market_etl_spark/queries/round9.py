@@ -283,3 +283,121 @@ def q_streaming_crash_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("crash_batch_replayed", F.lit(1 in run2))
         .orderBy("event_type")
     )
+
+
+#: Conf the skew drill scales DOWN to the test SF (at 100 TB the
+#: stock 256 MB threshold trips naturally; at sf0.001–0.1 the hot
+#: partition is KBs, so the thresholds shrink proportionally — the
+#: skewedPartitionFactor stays at Spark's default 5.0, which is the
+#: actual skew DETECTION contract being demonstrated).
+_SKEW_CONF = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1k",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512b",
+    "spark.sql.shuffle.partitions": "32",
+}
+
+
+def run_skewed_join_drill(spark: SparkSession, sf_dir: str):
+    """Build and EXECUTE the deliberately-skewed join under scaled AQE
+    thresholds; returns ``(result_row, executed_plan_text)``.
+
+    The join: fact side keys HALF its rows onto ONE hot key
+    (``user_id % 2 = 0 → k = 0`` — a scale-invariant fraction; an
+    absolute user-id cut would dilute as the id range grows with SF),
+    dim side is one row per third
+    event_id — an inner SMJ whose hot reduce partition AQE's
+    OptimizeSkewedJoin must detect (size > factor × median) and split
+    along map-block boundaries.  The fact side is repartitioned to 16
+    map tasks first: AQE can only split a skewed reduce partition at
+    map-output granularity, and a single-file local scan is ONE map
+    task — the 100 TB reality this models is thousands of scan tasks,
+    where the split is always available.  Broadcast is disabled so the
+    planner cannot dodge the shuffle (the dim side here is small only
+    because the fixture is); coalesce stays ON — the final plan shows
+    both AQE behaviors composing (``coalesced and skewed``).
+    """
+    e = load(spark, sf_dir, "events")
+    left = e.repartition(16).select(
+        F.when(F.col("user_id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("event_id"))
+        .cast("long")
+        .alias("k"),
+        "value",
+    )
+    right = e.filter(F.col("event_id") % 3 == 0).select(
+        F.col("event_id").cast("long").alias("k"),
+        (F.col("event_id") % 97).cast("long").alias("w"),
+    )
+    agg = (
+        left.join(right, "k")
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("w").cast("long").alias("sum_w"),
+            F.sum(F.round(F.col("value") * 1e6, 0).cast("long"))
+            .cast("long")
+            .alias("value_micros"),
+        )
+    )
+    prev = {k: spark.conf.get(k, None) for k in _SKEW_CONF}
+    try:
+        for k, v in _SKEW_CONF.items():
+            spark.conf.set(k, v)
+        (row,) = agg.collect()  # 1-row result pinned under the conf toggle
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    return row, plan
+
+
+@query(
+    "q_aqe_skew_join",
+    oracle="""
+    WITH l AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 0 ELSE event_id END AS k,
+               value
+        FROM events
+    ), r AS (
+        SELECT event_id AS k, event_id % 97 AS w
+        FROM events WHERE event_id % 3 = 0
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(w) AS BIGINT) AS sum_w,
+           CAST(SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+               AS value_micros,
+           TRUE AS skew_split_applied
+    FROM l JOIN r USING (k)
+    """,
+    tags=("aqe", "skew-join", "adaptive", "extension"),
+)
+def q_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE runtime skew-split (OptimizeSkewedJoin) demonstrated END TO
+    END: a join with half the fact rows on one hot key executes as a
+    SortMergeJoin whose hot partition Spark detects from runtime map
+    statistics (size > 5× median — the stock skewedPartitionFactor)
+    and splits into map-range slices, each joined against a duplicated
+    copy of the dim side's matching partition.  This is the engine's
+    AUTOMATIC answer to the same problem `q_salted_skew_join` solves
+    by hand — no salt column, no key rewrite, correct results.
+
+    ``skew_split_applied`` is read from the executed adaptive plan
+    (``SortMergeJoin(skew=true)`` + ``AQEShuffleRead … skewed``) and
+    the oracle pins it TRUE, so a regression that stops tripping the
+    rule fails the gate, not just a plan test.  Thresholds are scaled
+    to the fixture (see ``_SKEW_CONF``); the detection factor is
+    Spark's default.  Joined values are folded to exact-integer sums
+    the oracle recomputes from scratch — the split must not lose or
+    duplicate a single row."""
+    row, plan = run_skewed_join_drill(spark, sf_dir)
+    split = "skew=true" in plan
+    return spark.createDataFrame(
+        [(row.n_rows, row.sum_w, row.value_micros, split)],
+        "n_rows long, sum_w long, value_micros long, skew_split_applied boolean",
+    )

@@ -59,6 +59,7 @@ _SKIP = {
     "q_zorder_pruned_scan",  # materializes the z-ordered layout
     "q_bucketed_join_no_shuffle",  # writes+registers the bucketed tables
     "q_dynamic_partition_overwrite",  # rewrites the day-partitioned zone
+    "q_aqe_skew_join",  # executes the join eagerly under scaled AQE conf
 }
 
 #: BroadcastNestedLoopJoin allowlist: every entry is a join against a
