@@ -893,3 +893,121 @@ def pq_topk(
     return rer.withColumn("_rn", F.row_number().over(w2)).filter(
         F.col("_rn") <= k
     ).drop("_rn")
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_ids,
+    k: int = 10,
+    nprobe: int = 3,
+    cluster_col: str = "label",
+    m: int = 8,
+    dsub: int = 8,
+    n_candidates: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF-PQ composition — the actual FAISS billion-scale layout
+    (Jégou et al., IVFADC): coarse IVF routing picks ``nprobe`` cells
+    per query, then ASYMMETRIC-DISTANCE scoring runs over ONLY those
+    cells' PQ codes (the 32×-compressed table), with an exact re-rank
+    of the ``n_candidates`` ADC survivors.
+
+    Composition of the engine's two existing halves (:func:`ivf_topk`
+    routing, :func:`pq_topk` ADC scoring) with the scan restricted by
+    the route BEFORE the distance join — at corpus scale that is the
+    difference between scanning |corpus| codes and |corpus|·nprobe/
+    n_cells codes, on top of PQ's memory cut.  Returns
+    ``(topk, scored)``: topk = (query_id, neighbor_id, d2) exact-L2
+    re-ranked per query; scored = (query_id, n_scored) — how many
+    compressed candidates each query's ADC pass actually touched, the
+    telemetry proving the probe bounded the scan.
+    """
+    from pyspark.sql import Window
+
+    codes, codebook = pq_train_encode(
+        emb, m=m, dsub=dsub, id_col=id_col, vec_col=vec_col
+    )
+    centroids = cell_centroids(emb, cluster_col, vec_col)
+    queries = emb.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    routed = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("_sim", cosine("_qvec", "centroid"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("_sim"), F.asc("cell")
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "cell")
+    )
+    cells = emb.select(id_col, F.col(cluster_col).alias("cell"))
+    # routing BEFORE the distance join: only probed cells' codes flow
+    # into ADC (codes ⋈ cell ⋈ broadcast route — candidate-bounded)
+    probed = (
+        codes.join(cells, id_col)
+        .join(F.broadcast(routed), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+    )
+    q = (
+        emb.filter(F.col(id_col).isin(list(query_ids)))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.expr(
+                f"transform(sequence(0, {m - 1}), j -> "
+                f"transform(slice({vec_col}, j * {dsub} + 1, {dsub}), "
+                "x -> cast(x as double)))"
+            ).alias("_qsubs"),
+        )
+        .select("query_id", F.posexplode("_qsubs").alias("j", "qsub"))
+    )
+    table = q.join(F.broadcast(codebook), "j").select(
+        "query_id",
+        "j",
+        F.col("c").alias("code"),
+        F.expr(
+            "aggregate(zip_with(qsub, cvec, (x, y) -> power(x - y, 2)), "
+            "cast(0.0 as double), (acc, v) -> acc + v)"
+        ).alias("_dq"),
+    )
+    adc = (
+        probed.join(F.broadcast(table), ["query_id", "j", "code"])
+        .groupBy("query_id", id_col)
+        .agg(F.sum("_dq").alias("_adc"))
+    )
+    scored = adc.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_scored")
+    )
+    w = Window.partitionBy("query_id").orderBy("_adc", id_col)
+    cands = adc.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= n_candidates
+    )
+    vecs = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
+    )
+    qvec = emb.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    exact_d2 = F.expr(
+        "aggregate(zip_with(_v, _qv, (x, y) -> "
+        "power(cast(x as double) - cast(y as double), 2)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    rer = (
+        cands.select("query_id", F.col(id_col).alias("neighbor_id"))
+        .join(vecs, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select("query_id", "neighbor_id", exact_d2.alias("d2"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    topk = (
+        rer.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    return topk, scored

@@ -401,3 +401,95 @@ def q_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(row.n_rows, row.sum_w, row.value_micros, split)],
         "n_rows long, sum_w long, value_micros long, skew_split_applied boolean",
     )
+
+
+_EMB_QUERY_IDS = [0, 1, 2, 3, 4]
+_EMB_DIMS = 64
+
+
+@query(
+    "llm_ivfpq_topk",
+    oracle="""
+    SELECT CAST(5 AS BIGINT) AS n_queries,
+           CAST(50 AS BIGINT) AS n_exact,
+           TRUE AS recall_floor_ok,
+           TRUE AS recall_vs_ivf_ok,
+           TRUE AS probe_bounded
+    """,
+    tags=("llm", "similarity-ivfpq", "extension"),
+)
+def llm_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the two existing ANN halves COMPOSED the way FAISS
+    composes them at billion scale (IVFADC): coarse IVF routing to
+    nprobe=3 of 10 cells, asymmetric-distance scoring over ONLY those
+    cells' 64-bit PQ codes, exact re-rank of the top-100 ADC
+    survivors (:func:`..llm.similarity.ivfpq_topk`).
+
+    Three in-query contracts, each hash-gated through the oracle's
+    TRUE columns:
+
+    - ``recall_vs_ivf_ok``: recall@10 of IVF-PQ against the
+      exact-scoring IVF on the SAME probed cells ≥ 0.7 — isolates
+      what the PQ stage adds (compression loss + re-rank recovery);
+      measured 0.82–1.0 across SFs.
+    - ``recall_floor_ok``: recall@10 against the GLOBAL exact top-10
+      ≥ 0.2 — the floor a 3-of-10-cell probe admits on this
+      weakly-clustered corpus (same structural bound as
+      ``llm_ivf_topk``'s 0.3; PQ loss rides on top); measured
+      0.28–0.46.
+    - ``probe_bounded``: every query's ADC pass touched ≤ 40% of the
+      corpus's codes (measured ~31% ≈ nprobe/n_cells) — the telemetry
+      proving the route bounded the scan, which is the entire point
+      of the composition.
+    """
+    from ..llm import similarity
+
+    emb = load(spark, sf_dir, "embeddings")
+    # the whole audit is eager (the PQ trainer already runs Lloyd
+    # rounds with driver-side codebook collects), so pin the shuffle
+    # width for the duration — in a vanilla 200-partition session the
+    # many tiny window/agg stages otherwise dominate wall-clock
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        n_corpus = emb.count()
+        topk, scored = similarity.ivfpq_topk(
+            emb, _EMB_QUERY_IDS, k=10, nprobe=3, cluster_col="label"
+        )
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in topk.select("query_id", "neighbor_id").collect()
+        }  # top-k audit rows only (≤ 50), not data-scale
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.brute_force_topk_batch(
+                emb, _EMB_QUERY_IDS, k=10, dims=_EMB_DIMS
+            )
+            .select("query_id", "neighbor_id")
+            .collect()
+        }
+        ivf = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.ivf_topk(
+                emb, _EMB_QUERY_IDS, k=10, nprobe=3, cluster_col="label"
+            )
+            .select("query_id", "neighbor_id")
+            .collect()
+        }
+        max_scored = scored.agg(F.max("n_scored")).collect()[0][0]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    n_queries = len({q for q, _ in exact})
+    return spark.createDataFrame(
+        [
+            (
+                n_queries,
+                len(exact),
+                len(approx & exact) / len(exact) >= 0.2,
+                len(approx & ivf) / len(ivf) >= 0.7,
+                max_scored <= 0.4 * n_corpus,
+            )
+        ],
+        "n_queries long, n_exact long, recall_floor_ok boolean, "
+        "recall_vs_ivf_ok boolean, probe_bounded boolean",
+    )

@@ -60,6 +60,7 @@ _SKIP = {
     "q_bucketed_join_no_shuffle",  # writes+registers the bucketed tables
     "q_dynamic_partition_overwrite",  # rewrites the day-partitioned zone
     "q_aqe_skew_join",  # executes the join eagerly under scaled AQE conf
+    "llm_ivfpq_topk",  # eager audit: PQ Lloyd rounds + recall collects
 }
 
 #: BroadcastNestedLoopJoin allowlist: every entry is a join against a
