@@ -493,3 +493,172 @@ def llm_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_queries long, n_exact long, recall_floor_ok boolean, "
         "recall_vs_ivf_ok boolean, probe_bounded boolean",
     )
+
+
+#: Polygon vertex rings (integer grid [0, 1000]²): a convex quad, a
+#: rectilinear L (concave, with horizontal edges — the ray-cast tie
+#: case), and a triangle overlapping the quad.  Single source of
+#: truth: the Spark edge frame AND the oracle's VALUES list are both
+#: generated from this table.
+_POLYGONS = {
+    1: [(100, 100), (400, 150), (350, 450), (120, 380)],
+    2: [(500, 500), (900, 500), (900, 700), (700, 700), (700, 900), (500, 900)],
+    3: [(50, 50), (300, 80), (80, 300)],
+}
+
+_POLY_EDGES = [
+    (pid, x1, y1, x2, y2)
+    for pid, ring in _POLYGONS.items()
+    for (x1, y1), (x2, y2) in zip(ring, ring[1:] + ring[:1])
+]
+
+
+def pip_join(points: DataFrame, edges: DataFrame) -> DataFrame:
+    """Point-in-polygon containment join — EXACT integer ray casting.
+
+    ``points`` = (u, px, py) integer coordinates; ``edges`` =
+    (poly_id, x1, y1, x2, y2) directed boundary segments.  A ray is
+    cast to +x; an edge counts as crossed iff the point's y straddles
+    it under the HALF-OPEN rule ``(y1 > py) != (y2 > py)`` — the lower
+    endpoint is included, the upper excluded, so a ray through a
+    vertex is counted exactly once and horizontal edges (y1 = y2)
+    never count — and the edge's x at py lies strictly right of px,
+    evaluated without division as a sign test on the integer cross
+    product ``(x2-x1)(py-y1) - (px-x1)(y2-y1)`` (flipped when the edge
+    descends).  All arithmetic stays in BIGINT — no float epsilon, so
+    Spark and the oracle agree bit-for-bit.  Points exactly ON a
+    non-horizontal edge fall right of nothing at that edge (strict
+    inequality) — the boundary rule is deterministic and documented,
+    not epsilon-lucky.
+
+    Plan shape: a bbox prefilter against the broadcast per-polygon
+    bounds (BroadcastNestedLoopJoin over a polygon-count build side —
+    bounded by construction) cuts the candidate set, then one
+    broadcast hash join on poly_id fans candidates to their edges and
+    a single partial aggregation folds the crossing parity.  Work is
+    O(points + candidates × ring length); at 100 TB with millions of
+    polygons the bbox stage becomes the grid-cell join
+    (q_spatial_grid_join) keyed on cell — same pattern, bigger dim.
+    """
+    bboxes = edges.groupBy("poly_id").agg(
+        F.min(F.least("x1", "x2")).alias("xmin"),
+        F.max(F.greatest("x1", "x2")).alias("xmax"),
+        F.min(F.least("y1", "y2")).alias("ymin"),
+        F.max(F.greatest("y1", "y2")).alias("ymax"),
+    )
+    cand = points.join(
+        F.broadcast(bboxes),
+        (F.col("px") >= F.col("xmin"))
+        & (F.col("px") <= F.col("xmax"))
+        & (F.col("py") >= F.col("ymin"))
+        & (F.col("py") <= F.col("ymax")),
+    ).select("u", "px", "py", "poly_id")
+    j = cand.join(F.broadcast(edges), "poly_id")
+    cross = (F.col("x2") - F.col("x1")) * (F.col("py") - F.col("y1")) - (
+        F.col("px") - F.col("x1")
+    ) * (F.col("y2") - F.col("y1"))
+    straddles = (F.col("y1") > F.col("py")) != (F.col("y2") > F.col("py"))
+    crossing = straddles & (
+        ((F.col("y2") > F.col("y1")) & (cross > 0))
+        | ((F.col("y2") < F.col("y1")) & (cross < 0))
+    )
+    return (
+        j.groupBy("poly_id", "u", "px", "py")
+        .agg(F.sum(crossing.cast("int")).alias("nc"))
+        .filter(F.col("nc") % 2 == 1)
+        .select("poly_id", "u", "px", "py")
+    )
+
+
+_PIP_EDGE_VALUES = ", ".join(f"({p}, {a}, {b}, {c}, {d})" for p, a, b, c, d in _POLY_EDGES)
+
+
+def _int_coord_sql(seed: str) -> str:
+    return (
+        f"('0x' || substring(md5('{seed}' || '|' || CAST(u AS VARCHAR)), 1, 8))"
+        f"::BIGINT % 1000"
+    )
+
+
+@query(
+    "q_point_in_polygon_join",
+    oracle=f"""
+    WITH ids AS (
+        SELECT DISTINCT user_id AS u FROM events
+    ), pts AS (
+        SELECT u,
+               {_int_coord_sql("px")} AS px,
+               {_int_coord_sql("py")} AS py
+        FROM ids
+    ), edges(poly_id, x1, y1, x2, y2) AS (
+        VALUES {_PIP_EDGE_VALUES}
+    ), bbox AS (
+        SELECT poly_id,
+               MIN(LEAST(x1, x2)) AS xmin, MAX(GREATEST(x1, x2)) AS xmax,
+               MIN(LEAST(y1, y2)) AS ymin, MAX(GREATEST(y1, y2)) AS ymax
+        FROM edges GROUP BY poly_id
+    ), cand AS (
+        SELECT u, px, py, poly_id
+        FROM pts JOIN bbox
+          ON px BETWEEN xmin AND xmax AND py BETWEEN ymin AND ymax
+    ), par AS (
+        SELECT cand.poly_id, u, px, py,
+               SUM(CASE WHEN ((y1 > py) <> (y2 > py))
+                         AND (((y2 > y1) AND
+                               (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1) > 0)
+                           OR ((y2 < y1) AND
+                               (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1) < 0))
+                        THEN 1 ELSE 0 END) AS nc
+        FROM cand JOIN edges ON cand.poly_id = edges.poly_id
+        GROUP BY cand.poly_id, u, px, py
+    )
+    SELECT CAST(poly_id AS BIGINT) AS poly_id, u,
+           CAST(px AS BIGINT) AS px, CAST(py AS BIGINT) AS py
+    FROM par WHERE nc % 2 = 1
+    ORDER BY poly_id, u
+    """,
+    tags=("spatial", "point-in-polygon", "extension"),
+)
+def q_point_in_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-POLYGON containment join — the second spatial primitive
+    next to ``q_spatial_grid_join``'s radius join: each user gets a
+    deterministic integer point in the [0,1000)² grid (md5-derived, so
+    both engines hold identical values), and the engine reports every
+    (polygon, point) containment pair over three literal polygons — a
+    convex quad, a CONCAVE rectilinear L whose horizontal edges
+    exercise the ray-cast tie rule, and a triangle.  Exact integer ray
+    casting (:func:`pip_join` — half-open edge rule, cross-product
+    sign test, no division, no floats) makes the oracle's from-scratch
+    SQL recompute agree bit-for-bit; vertex/edge/horizontal tie cases
+    are additionally pinned in tests/test_point_in_polygon.py."""
+    e = load(spark, sf_dir, "events")
+    pts = (
+        e.select(F.col("user_id").alias("u"))
+        .distinct()
+        .select(
+            "u",
+            (_int_coord("px") % 1000).alias("px"),
+            (_int_coord("py") % 1000).alias("py"),
+        )
+    )
+    edges = spark.createDataFrame(
+        _POLY_EDGES, "poly_id int, x1 int, y1 int, x2 int, y2 int"
+    )
+    return (
+        pip_join(pts, edges)
+        .select(
+            F.col("poly_id").cast("long").alias("poly_id"),
+            "u",
+            F.col("px").cast("long").alias("px"),
+            F.col("py").cast("long").alias("py"),
+        )
+        .orderBy("poly_id", "u")
+    )
+
+
+def _int_coord(seed: str) -> F.Column:
+    """Deterministic integer coordinate from md5(seed|u) — the integer
+    sibling of q_spatial_grid_join's dyadic-rational trick (the first
+    8 hex digits as a BIGINT, identical in both engines)."""
+    digest = F.md5(F.concat_ws("|", F.lit(seed), F.col("u").cast("string")))
+    return F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
