@@ -79,6 +79,7 @@ _BNLJ_OK = {
     "q_cusum_changepoint",  # 1-row (μ, σ) broadcast into the running sum
     "q_association_rules",  # 1-row n_users broadcast into the lift ratio
     "q_rfm_segments",  # 1-row global max-day broadcast into recency
+    "q_point_in_polygon_join",  # bbox prefilter vs 3-row polygon bounds
     "q_weekday_anova",  # 1-row grand-mean broadcast into the SS fold
     "q_regression_ols",  # 1-row first-day broadcast re-bases the x axis
     "q_fourier_periodogram",  # 1-row min-hour broadcast re-bases the phase
