@@ -662,3 +662,99 @@ def _int_coord(seed: str) -> F.Column:
     8 hex digits as a BIGINT, identical in both engines)."""
     digest = F.md5(F.concat_ws("|", F.lit(seed), F.col("u").cast("string")))
     return F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+
+
+_BLOOM_CONF = {
+    # broadcast disabled so the join actually shuffles (the regime
+    # where a runtime bloom filter pays); thresholds scaled to the
+    # fixture the same way as _SKEW_CONF — at 100 TB the defaults
+    # (10 MB creation side / 10 GB application scan) trip naturally
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1b",
+    "spark.sql.shuffle.partitions": "8",
+}
+
+
+def run_bloom_filter_drill(spark: SparkSession, sf_dir: str):
+    """Build and EXECUTE the runtime-bloom-filtered join; returns
+    ``(result_row, executed_plan_text)``.
+
+    The optimizer's InjectRuntimeFilter sees a shuffle join whose
+    creation side (orders) carries a SELECTIVE non-key predicate over
+    a plain scan (o_orderpriority = '1-URGENT', ~20% of orders) and a
+    large application side (lineitem), and injects a bloom-filter
+    subquery: a ``bloom_filter_agg`` over the filtered build keys,
+    broadcast into a ``might_contain`` predicate evaluated ON THE
+    LINEITEM SCAN — pre-shuffle.  At 100 TB that converts ~80% of the
+    fact side's shuffle bytes into a map-side discard; the semi-join
+    reduction without a semi-join.  The creation side must be a
+    filter over a scan — a filtered AGGREGATE does not qualify
+    (measured: no injection), which is why the drill joins the TPC-H
+    pair instead of a derived dimension."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    dim = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    fact = li.select("l_orderkey", "l_extendedprice")
+    agg = (
+        fact.join(dim, fact.l_orderkey == dim.o_orderkey)
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    prev = {k: spark.conf.get(k, None) for k in _BLOOM_CONF}
+    try:
+        for k, v in _BLOOM_CONF.items():
+            spark.conf.set(k, v)
+        (row,) = agg.collect()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    return row, plan
+
+
+@query(
+    "q_runtime_bloom_filter_join",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS cents,
+           TRUE AS bloom_pruned
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    """,
+    tags=("runtime-filter", "bloom", "adaptive", "extension"),
+)
+def q_runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's INJECTED RUNTIME BLOOM FILTER demonstrated end to end —
+    the optimizer sibling of ``q_aqe_skew_join`` (and the runtime twin
+    of ``q_trades_dpp_join``'s static partition pruning): a selective
+    dim-side predicate is converted into a ``bloom_filter_agg`` /
+    ``might_contain`` pair that discards non-joining fact rows AT THE
+    SCAN, before the shuffle (:func:`run_bloom_filter_drill`).
+
+    ``bloom_pruned`` is read from the executed plan (both the
+    creation aggregate and the application-side predicate must be
+    present) and pinned TRUE by the oracle — losing the injection
+    fails the correctness gate.  The joined measure folds to exact
+    cents, so the bloom's false positives must also have been
+    re-checked by the real join (they are — might_contain only
+    PRUNES; the equi-join stays)."""
+    row, plan = run_bloom_filter_drill(spark, sf_dir)
+    pruned = "bloom_filter_agg" in plan and "might_contain" in plan
+    return spark.createDataFrame(
+        [(row.n_rows, row.cents, pruned)],
+        "n_rows long, cents long, bloom_pruned boolean",
+    )
