@@ -758,3 +758,138 @@ def q_runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(row.n_rows, row.cents, pruned)],
         "n_rows long, cents long, bloom_pruned boolean",
     )
+
+
+def _stage_retract_feed(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the 2-file insert/retract feed for
+    :func:`q_streaming_ivm_retract` (fingerprint-keyed, mtime-pinned):
+    batch 0 INSERTS every event with day ≤ 25 (op = 'I'); batch 1
+    RETRACTS the day 1–5 clicks (op = 'D') — the retraction arrives a
+    batch after the insert it cancels."""
+    from ..session import apply_runtime_conf
+
+    apply_runtime_conf(spark)
+    tag = pathlib.Path(sf_dir.rstrip("/")).name.replace(".", "_")
+    fp = _src_fingerprint(sf_dir, "events.parquet")
+    zone = _SCRATCH / f"ivm_retract_feed_{tag}_{fp}"
+    marker = zone / "_READY"
+    if not marker.exists():
+        shutil.rmtree(zone, ignore_errors=True)
+        zone.mkdir(parents=True)
+        e = load(spark, sf_dir, "events").withColumn("day", F.dayofmonth("ts"))
+        ins = e.filter(F.col("day") <= 25).withColumn("op", F.lit("I"))
+        ret = e.filter(
+            F.col("day").between(1, 5) & (F.col("event_type") == "click")
+        ).withColumn("op", F.lit("D"))
+        for i, b in enumerate((ins, ret)):
+            tmp = zone / f"_tmp_{i}"
+            b.select("event_type", "value", "op").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(tmp))
+            (part,) = list(tmp.glob("part-*.parquet"))
+            dest = zone / f"batch-{i}.parquet"
+            part.rename(dest)
+            shutil.rmtree(tmp)
+            os.utime(dest, (1_000_000_000 + i * 1000,) * 2)
+        marker.touch()
+    return str(zone)
+
+
+@query(
+    "q_streaming_ivm_retract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+               AS value_micros
+    FROM events
+    WHERE day(ts) <= 25
+      AND NOT (day(ts) BETWEEN 1 AND 5 AND event_type = 'click')
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("streaming", "ivm", "retraction", "materialized-view", "extension"),
+)
+def q_streaming_ivm_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance UNDER RETRACTIONS — the delta
+    algebra ``q_streaming_ivm`` runs for inserts, extended to the
+    signed form every CDC-fed materialized view needs:
+
+        M ← M ⊕ agg(Δ × w),  w = −1 for op='D', +1 otherwise
+
+    Batch 0 inserts the day ≤ 25 events; batch 1 retracts the day 1–5
+    clicks — deletes landing a micro-batch AFTER the inserts they
+    cancel, so the view must decrement counts and sums it already
+    published (the hard half of IVM; the easy half is append).  Rows
+    whose multiplicity reaches zero leave the view entirely (the
+    day-1–5 click group, if clicks were ever its own key).  Measures
+    are count + exact integer micros — signed merge is associative
+    and engine-exact; AVG-style measures would be maintained as
+    (sum, count) pairs the same way.
+
+    Scale: per-refresh work ∝ |Δ|, the view stays key-cardinality
+    sized, and nothing ever re-scans history — the production shape
+    of a continuously-maintained aggregate under upstream deletes."""
+    view_path = str(
+        _SCRATCH
+        / f"ivm_retract_view_{pathlib.Path(sf_dir.rstrip('/')).name.replace('.', '_')}"
+    )
+    shutil.rmtree(view_path, ignore_errors=True)
+    zone = _stage_retract_feed(spark, sf_dir)
+    schema = spark.read.parquet(f"{zone}/batch-0.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(zone)
+    )
+
+    def refresh(batch_df: DataFrame, _batch_id: int) -> None:
+        s = batch_df.sparkSession
+        w = F.when(F.col("op") == "D", F.lit(-1)).otherwise(F.lit(1))
+        delta = (
+            batch_df.withColumn("_w", w)
+            .groupBy("event_type")
+            .agg(
+                F.sum("_w").cast("long").alias("n_events"),
+                F.sum(
+                    F.col("_w") * F.round(F.col("value") * 1e6, 0).cast("long")
+                )
+                .cast("long")
+                .alias("value_micros"),
+            )
+        )
+        if pathlib.Path(view_path).exists():
+            merged = (
+                s.read.parquet(view_path)
+                .unionByName(delta)
+                .groupBy("event_type")
+                .agg(
+                    F.sum("n_events").cast("long").alias("n_events"),
+                    F.sum("value_micros").cast("long").alias("value_micros"),
+                )
+                .filter(F.col("n_events") != 0)  # zero-multiplicity exit
+            )
+        else:
+            merged = delta.filter(F.col("n_events") != 0)
+        # sever the plan from the view files it is about to replace
+        merged.coalesce(1).localCheckpoint(eager=True).write.mode(
+            "overwrite"
+        ).parquet(view_path)
+
+    import uuid
+
+    ckpt = _SCRATCH / "checkpoints" / f"ivmr_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        q = (
+            stream.writeStream.foreachBatch(refresh)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(view_path).orderBy("event_type")
