@@ -59,6 +59,7 @@ def merge_into_partitioned(
     partition_cols: list[str],
     op_col: str | None = None,
     delete_op: str = "D",
+    evolve_schema: bool = False,
 ) -> int:
     """Partition-scoped MERGE into a Hive-partitioned parquet directory.
 
@@ -74,6 +75,17 @@ def merge_into_partitioned(
     :mod:`..session`). New rows may introduce brand-new partitions —
     dynamic overwrite creates them; existing-but-unaffected partitions
     survive byte-for-byte (asserted in tests/test_merge.py).
+
+    ``evolve_schema=True`` is Delta's ``mergeSchema`` for MERGE: a
+    batch may carry columns the target lacks — the target side gains
+    them as typed NULLs before the merge, so rewritten (affected)
+    partitions land with the evolved schema while untouched partition
+    files keep the old one on disk.  Readers of an evolved
+    plain-parquet table must therefore read with
+    ``option("mergeSchema", "true")`` (Delta dodges this by keeping
+    the schema in its log; footers are all plain parquet has).
+    Columns may only be ADDED; a batch missing target columns still
+    errors (upserts are whole-row).
 
     ``op_col`` threads tombstones through (``delete_op`` rows remove
     their key — see :func:`merge_upsert`).  Deletes have one physical
@@ -111,6 +123,14 @@ def merge_into_partitioned(
         ],
     )
     affected = target.filter(cond)
+    if evolve_schema:
+        known = set(target.columns) | ({op_col} if op_col else set())
+        for f in updates.schema.fields:
+            if f.name not in known:
+                affected = affected.withColumn(
+                    f.name, F.lit(None).cast(f.dataType)
+                )
+        target = affected  # evolved column set drives the selects below
     batch_cols = [*target.columns, *([op_col] if op_col else [])]
     merged = merge_upsert(
         affected, updates.select(*batch_cols), key_cols, op_col, delete_op

@@ -893,3 +893,242 @@ def q_streaming_ivm_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(view_path).orderBy("event_type")
+
+
+_TIER = (
+    "CASE WHEN n >= 60 THEN 'heavy' WHEN n >= 30 THEN 'mid' "
+    "ELSE 'light' END"
+)
+
+
+def _stage_scd2_feed(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the 2-file attribute-change feed for
+    :func:`q_streaming_scd2_apply`: batch 0 carries each active
+    user's HALF-MONTH activity tier (effective 2024-01-16), batch 1
+    the FULL-period tier (effective 2024-01-31).  Tiers are integer
+    count buckets — deterministic in both engines."""
+    from ..session import apply_runtime_conf
+
+    apply_runtime_conf(spark)
+    tag = pathlib.Path(sf_dir.rstrip("/")).name.replace(".", "_")
+    fp = _src_fingerprint(sf_dir, "events.parquet")
+    zone = _SCRATCH / f"scd2_feed_{tag}_{fp}"
+    marker = zone / "_READY"
+    if not marker.exists():
+        shutil.rmtree(zone, ignore_errors=True)
+        zone.mkdir(parents=True)
+        e = load(spark, sf_dir, "events")
+        half = (
+            e.filter(F.dayofmonth("ts") <= 15)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "user_id",
+                F.expr(_TIER).alias("tier"),
+                F.lit("2024-01-16").cast("timestamp").alias("effective_ts"),
+            )
+        )
+        full = (
+            e.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "user_id",
+                F.expr(_TIER).alias("tier"),
+                F.lit("2024-01-31").cast("timestamp").alias("effective_ts"),
+            )
+        )
+        for i, b in enumerate((half, full)):
+            tmp = zone / f"_tmp_{i}"
+            b.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+            (part,) = list(tmp.glob("part-*.parquet"))
+            dest = zone / f"batch-{i}.parquet"
+            part.rename(dest)
+            shutil.rmtree(tmp)
+            os.utime(dest, (1_000_000_000 + i * 1000,) * 2)
+        marker.touch()
+    return str(zone)
+
+
+@query(
+    "q_streaming_scd2_apply",
+    oracle=f"""
+    WITH a AS (
+        SELECT user_id, COUNT(*) AS n FROM events
+        WHERE day(ts) <= 15 GROUP BY user_id
+    ), b AS (
+        SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ), ta AS (
+        SELECT user_id, {_TIER} AS tier FROM a
+    ), tb AS (
+        SELECT user_id, {_TIER} AS tier FROM b
+    ), hist AS (
+        -- changed: closed half-month row + open full-period row
+        SELECT ta.user_id, ta.tier,
+               TIMESTAMP '2024-01-16' AS valid_from,
+               TIMESTAMP '2024-01-31' AS valid_to, FALSE AS is_current
+        FROM ta JOIN tb ON ta.user_id = tb.user_id AND ta.tier <> tb.tier
+        UNION ALL
+        SELECT ta.user_id, tb.tier, TIMESTAMP '2024-01-31', NULL, TRUE
+        FROM ta JOIN tb ON ta.user_id = tb.user_id AND ta.tier <> tb.tier
+        -- unchanged: the original open row survives
+        UNION ALL
+        SELECT ta.user_id, ta.tier, TIMESTAMP '2024-01-16', NULL, TRUE
+        FROM ta JOIN tb ON ta.user_id = tb.user_id AND ta.tier = tb.tier
+        -- late joiners (first event after day 15): one open row
+        UNION ALL
+        SELECT tb.user_id, tb.tier, TIMESTAMP '2024-01-31', NULL, TRUE
+        FROM tb ANTI JOIN ta ON ta.user_id = tb.user_id
+    )
+    SELECT user_id, tier, valid_from, valid_to, is_current
+    FROM hist ORDER BY user_id, valid_from
+    """,
+    tags=("streaming", "scd2", "dimension", "extension"),
+)
+def q_streaming_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Type-2 dimension maintenance — the missing cell of
+    the matrix (batch SCD2: ``q_scd2_apply`` / iterated fold:
+    ``q_scd2_history_build`` / streaming SCD1: the CDC upsert): a
+    2-micro-batch attribute-change feed drives
+    :func:`..merge.scd2_apply` through foreachBatch against a STORED
+    dimension, starting from empty.
+
+    Batch 0 opens a row per active user (half-month tier); batch 1
+    closes the rows whose tier changed at the new effective time,
+    opens their successors, passes unchanged rows through untouched,
+    and inserts late joiners — the full Kimball contract across a
+    micro-batch boundary.  The oracle enumerates the expected history
+    (closed + reopened + surviving + late) from the raw events, so a
+    hash match proves every SCD2 path executed correctly under
+    streaming delivery.
+
+    Scale: each apply joins the OPEN slice against a broadcastable
+    delta (``updates_unique + broadcast_updates`` — the checkpointed
+    dimension's unknown stats never push a two-sided shuffle), and
+    closed history is pass-through: cost ∝ |open| + |Δ|, never
+    history depth."""
+    from ..merge import scd2_apply
+
+    tag = pathlib.Path(sf_dir.rstrip("/")).name.replace(".", "_")
+    dim_path = str(_SCRATCH / f"scd2_dim_{tag}")
+    shutil.rmtree(dim_path, ignore_errors=True)
+    zone = _stage_scd2_feed(spark, sf_dir)
+    schema = spark.read.parquet(f"{zone}/batch-0.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(zone)
+    )
+    empty_dim = spark.createDataFrame(
+        [],
+        "user_id long, tier string, valid_from timestamp, "
+        "valid_to timestamp, is_current boolean",
+    )
+
+    def apply(batch_df: DataFrame, _batch_id: int) -> None:
+        s = batch_df.sparkSession
+        current = (
+            s.read.parquet(dim_path)
+            if pathlib.Path(dim_path).exists()
+            else empty_dim
+        )
+        nxt = scd2_apply(
+            current,
+            batch_df,
+            ["user_id"],
+            ["tier"],
+            updates_unique=True,
+            broadcast_updates=True,
+        )
+        nxt.coalesce(1).localCheckpoint(eager=True).write.mode(
+            "overwrite"
+        ).parquet(dim_path)
+
+    import uuid
+
+    ckpt = _SCRATCH / "checkpoints" / f"scd2s_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        q = (
+            stream.writeStream.foreachBatch(apply)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(dim_path).orderBy("user_id", "valid_from")
+
+
+@query(
+    "q_merge_schema_evolution",
+    oracle="""
+    WITH final AS (
+        SELECT event_type, value,
+               CASE WHEN day(ts) BETWEEN 11 AND 25
+                    THEN event_id % 100 END AS quality_score
+        FROM events
+        WHERE day(ts) <= 25
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(quality_score) AS n_scored,
+           CAST(SUM(COALESCE(quality_score, 0)) AS BIGINT) AS score_sum,
+           CAST(SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+               AS value_micros
+    FROM final
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("merge", "schema-evolution", "lakehouse", "extension"),
+)
+def q_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE WITH SCHEMA EVOLUTION — Delta's ``mergeSchema`` semantics
+    on plain parquet (the write-side complement of
+    ``q_schema_evolution_roundtrip``'s read-side footer merge): the
+    target is seeded with days ≤ 20 (no ``quality_score`` column), the
+    merge batch carries days 11–25 WITH a new integer ``quality_score``
+    (updates re-score days 11–20, inserts bring days 21–25), and the
+    evolved table must read back with the new column typed-NULL on
+    every untouched day ≤ 10 row.
+
+    Physical contract (documented in
+    :func:`..merge.merge_into_partitioned`): only the affected
+    partitions are rewritten with the evolved schema; untouched files
+    keep the old footer, so the final read uses
+    ``mergeSchema=true`` — exactly what Delta's log spares you, made
+    explicit.  The oracle recomputes per-type counts of scored rows,
+    the exact integer score sum, and value micros from scratch."""
+    from ..merge import merge_into_partitioned
+    from ..session import apply_runtime_conf
+
+    apply_runtime_conf(spark)
+    tag = pathlib.Path(sf_dir.rstrip("/")).name.replace(".", "_")
+    path = str(_SCRATCH / f"merge_evolve_{tag}")
+    shutil.rmtree(path, ignore_errors=True)  # schema change: clean slate
+    e = load(spark, sf_dir, "events").withColumn("day", F.dayofmonth("ts"))
+    e.filter(F.col("day") <= 20).write.partitionBy("day").parquet(path)
+    batch = (
+        e.filter(F.col("day").between(11, 25))
+        .withColumn("quality_score", (F.col("event_id") % 100).cast("int"))
+    )
+    merge_into_partitioned(
+        spark, path, batch, ["event_id"], ["day"], evolve_schema=True
+    )
+    final = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        final.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("quality_score").alias("n_scored"),
+            F.sum(F.coalesce(F.col("quality_score"), F.lit(0)))
+            .cast("long")
+            .alias("score_sum"),
+            F.sum(F.round(F.col("value") * 1e6, 0).cast("long"))
+            .cast("long")
+            .alias("value_micros"),
+        )
+        .orderBy("event_type")
+    )

@@ -260,3 +260,33 @@ def test_cdc_apply_delete_lands_in_later_batch_than_insert(spark, tmp_path):
         5: (3, 50.0),
         8: (2, 80.0),
     }
+
+
+def test_merge_schema_evolution_adds_typed_null_column(spark, tmp_path):
+    """evolve_schema=True: a batch carrying a NEW column rewrites the
+    affected partitions with the evolved schema; untouched rows read
+    back (mergeSchema) with a typed NULL; tombstones compose."""
+    path = str(tmp_path / "t")
+    _target(spark).write.partitionBy("day").parquet(path)
+    batch = spark.createDataFrame(
+        [(2, 1, 99.0, 7, "U"), (6, 4, 60.0, 9, "I"), (5, 3, 0.0, 0, "D")],
+        "id long, day int, val double, score int, op string",
+    )
+    merge_into_partitioned(
+        spark, path, batch, ["id"], ["day"], op_col="op", evolve_schema=True
+    )
+    got = {
+        r.id: (r.day, r.val, r.score)
+        for r in spark.read.option("mergeSchema", "true").parquet(path).collect()
+    }
+    assert got == {
+        1: (1, 10.0, None),   # untouched row in a REWRITTEN partition
+        2: (1, 99.0, 7),      # updated, carries the new column
+        3: (2, 30.0, None),   # untouched partition, old schema on disk
+        4: (2, 40.0, None),
+        6: (4, 60.0, 9),      # insert with the new column
+    }
+    # 5 tombstoned; its day=3 partition was fully deleted
+    import pathlib as _pl
+
+    assert not _pl.Path(path, "day=3").exists()
