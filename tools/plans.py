@@ -257,10 +257,47 @@ def main() -> None:
             df.explain("formatted")
         plan = buf.getvalue().rstrip()
         out += [f"## {name}", "", note, "", "```", plan, "```", ""]
+
+    # Runtime-optimizer drills (round 9): these queries execute
+    # EAGERLY and return a LocalTableScan audit row, so the
+    # interesting plan is the drill helper's EXECUTED adaptive plan,
+    # not the registered frame's. Captured post-execution.
+    from market_etl_spark.queries.round9 import (
+        run_bloom_filter_drill,
+        run_skewed_join_drill,
+    )
+
+    drills = [
+        (
+            "q_aqe_skew_join (executed adaptive plan)",
+            "OptimizeSkewedJoin fired at runtime: the final plan carries "
+            "`SortMergeJoin(skew=true)` and the hot side's "
+            "`AQEShuffleRead ... skewed` — the hot reduce partition was "
+            "split along map-block boundaries and the dim side duplicated "
+            "per split. Detection used Spark's stock 5x-median factor.",
+            run_skewed_join_drill,
+        ),
+        (
+            "q_runtime_bloom_filter_join (executed adaptive plan)",
+            "InjectRuntimeFilter fired: a `bloom_filter_agg` subquery over "
+            "the filtered orders keys is broadcast into a `might_contain` "
+            "predicate evaluated ON the lineitem scan — non-joining fact "
+            "rows are discarded BEFORE the shuffle.",
+            run_bloom_filter_drill,
+        ),
+    ]
+    for title, note, drill in drills:
+        _row, plan = drill(spark, sf_dir)
+        # keep the final-plan section only (the initial plan doubles length)
+        cut = plan.find("+- == Initial Plan ==")
+        if cut != -1:
+            plan = plan[:cut].rstrip() + "\n   (initial plan elided)"
+        out += [f"## {title}", "", note, "", "```", plan, "```", ""]
+
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(path, "w") as f:
         f.write("\n".join(out) + "\n")
-    print(f"wrote {path} ({len(AUDITED)} plans)")
+    print(f"wrote {path} ({len(AUDITED) + len(drills)} plans)")
 
 
 if __name__ == "__main__":
