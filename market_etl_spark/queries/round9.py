@@ -1132,3 +1132,61 @@ def q_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_sql_udf",
+    oracle="""
+    WITH hm(half, d_lo, d_hi) AS (VALUES (1, 1, 15), (2, 16, 31))
+    SELECT half,
+           CASE WHEN value >= 200 THEN 'high'
+                WHEN value >= 50 THEN 'mid' ELSE 'low' END AS bucket,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+               AS value_micros
+    FROM events JOIN hm ON day(ts) BETWEEN d_lo AND d_hi
+    GROUP BY 1, 2
+    ORDER BY half, bucket
+    """,
+    tags=("sql-surface", "sql-udf", "tvf", "extension"),
+)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL-DEFINED FUNCTIONS (SPARK-46057) — the last
+    SQL-surface feature next to ``q_pipe_syntax`` and
+    ``q_sql_scripting``: a scalar ``CREATE FUNCTION … RETURN <expr>``
+    (a value-tier bucketer) and a TABLE-VALUED ``RETURNS TABLE``
+    function (a half-month calendar) declared in SQL and used in one
+    query.
+
+    The point for scale: SQL UDFs are MACRO-INLINED by the analyzer —
+    the bucket CASE lands inside the scan's codegen stage and the TVF
+    becomes a 2-row LocalRelation joined like any dimension, so unlike
+    a Python UDF there is no serialization boundary and Catalyst
+    optimizes straight through (the oracle IS the inlined form, which
+    is exactly what the plan executes)."""
+    from ..tables import register_all
+
+    register_all(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION value_bucket(v DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN v >= 200 THEN 'high' "
+        "WHEN v >= 50 THEN 'mid' ELSE 'low' END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION half_months() "
+        "RETURNS TABLE(half INT, d_lo INT, d_hi INT) "
+        "RETURN SELECT * FROM VALUES (1, 1, 15), (2, 16, 31)"
+    )
+    return spark.sql(
+        """
+        SELECT half,
+               value_bucket(value) AS bucket,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+                   AS value_micros
+        FROM events JOIN half_months()
+          ON dayofmonth(ts) BETWEEN d_lo AND d_hi
+        GROUP BY half, value_bucket(value)
+        ORDER BY half, bucket
+        """
+    )
