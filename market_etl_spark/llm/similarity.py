@@ -979,6 +979,12 @@ def ivfpq_topk(
         probed.join(F.broadcast(table), ["query_id", "j", "code"])
         .groupBy("query_id", id_col)
         .agg(F.sum("_dq").alias("_adc"))
+        # materialize once: the scored-count telemetry AND the top-k
+        # window both read this frame, and its lineage re-runs the
+        # whole PQ assignment otherwise (measured 2x at sf1).  Size is
+        # candidate-bounded: |queries| x nprobe/n_cells x |corpus| rows
+        # of three columns.
+        .localCheckpoint()
     )
     scored = adc.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_scored")
