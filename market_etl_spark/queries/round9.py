@@ -1018,10 +1018,17 @@ def q_streaming_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(zone)
     )
-    empty_dim = spark.createDataFrame(
-        [],
-        "user_id long, tier string, valid_from timestamp, "
-        "valid_to timestamp, is_current boolean",
+    # JVM-side empty seed (range(0) → LocalRelation), NOT
+    # createDataFrame([], schema): the latter parallelizes an empty
+    # PYTHON RDD over defaultParallelism, and batch 0's apply then
+    # forks 32 Python workers just to scan nothing — measured 21 s of
+    # the query's 24 s (the etl_pipeline.py:586 lesson, relearned)
+    empty_dim = spark.range(0).select(
+        F.col("id").alias("user_id"),
+        F.lit(None).cast("string").alias("tier"),
+        F.lit(None).cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(None).cast("boolean").alias("is_current"),
     )
 
     def apply(batch_df: DataFrame, _batch_id: int) -> None:
