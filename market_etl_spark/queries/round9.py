@@ -1197,3 +1197,71 @@ def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY half, bucket
         """
     )
+
+
+@query(
+    "q_compaction_execute",
+    oracle="""
+    SELECT CAST(16 AS INT) AS n_files_before,
+           CAST(4 AS INT) AS n_files_after,
+           CAST(COUNT(*) AS BIGINT) AS total_rows,
+           CAST(SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+               AS value_micros,
+           CAST(SUM(CASE WHEN value BETWEEN 100 AND 200 THEN 1 ELSE 0 END)
+                AS BIGINT) AS band_rows,
+           TRUE AS clustered_ok,
+           TRUE AS pruning_ok
+    FROM events
+    """,
+    tags=("datalayout", "compaction", "maintenance", "extension"),
+)
+def q_compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction EXECUTED — the rewrite half of the
+    maintenance job ``q_compaction_plan`` only plans: the manifested
+    events layout's 16 value-clustered files are bin-packed into 4
+    range-contiguous groups and REWRITTEN (one sorted file per group,
+    fresh manifest) into a new layout generation
+    (:func:`..sinks.compact_manifested` — the source generation stays
+    untouched, the OPTIMIZE file-set discipline).
+
+    The audited contract, all recomputed by the oracle from raw
+    events: nothing lost or duplicated (total rows + exact value
+    micros over the COMPACTED files), the new manifest's 4 ranges are
+    still disjoint (``clustered_ok`` — compaction must not destroy
+    the layout's pruning power), and a stats-pruned band scan over
+    the compacted generation still prunes (≤ 3 of 4 files touched)
+    while returning exactly the oracle's band count (``band_rows`` —
+    pruning stayed an optimization, not a semantic)."""
+    from ..sinks import compact_manifested, read_stats_pruned
+    from .etl_pipeline import ensure_manifested_events
+
+    root = ensure_manifested_events(spark, sf_dir)
+    tag = pathlib.Path(sf_dir.rstrip("/")).name.replace(".", "_")
+    dest = str(_SCRATCH / f"compacted_{tag}")
+    n_before, n_after = compact_manifested(spark, root, dest, "value", n_bins=4)
+    man = spark.read.parquet(f"{dest}/manifest").orderBy("stat_min").collect()
+    clustered_ok = all(
+        man[i].stat_min >= man[i - 1].stat_max for i in range(1, len(man))
+    ) and len(man) == n_after
+    band, scanned, total_files = read_stats_pruned(
+        spark, dest, "value", 100.0, 200.0
+    )
+    stats = spark.read.parquet(f"{dest}/data").agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.sum(F.round(F.col("value") * 1e6, 0).cast("long"))
+        .cast("long")
+        .alias("value_micros"),
+    )
+    band_rows = band.agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return (
+        stats.crossJoin(F.broadcast(band_rows))
+        .select(
+            F.lit(n_before).cast("int").alias("n_files_before"),
+            F.lit(n_after).cast("int").alias("n_files_after"),
+            "total_rows",
+            "value_micros",
+            F.col("c").alias("band_rows"),
+            F.lit(bool(clustered_ok)).alias("clustered_ok"),
+            F.lit(bool(1 <= scanned <= 3)).alias("pruning_ok"),
+        )
+    )

@@ -494,3 +494,65 @@ def vacuum_versions(
         "orphans_removed": orphans,
         "kept": sorted(keep),
     }
+
+
+def compact_manifested(
+    spark, src_path: str, dest_path: str, cluster_col: str, n_bins: int = 4
+) -> tuple[int, int]:
+    """EXECUTE a small-file compaction over a manifested layout — the
+    rewrite half of the table-maintenance `OPTIMIZE` whose planning
+    half is the bin-packing algebra of ``q_compaction_plan``: files
+    are ordered by their manifest range and packed into ``n_bins``
+    range-contiguous groups (bin = floor(rows-before / ceil(total/n))),
+    each group is rewritten as ONE file (sorted within on the cluster
+    key, so row-group stats keep pruning inside the bigger file), and
+    a fresh manifest is computed from the rewritten files.
+
+    The source layout is NOT mutated: compaction produces a new
+    layout GENERATION at ``dest_path`` — exactly how Delta/Iceberg
+    OPTIMIZE works (new files committed, old ones retired by the log;
+    here the caller swaps directories / vacuums the old generation).
+    Planning is manifest-metadata only (KBs); the rewrite is
+    ``n_bins`` distributed read→write jobs over just the data being
+    compacted.  Returns ``(n_files_before, n_files_after)``."""
+    import pathlib
+    import shutil
+
+    man = (
+        spark.read.parquet(f"{src_path}/manifest")
+        .orderBy("stat_min", "file_path")
+        .collect()
+    )  # file METADATA, not data — bounded by file count
+    total = sum(r.n_rows for r in man)
+    target = -(-total // n_bins)
+    bins: dict[int, list[str]] = {}
+    cum = 0
+    for r in man:
+        bins.setdefault(min(cum // target, n_bins - 1), []).append(r.file_path)
+        cum += r.n_rows
+    dest = pathlib.Path(dest_path)
+    shutil.rmtree(dest, ignore_errors=True)
+    (dest / "data").mkdir(parents=True)
+    for b, files in sorted(bins.items()):
+        tmp = dest / f"_tmp_{b}"
+        (
+            spark.read.parquet(*files)
+            .coalesce(1)
+            .sortWithinPartitions(cluster_col)
+            .write.mode("overwrite")
+            .parquet(str(tmp))
+        )
+        (part,) = list(tmp.glob("part-*.parquet"))
+        part.rename(dest / "data" / f"compact-{b:05d}.parquet")
+        shutil.rmtree(tmp)
+    manifest = (
+        spark.read.parquet(str(dest / "data"))
+        .groupBy(F.col("_metadata.file_path").alias("file_path"))
+        .agg(
+            F.min(cluster_col).alias("stat_min"),
+            F.max(cluster_col).alias("stat_max"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(f"{dest_path}/manifest")
+    return len(man), len(bins)

@@ -62,6 +62,7 @@ _SKIP = {
     "q_aqe_skew_join",  # executes the join eagerly under scaled AQE conf
     "llm_ivfpq_topk",  # eager audit: PQ Lloyd rounds + recall collects
     "q_runtime_bloom_filter_join",  # executes eagerly under scaled conf
+    "q_compaction_execute",  # rewrites the compacted layout generation
 }
 
 #: BroadcastNestedLoopJoin allowlist: every entry is a join against a
