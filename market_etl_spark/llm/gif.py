@@ -314,10 +314,20 @@ def count_frames(data: bytes) -> int:
         if ipacked & 0x80:  # local color table rides before the data
             pos += 3 * (2 << (ipacked & 0x07))
         pos += 1  # LZW min code size
-        # skip the data sub-blocks by their length bytes
-        while pos < len(data) and data[pos] != 0:
-            pos += 1 + data[pos]
-        pos += 1
+        # skip the data sub-blocks by their length bytes — STRICT: a
+        # length byte promising absent bytes (or a missing 0
+        # terminator) is a framing error here exactly as it is in
+        # _lzw_decode, so a torn frame cannot be silently counted
+        while True:
+            if pos >= len(data):
+                raise ValueError("truncated sub-block")
+            ln = data[pos]
+            if ln == 0:
+                pos += 1
+                break
+            if pos + 1 + ln > len(data):
+                raise ValueError("truncated sub-block")
+            pos += 1 + ln
         n += 1
     if n == 0:
         raise ValueError("no image descriptor")

@@ -468,22 +468,9 @@ def ivf_topk(
         cluster_col = "_cell"
 
     centroids = cell_centroids(embeddings, cluster_col, vec_col)
-
-    queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
-    )
     # route each query to its nprobe nearest centroids
-    routed = (
-        queries.crossJoin(F.broadcast(centroids))
-        .withColumn("_sim", cosine("_qvec", "centroid"))
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("cell"))
-            ),
-        )
-        .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "_qvec", "cell")
+    routed = _route_to_cells(
+        embeddings, query_ids, centroids, nprobe, id_col, vec_col
     )
     cells = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
@@ -733,6 +720,119 @@ def ivf_query_index(
     )
 
 
+
+def _subvector_expr(m: int, dsub: int, vec_col: str) -> str:
+    """SQL expression splitting ``vec_col`` into ``m`` double-cast
+    subvectors of ``dsub`` dims — the ONE definition of the PQ
+    subspace split (training, encoding, and query-side ADC all read
+    it, so the split can never drift between them)."""
+    return (
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"transform(slice({vec_col}, j * {dsub} + 1, {dsub}), "
+        "x -> cast(x as double)))"
+    )
+
+
+def _adc_lookup_table(
+    emb: DataFrame,
+    query_ids,
+    codebook: DataFrame,
+    m: int,
+    dsub: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-(query, subspace, centroid) squared-distance lookup table —
+    the asymmetric half of ADC (the query stays un-quantized).
+    m·kc rows per query: broadcast-sized by construction."""
+    q = (
+        emb.filter(F.col(id_col).isin(list(query_ids)))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.expr(_subvector_expr(m, dsub, vec_col)).alias("_qsubs"),
+        )
+        .select("query_id", F.posexplode("_qsubs").alias("j", "qsub"))
+    )
+    return q.join(F.broadcast(codebook), "j").select(
+        "query_id",
+        "j",
+        F.col("c").alias("code"),
+        F.expr(
+            "aggregate(zip_with(qsub, cvec, (x, y) -> power(x - y, 2)), "
+            "cast(0.0 as double), (acc, v) -> acc + v)"
+        ).alias("_dq"),
+    )
+
+
+def _exact_rerank(
+    emb: DataFrame,
+    cands: DataFrame,
+    query_ids,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact-L2 re-rank of ADC survivors: raw vectors are touched only
+    for ``cands``' (query_id, id) pairs; ties break on neighbor id."""
+    from pyspark.sql import Window
+
+    vecs = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
+    )
+    qvec = emb.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    exact_d2 = F.expr(
+        "aggregate(zip_with(_v, _qv, (x, y) -> "
+        "power(cast(x as double) - cast(y as double), 2)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    rer = (
+        cands.select("query_id", F.col(id_col).alias("neighbor_id"))
+        .join(vecs, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select("query_id", "neighbor_id", exact_d2.alias("d2"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return (
+        rer.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def _route_to_cells(
+    emb: DataFrame,
+    query_ids,
+    centroids: DataFrame,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """IVF coarse routing: each query to its ``nprobe`` nearest cell
+    centroids (broadcast centroid table, ties break on cell id).
+    Returns (query_id, _qvec, cell)."""
+    from pyspark.sql import Window
+
+    queries = emb.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    return (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("_sim", cosine("_qvec", "centroid"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("_sim"), F.asc("cell")
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "_qvec", "cell")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (IVF-PQ-style ADC search, round 4)
 # ---------------------------------------------------------------------------
@@ -763,11 +863,7 @@ def pq_train_encode(
     broadcast fold pass and the mean update one partial-agg shuffle
     keyed (j, c, dim) — never m separate jobs."""
     spark = emb.sparkSession
-    sub_expr = F.expr(
-        f"transform(sequence(0, {m - 1}), j -> "
-        f"transform(slice({vec_col}, j * {dsub} + 1, {dsub}), "
-        "x -> cast(x as double)))"
-    )
+    sub_expr = F.expr(_subvector_expr(m, dsub, vec_col))
     subs = emb.select(
         id_col, F.posexplode(sub_expr).alias("j", "sub")
     )
@@ -845,23 +941,7 @@ def pq_topk(
     codes, codebook = pq_train_encode(
         emb, m=m, dsub=dsub, id_col=id_col, vec_col=vec_col
     )
-    q = emb.filter(F.col(id_col).isin(list(query_ids))).select(
-        F.col(id_col).alias("query_id"),
-        F.expr(
-            f"transform(sequence(0, {m - 1}), j -> "
-            f"transform(slice({vec_col}, j * {dsub} + 1, {dsub}), "
-            "x -> cast(x as double)))"
-        ).alias("_qsubs"),
-    ).select("query_id", F.posexplode("_qsubs").alias("j", "qsub"))
-    table = q.join(F.broadcast(codebook), "j").select(
-        "query_id",
-        "j",
-        F.col("c").alias("code"),
-        F.expr(
-            "aggregate(zip_with(qsub, cvec, (x, y) -> power(x - y, 2)), "
-            "cast(0.0 as double), (acc, v) -> acc + v)"
-        ).alias("_dq"),
-    )
+    table = _adc_lookup_table(emb, query_ids, codebook, m, dsub, id_col, vec_col)
     adc = (
         codes.join(F.broadcast(table), ["j", "code"])
         .groupBy("query_id", id_col)
@@ -872,27 +952,7 @@ def pq_topk(
         F.col("_rn") <= n_candidates
     )
     # exact re-rank on the survivors only
-    vecs = emb.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
-    )
-    qvec = emb.filter(F.col(id_col).isin(list(query_ids))).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    )
-    exact_d2 = F.expr(
-        "aggregate(zip_with(_v, _qv, (x, y) -> "
-        "power(cast(x as double) - cast(y as double), 2)), "
-        "cast(0.0 as double), (acc, v) -> acc + v)"
-    )
-    rer = (
-        cands.select("query_id", F.col(id_col).alias("neighbor_id"))
-        .join(vecs, "neighbor_id")
-        .join(F.broadcast(qvec), "query_id")
-        .select("query_id", "neighbor_id", exact_d2.alias("d2"))
-    )
-    w2 = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
-    return rer.withColumn("_rn", F.row_number().over(w2)).filter(
-        F.col("_rn") <= k
-    ).drop("_rn")
+    return _exact_rerank(emb, cands, query_ids, k, id_col, vec_col)
 
 
 def ivfpq_topk(
@@ -929,23 +989,9 @@ def ivfpq_topk(
         emb, m=m, dsub=dsub, id_col=id_col, vec_col=vec_col
     )
     centroids = cell_centroids(emb, cluster_col, vec_col)
-    queries = emb.filter(F.col(id_col).isin(list(query_ids))).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
-    )
-    routed = (
-        queries.crossJoin(F.broadcast(centroids))
-        .withColumn("_sim", cosine("_qvec", "centroid"))
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.desc("_sim"), F.asc("cell")
-                )
-            ),
-        )
-        .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "cell")
-    )
+    routed = _route_to_cells(
+        emb, query_ids, centroids, nprobe, id_col, vec_col
+    ).select("query_id", "cell")
     cells = emb.select(id_col, F.col(cluster_col).alias("cell"))
     # routing BEFORE the distance join: only probed cells' codes flow
     # into ADC (codes ⋈ cell ⋈ broadcast route — candidate-bounded)
@@ -954,27 +1000,7 @@ def ivfpq_topk(
         .join(F.broadcast(routed), "cell")
         .filter(F.col(id_col) != F.col("query_id"))
     )
-    q = (
-        emb.filter(F.col(id_col).isin(list(query_ids)))
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.expr(
-                f"transform(sequence(0, {m - 1}), j -> "
-                f"transform(slice({vec_col}, j * {dsub} + 1, {dsub}), "
-                "x -> cast(x as double)))"
-            ).alias("_qsubs"),
-        )
-        .select("query_id", F.posexplode("_qsubs").alias("j", "qsub"))
-    )
-    table = q.join(F.broadcast(codebook), "j").select(
-        "query_id",
-        "j",
-        F.col("c").alias("code"),
-        F.expr(
-            "aggregate(zip_with(qsub, cvec, (x, y) -> power(x - y, 2)), "
-            "cast(0.0 as double), (acc, v) -> acc + v)"
-        ).alias("_dq"),
-    )
+    table = _adc_lookup_table(emb, query_ids, codebook, m, dsub, id_col, vec_col)
     adc = (
         probed.join(F.broadcast(table), ["query_id", "j", "code"])
         .groupBy("query_id", id_col)
@@ -993,27 +1019,5 @@ def ivfpq_topk(
     cands = adc.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") <= n_candidates
     )
-    vecs = emb.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
-    )
-    qvec = emb.filter(F.col(id_col).isin(list(query_ids))).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    )
-    exact_d2 = F.expr(
-        "aggregate(zip_with(_v, _qv, (x, y) -> "
-        "power(cast(x as double) - cast(y as double), 2)), "
-        "cast(0.0 as double), (acc, v) -> acc + v)"
-    )
-    rer = (
-        cands.select("query_id", F.col(id_col).alias("neighbor_id"))
-        .join(vecs, "neighbor_id")
-        .join(F.broadcast(qvec), "query_id")
-        .select("query_id", "neighbor_id", exact_d2.alias("d2"))
-    )
-    w2 = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
-    topk = (
-        rer.withColumn("_rn", F.row_number().over(w2))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    topk = _exact_rerank(emb, cands, query_ids, k, id_col, vec_col)
     return topk, scored

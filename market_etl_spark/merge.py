@@ -161,16 +161,41 @@ def merge_into_partitioned(
     if emptied:
         # dynamic overwrite never visits a zero-row partition: clear
         # the fully-deleted directories explicitly (driver-side,
-        # O(affected partitions) — metadata work, not a data job)
+        # O(affected partitions) — metadata work, not a data job).
+        # Directory names use Spark's Hive partition-path escaping
+        # (_hive_escape) — a raw f"{c}={v}" misses 'a b' -> 'a%20b'
+        # and NULL -> __HIVE_DEFAULT_PARTITION__, silently leaving the
+        # tombstoned partition's files alive for string-typed keys.
         import pathlib
         import shutil
 
         for p in emptied:
             d = pathlib.Path(path).joinpath(
-                *[f"{c}={v}" for c, v in zip(partition_cols, p)]
+                *[
+                    f"{c}={_hive_escape(v)}"
+                    for c, v in zip(partition_cols, p)
+                ]
             )
             shutil.rmtree(d, ignore_errors=True)
     return len(parts)
+
+
+#: Characters Spark/Hive escape in partition-path VALUES
+#: (ExternalCatalogUtils.charToEscape — control chars plus the set
+#: below), rendered as %XX uppercase.  NULL partitions land in the
+#: Hive default-partition directory.
+_HIVE_ESCAPE_CHARS = set('"#%\'*/:=?\\\x7f{[]^') | {
+    chr(c) for c in range(0x20)
+}
+
+
+def _hive_escape(v) -> str:
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    s = str(v)
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _HIVE_ESCAPE_CHARS else ch for ch in s
+    )
 
 
 def snapshot_diff(

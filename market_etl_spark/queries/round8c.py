@@ -30,14 +30,21 @@ _GRID_R = 0.05  # join radius; cell edge = radius so 3x3 cells cover it
 _GRID_R2 = 0.0025  # radius squared, written as the same literal both sides
 
 
+def _coord_digest(seed: str) -> F.Column:
+    """The shared cross-engine coordinate recipe: first 8 hex digits of
+    md5(seed|u) as a BIGINT.  Both spatial operators derive their
+    coordinates from this ONE helper (round8c grid join: dyadic
+    rational; round9 point-in-polygon: integer grid) so the
+    bit-identical-in-both-engines contract has a single definition."""
+    digest = F.md5(F.concat_ws("|", F.lit(seed), F.col("u").cast("string")))
+    return F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+
+
 def _unit_coord(seed: str) -> F.Column:
     """Deterministic uniform [0, 1) coordinate from md5(seed|user_id) —
     exact dyadic rational k/2^32, so both engines hold the identical
     double and the distance refine compares identical bits."""
-    digest = F.md5(F.concat_ws("|", F.lit(seed), F.col("u").cast("string")))
-    return F.conv(F.substring(digest, 1, 8), 16, 10).cast("long") / F.lit(
-        4294967296.0
-    )
+    return _coord_digest(seed) / F.lit(4294967296.0)
 
 
 def _unit_coord_sql(seed: str) -> str:

@@ -637,8 +637,8 @@ def q_point_in_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select(
             "u",
-            (_int_coord("px") % 1000).alias("px"),
-            (_int_coord("py") % 1000).alias("py"),
+            (_coord_digest("px") % 1000).alias("px"),
+            (_coord_digest("py") % 1000).alias("py"),
         )
     )
     edges = spark.createDataFrame(
@@ -656,12 +656,9 @@ def q_point_in_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _int_coord(seed: str) -> F.Column:
-    """Deterministic integer coordinate from md5(seed|u) — the integer
-    sibling of q_spatial_grid_join's dyadic-rational trick (the first
-    8 hex digits as a BIGINT, identical in both engines)."""
-    digest = F.md5(F.concat_ws("|", F.lit(seed), F.col("u").cast("string")))
-    return F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+# integer coordinates share round8c's _coord_digest — ONE definition of
+# the md5(seed|u) cross-engine recipe for both spatial operators
+from .round8c import _coord_digest  # noqa: E402
 
 
 _BLOOM_CONF = {

@@ -378,7 +378,12 @@ def write_versioned(df: DataFrame, path: str) -> int:
             shutil.rmtree(dest, ignore_errors=True)
         try:
             os.rename(tmp, dest)
-        except OSError:
+        except OSError as e:
+            import errno
+
+            if e.errno not in (errno.ENOTEMPTY, errno.EEXIST):
+                raise  # EACCES/EIO/...: a real failure, not the race —
+                # retrying the next slot would spin forever
             # a concurrent writer claimed the slot between the
             # exists() check and our rename (TOCTOU — ENOTEMPTY /
             # EEXIST): last-writer-wins means the loser takes the

@@ -208,3 +208,14 @@ def test_decode_payload_counts_frames_without_decoding_them():
     assert feats["n_frames"] == 6
     ref = decode_payload(gif.encode_gif_frames(frames, 8, 8))
     assert feats["feature_crc"] == ref["feature_crc"]  # frame 0 decode
+
+
+def test_count_frames_rejects_torn_sub_blocks():
+    """A sub-block length byte promising absent bytes (or a missing
+    terminator) is a FRAMING error: count_frames must raise exactly
+    like the decoder, never count a torn frame (review r9)."""
+    blob = gif.encode_gif_frames([bytes(range(64))] * 3, 8, 8)
+    with pytest.raises(ValueError, match="truncated sub-block"):
+        gif.count_frames(blob[:-10])
+    with pytest.raises(ValueError, match="truncated sub-block"):
+        gif.decode_gif_frames(blob[:-10])

@@ -290,3 +290,28 @@ def test_merge_schema_evolution_adds_typed_null_column(spark, tmp_path):
     import pathlib as _pl
 
     assert not _pl.Path(path, "day=3").exists()
+
+
+def test_full_partition_delete_with_escaped_string_partition(spark, tmp_path):
+    """Partition VALUES needing Hive path escaping (':' -> '%3A'; space
+    is NOT escaped): the fully-deleted-partition cleanup must hit the
+    exact directory Spark wrote, or tombstoned rows resurrect
+    (review r9)."""
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a b", 10.0), (2, "x:y", 20.0), (3, "plain", 30.0)],
+        "id long, seg string, val double",
+    ).write.partitionBy("seg").parquet(path)
+    import pathlib as _pl
+
+    assert _pl.Path(path, "seg=a b").exists()  # space survives unescaped
+    assert _pl.Path(path, "seg=x%3Ay").exists()  # colon is %XX-escaped
+    batch = spark.createDataFrame(
+        [(1, "a b", 0.0, "D"), (2, "x:y", 0.0, "D")],
+        "id long, seg string, val double, op string",
+    )
+    merge_into_partitioned(spark, path, batch, ["id"], ["seg"], op_col="op")
+    assert not _pl.Path(path, "seg=a b").exists()
+    assert not _pl.Path(path, "seg=x%3Ay").exists()
+    got = {r.id for r in spark.read.parquet(path).collect()}
+    assert got == {3}

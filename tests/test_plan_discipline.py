@@ -63,6 +63,7 @@ _SKIP = {
     "llm_ivfpq_topk",  # eager audit: PQ Lloyd rounds + recall collects
     "q_runtime_bloom_filter_join",  # executes eagerly under scaled conf
     "q_compaction_execute",  # rewrites the compacted layout generation
+    "q_merge_schema_evolution",  # seeds + merges the evolving target eagerly
 }
 
 #: BroadcastNestedLoopJoin allowlist: every entry is a join against a
@@ -82,6 +83,7 @@ _BNLJ_OK = {
     "q_association_rules",  # 1-row n_users broadcast into the lift ratio
     "q_rfm_segments",  # 1-row global max-day broadcast into recency
     "q_point_in_polygon_join",  # bbox prefilter vs 3-row polygon bounds
+    "q_sql_udf",  # non-equi day-range join vs the 2-row half_months() TVF
     "q_weekday_anova",  # 1-row grand-mean broadcast into the SS fold
     "q_regression_ols",  # 1-row first-day broadcast re-bases the x axis
     "q_fourier_periodogram",  # 1-row min-hour broadcast re-bases the phase
