@@ -1262,3 +1262,83 @@ def q_compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(bool(1 <= scanned <= 3)).alias("pruning_ok"),
         )
     )
+
+
+@query(
+    "q_merge_on_read_deletes",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+               AS value_micros,
+           TRUE AS dv_exact,
+           TRUE AS purge_matches
+    FROM events
+    WHERE NOT (day(ts) BETWEEN 1 AND 5 AND event_type = 'click')
+      AND NOT (value >= 400)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("merge-on-read", "deletion-vectors", "lakehouse", "extension"),
+)
+def q_merge_on_read_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ deletes via position-based DELETION VECTORS — the
+    modern lakehouse delete model (Delta DVs / Iceberg v2 position
+    deletes) next to the engine's copy-on-write paths
+    (``q_tombstone_forget``, ``q_streaming_cdc_delete``): two DELETE
+    WHERE batches (day 1–5 clicks, then value ≥ 400 — the sets
+    OVERLAP, exercising the already-deleted exclusion) each append a
+    tiny (file_path, row_index) sidecar without touching a data file;
+    the logical table subtracts the accumulated vectors with one
+    broadcast anti join; a PURGE rewrite folds them into a fresh
+    generation (:mod:`..mor`).
+
+    In-query audits the oracle pins TRUE: ``dv_exact`` — the sidecars
+    hold exactly one position per distinct deleted row (overlap not
+    double-counted, nothing missed); ``purge_matches`` — the purged
+    generation is row-for-row the logical view (count + exact micros).
+    The returned per-type aggregates read from the PURGED generation,
+    so the whole DV → read → purge chain must agree with the oracle's
+    plain predicate recompute."""
+    from .. import mor
+
+    tag = pathlib.Path(sf_dir.rstrip("/")).name.replace(".", "_")
+    base = str(_SCRATCH / f"mor_base_{tag}")
+    gen2 = str(_SCRATCH / f"mor_gen2_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    e = load(spark, sf_dir, "events").withColumn("day", F.dayofmonth("ts"))
+    e.repartition(8).write.parquet(base)
+
+    p1 = (F.col("day").between(1, 5)) & (F.col("event_type") == "click")
+    p2 = F.col("value") >= 400
+    n1 = mor.write_deletion_vector(spark, base, p1)
+    n2 = mor.write_deletion_vector(spark, base, p2)
+    expected = spark.read.parquet(base).filter(p1 | p2).count()
+    dv_exact = (n1 + n2) == expected
+
+    logical = mor.read_with_deletes(spark, base)
+    summary = lambda df: df.agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 1e6, 0).cast("long"))
+        .cast("long")
+        .alias("vm"),
+    ).collect()[0]
+    before = summary(logical)
+    n_purged = mor.purge_deletes(spark, base, gen2)
+    after = summary(spark.read.parquet(gen2))
+    purge_matches = (
+        before.n == after.n == n_purged and before.vm == after.vm
+    )
+    return (
+        spark.read.parquet(gen2)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 1e6, 0).cast("long"))
+            .cast("long")
+            .alias("value_micros"),
+        )
+        .withColumn("dv_exact", F.lit(bool(dv_exact)))
+        .withColumn("purge_matches", F.lit(bool(purge_matches)))
+        .orderBy("event_type")
+    )

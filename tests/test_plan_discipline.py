@@ -64,6 +64,7 @@ _SKIP = {
     "q_runtime_bloom_filter_join",  # executes eagerly under scaled conf
     "q_compaction_execute",  # rewrites the compacted layout generation
     "q_merge_schema_evolution",  # seeds + merges the evolving target eagerly
+    "q_merge_on_read_deletes",  # appends DV sidecars + purges a generation
 }
 
 #: BroadcastNestedLoopJoin allowlist: every entry is a join against a
