@@ -1342,3 +1342,111 @@ def q_merge_on_read_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("purge_matches", F.lit(bool(purge_matches)))
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_partition_spec_evolution",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN day(ts) BETWEEN 10 AND 20 THEN 1 ELSE 0 END)
+                AS BIGINT) AS band_rows,
+           CAST(SUM(CASE WHEN day(ts) BETWEEN 10 AND 20
+                         THEN CAST(ROUND(value * 1e6, 0) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS band_micros,
+           CAST(COUNT(*) AS BIGINT) AS total_rows,
+           TRUE AS old_spec_pruned,
+           TRUE AS new_spec_pruned
+    FROM events
+    """,
+    tags=("datalayout", "partition-evolution", "lakehouse", "extension"),
+)
+def q_partition_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-SPEC EVOLUTION on plain parquet — the Iceberg metadata
+    feature that lets a table change its partitioning without
+    rewriting history: days ≤ 15 live in the OLD spec (``day=N``
+    directories), days > 15 in the NEW coarser spec (``week=N`` —
+    the layout change a table makes when daily partitions turn into
+    a small-files problem).  The logical table is the union of both
+    generations (each exposing the other's partition column as a
+    derived data column), and a day-band query must PRUNE BOTH SIDES
+    BY ITS OWN SPEC: partition-directory pruning on the old side
+    (``PartitionFilters`` on day), directory pruning on the derived
+    week bound plus row-group stats inside the kept weeks on the new
+    side.
+
+    Both pruning verdicts are read from the two FileScans of the
+    EXECUTED plan and pinned TRUE by the oracle; the band aggregate
+    (exact integer micros) and the unfiltered total prove the union
+    read loses and duplicates nothing across the spec boundary."""
+    tag = pathlib.Path(sf_dir.rstrip("/")).name.replace(".", "_")
+    root = _SCRATCH / f"spec_evo_{tag}"
+    fp = _src_fingerprint(sf_dir, "events.parquet")
+    marker = root / f"_READY_{fp}"
+    e = load(spark, sf_dir, "events").withColumn("day", F.dayofmonth("ts"))
+    if not marker.exists():
+        shutil.rmtree(root, ignore_errors=True)
+        e.filter(F.col("day") <= 15).write.partitionBy("day").parquet(
+            str(root / "gen1")
+        )
+        (
+            e.filter(F.col("day") > 15)
+            .withColumn("week", F.ceil(F.col("day") / 7).cast("int"))
+            .write.partitionBy("week")
+            .parquet(str(root / "gen2"))
+        )
+        marker.touch()
+    # the logical table: both specs aligned to one schema (each side
+    # derives the other's partition column)
+    g1 = (
+        spark.read.parquet(str(root / "gen1"))
+        .withColumn("week", F.ceil(F.col("day") / 7).cast("int"))
+    )
+    g2 = spark.read.parquet(str(root / "gen2"))
+    union = g1.unionByName(g2.select(*g1.columns))
+
+    band = (F.col("day") >= 10) & (F.col("day") <= 20)
+    # week bound derived from the day band: days 10-20 -> weeks 2-3 —
+    # the coarser spec still prunes, just at week granularity (the
+    # planner can't derive this rewrite itself; a real table format
+    # stores the transform and does — we pass it explicitly, which is
+    # exactly what Iceberg's partition-transform metadata automates)
+    agg = (
+        union.filter(band & F.col("week").between(2, 3))
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("band_rows"),
+            F.sum(F.round(F.col("value") * 1e6, 0).cast("long"))
+            .cast("long")
+            .alias("band_micros"),
+        )
+    )
+    (row,) = agg.collect()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        seg for seg in plan.split("FileScan parquet")[1:]
+    ]
+    old_pruned = any(
+        "PartitionFilters" in s and "day" in s.split("PushedFilters")[0]
+        and "gen1" in s
+        for s in scans
+    )
+    new_pruned = any(
+        "PartitionFilters" in s and "week" in s.split("PushedFilters")[0]
+        and "gen2" in s
+        for s in scans
+    )
+    total = spark.read.parquet(str(root / "gen1")).count() + spark.read.parquet(
+        str(root / "gen2")
+    ).count()
+    return spark.createDataFrame(
+        [
+            (
+                row.band_rows,
+                row.band_micros,
+                total,
+                bool(old_pruned),
+                bool(new_pruned),
+            )
+        ],
+        "band_rows long, band_micros long, total_rows long, "
+        "old_spec_pruned boolean, new_spec_pruned boolean",
+    )

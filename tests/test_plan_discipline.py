@@ -65,6 +65,7 @@ _SKIP = {
     "q_compaction_execute",  # rewrites the compacted layout generation
     "q_merge_schema_evolution",  # seeds + merges the evolving target eagerly
     "q_merge_on_read_deletes",  # appends DV sidecars + purges a generation
+    "q_partition_spec_evolution",  # stages two generations, executes eagerly
 }
 
 #: BroadcastNestedLoopJoin allowlist: every entry is a join against a
