@@ -111,13 +111,19 @@ def merge_into_partitioned(
         return 0
     target = spark.read.parquet(path)
     # OR-of-conjunctions, not struct-isin: equality conjunctions over
-    # partition columns are what the source's partition pruning matches.
+    # partition columns are what the source's partition pruning
+    # matches.  NULL-SAFE equality (`<=>`), not `=`: a batch row whose
+    # partition value is NULL (the __HIVE_DEFAULT_PARTITION__
+    # directory) must select that partition's live rows — plain `=`
+    # is never true against NULL, which would read the partition as
+    # EMPTY, mark it fully-deleted, and destroy rows the batch never
+    # targeted (review r9b).  EqualNullSafe still partition-prunes.
     cond = functools.reduce(
         operator.or_,
         [
             functools.reduce(
                 operator.and_,
-                [F.col(c) == F.lit(v) for c, v in zip(partition_cols, p)],
+                [F.col(c).eqNullSafe(F.lit(v)) for c, v in zip(partition_cols, p)],
             )
             for p in parts
         ],
@@ -163,9 +169,10 @@ def merge_into_partitioned(
         # the fully-deleted directories explicitly (driver-side,
         # O(affected partitions) — metadata work, not a data job).
         # Directory names use Spark's Hive partition-path escaping
-        # (_hive_escape) — a raw f"{c}={v}" misses 'a b' -> 'a%20b'
-        # and NULL -> __HIVE_DEFAULT_PARTITION__, silently leaving the
-        # tombstoned partition's files alive for string-typed keys.
+        # (_hive_escape) — a raw f"{c}={v}" misses the %XX set (':',
+        # '=', '#', ...; space is NOT escaped by Spark) and the
+        # NULL/'' -> __HIVE_DEFAULT_PARTITION__ mapping, silently
+        # leaving the tombstoned partition's files alive.
         import pathlib
         import shutil
 
@@ -190,8 +197,16 @@ _HIVE_ESCAPE_CHARS = set('"#%\'*/:=?\\\x7f{[]^') | {
 
 
 def _hive_escape(v) -> str:
-    if v is None:
+    """Render a partition VALUE the way Spark names its directory.
+    Covered: NULL and '' (both land in the Hive default partition),
+    bool (Spark renders lowercase), str/int/date (str() matches).
+    Float/decimal partition keys render via Java's toString (e.g.
+    '1.0E-7') and are NOT supported on the tombstone-cleanup path —
+    an anti-pattern as a partition key anyway."""
+    if v is None or v == "":
         return "__HIVE_DEFAULT_PARTITION__"
+    if isinstance(v, bool):
+        return "true" if v else "false"
     s = str(v)
     return "".join(
         f"%{ord(ch):02X}" if ch in _HIVE_ESCAPE_CHARS else ch for ch in s

@@ -46,6 +46,8 @@ def write_deletion_vector(
     rows are excluded (a delete of a deleted row is a no-op, so
     re-running a delete is idempotent).  Returns the number of
     positions written."""
+    from .sinks import write_single_file
+
     live = _with_positions(spark, table_path)
     dvs = _read_dvs(spark, table_path)
     hits = live.filter(predicate).select("_dv_file", "_dv_pos")
@@ -53,15 +55,9 @@ def write_deletion_vector(
         hits = hits.join(F.broadcast(dvs), ["_dv_file", "_dv_pos"], "left_anti")
     out = pathlib.Path(table_path) / _DV_DIR
     out.mkdir(parents=True, exist_ok=True)
-    tmp = out / f"_tmp_{uuid.uuid4().hex[:8]}"
-    hits.coalesce(1).write.mode("overwrite").parquet(str(tmp))
-    n = spark.read.parquet(str(tmp)).count()
-    import shutil
-
-    (part,) = list(tmp.glob("part-*.parquet"))
-    part.rename(out / f"dv-{uuid.uuid4().hex[:8]}.parquet")
-    shutil.rmtree(tmp)
-    return n
+    dest = out / f"dv-{uuid.uuid4().hex[:8]}.parquet"
+    write_single_file(hits, dest)
+    return spark.read.parquet(str(dest)).count()
 
 
 def read_with_deletes(spark: SparkSession, table_path: str) -> DataFrame:
@@ -95,9 +91,18 @@ def purge_deletes(spark: SparkSession, table_path: str, dest_path: str) -> int:
 
 
 def _with_positions(spark: SparkSession, table_path: str) -> DataFrame:
+    """Base scan with TABLE-RELATIVE row addresses: the sidecar keys
+    are the file path suffix after the resolved table root, not the
+    absolute URI — a moved/renamed/symlinked table keeps its deletes
+    (Delta/Iceberg store relative paths for exactly this reason;
+    review r9b: absolute URIs silently resurrected every deleted row
+    after the purge docstring's own directory-swap workflow)."""
+    root = str(pathlib.Path(table_path).resolve())
     return spark.read.parquet(table_path).select(
         "*",
-        F.col("_metadata.file_path").alias("_dv_file"),
+        F.substring_index(
+            F.col("_metadata.file_path"), root, -1
+        ).alias("_dv_file"),
         F.col("_metadata.row_index").alias("_dv_pos"),
     )
 

@@ -1421,18 +1421,25 @@ def q_partition_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     (row,) = agg.collect()
     plan = agg._jdf.queryExecution().executedPlan().toString()
-    scans = [
-        seg for seg in plan.split("FileScan parquet")[1:]
-    ]
+    scans = plan.split("FileScan parquet")[1:]
+
+    def _partition_filters(seg: str) -> str:
+        # the CONTENT of the PartitionFilters list — "day" appearing
+        # in the scan's output column list or an empty
+        # "PartitionFilters: []" must NOT count (review r9b: the
+        # substring check was vacuously true)
+        import re
+
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", seg)
+        return m.group(1) if m else ""
+
     old_pruned = any(
-        "PartitionFilters" in s and "day" in s.split("PushedFilters")[0]
-        and "gen1" in s
-        for s in scans
+        "gen1" in seg and "day#" in _partition_filters(seg)
+        for seg in scans
     )
     new_pruned = any(
-        "PartitionFilters" in s and "week" in s.split("PushedFilters")[0]
-        and "gen2" in s
-        for s in scans
+        "gen2" in seg and "week#" in _partition_filters(seg)
+        for seg in scans
     )
     total = spark.read.parquet(str(root / "gen1")).count() + spark.read.parquet(
         str(root / "gen2")

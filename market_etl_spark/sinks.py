@@ -216,6 +216,43 @@ def write_zordered(
                 hc.set("parquet.block.size", prev)
 
 
+def write_single_file(df: DataFrame, dest) -> None:
+    """Commit ``df`` as exactly ONE parquet file at ``dest`` (a file
+    path, not a directory): write to a sibling _tmp dir, rename the
+    lone part file into place, clean up.  The single shared definition
+    of the idiom (deletion-vector sidecars, compaction bins, staged
+    replay batches) — callers needing pinned mtimes utime ``dest``
+    afterwards."""
+    import pathlib
+    import shutil
+    import uuid
+
+    dest = pathlib.Path(dest)
+    tmp = dest.parent / f"_tmp_{uuid.uuid4().hex[:8]}"
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+    (part,) = list(tmp.glob("part-*.parquet"))
+    part.rename(dest)
+    shutil.rmtree(tmp)
+
+
+def _write_manifest(spark, path: str, cluster_col: str) -> None:
+    """The manifest contract's single definition: one (file_path,
+    stat_min, stat_max, n_rows) row per data file under
+    ``path/data``, written to ``path/manifest`` (initial write and
+    every compacted generation both call this, so the schema cannot
+    drift between them)."""
+    manifest = (
+        spark.read.parquet(f"{path}/data")
+        .groupBy(F.col("_metadata.file_path").alias("file_path"))
+        .agg(
+            F.min(cluster_col).alias("stat_min"),
+            F.max(cluster_col).alias("stat_max"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(f"{path}/manifest")
+
+
 def write_manifested(
     df: DataFrame,
     path: str,
@@ -242,17 +279,7 @@ def write_manifested(
         .write.mode("overwrite")
         .parquet(data_path)
     )
-    spark = df.sparkSession
-    manifest = (
-        spark.read.parquet(data_path)
-        .groupBy(F.col("_metadata.file_path").alias("file_path"))
-        .agg(
-            F.min(cluster_col).alias("stat_min"),
-            F.max(cluster_col).alias("stat_max"),
-            F.count("*").alias("n_rows"),
-        )
-    )
-    manifest.coalesce(1).write.mode("overwrite").parquet(f"{path}/manifest")
+    _write_manifest(df.sparkSession, path, cluster_col)
 
 
 def read_stats_pruned(spark, path: str, cluster_col: str, lo, hi):
@@ -529,6 +556,10 @@ def compact_manifested(
         .collect()
     )  # file METADATA, not data — bounded by file count
     total = sum(r.n_rows for r in man)
+    if total == 0:
+        raise ValueError(
+            f"nothing to compact at {src_path}: manifest covers 0 rows"
+        )
     target = -(-total // n_bins)
     bins: dict[int, list[str]] = {}
     cum = 0
@@ -539,25 +570,9 @@ def compact_manifested(
     shutil.rmtree(dest, ignore_errors=True)
     (dest / "data").mkdir(parents=True)
     for b, files in sorted(bins.items()):
-        tmp = dest / f"_tmp_{b}"
-        (
-            spark.read.parquet(*files)
-            .coalesce(1)
-            .sortWithinPartitions(cluster_col)
-            .write.mode("overwrite")
-            .parquet(str(tmp))
+        write_single_file(
+            spark.read.parquet(*files).sortWithinPartitions(cluster_col),
+            dest / "data" / f"compact-{b:05d}.parquet",
         )
-        (part,) = list(tmp.glob("part-*.parquet"))
-        part.rename(dest / "data" / f"compact-{b:05d}.parquet")
-        shutil.rmtree(tmp)
-    manifest = (
-        spark.read.parquet(str(dest / "data"))
-        .groupBy(F.col("_metadata.file_path").alias("file_path"))
-        .agg(
-            F.min(cluster_col).alias("stat_min"),
-            F.max(cluster_col).alias("stat_max"),
-            F.count("*").alias("n_rows"),
-        )
-    )
-    manifest.coalesce(1).write.mode("overwrite").parquet(f"{dest_path}/manifest")
+    _write_manifest(spark, dest_path, cluster_col)
     return len(man), len(bins)

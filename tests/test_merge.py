@@ -315,3 +315,32 @@ def test_full_partition_delete_with_escaped_string_partition(spark, tmp_path):
     assert not _pl.Path(path, "seg=x%3Ay").exists()
     got = {r.id for r in spark.read.parquet(path).collect()}
     assert got == {3}
+
+
+def test_null_partition_tombstone_does_not_destroy_siblings(spark, tmp_path):
+    """A delete targeting ONE key in the NULL partition
+    (__HIVE_DEFAULT_PARTITION__) must merge against that partition's
+    live rows (null-safe pruning predicate) — with plain `=` the
+    partition read back empty, was marked fully-deleted, and rmtree
+    destroyed untargeted rows (review r9b)."""
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, None, 10.0), (2, None, 20.0), (3, "a", 30.0)],
+        "id long, seg string, val double",
+    ).write.partitionBy("seg").parquet(path)
+
+    batch = spark.createDataFrame(
+        [(1, None, 0.0, "D")], "id long, seg string, val double, op string"
+    )
+    merge_into_partitioned(spark, path, batch, ["id"], ["seg"], op_col="op")
+    got = {r.id: (r.seg, r.val) for r in spark.read.parquet(path).collect()}
+    assert got == {2: (None, 20.0), 3: ("a", 30.0)}
+    # and a FULL delete of the NULL partition clears the right dir
+    batch2 = spark.createDataFrame(
+        [(2, None, 0.0, "D")], "id long, seg string, val double, op string"
+    )
+    merge_into_partitioned(spark, path, batch2, ["id"], ["seg"], op_col="op")
+    import pathlib as _pl
+
+    assert not _pl.Path(path, "seg=__HIVE_DEFAULT_PARTITION__").exists()
+    assert {r.id for r in spark.read.parquet(path).collect()} == {3}

@@ -55,3 +55,17 @@ def test_purge_folds_vectors_into_a_clean_generation(spark, tmp_path):
     got = {r.id for r in spark.read.parquet(dest).collect()}
     assert got == set(range(20))
     assert not (pathlib.Path(dest) / "_deletes").exists()
+
+
+def test_vectors_survive_a_table_move(spark, tmp_path):
+    """Sidecar keys are table-relative: moving the table directory
+    (the purge/swap workflow) must not invalidate the vectors — with
+    absolute URIs every deleted row silently resurrected (review r9b)."""
+    import shutil
+
+    path = _base(spark, tmp_path)
+    mor.write_deletion_vector(spark, path, F.col("k") == 1)
+    moved = str(tmp_path / "t_moved")
+    shutil.move(path, moved)
+    got = {r.id for r in mor.read_with_deletes(spark, moved).collect()}
+    assert got == {i for i in range(30) if i % 3 != 1}
