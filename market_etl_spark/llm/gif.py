@@ -303,6 +303,13 @@ def count_frames(data: bytes) -> int:
             pos += 2
             while pos < len(data) and data[pos] != 0:
                 pos += 1 + data[pos]
+            if pos >= len(data):
+                # ran off the end without consuming the 0 terminator —
+                # a truncated extension is a framing error here exactly
+                # as in the strict image-data walk below (ADVICE r9:
+                # this used to fall out of the loop and return a
+                # positive count for the torn stream)
+                raise ValueError("truncated extension")
             pos += 1
             continue
         if block != 0x2C:

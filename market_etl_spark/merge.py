@@ -47,7 +47,12 @@ def merge_upsert(
     keys = updates.select(*key_cols).distinct()
     survivors = target.join(F.broadcast(keys), key_cols, "left_anti")
     if op_col is not None:
-        updates = updates.filter(F.col(op_col) != F.lit(delete_op)).drop(op_col)
+        # null-safe: a CDC row with a NULL/missing op must UPSERT, not
+        # silently tombstone its key (`op != 'D'` is NULL for NULL ops,
+        # and a NULL predicate drops the row — ADVICE r9)
+        updates = updates.filter(
+            ~F.col(op_col).eqNullSafe(F.lit(delete_op))
+        ).drop(op_col)
     return survivors.unionByName(updates)
 
 

@@ -35,6 +35,11 @@ from pyspark.sql import functions as F
 #: Spark's file index ignores it when scanning the table's data files.
 _DV_DIR = "_deletes"
 
+#: Reinsert files for merge-on-read UPDATEs.  Also underscore-hidden:
+#: an update's rewritten rows are INVISIBLE to the base scan until the
+#: paired deletion vector commits (see :func:`write_update_vector`).
+_UPD_DIR = "_updates"
+
 
 def write_deletion_vector(
     spark: SparkSession, table_path: str, predicate
@@ -48,11 +53,9 @@ def write_deletion_vector(
     positions written."""
     from .sinks import write_single_file
 
-    live = _with_positions(spark, table_path)
-    dvs = _read_dvs(spark, table_path)
-    hits = live.filter(predicate).select("_dv_file", "_dv_pos")
-    if dvs is not None:
-        hits = hits.join(F.broadcast(dvs), ["_dv_file", "_dv_pos"], "left_anti")
+    hits = _live_with_positions(spark, table_path).filter(predicate).select(
+        "_dv_file", "_dv_pos"
+    )
     out = pathlib.Path(table_path) / _DV_DIR
     out.mkdir(parents=True, exist_ok=True)
     dest = out / f"dv-{uuid.uuid4().hex[:8]}.parquet"
@@ -60,17 +63,66 @@ def write_deletion_vector(
     return spark.read.parquet(str(dest)).count()
 
 
+def write_update_vector(
+    spark: SparkSession, table_path: str, predicate, set_exprs: dict
+) -> int:
+    """UPDATE ... SET ... WHERE ``predicate`` merge-on-read: the
+    matched rows' positions are DELETED (a DV append, like
+    :func:`write_deletion_vector`) and their rewritten images are
+    APPENDED as one new reinsert file — Delta's DV-update / Iceberg's
+    position-delete+insert model.  No base file is rewritten, so at
+    100 TB an update of kilobytes costs kilobytes, and the read-side
+    cost stays the same single broadcast anti join.
+
+    Commit protocol (both sides flip atomically, one fs rename):
+    the reinsert file lands FIRST under ``table/_updates/`` —
+    underscore-hidden, so the base scan never sees it — and becomes
+    visible only through its PAIRED sidecar ``_deletes/dv-upd-<id>``:
+    readers union exactly the reinsert files whose pairing sidecar
+    exists.  The sidecar's atomic rename is therefore the single
+    commit point; a crash before it leaves an invisible orphan under
+    ``_updates/`` (swept by purge), never a duplicate or a lost row.
+
+    ``set_exprs`` maps column name -> Column expression evaluated on
+    the matched row (``{"v": F.col("v") * 2}``).  Rows already
+    deleted (or superseded by a prior update) are excluded — an
+    update overlapping a prior delete touches only the still-live
+    rows.  Updated rows get fresh addresses in the reinsert file, so
+    later deletes/updates compose.  Returns the number of rows
+    updated."""
+    from .sinks import write_single_file
+
+    hits = _live_with_positions(spark, table_path).filter(predicate)
+    # one materialization feeds positions, reinsert rows and the
+    # count (update batches are delta-sized — same bounded posture as
+    # merge_into_partitioned's checkpoint)
+    hits = hits.localCheckpoint()
+    n = hits.count()
+    if n == 0:
+        return 0
+    rewritten = hits
+    for c, expr in set_exprs.items():
+        rewritten = rewritten.withColumn(c, expr)
+    rewritten = rewritten.drop("_dv_file", "_dv_pos")
+    upd_id = uuid.uuid4().hex[:8]
+    upd_dir = pathlib.Path(table_path) / _UPD_DIR
+    upd_dir.mkdir(parents=True, exist_ok=True)
+    write_single_file(rewritten, upd_dir / f"upd-{upd_id}.parquet")
+    dv_dir = pathlib.Path(table_path) / _DV_DIR
+    dv_dir.mkdir(parents=True, exist_ok=True)
+    write_single_file(  # THE commit point
+        hits.select("_dv_file", "_dv_pos"),
+        dv_dir / f"dv-upd-{upd_id}.parquet",
+    )
+    return n
+
+
 def read_with_deletes(spark: SparkSession, table_path: str) -> DataFrame:
-    """The LOGICAL table: base files minus every accumulated deletion
-    vector — one broadcast anti join on the exact row address (the
-    merge-on-read cost, paid per query until a purge folds it away)."""
-    live = _with_positions(spark, table_path)
-    dvs = _read_dvs(spark, table_path)
-    if dvs is not None:
-        live = live.join(
-            F.broadcast(dvs), ["_dv_file", "_dv_pos"], "left_anti"
-        )
-    return live.drop("_dv_file", "_dv_pos")
+    """The LOGICAL table: (base files ∪ committed reinsert files)
+    minus every accumulated deletion vector — one broadcast anti join
+    on the exact row address (the merge-on-read cost, paid per query
+    until a purge folds it away)."""
+    return _live_with_positions(spark, table_path).drop("_dv_file", "_dv_pos")
 
 
 def purge_deletes(spark: SparkSession, table_path: str, dest_path: str) -> int:
@@ -91,20 +143,67 @@ def purge_deletes(spark: SparkSession, table_path: str, dest_path: str) -> int:
 
 
 def _with_positions(spark: SparkSession, table_path: str) -> DataFrame:
-    """Base scan with TABLE-RELATIVE row addresses: the sidecar keys
-    are the file path suffix after the resolved table root, not the
-    absolute URI — a moved/renamed/symlinked table keeps its deletes
-    (Delta/Iceberg store relative paths for exactly this reason;
-    review r9b: absolute URIs silently resurrected every deleted row
-    after the purge docstring's own directory-swap workflow)."""
-    root = str(pathlib.Path(table_path).resolve())
+    """Base scan with ROOT-INDEPENDENT row addresses: the sidecar key
+    is the part file's BASENAME plus the row index, never any form of
+    the table root.  Part-file names embed a per-job UUID (Spark's
+    ``part-<task>-<uuid>...`` contract), so the basename is unique
+    within a table; keying on it survives moves, renames, symlinked
+    roots, and — unlike a prefix-strip against the resolved root —
+    roots whose URI encoding differs from their raw path (space, '%',
+    non-ASCII: ``_metadata.file_path`` is a URI-encoded string, so a
+    root at ``/t/a b`` appears as ``file:/t/a%20b/...`` and a raw
+    prefix match silently degrades to keying the full absolute URI,
+    resurrecting every delete after a table move — review r10/ADVICE
+    r9).  Appended reinsert files (:func:`write_update_vector`) use
+    their own UUID names, so they can never collide with base files."""
     return spark.read.parquet(table_path).select(
         "*",
-        F.substring_index(
-            F.col("_metadata.file_path"), root, -1
+        F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1
         ).alias("_dv_file"),
         F.col("_metadata.row_index").alias("_dv_pos"),
     )
+
+
+def _live_with_positions(spark: SparkSession, table_path: str) -> DataFrame:
+    """(base ∪ committed reinserts) with addresses, minus DVs — the
+    shared live frame every read/delete/update builds on.  Committed =
+    the ``_updates/upd-<id>.parquet`` files whose pairing
+    ``dv-upd-<id>`` sidecar exists; an orphan reinsert (crash before
+    its sidecar rename) is invisible here by construction."""
+    live = _with_positions(spark, table_path)
+    upd = _committed_update_files(table_path)
+    if upd:
+        reins = spark.read.parquet(*upd).select(
+            "*",
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("_dv_file"),
+            F.col("_metadata.row_index").alias("_dv_pos"),
+        )
+        live = live.unionByName(reins)
+    dvs = _read_dvs(spark, table_path)
+    if dvs is not None:
+        live = live.join(
+            F.broadcast(dvs), ["_dv_file", "_dv_pos"], "left_anti"
+        )
+    return live
+
+
+def _committed_update_files(table_path: str) -> list[str]:
+    root = pathlib.Path(table_path)
+    out = []
+    for dv in sorted((root / _DV_DIR).glob("dv-upd-*.parquet")):
+        upd_id = dv.name[len("dv-upd-"):-len(".parquet")]
+        p = root / _UPD_DIR / f"upd-{upd_id}.parquet"
+        if not p.exists():
+            raise ValueError(
+                f"corrupt table at {table_path}: sidecar {dv.name} has "
+                f"no pairing reinsert file (the sidecar commits LAST — "
+                f"this cannot be crash debris)"
+            )
+        out.append(str(p))
+    return out
 
 
 def _read_dvs(spark: SparkSession, table_path: str) -> DataFrame | None:

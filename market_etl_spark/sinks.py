@@ -570,8 +570,15 @@ def compact_manifested(
     shutil.rmtree(dest, ignore_errors=True)
     (dest / "data").mkdir(parents=True)
     for b, files in sorted(bins.items()):
+        # single partition FIRST, then sort: sortWithinPartitions
+        # before the single-file coalesce only yields sorted RUNS
+        # concatenated in scan-split order, which widens row-group
+        # min/max stats (VERDICT r9).  One bin is one file's worth of
+        # data by construction, so the 1-partition sort is bounded.
         write_single_file(
-            spark.read.parquet(*files).sortWithinPartitions(cluster_col),
+            spark.read.parquet(*files)
+            .repartition(1)
+            .sortWithinPartitions(cluster_col),
             dest / "data" / f"compact-{b:05d}.parquet",
         )
     _write_manifest(spark, dest_path, cluster_col)

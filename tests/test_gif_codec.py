@@ -219,3 +219,15 @@ def test_count_frames_rejects_torn_sub_blocks():
         gif.count_frames(blob[:-10])
     with pytest.raises(ValueError, match="truncated sub-block"):
         gif.decode_gif_frames(blob[:-10])
+
+def test_count_frames_rejects_truncated_extension():
+    """A stream cut INSIDE an extension's sub-blocks must be a framing
+    error, not a positive count (ADVICE r9: the skip loop used to fall
+    off EOF and return the frames counted so far)."""
+    blob = gif.encode_gif_frames([bytes(range(64))] * 2, 8, 8)
+    _sw, _sh, full = gif.decode_gif_frames(blob)
+    # cut before frame 1's descriptor, splice an application extension
+    # promising an 11-byte sub-block with only 5 bytes present
+    torn = blob[: full[1][4]] + b"\x21\xff\x0bNETSC"
+    with pytest.raises(ValueError, match="truncated extension"):
+        gif.count_frames(torn)

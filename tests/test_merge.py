@@ -344,3 +344,20 @@ def test_null_partition_tombstone_does_not_destroy_siblings(spark, tmp_path):
 
     assert not _pl.Path(path, "seg=__HIVE_DEFAULT_PARTITION__").exists()
     assert {r.id for r in spark.read.parquet(path).collect()} == {3}
+
+def test_merge_tombstone_null_op_upserts_instead_of_deleting(spark):
+    """A CDC row with a NULL op must UPSERT its key, not silently
+    tombstone it: `op != 'D'` evaluates to NULL for NULL ops and a
+    NULL predicate drops the row (ADVICE r9)."""
+    t = _target(spark)
+    batch = spark.createDataFrame(
+        [(2, 1, 77.0, None), (7, 5, 70.0, None)],
+        "id long, day int, val double, op string",
+    )
+    got = {
+        r.id: r.val
+        for r in merge_upsert(t, batch, ["id"], op_col="op").collect()
+    }
+    assert got[2] == 77.0   # updated, NOT deleted
+    assert got[7] == 70.0   # inserted
+    assert len(got) == 6

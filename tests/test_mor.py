@@ -69,3 +69,88 @@ def test_vectors_survive_a_table_move(spark, tmp_path):
     shutil.move(path, moved)
     got = {r.id for r in mor.read_with_deletes(spark, moved).collect()}
     assert got == {i for i in range(30) if i % 3 != 1}
+
+def test_vectors_survive_a_root_with_space_and_percent(spark, tmp_path):
+    """_metadata.file_path is URI-encoded ('a b' -> 'a%20b'): a
+    prefix-strip against the raw resolved root silently degrades to
+    absolute-URI keys for such roots (ADVICE r9).  Basename keys are
+    root-independent, so deletes must survive both the funky root AND
+    a move out of it."""
+    import shutil
+
+    path = str(tmp_path / "t space %41")
+    spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)],
+        "id long, k int, v double",
+    ).repartition(3).write.parquet(path)
+    mor.write_deletion_vector(spark, path, F.col("k") == 1)
+    assert mor.read_with_deletes(spark, path).count() == 20
+    moved = str(tmp_path / "plain")
+    shutil.move(path, moved)
+    got = {r.id for r in mor.read_with_deletes(spark, moved).collect()}
+    assert got == {i for i in range(30) if i % 3 != 1}
+
+
+def test_update_vector_rewrites_without_touching_base_files(spark, tmp_path):
+    path = _base(spark, tmp_path)
+    n = mor.write_update_vector(
+        spark, path, F.col("k") == 0, {"v": F.col("v") + 1000.0}
+    )
+    assert n == 10
+    rows = {r.id: r.v for r in mor.read_with_deletes(spark, path).collect()}
+    assert len(rows) == 30  # update never changes cardinality
+    for i in range(30):
+        assert rows[i] == (float(i) + 1000.0 if i % 3 == 0 else float(i))
+    root = pathlib.Path(path)
+    assert len(list(root.glob("part-*.parquet"))) == 3  # base untouched
+    assert len(list((root / "_updates").glob("upd-*.parquet"))) == 1
+    assert len(list((root / "_deletes").glob("dv-upd-*.parquet"))) == 1
+
+
+def test_update_overlapping_prior_delete_skips_dead_rows(spark, tmp_path):
+    """The VERDICT r9 contract: an update whose predicate overlaps
+    already-deleted rows touches only the still-live ones, and purge
+    folds both away."""
+    path = _base(spark, tmp_path)
+    mor.write_deletion_vector(spark, path, F.col("id") < 6)  # kills 0..5
+    n = mor.write_update_vector(
+        spark, path, F.col("id") < 12, {"v": F.lit(-1.0)}
+    )
+    assert n == 6  # 6..11 only — 0..5 are dead and stay dead
+    got = {(r.id, r.v) for r in mor.read_with_deletes(spark, path).collect()}
+    assert got == {
+        (i, -1.0 if i < 12 else float(i)) for i in range(6, 30)
+    }
+    dest = str(tmp_path / "gen2")
+    assert mor.purge_deletes(spark, path, dest) == 24
+    clean = {(r.id, r.v) for r in spark.read.parquet(dest).collect()}
+    assert clean == got
+    assert not (pathlib.Path(dest) / "_updates").exists()
+
+
+def test_update_of_updated_row_composes(spark, tmp_path):
+    """Reinserted rows get fresh addresses: a second update (and a
+    delete) must land on the reinsert file's positions."""
+    path = _base(spark, tmp_path)
+    mor.write_update_vector(spark, path, F.col("id") == 7, {"v": F.lit(70.0)})
+    mor.write_update_vector(spark, path, F.col("id") == 7, {"v": F.lit(700.0)})
+    rows = {r.id: r.v for r in mor.read_with_deletes(spark, path).collect()}
+    assert rows[7] == 700.0 and len(rows) == 30
+    assert mor.write_deletion_vector(spark, path, F.col("id") == 7) == 1
+    assert mor.read_with_deletes(spark, path).count() == 29
+
+
+def test_orphan_reinsert_is_invisible(spark, tmp_path):
+    """Crash simulation: a reinsert file WITHOUT its pairing sidecar
+    (the only state a crash mid-update can leave) must not appear in
+    reads — the sidecar rename is the commit point."""
+    path = _base(spark, tmp_path)
+    upd = pathlib.Path(path) / "_updates"
+    upd.mkdir()
+    spark.createDataFrame(
+        [(99, 9, 9.9)], "id long, k int, v double"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+    (part,) = list((tmp_path / "stage").glob("part-*.parquet"))
+    part.rename(upd / "upd-deadbeef.parquet")
+    got = {r.id for r in mor.read_with_deletes(spark, path).collect()}
+    assert got == set(range(30))
