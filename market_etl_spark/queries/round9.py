@@ -1207,6 +1207,7 @@ def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN value BETWEEN 100 AND 200 THEN 1 ELSE 0 END)
                 AS BIGINT) AS band_rows,
            TRUE AS clustered_ok,
+           TRUE AS sorted_ok,
            TRUE AS pruning_ok
     FROM events
     """,
@@ -1225,11 +1226,15 @@ def q_compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     events: nothing lost or duplicated (total rows + exact value
     micros over the COMPACTED files), the new manifest's 4 ranges are
     still disjoint (``clustered_ok`` — compaction must not destroy
-    the layout's pruning power), and a stats-pruned band scan over
+    the layout's pruning power), every compacted file is individually
+    MONOTONE on the cluster key (``sorted_ok`` — the lag probe added
+    with the r10 sort-order fix: repartition(1) BEFORE the sort, so
+    the output is one sorted run, not split-ordered sorted runs with
+    widened row-group stats), and a stats-pruned band scan over
     the compacted generation still prunes (≤ 3 of 4 files touched)
     while returning exactly the oracle's band count (``band_rows`` —
     pruning stayed an optimization, not a semantic)."""
-    from ..sinks import compact_manifested, read_stats_pruned
+    from ..sinks import compact_manifested, files_sorted_within, read_stats_pruned
     from .etl_pipeline import ensure_manifested_events
 
     root = ensure_manifested_events(spark, sf_dir)
@@ -1240,6 +1245,7 @@ def q_compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered_ok = all(
         man[i].stat_min >= man[i - 1].stat_max for i in range(1, len(man))
     ) and len(man) == n_after
+    sorted_ok = files_sorted_within(spark, f"{dest}/data", "value")
     band, scanned, total_files = read_stats_pruned(
         spark, dest, "value", 100.0, 200.0
     )
@@ -1259,6 +1265,7 @@ def q_compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_micros",
             F.col("c").alias("band_rows"),
             F.lit(bool(clustered_ok)).alias("clustered_ok"),
+            F.lit(bool(sorted_ok)).alias("sorted_ok"),
             F.lit(bool(1 <= scanned <= 3)).alias("pruning_ok"),
         )
     )

@@ -235,6 +235,29 @@ def write_single_file(df: DataFrame, dest) -> None:
     shutil.rmtree(tmp)
 
 
+def files_sorted_within(spark, data_path: str, col: str) -> bool:
+    """Audit probe: is every parquet file under ``data_path``
+    individually sorted on ``col``?  Lag-based: one scan, one per-file
+    window sort over (file, row_index) — the check VERDICT r9 asked
+    for after the compaction sort-order fix (sorted runs concatenated
+    in split order used to pass the bin-range audit while widening
+    row-group stats).  Distributed; no collect of data rows."""
+    from pyspark.sql import Window
+
+    df = spark.read.parquet(data_path).select(
+        F.col(col).alias("_v"),
+        F.col("_metadata.file_path").alias("_f"),
+        F.col("_metadata.row_index").alias("_i"),
+    )
+    w = Window.partitionBy("_f").orderBy("_i")
+    bad = (
+        df.withColumn("_prev", F.lag("_v").over(w))
+        .filter(F.col("_prev") > F.col("_v"))
+        .count()
+    )
+    return bad == 0
+
+
 def _write_manifest(spark, path: str, cluster_col: str) -> None:
     """The manifest contract's single definition: one (file_path,
     stat_min, stat_max, n_rows) row per data file under
@@ -529,7 +552,12 @@ def vacuum_versions(
 
 
 def compact_manifested(
-    spark, src_path: str, dest_path: str, cluster_col: str, n_bins: int = 4
+    spark,
+    src_path: str,
+    dest_path: str,
+    cluster_col: str,
+    n_bins: int = 4,
+    apply_deletes: bool = False,
 ) -> tuple[int, int]:
     """EXECUTE a small-file compaction over a manifested layout — the
     rewrite half of the table-maintenance `OPTIMIZE` whose planning
@@ -546,7 +574,17 @@ def compact_manifested(
     here the caller swaps directories / vacuums the old generation).
     Planning is manifest-metadata only (KBs); the rewrite is
     ``n_bins`` distributed read→write jobs over just the data being
-    compacted.  Returns ``(n_files_before, n_files_after)``."""
+    compacted.  Returns ``(n_files_before, n_files_after)``.
+
+    ``apply_deletes=True`` composes with :mod:`.mor`: deletion-vector
+    sidecars under ``{src}/data/_deletes`` are SUBTRACTED during the
+    rewrite (per-bin broadcast anti join on the row address), so the
+    compacted generation carries no sidecars — the real OPTIMIZE
+    contract, where table maintenance folds the merge-on-read debt
+    away in the same generation move instead of leaving readers
+    paying the anti join forever (VERDICT r9 item 6).  Bin packing
+    still uses the manifest's pre-delete row counts (bins stay
+    range-contiguous; sizes skew only by the deleted fraction)."""
     import pathlib
     import shutil
 
@@ -555,6 +593,11 @@ def compact_manifested(
         .orderBy("stat_min", "file_path")
         .collect()
     )  # file METADATA, not data — bounded by file count
+    dvs = None
+    if apply_deletes:
+        from . import mor
+
+        dvs = mor._read_dvs(spark, f"{src_path}/data")
     total = sum(r.n_rows for r in man)
     if total == 0:
         raise ValueError(
@@ -570,15 +613,24 @@ def compact_manifested(
     shutil.rmtree(dest, ignore_errors=True)
     (dest / "data").mkdir(parents=True)
     for b, files in sorted(bins.items()):
+        bin_df = spark.read.parquet(*files)
+        if dvs is not None:
+            bin_df = bin_df.select(
+                "*",
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("_dv_file"),
+                F.col("_metadata.row_index").alias("_dv_pos"),
+            ).join(
+                F.broadcast(dvs), ["_dv_file", "_dv_pos"], "left_anti"
+            ).drop("_dv_file", "_dv_pos")
         # single partition FIRST, then sort: sortWithinPartitions
         # before the single-file coalesce only yields sorted RUNS
         # concatenated in scan-split order, which widens row-group
         # min/max stats (VERDICT r9).  One bin is one file's worth of
         # data by construction, so the 1-partition sort is bounded.
         write_single_file(
-            spark.read.parquet(*files)
-            .repartition(1)
-            .sortWithinPartitions(cluster_col),
+            bin_df.repartition(1).sortWithinPartitions(cluster_col),
             dest / "data" / f"compact-{b:05d}.parquet",
         )
     _write_manifest(spark, dest_path, cluster_col)

@@ -1,0 +1,182 @@
+"""Optimistic-concurrency commit log: snapshot isolation, conflict
+detection, slot-race retry, the lost-update counterfactual, vacuum."""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_etl_spark import lakehouse as lk
+
+
+def _init(spark, tmp_path, n=30, files=3):
+    path = str(tmp_path / "t")
+    t = lk.Transaction(path)
+    t.append(
+        spark.createDataFrame(
+            [(i, i % 3, float(i)) for i in range(n)],
+            "id long, k int, v double",
+        ).repartition(files)
+    )
+    assert t.commit() == 1
+    return path
+
+
+def test_append_then_read_roundtrip(spark, tmp_path):
+    path = _init(spark, tmp_path)
+    assert lk.read_table(spark, path).count() == 30
+    v, live = lk.snapshot(path)
+    assert v == 1 and len(live) == 3
+
+
+def test_staged_files_invisible_until_commit(spark, tmp_path):
+    path = _init(spark, tmp_path)
+    t = lk.Transaction(path)
+    t.append(spark.createDataFrame([(99, 9, 9.9)], "id long, k int, v double"))
+    # staged but uncommitted: reader still sees the old snapshot
+    assert lk.read_table(spark, path).count() == 30
+    t.commit()
+    assert lk.read_table(spark, path).count() == 31
+
+
+def test_delete_where_rewrites_only_hit_files(spark, tmp_path):
+    path = _init(spark, tmp_path)
+    t = lk.Transaction(path)
+    n = t.delete_where(spark, F.col("id") < 10)
+    assert n == 10
+    t.commit()
+    got = {r.id for r in lk.read_table(spark, path).collect()}
+    assert got == set(range(10, 30))
+    # files without matches were not rewritten
+    removed = {a["file"] for a in t.actions if a["op"] == "remove"}
+    assert removed == t.read_files
+    assert len(removed) <= 3
+
+
+def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = lk.Transaction(path)
+    t.append(
+        spark.createDataFrame(
+            [(1, 5.0), (2, None), (3, 50.0)], "id long, v double"
+        )
+    )
+    t.commit()
+    t2 = lk.Transaction(path)
+    assert t2.delete_where(spark, F.col("v") > 10.0) == 1
+    t2.commit()
+    got = {r.id for r in lk.read_table(spark, path).collect()}
+    assert got == {1, 2}  # NULL-predicate row survives a DELETE
+
+
+def test_append_never_conflicts_with_delete(spark, tmp_path):
+    path = _init(spark, tmp_path)
+    a = lk.Transaction(path)  # both begin at v1
+    b = lk.Transaction(path)
+    a.delete_where(spark, F.col("id") < 10)
+    b.append(spark.createDataFrame([(100, 1, 1.0)], "id long, k int, v double"))
+    assert b.commit() == 2  # append lands first
+    assert a.commit() == 3  # delete revalidates: append removed nothing
+    got = {r.id for r in lk.read_table(spark, path).collect()}
+    assert got == set(range(10, 30)) | {100}
+
+
+def test_disjoint_file_deletes_commute(spark, tmp_path):
+    # one file per id-range: deletes touching different files commute
+    path = str(tmp_path / "t")
+    t = lk.Transaction(path)
+    for lo in (0, 10, 20):
+        t.append(
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(lo, lo + 10)], "id long, v double"
+            ).coalesce(1)
+        )
+    t.commit()
+    a = lk.Transaction(path)
+    b = lk.Transaction(path)
+    assert a.delete_where(spark, F.col("id") < 10) == 10
+    assert b.delete_where(spark, F.col("id") >= 20) == 10
+    a.commit()
+    b.commit()  # different file: no conflict
+    got = {r.id for r in lk.read_table(spark, path).collect()}
+    assert got == set(range(10, 20))
+
+
+def test_overlapping_deletes_conflict_and_retry_serializes(spark, tmp_path):
+    path = _init(spark, tmp_path, files=1)  # one file: every delete overlaps
+    a = lk.Transaction(path)
+    b = lk.Transaction(path)
+    a.delete_where(spark, F.col("k") == 0)
+    b.delete_where(spark, F.col("k") == 1)
+    a.commit()
+    with pytest.raises(lk.CommitConflict):
+        b.commit()
+    # the caller's retry: re-run the op on a FRESH snapshot
+    b2 = lk.Transaction(path)
+    assert b2.delete_where(spark, F.col("k") == 1) == 10
+    b2.commit()
+    got = {r.id for r in lk.read_table(spark, path).collect()}
+    assert got == {i for i in range(30) if i % 3 == 2}  # serial result
+
+
+def test_blind_commit_demonstrates_lost_update(spark, tmp_path):
+    """The counterfactual the protocol exists for: a second writer
+    committing BLINDLY from a stale snapshot resurrects rows the first
+    writer deleted (and duplicates survivors)."""
+    path = _init(spark, tmp_path, files=1)
+    a = lk.Transaction(path)
+    b = lk.Transaction(path)
+    a.delete_where(spark, F.col("k") == 0)
+    b.delete_where(spark, F.col("k") == 1)
+    a.commit()
+    b.commit(_unsafe_blind=True)  # no validation: both rewrites live
+    rows = lk.read_table(spark, path).collect()
+    ids = [r.id for r in rows]
+    assert len(ids) != len({i for i in range(30) if i % 3 == 2})
+    assert len(ids) != len(set(ids))  # k==2 rows duplicated
+    assert any(i % 3 == 0 for i in ids)  # a-deleted rows resurrected
+
+
+def test_compact_conflicts_with_concurrent_delete(spark, tmp_path):
+    path = _init(spark, tmp_path)
+    c = lk.Transaction(path)
+    d = lk.Transaction(path)
+    c.compact(spark, n_files=1)
+    d.delete_where(spark, F.col("id") == 0)
+    d.commit()
+    with pytest.raises(lk.CommitConflict):
+        c.commit()  # compaction would resurrect the deleted row
+    c2 = lk.Transaction(path)
+    before, after = c2.compact(spark, n_files=1)
+    assert (before, after) == (3, 1)  # 2 untouched + the delete's rewrite
+    c2.commit()
+    assert lk.read_table(spark, path).count() == 29
+
+
+def test_slot_race_loser_retries_without_conflict(spark, tmp_path):
+    """Two appends racing the same slot: os.link exclusivity makes one
+    lose; the loser must land in the next slot, not overwrite."""
+    path = _init(spark, tmp_path)
+    a = lk.Transaction(path)
+    b = lk.Transaction(path)
+    a.append(spark.createDataFrame([(100, 0, 0.0)], "id long, k int, v double"))
+    b.append(spark.createDataFrame([(101, 0, 0.0)], "id long, k int, v double"))
+    assert {a.commit(), b.commit()} == {2, 3}
+    assert lk.read_table(spark, path).count() == 32
+
+
+def test_time_travel_and_vacuum(spark, tmp_path):
+    path = _init(spark, tmp_path)
+    t = lk.Transaction(path)
+    t.delete_where(spark, F.col("id") < 10)
+    t.commit()
+    assert lk.read_table(spark, path, version=1).count() == 30
+    assert lk.read_table(spark, path, version=2).count() == 20
+    # removed-but-referenced files survive an aged vacuum (time travel
+    # still works); only truly orphaned staging debris goes
+    root = pathlib.Path(path)
+    (root / ".stage-dead").mkdir()
+    assert lk.vacuum_orphans(path, min_age_sec=0.0) == 1
+    assert lk.read_table(spark, path, version=1).count() == 30

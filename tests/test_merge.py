@@ -361,3 +361,75 @@ def test_merge_tombstone_null_op_upserts_instead_of_deleting(spark):
     assert got[2] == 77.0   # updated, NOT deleted
     assert got[7] == 70.0   # inserted
     assert len(got) == 6
+
+def test_read_changes_cdf_shape_and_ivm_refresh(spark, tmp_path):
+    """CDF over the versioned store: per-step full-row change records
+    in the Delta readChangeFeed shape, and the incremental-consumer
+    contract — an aggregate refreshed FROM THE FEED equals the direct
+    aggregate of the final snapshot."""
+    from market_etl_spark.merge import read_changes
+    from market_etl_spark.sinks import write_versioned
+
+    path = str(tmp_path / "store")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+        "id long, g string, v double",
+    )
+    # v2: update id=1, delete id=2, insert id=4
+    v2 = spark.createDataFrame(
+        [(1, "a", 15.0), (3, "b", 30.0), (4, "b", 40.0)],
+        "id long, g string, v double",
+    )
+    # v3: update id=4, insert id=5
+    v3 = spark.createDataFrame(
+        [(1, "a", 15.0), (3, "b", 30.0), (4, "b", 44.0), (5, "a", 50.0)],
+        "id long, g string, v double",
+    )
+    for df in (v1, v2, v3):
+        write_versioned(df, path)
+
+    feed = read_changes(spark, path, 1, 3, ["id"])
+    got = {
+        (r.id, r._commit_version, r._change_type): (r.g, r.v)
+        for r in feed.collect()
+    }
+    assert got == {
+        (1, 2, "update_preimage"): ("a", 10.0),
+        (1, 2, "update_postimage"): ("a", 15.0),
+        (2, 2, "delete"): ("a", 20.0),
+        (4, 2, "insert"): ("b", 40.0),
+        (4, 3, "update_preimage"): ("b", 40.0),
+        (4, 3, "update_postimage"): ("b", 44.0),
+        (5, 3, "insert"): ("a", 50.0),
+    }
+
+    # IVM: refresh a (g, sum(v), count) aggregate of v1 from the feed
+    from pyspark.sql import functions as F2
+
+    sign = F2.when(
+        F2.col("_change_type").isin("insert", "update_postimage"), F2.lit(1)
+    ).otherwise(F2.lit(-1))
+    delta = feed.groupBy("g").agg(
+        F2.sum(sign * F2.col("v")).alias("dv"),
+        F2.sum(sign).alias("dn"),
+    )
+    base = v1.groupBy("g").agg(
+        F2.sum("v").alias("sv"), F2.count(F2.lit(1)).alias("n")
+    )
+    refreshed = {
+        (r.g): (r.sv, r.n)
+        for r in base.join(delta, "g", "full_outer")
+        .select(
+            "g",
+            (F2.coalesce("sv", F2.lit(0.0)) + F2.coalesce("dv", F2.lit(0.0))).alias("sv"),
+            (F2.coalesce("n", F2.lit(0)) + F2.coalesce("dn", F2.lit(0))).alias("n"),
+        )
+        .collect()
+    }
+    direct = {
+        r.g: (r.sv, r.n)
+        for r in v3.groupBy("g")
+        .agg(F2.sum("v").alias("sv"), F2.count(F2.lit(1)).alias("n"))
+        .collect()
+    }
+    assert refreshed == direct

@@ -66,6 +66,10 @@ _SKIP = {
     "q_merge_schema_evolution",  # seeds + merges the evolving target eagerly
     "q_merge_on_read_deletes",  # appends DV sidecars + purges a generation
     "q_partition_spec_evolution",  # stages two generations, executes eagerly
+    "q_lakehouse_txn",  # five commits + a conflict retry, all eager
+    "q_merge_on_read_updates",  # DV + reinsert sidecars + purge, eager
+    "q_version_change_feed",  # commits three snapshot versions eagerly
+    "q_mor_compaction_purge",  # stages layout + DVs, compacts eagerly
 }
 
 #: BroadcastNestedLoopJoin allowlist: every entry is a join against a
