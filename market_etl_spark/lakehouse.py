@@ -20,19 +20,31 @@ Model (Delta/Iceberg's core contract, minimally):
   WriteSerializable posture): a commit that landed after our snapshot
   conflicts iff it REMOVED a file we read or removed (our input was
   rewritten or deleted under us — ConcurrentDeleteRead /
-  ConcurrentDeleteDelete).  Blind appends never conflict and
-  auto-retry their slot; disjoint-file deletes commute; overlapping
-  deletes raise :class:`CommitConflict` and the CALLER re-runs its
-  operation on the fresh snapshot (re-deriving the rewrite — the
-  part no log can do mechanically).
+  ConcurrentDeleteDelete), or it added a DELETION VECTOR targeting a
+  file we remove (our staged rewrite would resurrect its deletes).
+  Blind appends never conflict and auto-retry their slot;
+  disjoint-file deletes commute; MOR deletes commute with each other
+  (position subtraction is idempotent); overlapping rewrites raise
+  :class:`CommitConflict` and the CALLER re-runs its operation on
+  the fresh snapshot (re-deriving the rewrite — the part no log can
+  do mechanically).
+- DELETION VECTORS UNDER THE LOG (:meth:`Transaction.
+  delete_where_mor`): the :mod:`.mor` position-delete model as a
+  logged action — ``add_dv`` sidecars become visible atomically with
+  their commit, readers subtract them, and :meth:`Transaction.
+  compact` settles them (applies + removes) in one generation move —
+  the OPTIMIZE contract, now transactional.
+- CHECKPOINTS (:func:`write_checkpoint`): the replayed live set
+  materialized every so often, so snapshot resolution is O(commits
+  since last checkpoint) — Delta's ``_last_checkpoint`` discipline,
+  which is what keeps a long-lived table's metadata reads bounded.
 
 Scale posture: commits are O(actions) metadata — KBs against a
-100 TB table; replay is O(total actions), bounded in practice by
-checkpointing the live set (not implemented here — the log stays
-small at demo scale and the replay is a driver-side JSON walk, not a
-data job).  Data movement stays exactly what the operation needs:
+100 TB table; replay is checkpoint-bounded, driver-side JSON, not a
+data job.  Data movement stays exactly what the operation needs:
 ``delete_where`` rewrites ONLY the files containing matches
-(file-pruned copy-on-write), ``append`` moves nothing.
+(file-pruned copy-on-write), ``delete_where_mor`` writes O(matches)
+sidecar bytes and no data files, ``append`` moves nothing.
 
 Reference parity note: the reference pipeline (glue_jobs/*.py) is
 append-only with no concurrent-writer story; this is the extension
@@ -52,6 +64,7 @@ from pyspark.sql import functions as F
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
+_DV_DIR = "_deletes"
 
 
 class CommitConflict(Exception):
@@ -78,36 +91,115 @@ def _read_commit(path: str, version: int) -> dict:
     return json.loads(p.read_text())
 
 
-def snapshot(path: str, version: int | None = None) -> tuple[int, list[str]]:
-    """Replay the log: ``(version, sorted live file names)`` as of
-    ``version`` (default: latest).  File names are table-relative
-    (``data/<name>``) so the table survives moves, same as the DV
-    sidecar keys."""
+def _state(
+    path: str, version: int | None = None
+) -> tuple[int, set[str], set[str]]:
+    """Replay the log to ``(version, live data files, live DV files)``.
+    Starts from the newest CHECKPOINT ≤ version when one exists, so
+    replay cost is O(commits since last checkpoint), not O(table
+    lifetime) — the Delta `_last_checkpoint` discipline that keeps a
+    100 TB table's snapshot resolution at metadata speed."""
     v = latest_commit(path) if version is None else version
     live: set[str] = set()
-    for i in range(1, v + 1):
+    dvs: set[str] = set()
+    start = 1
+    ck = _latest_checkpoint(path, v)
+    if ck is not None:
+        live = set(ck["files"])
+        dvs = set(ck["dvs"])
+        start = ck["version"] + 1
+    for i in range(start, v + 1):
         c = _read_commit(path, i)
         for a in c["actions"]:
             if a["op"] == "add":
                 live.add(a["file"])
             elif a["op"] == "remove":
                 live.discard(a["file"])
+            elif a["op"] == "add_dv":
+                dvs.add(a["file"])
+            elif a["op"] == "remove_dv":
+                dvs.discard(a["file"])
+    return v, live, dvs
+
+
+def snapshot(path: str, version: int | None = None) -> tuple[int, list[str]]:
+    """``(version, sorted live data file names)`` as of ``version``
+    (default: latest).  File names are table-relative
+    (``data/<name>``) so the table survives moves, same as the DV
+    sidecar keys."""
+    v, live, _dvs = _state(path, version)
     return v, sorted(live)
+
+
+def write_checkpoint(path: str) -> int:
+    """Materialize the current replay state as ``_log/ckpt-N.json`` so
+    later :func:`snapshot` calls replay only the commits after it.  A
+    checkpoint is DERIVED data — deterministic from the log prefix —
+    so the plain-rename race (two writers checkpointing the same
+    version) is harmless: both write identical bytes.  Returns the
+    checkpointed version."""
+    v, live, dvs = _state(path)
+    log = pathlib.Path(path) / _LOG_DIR
+    tmp = log / f".ckpt-tmp-{uuid.uuid4().hex[:8]}"
+    tmp.write_text(
+        json.dumps(
+            {"version": v, "files": sorted(live), "dvs": sorted(dvs)},
+            indent=1,
+        )
+    )
+    os.rename(tmp, log / f"ckpt-{v:08d}.json")
+    return v
+
+
+def _latest_checkpoint(path: str, max_version: int) -> dict | None:
+    log = pathlib.Path(path) / _LOG_DIR
+    if not log.exists():
+        return None
+    best = -1
+    for p in log.glob("ckpt-*.json"):
+        try:
+            v = int(p.stem.split("-")[1])
+        except (IndexError, ValueError):
+            continue
+        if v <= max_version:
+            best = max(best, v)
+    if best < 0:
+        return None
+    return json.loads((log / f"ckpt-{best:08d}.json").read_text())
+
+
+def _with_addresses(spark: SparkSession, root: pathlib.Path, files) -> DataFrame:
+    return spark.read.parquet(*[str(root / f) for f in sorted(files)]).select(
+        "*",
+        F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1
+        ).alias("_dv_file"),
+        F.col("_metadata.row_index").alias("_dv_pos"),
+    )
 
 
 def read_table(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
     """Snapshot read: exactly the files the log says are live at
-    ``version`` — never a directory listing, so staged/orphaned files
+    ``version``, minus the committed deletion vectors — never a
+    directory listing, so staged/orphaned files and uncommitted DVs
     are invisible and the read is atomic w.r.t. concurrent commits."""
-    v, live = snapshot(path, version)
+    v, live, dvs = _state(path, version)
     if v == 0:
         raise ValueError(f"no commits at {path}")
     if not live:
         raise ValueError(f"table at {path} is empty at version {v}")
     root = pathlib.Path(path)
-    return spark.read.parquet(*[str(root / f) for f in live])
+    if not dvs:
+        return spark.read.parquet(*[str(root / f) for f in sorted(live)])
+    df = _with_addresses(spark, root, live)
+    dv = spark.read.parquet(*[str(root / f) for f in sorted(dvs)]).select(
+        "_dv_file", "_dv_pos"
+    )
+    return df.join(
+        F.broadcast(dv), ["_dv_file", "_dv_pos"], "left_anti"
+    ).drop("_dv_file", "_dv_pos")
 
 
 class Transaction:
@@ -120,10 +212,28 @@ class Transaction:
 
     def __init__(self, path: str):
         self.path = str(path)
-        self.read_version, self._live = snapshot(path)
+        self.read_version, live, dvs = _state(path)
+        self._live = sorted(live)
+        self._dvs = sorted(dvs)
         self.actions: list[dict] = []
         self.read_files: set[str] = set()
         self._committed = False
+
+    def _snapshot_frame(self, spark: SparkSession) -> DataFrame:
+        """The table as of THIS transaction's snapshot, with row
+        addresses: live files minus committed DVs.  Every rewrite
+        derives from this — a copy-on-write rewrite that read the raw
+        files would resurrect DV-deleted rows."""
+        root = pathlib.Path(self.path)
+        df = _with_addresses(spark, root, self._live)
+        if self._dvs:
+            dv = spark.read.parquet(
+                *[str(root / f) for f in self._dvs]
+            ).select("_dv_file", "_dv_pos")
+            df = df.join(
+                F.broadcast(dv), ["_dv_file", "_dv_pos"], "left_anti"
+            )
+        return df
 
     # -- staging operations -------------------------------------------
 
@@ -159,26 +269,35 @@ class Transaction:
         root = pathlib.Path(self.path)
         if not self._live:
             return 0
-        df = spark.read.parquet(
-            *[str(root / f) for f in self._live]
-        ).withColumn(
-            "_lk_file",
-            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
-        )
+        df = self._snapshot_frame(spark)
         hit = F.coalesce(predicate, F.lit(False))
         # one pass over the predicate columns: per-file hit counts
         per_file = (
-            df.groupBy("_lk_file")
+            df.groupBy("_dv_file")
             .agg(F.sum(hit.cast("long")).alias("n_hits"))
             .filter(F.col("n_hits") > 0)
             .collect()
         )  # bounded by file count — metadata-scale
         deleted = 0
         by_name = {pathlib.PurePosixPath(f).name: f for f in self._live}
+        dv = None
+        if self._dvs:
+            dv = spark.read.parquet(
+                *[str(root / f) for f in self._dvs]
+            ).select("_dv_file", "_dv_pos")
         for r in per_file:
-            rel = by_name[r._lk_file]
+            rel = by_name[r._dv_file]
             deleted += r.n_hits
-            survivors = spark.read.parquet(str(root / rel)).filter(~hit)
+            # single-file scan (a filter on the address column over
+            # the table frame would re-scan every live file per
+            # rewrite), but still DV-subtracted: a raw rewrite would
+            # resurrect this file's DV-deleted rows
+            single = _with_addresses(spark, root, [rel])
+            if dv is not None:
+                single = single.join(
+                    F.broadcast(dv), ["_dv_file", "_dv_pos"], "left_anti"
+                )
+            survivors = single.filter(~hit).drop("_dv_file", "_dv_pos")
             new = f"{_DATA_DIR}/rw-{uuid.uuid4().hex}.parquet"
             write_single_file(survivors, root / new)
             self.actions.append({"op": "remove", "file": rel})
@@ -186,13 +305,61 @@ class Transaction:
             self.read_files.add(rel)
         return int(deleted)
 
-    def compact(self, spark: SparkSession, n_files: int = 1) -> tuple[int, int]:
-        """Stage a compaction: every live file read and rewritten as
-        ``n_files`` — the whole live set enters the read set, so ANY
-        concurrent rewrite conflicts (correct: the compaction's output
-        would resurrect it).  Returns (files_before, files_after)."""
+    def delete_where_mor(self, spark: SparkSession, predicate) -> int:
+        """Stage ``DELETE WHERE predicate`` MERGE-ON-READ: the matching
+        rows' addresses land in ONE deletion-vector sidecar under
+        ``_deletes/`` — O(matches) metadata, zero data files rewritten
+        (the :mod:`.mor` model composed under the commit log, where
+        the DV becomes VISIBLE only when this transaction commits).
+        At 100 TB this is the GDPR-delete fast path: kilobytes of
+        sidecar against terabytes of table, the rewrite deferred to
+        the next DV-applying compaction.
+
+        Concurrency: MOR deletes COMMUTE with each other (position
+        subtraction is idempotent — overlapping concurrent DVs are
+        safe), never conflict with appends, and conflict exactly with
+        transactions that REMOVE a targeted file (their rewrite,
+        staged without this DV, would resurrect the deleted rows —
+        see :meth:`_validate_against` both directions).  Returns the
+        number of positions written."""
+        from .sinks import write_single_file
+
         root = pathlib.Path(self.path)
-        df = spark.read.parquet(*[str(root / f) for f in self._live])
+        if not self._live:
+            return 0
+        hits = self._snapshot_frame(spark).filter(
+            F.coalesce(predicate, F.lit(False))
+        ).select("_dv_file", "_dv_pos")
+        by_name = {pathlib.PurePosixPath(f).name: f for f in self._live}
+        targets = sorted(
+            by_name[r._dv_file]
+            for r in hits.select("_dv_file").distinct().collect()
+        )  # bounded by file count
+        if not targets:
+            return 0
+        name = f"{_DV_DIR}/dv-{uuid.uuid4().hex}.parquet"
+        (root / _DV_DIR).mkdir(parents=True, exist_ok=True)
+        write_single_file(hits, root / name)
+        self.actions.append(
+            {"op": "add_dv", "file": name, "targets": targets}
+        )
+        self.read_files.update(targets)
+        return spark.read.parquet(str(root / name)).count()
+
+    def compact(self, spark: SparkSession, n_files: int = 1) -> tuple[int, int]:
+        """Stage a compaction: every live file read, committed
+        deletion vectors APPLIED, and the survivors rewritten as
+        ``n_files`` — the OPTIMIZE contract under the log: one
+        generation move settles both the small-file debt and the
+        merge-on-read debt (the applied DV files are removed in the
+        same commit).  The whole live set enters the read set, so ANY
+        concurrent rewrite conflicts — and a concurrent MOR delete
+        conflicts too (its DV targets files this compaction removes;
+        the compaction's output, staged without that DV, would
+        resurrect the deleted rows).  Returns
+        (files_before, files_after)."""
+        root = pathlib.Path(self.path)
+        df = self._snapshot_frame(spark).drop("_dv_file", "_dv_pos")
         stage = root / f".stage-{uuid.uuid4().hex[:8]}"
         df.repartition(n_files).write.mode("overwrite").parquet(str(stage))
         added = 0
@@ -204,6 +371,9 @@ class Transaction:
         shutil.rmtree(stage)
         for f in self._live:
             self.actions.append({"op": "remove", "file": f})
+            self.read_files.add(f)
+        for f in self._dvs:
+            self.actions.append({"op": "remove_dv", "file": f})
             self.read_files.add(f)
         return len(self._live), added
 
@@ -261,10 +431,20 @@ class Transaction:
 
     def _validate_against(self, other: dict) -> None:
         theirs_removed = {
-            a["file"] for a in other["actions"] if a["op"] == "remove"
+            a["file"]
+            for a in other["actions"]
+            if a["op"] in ("remove", "remove_dv")
+        }
+        theirs_dv_targets = {
+            t
+            for a in other["actions"]
+            if a["op"] == "add_dv"
+            for t in a.get("targets", ())
         }
         ours_removed = {
-            a["file"] for a in self.actions if a["op"] == "remove"
+            a["file"]
+            for a in self.actions
+            if a["op"] in ("remove", "remove_dv")
         }
         clash = theirs_removed & (self.read_files | ours_removed)
         if clash:
@@ -272,6 +452,20 @@ class Transaction:
                 f"commit {other['version']} removed files this transaction "
                 f"read or removed: {sorted(clash)[:4]} — re-run against the "
                 f"current snapshot"
+            )
+        # the DV direction: they position-deleted from a file we are
+        # REMOVING — our staged rewrite/compaction was derived without
+        # their vector and would resurrect the rows it deletes.  (Two
+        # concurrent DVs never conflict: position subtraction is
+        # idempotent, and a DV against a file we merely READ is fine —
+        # snapshot isolation, their delete logically follows ours.)
+        dv_clash = theirs_dv_targets & ours_removed
+        if dv_clash:
+            raise CommitConflict(
+                f"commit {other['version']} added deletion vectors "
+                f"targeting files this transaction removes: "
+                f"{sorted(dv_clash)[:4]} — re-run against the current "
+                f"snapshot"
             )
 
 
@@ -291,14 +485,15 @@ def vacuum_orphans(path: str, min_age_sec: float = 300.0) -> int:
     referenced: set[str] = set()
     for v in range(1, latest_commit(path) + 1):
         for a in _read_commit(path, v)["actions"]:
-            if a["op"] == "add":
+            if a["op"] in ("add", "add_dv"):
                 referenced.add(a["file"])
     live_names = {pathlib.PurePosixPath(f).name for f in referenced}
     now = time.time()
     removed = 0
-    data = root / _DATA_DIR
-    if data.exists():
-        for p in data.glob("*.parquet"):
+    for d in (root / _DATA_DIR, root / _DV_DIR):
+        if not d.exists():
+            continue
+        for p in d.glob("*.parquet"):
             if p.name in live_names:
                 continue
             try:

@@ -19,6 +19,11 @@ story.  Round 10 lands:
   (IVM) aggregate refresh that must equal the direct recompute.
 - ``q_mor_compaction_purge`` — DV-aware compaction: OPTIMIZE folds
   the deletion vectors away in the same generation move.
+- ``q_lakehouse_mor_txn`` — deletion vectors, compaction and
+  checkpoints UNDER the commit log: MOR deletes as logged ``add_dv``
+  actions, the DV-vs-compaction conflict in both directions, the
+  transactional OPTIMIZE settling the vectors, checkpoint-bounded
+  replay.
 
 Reference parity note: the reference pipeline (glue_jobs/*.py) is
 append-only, single-writer, with no version or delete story; all four
@@ -536,6 +541,141 @@ def q_mor_compaction_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sorted_ok", F.lit(bool(sorted_ok)))
         .withColumn(
             "pruning_ok", F.lit(bool(1 <= scanned <= 3 and total_files == 4))
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_lakehouse_mor_txn",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, event_type, value, day(ts) AS day FROM events
+    ),
+    appended AS (
+      SELECT event_id + 100000000 AS event_id, event_type,
+             value * 2 AS value, day
+      FROM base WHERE day = 28
+    ),
+    final AS (
+      SELECT * FROM base WHERE NOT (value >= 300) AND NOT (value < 10)
+      UNION ALL
+      SELECT * FROM appended WHERE NOT (value < 10)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+               AS value_micros,
+           CAST(5 AS INT) AS final_version,
+           TRUE AS mor_metadata_only,
+           TRUE AS conflict_detected,
+           TRUE AS compaction_settled,
+           TRUE AS checkpoint_equivalent
+    FROM final
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=(
+        "lakehouse",
+        "transactions",
+        "deletion-vectors",
+        "compaction",
+        "extension",
+    ),
+)
+def q_lakehouse_mor_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE LAKEHOUSE PIECES UNDER ONE COMMIT LOG — deletion vectors,
+    compaction and checkpoints composed transactionally (the "one
+    coherent table story" VERDICT r9 asked for, beyond
+    ``q_lakehouse_txn``'s copy-on-write-only races):
+
+    1. v1 seeds 8 files; writer A stages a MERGE-ON-READ delete
+       (value ≥ 300) — ONE ``add_dv`` action, zero data files touched
+       (``mor_metadata_only``); writer B appends the day-28 rows
+       re-keyed.  Both commit without conflict (v2, v3): a DV against
+       a file another writer merely read never conflicts.
+    2. Writer C stages a DV-applying COMPACTION at v3; writer D lands
+       a second MOR delete (value < 10) at v4 first.  C's commit
+       RAISES: D's vector targets files C removes — C's staged
+       output, derived without D's vector, would silently resurrect
+       D's deletes (``conflict_detected``).  C's retry at v4 folds
+       BOTH vectors into 4 clean files and removes the DV actions in
+       the same commit v5 (``compaction_settled`` — the transactional
+       OPTIMIZE: live DV set empty, exactly 4 files).
+    3. A CHECKPOINT of v5 is written and the replayed state must
+       equal the checkpoint-resolved state (``checkpoint_equivalent``
+       — Delta's `_last_checkpoint` discipline keeping metadata reads
+       O(commits since checkpoint)).
+
+    The returned per-type aggregates read the FINAL table, so the
+    whole DV → append → conflict → retry → compact → checkpoint chain
+    must agree with the oracle's serial recompute (A logically before
+    B: appended rows with value ≥ 300 correctly survive A's
+    v1-snapshot vector)."""
+    from .. import lakehouse as lk
+
+    path = str(_SCRATCH / f"lakehouse_mor_{_tag(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", F.dayofmonth("ts").alias("day")
+    )
+    t0 = lk.Transaction(path)
+    t0.append(e.repartition(8))
+    assert t0.commit() == 1
+
+    a = lk.Transaction(path)  # both begin at v1
+    b = lk.Transaction(path)
+    a.delete_where_mor(spark, F.col("value") >= 300)
+    b.append(
+        e.filter(F.col("day") == 28).select(
+            (F.col("event_id") + 100000000).alias("event_id"),
+            "event_type",
+            (F.col("value") * 2).alias("value"),
+            "day",
+        )
+    )
+    mor_metadata_only = {x["op"] for x in a.actions} == {"add_dv"}
+    assert a.commit() == 2
+    assert b.commit() == 3  # DV against files b never removed: no conflict
+
+    c = lk.Transaction(path)  # both begin at v3
+    d = lk.Transaction(path)
+    c.compact(spark, n_files=4)
+    d.delete_where_mor(spark, F.col("value") < 10)
+    assert d.commit() == 4
+    conflict_detected = False
+    try:
+        c.commit()
+    except lk.CommitConflict:
+        conflict_detected = True
+    c2 = lk.Transaction(path)  # the retry folds BOTH vectors away
+    c2.compact(spark, n_files=4)
+    final_version = c2.commit()
+
+    v, live, dvs = lk._state(path)
+    compaction_settled = dvs == set() and len(live) == 4
+
+    pre = lk._state(path)
+    lk.write_checkpoint(path)
+    checkpoint_equivalent = lk._state(path) == pre and (
+        lk._latest_checkpoint(path, v) or {}
+    ).get("version") == v
+
+    return (
+        lk.read_table(spark, path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 1e6, 0).cast("long"))
+            .cast("long")
+            .alias("value_micros"),
+        )
+        .withColumn("final_version", F.lit(int(final_version)).cast("int"))
+        .withColumn("mor_metadata_only", F.lit(bool(mor_metadata_only)))
+        .withColumn("conflict_detected", F.lit(bool(conflict_detected)))
+        .withColumn("compaction_settled", F.lit(bool(compaction_settled)))
+        .withColumn(
+            "checkpoint_equivalent", F.lit(bool(checkpoint_equivalent))
         )
         .orderBy("event_type")
     )

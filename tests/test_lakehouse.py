@@ -180,3 +180,110 @@ def test_time_travel_and_vacuum(spark, tmp_path):
     (root / ".stage-dead").mkdir()
     assert lk.vacuum_orphans(path, min_age_sec=0.0) == 1
     assert lk.read_table(spark, path, version=1).count() == 30
+
+def test_mor_delete_under_log_is_metadata_only(spark, tmp_path):
+    path = _init(spark, tmp_path)
+    t = lk.Transaction(path)
+    n = t.delete_where_mor(spark, F.col("k") == 0)
+    assert n == 10
+    # staged: invisible until commit
+    assert lk.read_table(spark, path).count() == 30
+    t.commit()
+    assert lk.read_table(spark, path).count() == 20
+    # no data file was removed or added — pure sidecar
+    ops = {a["op"] for a in t.actions}
+    assert ops == {"add_dv"}
+    v, live, dvs = lk._state(path)
+    assert len(live) == 3 and len(dvs) == 1
+
+
+def test_concurrent_mor_deletes_commute(spark, tmp_path):
+    path = _init(spark, tmp_path)
+    a = lk.Transaction(path)
+    b = lk.Transaction(path)
+    a.delete_where_mor(spark, F.col("id") < 10)
+    b.delete_where_mor(spark, F.col("id") < 15)  # overlaps a
+    a.commit()
+    b.commit()  # no conflict: DVs are idempotent position subtraction
+    got = {r.id for r in lk.read_table(spark, path).collect()}
+    assert got == set(range(15, 30))
+
+
+def test_mor_delete_conflicts_with_compaction_both_orders(spark, tmp_path):
+    # order 1: MOR delete commits first, compaction must conflict
+    path = _init(spark, tmp_path)
+    c = lk.Transaction(path)
+    d = lk.Transaction(path)
+    c.compact(spark, n_files=1)
+    d.delete_where_mor(spark, F.col("id") == 0)
+    d.commit()
+    with pytest.raises(lk.CommitConflict):
+        c.commit()  # c's output was staged without d's vector
+    # order 2: compaction commits first, the staged DV must conflict
+    path2 = _init(spark, tmp_path / "o2")
+    c2 = lk.Transaction(path2)
+    d2 = lk.Transaction(path2)
+    c2.compact(spark, n_files=1)
+    d2.delete_where_mor(spark, F.col("id") == 0)
+    c2.commit()
+    with pytest.raises(lk.CommitConflict):
+        d2.commit()  # dv targets files the compaction removed
+
+
+def test_cow_rewrite_does_not_resurrect_dv_deletes(spark, tmp_path):
+    path = _init(spark, tmp_path)
+    t = lk.Transaction(path)
+    t.delete_where_mor(spark, F.col("k") == 0)
+    t.commit()
+    t2 = lk.Transaction(path)
+    assert t2.delete_where(spark, F.col("k") == 1) == 10
+    t2.commit()
+    got = {r.id for r in lk.read_table(spark, path).collect()}
+    assert got == {i for i in range(30) if i % 3 == 2}
+
+
+def test_compact_applies_and_drops_vectors(spark, tmp_path):
+    path = _init(spark, tmp_path)
+    t = lk.Transaction(path)
+    t.delete_where_mor(spark, F.col("id") < 10)
+    t.commit()
+    c = lk.Transaction(path)
+    before, after = c.compact(spark, n_files=1)
+    assert before == 3
+    c.commit()
+    v, live, dvs = lk._state(path)
+    assert dvs == set() and len(live) == after
+    got = {r.id for r in lk.read_table(spark, path).collect()}
+    assert got == set(range(10, 30))
+
+
+def test_checkpoint_bounds_replay_and_preserves_time_travel(spark, tmp_path):
+    path = _init(spark, tmp_path)
+    t = lk.Transaction(path)
+    t.delete_where_mor(spark, F.col("id") < 5)
+    t.commit()  # v2
+    ck = lk.write_checkpoint(path)
+    assert ck == 2
+    t2 = lk.Transaction(path)
+    t2.delete_where(spark, F.col("id") >= 25)
+    t2.commit()  # v3
+    # replay from the checkpoint
+    assert lk.read_table(spark, path).count() == 20
+    # time travel BEFORE the checkpoint still replays from scratch
+    assert lk.read_table(spark, path, version=1).count() == 30
+    assert lk.read_table(spark, path, version=2).count() == 25
+    # checkpoint state == full-replay state
+    import json as _json
+
+    ckf = pathlib.Path(path) / "_log" / "ckpt-00000002.json"
+    state = _json.loads(ckf.read_text())
+    v, live, dvs = lk._state(path, 2)
+    assert set(state["files"]) == live and set(state["dvs"]) == dvs
+
+
+def test_vacuum_sweeps_orphan_dv_files(spark, tmp_path):
+    path = _init(spark, tmp_path)
+    t = lk.Transaction(path)
+    t.delete_where_mor(spark, F.col("id") < 5)  # staged, never committed
+    assert lk.vacuum_orphans(path, min_age_sec=0.0) == 1
+    assert lk.read_table(spark, path).count() == 30

@@ -70,6 +70,7 @@ _SKIP = {
     "q_merge_on_read_updates",  # DV + reinsert sidecars + purge, eager
     "q_version_change_feed",  # commits three snapshot versions eagerly
     "q_mor_compaction_purge",  # stages layout + DVs, compacts eagerly
+    "q_lakehouse_mor_txn",  # five commits + conflict retry + checkpoint
 }
 
 #: BroadcastNestedLoopJoin allowlist: every entry is a join against a
