@@ -99,17 +99,32 @@ def _state(
     replay cost is O(commits since last checkpoint), not O(table
     lifetime) — the Delta `_last_checkpoint` discipline that keeps a
     100 TB table's snapshot resolution at metadata speed."""
+    v, live, dvs, _txns = _state_full(path, version)
+    return v, live, dvs
+
+
+def _state_full(
+    path: str, version: int | None = None
+) -> tuple[int, set[str], set[str], dict]:
+    """Like :func:`_state` plus the idempotent-writer high-water map
+    ``{txn_app: max committed txn_version}`` (Delta's
+    txnAppId/txnVersion bookkeeping, checkpoint-carried)."""
     v = latest_commit(path) if version is None else version
     live: set[str] = set()
     dvs: set[str] = set()
+    txns: dict[str, int] = {}
     start = 1
     ck = _latest_checkpoint(path, v)
     if ck is not None:
         live = set(ck["files"])
         dvs = set(ck["dvs"])
+        txns = dict(ck.get("txns", {}))
         start = ck["version"] + 1
     for i in range(start, v + 1):
         c = _read_commit(path, i)
+        t = c.get("txn")
+        if t:
+            txns[t["app"]] = max(txns.get(t["app"], -1), t["version"])
         for a in c["actions"]:
             if a["op"] == "add":
                 live.add(a["file"])
@@ -119,7 +134,15 @@ def _state(
                 dvs.add(a["file"])
             elif a["op"] == "remove_dv":
                 dvs.discard(a["file"])
-    return v, live, dvs
+    return v, live, dvs, txns
+
+
+def last_txn_version(path: str, app: str) -> int:
+    """Highest committed ``txn_version`` for idempotent-writer ``app``
+    (−1 = never committed) — what a restarting exactly-once stream
+    consults implicitly via :meth:`Transaction.commit`'s dedupe."""
+    _v, _live, _dvs, txns = _state_full(path)
+    return txns.get(app, -1)
 
 
 def snapshot(path: str, version: int | None = None) -> tuple[int, list[str]]:
@@ -138,12 +161,17 @@ def write_checkpoint(path: str) -> int:
     so the plain-rename race (two writers checkpointing the same
     version) is harmless: both write identical bytes.  Returns the
     checkpointed version."""
-    v, live, dvs = _state(path)
+    v, live, dvs, txns = _state_full(path)
     log = pathlib.Path(path) / _LOG_DIR
     tmp = log / f".ckpt-tmp-{uuid.uuid4().hex[:8]}"
     tmp.write_text(
         json.dumps(
-            {"version": v, "files": sorted(live), "dvs": sorted(dvs)},
+            {
+                "version": v,
+                "files": sorted(live),
+                "dvs": sorted(dvs),
+                "txns": txns,
+            },
             indent=1,
         )
     )
@@ -210,7 +238,18 @@ class Transaction:
     the READ set (files whose contents this transaction's rewrites
     were derived from) — the conflict-detection input."""
 
-    def __init__(self, path: str):
+    def __init__(
+        self,
+        path: str,
+        txn_app: str | None = None,
+        txn_version: int | None = None,
+    ):
+        """``txn_app``/``txn_version`` declare an IDEMPOTENT writer
+        identity (Delta's txnAppId/txnVersion): if a commit with the
+        same app and a >= version already landed, :meth:`commit`
+        SKIPS (returns None) instead of double-applying — the
+        exactly-once contract a restarting foreachBatch stream needs
+        when its checkpoint acks lag its sink commits."""
         self.path = str(path)
         self.read_version, live, dvs = _state(path)
         self._live = sorted(live)
@@ -218,6 +257,10 @@ class Transaction:
         self.actions: list[dict] = []
         self.read_files: set[str] = set()
         self._committed = False
+        if (txn_app is None) != (txn_version is None):
+            raise ValueError("txn_app and txn_version come together")
+        self.txn_app = txn_app
+        self.txn_version = txn_version
 
     def _snapshot_frame(self, spark: SparkSession) -> DataFrame:
         """The table as of THIS transaction's snapshot, with row
@@ -380,9 +423,12 @@ class Transaction:
 
     # -- commit ---------------------------------------------------------
 
-    def commit(self, _unsafe_blind: bool = False) -> int:
+    def commit(self, _unsafe_blind: bool = False) -> int | None:
         """Atomically claim the next log slot, validating every commit
-        that landed since this transaction's snapshot first.
+        that landed since this transaction's snapshot first.  With a
+        txn identity set, a duplicate (same app, version already
+        committed) SKIPS and returns None — exactly-once for replayed
+        micro-batches.
 
         The slot claim is ``os.link`` (exclusive create — unlike
         ``os.rename``, which silently REPLACES an existing file and
@@ -402,23 +448,34 @@ class Transaction:
         log.mkdir(parents=True, exist_ok=True)
         checked = self.read_version
         while True:
+            # idempotence gate INSIDE the retry loop: the duplicate we
+            # are deduping against may land between checks (a racing
+            # replay of the same batch)
+            if (
+                self.txn_app is not None
+                and last_txn_version(self.path, self.txn_app)
+                >= self.txn_version
+            ):
+                self._committed = True
+                return None  # already applied: skip, don't double-commit
             latest = latest_commit(self.path)
             if not _unsafe_blind:
                 for v in range(checked + 1, latest + 1):
                     self._validate_against(_read_commit(self.path, v))
             checked = max(checked, latest)
             target = latest + 1
+            body = {
+                "version": target,
+                "read_version": self.read_version,
+                "actions": self.actions,
+            }
+            if self.txn_app is not None:
+                body["txn"] = {
+                    "app": self.txn_app,
+                    "version": self.txn_version,
+                }
             tmp = log / f".tmp-{uuid.uuid4().hex[:8]}"
-            tmp.write_text(
-                json.dumps(
-                    {
-                        "version": target,
-                        "read_version": self.read_version,
-                        "actions": self.actions,
-                    },
-                    indent=1,
-                )
-            )
+            tmp.write_text(json.dumps(body, indent=1))
             try:
                 os.link(tmp, log / f"{target:08d}.json")
             except FileExistsError:

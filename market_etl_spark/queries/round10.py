@@ -24,6 +24,9 @@ story.  Round 10 lands:
   actions, the DV-vs-compaction conflict in both directions, the
   transactional OPTIMIZE settling the vectors, checkpoint-bounded
   replay.
+- ``q_streaming_lakehouse_sink`` — exactly-once streaming appends via
+  txn identities (Delta txnAppId/txnVersion): duplicate batch applies
+  and full fresh-checkpoint reprocesses both dedupe.
 
 Reference parity note: the reference pipeline (glue_jobs/*.py) is
 append-only, single-writer, with no version or delete story; all four
@@ -677,5 +680,117 @@ def q_lakehouse_mor_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "checkpoint_equivalent", F.lit(bool(checkpoint_equivalent))
         )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_streaming_lakehouse_sink",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+               AS value_micros,
+           TRUE AS replay_skipped,
+           TRUE AS restart_idempotent
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("streaming", "lakehouse", "exactly-once", "extension"),
+)
+def q_streaming_lakehouse_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE STREAMING SINK into the commit log — Delta's
+    txnAppId/txnVersion idempotent-writes contract: a foreachBatch
+    stream appends each micro-batch as a transaction carrying
+    ``(app, batch_id)``; the log skips any commit whose identity
+    already landed, so the two replay hazards a file-checkpoint sink
+    cannot survive both become no-ops:
+
+    1. ``replay_skipped`` — a duplicate apply of an already-committed
+       batch id (the crash-between-sink-commit-and-checkpoint-ack
+       case: Spark re-runs the batch on restart) stages its files but
+       SKIPS the commit (returns None) — row counts, micros and the
+       log version all unchanged; the staged orphans are exactly what
+       :func:`..lakehouse.vacuum_orphans` sweeps.
+    2. ``restart_idempotent`` — a full reprocess from a FRESH
+       checkpoint (losing the source's progress state entirely)
+       replays every batch; all four commits dedupe and the table is
+       byte-identical.  Without the txn identity this doubles the
+       table — exactly the silent corruption mode of plain
+       append-to-parquet streaming sinks.
+
+    The four micro-batches are the events table range-split on ts
+    with pinned mtimes (the multibatch zone discipline), so the final
+    table must equal the oracle's plain full-table aggregate."""
+    from .. import lakehouse as lk
+    from ..streaming import read_events_stream_multibatch
+
+    tag = _tag(sf_dir)
+    path = str(_SCRATCH / f"lakehouse_sink_{tag}")
+    ck1 = str(_SCRATCH / f"lakehouse_sink_ck1_{tag}")
+    ck2 = str(_SCRATCH / f"lakehouse_sink_ck2_{tag}")
+    for p in (path, ck1, ck2):
+        shutil.rmtree(p, ignore_errors=True)
+
+    stream = read_events_stream_multibatch(spark, sf_dir, n_files=4)
+
+    def apply(batch_df, batch_id):
+        t = lk.Transaction(path, txn_app="events_sink", txn_version=batch_id)
+        t.append(batch_df)
+        t.commit()
+
+    (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", ck1)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    v_after = lk.latest_commit(path)
+    n_after = lk.read_table(spark, path).count()
+
+    # hazard 1: duplicate apply of a committed batch id
+    dup = lk.Transaction(path, txn_app="events_sink", txn_version=v_after - 1)
+    dup.append(
+        spark.range(1).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit(None).cast("timestamp").alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("poison").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+    )
+    replay_skipped = (
+        dup.commit() is None
+        and lk.latest_commit(path) == v_after
+        and lk.read_table(spark, path).count() == n_after
+    )
+
+    # hazard 2: full reprocess from a fresh checkpoint
+    (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", ck2)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    restart_idempotent = (
+        lk.latest_commit(path) == v_after
+        and lk.read_table(spark, path).count() == n_after
+    )
+
+    return (
+        lk.read_table(spark, path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 1e6, 0).cast("long"))
+            .cast("long")
+            .alias("value_micros"),
+        )
+        .withColumn("replay_skipped", F.lit(bool(replay_skipped)))
+        .withColumn("restart_idempotent", F.lit(bool(restart_idempotent)))
         .orderBy("event_type")
     )

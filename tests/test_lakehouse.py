@@ -287,3 +287,48 @@ def test_vacuum_sweeps_orphan_dv_files(spark, tmp_path):
     t.delete_where_mor(spark, F.col("id") < 5)  # staged, never committed
     assert lk.vacuum_orphans(path, min_age_sec=0.0) == 1
     assert lk.read_table(spark, path).count() == 30
+
+
+def test_txn_identity_dedupes_replayed_commits(spark, tmp_path):
+    """Delta's txnAppId/txnVersion: a replayed batch (same app, same
+    or older version) skips; a newer version applies; other apps are
+    independent."""
+    path = str(tmp_path / "t")
+    t = lk.Transaction(path, txn_app="s", txn_version=0)
+    t.append(spark.createDataFrame([(1,)], "id long"))
+    assert t.commit() == 1
+    # replay of version 0: skipped
+    r = lk.Transaction(path, txn_app="s", txn_version=0)
+    r.append(spark.createDataFrame([(99,)], "id long"))
+    assert r.commit() is None
+    assert lk.read_table(spark, path).count() == 1
+    # next version applies
+    n = lk.Transaction(path, txn_app="s", txn_version=1)
+    n.append(spark.createDataFrame([(2,)], "id long"))
+    assert n.commit() == 2
+    # an OLDER version after a newer one: still skipped (high-water)
+    o = lk.Transaction(path, txn_app="s", txn_version=0)
+    o.append(spark.createDataFrame([(98,)], "id long"))
+    assert o.commit() is None
+    # a different app is independent
+    other = lk.Transaction(path, txn_app="s2", txn_version=0)
+    other.append(spark.createDataFrame([(3,)], "id long"))
+    assert other.commit() == 3
+    assert lk.read_table(spark, path).count() == 3
+    assert lk.last_txn_version(path, "s") == 1
+    assert lk.last_txn_version(path, "s2") == 0
+    assert lk.last_txn_version(path, "nope") == -1
+
+
+def test_txn_high_water_survives_checkpoint(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = lk.Transaction(path, txn_app="s", txn_version=7)
+    t.append(spark.createDataFrame([(1,)], "id long"))
+    t.commit()
+    lk.write_checkpoint(path)
+    # replay resolved THROUGH the checkpoint, not just the log tail
+    assert lk.last_txn_version(path, "s") == 7
+    r = lk.Transaction(path, txn_app="s", txn_version=7)
+    r.append(spark.createDataFrame([(2,)], "id long"))
+    assert r.commit() is None
+    assert lk.read_table(spark, path).count() == 1
