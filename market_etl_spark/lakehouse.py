@@ -197,12 +197,10 @@ def _latest_checkpoint(path: str, max_version: int) -> dict | None:
 
 
 def _with_addresses(spark: SparkSession, root: pathlib.Path, files) -> DataFrame:
-    return spark.read.parquet(*[str(root / f) for f in sorted(files)]).select(
-        "*",
-        F.element_at(
-            F.split(F.col("_metadata.file_path"), "/"), -1
-        ).alias("_dv_file"),
-        F.col("_metadata.row_index").alias("_dv_pos"),
+    from .mor import with_row_addresses
+
+    return with_row_addresses(
+        spark.read.parquet(*[str(root / f) for f in sorted(files)])
     )
 
 
@@ -251,16 +249,40 @@ class Transaction:
         exactly-once contract a restarting foreachBatch stream needs
         when its checkpoint acks lag its sink commits."""
         self.path = str(path)
-        self.read_version, live, dvs = _state(path)
+        self.read_version, live, dvs, txns = _state_full(path)
         self._live = sorted(live)
         self._dvs = sorted(dvs)
         self.actions: list[dict] = []
         self.read_files: set[str] = set()
         self._committed = False
+        self._rewrote = False
         if (txn_app is None) != (txn_version is None):
             raise ValueError("txn_app and txn_version come together")
         self.txn_app = txn_app
         self.txn_version = txn_version
+        # snapshot-carried idempotence high-water: commit() folds in
+        # only the commits AFTER read_version instead of replaying the
+        # whole log per attempt (review r10 finding 8)
+        self._txn_highwater = (
+            txns.get(txn_app, -1) if txn_app is not None else -1
+        )
+
+    def _require_first_rewrite(self, op: str) -> None:
+        """Staging ops that REWRITE (delete_where, compact) derive
+        from the begin snapshot and know nothing about files this same
+        transaction already staged — a second rewrite would stage a
+        second replacement for the same source files and the replay
+        would keep BOTH (duplicated survivors, resurrected deletes —
+        review r10 finding 2).  One rewrite per transaction; appends
+        compose freely and MOR deletes compose with everything
+        (position subtraction is idempotent)."""
+        if self._rewrote:
+            raise ValueError(
+                f"cannot stage {op}: this transaction already staged a "
+                f"rewrite — one rewriting operation per transaction "
+                f"(commit and start a new one)"
+            )
+        self._rewrote = True
 
     def _snapshot_frame(self, spark: SparkSession) -> DataFrame:
         """The table as of THIS transaction's snapshot, with row
@@ -312,6 +334,7 @@ class Transaction:
         root = pathlib.Path(self.path)
         if not self._live:
             return 0
+        self._require_first_rewrite("delete_where")
         df = self._snapshot_frame(spark)
         hit = F.coalesce(predicate, F.lit(False))
         # one pass over the predicate columns: per-file hit counts
@@ -402,6 +425,7 @@ class Transaction:
         resurrect the deleted rows).  Returns
         (files_before, files_after)."""
         root = pathlib.Path(self.path)
+        self._require_first_rewrite("compact")
         df = self._snapshot_frame(spark).drop("_dv_file", "_dv_pos")
         stage = root / f".stage-{uuid.uuid4().hex[:8]}"
         df.repartition(n_files).write.mode("overwrite").parquet(str(stage))
@@ -448,21 +472,36 @@ class Transaction:
         log.mkdir(parents=True, exist_ok=True)
         checked = self.read_version
         while True:
-            # idempotence gate INSIDE the retry loop: the duplicate we
-            # are deduping against may land between checks (a racing
-            # replay of the same batch)
+            # idempotence gate INSIDE the retry loop, fed from the
+            # snapshot-carried high-water PLUS every commit scanned
+            # below — so a duplicate landing between iterations is
+            # caught on the next pass without replaying the whole log
+            # (review r10 findings 1 + 8)
             if (
                 self.txn_app is not None
-                and last_txn_version(self.path, self.txn_app)
-                >= self.txn_version
+                and self._txn_highwater >= self.txn_version
             ):
                 self._committed = True
                 return None  # already applied: skip, don't double-commit
             latest = latest_commit(self.path)
-            if not _unsafe_blind:
-                for v in range(checked + 1, latest + 1):
-                    self._validate_against(_read_commit(self.path, v))
+            for v in range(checked + 1, latest + 1):
+                other = _read_commit(self.path, v)
+                t = other.get("txn")
+                if self.txn_app is not None and t and t["app"] == self.txn_app:
+                    self._txn_highwater = max(
+                        self._txn_highwater, t["version"]
+                    )
+                if not _unsafe_blind:
+                    self._validate_against(other)
             checked = max(checked, latest)
+            if (
+                self.txn_app is not None
+                and self._txn_highwater >= self.txn_version
+            ):
+                # the duplicate landed since our snapshot (the racing
+                # replay of the same batch) — skip, don't double-apply
+                self._committed = True
+                return None
             target = latest + 1
             body = {
                 "version": target,
@@ -547,25 +586,40 @@ def vacuum_orphans(path: str, min_age_sec: float = 300.0) -> int:
     live_names = {pathlib.PurePosixPath(f).name for f in referenced}
     now = time.time()
     removed = 0
+
+    def _old(p: pathlib.Path) -> bool:
+        try:
+            return now - p.stat().st_mtime >= min_age_sec
+        except OSError:
+            return False
+
     for d in (root / _DATA_DIR, root / _DV_DIR):
         if not d.exists():
             continue
         for p in d.glob("*.parquet"):
-            if p.name in live_names:
+            if p.name in live_names or not _old(p):
                 continue
-            try:
-                old = now - p.stat().st_mtime >= min_age_sec
-            except OSError:
-                continue
-            if old:
-                p.unlink()
+            p.unlink()
+            removed += 1
+        # write_single_file staging dirs a crash left mid-rename
+        for p in d.glob("_tmp_*"):
+            if _old(p):
+                shutil.rmtree(p, ignore_errors=True)
                 removed += 1
     for p in root.glob(".stage-*"):
-        try:
-            old = now - p.stat().st_mtime >= min_age_sec
-        except OSError:
-            continue
-        if old:
+        if _old(p):
             shutil.rmtree(p, ignore_errors=True)
             removed += 1
+    log = root / _LOG_DIR
+    if log.exists():
+        # commit bodies stranded between write_text and os.link, and
+        # checkpoint staging left between write_text and rename
+        for pat in (".tmp-*", ".ckpt-tmp-*"):
+            for p in log.glob(pat):
+                if _old(p):
+                    try:
+                        p.unlink()
+                        removed += 1
+                    except OSError:
+                        pass
     return removed

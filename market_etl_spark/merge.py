@@ -313,12 +313,19 @@ def _step_changes(
     compare_cols = compare_cols or [
         c for c in new.columns if c not in key_cols
     ]
+    # key-only tables (membership sets) have nothing to compare:
+    # every matched key is "unchanged", the feed is pure
+    # inserts/deletes — hash a constant instead of crashing
+    # (xxhash64 requires ≥1 argument; review r10 finding 6)
+    cmp_exprs = [F.col(c) for c in compare_cols] or [
+        F.lit(0).alias("_none")
+    ]
 
     def side(df: DataFrame, tag: str) -> DataFrame:
         return df.select(
             *key_cols,
-            F.struct(*[F.col(c) for c in compare_cols]).alias("_row"),
-            F.xxhash64(*[F.col(c) for c in compare_cols]).alias("_h"),
+            F.struct(*cmp_exprs).alias("_row"),
+            F.xxhash64(*cmp_exprs).alias("_h"),
             F.lit(tag).alias("_side"),
         )
 

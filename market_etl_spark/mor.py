@@ -41,6 +41,24 @@ _DV_DIR = "_deletes"
 _UPD_DIR = "_updates"
 
 
+def with_row_addresses(df: DataFrame) -> DataFrame:
+    """THE single definition of the row-address projection every
+    deletion-vector writer and reader shares: ``_dv_file`` = the part
+    file's BASENAME (root-independent — survives moves/renames/
+    URI-encoding quirks; unique within a table via the part-name
+    UUID), ``_dv_pos`` = the scan row index.  One definition so the
+    key format can never drift between a writer and a reader
+    (callers: this module, :mod:`.lakehouse`, and the DV-applying
+    compaction in :mod:`.sinks`)."""
+    return df.select(
+        "*",
+        F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1
+        ).alias("_dv_file"),
+        F.col("_metadata.row_index").alias("_dv_pos"),
+    )
+
+
 def write_deletion_vector(
     spark: SparkSession, table_path: str, predicate
 ) -> int:
@@ -58,6 +76,7 @@ def write_deletion_vector(
     )
     out = pathlib.Path(table_path) / _DV_DIR
     out.mkdir(parents=True, exist_ok=True)
+    _mark_dv_format(out)
     dest = out / f"dv-{uuid.uuid4().hex[:8]}.parquet"
     write_single_file(hits, dest)
     return spark.read.parquet(str(dest)).count()
@@ -110,6 +129,7 @@ def write_update_vector(
     write_single_file(rewritten, upd_dir / f"upd-{upd_id}.parquet")
     dv_dir = pathlib.Path(table_path) / _DV_DIR
     dv_dir.mkdir(parents=True, exist_ok=True)
+    _mark_dv_format(dv_dir)
     write_single_file(  # THE commit point
         hits.select("_dv_file", "_dv_pos"),
         dv_dir / f"dv-upd-{upd_id}.parquet",
@@ -156,13 +176,7 @@ def _with_positions(spark: SparkSession, table_path: str) -> DataFrame:
     resurrecting every delete after a table move — review r10/ADVICE
     r9).  Appended reinsert files (:func:`write_update_vector`) use
     their own UUID names, so they can never collide with base files."""
-    return spark.read.parquet(table_path).select(
-        "*",
-        F.element_at(
-            F.split(F.col("_metadata.file_path"), "/"), -1
-        ).alias("_dv_file"),
-        F.col("_metadata.row_index").alias("_dv_pos"),
-    )
+    return with_row_addresses(spark.read.parquet(table_path))
 
 
 def _live_with_positions(spark: SparkSession, table_path: str) -> DataFrame:
@@ -174,14 +188,9 @@ def _live_with_positions(spark: SparkSession, table_path: str) -> DataFrame:
     live = _with_positions(spark, table_path)
     upd = _committed_update_files(table_path)
     if upd:
-        reins = spark.read.parquet(*upd).select(
-            "*",
-            F.element_at(
-                F.split(F.col("_metadata.file_path"), "/"), -1
-            ).alias("_dv_file"),
-            F.col("_metadata.row_index").alias("_dv_pos"),
+        live = live.unionByName(
+            with_row_addresses(spark.read.parquet(*upd))
         )
-        live = live.unionByName(reins)
     dvs = _read_dvs(spark, table_path)
     if dvs is not None:
         live = live.join(
@@ -206,10 +215,34 @@ def _committed_update_files(table_path: str) -> list[str]:
     return out
 
 
+#: On-disk DV key format id.  v2 = (part-file basename, row_index);
+#: v1 (rounds ≤9) keyed a root-relative path suffix.  The marker turns
+#: a format mismatch into a LOUD error — without it, reading v1
+#: sidecars through a v2 reader silently matches nothing and every
+#: deleted row resurrects (review r10 finding 3).
+_DV_FORMAT = "dv-keys=basename,v2"
+
+
+def _mark_dv_format(dv_dir: pathlib.Path) -> None:
+    marker = dv_dir / "_FORMAT"
+    if not marker.exists():
+        marker.write_text(_DV_FORMAT + "\n")
+
+
 def _read_dvs(spark: SparkSession, table_path: str) -> DataFrame | None:
     dv_dir = pathlib.Path(table_path) / _DV_DIR
     if not any(dv_dir.glob("dv-*.parquet")):
         return None
+    marker = dv_dir / "_FORMAT"
+    found = marker.read_text().strip() if marker.exists() else "absent"
+    if found != _DV_FORMAT:
+        raise ValueError(
+            f"deletion-vector format mismatch at {table_path}: sidecars "
+            f"declare {found!r}, this reader expects {_DV_FORMAT!r} — "
+            f"reading on would silently resurrect deleted rows; "
+            f"re-key the sidecars (purge with the writing release, "
+            f"then re-apply deletes) before reading with this one"
+        )
     return spark.read.parquet(
         *[str(p) for p in sorted(dv_dir.glob("dv-*.parquet"))]
     ).select("_dv_file", "_dv_pos")

@@ -57,7 +57,7 @@ def _tag(sf_dir: str) -> str:
       SELECT event_id, event_type, value, day(ts) AS day FROM events
     ),
     appended AS (
-      SELECT event_id + 100000000 AS event_id, event_type,
+      SELECT -(event_id + 1) AS event_id, event_type,
              value * 2 AS value, day
       FROM base WHERE day = 28
     ),
@@ -128,7 +128,7 @@ def q_lakehouse_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     a.delete_where(spark, F.col("value") >= 300)
     b.append(
         e.filter(F.col("day") == 28).select(
-            (F.col("event_id") + 100000000).alias("event_id"),
+            (-(F.col("event_id") + 1)).alias("event_id"),
             "event_type",
             (F.col("value") * 2).alias("value"),
             "day",
@@ -155,7 +155,7 @@ def q_lakehouse_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     final = lk.read_table(spark, path)
     appended = e.filter(F.col("day") == 28).select(
-        (F.col("event_id") + 100000000).alias("event_id"),
+        (-(F.col("event_id") + 1)).alias("event_id"),
         "event_type",
         (F.col("value") * 2).alias("value"),
         "day",
@@ -300,7 +300,7 @@ def q_merge_on_read_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
              bal + CASE WHEN seg = 'BUILDING' THEN 100.0 ELSE 0.0 END AS bal
       FROM v1 WHERE k % 7 <> 0
       UNION ALL
-      SELECT k + 1000000 AS k, 'NEWSEG' AS seg, bal * 2 AS bal
+      SELECT -k AS k, 'NEWSEG' AS seg, bal * 2 AS bal
       FROM v1 WHERE k % 11 = 0
     ),
     v3 AS (
@@ -351,7 +351,9 @@ def q_version_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``readChangeFeed`` shape over the versioned snapshot store,
     closing VERDICT r9 item 3: three committed snapshots of the
     customer dimension (v2 deletes every 7th key, bumps BUILDING
-    balances, inserts re-keyed rows for every 11th key; v3 deletes
+    balances, inserts NEGATED-key rows for every 11th key (negation keeps
+    the insert key domain disjoint from real custkeys at EVERY scale
+    factor — review r10 finding 4); v3 deletes
     every 13th surviving key and docks AUTOMOBILE balances), then
     :func:`..merge.read_changes` (1, 3] emits full-row records tagged
     ``insert`` / ``delete`` / ``update_preimage`` /
@@ -388,7 +390,7 @@ def q_version_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             v1.filter(F.col("k") % 11 == 0).select(
-                (F.col("k") + 1000000).alias("k"),
+                (-F.col("k")).alias("k"),
                 F.lit("NEWSEG").alias("seg"),
                 (F.col("bal") * 2).alias("bal"),
             )
@@ -556,7 +558,7 @@ def q_mor_compaction_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id, event_type, value, day(ts) AS day FROM events
     ),
     appended AS (
-      SELECT event_id + 100000000 AS event_id, event_type,
+      SELECT -(event_id + 1) AS event_id, event_type,
              value * 2 AS value, day
       FROM base WHERE day = 28
     ),
@@ -631,7 +633,7 @@ def q_lakehouse_mor_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     a.delete_where_mor(spark, F.col("value") >= 300)
     b.append(
         e.filter(F.col("day") == 28).select(
-            (F.col("event_id") + 100000000).alias("event_id"),
+            (-(F.col("event_id") + 1)).alias("event_id"),
             "event_type",
             (F.col("value") * 2).alias("value"),
             "day",

@@ -615,15 +615,13 @@ def compact_manifested(
     for b, files in sorted(bins.items()):
         bin_df = spark.read.parquet(*files)
         if dvs is not None:
-            bin_df = bin_df.select(
-                "*",
-                F.element_at(
-                    F.split(F.col("_metadata.file_path"), "/"), -1
-                ).alias("_dv_file"),
-                F.col("_metadata.row_index").alias("_dv_pos"),
-            ).join(
-                F.broadcast(dvs), ["_dv_file", "_dv_pos"], "left_anti"
-            ).drop("_dv_file", "_dv_pos")
+            from .mor import with_row_addresses
+
+            bin_df = (
+                with_row_addresses(bin_df)
+                .join(F.broadcast(dvs), ["_dv_file", "_dv_pos"], "left_anti")
+                .drop("_dv_file", "_dv_pos")
+            )
         # single partition FIRST, then sort: sortWithinPartitions
         # before the single-file coalesce only yields sorted RUNS
         # concatenated in scan-split order, which widens row-group

@@ -332,3 +332,50 @@ def test_txn_high_water_survives_checkpoint(spark, tmp_path):
     r.append(spark.createDataFrame([(2,)], "id long"))
     assert r.commit() is None
     assert lk.read_table(spark, path).count() == 1
+
+
+def test_second_rewrite_in_one_transaction_refused(spark, tmp_path):
+    """Two rewrites in one txn would stage two replacements for the
+    same source files and replay would keep both (duplicated
+    survivors) — refused loudly (review r10)."""
+    path = _init(spark, tmp_path, files=1)
+    t = lk.Transaction(path)
+    t.delete_where(spark, F.col("k") == 0)
+    with pytest.raises(ValueError, match="one rewriting operation"):
+        t.delete_where(spark, F.col("k") == 1)
+    t2 = lk.Transaction(path)
+    t2.compact(spark)
+    with pytest.raises(ValueError, match="one rewriting operation"):
+        t2.delete_where(spark, F.col("k") == 1)
+    # MOR deletes compose: idempotent position subtraction
+    t3 = lk.Transaction(path)
+    t3.delete_where_mor(spark, F.col("k") == 0)
+    t3.delete_where_mor(spark, F.col("k") == 1)
+    t3.commit()
+    got = {r.id for r in lk.read_table(spark, path).collect()}
+    assert got == {i for i in range(30) if i % 3 == 2}
+
+
+def test_txn_duplicate_landing_after_begin_is_caught(spark, tmp_path):
+    """The replay race: both duplicates constructed BEFORE either
+    commits — the loser must fold the winner's txn identity out of
+    the commits it scans, not just its begin snapshot (review r10)."""
+    path = _init(spark, tmp_path)
+    t1 = lk.Transaction(path, txn_app="s", txn_version=0)
+    t2 = lk.Transaction(path, txn_app="s", txn_version=0)
+    t1.append(spark.createDataFrame([(100,)], "id long"))
+    t2.append(spark.createDataFrame([(100,)], "id long"))
+    assert t1.commit() == 2
+    assert t2.commit() is None  # dup seen in the scanned commits
+    assert lk.read_table(spark, path).count() == 31
+
+
+def test_vacuum_sweeps_all_crash_debris_classes(spark, tmp_path):
+    path = _init(spark, tmp_path)
+    root = pathlib.Path(path)
+    (root / "data" / "_tmp_deadbeef").mkdir(parents=True)
+    (root / "_log" / ".tmp-deadbeef").write_text("{}")
+    (root / "_log" / ".ckpt-tmp-dead").write_text("{}")
+    (root / ".stage-dead").mkdir()
+    assert lk.vacuum_orphans(path, min_age_sec=0.0) == 4
+    assert lk.read_table(spark, path).count() == 30

@@ -433,3 +433,20 @@ def test_read_changes_cdf_shape_and_ivm_refresh(spark, tmp_path):
         .collect()
     }
     assert refreshed == direct
+
+
+def test_read_changes_key_only_table(spark, tmp_path):
+    """A membership table (no non-key columns) yields a pure
+    insert/delete feed instead of crashing on an empty hash arg list
+    (review r10)."""
+    from market_etl_spark.merge import read_changes
+    from market_etl_spark.sinks import write_versioned
+
+    path = str(tmp_path / "store")
+    write_versioned(spark.createDataFrame([(1,), (2,)], "k long"), path)
+    write_versioned(spark.createDataFrame([(2,), (3,)], "k long"), path)
+    got = {
+        (r.k, r._change_type)
+        for r in read_changes(spark, path, 1, 2, ["k"]).collect()
+    }
+    assert got == {(1, "delete"), (3, "insert")}

@@ -154,3 +154,21 @@ def test_orphan_reinsert_is_invisible(spark, tmp_path):
     part.rename(upd / "upd-deadbeef.parquet")
     got = {r.id for r in mor.read_with_deletes(spark, path).collect()}
     assert got == set(range(30))
+
+
+def test_dv_format_mismatch_fails_loudly(spark, tmp_path):
+    """A v1-keyed (or unmarked) sidecar directory must ERROR, not
+    silently resurrect deletes, when read by the basename-keyed
+    reader (review r10)."""
+    import pytest
+
+    path = _base(spark, tmp_path)
+    mor.write_deletion_vector(spark, path, F.col("k") == 0)
+    marker = pathlib.Path(path) / "_deletes" / "_FORMAT"
+    assert marker.read_text().startswith("dv-keys=basename,v2")
+    marker.write_text("dv-keys=root-relative,v1\n")
+    with pytest.raises(ValueError, match="format mismatch"):
+        mor.read_with_deletes(spark, path).count()
+    marker.unlink()
+    with pytest.raises(ValueError, match="format mismatch"):
+        mor.read_with_deletes(spark, path).count()
