@@ -379,3 +379,50 @@ def test_vacuum_sweeps_all_crash_debris_classes(spark, tmp_path):
     (root / ".stage-dead").mkdir()
     assert lk.vacuum_orphans(path, min_age_sec=0.0) == 4
     assert lk.read_table(spark, path).count() == 30
+
+
+def test_many_threads_racing_commits_all_land(spark, tmp_path):
+    """REAL slot races: 6 writer threads, 3 appends each, all against
+    the same table with no external coordination — os.link exclusivity
+    is the only arbiter.  Every commit must land in a unique slot, no
+    appends lost, no duplicates (the sequential tests can't exercise
+    the link-EEXIST retry under genuine contention)."""
+    import threading
+
+    path = _init(spark, tmp_path)  # 30-row baseline; races on top
+    results: list[int] = []
+    errors: list[Exception] = []
+    lock = threading.Lock()
+
+    def writer(wid: int) -> None:
+        try:
+            for j in range(3):
+                t = lk.Transaction(path, txn_app=f"w{wid}", txn_version=j)
+                t.append(
+                    spark.createDataFrame(
+                        [(1000 + wid * 10 + j, 0, 0.0)],
+                        "id long, k int, v double",
+                    )
+                )
+                v = t.commit()
+                with lock:
+                    results.append(v)
+        except Exception as e:  # pragma: no cover - surfaced below
+            with lock:
+                errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(6)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    # 18 commits, all unique slots 2..19, none skipped as duplicates
+    assert len(results) == 18 and None not in results
+    assert sorted(results) == list(range(2, 20))
+    got = [r.id for r in lk.read_table(spark, path).collect()]
+    added = [i for i in got if i >= 1000]
+    assert len(added) == 18 and len(set(added)) == 18
+    # per-app txn high-waters all reached version 2
+    for w in range(6):
+        assert lk.last_txn_version(path, f"w{w}") == 2
