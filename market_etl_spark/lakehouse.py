@@ -75,6 +75,19 @@ class CommitConflict(Exception):
     work)."""
 
 
+class ConstraintViolation(Exception):
+    """An append carried rows a CHECK constraint rejects (expression
+    FALSE; NULL passes, SQL CHECK semantics), or ADD CONSTRAINT found
+    existing rows that violate it.  Nothing visible was staged."""
+
+
+class SchemaMismatch(Exception):
+    """An append's schema does not match the table's committed schema
+    (missing columns, or a type change on an existing column) — the
+    Delta schema-enforcement contract.  NEW columns are accepted only
+    with ``evolve_schema=True``."""
+
+
 def latest_commit(path: str) -> int:
     """Highest committed version (0 = uninitialized table)."""
     log = pathlib.Path(path) / _LOG_DIR
@@ -99,26 +112,30 @@ def _state(
     replay cost is O(commits since last checkpoint), not O(table
     lifetime) — the Delta `_last_checkpoint` discipline that keeps a
     100 TB table's snapshot resolution at metadata speed."""
-    v, live, dvs, _txns = _state_full(path, version)
+    v, live, dvs, _txns, _meta = _state_full(path, version)
     return v, live, dvs
 
 
 def _state_full(
     path: str, version: int | None = None
-) -> tuple[int, set[str], set[str], dict]:
+) -> tuple[int, set[str], set[str], dict, dict]:
     """Like :func:`_state` plus the idempotent-writer high-water map
     ``{txn_app: max committed txn_version}`` (Delta's
-    txnAppId/txnVersion bookkeeping, checkpoint-carried)."""
+    txnAppId/txnVersion bookkeeping) and the table METADATA dict
+    (schema fields, CHECK constraints, evolved flag) — both
+    checkpoint-carried."""
     v = latest_commit(path) if version is None else version
     live: set[str] = set()
     dvs: set[str] = set()
     txns: dict[str, int] = {}
+    meta: dict = {}
     start = 1
     ck = _latest_checkpoint(path, v)
     if ck is not None:
         live = set(ck["files"])
         dvs = set(ck["dvs"])
         txns = dict(ck.get("txns", {}))
+        meta = dict(ck.get("meta", {}))
         start = ck["version"] + 1
     for i in range(start, v + 1):
         c = _read_commit(path, i)
@@ -134,14 +151,16 @@ def _state_full(
                 dvs.add(a["file"])
             elif a["op"] == "remove_dv":
                 dvs.discard(a["file"])
-    return v, live, dvs, txns
+            elif a["op"] == "set_meta":
+                meta.update(a["meta"])
+    return v, live, dvs, txns, meta
 
 
 def last_txn_version(path: str, app: str) -> int:
     """Highest committed ``txn_version`` for idempotent-writer ``app``
     (−1 = never committed) — what a restarting exactly-once stream
     consults implicitly via :meth:`Transaction.commit`'s dedupe."""
-    _v, _live, _dvs, txns = _state_full(path)
+    _v, _live, _dvs, txns, _meta = _state_full(path)
     return txns.get(app, -1)
 
 
@@ -161,7 +180,7 @@ def write_checkpoint(path: str) -> int:
     so the plain-rename race (two writers checkpointing the same
     version) is harmless: both write identical bytes.  Returns the
     checkpointed version."""
-    v, live, dvs, txns = _state_full(path)
+    v, live, dvs, txns, meta = _state_full(path)
     log = pathlib.Path(path) / _LOG_DIR
     tmp = log / f".ckpt-tmp-{uuid.uuid4().hex[:8]}"
     tmp.write_text(
@@ -171,6 +190,7 @@ def write_checkpoint(path: str) -> int:
                 "files": sorted(live),
                 "dvs": sorted(dvs),
                 "txns": txns,
+                "meta": meta,
             },
             indent=1,
         )
@@ -211,15 +231,24 @@ def read_table(
     ``version``, minus the committed deletion vectors — never a
     directory listing, so staged/orphaned files and uncommitted DVs
     are invisible and the read is atomic w.r.t. concurrent commits."""
-    v, live, dvs = _state(path, version)
+    v, live, dvs, _txns, meta = _state_full(path, version)
     if v == 0:
         raise ValueError(f"no commits at {path}")
     if not live:
         raise ValueError(f"table at {path} is empty at version {v}")
     root = pathlib.Path(path)
+    reader = spark.read
+    if meta.get("evolved"):
+        # schema evolved: old files lack the new columns — footer-merge
+        # so they surface as typed NULLs (paid only on evolved tables)
+        reader = reader.option("mergeSchema", "true")
     if not dvs:
-        return spark.read.parquet(*[str(root / f) for f in sorted(live)])
-    df = _with_addresses(spark, root, live)
+        return reader.parquet(*[str(root / f) for f in sorted(live)])
+    from .mor import with_row_addresses
+
+    df = with_row_addresses(
+        reader.parquet(*[str(root / f) for f in sorted(live)])
+    )
     dv = spark.read.parquet(*[str(root / f) for f in sorted(dvs)]).select(
         "_dv_file", "_dv_pos"
     )
@@ -249,7 +278,8 @@ class Transaction:
         exactly-once contract a restarting foreachBatch stream needs
         when its checkpoint acks lag its sink commits."""
         self.path = str(path)
-        self.read_version, live, dvs, txns = _state_full(path)
+        self.read_version, live, dvs, txns, meta = _state_full(path)
+        self._meta = meta
         self._live = sorted(live)
         self._dvs = sorted(dvs)
         self.actions: list[dict] = []
@@ -302,12 +332,130 @@ class Transaction:
 
     # -- staging operations -------------------------------------------
 
-    def append(self, df: DataFrame) -> int:
-        """Stage an append: write ``df`` distributed into a hidden
-        staging dir, move the part files under ``data/`` with unique
-        names (invisible until commit — no log entry references them
-        yet).  Never reads the table: appends carry an empty read set
-        and therefore never conflict.  Returns files staged."""
+    def _effective_meta(self) -> dict:
+        """Snapshot metadata overlaid with this transaction's own
+        staged ``set_meta`` actions (a constraint added in this txn
+        applies to this txn's later appends)."""
+        meta = dict(self._meta)
+        for a in self.actions:
+            if a["op"] == "set_meta":
+                meta.update(a["meta"])
+        return meta
+
+    def set_check_constraint(self, spark: SparkSession, name: str, sql_expr: str) -> None:
+        """ADD a CHECK constraint (Delta ``ALTER TABLE ... ADD
+        CONSTRAINT``): EXISTING rows are validated first — one
+        violation-count pass over the snapshot — and every later
+        append (this transaction's and all future ones) is validated
+        against it.  SQL CHECK semantics: a row violates only when
+        the expression is FALSE; NULL passes (express NOT NULL as
+        ``col IS NOT NULL``).  Metadata changes conflict with every
+        concurrent commit (Delta's ConcurrentMetadataUpdate): the
+        constraint's full-table validation is only sound against the
+        snapshot it scanned."""
+        if self._live:
+            bad = (
+                self._snapshot_frame(spark)
+                .filter(~F.coalesce(F.expr(sql_expr), F.lit(True)))
+                .count()
+            )
+            if bad:
+                raise ConstraintViolation(
+                    f"cannot add CHECK {name!r} ({sql_expr}): {bad} "
+                    f"existing row(s) violate it"
+                )
+        cons = dict(self._effective_meta().get("constraints", {}))
+        cons[name] = sql_expr
+        self.actions.append({"op": "set_meta", "meta": {"constraints": cons}})
+
+    def append(self, df: DataFrame, evolve_schema: bool = False) -> int:
+        """Stage an append: validate the batch against the table
+        CONTRACT (committed schema + CHECK constraints), then write
+        ``df`` distributed into a hidden staging dir and move the part
+        files under ``data/`` with unique names (invisible until
+        commit — no log entry references them yet).
+
+        Schema enforcement (Delta's): existing columns must match by
+        (name, type); a batch MISSING table columns is rejected; NEW
+        columns are rejected unless ``evolve_schema=True``, which
+        commits the widened schema in the same transaction and flags
+        the table so readers footer-merge (``mergeSchema``) — old
+        files simply lack the new column (typed NULLs).  CHECK
+        constraints: one violation-count pass over the batch; any
+        violation rejects the whole append (atomic — nothing staged).
+
+        Never reads table DATA: appends carry an empty read set and
+        never conflict (a concurrent metadata change conflicts with
+        us instead, from its side).  Returns files staged."""
+        meta = self._effective_meta()
+        table_schema: list = meta.get("schema", [])
+        batch = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+        if table_schema:
+            table_types = dict((n, t) for n, t in table_schema)
+            batch_types = dict(batch)
+            missing = [n for n, _t in table_schema if n not in batch_types]
+            if missing:
+                raise SchemaMismatch(
+                    f"append is missing table column(s) {missing}"
+                )
+            wrong = [
+                (n, table_types[n], t)
+                for n, t in batch
+                if n in table_types and table_types[n] != t
+            ]
+            if wrong:
+                raise SchemaMismatch(
+                    f"append changes column type(s): "
+                    + ", ".join(f"{n}: {a} -> {b}" for n, a, b in wrong)
+                )
+            new_cols = [(n, t) for n, t in batch if n not in table_types]
+            if new_cols and not evolve_schema:
+                raise SchemaMismatch(
+                    f"append carries new column(s) "
+                    f"{[n for n, _t in new_cols]} — pass "
+                    f"evolve_schema=True to widen the table schema"
+                )
+            if new_cols:
+                self.actions.append(
+                    {
+                        "op": "set_meta",
+                        "meta": {
+                            "schema": table_schema + new_cols,
+                            "evolved": True,
+                        },
+                    }
+                )
+        else:
+            # first append fixes the table schema
+            self.actions.append(
+                {"op": "set_meta", "meta": {"schema": batch}}
+            )
+        constraints = meta.get("constraints", {})
+        if constraints:
+            checks = [
+                F.when(
+                    ~F.coalesce(F.expr(expr), F.lit(True)), F.lit(name)
+                )
+                for name, expr in sorted(constraints.items())
+            ]
+            bad = (
+                df.select(
+                    F.coalesce(*checks, F.lit(None).cast("string")).alias(
+                        "_viol"
+                    )
+                    if len(checks) > 1
+                    else checks[0].alias("_viol")
+                )
+                .filter(F.col("_viol").isNotNull())
+                .groupBy("_viol")
+                .count()
+                .collect()
+            )
+            if bad:
+                detail = ", ".join(f"{r._viol}: {r['count']}" for r in bad)
+                raise ConstraintViolation(
+                    f"append rejected — CHECK violation(s): {detail}"
+                )
         root = pathlib.Path(self.path)
         stage = root / f".stage-{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(str(stage))
@@ -526,6 +674,19 @@ class Transaction:
             return target
 
     def _validate_against(self, other: dict) -> None:
+        # metadata changes serialize with EVERYTHING (Delta's
+        # ConcurrentMetadataUpdate): their schema/constraint change
+        # invalidates our staged work's assumptions, and our metadata
+        # change (ADD CONSTRAINT validated a snapshot, schema fixed at
+        # validation time) is only sound if nothing landed since.
+        theirs_meta = any(a["op"] == "set_meta" for a in other["actions"])
+        ours_meta = any(a["op"] == "set_meta" for a in self.actions)
+        if theirs_meta or ours_meta:
+            raise CommitConflict(
+                f"commit {other['version']} and this transaction cannot "
+                f"serialize: concurrent table-metadata update — re-run "
+                f"against the current snapshot"
+            )
         theirs_removed = {
             a["file"]
             for a in other["actions"]

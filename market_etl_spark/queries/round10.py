@@ -796,3 +796,163 @@ def q_streaming_lakehouse_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("restart_idempotent", F.lit(bool(restart_idempotent)))
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_lakehouse_constraints",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, event_type, value, day(ts) AS day FROM events
+    ),
+    clean AS (
+      SELECT -(2 * event_id + 1) AS event_id, event_type,
+             value * 3 AS value, day
+      FROM base WHERE day = 28
+    ),
+    evolved AS (
+      SELECT -(2 * event_id + 2) AS event_id, event_type, value, day
+      FROM base WHERE day = 1
+    ),
+    final AS (
+      SELECT event_id, event_type, value, CAST(NULL AS VARCHAR) AS src
+      FROM base
+      UNION ALL
+      SELECT event_id, event_type, value, CAST(NULL AS VARCHAR) FROM clean
+      UNION ALL
+      SELECT event_id, event_type, value, 'evolved' FROM evolved
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+               AS value_micros,
+           CAST(SUM(CASE WHEN src = 'evolved' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_evolved,
+           TRUE AS violation_atomic,
+           TRUE AS add_constraint_validates,
+           TRUE AS schema_rejected,
+           TRUE AS evolution_merged
+    FROM final
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("lakehouse", "constraints", "schema-enforcement", "extension"),
+)
+def q_lakehouse_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE TABLE CONTRACT under the commit log — Delta's CHECK
+    constraints + schema enforcement/evolution:
+
+    1. ``ADD CONSTRAINT value_nonneg CHECK (value >= 0)`` validates
+       the EXISTING table first (one violation-count pass), commits
+       as a metadata action; a later ``CHECK (value >= 100)`` attempt
+       raises because existing rows violate it
+       (``add_constraint_validates``).
+    2. An append carrying one poison row (value = −5) is rejected
+       WHOLE — nothing staged visible, log version unchanged
+       (``violation_atomic`` — per-batch atomicity, not per-row
+       filtering; NULL values pass, SQL CHECK semantics).
+    3. Schema enforcement: an append missing table columns raises
+       ``SchemaMismatch`` (``schema_rejected``); an append carrying a
+       NEW ``src`` column lands only with ``evolve_schema=True``,
+       widening the committed schema in the same transaction — old
+       files footer-merge to typed NULLs on read
+       (``evolution_merged``).
+
+    Appended batches use parity-disjoint negated keys (odd negatives
+    for the clean batch, even for the evolved one) so the key domain
+    stays collision-free at every scale factor.  The final per-type
+    aggregates read the evolved table, so contract enforcement,
+    rejection atomicity and footer-merged evolution must all agree
+    with the oracle's three-way union recompute."""
+    from .. import lakehouse as lk
+
+    path = str(_SCRATCH / f"lakehouse_cons_{_tag(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", F.dayofmonth("ts").alias("day")
+    )
+    t0 = lk.Transaction(path)
+    t0.append(e.repartition(8))
+    t0.commit()
+
+    ta = lk.Transaction(path)
+    ta.set_check_constraint(spark, "value_nonneg", "value >= 0")
+    ta.commit()
+    add_constraint_validates = True
+    try:
+        lk.Transaction(path).set_check_constraint(
+            spark, "value_big", "value >= 100"
+        )
+        add_constraint_validates = False  # should have raised
+    except lk.ConstraintViolation:
+        pass
+
+    v_before = lk.latest_commit(path)
+    n_before = lk.read_table(spark, path).count()
+    clean = e.filter(F.col("day") == 28).select(
+        (-(F.col("event_id") * 2 + 1)).alias("event_id"),
+        "event_type",
+        (F.col("value") * 3).alias("value"),
+        "day",
+    )
+    violation_atomic = False
+    try:
+        lk.Transaction(path).append(
+            clean.unionByName(
+                spark.range(1).select(
+                    F.lit(-999999999).cast("long").alias("event_id"),
+                    F.lit("poison").alias("event_type"),
+                    F.lit(-5.0).alias("value"),
+                    F.lit(28).cast("int").alias("day"),
+                )
+            )
+        )
+    except lk.ConstraintViolation:
+        violation_atomic = (
+            lk.latest_commit(path) == v_before
+            and lk.read_table(spark, path).count() == n_before
+        )
+    tc = lk.Transaction(path)
+    tc.append(clean)
+    tc.commit()
+
+    schema_rejected = False
+    try:
+        lk.Transaction(path).append(
+            spark.range(1).select(F.lit(1).cast("long").alias("event_id"))
+        )
+    except lk.SchemaMismatch:
+        schema_rejected = True
+
+    evolved = e.filter(F.col("day") == 1).select(
+        (-(F.col("event_id") * 2 + 2)).alias("event_id"),
+        "event_type",
+        "value",
+        "day",
+        F.lit("evolved").alias("src"),
+    )
+    te = lk.Transaction(path)
+    te.append(evolved, evolve_schema=True)
+    te.commit()
+
+    final = lk.read_table(spark, path)
+    evolution_merged = "src" in final.columns
+
+    return (
+        final.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 1e6, 0).cast("long"))
+            .cast("long")
+            .alias("value_micros"),
+            F.sum(
+                (F.col("src") == "evolved").cast("long")
+            ).cast("long").alias("n_evolved"),
+        )
+        .withColumn("violation_atomic", F.lit(bool(violation_atomic)))
+        .withColumn(
+            "add_constraint_validates", F.lit(bool(add_constraint_validates))
+        )
+        .withColumn("schema_rejected", F.lit(bool(schema_rejected)))
+        .withColumn("evolution_merged", F.lit(bool(evolution_merged)))
+        .orderBy("event_type")
+    )

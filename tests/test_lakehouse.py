@@ -363,8 +363,8 @@ def test_txn_duplicate_landing_after_begin_is_caught(spark, tmp_path):
     path = _init(spark, tmp_path)
     t1 = lk.Transaction(path, txn_app="s", txn_version=0)
     t2 = lk.Transaction(path, txn_app="s", txn_version=0)
-    t1.append(spark.createDataFrame([(100,)], "id long"))
-    t2.append(spark.createDataFrame([(100,)], "id long"))
+    t1.append(spark.createDataFrame([(100, 0, 0.0)], "id long, k int, v double"))
+    t2.append(spark.createDataFrame([(100, 0, 0.0)], "id long, k int, v double"))
     assert t1.commit() == 2
     assert t2.commit() is None  # dup seen in the scanned commits
     assert lk.read_table(spark, path).count() == 31
@@ -426,3 +426,88 @@ def test_many_threads_racing_commits_all_land(spark, tmp_path):
     # per-app txn high-waters all reached version 2
     for w in range(6):
         assert lk.last_txn_version(path, f"w{w}") == 2
+
+
+def test_schema_enforcement_on_append(spark, tmp_path):
+    """Delta schema enforcement: missing columns and type changes are
+    rejected atomically; new columns need evolve_schema=True and flip
+    the table to footer-merged reads (old files surface typed NULLs)."""
+    path = _init(spark, tmp_path)
+    t = lk.Transaction(path)
+    with pytest.raises(lk.SchemaMismatch, match="missing table column"):
+        t.append(spark.createDataFrame([(1, 0)], "id long, k int"))
+    with pytest.raises(lk.SchemaMismatch, match="changes column type"):
+        t.append(
+            spark.createDataFrame([(1, "x", 0.0)], "id long, k string, v double")
+        )
+    with pytest.raises(lk.SchemaMismatch, match="evolve_schema=True"):
+        t.append(
+            spark.createDataFrame(
+                [(1, 0, 0.0, "n")], "id long, k int, v double, note string"
+            )
+        )
+    # nothing staged by the rejections
+    assert t.actions == []
+    t.append(
+        spark.createDataFrame(
+            [(100, 0, 0.0, "evolved")],
+            "id long, k int, v double, note string",
+        ),
+        evolve_schema=True,
+    )
+    t.commit()
+    got = lk.read_table(spark, path)
+    assert got.count() == 31
+    notes = {r.note for r in got.collect()}
+    assert notes == {None, "evolved"}  # old files footer-merge to NULL
+
+
+def test_check_constraints_validate_appends_and_existing(spark, tmp_path):
+    path = _init(spark, tmp_path)  # v has 0..29, all v >= 0
+    t = lk.Transaction(path)
+    t.set_check_constraint(spark, "v_nonneg", "v >= 0")
+    t.set_check_constraint(spark, "id_notnull", "id IS NOT NULL")
+    t.commit()
+    t2 = lk.Transaction(path)
+    with pytest.raises(lk.ConstraintViolation, match="v_nonneg: 1"):
+        t2.append(
+            spark.createDataFrame(
+                [(50, 0, 1.0), (51, 0, -5.0)], "id long, k int, v double"
+            )
+        )
+    assert t2.actions == []  # atomic rejection
+    # NULL passes a plain CHECK (SQL semantics) but not IS NOT NULL
+    with pytest.raises(lk.ConstraintViolation, match="id_notnull: 1"):
+        t2.append(
+            spark.createDataFrame(
+                [(None, 0, None)], "id long, k int, v double"
+            )
+        )
+    t2.append(
+        spark.createDataFrame([(52, 0, None)], "id long, k int, v double")
+    )  # v NULL passes v >= 0
+    t2.commit()
+    assert lk.read_table(spark, path).count() == 31
+    # ADD CONSTRAINT validates existing rows
+    t3 = lk.Transaction(path)
+    with pytest.raises(lk.ConstraintViolation, match="existing row"):
+        t3.set_check_constraint(spark, "v_big", "v >= 100")
+
+
+def test_metadata_update_conflicts_with_everything(spark, tmp_path):
+    path = _init(spark, tmp_path)
+    m = lk.Transaction(path)
+    w = lk.Transaction(path)
+    m.set_check_constraint(spark, "v_nonneg", "v >= 0")
+    w.append(spark.createDataFrame([(100, 0, -1.0)], "id long, k int, v double"))
+    w.commit()  # the unvalidated append lands first
+    with pytest.raises(lk.CommitConflict, match="metadata"):
+        m.commit()  # constraint's full-table validation is stale
+    # other direction: metadata lands first, concurrent append conflicts
+    m2 = lk.Transaction(path)
+    w2 = lk.Transaction(path)
+    m2.set_check_constraint(spark, "k_small", "k < 10")
+    w2.append(spark.createDataFrame([(101, 0, 1.0)], "id long, k int, v double"))
+    m2.commit()
+    with pytest.raises(lk.CommitConflict, match="metadata"):
+        w2.commit()

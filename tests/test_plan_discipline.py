@@ -71,6 +71,7 @@ _SKIP = {
     "q_version_change_feed",  # commits three snapshot versions eagerly
     "q_mor_compaction_purge",  # stages layout + DVs, compacts eagerly
     "q_lakehouse_mor_txn",  # five commits + conflict retry + checkpoint
+    "q_lakehouse_constraints",  # contract probes + four commits, eager
 }
 
 #: BroadcastNestedLoopJoin allowlist: every entry is a join against a
