@@ -38,6 +38,15 @@ Model (Delta/Iceberg's core contract, minimally):
   materialized every so often, so snapshot resolution is O(commits
   since last checkpoint) — Delta's ``_last_checkpoint`` discipline,
   which is what keeps a long-lived table's metadata reads bounded.
+- EXACTLY-ONCE WRITERS: commits may carry a ``(txn_app,
+  txn_version)`` identity; duplicates skip (Delta txnAppId/
+  txnVersion) — what a restarting foreachBatch stream needs.
+- THE TABLE CONTRACT: committed schema (enforced on every append,
+  widened only via ``evolve_schema=True`` + footer-merged reads) and
+  CHECK constraints (:meth:`Transaction.set_check_constraint` —
+  full-table validation on ADD, whole-batch atomic rejection on
+  append); metadata updates serialize with everything
+  (ConcurrentMetadataUpdate).
 
 Scale posture: commits are O(actions) metadata — KBs against a
 100 TB table; replay is checkpoint-bounded, driver-side JSON, not a
