@@ -225,12 +225,34 @@ def _latest_checkpoint(path: str, max_version: int) -> dict | None:
     return json.loads((log / f"ckpt-{best:08d}.json").read_text())
 
 
-def _with_addresses(spark: SparkSession, root: pathlib.Path, files) -> DataFrame:
+def _with_addresses(
+    spark: SparkSession,
+    root: pathlib.Path,
+    files,
+    meta: dict | None = None,
+) -> DataFrame:
+    """Address-keyed scan of table-relative ``files``.  Pass the table
+    ``meta`` whenever the scan may span files with DIFFERENT schemas:
+    on an evolved table, plain parquet inference takes ONE footer
+    (split-size order — effectively arbitrary under UUID names), so a
+    pre-evolution file can win and silently drop the evolved column
+    from the scan — fatal for a rewrite that then REPLACES the files
+    (review r10b finding 1).  With meta, the read footer-merges and
+    any column still missing (single old file read alone) is aligned
+    in as a typed NULL from the committed schema."""
     from .mor import with_row_addresses
 
-    return with_row_addresses(
-        spark.read.parquet(*[str(root / f) for f in sorted(files)])
-    )
+    reader = spark.read
+    evolved = bool(meta and meta.get("evolved"))
+    if evolved:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*[str(root / f) for f in sorted(files)])
+    if evolved:
+        present = set(df.columns)
+        for n, t in meta.get("schema", []):
+            if n not in present:
+                df = df.withColumn(n, F.lit(None).cast(t))
+    return with_row_addresses(df)
 
 
 def read_table(
@@ -329,7 +351,7 @@ class Transaction:
         derives from this — a copy-on-write rewrite that read the raw
         files would resurrect DV-deleted rows."""
         root = pathlib.Path(self.path)
-        df = _with_addresses(spark, root, self._live)
+        df = _with_addresses(spark, root, self._live, self._meta)
         if self._dvs:
             dv = spark.read.parquet(
                 *[str(root / f) for f in self._dvs]
@@ -361,20 +383,53 @@ class Transaction:
         ``col IS NOT NULL``).  Metadata changes conflict with every
         concurrent commit (Delta's ConcurrentMetadataUpdate): the
         constraint's full-table validation is only sound against the
-        snapshot it scanned."""
+        snapshot it scanned.
+
+        The EXPRESSION itself is always validated — on an empty table
+        it is resolved against a zero-row frame of the committed
+        schema, so a typo'd column name fails HERE with a clear error
+        instead of bricking every later append (review r10b; and
+        :meth:`drop_check_constraint` is the escape hatch either
+        way)."""
+        meta = self._effective_meta()
         if self._live:
-            bad = (
-                self._snapshot_frame(spark)
-                .filter(~F.coalesce(F.expr(sql_expr), F.lit(True)))
-                .count()
+            frame = self._snapshot_frame(spark)
+        elif meta.get("schema"):
+            # zero-row typed frame from the committed schema — the
+            # spark.range(0) idiom (an empty createDataFrame would
+            # fork a 32-worker empty-RDD job)
+            frame = spark.range(0).select(
+                *[
+                    F.lit(None).cast(t).alias(n)
+                    for n, t in meta["schema"]
+                ]
             )
+        else:
+            frame = None
+        if frame is not None:
+            try:
+                bad = frame.filter(
+                    ~F.coalesce(F.expr(sql_expr), F.lit(True))
+                ).count()
+            except Exception as e:
+                raise ValueError(
+                    f"CHECK {name!r} expression {sql_expr!r} does not "
+                    f"resolve against the table schema: {e}"
+                ) from None
             if bad:
                 raise ConstraintViolation(
                     f"cannot add CHECK {name!r} ({sql_expr}): {bad} "
                     f"existing row(s) violate it"
                 )
-        cons = dict(self._effective_meta().get("constraints", {}))
+        cons = dict(meta.get("constraints", {}))
         cons[name] = sql_expr
+        self.actions.append({"op": "set_meta", "meta": {"constraints": cons}})
+
+    def drop_check_constraint(self, name: str) -> None:
+        """DROP CONSTRAINT — a metadata action like ADD (serializes
+        with everything).  Raises KeyError for an unknown name."""
+        cons = dict(self._effective_meta().get("constraints", {}))
+        del cons[name]
         self.actions.append({"op": "set_meta", "meta": {"constraints": cons}})
 
     def append(self, df: DataFrame, evolve_schema: bool = False) -> int:
@@ -425,7 +480,7 @@ class Transaction:
                     f"evolve_schema=True to widen the table schema"
                 )
             if new_cols:
-                self.actions.append(
+                meta_actions = [
                     {
                         "op": "set_meta",
                         "meta": {
@@ -433,12 +488,12 @@ class Transaction:
                             "evolved": True,
                         },
                     }
-                )
+                ]
+            else:
+                meta_actions = []
         else:
             # first append fixes the table schema
-            self.actions.append(
-                {"op": "set_meta", "meta": {"schema": batch}}
-            )
+            meta_actions = [{"op": "set_meta", "meta": {"schema": batch}}]
         constraints = meta.get("constraints", {})
         if constraints:
             checks = [
@@ -465,6 +520,11 @@ class Transaction:
                 raise ConstraintViolation(
                     f"append rejected — CHECK violation(s): {detail}"
                 )
+        # stage ONLY after every validation passed: a rejected append
+        # must leave no schema action behind either — a staged phantom
+        # schema would poison this transaction's retries and, if other
+        # work committed, the table (review r10b finding 2)
+        self.actions.extend(meta_actions)
         root = pathlib.Path(self.path)
         stage = root / f".stage-{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(str(stage))
@@ -515,7 +575,7 @@ class Transaction:
             # the table frame would re-scan every live file per
             # rewrite), but still DV-subtracted: a raw rewrite would
             # resurrect this file's DV-deleted rows
-            single = _with_addresses(spark, root, [rel])
+            single = _with_addresses(spark, root, [rel], self._meta)
             if dv is not None:
                 single = single.join(
                     F.broadcast(dv), ["_dv_file", "_dv_pos"], "left_anti"
@@ -641,24 +701,29 @@ class Transaction:
                 self._committed = True
                 return None  # already applied: skip, don't double-commit
             latest = latest_commit(self.path)
-            for v in range(checked + 1, latest + 1):
-                other = _read_commit(self.path, v)
-                t = other.get("txn")
-                if self.txn_app is not None and t and t["app"] == self.txn_app:
-                    self._txn_highwater = max(
-                        self._txn_highwater, t["version"]
-                    )
-                if not _unsafe_blind:
+            fresh = [
+                _read_commit(self.path, v)
+                for v in range(checked + 1, latest + 1)
+            ]
+            # duplicate-skip BEFORE conflict validation: two racing
+            # replays of the same batch may both carry metadata (the
+            # bootstrap append that fixes the table schema) — the loser
+            # must SKIP, not die on ConcurrentMetadataUpdate (review
+            # r10b finding 3)
+            if self.txn_app is not None:
+                for other in fresh:
+                    t = other.get("txn")
+                    if t and t["app"] == self.txn_app:
+                        self._txn_highwater = max(
+                            self._txn_highwater, t["version"]
+                        )
+                if self._txn_highwater >= self.txn_version:
+                    self._committed = True
+                    return None
+            if not _unsafe_blind:
+                for other in fresh:
                     self._validate_against(other)
             checked = max(checked, latest)
-            if (
-                self.txn_app is not None
-                and self._txn_highwater >= self.txn_version
-            ):
-                # the duplicate landed since our snapshot (the racing
-                # replay of the same batch) — skip, don't double-apply
-                self._committed = True
-                return None
             target = latest + 1
             body = {
                 "version": target,

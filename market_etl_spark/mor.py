@@ -224,9 +224,22 @@ _DV_FORMAT = "dv-keys=basename,v2"
 
 
 def _mark_dv_format(dv_dir: pathlib.Path) -> None:
+    """Stamp the key-format marker — but NEVER over a sidecar
+    directory that already holds UNMARKED vectors: those are v1
+    (pre-basename) keys, and stamping v2 over them would silence the
+    exact mismatch the marker exists to catch the next time the
+    table is read (review r10b: a write arriving before any read was
+    the laundering path)."""
     marker = dv_dir / "_FORMAT"
-    if not marker.exists():
-        marker.write_text(_DV_FORMAT + "\n")
+    if marker.exists():
+        return
+    if any(dv_dir.glob("dv-*.parquet")):
+        raise ValueError(
+            f"refusing to write {_DV_FORMAT!r} sidecars into {dv_dir}: "
+            f"it already holds UNMARKED (pre-v2) vectors — purge with "
+            f"the release that wrote them, then re-apply deletes"
+        )
+    marker.write_text(_DV_FORMAT + "\n")
 
 
 def _read_dvs(spark: SparkSession, table_path: str) -> DataFrame | None:

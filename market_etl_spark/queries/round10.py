@@ -945,7 +945,7 @@ def q_lakehouse_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("value_micros"),
             F.sum(
-                (F.col("src") == "evolved").cast("long")
+                F.when(F.col("src") == "evolved", 1).otherwise(0)
             ).cast("long").alias("n_evolved"),
         )
         .withColumn("violation_atomic", F.lit(bool(violation_atomic)))

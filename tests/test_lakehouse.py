@@ -511,3 +511,102 @@ def test_metadata_update_conflicts_with_everything(spark, tmp_path):
     m2.commit()
     with pytest.raises(lk.CommitConflict, match="metadata"):
         w2.commit()
+
+
+def test_compact_preserves_evolved_column_data(spark, tmp_path):
+    """Rewrites on an evolved table must footer-merge: plain inference
+    takes ONE footer, and if a pre-evolution file wins, compaction
+    would permanently drop the evolved column's values (r10b)."""
+    path = _init(spark, tmp_path)
+    t = lk.Transaction(path)
+    t.append(
+        spark.createDataFrame(
+            [(100, 0, 0.0, "keepme")],
+            "id long, k int, v double, note string",
+        ),
+        evolve_schema=True,
+    )
+    t.commit()
+    c = lk.Transaction(path)
+    c.compact(spark, n_files=1)
+    c.commit()
+    rows = {r.id: r.note for r in lk.read_table(spark, path).collect()}
+    assert rows[100] == "keepme"  # survived the rewrite
+    assert rows[0] is None
+    # CoW delete referencing the evolved column also resolves
+    d = lk.Transaction(path)
+    assert d.delete_where(spark, F.col("note") == "keepme") == 1
+    d.commit()
+    assert lk.read_table(spark, path).count() == 30
+
+
+def test_rejected_append_stages_no_schema_action(spark, tmp_path):
+    """A ConstraintViolation mid-append must not leave the widened (or
+    first) schema staged — retries in the same txn would see a
+    phantom column (r10b)."""
+    path = _init(spark, tmp_path)
+    t = lk.Transaction(path)
+    t.set_check_constraint(spark, "v_nonneg", "v >= 0")
+    t.commit()
+    t2 = lk.Transaction(path)
+    with pytest.raises(lk.ConstraintViolation):
+        t2.append(
+            spark.createDataFrame(
+                [(1, 0, -1.0, "x")], "id long, k int, v double, extra string"
+            ),
+            evolve_schema=True,
+        )
+    assert t2.actions == []  # no phantom evolved schema
+    t2.append(spark.createDataFrame([(1, 0, 1.0)], "id long, k int, v double"))
+    t2.commit()
+    assert lk.read_table(spark, path).count() == 31
+
+
+def test_bootstrap_duplicate_race_skips_not_conflicts(spark, tmp_path):
+    """Two replays of batch 0 on an EMPTY table both stage the
+    schema-fixing set_meta; the loser must SKIP (exactly-once), not
+    die on ConcurrentMetadataUpdate (r10b)."""
+    path = str(tmp_path / "t")
+    t1 = lk.Transaction(path, txn_app="s", txn_version=0)
+    t2 = lk.Transaction(path, txn_app="s", txn_version=0)
+    t1.append(spark.createDataFrame([(1,)], "id long"))
+    t2.append(spark.createDataFrame([(1,)], "id long"))
+    assert t1.commit() == 1
+    assert t2.commit() is None
+    assert lk.read_table(spark, path).count() == 1
+
+
+def test_constraint_expression_validated_and_droppable(spark, tmp_path):
+    path = _init(spark, tmp_path)
+    t = lk.Transaction(path)
+    with pytest.raises(ValueError, match="does not resolve"):
+        t.set_check_constraint(spark, "typo", "nonexistant_col > 0")
+    # empty table WITH committed schema: still resolved
+    p2 = str(tmp_path / "empty")
+    s0 = lk.Transaction(p2)
+    s0.append(spark.createDataFrame([(1,)], "id long"))
+    s0.commit()
+    s1 = lk.Transaction(p2)
+    s1.delete_where(spark, F.col("id") == 1)
+    s1.commit()
+    s2 = lk.Transaction(p2)
+    with pytest.raises(ValueError, match="does not resolve"):
+        s2.set_check_constraint(spark, "typo", "no_such > 0")
+    # DROP unblocks a table whose constraint became unwanted
+    t3 = lk.Transaction(path)
+    t3.set_check_constraint(spark, "v_cap", "v < 100")  # seed max is 29
+    with pytest.raises(lk.ConstraintViolation):
+        t3.set_check_constraint(spark, "v_cap2", "v < 10")  # rows 10..29
+    t3.commit()
+    t4 = lk.Transaction(path)
+    with pytest.raises(lk.ConstraintViolation):
+        t4.append(
+            spark.createDataFrame([(99, 0, 500.0)], "id long, k int, v double")
+        )
+    t5 = lk.Transaction(path)
+    t5.drop_check_constraint("v_cap")
+    t5.commit()
+    t6 = lk.Transaction(path)
+    t6.append(spark.createDataFrame([(99, 0, 500.0)], "id long, k int, v double"))
+    t6.commit()
+    assert lk.read_table(spark, path).count() == 31

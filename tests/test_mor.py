@@ -172,3 +172,22 @@ def test_dv_format_mismatch_fails_loudly(spark, tmp_path):
     marker.unlink()
     with pytest.raises(ValueError, match="format mismatch"):
         mor.read_with_deletes(spark, path).count()
+
+
+def test_dv_writer_refuses_to_stamp_over_unmarked_sidecars(spark, tmp_path):
+    """A WRITE arriving before any read must not launder v1 sidecars
+    by stamping the v2 marker over them (r10b)."""
+    import pytest
+
+    path = _base(spark, tmp_path)
+    mor.write_deletion_vector(spark, path, F.col("k") == 0)
+    # simulate a pre-v2 table: sidecars present, no marker
+    (pathlib.Path(path) / "_deletes" / "_FORMAT").unlink()
+    # the read inside the writer already fails loudly on the unmarked
+    # sidecars; _mark_dv_format's refusal is defense-in-depth behind it
+    with pytest.raises(ValueError, match="format mismatch|UNMARKED"):
+        mor.write_deletion_vector(spark, path, F.col("k") == 1)
+    from market_etl_spark.mor import _mark_dv_format
+
+    with pytest.raises(ValueError, match="UNMARKED"):
+        _mark_dv_format(pathlib.Path(path) / "_deletes")
