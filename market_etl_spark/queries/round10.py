@@ -107,8 +107,9 @@ def q_lakehouse_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     In-query audits the oracle pins: ``final_version`` = 5 (exactly
     one conflict burned no version slot), ``conflict_detected``,
-    ``retry_serial_equal`` (final state == direct serial recompute,
-    both directions of ``exceptAll`` empty), ``blind_loses_updates``
+    ``retry_serial_equal`` (final state == direct serial recompute:
+    multiset equality by count + order-insensitive xxhash64 digest,
+    one aggregate pass per side), ``blind_loses_updates``
     — on a 30-row side table the same race committed BLINDLY
     resurrects deleted rows and duplicates survivors, the anomaly the
     validation exists to prevent."""
@@ -164,10 +165,19 @@ def q_lakehouse_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(~(F.col("value") >= 300) & ~p_c & ~p_d)
         .unionByName(appended.filter(~p_c & ~p_d))
     )
-    retry_serial_equal = (
-        final.exceptAll(serial).count() == 0
-        and serial.exceptAll(final).count() == 0
-    )
+    # multiset equality via (count, order-insensitive hash digest):
+    # one aggregate pass per side instead of the two exceptAll audits'
+    # four table passes (VERDICT r10 item 4) — the oracle harness's
+    # own canonicalization trick.  decimal(38,0) sum: no long overflow.
+    def _digest(df: DataFrame):
+        cols = [F.col(c) for c in sorted(df.columns)]
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (r.n, r.h)
+
+    retry_serial_equal = _digest(final) == _digest(serial)
 
     # the counterfactual: same overlapping-delete race, committed blind
     side = str(_SCRATCH / f"lakehouse_blind_{_tag(sf_dir)}")

@@ -20,8 +20,8 @@ Five operators, each oracle-checked:
   operators), sentinel-drained to batch equality.
 
 Reference parity note: the reference (harshvardhanvn1/market-etl)
-partitions its Athena tables by exchange/symbol/date
-(jobs/processor/glue_binance_processor.py) but has no bucketing, no
+partitions its Athena table by year/month/day/symbol
+(infra/terraform/main.tf:455-478) but has no bucketing, no
 partition-overwrite semantics, and no streaming; these extend
 SURVEY.md §2's layout/streaming families on the same data model.
 """

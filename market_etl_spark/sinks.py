@@ -404,7 +404,16 @@ def write_versioned(df: DataFrame, path: str) -> int:
     :func:`latest_version`) resolve versions from the marker directory
     only, so a torn write (data dir without marker) is invisible, the
     same last-writer-wins commit protocol as the run manifests.
-    Returns the committed version number (1-based)."""
+    Returns the committed version number (1-based).
+
+    This is the WHOLE-SNAPSHOT-PER-VERSION layer: every version is a
+    complete immutable copy — right for dimension-sized tables and
+    CDC stores where a full rewrite per version is the natural write
+    unit, and deliberately simpler than the delta-log layer
+    (:mod:`.lakehouse`), which shares files across versions and
+    serializes concurrent writers for fact-sized tables.  Both
+    expose time travel, a change feed and vacuum; pick by write
+    pattern (see the :mod:`.lakehouse` module docstring)."""
     import os
     import pathlib as _pl
 
@@ -582,9 +591,21 @@ def compact_manifested(
     compacted generation carries no sidecars — the real OPTIMIZE
     contract, where table maintenance folds the merge-on-read debt
     away in the same generation move instead of leaving readers
-    paying the anti join forever (VERDICT r9 item 6).  Bin packing
-    still uses the manifest's pre-delete row counts (bins stay
-    range-contiguous; sizes skew only by the deleted fraction)."""
+    paying the anti join forever (VERDICT r9 item 6).  Committed
+    merge-on-read UPDATE reinserts (``{src}/data/_updates``, see
+    :func:`mor.write_update_vector`) are part of the LOGICAL table —
+    their base positions are in the DV subtraction — so they are
+    folded INTO the rewrite too, each reinsert row routed to its bin
+    by cluster-key range (an update may have changed the cluster
+    key); dropping them would silently lose every updated row
+    (ADVICE r10).  Bin packing still uses the manifest's pre-delete
+    row counts (bins stay range-contiguous; sizes skew only by the
+    deleted/updated fraction).
+
+    With ``apply_deletes=False`` a source carrying DV sidecars or
+    committed reinserts raises: compacting only the base files would
+    resurrect every deleted row and drop every update in the new
+    generation — a silent-corruption path, so it is a loud error."""
     import pathlib
     import shutil
 
@@ -593,11 +614,22 @@ def compact_manifested(
         .orderBy("stat_min", "file_path")
         .collect()
     )  # file METADATA, not data — bounded by file count
-    dvs = None
-    if apply_deletes:
-        from . import mor
+    from . import mor
 
+    dvs = None
+    upd_files: list[str] = []
+    if apply_deletes:
         dvs = mor._read_dvs(spark, f"{src_path}/data")
+        upd_files = mor._committed_update_files(f"{src_path}/data")
+    else:
+        dv_dir = pathlib.Path(src_path) / "data" / mor._DV_DIR
+        if any(dv_dir.glob("dv-*.parquet")):
+            raise ValueError(
+                f"{src_path} carries merge-on-read sidecars: compacting "
+                f"with apply_deletes=False would resurrect deleted rows "
+                f"and drop updates in the new generation — pass "
+                f"apply_deletes=True"
+            )
     total = sum(r.n_rows for r in man)
     if total == 0:
         raise ValueError(
@@ -605,23 +637,47 @@ def compact_manifested(
         )
     target = -(-total // n_bins)
     bins: dict[int, list[str]] = {}
+    bin_lo: dict[int, object] = {}  # first file's stat_min per bin
     cum = 0
     for r in man:
-        bins.setdefault(min(cum // target, n_bins - 1), []).append(r.file_path)
+        b = min(cum // target, n_bins - 1)
+        bins.setdefault(b, []).append(r.file_path)
+        bin_lo.setdefault(b, r.stat_min)
         cum += r.n_rows
+    upd_df = None
+    if upd_files:
+        # committed reinserts, minus DVs against the reinserts
+        # themselves (a later delete may have hit an updated row)
+        upd_df = mor.with_row_addresses(spark.read.parquet(*upd_files))
+        if dvs is not None:
+            upd_df = upd_df.join(
+                F.broadcast(dvs), ["_dv_file", "_dv_pos"], "left_anti"
+            )
+        upd_df = upd_df.drop("_dv_file", "_dv_pos")
     dest = pathlib.Path(dest_path)
     shutil.rmtree(dest, ignore_errors=True)
     (dest / "data").mkdir(parents=True)
-    for b, files in sorted(bins.items()):
+    ordered = sorted(bins.items())
+    for i, (b, files) in enumerate(ordered):
         bin_df = spark.read.parquet(*files)
         if dvs is not None:
-            from .mor import with_row_addresses
-
             bin_df = (
-                with_row_addresses(bin_df)
+                mor.with_row_addresses(bin_df)
                 .join(F.broadcast(dvs), ["_dv_file", "_dv_pos"], "left_anti")
                 .drop("_dv_file", "_dv_pos")
             )
+        if upd_df is not None:
+            # route each reinsert row to the bin owning its cluster-key
+            # range: [this bin's first stat_min, next bin's first
+            # stat_min), open-ended at both edges so every row lands
+            # in exactly one bin
+            cond = F.lit(True)
+            if i > 0:
+                cond = cond & (F.col(cluster_col) >= F.lit(bin_lo[b]))
+            if i + 1 < len(ordered):
+                nxt = ordered[i + 1][0]
+                cond = cond & (F.col(cluster_col) < F.lit(bin_lo[nxt]))
+            bin_df = bin_df.unionByName(upd_df.filter(cond))
         # single partition FIRST, then sort: sortWithinPartitions
         # before the single-file coalesce only yields sorted RUNS
         # concatenated in scan-split order, which widens row-group

@@ -610,3 +610,285 @@ def test_constraint_expression_validated_and_droppable(spark, tmp_path):
     t6.append(spark.createDataFrame([(99, 0, 500.0)], "id long, k int, v double"))
     t6.commit()
     assert lk.read_table(spark, path).count() == 31
+
+
+def test_append_pins_batch_before_constraint_validation(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10: the constraint-violation count and the staged write
+    are two evaluations of the input — a non-deterministic batch could
+    pass validation yet persist violating rows.  append must pin the
+    batch (localCheckpoint) before validating; this wires-the-fix spy
+    asserts the pin happens exactly when constraints exist."""
+    # patch the CONCRETE class (pyspark 4: pyspark.sql.DataFrame is a
+    # dispatch base; classic sessions instantiate a subclass)
+    _DF = type(spark.range(1))
+
+    path = str(tmp_path / "t")
+    t0 = lk.Transaction(path)
+    t0.append(
+        spark.createDataFrame([(0, 0.1)], "id long, v double").coalesce(1)
+    )
+    t0.commit()
+    t1 = lk.Transaction(path)
+    t1.set_check_constraint(spark, "v_small", "v < 0.5")
+    t1.commit()
+
+    pinned = []
+    orig = _DF.localCheckpoint
+
+    def spy(self, *a, **k):
+        pinned.append(True)
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(_DF, "localCheckpoint", spy)
+    t2 = lk.Transaction(path)
+    t2.append(
+        spark.createDataFrame([(1, 0.2)], "id long, v double").coalesce(1)
+    )
+    assert pinned, "append with constraints must pin the batch first"
+    t2.commit()
+    assert lk.read_table(spark, path).count() == 2
+
+
+def test_commit_refuses_when_staged_files_vanished(spark, tmp_path):
+    """ADVICE r10: a vacuum sweep younger than this transaction's
+    staging-to-commit latency unlinks the staged files; commit must
+    fail LOUDLY instead of publishing a version that references
+    missing files (unreadable table)."""
+    path = _init(spark, tmp_path)
+    t = lk.Transaction(path)
+    t.append(
+        spark.createDataFrame([(99, 9, 9.9)], "id long, k int, v double")
+        .coalesce(1)
+    )
+    # an overeager sweep (min_age 0 outside a single-writer window)
+    # removes the staged-but-uncommitted files
+    assert lk.vacuum_orphans(path, min_age_sec=0.0) >= 1
+    with pytest.raises(FileNotFoundError, match="vanished"):
+        t.commit()
+    # the table is untouched at its committed version
+    assert lk.read_table(spark, path).count() == 30
+
+
+# -- round 11: MOR updates, change feed, restore, history -------------
+
+
+def test_update_where_mor_rewrites_nothing_and_composes(spark, tmp_path):
+    path = _init(spark, tmp_path)
+    t = lk.Transaction(path)
+    n = t.update_where_mor(spark, F.col("k") == 0, {"v": F.col("v") + 100.0})
+    assert n == 10
+    assert t.commit() == 2
+    rows = {r.id: r.v for r in lk.read_table(spark, path).collect()}
+    assert len(rows) == 30  # update never changes cardinality
+    assert all(
+        rows[i] == (float(i) + 100.0 if i % 3 == 0 else float(i))
+        for i in range(30)
+    )
+    # no base data file rewritten: 3 original adds + 1 reinsert live
+    _v, live = lk.snapshot(path)
+    assert len(live) == 4
+    # a later delete lands on the reinsert's fresh addresses
+    t2 = lk.Transaction(path)
+    assert t2.delete_where_mor(spark, F.col("v") == 100.0) == 1  # id 0
+    t2.commit()
+    assert lk.read_table(spark, path).count() == 29
+
+
+def test_update_conflicts_with_concurrent_mor_delete_both_orders(
+    spark, tmp_path
+):
+    """An update's reinserts would resurrect a concurrent delete's
+    rows (and vice versa misses the moved rows) — not serializable,
+    must conflict whichever side commits second."""
+    path = _init(spark, tmp_path, files=1)
+    a = lk.Transaction(path)
+    b = lk.Transaction(path)
+    a.update_where_mor(spark, F.col("k") == 0, {"v": F.lit(-1.0)})
+    b.delete_where_mor(spark, F.col("k") == 0)
+    a.commit()
+    with pytest.raises(lk.CommitConflict, match="UPDATE"):
+        b.commit()
+    # reverse order on a fresh table
+    path2 = str(tmp_path / "t2")
+    t0 = lk.Transaction(path2)
+    t0.append(
+        spark.createDataFrame(
+            [(i, i % 3, float(i)) for i in range(30)],
+            "id long, k int, v double",
+        ).coalesce(1)
+    )
+    t0.commit()
+    c = lk.Transaction(path2)
+    d = lk.Transaction(path2)
+    c.update_where_mor(spark, F.col("k") == 0, {"v": F.lit(-1.0)})
+    d.delete_where_mor(spark, F.col("k") == 0)
+    d.commit()
+    with pytest.raises(lk.CommitConflict, match="UPDATE"):
+        c.commit()
+
+
+def test_concurrent_updates_same_file_conflict(spark, tmp_path):
+    path = _init(spark, tmp_path, files=1)
+    a = lk.Transaction(path)
+    b = lk.Transaction(path)
+    a.update_where_mor(spark, F.col("k") == 0, {"v": F.lit(-1.0)})
+    b.update_where_mor(spark, F.col("k") == 1, {"v": F.lit(-2.0)})
+    a.commit()
+    with pytest.raises(lk.CommitConflict, match="UPDATE"):
+        b.commit()
+    # the retry contract: re-run on the fresh snapshot
+    b2 = lk.Transaction(path)
+    b2.update_where_mor(spark, F.col("k") == 1, {"v": F.lit(-2.0)})
+    b2.commit()
+    got = {r.v for r in lk.read_table(spark, path).filter("k <= 1").collect()}
+    assert got == {-1.0, -2.0}
+
+
+def test_update_validates_contract_before_staging(spark, tmp_path):
+    path = _init(spark, tmp_path)
+    t = lk.Transaction(path)
+    t.set_check_constraint(spark, "v_bounded", "v < 1000")
+    t.commit()
+    t2 = lk.Transaction(path)
+    with pytest.raises(lk.ConstraintViolation, match="v_bounded"):
+        t2.update_where_mor(spark, F.col("k") == 0, {"v": F.lit(5000.0)})
+    t3 = lk.Transaction(path)
+    with pytest.raises(lk.SchemaMismatch, match="type"):
+        t3.update_where_mor(spark, F.col("k") == 0, {"v": F.lit("oops")})
+    assert lk.read_table(spark, path).count() == 30
+
+
+def test_read_changes_derives_every_operation(spark, tmp_path):
+    """The change feed derived from the log's own actions: appends ->
+    inserts, MOR delete -> deletes, MOR update -> pre/postimages,
+    compaction -> nothing; an IVM consumer refreshed from the feed
+    alone must equal the direct final aggregate."""
+    path = _init(spark, tmp_path)  # v1: 30 rows
+    t = lk.Transaction(path)
+    t.append(
+        spark.createDataFrame(
+            [(100 + i, 9, 1000.0 + i) for i in range(5)],
+            "id long, k int, v double",
+        ).coalesce(1)
+    )
+    t.commit()  # v2: +5 inserts
+    t = lk.Transaction(path)
+    t.delete_where_mor(spark, F.col("k") == 1)
+    t.commit()  # v3: -10 deletes
+    t = lk.Transaction(path)
+    t.update_where_mor(spark, F.col("k") == 9, {"v": F.col("v") + 0.5})
+    t.commit()  # v4: 5 updates
+    t = lk.Transaction(path)
+    t.compact(spark)
+    t.commit()  # v5: data-neutral
+    feed = lk.read_changes(spark, path, 0, 5)
+    by_type = {
+        r._change_type: r.n
+        for r in feed.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_type == {
+        "insert": 35,
+        "delete": 10,
+        "update_preimage": 5,
+        "update_postimage": 5,
+    }
+    assert feed.filter("_commit_version = 5").count() == 0
+    # IVM: signed replay of the feed equals the direct final aggregate
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    d = feed.agg(
+        F.sum(sign).alias("dn"), F.sum(sign * F.col("v")).alias("dv")
+    ).collect()[0]
+    final = lk.read_table(spark, path).agg(
+        F.count("*").alias("n"), F.sum("v").alias("s")
+    ).collect()[0]
+    assert d.dn == final.n
+    assert abs(d.dv - final.s) < 1e-6
+    # delta-sized sub-range: just the update step
+    step = lk.read_changes(spark, path, 3, 4)
+    assert {
+        r._change_type for r in step.select("_change_type").distinct().collect()
+    } == {"update_preimage", "update_postimage"}
+
+
+def test_read_changes_cow_delete_needs_cdf(spark, tmp_path):
+    path = _init(spark, tmp_path)
+    t = lk.Transaction(path)
+    t.delete_where(spark, F.col("k") == 0)
+    t.commit()  # v2: CoW rewrite, CDF off
+    with pytest.raises(ValueError, match="enable_cdf|change data"):
+        lk.read_changes(spark, path, 1, 2)
+    t = lk.Transaction(path)
+    t.enable_cdf()
+    t.commit()  # v3
+    t = lk.Transaction(path)
+    assert t.delete_where(spark, F.col("k") == 1) == 10
+    t.commit()  # v4: CoW rewrite WITH recorded change data
+    feed = lk.read_changes(spark, path, 3, 4)
+    got = {(r.id, r._change_type) for r in feed.collect()}
+    assert got == {(i, "delete") for i in range(30) if i % 3 == 1}
+    # and the pre-CDF commit still refuses inside a wider range
+    with pytest.raises(ValueError, match="enable_cdf|change data"):
+        lk.read_changes(spark, path, 1, 4)
+
+
+def test_restore_preserves_history_and_feeds_cdf(spark, tmp_path):
+    path = _init(spark, tmp_path)  # v1
+    t = lk.Transaction(path)
+    t.append(
+        spark.createDataFrame(
+            [(100, 9, 100.5)], "id long, k int, v double"
+        ).coalesce(1)
+    )
+    t.commit()  # v2
+    t = lk.Transaction(path)
+    t.delete_where_mor(spark, F.col("k") == 2)
+    t.commit()  # v3: 21 live
+    v4 = lk.restore_table(spark, path, 1)
+    assert v4 == 4
+    # the restored table equals the v1 snapshot
+    assert lk.read_table(spark, path).count() == 30
+    got = {r.id for r in lk.read_table(spark, path).collect()}
+    assert got == set(range(30))
+    # history is preserved: time travel to the pre-restore state works
+    assert lk.read_table(spark, path, version=3).count() == 21
+    # the restore commit is CDF-derivable as a file-level diff whose
+    # signed replay moves v3's aggregate back to v1's
+    feed = lk.read_changes(spark, path, 3, 4)
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    dn = feed.agg(F.sum(sign)).collect()[0][0]
+    assert dn == 30 - 21
+    hist = lk.describe_history(spark, path)
+    ops = {r.version: r.operation for r in hist.collect()}
+    assert ops[4] == "restore"
+    assert ops[1] == "append"
+    # a restore on top of nothing-new is a no-op and says so
+    with pytest.raises(ValueError, match="no-op"):
+        lk.restore_table(spark, path, 4)
+
+
+def test_vacuum_retains_cdc_and_sweeps_orphans(spark, tmp_path):
+    path = _init(spark, tmp_path)
+    t = lk.Transaction(path)
+    t.enable_cdf()
+    t.commit()
+    t = lk.Transaction(path)
+    t.delete_where(spark, F.col("k") == 0)
+    t.commit()
+    cdc = list((pathlib.Path(path) / "_cdc").glob("cdc-*.parquet"))
+    assert cdc  # recorded change data exists
+    # an orphan cdc file (crashed writer) is swept; referenced ones stay
+    orphan = pathlib.Path(path) / "_cdc" / "cdc-deadbeef.parquet"
+    orphan.write_bytes(b"junk")
+    removed = lk.vacuum_orphans(path, min_age_sec=0.0)
+    assert removed >= 1
+    assert not orphan.exists()
+    assert all(p.exists() for p in cdc)
+    # and the feed still serves from the retained sidecars
+    v = lk.latest_commit(path)
+    assert lk.read_changes(spark, path, v - 1, v).count() == 10
