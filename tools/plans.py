@@ -228,6 +228,94 @@ AUDITED = [
 ]
 
 
+def _lakehouse_drills(spark, sf_dir):
+    """(title, note, DataFrame) triples for the lakehouse plan audits.
+    Tables are built tiny and fresh under the streaming scratch dir."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from market_etl_spark import lakehouse as lk
+    from market_etl_spark import merge, mor
+    from market_etl_spark.sinks import write_manifested, write_versioned
+    from market_etl_spark.streaming import _SCRATCH
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").selectExpr(
+        "c_custkey AS k", "c_mktsegment AS seg",
+        "CAST(c_acctbal AS DOUBLE) AS bal",
+    )
+    out = []
+
+    # 1. the snapshot-store CDF step (q_version_change_feed)
+    p = str(_SCRATCH / "plans_cdf_store")
+    shutil.rmtree(p, ignore_errors=True)
+    write_versioned(cust, p)
+    write_versioned(cust.filter("k % 7 <> 0"), p)
+    out.append((
+        "q_version_change_feed (one read_changes step)",
+        "The per-step diff is ONE shuffle: both snapshots union-tagged, "
+        "one `HashAggregate` on the key collects each side's row image + "
+        "digest, unchanged keys drop, and the 1-2 change records per key "
+        "`Generate explode` out — no full-outer join, no per-change-type "
+        "re-join (the naive shape would be 3 joins = 3+ shuffles).",
+        merge.read_changes(spark, p, 1, 2, ["k"]),
+    ))
+
+    # 2. the commit-log CDF derivation (q_lakehouse_change_feed): an
+    # append + a MOR delete — the feed plan scans ONLY the files those
+    # two commits reference and joins the DV positions back broadcast
+    p2 = str(_SCRATCH / "plans_cdf_log")
+    shutil.rmtree(p2, ignore_errors=True)
+    t = lk.Transaction(p2)
+    t.append(cust.repartition(2))
+    t.commit()
+    t = lk.Transaction(p2)
+    t.delete_where_mor(spark, F.col("k") % 7 == 0)
+    t.commit()
+    out.append((
+        "q_lakehouse_change_feed (log-derived feed, append + MOR delete)",
+        "Delta-sized derivation: the insert branch scans exactly the "
+        "commit's added files; the delete branch scans only the DV's "
+        "TARGET files and semi-joins the broadcast sidecar positions "
+        "(`BroadcastHashJoin ... LeftSemi` on `_dv_file/_dv_pos`) — the "
+        "table itself is never listed or scanned, so a 3-commit tail of "
+        "a 100 TB table reads KBs.",
+        lk.read_changes(spark, p2, 0, 2),
+    ))
+
+    # 3. the DV-subtracting bin rewrite (q_mor_compaction_purge /
+    # q_mor_compaction_updates): one bin's frame — base files minus
+    # broadcast DV positions, union routed reinserts, 1-partition sort
+    p3 = str(_SCRATCH / "plans_morcmp")
+    shutil.rmtree(p3, ignore_errors=True)
+    write_manifested(cust, p3, "bal", n_files=4)
+    mor.write_deletion_vector(spark, f"{p3}/data", F.col("k") % 5 == 0)
+    dvs = mor._read_dvs(spark, f"{p3}/data")
+    files = [
+        r.file_path
+        for r in spark.read.parquet(f"{p3}/manifest")
+        .orderBy("stat_min").limit(2).collect()
+    ]
+    bin_df = (
+        mor.with_row_addresses(spark.read.parquet(*files))
+        .join(F.broadcast(dvs), ["_dv_file", "_dv_pos"], "left_anti")
+        .drop("_dv_file", "_dv_pos")
+        .repartition(1)
+        .sortWithinPartitions("bal")
+    )
+    out.append((
+        "q_mor_compaction_purge (one DV-subtracting bin rewrite)",
+        "Each compaction bin reads ONLY its packed files, subtracts the "
+        "accumulated deletion vectors via `BroadcastHashJoin ... LeftAnti` "
+        "on the row address (the DV side is KBs — always broadcast), then "
+        "`repartition(1)` BEFORE `Sort` so the output file is globally "
+        "monotone on the cluster key (narrow row-group stats). No shuffle "
+        "of anything but the bin's own rows.",
+        bin_df,
+    ))
+    return out
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
@@ -294,10 +382,20 @@ def main() -> None:
             plan = plan[:cut].rstrip() + "\n   (initial plan elided)"
         out += [f"## {title}", "", note, "", "```", plan, "```", ""]
 
+    # Lakehouse/CDF drills (rounds 10-11): the registered queries run
+    # EAGERLY and return audit rows, so the load-bearing plans — the
+    # change-feed derivation shapes and the DV-subtracting rewrite —
+    # are captured here from small scratch tables (VERDICT r10 item 7).
+    for title, note, frame in _lakehouse_drills(spark, sf_dir):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            frame.explain("formatted")
+        out += [f"## {title}", "", note, "", "```", buf.getvalue().rstrip(), "```", ""]
+
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(path, "w") as f:
         f.write("\n".join(out) + "\n")
-    print(f"wrote {path} ({len(AUDITED) + len(drills)} plans)")
+    print(f"wrote {path} ({len(AUDITED) + len(drills) + 3} plans)")
 
 
 if __name__ == "__main__":
