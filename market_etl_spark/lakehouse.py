@@ -53,6 +53,14 @@ Model (Delta/Iceberg's core contract, minimally):
 - RESTORE (:func:`restore_table`): reset to a historical version as
   one metadata-only commit, history preserved; DESCRIBE HISTORY
   (:func:`describe_history`): the audit trail as a DataFrame.
+- MERGE INTO (:meth:`Transaction.merge_into`): Delta's merge
+  algorithm — one find-touched-files probe scan, file-pruned
+  copy-on-write rewrite of only the touched files, delta-sized
+  insert append; key-unique source enforced, CDF-recorded when
+  enabled.
+- SHALLOW CLONE (:func:`clone_table`): fork the table as one
+  metadata commit referencing the source's files by absolute path —
+  zero data copied; the clone's writes land under its own root.
 - THE TABLE CONTRACT: committed schema (enforced on every append,
   widened only via ``evolve_schema=True`` + footer-merged reads) and
   CHECK constraints (:meth:`Transaction.set_check_constraint` —
@@ -414,6 +422,20 @@ def read_changes(
         adds = lambda role: [  # noqa: E731
             a["file"] for a in by_role.get(("add", role), [])
         ]
+        if c.get("operation") == "clone":
+            # the clone's v1 IS the source's logical snapshot: cloned
+            # files' rows minus the cloned deletion vectors
+            side = rows_of(adds("clone"), with_addr=True)
+            _cv, _clive, cdvs = _state(path, v)
+            if cdvs:
+                dv = spark.read.parquet(
+                    *[str(root / f) for f in sorted(cdvs)]
+                ).select("_dv_file", "_dv_pos")
+                side = side.join(
+                    F.broadcast(dv), ["_dv_file", "_dv_pos"], "left_anti"
+                )
+            pieces.append(tag(side, "insert", v))
+            continue
         if adds("append"):
             pieces.append(tag(rows_of(adds("append")), "insert", v))
         for a in by_role.get(("add_cdc", None), []):
@@ -575,6 +597,53 @@ def restore_table(spark: SparkSession, path: str, version: int) -> int:
     # the restore depends on the WHOLE current state: any concurrent
     # change invalidates it
     t.read_files = cur["live"] | cur["dvs"]
+    return t.commit()
+
+
+def clone_table(src_path: str, dst_path: str) -> int:
+    """SHALLOW CLONE (Delta ``CREATE TABLE ... SHALLOW CLONE``): a NEW
+    table whose first commit references the source's CURRENT live
+    data/DV files by ABSOLUTE path — one metadata commit, ZERO bytes
+    of data copied, however many terabytes the source holds.  The
+    clone then diverges freely: its writes (appends, deletes, merges,
+    compactions) land under its OWN root — a copy-on-write fork, so
+    the source never observes them and vice versa (the source's
+    history continues independently; the clone pinned one snapshot).
+
+    Dev/test-against-prod and experiment-branching are the 100 TB use
+    cases: forking the table costs O(files) JSON, not a data job.
+
+    Safety: the clone's validity rests on the source's referenced
+    files staying put — :func:`vacuum_orphans` never removes a file a
+    commit referenced, so clones survive source vacuums; a future
+    version-EXPIRY policy (deleting files only old versions
+    reference) would need clone awareness, the same caveat Delta
+    documents for shallow clones.  Returns the clone's version (1)."""
+    v, live, dvs, _txns, meta = _state_full(src_path)
+    if not live:
+        raise ValueError(f"cannot clone empty table at {src_path}")
+    src_root = pathlib.Path(src_path).resolve()
+    t = Transaction(dst_path)
+    if t.read_version != 0:
+        raise ValueError(f"clone destination {dst_path} already exists")
+    t._ops.append("clone")
+    for f in sorted(live):
+        # absolute reference: pathlib's `root / "/abs"` yields the
+        # absolute path, so every reader resolves it unchanged
+        t.actions.append(
+            {"op": "add", "file": str(src_root / f), "role": "clone"}
+        )
+    for f in sorted(dvs):
+        t.actions.append(
+            {
+                "op": "add_dv",
+                "file": str(src_root / f),
+                "targets": [],
+                "role": "clone",
+            }
+        )
+    if meta:
+        t.actions.append({"op": "set_meta", "meta": meta})
     return t.commit()
 
 
@@ -1084,6 +1153,236 @@ class Transaction:
             raise ConstraintViolation(
                 f"{what} rejected — CHECK violation(s): {detail}"
             )
+
+    def merge_into(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key_cols: list[str],
+        when_matched_update: dict | None = None,
+        when_matched_delete=None,
+        when_not_matched_insert: bool = True,
+    ) -> dict:
+        """MERGE INTO under the commit log — Delta's merge algorithm,
+        file-pruned copy-on-write:
+
+        1. FIND TOUCHED FILES: one inner join of the target (with row
+           addresses) against the delta-sized source on ``key_cols`` —
+           the single full-target scan the operation needs (Delta's
+           findTouchedFiles job).  Files with no match are never
+           rewritten and never enter the read set, so merges on
+           disjoint keys commute.
+        2. REWRITE touched files once: target rows LEFT-join the
+           broadcast source; matched rows satisfying
+           ``when_matched_delete`` (a Column predicate over the
+           joined ``t``/``s`` aliases, or ``True`` for
+           unconditional) drop; remaining matched rows take
+           ``when_matched_update`` (``{col: Column}`` over the same
+           aliases — reference source values as ``F.col("s.x")``,
+           target as ``F.col("t.x")``); unmatched rows pass through.
+        3. INSERT source rows matching NO target key (anti join on
+           the matched-key set from step 1) as a plain append, when
+           ``when_not_matched_insert``.
+
+        The source must be key-unique (a target row matching two
+        source rows makes the merge non-deterministic — Delta raises
+        the same error); validated in one aggregate over the source.
+        With CDF enabled the merge records its change-data sidecars
+        (update pre/post images, deletes, inserts), so
+        :func:`read_changes` serves merge commits too.
+
+        Returns ``{"updated": n, "deleted": n, "inserted": n}``.
+        Scale posture: cost = one target scan (the match probe) +
+        rewrite of only the touched files + delta-sized insert; the
+        source is localCheckpoint-pinned and broadcast."""
+        from .sinks import write_single_file
+
+        if when_matched_update is None and when_matched_delete is None \
+                and not when_not_matched_insert:
+            raise ValueError("merge_into with no clauses is a no-op")
+        root = pathlib.Path(self.path)
+        self._require_first_rewrite("merge_into")
+        meta = self._effective_meta()
+        source = source.localCheckpoint()
+        dup = (
+            source.groupBy(*key_cols).count().filter(F.col("count") > 1)
+        ).count()
+        if dup:
+            raise ValueError(
+                f"merge source is not key-unique on {key_cols}: {dup} "
+                f"duplicated key(s) — a target row matching multiple "
+                f"source rows is non-deterministic"
+            )
+        cdf = bool(meta.get("cdf"))
+        table_cols = [n for n, _t in meta.get("schema", [])]
+        key_eq = [
+            F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols
+        ]
+        counts = {"updated": 0, "deleted": 0, "inserted": 0}
+
+        self._ops.append("merge")
+        if self._live:
+            target = self._snapshot_frame(spark)
+            # step 1: the single full-target scan — matched addresses
+            # and matched keys, both delta-sized (<= source rows each)
+            matches = (
+                target.alias("t")
+                .join(F.broadcast(source).alias("s"), key_eq, "inner")
+                .select("t._dv_file", *[f"t.{k}" for k in key_cols])
+                .localCheckpoint()
+            )
+            by_name = {
+                pathlib.PurePosixPath(f).name: f for f in self._live
+            }
+            touched = sorted(
+                by_name[r._dv_file]
+                for r in matches.select("_dv_file").distinct().collect()
+            )  # bounded by file count
+        else:
+            matches = None
+            touched = []
+
+        has_matched_clause = (
+            when_matched_update is not None
+            or when_matched_delete is not None
+        )
+        if touched and has_matched_clause:
+            dv = None
+            if self._dvs:
+                dv = spark.read.parquet(
+                    *[str(root / f) for f in self._dvs]
+                ).select("_dv_file", "_dv_pos")
+            rows = _with_addresses(spark, root, touched, self._meta)
+            if dv is not None:
+                rows = rows.join(
+                    F.broadcast(dv), ["_dv_file", "_dv_pos"], "left_anti"
+                )
+            rows = rows.drop("_dv_file", "_dv_pos")
+            # one left join against the tagged source; the constant
+            # tag (never NULL on the source side) is the match probe —
+            # a real source column could be legitimately NULL
+            j = rows.alias("t").join(
+                F.broadcast(
+                    source.withColumn("_s_hit", F.lit(1))
+                ).alias("s"),
+                key_eq,
+                "left",
+            )
+            matched = F.col("s._s_hit").isNotNull()
+            if when_matched_delete is True:
+                del_pred = matched
+            elif when_matched_delete is not None:
+                del_pred = matched & F.coalesce(
+                    when_matched_delete, F.lit(False)
+                )
+            else:
+                del_pred = F.lit(False)
+            upd_pred = matched & ~del_pred
+            new_exprs = []
+            for c in table_cols:
+                expr = F.col(f"t.{c}")
+                if when_matched_update and c in when_matched_update:
+                    expr = F.when(
+                        upd_pred, when_matched_update[c]
+                    ).otherwise(expr)
+                new_exprs.append(expr.alias(f"_new_{c}"))
+            # resolve everything against the ALIASED join, project to
+            # unambiguous names, then pin ONCE — a localCheckpoint of
+            # the raw join would drop the t/s alias scopes and leave
+            # duplicate key-column names
+            proj = j.select(
+                del_pred.alias("_del"),
+                upd_pred.alias("_upd"),
+                *[F.col(f"t.{c}").alias(c) for c in table_cols],
+                *new_exprs,
+            ).localCheckpoint()
+            counts["deleted"] = proj.filter("_del").count()
+            if when_matched_update:
+                counts["updated"] = proj.filter("_upd").count()
+            survivors = proj.filter(~F.col("_del")).select(
+                *[F.col(f"_new_{c}").alias(c) for c in table_cols]
+            )
+            # contract on the POST-images, same as update_where_mor:
+            # an update clause may not change a column's type, and the
+            # changed rows must keep every CHECK constraint holding
+            table_types = dict(meta.get("schema", []))
+            wrong = [
+                (f.name, table_types[f.name], f.dataType.simpleString())
+                for f in survivors.schema.fields
+                if f.name in table_types
+                and table_types[f.name] != f.dataType.simpleString()
+            ]
+            if wrong:
+                raise SchemaMismatch(
+                    "merge update changes column type(s): "
+                    + ", ".join(f"{n_}: {a} -> {b}" for n_, a, b in wrong)
+                )
+            if when_matched_update:
+                self._check_constraints(
+                    proj.filter("_upd").select(
+                        *[F.col(f"_new_{c}").alias(c) for c in table_cols]
+                    ),
+                    meta,
+                    "merge update",
+                )
+            new = f"{_DATA_DIR}/mg-{uuid.uuid4().hex}.parquet"
+            write_single_file(survivors, root / new)
+            for rel in touched:
+                self.actions.append({"op": "remove", "file": rel})
+                self.read_files.add(rel)
+            self.actions.append({"op": "add", "file": new, "role": "rewrite"})
+            if cdf:
+                (root / _CDC_DIR).mkdir(parents=True, exist_ok=True)
+                pieces = [
+                    (proj.filter("_del").select(*table_cols), "delete"),
+                ]
+                if when_matched_update:
+                    pieces += [
+                        (
+                            proj.filter("_upd").select(*table_cols),
+                            "update_preimage",
+                        ),
+                        (
+                            proj.filter("_upd").select(
+                                *[
+                                    F.col(f"_new_{c}").alias(c)
+                                    for c in table_cols
+                                ]
+                            ),
+                            "update_postimage",
+                        ),
+                    ]
+                for images, change in pieces:
+                    cdc = f"{_CDC_DIR}/cdc-{uuid.uuid4().hex}.parquet"
+                    write_single_file(images, root / cdc)
+                    self.actions.append(
+                        {"op": "add_cdc", "file": cdc, "change": change}
+                    )
+
+        if when_not_matched_insert:
+            if matches is not None:
+                inserts = source.alias("s").join(
+                    F.broadcast(
+                        matches.select(*key_cols).distinct()
+                    ).alias("k"),
+                    [
+                        F.col(f"s.{k}").eqNullSafe(F.col(f"k.{k}"))
+                        for k in key_cols
+                    ],
+                    "left_anti",
+                )
+            else:
+                inserts = source
+            if table_cols:
+                # the insert clause maps to the TABLE schema — extra
+                # source-only columns (clause predicates' inputs) drop
+                inserts = inserts.select(*table_cols)
+            counts["inserted"] = inserts.count()
+            if counts["inserted"]:
+                # plain append path: schema + constraint enforcement,
+                # role "append" (CDF derives these inserts for free)
+                self.append(inserts)
+        return counts
 
     def compact(self, spark: SparkSession, n_files: int = 1) -> tuple[int, int]:
         """Stage a compaction: every live file read, committed

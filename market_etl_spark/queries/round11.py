@@ -28,6 +28,12 @@ snapshot store, not the log.  Round 11 closes the loop:
   DV-aware compaction folds committed UPDATE reinserts into the
   rewrite bins (an update that moved the cluster key included)
   instead of silently dropping every updated row.
+- ``q_lakehouse_merge`` — MERGE INTO as one transaction: Delta's
+  find-touched-files probe + file-pruned copy-on-write rewrite +
+  delta-sized insert append, CDC-recorded under CDF.
+- ``q_lakehouse_clone`` — shallow clone: fork the table as one
+  metadata commit (absolute file references, zero data copied),
+  divergence isolated to the clone's own root.
 
 Reference parity note: the reference pipeline (glue_jobs/*.py) is
 append-only with no version, update or subscription story; these are
@@ -608,4 +614,257 @@ def q_streaming_lakehouse_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("tailed_per_commit", F.lit(bool(tailed_per_commit)))
         .withColumn("replay_skipped", F.lit(bool(replay_skipped)))
         .orderBy("event_type")
+    )
+
+
+@query(
+    "q_lakehouse_merge",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, event_type, value FROM events
+    ),
+    merged AS (
+      SELECT event_id, event_type,
+             value + CASE WHEN event_id % 2 = 0 AND event_id < 200
+                          THEN 500.0 ELSE 0.0 END AS value
+      FROM base
+      WHERE NOT (event_id % 2 = 1 AND event_id < 200)
+      UNION ALL
+      SELECT -(event_id + 1) AS event_id, 'merged' AS event_type,
+             value * 3 AS value
+      FROM base WHERE event_id % 5 = 0
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+               AS value_micros,
+           TRUE AS merge_exact,
+           TRUE AS file_pruned,
+           TRUE AS merge_feed_consistent
+    FROM merged
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("lakehouse", "merge", "transactions", "cdf", "extension"),
+)
+def q_lakehouse_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO under the commit log — Delta's merge algorithm as
+    ONE transaction (:meth:`..lakehouse.Transaction.merge_into`): a
+    three-clause merge (matched+predicate DELETE, matched UPDATE
+    ``value += 500`` referencing the target alias, NOT-MATCHED
+    INSERT) against a range-clustered events table.
+
+    The algorithm's scale shape: ONE find-touched-files probe scan
+    (target inner-join broadcast source), then a copy-on-write
+    rewrite of ONLY the files containing matches — the update/delete
+    keys are confined to ``event_id < 200``, so on the
+    ``repartitionByRange(8)`` seed most files are untouched
+    (``file_pruned``: removed files < total files, pinned TRUE), and
+    the inserts ride the plain append path.
+
+    ``merge_exact`` pins the returned counts against direct
+    recomputes; ``merge_feed_consistent`` pins that the CDF-recorded
+    merge commit (update pre/post images + deletes in change-data
+    sidecars, inserts derived from the append actions) replays the
+    table from its pre-merge aggregate to the final one — the oracle
+    recomputes the merged table relationally."""
+    from .. import lakehouse as lk
+
+    path = str(_SCRATCH / f"lakehouse_merge_{_tag(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    e = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    t = lk.Transaction(path)
+    t.append(e.repartitionByRange(8, F.col("event_id")))
+    t.commit()  # v1
+    t = lk.Transaction(path)
+    t.enable_cdf()
+    t.commit()  # v2
+
+    hot = F.col("event_id") < 200
+    src = (
+        e.filter((F.col("event_id") % 2 == 0) & hot)
+        .withColumn("op", F.lit("u"))
+        .unionByName(
+            e.filter((F.col("event_id") % 2 == 1) & hot).withColumn(
+                "op", F.lit("d")
+            )
+        )
+        .unionByName(
+            e.filter(F.col("event_id") % 5 == 0)
+            .select(
+                (-(F.col("event_id") + 1)).alias("event_id"),
+                F.lit("merged").alias("event_type"),
+                (F.col("value") * 3).alias("value"),
+            )
+            .withColumn("op", F.lit("i"))
+        )
+    )
+    n_upd = e.filter((F.col("event_id") % 2 == 0) & hot).count()
+    n_del = e.filter((F.col("event_id") % 2 == 1) & hot).count()
+    n_ins = e.filter(F.col("event_id") % 5 == 0).count()
+
+    pre = lk.read_table(spark, path).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_micros(F.col("value"))).alias("m"),
+    ).collect()[0]
+
+    t = lk.Transaction(path)
+    counts = t.merge_into(
+        spark,
+        src,
+        ["event_id"],
+        when_matched_update={"value": F.col("t.value") + 500.0},
+        when_matched_delete=F.col("s.op") == "d",
+        when_not_matched_insert=True,
+    )
+    v = t.commit()  # v3
+    merge_exact = counts == {
+        "updated": n_upd, "deleted": n_del, "inserted": n_ins
+    }
+    removed = [a for a in t.actions if a["op"] == "remove"]
+    total_files = 8
+    file_pruned = 0 < len(removed) < total_files
+
+    final = lk.read_table(spark, path)
+    fin = final.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_micros(F.col("value"))).alias("m"),
+    ).collect()[0]
+    feed = lk.read_changes(spark, path, v - 1, v)
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    d = feed.agg(
+        F.sum(sign).alias("dn"),
+        F.sum(sign * _micros(F.col("value"))).alias("dm"),
+    ).collect()[0]
+    merge_feed_consistent = (
+        pre.n + d.dn == fin.n and pre.m + d.dm == fin.m
+    )
+
+    return (
+        final.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_micros(F.col("value"))).cast("long").alias("value_micros"),
+        )
+        .withColumn("merge_exact", F.lit(bool(merge_exact)))
+        .withColumn("file_pruned", F.lit(bool(file_pruned)))
+        .withColumn(
+            "merge_feed_consistent", F.lit(bool(merge_feed_consistent))
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_lakehouse_clone",
+    oracle="""
+    WITH live AS (
+      SELECT o_orderkey AS k, o_custkey AS c,
+             CAST(o_totalprice AS DOUBLE) AS p
+      FROM orders WHERE o_orderkey % 4 <> 0
+    ),
+    forked AS (
+      SELECT * FROM live WHERE NOT (c % 3 = 0)
+      UNION ALL
+      SELECT -k AS k, c, p * 2 AS p FROM live WHERE k % 7 = 0
+    )
+    SELECT CAST(c % 10 AS BIGINT) AS custgrp,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(p * 1e6, 0) AS BIGINT)) AS BIGINT)
+               AS price_micros,
+           TRUE AS zero_copy,
+           TRUE AS source_unchanged,
+           TRUE AS clone_feed_is_snapshot
+    FROM forked
+    GROUP BY custgrp
+    ORDER BY custgrp
+    """,
+    tags=("lakehouse", "clone", "time-travel", "extension"),
+)
+def q_lakehouse_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE (:func:`..lakehouse.clone_table`) — fork a table
+    as ONE metadata commit referencing the source's live files by
+    absolute path, zero bytes copied (at 100 TB: a dev/test fork for
+    the cost of O(files) JSON).  Scenario on orders: the source takes
+    a MOR delete (every 4th key — so the clone must pin the LOGICAL
+    snapshot, files minus vectors, not the raw files), the clone
+    forks, then DIVERGES: a copy-on-write delete (every 3rd custkey)
+    whose rewrites land under the clone's OWN root, plus an append of
+    negated-key rows.  The final clone state must equal the oracle's
+    relational recompute; the source must not observe any of it.
+
+    Audits pinned TRUE: ``zero_copy`` — after cloning, the clone's
+    data directory holds no parquet of its own (and after the
+    divergence, exactly its own rewrites/appends);
+    ``source_unchanged`` — the source's aggregate is bit-identical
+    before and after the clone's writes; ``clone_feed_is_snapshot``
+    — the clone's v1 change feed is pure inserts equal to the
+    source's logical snapshot count (DV-subtracted)."""
+    from .. import lakehouse as lk
+
+    src = str(_SCRATCH / f"lakehouse_clsrc_{_tag(sf_dir)}")
+    dst = str(_SCRATCH / f"lakehouse_clfork_{_tag(sf_dir)}")
+    for p in (src, dst):
+        shutil.rmtree(p, ignore_errors=True)
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+        F.col("o_totalprice").cast("double").alias("p"),
+    )
+    t = lk.Transaction(src)
+    t.append(o.repartition(4))
+    t.commit()
+    t = lk.Transaction(src)
+    t.delete_where_mor(spark, F.col("k") % 4 == 0)
+    t.commit()
+    agg = lambda df: df.agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_micros(F.col("p"))).alias("m"),
+    ).collect()[0]
+    src_before = agg(lk.read_table(spark, src))
+
+    assert lk.clone_table(src, dst) == 1
+    data_dir = pathlib.Path(dst) / "data"
+    zero_copy = (
+        not data_dir.exists()
+        or not any(data_dir.glob("*.parquet"))
+    )
+    feed = lk.read_changes(spark, dst, 0, 1)
+    clone_feed_is_snapshot = (
+        feed.filter(F.col("_change_type") != "insert").count() == 0
+        and feed.count() == src_before.n
+    )
+
+    # divergence: CoW delete + append, both under the clone's root
+    t = lk.Transaction(dst)
+    t.delete_where(spark, F.col("c") % 3 == 0)
+    t.commit()
+    t = lk.Transaction(dst)
+    t.append(
+        lk.read_table(spark, dst, version=1)
+        .filter(F.col("k") % 7 == 0)
+        .select((-F.col("k")).alias("k"), "c", (F.col("p") * 2).alias("p"))
+    )
+    t.commit()
+
+    src_after = agg(lk.read_table(spark, src))
+    source_unchanged = (src_before.n, src_before.m) == (
+        src_after.n, src_after.m
+    )
+
+    return (
+        lk.read_table(spark, dst)
+        .groupBy((F.col("c") % 10).cast("long").alias("custgrp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_micros(F.col("p"))).cast("long").alias("price_micros"),
+        )
+        .withColumn("zero_copy", F.lit(bool(zero_copy)))
+        .withColumn("source_unchanged", F.lit(bool(source_unchanged)))
+        .withColumn(
+            "clone_feed_is_snapshot", F.lit(bool(clone_feed_is_snapshot))
+        )
+        .orderBy("custgrp")
     )

@@ -892,3 +892,154 @@ def test_vacuum_retains_cdc_and_sweeps_orphans(spark, tmp_path):
     # and the feed still serves from the retained sidecars
     v = lk.latest_commit(path)
     assert lk.read_changes(spark, path, v - 1, v).count() == 10
+
+
+# -- round 11b: MERGE INTO and shallow clone ---------------------------
+
+
+def test_merge_into_update_delete_insert(spark, tmp_path):
+    """The three-clause merge: matched+delete drops, matched+update
+    rewrites, unmatched source rows insert — file-pruned (untouched
+    files never rewritten) and counted exactly."""
+    path = _init(spark, tmp_path)  # ids 0..29, v = float(id)
+    src = spark.createDataFrame(
+        [(0, "u"), (3, "u"), (6, "d"), (9, "d"), (100, "i"), (101, "i")],
+        "id long, op string",
+    ).select(
+        "id",
+        (F.col("id") % 3).cast("int").alias("k"),
+        F.lit(-1.0).alias("v"),
+        "op",
+    )
+    t = lk.Transaction(path)
+    got = t.merge_into(
+        spark,
+        src,
+        ["id"],
+        when_matched_update={"v": F.col("t.v") + 1000.0},
+        when_matched_delete=F.col("s.op") == "d",
+        when_not_matched_insert=True,
+    )
+    assert got == {"updated": 2, "deleted": 2, "inserted": 2}
+    t.commit()
+    rows = {r.id: r.v for r in lk.read_table(spark, path).collect()}
+    assert len(rows) == 30  # 30 - 2 deleted + 2 inserted
+    assert rows[0] == 1000.0 and rows[3] == 1003.0
+    assert 6 not in rows and 9 not in rows
+    assert rows[100] == -1.0 and rows[101] == -1.0
+    assert rows[12] == 12.0  # untouched
+    # file-pruned: only files containing matches were removed
+    removed = {a["file"] for a in t.actions if a["op"] == "remove"}
+    assert removed == t.read_files and len(removed) <= 3
+
+
+def test_merge_insert_only_rewrites_nothing(spark, tmp_path):
+    """An insert-only merge (dedup-append) must not rewrite touched
+    files — it commutes with everything, like a plain append."""
+    path = _init(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(0, 0, 0.0), (200, 2, 2.0)], "id long, k int, v double"
+    )
+    t = lk.Transaction(path)
+    got = t.merge_into(spark, src, ["id"], when_not_matched_insert=True)
+    assert got == {"updated": 0, "deleted": 0, "inserted": 1}
+    assert not t.read_files  # no conflict surface
+    assert not any(a["op"] == "remove" for a in t.actions)
+    t.commit()
+    assert lk.read_table(spark, path).count() == 31
+
+
+def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
+    path = _init(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(1, 1, 0.0), (1, 1, 9.0)], "id long, k int, v double"
+    )
+    t = lk.Transaction(path)
+    with pytest.raises(ValueError, match="key-unique"):
+        t.merge_into(spark, src, ["id"], when_matched_update={"v": F.lit(0.0)})
+
+
+def test_merge_cdf_records_all_change_classes(spark, tmp_path):
+    path = _init(spark, tmp_path)
+    t = lk.Transaction(path)
+    t.enable_cdf()
+    t.commit()
+    src = spark.createDataFrame(
+        [(0, "u"), (6, "d"), (100, "i")], "id long, op string"
+    ).select("id", F.lit(0).alias("k"), F.lit(5.5).alias("v"), "op")
+    t = lk.Transaction(path)
+    t.merge_into(
+        spark,
+        src,
+        ["id"],
+        when_matched_update={"v": F.col("s.v")},
+        when_matched_delete=F.col("s.op") == "d",
+    )
+    v = t.commit()
+    feed = lk.read_changes(spark, path, v - 1, v)
+    got = {(r.id, r._change_type, r.v) for r in feed.collect()}
+    assert got == {
+        (0, "update_preimage", 0.0),
+        (0, "update_postimage", 5.5),
+        (6, "delete", 6.0),
+        (100, "insert", 5.5),
+    }
+
+
+def test_merge_respects_constraints_on_postimages(spark, tmp_path):
+    path = _init(spark, tmp_path)
+    t = lk.Transaction(path)
+    t.set_check_constraint(spark, "v_nonneg", "v >= 0")
+    t.commit()
+    src = spark.createDataFrame([(0, 0, 0.0)], "id long, k int, v double")
+    t = lk.Transaction(path)
+    with pytest.raises(lk.ConstraintViolation, match="v_nonneg"):
+        t.merge_into(
+            spark, src, ["id"], when_matched_update={"v": F.lit(-5.0)}
+        )
+
+
+def test_clone_is_zero_copy_and_diverges(spark, tmp_path):
+    path = _init(spark, tmp_path)
+    # give the source a DV so the clone pins the LOGICAL snapshot
+    t = lk.Transaction(path)
+    t.delete_where_mor(spark, F.col("k") == 2)
+    t.commit()
+    dst = str(tmp_path / "fork")
+    assert lk.clone_table(path, dst) == 1
+    # zero copy: the clone holds no data files of its own
+    assert not list((pathlib.Path(dst) / "data").glob("*.parquet")) if (
+        pathlib.Path(dst) / "data"
+    ).exists() else True
+    got = {r.id for r in lk.read_table(spark, dst).collect()}
+    assert got == {i for i in range(30) if i % 3 != 2}
+    # divergence: a delete on the clone rewrites INTO the clone's root
+    t = lk.Transaction(dst)
+    assert t.delete_where(spark, F.col("k") == 0) == 10
+    t.commit()
+    assert lk.read_table(spark, dst).count() == 10
+    assert lk.read_table(spark, path).count() == 20  # source unchanged
+    # the clone's rewrite landed under its own data/
+    assert list((pathlib.Path(dst) / "data").glob("rw-*.parquet"))
+    # source files untouched on disk
+    assert lk.read_table(spark, path, version=1).count() == 30
+    # clone CDF: v1 inserts = the logical snapshot (DV-subtracted)
+    feed = lk.read_changes(spark, dst, 0, 1)
+    assert feed.count() == 20
+    assert {r._change_type for r in feed.select("_change_type").distinct().collect()} == {"insert"}
+
+
+def test_clone_vacuum_never_touches_source_files(spark, tmp_path):
+    path = _init(spark, tmp_path)
+    dst = str(tmp_path / "fork")
+    lk.clone_table(path, dst)
+    t = lk.Transaction(dst)
+    t.append(spark.createDataFrame([(99, 9, 9.9)], "id long, k int, v double"))
+    t.commit()
+    # vacuum the clone aggressively: source files and the clone's own
+    # referenced files all survive
+    lk.vacuum_orphans(dst, min_age_sec=0.0)
+    assert lk.read_table(spark, dst).count() == 31
+    assert lk.read_table(spark, path).count() == 30
+    with pytest.raises(ValueError, match="already exists"):
+        lk.clone_table(path, dst)
