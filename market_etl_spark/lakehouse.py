@@ -385,10 +385,24 @@ def read_changes(
             F.lit(v).cast("int").alias("_commit_version"),
         )
 
-    def dv_preimages(spark, dv_files, targets) -> DataFrame:
-        dv = spark.read.parquet(
-            *[str(root / f) for f in sorted(dv_files)]
-        ).select("_dv_file", "_dv_pos")
+    def dv_preimages(spark, dv_files, targets, prior_dvs=()) -> DataFrame:
+        # distinct within the commit (a transaction may stage several
+        # composing MOR deletes whose positions overlap), and minus
+        # the positions ALREADY dead at v-1: two concurrent
+        # overlapping deletes both commit legally (position
+        # subtraction is idempotent), but the feed must emit each
+        # row's death ONCE or an IVM consumer double-subtracts
+        # (review r11 finding 5).  Sidecars are KBs — broadcast-scale.
+        dv = (
+            spark.read.parquet(*[str(root / f) for f in sorted(dv_files)])
+            .select("_dv_file", "_dv_pos")
+            .distinct()
+        )
+        if prior_dvs:
+            prior = spark.read.parquet(
+                *[str(root / f) for f in sorted(prior_dvs)]
+            ).select("_dv_file", "_dv_pos")
+            dv = dv.subtract(prior)
         return rows_of(targets, with_addr=True).join(
             F.broadcast(dv), ["_dv_file", "_dv_pos"], "left_semi"
         )
@@ -447,9 +461,15 @@ def read_changes(
             targets = sorted(
                 {t for a in del_dvs for t in a.get("targets", ())}
             )
+            _pv, _plive, prior_dvs = _state(path, v - 1)
             pieces.append(
                 tag(
-                    dv_preimages(spark, [a["file"] for a in del_dvs], targets),
+                    dv_preimages(
+                        spark,
+                        [a["file"] for a in del_dvs],
+                        targets,
+                        prior_dvs,
+                    ),
                     "delete",
                     v,
                 )
@@ -583,9 +603,26 @@ def restore_table(spark: SparkSession, path: str, version: int) -> int:
         t.actions.append({"op": "add", "file": f, "role": "restore"})
     for f in sorted(cur["dvs"] - tgt_dvs):
         t.actions.append({"op": "remove_dv", "file": f})
+    root = pathlib.Path(path)
+    by_name = {
+        pathlib.PurePosixPath(f).name: f for f in tgt_live | cur["live"]
+    }
     for f in sorted(tgt_dvs - cur["dvs"]):
+        # recover the re-added vector's TARGETS from its own content
+        # (basenames -> live paths): targets=[] would blind the
+        # DV-vs-remove conflict check and let a concurrent rewrite
+        # resurrect the vector's deletes (review r11 finding 1)
+        targets = sorted(
+            by_name[r._dv_file]
+            for r in spark.read.parquet(str(root / f))
+            .select("_dv_file")
+            .distinct()
+            .collect()
+            if r._dv_file in by_name
+        )  # sidecars are KBs; bounded by file count
         t.actions.append(
-            {"op": "add_dv", "file": f, "role": "restore", "targets": []}
+            {"op": "add_dv", "file": f, "role": "restore",
+             "targets": targets}
         )
     if tgt_meta != cur["meta"]:
         t.actions.append({"op": "set_meta", "meta": tgt_meta})
@@ -743,10 +780,17 @@ class Transaction:
         """The table as of THIS transaction's snapshot, with row
         addresses: live files minus committed DVs.  Every rewrite
         derives from this — a copy-on-write rewrite that read the raw
-        files would resurrect DV-deleted rows."""
+        files would resurrect DV-deleted rows.
+
+        The subtracted DV files enter the READ SET: an operation that
+        derived its row view through a vector is invalidated by a
+        concurrent commit that REMOVES that vector (a restore dropping
+        a DV un-hides rows this operation never saw — neither serial
+        order produces the combined state; review r11 finding 2)."""
         root = pathlib.Path(self.path)
         df = _with_addresses(spark, root, self._live, self._meta)
         if self._dvs:
+            self.read_files.update(self._dvs)
             dv = spark.read.parquet(
                 *[str(root / f) for f in self._dvs]
             ).select("_dv_file", "_dv_pos")
@@ -1066,6 +1110,16 @@ class Transaction:
             return 0
         self._require_first_rewrite("update_where_mor")
         meta = self._effective_meta()
+        known = {n for n, _t in meta.get("schema", [])}
+        unknown = sorted(set(set_exprs) - known) if known else []
+        if unknown:
+            # a typo'd SET column would otherwise withColumn a NEW
+            # column into the reinsert file and silently no-op the
+            # intended update (review r11 finding 4)
+            raise SchemaMismatch(
+                f"update sets unknown column(s) {unknown} — not in the "
+                f"table schema"
+            )
         hits = self._snapshot_frame(spark).filter(
             F.coalesce(predicate, F.lit(False))
         )
@@ -1215,6 +1269,13 @@ class Transaction:
             )
         cdf = bool(meta.get("cdf"))
         table_cols = [n for n, _t in meta.get("schema", [])]
+        if when_matched_update and table_cols:
+            unknown = sorted(set(when_matched_update) - set(table_cols))
+            if unknown:
+                raise SchemaMismatch(
+                    f"merge update sets unknown column(s) {unknown} — "
+                    f"not in the table schema"
+                )
         key_eq = [
             F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols
         ]
@@ -1241,6 +1302,59 @@ class Transaction:
         else:
             matches = None
             touched = []
+
+        # the INSERT branch is computed and fully validated FIRST, so a
+        # rejected insert (schema/constraint) raises before ANY action
+        # stages — an exception must leave no half-merge behind, the
+        # same whole-operation atomicity contract append carries
+        # (review r11 finding 3)
+        inserts = None
+        if when_not_matched_insert:
+            if matches is not None:
+                inserts = source.alias("s").join(
+                    F.broadcast(
+                        matches.select(*key_cols).distinct()
+                    ).alias("k"),
+                    [
+                        F.col(f"s.{k}").eqNullSafe(F.col(f"k.{k}"))
+                        for k in key_cols
+                    ],
+                    "left_anti",
+                )
+            else:
+                inserts = source
+            if table_cols:
+                # the insert clause maps to the TABLE schema — extra
+                # source-only columns (clause predicates' inputs) drop;
+                # a missing column raises here, pre-staging
+                missing = [
+                    c for c in table_cols if c not in inserts.columns
+                ]
+                if missing:
+                    raise SchemaMismatch(
+                        f"merge insert source is missing table "
+                        f"column(s) {missing}"
+                    )
+                inserts = inserts.select(*table_cols)
+                table_types = dict(meta.get("schema", []))
+                wrong = [
+                    (f.name, table_types[f.name], f.dataType.simpleString())
+                    for f in inserts.schema.fields
+                    if table_types.get(f.name) not in (
+                        None, f.dataType.simpleString()
+                    )
+                ]
+                if wrong:
+                    raise SchemaMismatch(
+                        "merge insert changes column type(s): "
+                        + ", ".join(
+                            f"{n_}: {a} -> {b}" for n_, a, b in wrong
+                        )
+                    )
+            inserts = inserts.localCheckpoint()
+            counts["inserted"] = inserts.count()
+            if counts["inserted"]:
+                self._check_constraints(inserts, meta, "merge insert")
 
         has_matched_clause = (
             when_matched_update is not None
@@ -1359,29 +1473,11 @@ class Transaction:
                         {"op": "add_cdc", "file": cdc, "change": change}
                     )
 
-        if when_not_matched_insert:
-            if matches is not None:
-                inserts = source.alias("s").join(
-                    F.broadcast(
-                        matches.select(*key_cols).distinct()
-                    ).alias("k"),
-                    [
-                        F.col(f"s.{k}").eqNullSafe(F.col(f"k.{k}"))
-                        for k in key_cols
-                    ],
-                    "left_anti",
-                )
-            else:
-                inserts = source
-            if table_cols:
-                # the insert clause maps to the TABLE schema — extra
-                # source-only columns (clause predicates' inputs) drop
-                inserts = inserts.select(*table_cols)
-            counts["inserted"] = inserts.count()
-            if counts["inserted"]:
-                # plain append path: schema + constraint enforcement,
-                # role "append" (CDF derives these inserts for free)
-                self.append(inserts)
+        if inserts is not None and counts["inserted"]:
+            # plain append path: staging + role "append" (CDF derives
+            # these inserts for free); validation already passed on
+            # the pinned frame above, so this cannot raise mid-merge
+            self.append(inserts)
         return counts
 
     def compact(self, spark: SparkSession, n_files: int = 1) -> tuple[int, int]:

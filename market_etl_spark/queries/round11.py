@@ -676,6 +676,7 @@ def q_lakehouse_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = lk.Transaction(path)
     t.append(e.repartitionByRange(8, F.col("event_id")))
     t.commit()  # v1
+    total_files = len(lk.snapshot(path)[1])  # actual seeded file count
     t = lk.Transaction(path)
     t.enable_cdf()
     t.commit()  # v2
@@ -722,7 +723,6 @@ def q_lakehouse_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "updated": n_upd, "deleted": n_del, "inserted": n_ins
     }
     removed = [a for a in t.actions if a["op"] == "remove"]
-    total_files = 8
     file_pruned = 0 < len(removed) < total_files
 
     final = lk.read_table(spark, path)

@@ -670,13 +670,23 @@ def compact_manifested(
             # route each reinsert row to the bin owning its cluster-key
             # range: [this bin's first stat_min, next bin's first
             # stat_min), open-ended at both edges so every row lands
-            # in exactly one bin
-            cond = F.lit(True)
-            if i > 0:
-                cond = cond & (F.col(cluster_col) >= F.lit(bin_lo[b]))
-            if i + 1 < len(ordered):
-                nxt = ordered[i + 1][0]
-                cond = cond & (F.col(cluster_col) < F.lit(bin_lo[nxt]))
+            # in exactly one bin.  NULL keys (an update may null the
+            # cluster column) fail every range comparison, so they are
+            # routed explicitly to bin 0 — otherwise they'd vanish
+            # from the compacted generation (review r11 finding 6).
+            key = F.col(cluster_col)
+            if i == 0:
+                cond = (
+                    key.isNull()
+                    | (key < F.lit(bin_lo[ordered[1][0]]))
+                    if len(ordered) > 1
+                    else F.lit(True)
+                )
+            else:
+                cond = key >= F.lit(bin_lo[b])
+                if i + 1 < len(ordered):
+                    nxt = ordered[i + 1][0]
+                    cond = cond & (key < F.lit(bin_lo[nxt]))
             bin_df = bin_df.unionByName(upd_df.filter(cond))
         # single partition FIRST, then sort: sortWithinPartitions
         # before the single-file coalesce only yields sorted RUNS

@@ -1043,3 +1043,128 @@ def test_clone_vacuum_never_touches_source_files(spark, tmp_path):
     assert lk.read_table(spark, path).count() == 30
     with pytest.raises(ValueError, match="already exists"):
         lk.clone_table(path, dst)
+
+
+# -- round 11 self-review regression tests -----------------------------
+
+
+def test_restored_dv_carries_targets_for_conflict_detection(spark, tmp_path):
+    """Review r11 finding 1: a restore that re-adds a deletion vector
+    must record the vector's real targets — with targets=[] a
+    concurrent rewrite (derived without the vector) commits and
+    resurrects its deletes."""
+    path = _init(spark, tmp_path, files=1)  # v1
+    t = lk.Transaction(path)
+    t.delete_where_mor(spark, F.col("k") == 0)
+    t.commit()  # v2: DV live
+    lk.restore_table(spark, path, 1)  # v3: DV dropped
+    x = lk.Transaction(path)  # snapshot v3: no DVs
+    x.compact(spark, n_files=1)
+    v4 = lk.restore_table(spark, path, 2)  # re-adds the DV
+    acts = lk._read_commit(path, v4)["actions"]
+    (dv_add,) = [a for a in acts if a["op"] == "add_dv"]
+    assert dv_add["targets"], "re-added DV must carry its targets"
+    with pytest.raises(lk.CommitConflict):
+        x.commit()  # compaction would resurrect the restored deletes
+    assert lk.read_table(spark, path).count() == 20
+
+
+def test_dropping_a_read_dv_conflicts_with_derived_writers(spark, tmp_path):
+    """Review r11 finding 2: an operation that derived its row view
+    THROUGH a deletion vector is invalidated when a concurrent commit
+    removes that vector (restore un-hiding rows the writer never
+    saw)."""
+    path = _init(spark, tmp_path, files=1)  # v1
+    t = lk.Transaction(path)
+    t.delete_where_mor(spark, F.col("k") == 0)
+    t.commit()  # v2
+    x = lk.Transaction(path)  # snapshot v2: reads THROUGH the DV
+    x.delete_where_mor(spark, F.col("k") == 1)
+    lk.restore_table(spark, path, 1)  # v3: drops the DV x read through
+    with pytest.raises(lk.CommitConflict):
+        x.commit()
+    # the retry on the fresh (restored) snapshot serializes
+    x2 = lk.Transaction(path)
+    x2.delete_where_mor(spark, F.col("k") == 1)
+    x2.commit()
+    assert lk.read_table(spark, path).count() == 20
+
+
+def test_merge_rejected_insert_stages_nothing(spark, tmp_path):
+    """Review r11 finding 3: a merge whose INSERT branch violates the
+    table contract must raise with NO actions staged — not leave the
+    matched-clause half behind."""
+    path = _init(spark, tmp_path)
+    t = lk.Transaction(path)
+    t.set_check_constraint(spark, "v_nonneg", "v >= 0")
+    t.commit()
+    src = spark.createDataFrame(
+        [(0, 0, 5.0), (500, 0, -1.0)], "id long, k int, v double"
+    )  # id 0 matches (valid update), id 500 inserts (violates)
+    t = lk.Transaction(path)
+    with pytest.raises(lk.ConstraintViolation, match="v_nonneg"):
+        t.merge_into(
+            spark, src, ["id"], when_matched_update={"v": F.col("s.v")}
+        )
+    assert t.actions == []  # whole-merge atomicity
+    assert lk.read_table(spark, path).count() == 30
+
+
+def test_update_rejects_unknown_set_column(spark, tmp_path):
+    """Review r11 finding 4: a typo'd SET column must raise, not
+    silently no-op the update via a phantom reinsert column."""
+    path = _init(spark, tmp_path)
+    t = lk.Transaction(path)
+    with pytest.raises(lk.SchemaMismatch, match="unknown"):
+        t.update_where_mor(spark, F.col("k") == 0, {"vlaue": F.lit(0.0)})
+    t2 = lk.Transaction(path)
+    src = spark.createDataFrame([(0, 0, 0.0)], "id long, k int, v double")
+    with pytest.raises(lk.SchemaMismatch, match="unknown"):
+        t2.merge_into(
+            spark, src, ["id"], when_matched_update={"vlaue": F.lit(0.0)}
+        )
+
+
+def test_feed_emits_overlapping_concurrent_deletes_once(spark, tmp_path):
+    """Review r11 finding 5: two concurrent MOR deletes with
+    overlapping positions both commit (subtraction is idempotent),
+    but the change feed must emit each row's death ONCE or an IVM
+    consumer double-subtracts."""
+    path = _init(spark, tmp_path, files=1)
+    a = lk.Transaction(path)
+    b = lk.Transaction(path)
+    a.delete_where_mor(spark, F.col("id") < 10)
+    b.delete_where_mor(spark, F.col("id") < 15)  # overlaps 0..9
+    a.commit()
+    b.commit()
+    assert lk.read_table(spark, path).count() == 15
+    feed = lk.read_changes(spark, path, 1, 3)
+    assert feed.count() == 15  # 10 at v2 + 5 NEW at v3, no doubles
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    dn = feed.agg(F.sum(sign)).collect()[0][0]
+    assert 30 + dn == 15  # IVM lands exactly on the final count
+
+
+def test_compaction_routes_null_cluster_keys(spark, tmp_path):
+    """Review r11 finding 6: a reinsert row whose UPDATE nulled the
+    cluster key fails every range comparison — it must route to bin 0
+    explicitly, not vanish from the compacted generation."""
+    from market_etl_spark import mor
+    from market_etl_spark.sinks import compact_manifested
+
+    from tests.test_mor import _manifested
+
+    src = _manifested(spark, tmp_path)
+    data = f"{src}/data"
+    mor.write_update_vector(
+        spark, data, F.col("k") == 1, {"v": F.lit(None).cast("double")}
+    )
+    logical = {
+        (r.id, r.v) for r in mor.read_with_deletes(spark, data).collect()
+    }
+    dest = str(tmp_path / "gen2")
+    compact_manifested(spark, src, dest, "v", n_bins=3, apply_deletes=True)
+    got = {(r.id, r.v) for r in spark.read.parquet(f"{dest}/data").collect()}
+    assert got == logical  # the 20 NULL-keyed updated rows survive
