@@ -997,39 +997,45 @@ class Transaction:
             .filter(F.col("n_hits") > 0)
             .collect()
         )  # bounded by file count — metadata-scale
-        deleted = 0
+        if not per_file:
+            return 0
+        deleted = sum(r.n_hits for r in per_file)
         by_name = {pathlib.PurePosixPath(f).name: f for f in self._live}
-        dv = None
+        hit_rels = sorted(by_name[r._dv_file] for r in per_file)
+        # ONE distributed rewrite over exactly the hit files (each
+        # scanned once, all in parallel) — a per-file loop of
+        # single-file jobs pays fixed job-scheduling cost × files,
+        # serially, and on a real cluster leaves the executors idle.
+        # Still DV-subtracted: a raw rewrite would resurrect the hit
+        # files' DV-deleted rows.
+        single = _with_addresses(spark, root, hit_rels, self._meta)
         if self._dvs:
             dv = spark.read.parquet(
                 *[str(root / f) for f in self._dvs]
             ).select("_dv_file", "_dv_pos")
-        for r in per_file:
-            rel = by_name[r._dv_file]
-            deleted += r.n_hits
-            # single-file scan (a filter on the address column over
-            # the table frame would re-scan every live file per
-            # rewrite), but still DV-subtracted: a raw rewrite would
-            # resurrect this file's DV-deleted rows
-            single = _with_addresses(spark, root, [rel], self._meta)
-            if dv is not None:
-                single = single.join(
-                    F.broadcast(dv), ["_dv_file", "_dv_pos"], "left_anti"
-                )
-            survivors = single.filter(~hit).drop("_dv_file", "_dv_pos")
-            new = f"{_DATA_DIR}/rw-{uuid.uuid4().hex}.parquet"
-            write_single_file(survivors, root / new)
+            single = single.join(
+                F.broadcast(dv), ["_dv_file", "_dv_pos"], "left_anti"
+            )
+        if cdf:
+            images = single.filter(hit).drop("_dv_file", "_dv_pos")
+            cdc = f"{_CDC_DIR}/cdc-{uuid.uuid4().hex}.parquet"
+            (root / _CDC_DIR).mkdir(parents=True, exist_ok=True)
+            write_single_file(images, root / cdc)
+            self.actions.append(
+                {"op": "add_cdc", "file": cdc, "change": "delete"}
+            )
+        survivors = single.filter(~hit).drop("_dv_file", "_dv_pos")
+        stage = root / f".stage-{uuid.uuid4().hex[:8]}"
+        survivors.write.mode("overwrite").parquet(str(stage))
+        (root / _DATA_DIR).mkdir(parents=True, exist_ok=True)
+        for part in sorted(stage.glob("part-*.parquet")):
+            name = f"{_DATA_DIR}/rw-{uuid.uuid4().hex}.parquet"
+            part.rename(root / name)
+            self.actions.append({"op": "add", "file": name, "role": "rewrite"})
+        shutil.rmtree(stage)
+        for rel in hit_rels:
             self.actions.append({"op": "remove", "file": rel})
-            self.actions.append({"op": "add", "file": new, "role": "rewrite"})
             self.read_files.add(rel)
-            if cdf:
-                images = single.filter(hit).drop("_dv_file", "_dv_pos")
-                cdc = f"{_CDC_DIR}/cdc-{uuid.uuid4().hex}.parquet"
-                (root / _CDC_DIR).mkdir(parents=True, exist_ok=True)
-                write_single_file(images, root / cdc)
-                self.actions.append(
-                    {"op": "add_cdc", "file": cdc, "change": "delete"}
-                )
         return int(deleted)
 
     def delete_where_mor(self, spark: SparkSession, predicate) -> int:
