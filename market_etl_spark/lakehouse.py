@@ -61,6 +61,33 @@ Model (Delta/Iceberg's core contract, minimally):
 - SHALLOW CLONE (:func:`clone_table`): fork the table as one
   metadata commit referencing the source's files by absolute path —
   zero data copied; the clone's writes land under its own root.
+- DATA SKIPPING (:func:`prune_files`, :func:`read_table` with
+  ``predicate``): every ``add`` action carries per-column
+  min/max/null-count read from the staged file's parquet FOOTER (no
+  extra data pass — parquet already computed them), checkpointed
+  with the rest of the state; a predicate read prunes files whose
+  stats prove no match and runs the full predicate as a residual
+  filter on the survivors — identical results, delta-sized I/O.
+  :func:`table_detail` is the metadata-only DESCRIBE DETAIL /
+  ``COUNT(*)`` served from the same stats.
+- OPTIMIZE ZORDER (:meth:`Transaction.optimize_zorder`): whole-table
+  rewrite ordered along a z-order space-filling curve (quantile
+  bucketing + bit interleaving, all codegen'd column arithmetic), so
+  file stats are tight on EVERY clustered column at once and
+  skipping works for multi-column predicates on one physical layout.
+- INCREMENTAL OPTIMIZE (:meth:`Transaction.compact_small`): bin-pack
+  only the files under the size threshold — the small-file debt, not
+  the table — reading nothing else, so it commutes with concurrent
+  writes to right-sized files (a full compact conflicts with all).
+- IN-COMMIT TIMESTAMPS + TIMESTAMP AS OF: every commit carries a
+  monotonic timestamp (Delta inCommitTimestamp — the log is the
+  clock of record, not file mtimes); :func:`version_at_timestamp` /
+  ``read_table(timestamp=...)`` resolve it.
+- VERSION EXPIRY (:func:`expire_versions`): Iceberg
+  expire_snapshots — delete files only expired versions reference,
+  pin the retention boundary as a checkpoint, truncate the log; the
+  bounded-storage contract (without it every rewrite's old
+  generation lives forever).
 - THE TABLE CONTRACT: committed schema (enforced on every append,
   widened only via ``evolve_schema=True`` + footer-merged reads) and
   CHECK constraints (:meth:`Transaction.set_check_constraint` —
@@ -147,6 +174,19 @@ def latest_commit(path: str) -> int:
     )
 
 
+def _commit_versions(path: str) -> list[int]:
+    """Sorted versions whose commit file is still PRESENT — after
+    :func:`expire_versions` the prefix is gone and history iterators
+    (describe_history, vacuum_orphans, version_at_timestamp) must
+    walk what exists, not ``range(1, latest+1)``."""
+    log = pathlib.Path(path) / _LOG_DIR
+    if not log.exists():
+        return []
+    return sorted(
+        int(p.stem) for p in log.glob("*.json") if p.stem.isdigit()
+    )
+
+
 def _read_commit(path: str, version: int) -> dict:
     p = pathlib.Path(path) / _LOG_DIR / f"{version:08d}.json"
     return json.loads(p.read_text())
@@ -160,23 +200,25 @@ def _state(
     replay cost is O(commits since last checkpoint), not O(table
     lifetime) — the Delta `_last_checkpoint` discipline that keeps a
     100 TB table's snapshot resolution at metadata speed."""
-    v, live, dvs, _txns, _meta = _state_full(path, version)
+    v, live, dvs, _txns, _meta, _stats = _state_full(path, version)
     return v, live, dvs
 
 
 def _state_full(
     path: str, version: int | None = None
-) -> tuple[int, set[str], set[str], dict, dict]:
+) -> tuple[int, set[str], set[str], dict, dict, dict]:
     """Like :func:`_state` plus the idempotent-writer high-water map
     ``{txn_app: max committed txn_version}`` (Delta's
-    txnAppId/txnVersion bookkeeping) and the table METADATA dict
-    (schema fields, CHECK constraints, evolved flag) — both
-    checkpoint-carried."""
+    txnAppId/txnVersion bookkeeping), the table METADATA dict
+    (schema fields, CHECK constraints, evolved flag) and the per-file
+    COLUMN-STATISTICS map ``{live file: stats dict | None}`` carried
+    on ``add`` actions — all checkpoint-carried."""
     v = latest_commit(path) if version is None else version
     live: set[str] = set()
     dvs: set[str] = set()
     txns: dict[str, int] = {}
     meta: dict = {}
+    stats: dict[str, dict | None] = {}
     start = 1
     ck = _latest_checkpoint(path, v)
     if ck is not None:
@@ -184,32 +226,168 @@ def _state_full(
         dvs = set(ck["dvs"])
         txns = dict(ck.get("txns", {}))
         meta = dict(ck.get("meta", {}))
+        stats = dict(ck.get("stats", {}))
         start = ck["version"] + 1
     for i in range(start, v + 1):
-        c = _read_commit(path, i)
+        try:
+            c = _read_commit(path, i)
+        except FileNotFoundError:
+            raise ValueError(
+                f"cannot reconstruct version {v} at {path}: commit {i} "
+                f"was expired by expire_versions — time travel reaches "
+                f"back only to the oldest retained version"
+            ) from None
         t = c.get("txn")
         if t:
             txns[t["app"]] = max(txns.get(t["app"], -1), t["version"])
         for a in c["actions"]:
             if a["op"] == "add":
                 live.add(a["file"])
+                stats[a["file"]] = a.get("stats")
             elif a["op"] == "remove":
                 live.discard(a["file"])
+                stats.pop(a["file"], None)
             elif a["op"] == "add_dv":
                 dvs.add(a["file"])
             elif a["op"] == "remove_dv":
                 dvs.discard(a["file"])
             elif a["op"] == "set_meta":
                 meta.update(a["meta"])
-    return v, live, dvs, txns, meta
+    return v, live, dvs, txns, meta, stats
 
 
 def last_txn_version(path: str, app: str) -> int:
     """Highest committed ``txn_version`` for idempotent-writer ``app``
     (−1 = never committed) — what a restarting exactly-once stream
     consults implicitly via :meth:`Transaction.commit`'s dedupe."""
-    _v, _live, _dvs, txns, _meta = _state_full(path)
+    _v, _live, _dvs, txns, _meta, _stats = _state_full(path)
     return txns.get(app, -1)
+
+
+def version_at_timestamp(path: str, ts: float) -> int:
+    """TIMESTAMP AS OF resolution: the largest version whose IN-COMMIT
+    timestamp is <= ``ts`` (Delta's semantics — "the table as it was
+    at that moment").  Commits written before in-commit timestamps
+    existed fall back to the commit file's mtime, Delta's own
+    pre-feature behavior.  O(available commits) driver-side JSON;
+    timestamps are monotonic by construction (commit() clamps), so
+    the first commit past ``ts`` ends the scan.  Raises when ``ts``
+    predates the oldest available commit."""
+    log = pathlib.Path(path) / _LOG_DIR
+    best = None
+    for v in _commit_versions(path):
+        p = log / f"{v:08d}.json"
+        try:
+            body = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        cts = float(body.get("ts") or p.stat().st_mtime)
+        if cts <= ts:
+            best = v
+        else:
+            break
+    if best is None:
+        raise ValueError(
+            f"no commit at {path} at or before timestamp {ts}: the "
+            f"oldest available commit is newer (or the table is empty)"
+        )
+    return best
+
+
+def expire_versions(path: str, keep_from: int) -> dict:
+    """EXPIRE history before version ``keep_from`` — Iceberg's
+    ``expire_snapshots`` / Delta's log retention as one retention
+    operation: data/DV/CDC files referenced ONLY by versions <
+    ``keep_from`` are physically deleted, the replay state at
+    ``keep_from`` is pinned as a checkpoint (so every retained
+    version still reconstructs without the expired commits), and the
+    expired commit/checkpoint JSONs are removed.  Time travel and
+    change feeds reaching below ``keep_from`` subsequently raise;
+    reads at or after it are byte-identical to before.
+
+    This is the bounded-storage contract a 100 TB table needs:
+    without expiry every rewrite's old generation lives forever.
+    Cost is O(log) driver-side JSON plus one unlink per doomed file —
+    no data job.  Files referenced by absolute path (shallow-clone
+    sources living under OTHER roots) are never deleted — expiring a
+    clone cannot reach into its source table; conversely expiring a
+    SOURCE may strand clones that pinned its files, the same caveat
+    Delta documents for vacuuming a cloned table's source.  Run
+    against a quiesced table or behind the same coordination as
+    vacuum (a reader mid-time-travel below ``keep_from`` sees its
+    files vanish — Delta documents the identical constraint).
+    Returns ``{"expired_through", "data_files_deleted",
+    "log_files_deleted"}``."""
+    root = pathlib.Path(path)
+    latest = latest_commit(path)
+    if not (1 <= keep_from <= latest):
+        raise ValueError(
+            f"keep_from must be an existing version (1..{latest}), "
+            f"got {keep_from}"
+        )
+    avail = _commit_versions(path)
+    expired = [v for v in avail if v < keep_from]
+    if not expired:
+        return {
+            "expired_through": keep_from - 1,
+            "data_files_deleted": 0,
+            "log_files_deleted": 0,
+        }
+    # files every retained version can still reach: the state at
+    # keep_from plus everything added after it
+    _v, live, dvs, _txns, _meta, _stats = _state_full(path, keep_from)
+    retained: set[str] = set(live) | set(dvs)
+    for v in avail:
+        if v <= keep_from:
+            continue
+        for a in _read_commit(path, v)["actions"]:
+            if a["op"] in ("add", "add_dv", "add_cdc"):
+                retained.add(a["file"])
+    # checkpoint FIRST: once it exists, retained versions replay
+    # without the expired prefix even if we crash mid-delete
+    write_checkpoint(path, keep_from)
+    doomed: set[str] = set()
+    for v in expired:
+        for a in _read_commit(path, v)["actions"]:
+            if (
+                a["op"] in ("add", "add_dv", "add_cdc")
+                and a["file"] not in retained
+            ):
+                doomed.add(a["file"])
+    data_deleted = 0
+    for f in sorted(doomed):
+        p = root / f
+        try:
+            # never reach outside this table's root: absolute
+            # references (shallow-clone sources) belong to another log
+            p.resolve().relative_to(root.resolve())
+        except ValueError:
+            continue
+        try:
+            p.unlink()
+            data_deleted += 1
+        except FileNotFoundError:
+            pass
+    log = root / _LOG_DIR
+    log_deleted = 0
+    for v in expired:
+        try:
+            (log / f"{v:08d}.json").unlink()
+            log_deleted += 1
+        except FileNotFoundError:
+            pass
+    for p in log.glob("ckpt-*.json"):
+        try:
+            if int(p.stem.split("-")[1]) < keep_from:
+                p.unlink()
+                log_deleted += 1
+        except (IndexError, ValueError, FileNotFoundError):
+            continue
+    return {
+        "expired_through": keep_from - 1,
+        "data_files_deleted": data_deleted,
+        "log_files_deleted": log_deleted,
+    }
 
 
 def snapshot(path: str, version: int | None = None) -> tuple[int, list[str]]:
@@ -221,14 +399,14 @@ def snapshot(path: str, version: int | None = None) -> tuple[int, list[str]]:
     return v, sorted(live)
 
 
-def write_checkpoint(path: str) -> int:
-    """Materialize the current replay state as ``_log/ckpt-N.json`` so
-    later :func:`snapshot` calls replay only the commits after it.  A
-    checkpoint is DERIVED data — deterministic from the log prefix —
-    so the plain-rename race (two writers checkpointing the same
-    version) is harmless: both write identical bytes.  Returns the
-    checkpointed version."""
-    v, live, dvs, txns, meta = _state_full(path)
+def write_checkpoint(path: str, version: int | None = None) -> int:
+    """Materialize the replay state at ``version`` (default: latest)
+    as ``_log/ckpt-N.json`` so later :func:`snapshot` calls replay
+    only the commits after it.  A checkpoint is DERIVED data —
+    deterministic from the log prefix — so the plain-rename race (two
+    writers checkpointing the same version) is harmless: both write
+    identical bytes.  Returns the checkpointed version."""
+    v, live, dvs, txns, meta, stats = _state_full(path, version)
     log = pathlib.Path(path) / _LOG_DIR
     tmp = log / f".ckpt-tmp-{uuid.uuid4().hex[:8]}"
     tmp.write_text(
@@ -239,6 +417,10 @@ def write_checkpoint(path: str) -> int:
                 "dvs": sorted(dvs),
                 "txns": txns,
                 "meta": meta,
+                # per-file column stats survive checkpointing, or data
+                # skipping would silently degrade to full scans the
+                # moment replay starts from a checkpoint
+                "stats": {f: stats[f] for f in live if stats.get(f)},
             },
             indent=1,
         )
@@ -262,6 +444,212 @@ def _latest_checkpoint(path: str, max_version: int) -> dict | None:
     if best < 0:
         return None
     return json.loads((log / f"ckpt-{best:08d}.json").read_text())
+
+
+# -- file-level column statistics + data skipping ------------------------
+#
+# Delta/Iceberg's data-skipping contract: every ``add`` action carries
+# per-column min/max/null-count read from the staged file's PARQUET
+# FOOTER (the stats parquet already computed at write time — no extra
+# data pass), and a predicate read consults ONLY the log to prune
+# files whose stats PROVE they hold no match.  At 100 TB this is the
+# difference between opening 40 files and opening 40,000: the prune
+# is O(live files) driver-side metadata, the scan is O(surviving
+# files).  Footer reads here are driver-side (local-FS metadata
+# speed, same cost class as the commit JSON); on an object store a
+# cluster deployment would distribute them, same as Delta's stats
+# collection.  Skipping is a SUPERSET guarantee: a kept file may
+# still hold no match (the residual filter runs on the scan); a
+# skipped file provably holds none.
+
+_STATS_MAX_STR = 64  # drop string stats longer than this: a truncated
+# max is NOT a valid upper bound, and min/max on long strings bloat
+# every commit JSON for little pruning power (Delta truncates at 32)
+
+
+def _json_stat(v):
+    """A footer min/max as a JSON-safe, totally-ordered key — or None
+    when the value cannot serve as a skipping bound (drop the column
+    for that file; skipping then keeps the file, which is always
+    safe).  Timestamps/dates become ISO strings: lexicographic order
+    on isoformat equals chronological order, with or without a
+    fractional-seconds suffix."""
+    import datetime
+    import math
+
+    if isinstance(v, bool) or isinstance(v, int):
+        return v
+    if isinstance(v, float):
+        return None if (math.isnan(v) or math.isinf(v)) else v
+    if isinstance(v, str):
+        return v if len(v) <= _STATS_MAX_STR else None
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return None
+
+
+def _file_stats(p: pathlib.Path) -> dict | None:
+    """Per-file column statistics from the parquet FOOTER: ``{"rows":
+    n, "bytes": b, "cols": {name: {"min": v, "max": v, "nulls":
+    n}}}``.  Columns whose row groups lack usable min/max (nested,
+    binary, NaN-polluted, over-long strings) are simply absent —
+    absent means "cannot prune", never "wrong".  Returns None when the
+    footer is unreadable (the add action then carries no stats)."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(str(p)).metadata
+    except Exception:
+        return None
+    rows = md.num_rows
+    cols: dict[str, dict] = {}
+    dropped: set[str] = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            name = c.path_in_schema
+            if "." in name or name in dropped:
+                continue  # nested leaf — file-level bound undefined
+            st = c.statistics
+            nulls = (
+                st.null_count
+                if st is not None and st.has_null_count
+                else 0  # undercounting nulls only disables the
+                # all-null prune — never unsound
+            )
+            entry = cols.setdefault(name, {"min": None, "max": None, "nulls": 0})
+            entry["nulls"] += nulls
+            if st is None or not st.has_min_max:
+                # an ALL-NULL row group constrains nothing (nulls match
+                # no comparison); anything else means the column has
+                # values we cannot bound — drop it for this file
+                if st is not None and st.has_null_count and nulls == g.num_rows:
+                    continue
+                dropped.add(name)
+                cols.pop(name, None)
+                continue
+            lo, hi = _json_stat(st.min), _json_stat(st.max)
+            if lo is None or hi is None:
+                dropped.add(name)
+                cols.pop(name, None)
+                continue
+            entry["min"] = lo if entry["min"] is None else min(entry["min"], lo)
+            entry["max"] = hi if entry["max"] is None else max(entry["max"], hi)
+    # a column whose every row group was all-null keeps min/max None
+    # with nulls == rows: _stats_admit prunes it for any comparison
+    return {
+        "rows": rows,
+        "bytes": p.stat().st_size,
+        "cols": cols,
+    }
+
+
+def _stats_admit(st: dict | None, col: str, op: str, value) -> bool:
+    """True unless ``st`` PROVES file holds no row matching ``col op
+    value``.  Unknown stats, unknown column, or incomparable types all
+    ADMIT the file — skipping errs open, the residual filter closes.
+    All supported ops are null-rejecting (SQL comparison semantics),
+    so an all-null column admits nothing."""
+    if st is None:
+        return True
+    if st.get("rows") == 0:
+        return False  # provably empty file
+    c = st.get("cols", {}).get(col)
+    if c is None:
+        return True
+    rows = st.get("rows")
+    if rows is not None and c.get("nulls") == rows:
+        return False  # every value NULL: no comparison matches
+    lo, hi = c.get("min"), c.get("max")
+    if lo is None or hi is None:
+        return True
+    try:
+        if op == "=":
+            v = _json_stat(value)
+            return v is None or lo <= v <= hi
+        if op == "<":
+            v = _json_stat(value)
+            return v is None or lo < v
+        if op == "<=":
+            v = _json_stat(value)
+            return v is None or lo <= v
+        if op == ">":
+            v = _json_stat(value)
+            return v is None or hi > v
+        if op == ">=":
+            v = _json_stat(value)
+            return v is None or hi >= v
+        if op == "in":
+            keys = [_json_stat(x) for x in value]
+            return any(k is None or lo <= k <= hi for k in keys)
+    except TypeError:
+        return True  # stat/value types don't order together: admit
+    raise ValueError(f"unsupported skipping op {op!r}")
+
+
+def prune_files(
+    path: str, predicate, version: int | None = None
+) -> tuple[int, list[str], int]:
+    """Evaluate a conjunctive predicate — an iterable of ``(column,
+    op, value)`` with op in ``= < <= > >= in`` — against the log's
+    per-file stats: returns ``(version, surviving live files sorted,
+    total live files)``.  Pure metadata: no data file is opened.  A
+    file survives unless SOME conjunct proves it empty."""
+    v, live, _dvs, _txns, _meta, stats = _state_full(path, version)
+    conj = list(predicate)
+    kept = [
+        f
+        for f in sorted(live)
+        if all(_stats_admit(stats.get(f), c, op, val) for c, op, val in conj)
+    ]
+    return v, kept, len(live)
+
+
+def _predicate_column(conj) -> "F.Column":
+    """The Spark residual filter equivalent to a skipping predicate —
+    applied on every pruned read so skipping can never change query
+    results, only the file set opened."""
+    cond = F.lit(True)
+    for c, op, val in conj:
+        col = F.col(c)
+        if op == "=":
+            term = col == F.lit(val)
+        elif op == "<":
+            term = col < F.lit(val)
+        elif op == "<=":
+            term = col <= F.lit(val)
+        elif op == ">":
+            term = col > F.lit(val)
+        elif op == ">=":
+            term = col >= F.lit(val)
+        elif op == "in":
+            term = col.isin(list(val))
+        else:
+            raise ValueError(f"unsupported skipping op {op!r}")
+        cond = cond & term
+    return cond
+
+
+def table_detail(path: str, version: int | None = None) -> dict:
+    """DESCRIBE DETAIL from the log alone — no data file opened:
+    ``{"version", "n_files", "n_rows", "n_bytes", "n_dvs",
+    "rows_exact"}``.  ``n_rows`` sums the add-action footer stats;
+    it is EXACT when every live file carries stats and no deletion
+    vector is live (``rows_exact``) — the Delta metadata-only
+    ``COUNT(*)`` contract; with live DVs it is an upper bound (base
+    positions still count until compaction settles them)."""
+    v, live, dvs, _txns, _meta, stats = _state_full(path, version)
+    have = [stats.get(f) for f in live]
+    all_stats = all(s is not None for s in have) and bool(live)
+    return {
+        "version": v,
+        "n_files": len(live),
+        "n_rows": sum(s["rows"] for s in have if s is not None),
+        "n_bytes": sum(s.get("bytes", 0) for s in have if s is not None),
+        "n_dvs": len(dvs),
+        "rows_exact": bool(all_stats and not dvs),
+    }
 
 
 def _with_addresses(
@@ -295,36 +683,70 @@ def _with_addresses(
 
 
 def read_table(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    predicate=None,
+    timestamp: float | None = None,
 ) -> DataFrame:
     """Snapshot read: exactly the files the log says are live at
     ``version``, minus the committed deletion vectors — never a
     directory listing, so staged/orphaned files and uncommitted DVs
-    are invisible and the read is atomic w.r.t. concurrent commits."""
-    v, live, dvs, _txns, meta = _state_full(path, version)
+    are invisible and the read is atomic w.r.t. concurrent commits.
+
+    With ``predicate`` — a conjunctive list of ``(column, op, value)``
+    triples (see :func:`prune_files`) — files whose add-action footer
+    stats PROVE no match are never opened (Delta data skipping), and
+    the full predicate still runs as a residual filter on the
+    survivors, so the result is identical to filtering the whole
+    table; only the I/O changes.  Pruning is sound under deletion
+    vectors (a DV only shrinks a file's row set — stats stay a valid
+    superset bound).
+
+    ``timestamp`` (epoch seconds) is TIMESTAMP AS OF: the snapshot is
+    the one :func:`version_at_timestamp` resolves — mutually
+    exclusive with ``version``."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = version_at_timestamp(path, timestamp)
+    v, live, dvs, _txns, meta, stats = _state_full(path, version)
     if v == 0:
         raise ValueError(f"no commits at {path}")
     if not live:
         raise ValueError(f"table at {path} is empty at version {v}")
+    conj = list(predicate) if predicate is not None else []
+    scan = [
+        f
+        for f in sorted(live)
+        if all(_stats_admit(stats.get(f), c, op, val) for c, op, val in conj)
+    ]
     root = pathlib.Path(path)
+    if not scan:
+        # every file pruned: a correct empty frame of the committed
+        # schema (never an empty parquet() call, which would throw)
+        fields = meta.get("schema", [])
+        return spark.range(0).select(
+            *[F.lit(None).cast(t).alias(n) for n, t in fields]
+        )
     reader = spark.read
     if meta.get("evolved"):
         # schema evolved: old files lack the new columns — footer-merge
         # so they surface as typed NULLs (paid only on evolved tables)
         reader = reader.option("mergeSchema", "true")
     if not dvs:
-        return reader.parquet(*[str(root / f) for f in sorted(live)])
+        df = reader.parquet(*[str(root / f) for f in scan])
+        return df.filter(_predicate_column(conj)) if conj else df
     from .mor import with_row_addresses
 
-    df = with_row_addresses(
-        reader.parquet(*[str(root / f) for f in sorted(live)])
-    )
+    df = with_row_addresses(reader.parquet(*[str(root / f) for f in scan]))
     dv = spark.read.parquet(*[str(root / f) for f in sorted(dvs)]).select(
         "_dv_file", "_dv_pos"
     )
-    return df.join(
+    df = df.join(
         F.broadcast(dv), ["_dv_file", "_dv_pos"], "left_anti"
     ).drop("_dv_file", "_dv_pos")
+    return df.filter(_predicate_column(conj)) if conj else df
 
 
 def read_changes(
@@ -367,7 +789,7 @@ def read_changes(
             f"latest commit is {latest_commit(path)}"
         )
     root = pathlib.Path(path)
-    _v, _live, _dvs, _txns, meta = _state_full(path, v_to)
+    _v, _live, _dvs, _txns, meta, _stats = _state_full(path, v_to)
     cols = [n for n, _t in meta.get("schema", [])]
     if not cols:
         raise ValueError(f"table at {path} has no committed schema")
@@ -593,14 +1015,17 @@ def restore_table(spark: SparkSession, path: str, version: int) -> int:
         "dvs": set(t._dvs),
         "meta": dict(t._meta),
     }
-    _tv, tgt_live, tgt_dvs, _txns, tgt_meta = _state_full(path, version)
+    _tv, tgt_live, tgt_dvs, _txns, tgt_meta, tgt_stats = _state_full(path, version)
     if not tgt_live:
         raise ValueError(f"cannot restore {path} to empty version {version}")
     t._ops.append("restore")
     for f in sorted(cur["live"] - tgt_live):
         t.actions.append({"op": "remove", "file": f})
     for f in sorted(tgt_live - cur["live"]):
-        t.actions.append({"op": "add", "file": f, "role": "restore"})
+        t.actions.append(
+            {"op": "add", "file": f, "role": "restore",
+             "stats": tgt_stats.get(f)}
+        )
     for f in sorted(cur["dvs"] - tgt_dvs):
         t.actions.append({"op": "remove_dv", "file": f})
     root = pathlib.Path(path)
@@ -652,11 +1077,13 @@ def clone_table(src_path: str, dst_path: str) -> int:
 
     Safety: the clone's validity rests on the source's referenced
     files staying put — :func:`vacuum_orphans` never removes a file a
-    commit referenced, so clones survive source vacuums; a future
-    version-EXPIRY policy (deleting files only old versions
-    reference) would need clone awareness, the same caveat Delta
-    documents for shallow clones.  Returns the clone's version (1)."""
-    v, live, dvs, _txns, meta = _state_full(src_path)
+    commit referenced, so clones survive source vacuums; but
+    :func:`expire_versions` ON THE SOURCE can delete files the clone
+    pinned (the source's log cannot see the clone's references) — the
+    same caveat Delta documents for shallow clones.  Expiring the
+    CLONE never deletes source files (absolute references outside the
+    clone's root are skipped).  Returns the clone's version (1)."""
+    v, live, dvs, _txns, meta, src_stats = _state_full(src_path)
     if not live:
         raise ValueError(f"cannot clone empty table at {src_path}")
     src_root = pathlib.Path(src_path).resolve()
@@ -668,7 +1095,8 @@ def clone_table(src_path: str, dst_path: str) -> int:
         # absolute reference: pathlib's `root / "/abs"` yields the
         # absolute path, so every reader resolves it unchanged
         t.actions.append(
-            {"op": "add", "file": str(src_root / f), "role": "clone"}
+            {"op": "add", "file": str(src_root / f), "role": "clone",
+             "stats": src_stats.get(f)}
         )
     for f in sorted(dvs):
         t.actions.append(
@@ -691,7 +1119,7 @@ def describe_history(spark: SparkSession, path: str) -> DataFrame:
     O(commits) metadata (KBs against a 100 TB table), surfaced as a
     DataFrame so the audit trail joins/filters like any table."""
     rows = []
-    for v in range(1, latest_commit(path) + 1):
+    for v in _commit_versions(path):
         c = _read_commit(path, v)
         ops = [a["op"] for a in c["actions"]]
         txn = c.get("txn") or {}
@@ -731,18 +1159,29 @@ class Transaction:
         path: str,
         txn_app: str | None = None,
         txn_version: int | None = None,
+        commit_ts: float | None = None,
     ):
         """``txn_app``/``txn_version`` declare an IDEMPOTENT writer
         identity (Delta's txnAppId/txnVersion): if a commit with the
         same app and a >= version already landed, :meth:`commit`
         SKIPS (returns None) instead of double-applying — the
         exactly-once contract a restarting foreachBatch stream needs
-        when its checkpoint acks lag its sink commits."""
+        when its checkpoint acks lag its sink commits.
+
+        ``commit_ts`` overrides the IN-COMMIT TIMESTAMP (epoch
+        seconds) stamped into the commit body — Delta's
+        inCommitTimestamp: the log, not the filesystem, is the clock
+        of record for TIMESTAMP AS OF time travel
+        (:func:`version_at_timestamp`), so mtime-mangling copies and
+        clock-skewed writers can't reorder history.  Defaults to wall
+        clock; either way :meth:`commit` clamps it to strictly after
+        the previous commit's timestamp (monotonic by construction)."""
         self.path = str(path)
-        self.read_version, live, dvs, txns, meta = _state_full(path)
+        self.read_version, live, dvs, txns, meta, stats = _state_full(path)
         self._meta = meta
         self._live = sorted(live)
         self._dvs = sorted(dvs)
+        self._stats = stats
         self.actions: list[dict] = []
         self.read_files: set[str] = set()
         self._committed = False
@@ -752,6 +1191,7 @@ class Transaction:
             raise ValueError("txn_app and txn_version come together")
         self.txn_app = txn_app
         self.txn_version = txn_version
+        self.commit_ts = commit_ts
         # snapshot-carried idempotence high-water: commit() folds in
         # only the commits AFTER read_version instead of replaying the
         # whole log per attempt (review r10 finding 8)
@@ -955,10 +1395,13 @@ class Transaction:
         (root / _DATA_DIR).mkdir(parents=True, exist_ok=True)
         n = 0
         for part in sorted(stage.glob("part-*.parquet")):
+            st = _file_stats(part)
+            if st is not None and st["rows"] == 0:
+                continue  # empty-partition debris: stage nothing
             name = f"{_DATA_DIR}/add-{uuid.uuid4().hex}.parquet"
             part.rename(root / name)
             self.actions.append(
-                {"op": "add", "file": name, "role": "append"}
+                {"op": "add", "file": name, "role": "append", "stats": st}
             )
             n += 1
         shutil.rmtree(stage)
@@ -1029,9 +1472,14 @@ class Transaction:
         survivors.write.mode("overwrite").parquet(str(stage))
         (root / _DATA_DIR).mkdir(parents=True, exist_ok=True)
         for part in sorted(stage.glob("part-*.parquet")):
+            st = _file_stats(part)
+            if st is not None and st["rows"] == 0:
+                continue
             name = f"{_DATA_DIR}/rw-{uuid.uuid4().hex}.parquet"
             part.rename(root / name)
-            self.actions.append({"op": "add", "file": name, "role": "rewrite"})
+            self.actions.append(
+                {"op": "add", "file": name, "role": "rewrite", "stats": st}
+            )
         shutil.rmtree(stage)
         for rel in hit_rels:
             self.actions.append({"op": "remove", "file": rel})
@@ -1170,7 +1618,8 @@ class Transaction:
              "role": "update"}
         )
         self.actions.append(
-            {"op": "add", "file": upd_name, "role": "update"}
+            {"op": "add", "file": upd_name, "role": "update",
+             "stats": _file_stats(root / upd_name)}
         )
         self.read_files.update(targets)
         return n
@@ -1450,7 +1899,16 @@ class Transaction:
             for rel in touched:
                 self.actions.append({"op": "remove", "file": rel})
                 self.read_files.add(rel)
-            self.actions.append({"op": "add", "file": new, "role": "rewrite"})
+            new_stats = _file_stats(root / new)
+            if new_stats is not None and new_stats["rows"] == 0:
+                # every row in the touched files deleted: a pure
+                # remove — don't stage an empty replacement file
+                (root / new).unlink()
+            else:
+                self.actions.append(
+                    {"op": "add", "file": new, "role": "rewrite",
+                     "stats": new_stats}
+                )
             if cdf:
                 (root / _CDC_DIR).mkdir(parents=True, exist_ok=True)
                 pieces = [
@@ -1503,15 +1961,21 @@ class Transaction:
         self._ops.append("compact")
         df = self._snapshot_frame(spark).drop("_dv_file", "_dv_pos")
         stage = root / f".stage-{uuid.uuid4().hex[:8]}"
+        (root / _DATA_DIR).mkdir(parents=True, exist_ok=True)
         df.repartition(n_files).write.mode("overwrite").parquet(str(stage))
         added = 0
         for part in sorted(stage.glob("part-*.parquet")):
+            st = _file_stats(part)
+            if st is not None and st["rows"] == 0:
+                continue
             name = f"{_DATA_DIR}/cp-{uuid.uuid4().hex}.parquet"
             part.rename(root / name)
             # role "compact" = the dataChange=false analog: the
             # logical row set is unchanged, so the change feed emits
             # nothing for this commit
-            self.actions.append({"op": "add", "file": name, "role": "compact"})
+            self.actions.append(
+                {"op": "add", "file": name, "role": "compact", "stats": st}
+            )
             added += 1
         shutil.rmtree(stage)
         for f in self._live:
@@ -1522,6 +1986,179 @@ class Transaction:
             self.read_files.add(f)
         return len(self._live), added
 
+    def optimize_zorder(
+        self,
+        spark: SparkSession,
+        cols: list[str],
+        n_files: int = 16,
+        bits: int = 6,
+    ) -> tuple[int, int]:
+        """OPTIMIZE ... ZORDER BY ``cols`` (Delta's multi-dimensional
+        clustering): stage a whole-table rewrite — deletion vectors
+        APPLIED, same generation move as :meth:`compact` — with rows
+        ordered along a Z-ORDER space-filling curve over ``cols``, so
+        every staged file's footer min/max is TIGHT on EVERY z-ordered
+        column at once and a later predicate read on ANY of them
+        (:func:`read_table` with ``predicate``) skips most files.  A
+        plain sort clusters one column; the z-curve is what makes
+        two-column skipping work on one physical layout.
+
+        Scale-correct construction, no UDF anywhere: each column is
+        quantile-bucketed to ``bits`` bits via one ``approxQuantile``
+        pass (boundaries are a bounded driver-side list — rank-based,
+        so skew and arbitrary value ranges normalize identically;
+        NULLs take bucket 0, Spark's NULLS FIRST), bucket ids come
+        from a higher-order ``filter`` over the literal boundary
+        array (whole-stage codegen), the z-value is pure
+        bit-interleaving arithmetic, and the rewrite is ONE
+        distributed ``repartitionByRange(z) + sortWithinPartitions(z)``
+        job.  Numeric, timestamp and date columns supported
+        (time buckets on epoch seconds).  The feed stays silent for
+        this commit (dataChange=false analog, like compaction).
+        The non-transactional sibling over the manifested store is
+        :func:`..sinks.write_zorder_manifested` (Morton key against
+        an explicit manifest file); here the stats ride the add
+        actions and the rewrite serializes with concurrent writers.
+        Returns ``(files_before, files_after)``."""
+        root = pathlib.Path(self.path)
+        if not cols or len(cols) * bits > 60:
+            raise ValueError(
+                f"zorder needs 1+ columns with cols×bits ≤ 60 bits "
+                f"(got {len(cols)}×{bits})"
+            )
+        self._require_first_rewrite("optimize_zorder")
+        self._ops.append("optimize_zorder")
+        df = self._snapshot_frame(spark).drop("_dv_file", "_dv_pos")
+        types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        proj = df
+        zn = []
+        for i, c in enumerate(cols):
+            t = types.get(c)
+            if t is None:
+                raise ValueError(f"zorder column {c!r} not in table schema")
+            col = F.col(c)
+            if t in ("timestamp", "date", "timestamp_ntz"):
+                col = col.cast("timestamp").cast("double")
+            else:
+                col = col.cast("double")
+            name = f"_zn_{i}"
+            proj = proj.withColumn(name, col)
+            zn.append(name)
+        probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+        # one distributed pass computes every column's boundaries
+        bnds = proj.stat.approxQuantile(zn, probs, 0.01)
+        buckets = []
+        for name, bs in zip(zn, bnds):
+            arr = F.array(*[F.lit(float(b)) for b in bs])
+            buckets.append(
+                F.size(F.filter(arr, lambda b: b < F.col(name))).cast("long")
+            )
+        k = len(cols)
+        z = F.lit(0).cast("long")
+        for i in range(bits):
+            for j, bk in enumerate(buckets):
+                bit = F.shiftright(bk, i).bitwiseAND(F.lit(1))
+                z = z + F.shiftleft(bit, i * k + j)
+        out = (
+            proj.withColumn("_z", z)
+            .repartitionByRange(n_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z", *zn)
+        )
+        stage = root / f".stage-{uuid.uuid4().hex[:8]}"
+        (root / _DATA_DIR).mkdir(parents=True, exist_ok=True)
+        out.write.mode("overwrite").parquet(str(stage))
+        added = 0
+        for part in sorted(stage.glob("part-*.parquet")):
+            st = _file_stats(part)
+            if st is not None and st["rows"] == 0:
+                continue
+            name = f"{_DATA_DIR}/zo-{uuid.uuid4().hex}.parquet"
+            part.rename(root / name)
+            # role "compact": the logical row set is unchanged, so the
+            # change feed emits nothing for this commit
+            self.actions.append(
+                {"op": "add", "file": name, "role": "compact", "stats": st}
+            )
+            added += 1
+        shutil.rmtree(stage)
+        for f in self._live:
+            self.actions.append({"op": "remove", "file": f})
+            self.read_files.add(f)
+        for f in self._dvs:
+            self.actions.append({"op": "remove_dv", "file": f})
+            self.read_files.add(f)
+        return len(self._live), added
+
+    def compact_small(
+        self,
+        spark: SparkSession,
+        target_bytes: int = 128 << 20,
+    ) -> tuple[int, int]:
+        """INCREMENTAL OPTIMIZE — bin-pack ONLY the files smaller than
+        ``target_bytes``, leaving every already-right-sized file
+        untouched: the real OPTIMIZE contract at scale (Delta's
+        minFileSize selection), where a 100 TB table's small-file debt
+        is a few thousand recent ingest files and rewriting the other
+        99.9 TB — what :meth:`compact` would do — is unthinkable.
+
+        Only the candidate files enter the read set, so the
+        compaction COMMUTES with concurrent writes touching other
+        files (a full compact conflicts with everything).  Candidate
+        sizes come from add-action stats (footer bytes), falling back
+        to a driver-side stat.  Deletion vectors are APPLIED to the
+        rows being moved (a moved row escapes its position-keyed
+        vector, so carrying it would resurrect the delete) but the
+        vectors themselves stay live — their positions reference the
+        removed files and simply stop matching; rows in untouched
+        files remain subject to them.  Bin count is
+        ceil(candidate bytes / target_bytes).  Returns
+        ``(files_rewritten, files_added)``; (0, 0) = nothing staged
+        (fewer than two small files — don't commit an empty
+        transaction)."""
+        root = pathlib.Path(self.path)
+
+        def size_of(f: str) -> int:
+            st = self._stats.get(f)
+            if st is not None and st.get("bytes"):
+                return int(st["bytes"])
+            return (root / f).stat().st_size
+
+        cand = [f for f in self._live if size_of(f) < target_bytes]
+        if len(cand) < 2:
+            return 0, 0
+        self._require_first_rewrite("compact_small")
+        self._ops.append("compact_small")
+        df = _with_addresses(spark, root, sorted(cand), self._meta)
+        if self._dvs:
+            self.read_files.update(self._dvs)
+            dv = spark.read.parquet(
+                *[str(root / f) for f in self._dvs]
+            ).select("_dv_file", "_dv_pos")
+            df = df.join(
+                F.broadcast(dv), ["_dv_file", "_dv_pos"], "left_anti"
+            )
+        df = df.drop("_dv_file", "_dv_pos")
+        n_bins = max(1, -(-sum(size_of(f) for f in cand) // target_bytes))
+        stage = root / f".stage-{uuid.uuid4().hex[:8]}"
+        (root / _DATA_DIR).mkdir(parents=True, exist_ok=True)
+        df.repartition(n_bins).write.mode("overwrite").parquet(str(stage))
+        added = 0
+        for part in sorted(stage.glob("part-*.parquet")):
+            st = _file_stats(part)
+            if st is not None and st["rows"] == 0:
+                continue
+            name = f"{_DATA_DIR}/cs-{uuid.uuid4().hex}.parquet"
+            part.rename(root / name)
+            self.actions.append(
+                {"op": "add", "file": name, "role": "compact", "stats": st}
+            )
+            added += 1
+        shutil.rmtree(stage)
+        for f in sorted(cand):
+            self.actions.append({"op": "remove", "file": f})
+            self.read_files.add(f)
+        return len(cand), added
 
     # -- commit ---------------------------------------------------------
 
@@ -1607,8 +2244,21 @@ class Transaction:
                 )
             checked = max(checked, latest)
             target = latest + 1
+            # in-commit timestamp, clamped monotonic: strictly after
+            # the previous commit whatever the caller's clock says
+            prev_ts = 0.0
+            if latest >= 1:
+                try:
+                    prev_ts = float(_read_commit(self.path, latest).get("ts", 0.0))
+                except FileNotFoundError:
+                    prev_ts = 0.0  # expired prefix: monotonicity holds anyway
+            import time as _time
+
+            ts = self.commit_ts if self.commit_ts is not None else _time.time()
+            ts = max(float(ts), prev_ts + 1e-3)
             body = {
                 "version": target,
+                "ts": ts,
                 "read_version": self.read_version,
                 # commitInfo.operation: what a user staged, in staging
                 # order — DESCRIBE HISTORY's display and the audit
@@ -1736,10 +2386,22 @@ def vacuum_orphans(path: str, min_age_sec: float = 300.0) -> int:
 
     root = pathlib.Path(path)
     referenced: set[str] = set()
-    for v in range(1, latest_commit(path) + 1):
+    for v in _commit_versions(path):
         for a in _read_commit(path, v)["actions"]:
             if a["op"] in ("add", "add_dv", "add_cdc"):
                 referenced.add(a["file"])
+    # after expire_versions the surviving files of the expired prefix
+    # are referenced only via the retention checkpoint — a sweep that
+    # ignored it would delete live data
+    log_dir = root / _LOG_DIR
+    if log_dir.exists():
+        for p in log_dir.glob("ckpt-*.json"):
+            try:
+                ck = json.loads(p.read_text())
+            except (OSError, ValueError):
+                continue
+            referenced.update(ck.get("files", []))
+            referenced.update(ck.get("dvs", []))
     live_names = {pathlib.PurePosixPath(f).name for f in referenced}
     now = time.time()
     removed = 0

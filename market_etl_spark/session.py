@@ -47,6 +47,11 @@ RUNTIME_CONF = {
     # pushdown on those columns keeps working (verified: PushedFilters
     # carries the o_orderdate range under this flag, not under a cast).
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # Write timestamps as INT64 micros, not the legacy INT96: INT96 chunks
+    # carry NO footer min/max statistics, which would silently disable the
+    # commit log's data skipping (lakehouse._file_stats) and parquet
+    # row-group pruning on every timestamp column the engine writes.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 

@@ -1,0 +1,226 @@
+"""File-level statistics, data skipping, Z-ORDER clustering and the
+metadata-only DESCRIBE DETAIL over the commit log."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_etl_spark import lakehouse as lk
+
+
+def _ranged_table(spark, tmp_path, n=400, files=8):
+    """One append per contiguous id range -> per-file min/max disjoint."""
+    path = str(tmp_path / "t")
+    chunk = n // files
+    for i in range(files):
+        t = lk.Transaction(path)
+        t.append(
+            spark.createDataFrame(
+                [
+                    (j, j % 10, float(j), f"s{j % 5}")
+                    for j in range(i * chunk, (i + 1) * chunk)
+                ],
+                "id long, k int, v double, s string",
+            ).coalesce(1)
+        )
+        t.commit()
+    return path
+
+
+def test_add_actions_carry_footer_stats(spark, tmp_path):
+    path = _ranged_table(spark, tmp_path, n=100, files=2)
+    c = lk._read_commit(path, 1)
+    adds = [a for a in c["actions"] if a["op"] == "add"]
+    assert adds and all(a.get("stats") for a in adds)
+    st = adds[0]["stats"]
+    assert st["rows"] == 50 and st["bytes"] > 0
+    assert st["cols"]["id"] == {"min": 0, "max": 49, "nulls": 0}
+    assert st["cols"]["s"]["min"] == "s0"
+
+
+def test_prune_is_metadata_only_and_sound(spark, tmp_path):
+    path = _ranged_table(spark, tmp_path)
+    v, kept, total = lk.prune_files(path, [("id", "<", 50)])
+    assert total == 8 and len(kept) == 1
+    # every op proves the right bound
+    assert lk.prune_files(path, [("id", ">=", 350)])[1:] == (kept_ge := lk.prune_files(path, [("id", ">=", 350)])[1:])
+    assert len(kept_ge[0]) == 1
+    assert len(lk.prune_files(path, [("id", "=", 199)])[1]) == 1
+    assert len(lk.prune_files(path, [("id", "in", (10, 390))])[1]) == 2
+    # conjunction: contradictory bounds prune everything
+    assert lk.prune_files(path, [("id", "<", 50), ("id", ">", 350)])[1] == []
+    # unknown column admits every file (errs open, never wrong)
+    assert len(lk.prune_files(path, [("nope", "=", 1)])[1]) == 8
+
+
+def test_pruned_read_equals_filtered_read(spark, tmp_path):
+    path = _ranged_table(spark, tmp_path)
+    full = lk.read_table(spark, path)
+    for pred, col in [
+        ([("id", "<", 50)], F.col("id") < 50),
+        ([("id", ">=", 350)], F.col("id") >= 350),
+        ([("v", "<=", 99.0)], F.col("v") <= 99.0),
+        ([("id", ">", 100), ("id", "<=", 150)], (F.col("id") > 100) & (F.col("id") <= 150)),
+    ]:
+        got = {r.id for r in lk.read_table(spark, path, predicate=pred).collect()}
+        want = {r.id for r in full.filter(col).collect()}
+        assert got == want, pred
+
+
+def test_pruned_read_all_files_skipped_yields_typed_empty(spark, tmp_path):
+    path = _ranged_table(spark, tmp_path)
+    df = lk.read_table(spark, path, predicate=[("id", ">", 10_000)])
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["id", "k", "v", "s"]
+
+
+def test_skipping_sound_under_deletion_vectors(spark, tmp_path):
+    # a DV only shrinks a file's rows: stats stay a superset bound
+    path = _ranged_table(spark, tmp_path)
+    t = lk.Transaction(path)
+    t.delete_where_mor(spark, F.col("id") % 2 == 0)
+    t.commit()
+    got = {r.id for r in lk.read_table(spark, path, predicate=[("id", "<", 50)]).collect()}
+    assert got == {i for i in range(50) if i % 2 == 1}
+
+
+def test_all_null_column_stats_prune_comparisons(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = lk.Transaction(path)
+    t.append(
+        spark.createDataFrame(
+            [(i, None) for i in range(10)], "id long, x double"
+        ).coalesce(1)
+    )
+    t.commit()
+    # x is entirely NULL: no comparison can match -> file provably empty
+    assert lk.prune_files(path, [("x", "=", 1.0)])[1] == []
+    assert lk.read_table(spark, path, predicate=[("x", ">", 0.0)]).count() == 0
+
+
+def test_timestamp_stats_prune(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = datetime.datetime(2026, 3, 1)
+    for d in range(3):
+        t = lk.Transaction(path)
+        t.append(
+            spark.createDataFrame(
+                [(i, base + datetime.timedelta(days=d, minutes=i)) for i in range(20)],
+                "id long, ts timestamp",
+            ).coalesce(1)
+        )
+        t.commit()
+    cut = base + datetime.timedelta(days=1)
+    v, kept, total = lk.prune_files(path, [("ts", "<", cut)])
+    assert (len(kept), total) == (1, 3)
+    assert lk.read_table(spark, path, predicate=[("ts", "<", cut)]).count() == 20
+
+
+def test_stats_survive_checkpoint_and_restore_and_clone(spark, tmp_path):
+    path = _ranged_table(spark, tmp_path, n=100, files=4)
+    lk.write_checkpoint(path)
+    t = lk.Transaction(path)
+    t.append(spark.createDataFrame([(1000, 1, 1.0, "x")], "id long, k int, v double, s string"))
+    t.commit()  # v5, replayed from the checkpoint
+    assert len(lk.prune_files(path, [("id", "<", 25)])[1]) == 1
+    # restore: stats carried from the historical add actions
+    lk.restore_table(spark, path, 2)
+    _v, kept, total = lk.prune_files(path, [("id", "<", 25)])
+    assert (len(kept), total) == (1, 2)
+    # clone: stats carried across roots (absolute file keys)
+    dst = str(tmp_path / "c")
+    lk.clone_table(path, dst)
+    _v, kept, total = lk.prune_files(dst, [("id", "<", 25)])
+    assert (len(kept), total) == (1, 2)
+    assert lk.read_table(spark, dst, predicate=[("id", "<", 25)]).count() == 25
+
+
+def test_table_detail_metadata_count(spark, tmp_path):
+    path = _ranged_table(spark, tmp_path, n=200, files=4)
+    d = lk.table_detail(path)
+    assert d["rows_exact"] and d["n_rows"] == 200 and d["n_files"] == 4
+    # a live DV demotes the count to an upper bound
+    t = lk.Transaction(path)
+    t.delete_where_mor(spark, F.col("id") < 10)
+    t.commit()
+    d2 = lk.table_detail(path)
+    assert not d2["rows_exact"] and d2["n_rows"] == 200
+    # compaction settles the vectors: exact again
+    t = lk.Transaction(path)
+    t.compact(spark, n_files=2)
+    t.commit()
+    d3 = lk.table_detail(path)
+    assert d3["rows_exact"] and d3["n_rows"] == 190
+
+
+def test_zorder_multi_column_skipping(spark, tmp_path):
+    # id contiguous per file, u uniform everywhere: before zorder a u
+    # predicate prunes nothing; after, BOTH columns prune
+    path = str(tmp_path / "t")
+    n, files = 4096, 8
+    chunk = n // files
+    for i in range(files):
+        t = lk.Transaction(path)
+        t.append(
+            spark.createDataFrame(
+                [(j, (j * 2654435761) % 1024, float(j)) for j in range(i * chunk, (i + 1) * chunk)],
+                "id long, u long, v double",
+            ).coalesce(1)
+        )
+        t.commit()
+    assert len(lk.prune_files(path, [("u", "<", 256)])[1]) == files
+    t = lk.Transaction(path)
+    before, after = t.optimize_zorder(spark, ["id", "u"], n_files=16)
+    t.commit()
+    assert (before, after) == (8, 16)
+    _, k_id, total = lk.prune_files(path, [("id", "<", n // 8)])
+    _, k_u, _ = lk.prune_files(path, [("u", "<", 128)])
+    assert len(k_id) < total and len(k_u) < total
+    # results identical to the unclustered filter
+    assert lk.read_table(spark, path, predicate=[("u", "<", 128)]).count() == \
+        sum(1 for j in range(n) if (j * 2654435761) % 1024 < 128)
+    assert lk.read_table(spark, path, predicate=[("id", "<", n // 8)]).count() == n // 8
+
+
+def test_zorder_applies_deletion_vectors_and_feed_silent(spark, tmp_path):
+    path = _ranged_table(spark, tmp_path, n=100, files=4)
+    t = lk.Transaction(path)
+    t.delete_where_mor(spark, F.col("id") >= 90)
+    t.commit()
+    t = lk.Transaction(path)
+    t.optimize_zorder(spark, ["id", "k"], n_files=4)
+    v = t.commit()
+    assert lk.read_table(spark, path).count() == 90
+    assert lk._state(path)[2] == set()  # vectors settled
+    # dataChange=false: the feed emits nothing for the zorder commit
+    assert lk.read_changes(spark, path, v - 1, v).count() == 0
+
+
+def test_zorder_rejects_unknown_and_oversized(spark, tmp_path):
+    path = _ranged_table(spark, tmp_path, n=40, files=2)
+    t = lk.Transaction(path)
+    with pytest.raises(ValueError, match="not in table schema"):
+        t.optimize_zorder(spark, ["nope"])
+    t2 = lk.Transaction(path)
+    with pytest.raises(ValueError, match="bits"):
+        t2.optimize_zorder(spark, ["id", "k"], bits=31)
+
+
+def test_long_string_stats_dropped_not_wrong(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = lk.Transaction(path)
+    t.append(
+        spark.createDataFrame(
+            [(i, "x" * 200) for i in range(5)], "id long, s string"
+        ).coalesce(1)
+    )
+    t.commit()
+    # over-long string: no stat for s (a truncated max is not a bound)
+    c = lk._read_commit(path, 1)
+    st = [a for a in c["actions"] if a["op"] == "add"][0]["stats"]
+    assert "s" not in st["cols"] and "id" in st["cols"]
+    # and skipping on s admits the file (errs open)
+    assert len(lk.prune_files(path, [("s", "=", "x")])[1]) == 1

@@ -1,0 +1,193 @@
+"""Incremental OPTIMIZE (compact_small), in-commit timestamps /
+TIMESTAMP AS OF, and version expiry over the commit log."""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_etl_spark import lakehouse as lk
+
+
+def _mixed_table(spark, tmp_path):
+    """Two big files (5k rows) + four small (10 rows), pinned clocks."""
+    path = str(tmp_path / "t")
+    t = lk.Transaction(path, commit_ts=1000.0)
+    t.append(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(5000)], "id long, v double"
+        ).coalesce(1)
+    )
+    t.commit()
+    t = lk.Transaction(path, commit_ts=2000.0)
+    t.append(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(5000, 10000)], "id long, v double"
+        ).coalesce(1)
+    )
+    t.commit()
+    for k in range(4):
+        t = lk.Transaction(path, commit_ts=3000.0 + k)
+        t.append(
+            spark.createDataFrame(
+                [(20000 + k * 10 + j, 1.0) for j in range(10)],
+                "id long, v double",
+            ).coalesce(1)
+        )
+        t.commit()
+    return path
+
+
+# -- compact_small ----------------------------------------------------
+
+
+def test_compact_small_leaves_big_files_alone(spark, tmp_path):
+    path = _mixed_table(spark, tmp_path)
+    _v, live_before = lk.snapshot(path)
+    big = {f for f in live_before if (pathlib.Path(path) / f).stat().st_size > 10_000}
+    assert len(big) == 2
+    t = lk.Transaction(path)
+    rewritten, added = t.compact_small(spark, target_bytes=10_000)
+    assert (rewritten, added) == (4, 1)
+    t.commit()
+    _v, live_after = lk.snapshot(path)
+    # the two big files survive untouched, by name
+    assert big <= set(live_after) and len(live_after) == 3
+    assert lk.read_table(spark, path).count() == 10040
+    # only the small files entered the read set: commutes with writes
+    # touching the big files
+    assert t.read_files == set(live_before) - big
+
+
+def test_compact_small_noop_below_two_candidates(spark, tmp_path):
+    path = _mixed_table(spark, tmp_path)
+    t = lk.Transaction(path)
+    assert t.compact_small(spark, target_bytes=10) == (0, 0)
+    assert t.actions == [] and not t._rewrote
+
+
+def test_compact_small_applies_dvs_but_keeps_them(spark, tmp_path):
+    path = _mixed_table(spark, tmp_path)
+    t = lk.Transaction(path)
+    # delete rows living in small files AND big files
+    t.delete_where_mor(spark, (F.col("id") >= 20000) & (F.col("id") % 2 == 0))
+    t.commit()
+    t = lk.Transaction(path)
+    t.delete_where_mor(spark, F.col("id") < 100)
+    t.commit()
+    n_before = lk.read_table(spark, path).count()
+    t = lk.Transaction(path)
+    t.compact_small(spark, target_bytes=10_000)
+    t.commit()
+    # logical rows unchanged; vectors still live (big-file rows remain
+    # subject), moved rows escaped them without resurrecting deletes
+    assert lk.read_table(spark, path).count() == n_before
+    assert len(lk._state(path)[2]) == 2
+
+
+def test_compact_small_conflicts_with_concurrent_rewrite_of_candidate(
+    spark, tmp_path
+):
+    path = _mixed_table(spark, tmp_path)
+    t1 = lk.Transaction(path)
+    t1.compact_small(spark, target_bytes=10_000)
+    # concurrent delete rewrites one of the small files t1 read
+    t2 = lk.Transaction(path)
+    t2.delete_where(spark, F.col("id") == 20001)
+    t2.commit()
+    with pytest.raises(lk.CommitConflict):
+        t1.commit()
+
+
+# -- in-commit timestamps ---------------------------------------------
+
+
+def test_timestamp_as_of_resolution(spark, tmp_path):
+    path = _mixed_table(spark, tmp_path)
+    assert lk.version_at_timestamp(path, 1000.0) == 1
+    assert lk.version_at_timestamp(path, 1999.9) == 1
+    assert lk.version_at_timestamp(path, 2000.0) == 2
+    assert lk.version_at_timestamp(path, 1e12) == 6
+    assert lk.read_table(spark, path, timestamp=1500.0).count() == 5000
+    with pytest.raises(ValueError, match="at or before"):
+        lk.version_at_timestamp(path, 10.0)
+    with pytest.raises(ValueError, match="not both"):
+        lk.read_table(spark, path, version=1, timestamp=1500.0)
+
+
+def test_commit_ts_clamped_monotonic(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = lk.Transaction(path, commit_ts=5000.0)
+    t.append(spark.createDataFrame([(1, 1.0)], "id long, v double"))
+    t.commit()
+    # a writer with a BACKWARD clock cannot reorder history
+    t = lk.Transaction(path, commit_ts=10.0)
+    t.append(spark.createDataFrame([(2, 2.0)], "id long, v double"))
+    t.commit()
+    ts1 = lk._read_commit(path, 1)["ts"]
+    ts2 = lk._read_commit(path, 2)["ts"]
+    assert ts1 == 5000.0 and ts2 > ts1
+
+
+# -- version expiry ---------------------------------------------------
+
+
+def test_expire_versions_end_to_end(spark, tmp_path):
+    path = _mixed_table(spark, tmp_path)
+    t = lk.Transaction(path)
+    t.compact_small(spark, target_bytes=10_000)
+    t.commit()  # v7: the four small files become expired-only refs
+    pre = {tuple(r) for r in lk.read_table(spark, path).collect()}
+    res = lk.expire_versions(path, 7)
+    assert res["data_files_deleted"] == 4
+    assert res["log_files_deleted"] >= 6
+    # latest read byte-identical
+    assert {tuple(r) for r in lk.read_table(spark, path).collect()} == pre
+    # expired time travel raises loudly
+    with pytest.raises(ValueError, match="expired"):
+        lk.read_table(spark, path, version=3)
+    # retained history still describes; new commits still work
+    assert lk.describe_history(spark, path).count() == 1
+    t = lk.Transaction(path)
+    t.append(spark.createDataFrame([(1, 1.0)], "id long, v double"))
+    assert t.commit() == 8
+    # vacuum after expiry must NOT touch checkpoint-referenced files
+    assert lk.vacuum_orphans(path, min_age_sec=0) == 0
+    assert lk.read_table(spark, path).count() == 10041
+
+
+def test_expire_versions_retains_shared_files(spark, tmp_path):
+    # a file added in v1 and still live at the boundary must survive
+    path = _mixed_table(spark, tmp_path)
+    res = lk.expire_versions(path, 6)
+    assert res["data_files_deleted"] == 0  # every file still live
+    assert lk.read_table(spark, path).count() == 10040
+    assert lk.read_table(spark, path, version=6).count() == 10040
+
+
+def test_expire_clone_never_reaches_source(spark, tmp_path):
+    src = _mixed_table(spark, tmp_path)
+    dst = str(tmp_path / "c")
+    lk.clone_table(src, dst)
+    t = lk.Transaction(dst)
+    t.compact(spark, n_files=1)
+    t.commit()  # clone v2: source files now expired-only refs in the clone
+    res = lk.expire_versions(dst, 2)
+    # absolute source references are outside the clone root: skipped
+    assert res["data_files_deleted"] == 0
+    assert lk.read_table(spark, src).count() == 10040
+    assert lk.read_table(spark, dst).count() == 10040
+
+
+def test_expire_then_timestamp_travel_and_stats(spark, tmp_path):
+    path = _mixed_table(spark, tmp_path)
+    lk.expire_versions(path, 3)
+    # timestamp resolution works over the surviving suffix
+    assert lk.version_at_timestamp(path, 3000.5) == 3
+    with pytest.raises(ValueError):
+        lk.version_at_timestamp(path, 999.0)
+    # data skipping still served from the retention checkpoint's stats
+    _v, kept, total = lk.prune_files(path, [("id", "<", 100)])
+    assert total == 6 and len(kept) == 1
