@@ -88,6 +88,17 @@ Model (Delta/Iceberg's core contract, minimally):
   pin the retention boundary as a checkpoint, truncate the log; the
   bounded-storage contract (without it every rewrite's old
   generation lives forever).
+- COLUMN MAPPING (:meth:`Transaction.rename_column` /
+  :meth:`drop_column`): ALTER TABLE RENAME/DROP as one metadata
+  action — physical parquet names never change, readers resolve the
+  logical view through the committed colmap, new columns get opaque
+  physical names so dead bytes can't resurrect.
+- replaceWhere (:meth:`Transaction.replace_where`): the idempotent
+  partition backfill — predicate-validated insert + stats-pruned
+  copy-on-write delete of the replaced slice, one atomic commit.
+- OPERATION METRICS: commits carry ``metrics`` (rows appended/
+  deleted/updated, files rewritten — byproducts of staging, never
+  an extra pass); DESCRIBE HISTORY surfaces them.
 - THE TABLE CONTRACT: committed schema (enforced on every append,
   widened only via ``evolve_schema=True`` + footer-merged reads) and
   CHECK constraints (:meth:`Transaction.set_check_constraint` —
@@ -284,8 +295,9 @@ def version_at_timestamp(path: str, ts: float) -> int:
         cts = float(body.get("ts") or p.stat().st_mtime)
         if cts <= ts:
             best = v
-        else:
-            break
+        # no early break: in-commit timestamps are monotonic, but the
+        # mtime FALLBACK for pre-feature commits need not be (copies,
+        # clock steps) — scan the whole O(commits) metadata list
     if best is None:
         raise ValueError(
             f"no commit at {path} at or before timestamp {ts}: the "
@@ -483,7 +495,15 @@ def _json_stat(v):
         return None if (math.isnan(v) or math.isinf(v)) else v
     if isinstance(v, str):
         return v if len(v) <= _STATS_MAX_STR else None
-    if isinstance(v, (datetime.datetime, datetime.date)):
+    if isinstance(v, datetime.datetime):
+        # normalize aware -> naive UTC BEFORE isoformat: an aware
+        # stamp's "+00:00" suffix breaks lexicographic comparison
+        # against a naive predicate on exact boundaries (the engine
+        # pins the session to UTC, so naive == UTC wall time)
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, datetime.date):
         return v.isoformat()
     return None
 
@@ -595,9 +615,12 @@ def prune_files(
     op, value)`` with op in ``= < <= > >= in`` — against the log's
     per-file stats: returns ``(version, surviving live files sorted,
     total live files)``.  Pure metadata: no data file is opened.  A
-    file survives unless SOME conjunct proves it empty."""
-    v, live, _dvs, _txns, _meta, stats = _state_full(path, version)
-    conj = list(predicate)
+    file survives unless SOME conjunct proves it empty.  Predicate
+    columns are LOGICAL names; on a column-mapped table they are
+    translated to the physical names the footer stats carry."""
+    v, live, _dvs, _txns, meta, stats = _state_full(path, version)
+    cm = _colmap(meta)
+    conj = [(cm.get(c, c), op, val) for c, op, val in predicate]
     kept = [
         f
         for f in sorted(live)
@@ -652,34 +675,72 @@ def table_detail(path: str, version: int | None = None) -> dict:
     }
 
 
+def _colmap(meta: dict | None) -> dict:
+    """LOGICAL column name -> PHYSICAL parquet column name (Delta
+    column mapping).  Empty = identity (the table never renamed or
+    dropped a column)."""
+    return dict((meta or {}).get("colmap") or {})
+
+
+def _to_logical(df: DataFrame, meta: dict | None) -> DataFrame:
+    """Physical parquet columns -> the committed LOGICAL view: mapped
+    columns renamed, physicals outside the schema dropped (DROP
+    COLUMN leaves the bytes in old files; readers never see them),
+    later-evolved columns aligned in as typed NULLs.  Row-address
+    columns (``_dv_file``/``_dv_pos``), when present, ride along."""
+    schema = (meta or {}).get("schema", [])
+    if not schema:
+        return df
+    cm = _colmap(meta)
+    present = set(df.columns)
+    cols = []
+    for n, t in schema:
+        p = cm.get(n, n)
+        if p in present:
+            cols.append(F.col(p).alias(n))
+        else:
+            cols.append(F.lit(None).cast(t).alias(n))
+    for extra in ("_dv_file", "_dv_pos"):
+        if extra in present:
+            cols.append(F.col(extra))
+    return df.select(*cols)
+
+
+def _to_physical(df: DataFrame, meta: dict | None) -> DataFrame:
+    """Logical frame -> physical column names for a staged write.
+    Identity unless the table is column-mapped."""
+    cm = _colmap(meta)
+    if not cm:
+        return df
+    return df.select(*[F.col(c).alias(cm.get(c, c)) for c in df.columns])
+
+
 def _with_addresses(
     spark: SparkSession,
     root: pathlib.Path,
     files,
     meta: dict | None = None,
 ) -> DataFrame:
-    """Address-keyed scan of table-relative ``files``.  Pass the table
-    ``meta`` whenever the scan may span files with DIFFERENT schemas:
-    on an evolved table, plain parquet inference takes ONE footer
-    (split-size order — effectively arbitrary under UUID names), so a
-    pre-evolution file can win and silently drop the evolved column
-    from the scan — fatal for a rewrite that then REPLACES the files
-    (review r10b finding 1).  With meta, the read footer-merges and
-    any column still missing (single old file read alone) is aligned
-    in as a typed NULL from the committed schema."""
+    """Address-keyed LOGICAL scan of table-relative ``files``.  Pass
+    the table ``meta`` whenever the scan may span files with DIFFERENT
+    schemas: on an evolved table, plain parquet inference takes ONE
+    footer (split-size order — effectively arbitrary under UUID
+    names), so a pre-evolution file can win and silently drop the
+    evolved column from the scan — fatal for a rewrite that then
+    REPLACES the files (review r10b finding 1).  With meta, the read
+    footer-merges, any column still missing is aligned in as a typed
+    NULL from the committed schema, and column mapping resolves
+    physical names to the logical view."""
     from .mor import with_row_addresses
 
     reader = spark.read
     evolved = bool(meta and meta.get("evolved"))
     if evolved:
         reader = reader.option("mergeSchema", "true")
-    df = reader.parquet(*[str(root / f) for f in sorted(files)])
-    if evolved:
-        present = set(df.columns)
-        for n, t in meta.get("schema", []):
-            if n not in present:
-                df = df.withColumn(n, F.lit(None).cast(t))
-    return with_row_addresses(df)
+    df = with_row_addresses(
+        reader.parquet(*[str(root / f) for f in sorted(files)])
+    )
+    return _to_logical(df, meta)
 
 
 def read_table(
@@ -716,10 +777,17 @@ def read_table(
     if not live:
         raise ValueError(f"table at {path} is empty at version {v}")
     conj = list(predicate) if predicate is not None else []
+    # stats are keyed by PHYSICAL column names (footer-derived):
+    # translate the logical predicate columns before consulting them;
+    # the residual filter below runs on the logical frame untranslated
+    cm = _colmap(meta)
+    conj_phys = [(cm.get(c, c), op, val) for c, op, val in conj]
     scan = [
         f
         for f in sorted(live)
-        if all(_stats_admit(stats.get(f), c, op, val) for c, op, val in conj)
+        if all(
+            _stats_admit(stats.get(f), c, op, val) for c, op, val in conj_phys
+        )
     ]
     root = pathlib.Path(path)
     if not scan:
@@ -735,11 +803,14 @@ def read_table(
         # so they surface as typed NULLs (paid only on evolved tables)
         reader = reader.option("mergeSchema", "true")
     if not dvs:
-        df = reader.parquet(*[str(root / f) for f in scan])
+        df = _to_logical(reader.parquet(*[str(root / f) for f in scan]), meta)
         return df.filter(_predicate_column(conj)) if conj else df
     from .mor import with_row_addresses
 
-    df = with_row_addresses(reader.parquet(*[str(root / f) for f in scan]))
+    df = _to_logical(
+        with_row_addresses(reader.parquet(*[str(root / f) for f in scan])),
+        meta,
+    )
     dv = spark.read.parquet(*[str(root / f) for f in sorted(dvs)]).select(
         "_dv_file", "_dv_pos"
     )
@@ -831,7 +902,15 @@ def read_changes(
 
     pieces: list[DataFrame] = []
     for v in range(v_from + 1, v_to + 1):
-        c = _read_commit(path, v)
+        try:
+            c = _read_commit(path, v)
+        except FileNotFoundError:
+            raise ValueError(
+                f"change range ({v_from}, {v_to}] at {path} reaches "
+                f"version {v}, which was expired by expire_versions — "
+                f"an incremental consumer that fell behind the retention "
+                f"window must re-bootstrap from a snapshot"
+            ) from None
         acts = c["actions"]
         roleless = [
             a for a in acts
@@ -1134,6 +1213,9 @@ def describe_history(spark: SparkSession, path: str) -> DataFrame:
                 txn.get("app"),
                 txn.get("version"),
                 c.get("read_version"),
+                json.dumps(c["metrics"], sort_keys=True)
+                if c.get("metrics")
+                else None,
             )
         )
     if not rows:
@@ -1142,7 +1224,7 @@ def describe_history(spark: SparkSession, path: str) -> DataFrame:
         rows,
         "version int, operation string, n_adds int, n_removes int, "
         "n_dv_adds int, n_meta int, txn_app string, txn_version long, "
-        "read_version int",
+        "read_version int, metrics string",
     ).orderBy(F.desc("version"))
 
 
@@ -1192,6 +1274,11 @@ class Transaction:
         self.txn_app = txn_app
         self.txn_version = txn_version
         self.commit_ts = commit_ts
+        #: operation metrics accumulated by staging ops and written
+        #: into the commit body (Delta's operationMetrics) — every
+        #: number is a byproduct of work already done (staged-file
+        #: stats, hit counts), never an extra pass
+        self.metrics: dict = {}
         # snapshot-carried idempotence high-water: commit() folds in
         # only the commits AFTER read_version instead of replaying the
         # whole log per attempt (review r10 finding 8)
@@ -1216,11 +1303,14 @@ class Transaction:
             )
         self._rewrote = True
 
-    def _snapshot_frame(self, spark: SparkSession) -> DataFrame:
+    def _snapshot_frame(self, spark: SparkSession, files=None) -> DataFrame:
         """The table as of THIS transaction's snapshot, with row
         addresses: live files minus committed DVs.  Every rewrite
         derives from this — a copy-on-write rewrite that read the raw
-        files would resurrect DV-deleted rows.
+        files would resurrect DV-deleted rows.  ``files`` restricts
+        the scan to a subset of the live set (stats-pruned
+        candidates — the caller must have PROVEN the excluded files
+        irrelevant, e.g. via :func:`_stats_admit`).
 
         The subtracted DV files enter the READ SET: an operation that
         derived its row view through a vector is invalidated by a
@@ -1228,7 +1318,10 @@ class Transaction:
         a DV un-hides rows this operation never saw — neither serial
         order produces the combined state; review r11 finding 2)."""
         root = pathlib.Path(self.path)
-        df = _with_addresses(spark, root, self._live, self._meta)
+        scan = self._live if files is None else sorted(
+            set(files) & set(self._live)
+        )
+        df = _with_addresses(spark, root, scan, self._meta)
         if self._dvs:
             self.read_files.update(self._dvs)
             dv = spark.read.parquet(
@@ -1312,6 +1405,92 @@ class Transaction:
         self._ops.append("drop_constraint")
         self.actions.append({"op": "set_meta", "meta": {"constraints": cons}})
 
+    def _guard_constraint_reference(self, meta: dict, col: str, op: str):
+        """CHECK constraint expressions are stored as SQL text against
+        LOGICAL names: renaming or dropping a referenced column would
+        silently break every later append's validation, so it is
+        refused up front (Delta blocks the same way).  Word-boundary
+        text match — conservative: a false positive refuses a safe
+        rename, never the other way around."""
+        import re
+
+        for cname, expr in sorted(meta.get("constraints", {}).items()):
+            if re.search(rf"\b{re.escape(col)}\b", expr):
+                raise ValueError(
+                    f"cannot {op} column {col!r}: CHECK constraint "
+                    f"{cname!r} ({expr}) references it — drop the "
+                    f"constraint first"
+                )
+
+    def rename_column(self, old: str, new: str) -> None:
+        """ALTER TABLE RENAME COLUMN — METADATA-ONLY via column
+        mapping (Delta's columnMapping.mode=name): no data file is
+        touched, the physical parquet name stays what it always was,
+        and the committed schema plus the logical->physical colmap
+        change in one metadata action.  Readers resolve the map on
+        every scan; writers translate staged frames back to physical
+        names; footer stats keep their physical keys and predicate
+        pruning translates before consulting them.  At 100 TB a
+        rename is a KB of JSON instead of a table rewrite.
+
+        Enabling mapping is one-way: from the first rename/drop the
+        colmap is materialized for EVERY column and later-added
+        columns get opaque physical names (a new logical name may
+        not collide with dead physical bytes in old files).
+        Metadata actions serialize with every concurrent commit."""
+        meta = self._effective_meta()
+        schema = meta.get("schema", [])
+        names = [n for n, _t in schema]
+        if old not in names:
+            raise ValueError(f"no column {old!r} in the table schema")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        self._guard_constraint_reference(meta, old, "rename")
+        full = {n: _colmap(meta).get(n, n) for n in names}
+        full[new] = full.pop(old)
+        self._ops.append("rename_column")
+        self.actions.append(
+            {
+                "op": "set_meta",
+                "meta": {
+                    "schema": [
+                        (new if n == old else n, t) for n, t in schema
+                    ],
+                    "colmap": full,
+                    "mapped": True,
+                },
+            }
+        )
+
+    def drop_column(self, name: str) -> None:
+        """ALTER TABLE DROP COLUMN — METADATA-ONLY (Delta column
+        mapping): the bytes stay in existing files but leave every
+        logical view immediately; later rewrites (compaction, delete)
+        physically shed them file by file, and appends no longer
+        carry the column.  Same mapping rules and constraint guard as
+        :meth:`rename_column`."""
+        meta = self._effective_meta()
+        schema = meta.get("schema", [])
+        names = [n for n, _t in schema]
+        if name not in names:
+            raise ValueError(f"no column {name!r} in the table schema")
+        if len(names) == 1:
+            raise ValueError("cannot drop the table's only column")
+        self._guard_constraint_reference(meta, name, "drop")
+        full = {n: _colmap(meta).get(n, n) for n in names}
+        full.pop(name)
+        self._ops.append("drop_column")
+        self.actions.append(
+            {
+                "op": "set_meta",
+                "meta": {
+                    "schema": [(n, t) for n, t in schema if n != name],
+                    "colmap": full,
+                    "mapped": True,
+                },
+            }
+        )
+
     def append(self, df: DataFrame, evolve_schema: bool = False) -> int:
         """Stage an append: validate the batch against the table
         CONTRACT (committed schema + CHECK constraints), then write
@@ -1360,15 +1539,20 @@ class Transaction:
                     f"evolve_schema=True to widen the table schema"
                 )
             if new_cols:
-                meta_actions = [
-                    {
-                        "op": "set_meta",
-                        "meta": {
-                            "schema": table_schema + new_cols,
-                            "evolved": True,
-                        },
-                    }
-                ]
+                new_meta = {
+                    "schema": table_schema + new_cols,
+                    "evolved": True,
+                }
+                if meta.get("mapped"):
+                    # under column mapping a new logical name may
+                    # collide with a dropped/renamed column's physical
+                    # bytes in old files — new columns get opaque
+                    # physical names, the Delta column-mapping rule
+                    cmap = _colmap(meta)
+                    for n, _t in new_cols:
+                        cmap[n] = f"c-{uuid.uuid4().hex[:12]}"
+                    new_meta["colmap"] = cmap
+                meta_actions = [{"op": "set_meta", "meta": new_meta}]
             else:
                 meta_actions = []
         else:
@@ -1391,7 +1575,9 @@ class Transaction:
         self._ops.append("append")
         root = pathlib.Path(self.path)
         stage = root / f".stage-{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(str(stage))
+        _to_physical(df, self._effective_meta()).write.mode(
+            "overwrite"
+        ).parquet(str(stage))
         (root / _DATA_DIR).mkdir(parents=True, exist_ok=True)
         n = 0
         for part in sorted(stage.glob("part-*.parquet")):
@@ -1403,11 +1589,17 @@ class Transaction:
             self.actions.append(
                 {"op": "add", "file": name, "role": "append", "stats": st}
             )
+            if st is not None:
+                self.metrics["rows_appended"] = (
+                    self.metrics.get("rows_appended", 0) + st["rows"]
+                )
             n += 1
         shutil.rmtree(stage)
         return n
 
-    def delete_where(self, spark: SparkSession, predicate) -> int:
+    def delete_where(
+        self, spark: SparkSession, predicate, _candidates=None
+    ) -> int:
         """Stage ``DELETE WHERE predicate`` copy-on-write, file-pruned:
         only the files actually CONTAINING matches are rewritten
         (minus their matching rows) and swapped; untouched files never
@@ -1431,7 +1623,7 @@ class Transaction:
         self._require_first_rewrite("delete_where")
         self._ops.append("delete_where")
         cdf = bool(self._effective_meta().get("cdf"))
-        df = self._snapshot_frame(spark)
+        df = self._snapshot_frame(spark, files=_candidates)
         hit = F.coalesce(predicate, F.lit(False))
         # one pass over the predicate columns: per-file hit counts
         per_file = (
@@ -1463,13 +1655,19 @@ class Transaction:
             images = single.filter(hit).drop("_dv_file", "_dv_pos")
             cdc = f"{_CDC_DIR}/cdc-{uuid.uuid4().hex}.parquet"
             (root / _CDC_DIR).mkdir(parents=True, exist_ok=True)
-            write_single_file(images, root / cdc)
+            # physical names, same as data files: the change feed's
+            # reader maps them back through the colmap as of v_to
+            write_single_file(
+                _to_physical(images, self._effective_meta()), root / cdc
+            )
             self.actions.append(
                 {"op": "add_cdc", "file": cdc, "change": "delete"}
             )
         survivors = single.filter(~hit).drop("_dv_file", "_dv_pos")
         stage = root / f".stage-{uuid.uuid4().hex[:8]}"
-        survivors.write.mode("overwrite").parquet(str(stage))
+        _to_physical(survivors, self._effective_meta()).write.mode(
+            "overwrite"
+        ).parquet(str(stage))
         (root / _DATA_DIR).mkdir(parents=True, exist_ok=True)
         for part in sorted(stage.glob("part-*.parquet")):
             st = _file_stats(part)
@@ -1484,7 +1682,64 @@ class Transaction:
         for rel in hit_rels:
             self.actions.append({"op": "remove", "file": rel})
             self.read_files.add(rel)
+        self.metrics["rows_deleted"] = (
+            self.metrics.get("rows_deleted", 0) + int(deleted)
+        )
+        self.metrics["files_rewritten"] = len(hit_rels)
         return int(deleted)
+
+    def replace_where(
+        self, spark: SparkSession, predicate, df: DataFrame
+    ) -> tuple[int, int]:
+        """INSERT OVERWRITE with ``replaceWhere`` (Delta's idempotent
+        partition/backfill op): atomically replace every row matching
+        ``predicate`` — a conjunctive ``(col, op, value)`` list, the
+        :func:`read_table` predicate shape — with ``df``, in ONE
+        commit.  The canonical use: re-run day D's pipeline and swap
+        day D's slice without touching day E or leaving a window
+        where D is missing.
+
+        Semantics and scale posture:
+
+        - every NEW row must satisfy the predicate — a backfill for
+          day D that smuggles day-E rows raises BEFORE anything
+          stages (Delta errors identically);
+        - the delete half is file-pruned TWICE: add-action stats
+          first prove which files can hold matches at metadata speed
+          (:func:`_stats_admit` — on a day-clustered 100 TB table
+          that is one day's files, not the table), then only those
+          candidates are scanned for per-file hit counts;
+        - the insert half is the schema/constraint-enforcing append.
+        Returns ``(rows_deleted, files_appended)``."""
+        conj = list(predicate)
+        col = _predicate_column(conj)
+        # pin: the validation count and the staged write must see the
+        # same rows even for a non-deterministic batch
+        df = df.localCheckpoint()
+        bad = df.filter(~F.coalesce(col, F.lit(False))).count()
+        if bad:
+            raise ValueError(
+                f"replace_where rejected: {bad} new row(s) do not "
+                f"satisfy the predicate {conj} — a backfill may only "
+                f"write rows inside the slice it replaces"
+            )
+        cm = _colmap(self._effective_meta())
+        conj_phys = [(cm.get(c, c), op, val) for c, op, val in conj]
+        candidates = [
+            f
+            for f in self._live
+            if all(
+                _stats_admit(self._stats.get(f), c, op, val)
+                for c, op, val in conj_phys
+            )
+        ]
+        deleted = self.delete_where(spark, col, _candidates=candidates)
+        added = self.append(df)
+        # one operation name in the history, not its two halves
+        self._ops = [
+            o for o in self._ops if o not in ("delete_where", "append")
+        ] + ["replace_where"]
+        return deleted, added
 
     def delete_where_mor(self, spark: SparkSession, predicate) -> int:
         """Stage ``DELETE WHERE predicate`` MERGE-ON-READ: the matching
@@ -1527,7 +1782,9 @@ class Transaction:
              "role": "delete"}
         )
         self.read_files.update(targets)
-        return spark.read.parquet(str(root / name)).count()
+        n = spark.read.parquet(str(root / name)).count()
+        self.metrics["rows_deleted"] = self.metrics.get("rows_deleted", 0) + n
+        return n
 
     def update_where_mor(
         self, spark: SparkSession, predicate, set_exprs: dict
@@ -1612,7 +1869,7 @@ class Transaction:
         dv_name = f"{_DV_DIR}/dv-{uuid.uuid4().hex}.parquet"
         write_single_file(hits.select("_dv_file", "_dv_pos"), root / dv_name)
         upd_name = f"{_DATA_DIR}/upd-{uuid.uuid4().hex}.parquet"
-        write_single_file(rewritten, root / upd_name)
+        write_single_file(_to_physical(rewritten, meta), root / upd_name)
         self.actions.append(
             {"op": "add_dv", "file": dv_name, "targets": targets,
              "role": "update"}
@@ -1622,6 +1879,7 @@ class Transaction:
              "stats": _file_stats(root / upd_name)}
         )
         self.read_files.update(targets)
+        self.metrics["rows_updated"] = n
         return n
 
     def enable_cdf(self) -> None:
@@ -1895,7 +2153,7 @@ class Transaction:
                     "merge update",
                 )
             new = f"{_DATA_DIR}/mg-{uuid.uuid4().hex}.parquet"
-            write_single_file(survivors, root / new)
+            write_single_file(_to_physical(survivors, meta), root / new)
             for rel in touched:
                 self.actions.append({"op": "remove", "file": rel})
                 self.read_files.add(rel)
@@ -1932,7 +2190,7 @@ class Transaction:
                     ]
                 for images, change in pieces:
                     cdc = f"{_CDC_DIR}/cdc-{uuid.uuid4().hex}.parquet"
-                    write_single_file(images, root / cdc)
+                    write_single_file(_to_physical(images, meta), root / cdc)
                     self.actions.append(
                         {"op": "add_cdc", "file": cdc, "change": change}
                     )
@@ -1942,6 +2200,8 @@ class Transaction:
             # these inserts for free); validation already passed on
             # the pinned frame above, so this cannot raise mid-merge
             self.append(inserts)
+        for k_, v_ in counts.items():
+            self.metrics[f"rows_{k_}"] = v_
         return counts
 
     def compact(self, spark: SparkSession, n_files: int = 1) -> tuple[int, int]:
@@ -1962,7 +2222,9 @@ class Transaction:
         df = self._snapshot_frame(spark).drop("_dv_file", "_dv_pos")
         stage = root / f".stage-{uuid.uuid4().hex[:8]}"
         (root / _DATA_DIR).mkdir(parents=True, exist_ok=True)
-        df.repartition(n_files).write.mode("overwrite").parquet(str(stage))
+        _to_physical(df, self._effective_meta()).repartition(
+            n_files
+        ).write.mode("overwrite").parquet(str(stage))
         added = 0
         for part in sorted(stage.glob("part-*.parquet")):
             st = _file_stats(part)
@@ -1984,6 +2246,8 @@ class Transaction:
         for f in self._dvs:
             self.actions.append({"op": "remove_dv", "file": f})
             self.read_files.add(f)
+        self.metrics["files_rewritten"] = len(self._live)
+        self.metrics["files_added"] = added
         return len(self._live), added
 
     def optimize_zorder(
@@ -2059,11 +2323,12 @@ class Transaction:
             for j, bk in enumerate(buckets):
                 bit = F.shiftright(bk, i).bitwiseAND(F.lit(1))
                 z = z + F.shiftleft(bit, i * k + j)
-        out = (
+        out = _to_physical(
             proj.withColumn("_z", z)
             .repartitionByRange(n_files, "_z")
             .sortWithinPartitions("_z")
-            .drop("_z", *zn)
+            .drop("_z", *zn),
+            self._effective_meta(),
         )
         stage = root / f".stage-{uuid.uuid4().hex[:8]}"
         (root / _DATA_DIR).mkdir(parents=True, exist_ok=True)
@@ -2088,6 +2353,8 @@ class Transaction:
         for f in self._dvs:
             self.actions.append({"op": "remove_dv", "file": f})
             self.read_files.add(f)
+        self.metrics["files_rewritten"] = len(self._live)
+        self.metrics["files_added"] = added
         return len(self._live), added
 
     def compact_small(
@@ -2142,7 +2409,9 @@ class Transaction:
         n_bins = max(1, -(-sum(size_of(f) for f in cand) // target_bytes))
         stage = root / f".stage-{uuid.uuid4().hex[:8]}"
         (root / _DATA_DIR).mkdir(parents=True, exist_ok=True)
-        df.repartition(n_bins).write.mode("overwrite").parquet(str(stage))
+        _to_physical(df, self._effective_meta()).repartition(
+            n_bins
+        ).write.mode("overwrite").parquet(str(stage))
         added = 0
         for part in sorted(stage.glob("part-*.parquet")):
             st = _file_stats(part)
@@ -2158,6 +2427,8 @@ class Transaction:
         for f in sorted(cand):
             self.actions.append({"op": "remove", "file": f})
             self.read_files.add(f)
+        self.metrics["files_rewritten"] = len(cand)
+        self.metrics["files_added"] = added
         return len(cand), added
 
     # -- commit ---------------------------------------------------------
@@ -2266,6 +2537,8 @@ class Transaction:
                 "operation": "+".join(dict.fromkeys(self._ops)) or "unknown",
                 "actions": self.actions,
             }
+            if self.metrics:
+                body["metrics"] = self.metrics
             if self.txn_app is not None:
                 body["txn"] = {
                     "app": self.txn_app,

@@ -614,3 +614,240 @@ def q_lakehouse_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pre_first_raises", F.lit(bool(pre_first_raises)))
         .orderBy("probe")
     )
+
+
+@query(
+    "q_lakehouse_rename_drop",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k, CAST(c_acctbal AS DOUBLE) AS balance
+      FROM customer
+    ),
+    app AS (
+      SELECT -k AS k, balance * 2 AS balance FROM base WHERE k % 13 = 0
+    ),
+    uni AS (
+      SELECT k, balance, CAST(NULL AS VARCHAR) AS seg FROM base
+      UNION ALL
+      SELECT k, balance, CAST(NULL AS VARCHAR) FROM app
+      UNION ALL
+      SELECT -999999, 1000.0, 'REBORN'
+    ),
+    fin AS (SELECT * FROM uni WHERE NOT (balance < 100.0))
+    SELECT COALESCE(seg, '_none') AS seg_group,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(balance * 1e6, 0) AS BIGINT)) AS BIGINT)
+               AS balance_micros,
+           TRUE AS rename_metadata_only,
+           TRUE AS travel_shows_old_name,
+           TRUE AS no_resurrection,
+           TRUE AS skipping_translates
+    FROM fin
+    GROUP BY seg_group
+    ORDER BY seg_group
+    """,
+    tags=("lakehouse", "column-mapping", "alter-table", "extension"),
+)
+def q_lakehouse_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE RENAME/DROP COLUMN via COLUMN MAPPING — Delta's
+    columnMapping.mode=name (:meth:`..lakehouse.Transaction.
+    rename_column` / :meth:`drop_column`): both are ONE metadata
+    action; at 100 TB a rename costs a KB of JSON, never a rewrite.
+    Sequence on the customer dimension: seed (k, bal, seg); RENAME
+    bal->balance (``rename_metadata_only`` — the live file set is
+    byte-identical across the commit); append NEW-schema delta rows;
+    DROP seg; re-ADD a logical ``seg`` (the new column gets an opaque
+    physical name, so the dropped column's dead bytes in old files
+    cannot resurrect — ``no_resurrection`` pins that the reborn
+    column holds ONLY its own writes); copy-on-write delete
+    (rewrites shed dropped bytes file-by-file).  Time travel below
+    the rename still shows the OLD logical schema
+    (``travel_shows_old_name``), and data skipping translates
+    logical predicate names to the physical footer-stats keys
+    (``skipping_translates`` — an impossible bound on the RENAMED
+    name prunes every file).  The final aggregate is recomputed
+    relationally by the oracle."""
+    from .. import lakehouse as lk
+
+    path = str(_SCRATCH / f"lakehouse_colmap_{_tag(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    base = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    t = lk.Transaction(path)
+    t.append(base.repartition(4))
+    t.commit()  # v1
+
+    _v, files_before = lk.snapshot(path)
+    t = lk.Transaction(path)
+    t.rename_column("bal", "balance")
+    t.commit()  # v2
+    rename_metadata_only = lk.snapshot(path)[1] == files_before
+
+    t = lk.Transaction(path)
+    t.append(
+        base.filter(F.col("k") % 13 == 0).select(
+            (-F.col("k")).alias("k"),
+            (F.col("bal") * 2).alias("balance"),
+            F.col("seg"),
+        )
+    )
+    t.commit()  # v3
+    t = lk.Transaction(path)
+    t.drop_column("seg")
+    t.commit()  # v4
+    t = lk.Transaction(path)
+    t.append(
+        spark.createDataFrame(
+            [(-999999, 1000.0, "REBORN")], "k long, balance double, seg string"
+        ),
+        evolve_schema=True,
+    )
+    t.commit()  # v5
+    t = lk.Transaction(path)
+    t.delete_where(spark, F.col("balance") < 100.0)
+    t.commit()  # v6
+
+    travel_shows_old_name = lk.read_table(spark, path, version=1).columns == [
+        "k",
+        "bal",
+        "seg",
+    ]
+    seg_vals = {
+        r.seg
+        for r in lk.read_table(spark, path).select("seg").distinct().collect()
+    }  # bounded: the reborn marker + NULL
+    no_resurrection = seg_vals <= {None, "REBORN"}
+    skipping_translates = (
+        lk.prune_files(path, [("balance", "<", -100000.0)])[1] == []
+    )
+
+    return (
+        lk.read_table(spark, path)
+        .groupBy(F.coalesce(F.col("seg"), F.lit("_none")).alias("seg_group"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_micros(F.col("balance")))
+            .cast("long")
+            .alias("balance_micros"),
+        )
+        .withColumn(
+            "rename_metadata_only", F.lit(bool(rename_metadata_only))
+        )
+        .withColumn(
+            "travel_shows_old_name", F.lit(bool(travel_shows_old_name))
+        )
+        .withColumn("no_resurrection", F.lit(bool(no_resurrection)))
+        .withColumn("skipping_translates", F.lit(bool(skipping_translates)))
+        .orderBy("seg_group")
+    )
+
+
+@query(
+    "q_lakehouse_replace_where",
+    oracle="""
+    WITH bound AS (SELECT (MAX(event_id) // 4) + 1 AS b FROM events),
+    fin AS (
+      SELECT event_type,
+             CASE WHEN event_id < b THEN value * 10 ELSE value END AS value
+      FROM events, bound
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+               AS value_micros,
+           TRUE AS slice_pruned_to_one_file,
+           TRUE AS smuggle_rejected,
+           TRUE AS rerun_idempotent,
+           TRUE AS metrics_recorded
+    FROM fin
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("lakehouse", "replace-where", "backfill", "extension"),
+)
+def q_lakehouse_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT OVERWRITE ... replaceWhere — the idempotent BACKFILL
+    (:meth:`..lakehouse.Transaction.replace_where`): re-run slice 0's
+    pipeline (values ×10) and atomically swap that slice.  The
+    canonical 100 TB operation: day D recomputes, days E..Z never
+    move, and no reader sees a window with D missing.
+
+    Audits pinned by the oracle: ``slice_pruned_to_one_file`` — the
+    delete half consulted add-action stats FIRST, so only the one
+    file covering the slice entered the transaction's read set (on a
+    day-clustered table that is one day's files, not the table);
+    ``smuggle_rejected`` — a backfill carrying an out-of-slice row
+    raises before anything stages; ``rerun_idempotent`` — running the
+    SAME backfill again lands the same table (the second run's
+    aggregate equals the first's, which the oracle recomputes);
+    ``metrics_recorded`` — the commit's operationMetrics carry the
+    slice's row counts and DESCRIBE HISTORY names the operation
+    ``replace_where``."""
+    import json
+
+    from .. import lakehouse as lk
+
+    path = str(_SCRATCH / f"lakehouse_rw_{_tag(sf_dir)}")
+    ev, bound = _seed_ranged_events(spark, sf_dir, path, n_files=4)
+    corrected = ev.filter(F.col("event_id") < bound).select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        (F.col("value") * 10).alias("value"),
+    )
+    pred = [("event_id", "<", bound)]
+    t = lk.Transaction(path)
+    t.replace_where(spark, pred, corrected.coalesce(1))
+    slice_pruned_to_one_file = len(t.read_files) == 1
+    t.commit()
+
+    try:
+        t_bad = lk.Transaction(path)
+        t_bad.replace_where(
+            spark,
+            pred,
+            corrected.limit(1).select(
+                (F.col("event_id") + 10 * bound).alias("event_id"),
+                "ts",
+                "user_id",
+                "event_type",
+                "value",
+            ),
+        )
+        smuggle_rejected = False
+    except ValueError:
+        smuggle_rejected = True
+
+    agg_of = lambda df: df.groupBy("event_type").agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_micros(F.col("value"))).cast("long").alias("value_micros"),
+    )
+    first = {tuple(r) for r in agg_of(lk.read_table(spark, path)).collect()}
+    t = lk.Transaction(path)
+    t.replace_where(spark, pred, corrected.coalesce(1))
+    t.commit()
+    final = agg_of(lk.read_table(spark, path))
+    rerun_idempotent = {tuple(r) for r in final.collect()} == first
+
+    hist = {
+        r.operation: json.loads(r.metrics)
+        for r in lk.describe_history(spark, path).collect()
+        if r.metrics
+    }
+    m = hist.get("replace_where", {})
+    metrics_recorded = (
+        m.get("rows_deleted", -1) == m.get("rows_appended", -2) > 0
+    )
+    return (
+        final.withColumn(
+            "slice_pruned_to_one_file", F.lit(bool(slice_pruned_to_one_file))
+        )
+        .withColumn("smuggle_rejected", F.lit(bool(smuggle_rejected)))
+        .withColumn("rerun_idempotent", F.lit(bool(rerun_idempotent)))
+        .withColumn("metrics_recorded", F.lit(bool(metrics_recorded)))
+        .orderBy("event_type")
+    )

@@ -46,8 +46,7 @@ def test_prune_is_metadata_only_and_sound(spark, tmp_path):
     v, kept, total = lk.prune_files(path, [("id", "<", 50)])
     assert total == 8 and len(kept) == 1
     # every op proves the right bound
-    assert lk.prune_files(path, [("id", ">=", 350)])[1:] == (kept_ge := lk.prune_files(path, [("id", ">=", 350)])[1:])
-    assert len(kept_ge[0]) == 1
+    assert len(lk.prune_files(path, [("id", ">=", 350)])[1]) == 1
     assert len(lk.prune_files(path, [("id", "=", 199)])[1]) == 1
     assert len(lk.prune_files(path, [("id", "in", (10, 390))])[1]) == 2
     # conjunction: contradictory bounds prune everything

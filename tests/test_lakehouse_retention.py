@@ -191,3 +191,124 @@ def test_expire_then_timestamp_travel_and_stats(spark, tmp_path):
     # data skipping still served from the retention checkpoint's stats
     _v, kept, total = lk.prune_files(path, [("id", "<", 100)])
     assert total == 6 and len(kept) == 1
+
+
+def test_change_feed_over_expired_range_raises(spark, tmp_path):
+    path = _mixed_table(spark, tmp_path)
+    lk.expire_versions(path, 4)
+    with pytest.raises(ValueError, match="re-bootstrap"):
+        lk.read_changes(spark, path, 0, 6)
+    # a range entirely inside the retained suffix still serves
+    assert lk.read_changes(spark, path, 4, 6).count() == 20
+
+
+def test_timestamp_boundary_equality_prunes_exactly(spark, tmp_path):
+    # aware/naive isoformat normalization: an = probe ON the boundary
+    # must admit the file; one microsecond below must prune it
+    import datetime
+
+    path = str(tmp_path / "t")
+    lo = datetime.datetime(2026, 4, 1)
+    t = lk.Transaction(path)
+    t.append(
+        spark.createDataFrame(
+            [(i, lo + datetime.timedelta(seconds=i)) for i in range(10)],
+            "id long, ts timestamp",
+        ).coalesce(1)
+    )
+    t.commit()
+    assert len(lk.prune_files(path, [("ts", "=", lo)])[1]) == 1
+    assert lk.prune_files(
+        path, [("ts", "<", lo)]
+    )[1] == []
+    aware = lo.replace(tzinfo=datetime.timezone.utc)
+    assert len(lk.prune_files(path, [("ts", "=", aware)])[1]) == 1
+
+
+# -- replaceWhere + operation metrics ---------------------------------
+
+
+def _ranged4(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for i in range(4):
+        t = lk.Transaction(path)
+        t.append(
+            spark.createDataFrame(
+                [(i * 100 + j, float(j)) for j in range(100)],
+                "id long, v double",
+            ).coalesce(1)
+        )
+        t.commit()
+    return path
+
+
+def test_replace_where_swaps_only_the_slice(spark, tmp_path):
+    path = _ranged4(spark, tmp_path)
+    new = spark.createDataFrame(
+        [(100 + j, float(j) * 10) for j in range(100)], "id long, v double"
+    ).coalesce(1)
+    t = lk.Transaction(path)
+    deleted, _added = t.replace_where(
+        spark, [("id", ">=", 100), ("id", "<", 200)], new
+    )
+    assert deleted == 100
+    # stats-pruned: only the one candidate file entered the read set
+    assert len(t.read_files) == 1
+    t.commit()
+    df = lk.read_table(spark, path)
+    assert df.count() == 400
+    assert (
+        df.filter("id >= 100 and id < 200").agg(F.sum("v")).collect()[0][0]
+        == 49500.0
+    )
+    assert df.filter("id < 100").agg(F.sum("v")).collect()[0][0] == 4950.0
+
+
+def test_replace_where_rejects_out_of_slice_rows(spark, tmp_path):
+    path = _ranged4(spark, tmp_path)
+    t = lk.Transaction(path)
+    with pytest.raises(ValueError, match="do not satisfy"):
+        t.replace_where(
+            spark,
+            [("id", "<", 100)],
+            spark.createDataFrame([(500, 1.0)], "id long, v double"),
+        )
+    assert t.actions == []  # nothing staged
+
+
+def test_replace_where_idempotent_rerun(spark, tmp_path):
+    path = _ranged4(spark, tmp_path)
+    new = spark.createDataFrame(
+        [(j, -1.0) for j in range(100)], "id long, v double"
+    ).coalesce(1)
+    for _ in range(2):
+        t = lk.Transaction(path)
+        t.replace_where(spark, [("id", "<", 100)], new)
+        t.commit()
+    df = lk.read_table(spark, path)
+    assert df.count() == 400
+    assert df.filter("id < 100").agg(F.sum("v")).collect()[0][0] == -100.0
+
+
+def test_operation_metrics_in_history(spark, tmp_path):
+    import json
+
+    path = _ranged4(spark, tmp_path)
+    t = lk.Transaction(path)
+    t.delete_where_mor(spark, F.col("id") < 10)
+    t.commit()
+    t = lk.Transaction(path)
+    t.update_where_mor(spark, F.col("id") == 50, {"v": F.lit(9.0)})
+    t.commit()
+    t = lk.Transaction(path)
+    t.compact(spark, n_files=2)
+    t.commit()
+    h = {
+        r.operation: json.loads(r.metrics)
+        for r in lk.describe_history(spark, path).collect()
+        if r.metrics
+    }
+    assert h["append"]["rows_appended"] == 100
+    assert h["delete_where_mor"]["rows_deleted"] == 10
+    assert h["update_where_mor"]["rows_updated"] == 1
+    assert h["compact"]["files_rewritten"] >= 4

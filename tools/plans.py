@@ -313,6 +313,52 @@ def _lakehouse_drills(spark, sf_dir):
         "of anything but the bin's own rows.",
         bin_df,
     ))
+
+    # 4. stats-pruned log read (q_lakehouse_data_skipping): 4 ranged
+    # appends, predicate admits ONE — the scan's file list is the proof
+    p4 = str(_SCRATCH / "plans_skip")
+    shutil.rmtree(p4, ignore_errors=True)
+    kmax = cust.agg(F.max("k")).collect()[0][0]
+    kb = kmax // 4 + 1
+    for i in range(4):
+        t = lk.Transaction(p4)
+        t.append(
+            cust.filter((F.col("k") >= i * kb) & (F.col("k") < (i + 1) * kb))
+            .coalesce(1)
+        )
+        t.commit()
+    out.append((
+        "q_lakehouse_data_skipping (stats-pruned log read)",
+        "The prune happened at PLAN TIME from the add-action footer "
+        "stats: the scan's `InMemoryFileIndex` lists exactly ONE of the "
+        "4 live files (compare the Location line), and the residual "
+        "predicate still reaches it as `PushedFilters` for row-group "
+        "pruning inside the surviving file. No runtime filtering stands "
+        "in for the skipped I/O — the other 3 files are simply absent "
+        "from the plan.",
+        lk.read_table(spark, p4, predicate=[("k", "<", kb)]),
+    ))
+
+    # 5. post-zorder two-column pruned scan (q_lakehouse_zorder)
+    p5 = str(_SCRATCH / "plans_zorder")
+    shutil.rmtree(p5, ignore_errors=True)
+    t = lk.Transaction(p5)
+    t.append(cust.repartition(4))
+    t.commit()
+    t = lk.Transaction(p5)
+    t.optimize_zorder(spark, ["k", "bal"], n_files=8)
+    t.commit()
+    _v, kept, total = lk.prune_files(p5, [("bal", "<", 0.0)])
+    out.append((
+        "q_lakehouse_zorder (pruned scan after the z-order rewrite)",
+        f"After OPTIMIZE ZORDER BY (k, bal) the SAME mechanism prunes on "
+        f"EITHER column: this bal<0 read plans {len(kept)} of {total} "
+        f"files (see the Location list) even though bal was uniformly "
+        f"spread before the rewrite; the z-curve bounded every file in "
+        f"both dimensions at once. The residual bal<0 predicate is "
+        f"pushed to the surviving scans.",
+        lk.read_table(spark, p5, predicate=[("bal", "<", 0.0)]),
+    ))
     return out
 
 
