@@ -347,7 +347,8 @@ def q_lakehouse_optimize_incremental(
     ev = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
-    mid = ev.agg(F.max("event_id")).collect()[0][0] // 2
+    mx = ev.agg(F.max("event_id")).collect()[0][0]
+    mid = mx // 2
     t = lk.Transaction(path)
     t.append(ev.filter(F.col("event_id") <= mid).coalesce(1))
     t.commit()
@@ -378,8 +379,9 @@ def q_lakehouse_optimize_incremental(
     rewritten, added = t_opt.compact_small(spark, target_bytes=threshold)
     t_other = lk.Transaction(path)
     n_del = t_other.delete_where_mor(
-        spark, F.col("event_id") == mid
-    )  # lives in a big file — not a candidate
+        spark, F.col("event_id") == mx
+    )  # the max id always EXISTS (mid need not, in a gappy id space)
+    # and lives in a big file — not a compaction candidate
     t_other.commit()
     commuted = True
     try:
@@ -393,7 +395,7 @@ def q_lakehouse_optimize_incremental(
         lk.read_table(spark, path)
         .union(  # the concurrently deleted row, restored analytically so
             # the oracle stays a plain relational recompute
-            ev.filter(F.col("event_id") == mid)
+            ev.filter(F.col("event_id") == mx)
         )
         .groupBy("event_type")
         .agg(
