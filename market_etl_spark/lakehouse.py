@@ -99,6 +99,11 @@ Model (Delta/Iceberg's core contract, minimally):
 - OPERATION METRICS: commits carry ``metrics`` (rows appended/
   deleted/updated, files rewritten — byproducts of staging, never
   an extra pass); DESCRIBE HISTORY surfaces them.
+- GENERATED COLUMNS (:meth:`Transaction.set_generated_column`):
+  GENERATED ALWAYS AS (expr) — omitted on append -> computed,
+  provided -> cell-validated (update/merge postimages too); with
+  footer stats the generated day/bucket column is skippable, i.e.
+  partition-pruning semantics without a partition layout.
 - THE TABLE CONTRACT: committed schema (enforced on every append,
   widened only via ``evolve_schema=True`` + footer-merged reads) and
   CHECK constraints (:meth:`Transaction.set_check_constraint` —
@@ -1421,6 +1426,14 @@ class Transaction:
                     f"{cname!r} ({expr}) references it — drop the "
                     f"constraint first"
                 )
+        for gname, spec in sorted(meta.get("generated", {}).items()):
+            if col == gname or re.search(
+                rf"\b{re.escape(col)}\b", spec["expr"]
+            ):
+                raise ValueError(
+                    f"cannot {op} column {col!r}: generated column "
+                    f"{gname!r} (AS {spec['expr']}) depends on it"
+                )
 
     def rename_column(self, old: str, new: str) -> None:
         """ALTER TABLE RENAME COLUMN — METADATA-ONLY via column
@@ -1491,6 +1504,88 @@ class Transaction:
             }
         )
 
+    def set_generated_column(
+        self, spark: SparkSession, name: str, sql_expr: str, dtype: str
+    ) -> None:
+        """GENERATED ALWAYS AS (``sql_expr``) — Delta generated
+        columns, the engine-maintained derived column (the canonical
+        use: a ``day`` column generated from the event timestamp that
+        the footer stats then make SKIPPABLE — partition-pruning
+        semantics without a partition layout).  From this commit on,
+        every append that OMITS the column gets it computed, and every
+        append that PROVIDES it is validated cell-by-cell against the
+        expression (one null-safe-equality count pass — a wrong
+        provided value rejects the whole batch, Delta's contract);
+        MOR-update and merge postimages are validated the same way.
+
+        Declared on an EMPTY table the column materializes with the
+        first append (a typo'd expression fails there — nothing else
+        exists to resolve it against); on a table whose schema already
+        HAS the column, every existing row is validated first (one
+        snapshot pass, like ADD CONSTRAINT).  Declaring a NEW column
+        on a non-empty table is refused — old rows could never satisfy
+        the generation invariant (Delta refuses identically).
+        Metadata actions serialize with every concurrent commit."""
+        meta = self._effective_meta()
+        gen = dict(meta.get("generated", {}))
+        if name in gen:
+            raise ValueError(f"column {name!r} is already generated")
+        schema = meta.get("schema", [])
+        names = [n for n, _t in schema]
+        spec = {"expr": sql_expr, "type": dtype}
+        if schema and name not in names:
+            raise ValueError(
+                f"cannot declare generated column {name!r} on a table "
+                f"that already has data without it — existing rows "
+                f"could never satisfy the generation invariant"
+            )
+        if schema and name in names and self._live:
+            frame = self._snapshot_frame(spark).drop("_dv_file", "_dv_pos")
+            bad = frame.filter(
+                ~F.col(name).eqNullSafe(F.expr(sql_expr).cast(dtype))
+            ).count()
+            if bad:
+                raise ConstraintViolation(
+                    f"cannot declare {name!r} generated as "
+                    f"({sql_expr}): {bad} existing row(s) don't match"
+                )
+        self._ops.append("set_generated")
+        gen[name] = spec
+        self.actions.append({"op": "set_meta", "meta": {"generated": gen}})
+
+    def _validate_generated(
+        self, df: DataFrame, gen: dict, provided: list, what: str
+    ) -> None:
+        """One null-safe-equality count pass over every PROVIDED
+        generated column; any mismatch rejects the whole batch."""
+        checks = [
+            F.when(
+                ~F.col(n).eqNullSafe(
+                    F.expr(gen[n]["expr"]).cast(gen[n]["type"])
+                ),
+                F.lit(n),
+            )
+            for n in sorted(provided)
+        ]
+        if not checks:
+            return
+        bad = (
+            df.select(
+                F.coalesce(*checks, F.lit(None).cast("string")).alias("_g")
+                if len(checks) > 1
+                else checks[0].alias("_g")
+            )
+            .filter(F.col("_g").isNotNull())
+            .groupBy("_g")
+            .count()
+            .collect()
+        )
+        if bad:
+            detail = ", ".join(f"{r._g}: {r['count']}" for r in bad)
+            raise ConstraintViolation(
+                f"{what} rejected — generated-column mismatch: {detail}"
+            )
+
     def append(self, df: DataFrame, evolve_schema: bool = False) -> int:
         """Stage an append: validate the batch against the table
         CONTRACT (committed schema + CHECK constraints), then write
@@ -1511,6 +1606,19 @@ class Transaction:
         never conflict (a concurrent metadata change conflicts with
         us instead, from its side).  Returns files staged."""
         meta = self._effective_meta()
+        gen = meta.get("generated", {})
+        if gen:
+            provided = [n for n in gen if n in df.columns]
+            for n, spec in sorted(gen.items()):
+                if n not in df.columns:
+                    df = df.withColumn(
+                        n, F.expr(spec["expr"]).cast(spec["type"])
+                    )
+            if provided:
+                # pin before validating: the mismatch count and the
+                # staged write must see the same rows
+                df = df.localCheckpoint()
+                self._validate_generated(df, gen, provided, "append")
         table_schema: list = meta.get("schema", [])
         batch = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
         if table_schema:
@@ -1859,6 +1967,14 @@ class Transaction:
                 + ", ".join(f"{n_}: {a} -> {b}" for n_, a, b in wrong)
             )
         self._check_constraints(rewritten, meta, "update")
+        gen = meta.get("generated", {})
+        if gen:
+            self._validate_generated(
+                rewritten,
+                gen,
+                [n for n in gen if n in rewritten.columns],
+                "update",
+            )
         self._ops.append("update_where_mor")
         by_name = {pathlib.PurePosixPath(f).name: f for f in self._live}
         targets = sorted(
@@ -2145,13 +2261,18 @@ class Transaction:
                     + ", ".join(f"{n_}: {a} -> {b}" for n_, a, b in wrong)
                 )
             if when_matched_update:
-                self._check_constraints(
-                    proj.filter("_upd").select(
-                        *[F.col(f"_new_{c}").alias(c) for c in table_cols]
-                    ),
-                    meta,
-                    "merge update",
+                post = proj.filter("_upd").select(
+                    *[F.col(f"_new_{c}").alias(c) for c in table_cols]
                 )
+                self._check_constraints(post, meta, "merge update")
+                gen = meta.get("generated", {})
+                if gen:
+                    self._validate_generated(
+                        post,
+                        gen,
+                        [n for n in gen if n in post.columns],
+                        "merge update",
+                    )
             new = f"{_DATA_DIR}/mg-{uuid.uuid4().hex}.parquet"
             write_single_file(_to_physical(survivors, meta), root / new)
             for rel in touched:

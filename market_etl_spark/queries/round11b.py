@@ -853,3 +853,107 @@ def q_lakehouse_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("metrics_recorded", F.lit(bool(metrics_recorded)))
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_lakehouse_generated_partition",
+    oracle="""
+    WITH lo AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+    fin AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, value
+      FROM events, lo
+      WHERE CAST(ts AS DATE) < d0 + 8
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+           CAST(SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+               AS value_micros,
+           CAST(4 AS INT) AS files_total,
+           CAST(1 AS INT) AS files_scanned,
+           TRUE AS computed_on_append,
+           TRUE AS smuggle_rejected
+    FROM fin
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("lakehouse", "generated-columns", "data-skipping", "extension"),
+)
+def q_lakehouse_generated_partition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GENERATED COLUMNS + data skipping = partition-pruning semantics
+    without a partition layout (:meth:`..lakehouse.Transaction.
+    set_generated_column`, Delta's GENERATED ALWAYS AS): declare
+    ``day = CAST(ts AS DATE)`` on the EMPTY table, append four
+    week-ranged event batches that each OMIT the column — the engine
+    computes it on every append, the footer stats bound it per file,
+    and a ``day < first+8`` read opens exactly ONE of the four files
+    (``files_total=4, files_scanned=1`` pinned by the oracle; at
+    100 TB this is the time-slice read every event table serves).
+
+    ``computed_on_append``: zero rows violate the generation
+    invariant across all four appends; ``smuggle_rejected``: an
+    append that PROVIDES a wrong day value is rejected whole-batch
+    before anything stages (cell-level null-safe-equality validation
+    — Delta's contract).  The returned per-type aggregate of the
+    pruned read is recomputed relationally by the oracle."""
+    import datetime
+
+    from .. import lakehouse as lk
+
+    path = str(_SCRATCH / f"lakehouse_gen_{_tag(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    d0 = ev.agg(F.min(F.col("ts").cast("date"))).collect()[0][0]
+
+    t = lk.Transaction(path)
+    t.set_generated_column(spark, "day", "CAST(ts AS DATE)", "date")
+    t.commit()
+    for i in range(4):
+        lo = d0 + datetime.timedelta(days=8 * i)
+        hi = d0 + datetime.timedelta(days=8 * (i + 1))
+        t = lk.Transaction(path)
+        t.append(
+            ev.filter(
+                (F.col("ts").cast("date") >= F.lit(lo))
+                & (F.col("ts").cast("date") < F.lit(hi))
+            ).coalesce(1)
+        )
+        t.commit()
+
+    computed_on_append = (
+        lk.read_table(spark, path)
+        .filter("day <> CAST(ts AS DATE)")
+        .count()
+        == 0
+    )
+    try:
+        t_bad = lk.Transaction(path)
+        t_bad.append(
+            ev.limit(1).withColumn(
+                "day", F.lit(datetime.date(2035, 1, 1))
+            )
+        )
+        smuggle_rejected = False
+    except lk.ConstraintViolation:
+        smuggle_rejected = True
+
+    cut = d0 + datetime.timedelta(days=8)
+    _v, kept, total = lk.prune_files(path, [("day", "<", cut)])
+    return (
+        lk.read_table(spark, path, predicate=[("day", "<", cut)])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("day").alias("n_days"),
+            F.sum(_micros(F.col("value"))).cast("long").alias("value_micros"),
+        )
+        .withColumn("files_total", F.lit(total).cast("int"))
+        .withColumn("files_scanned", F.lit(len(kept)).cast("int"))
+        .withColumn("computed_on_append", F.lit(bool(computed_on_append)))
+        .withColumn("smuggle_rejected", F.lit(bool(smuggle_rejected)))
+        .orderBy("event_type")
+    )

@@ -186,3 +186,38 @@ def test_zorder_and_detail_on_mapped_table(spark, tmp_path):
     assert lk.read_table(spark, path, predicate=[("val", "<", 25.0)]).count() == 25
     d = lk.table_detail(path)
     assert d["rows_exact"] and d["n_rows"] == 100
+
+
+def test_replace_where_translates_mapped_predicate(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for i in range(4):
+        t = lk.Transaction(path)
+        t.append(
+            spark.createDataFrame(
+                [(i * 100 + j, float(j)) for j in range(100)],
+                "id long, v double",
+            ).coalesce(1)
+        )
+        t.commit()
+    t = lk.Transaction(path)
+    t.rename_column("id", "event_id")
+    t.commit()
+    new = spark.createDataFrame(
+        [(100 + j, -1.0) for j in range(100)], "event_id long, v double"
+    ).coalesce(1)
+    t = lk.Transaction(path)
+    deleted, _ = t.replace_where(
+        spark, [("event_id", ">=", 100), ("event_id", "<", 200)], new
+    )
+    assert deleted == 100
+    # the stats prune translated event_id -> physical id: ONE candidate
+    assert len(t.read_files) == 1
+    t.commit()
+    df = lk.read_table(spark, path)
+    assert df.count() == 400
+    assert (
+        df.filter("event_id >= 100 and event_id < 200")
+        .agg(F.sum("v"))
+        .collect()[0][0]
+        == -100.0
+    )

@@ -312,3 +312,114 @@ def test_operation_metrics_in_history(spark, tmp_path):
     assert h["delete_where_mor"]["rows_deleted"] == 10
     assert h["update_where_mor"]["rows_updated"] == 1
     assert h["compact"]["files_rewritten"] >= 4
+
+
+# -- generated columns ------------------------------------------------
+
+
+def test_generated_column_lifecycle(spark, tmp_path):
+    import datetime
+
+    path = str(tmp_path / "t")
+    t = lk.Transaction(path)
+    t.set_generated_column(spark, "day", "CAST(ts AS DATE)", "date")
+    t.commit()
+    base = datetime.datetime(2026, 1, 1)
+    t = lk.Transaction(path)
+    t.append(
+        spark.createDataFrame(
+            [(i, base + datetime.timedelta(days=i // 10)) for i in range(40)],
+            "id long, ts timestamp",
+        ).coalesce(1)
+    )
+    t.commit()
+    df = lk.read_table(spark, path)
+    assert df.columns == ["id", "ts", "day"]
+    assert df.filter("day <> CAST(ts AS DATE)").count() == 0
+    # provided-and-correct passes
+    t = lk.Transaction(path)
+    t.append(
+        spark.createDataFrame(
+            [(100, base, base.date())], "id long, ts timestamp, day date"
+        )
+    )
+    t.commit()
+    # provided-and-wrong rejects the whole batch
+    t = lk.Transaction(path)
+    with pytest.raises(lk.ConstraintViolation, match="generated-column"):
+        t.append(
+            spark.createDataFrame(
+                [(101, base, datetime.date(2030, 1, 1))],
+                "id long, ts timestamp, day date",
+            )
+        )
+    # an update may not break the generation invariant
+    t = lk.Transaction(path)
+    with pytest.raises(lk.ConstraintViolation, match="generated-column"):
+        t.update_where_mor(
+            spark, F.col("id") == 0, {"day": F.lit(datetime.date(2031, 1, 1))}
+        )
+    # dependencies are rename/drop-guarded
+    t = lk.Transaction(path)
+    with pytest.raises(ValueError, match="depends on it"):
+        t.rename_column("ts", "event_ts")
+    t2 = lk.Transaction(path)
+    with pytest.raises(ValueError, match="depends on it"):
+        t2.drop_column("day")
+    # declaring a NEW generated column on a non-empty table is refused
+    t3 = lk.Transaction(path)
+    with pytest.raises(ValueError, match="generation invariant"):
+        t3.set_generated_column(spark, "month", "MONTH(ts)", "int")
+
+
+def test_generated_column_validates_existing_rows_on_declare(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = lk.Transaction(path)
+    t.append(
+        spark.createDataFrame(
+            [(i, float(i), float(i) * 2) for i in range(10)],
+            "id long, v double, dbl double",
+        ).coalesce(1)
+    )
+    t.commit()
+    # existing column matching the expression: declaration validates
+    t = lk.Transaction(path)
+    t.set_generated_column(spark, "dbl", "v * 2", "double")
+    t.commit()
+    # from now on omitted -> computed
+    t = lk.Transaction(path)
+    t.append(spark.createDataFrame([(50, 5.0)], "id long, v double"))
+    t.commit()
+    assert (
+        lk.read_table(spark, path).filter("id = 50").collect()[0].dbl == 10.0
+    )
+    # a mismatching existing column refuses the declaration
+    t = lk.Transaction(path)
+    with pytest.raises(lk.ConstraintViolation, match="don't match"):
+        t.set_generated_column(spark, "v", "id * 100", "double")
+
+
+def test_generated_column_is_skippable(spark, tmp_path):
+    import datetime
+
+    path = str(tmp_path / "t")
+    t = lk.Transaction(path)
+    t.set_generated_column(spark, "day", "CAST(ts AS DATE)", "date")
+    t.commit()
+    base = datetime.datetime(2026, 1, 1)
+    for d in range(3):
+        t = lk.Transaction(path)
+        t.append(
+            spark.createDataFrame(
+                [(d * 100 + i, base + datetime.timedelta(days=d, minutes=i)) for i in range(20)],
+                "id long, ts timestamp",
+            ).coalesce(1)
+        )
+        t.commit()
+    cut = (base + datetime.timedelta(days=1)).date()
+    _v, kept, total = lk.prune_files(path, [("day", "<", cut)])
+    assert (len(kept), total) == (1, 3)
+    assert (
+        lk.read_table(spark, path, predicate=[("day", "<", cut)]).count()
+        == 20
+    )
