@@ -285,10 +285,10 @@ def version_at_timestamp(path: str, ts: float) -> int:
     timestamp is <= ``ts`` (Delta's semantics — "the table as it was
     at that moment").  Commits written before in-commit timestamps
     existed fall back to the commit file's mtime, Delta's own
-    pre-feature behavior.  O(available commits) driver-side JSON;
-    timestamps are monotonic by construction (commit() clamps), so
-    the first commit past ``ts`` ends the scan.  Raises when ``ts``
-    predates the oldest available commit."""
+    pre-feature behavior.  One O(available commits) driver-side JSON
+    scan — no early exit, because the mtime fallback need not be
+    monotonic even though in-commit timestamps are.  Raises when
+    ``ts`` predates the oldest available commit."""
     log = pathlib.Path(path) / _LOG_DIR
     best = None
     for v in _commit_versions(path):
@@ -332,9 +332,12 @@ def expire_versions(path: str, keep_from: int) -> dict:
     Delta documents for vacuuming a cloned table's source.  Run
     against a quiesced table or behind the same coordination as
     vacuum (a reader mid-time-travel below ``keep_from`` sees its
-    files vanish — Delta documents the identical constraint).
-    Returns ``{"expired_through", "data_files_deleted",
-    "log_files_deleted"}``."""
+    files vanish — Delta documents the identical constraint).  Crash
+    mid-delete is safe: the retention checkpoint lands FIRST, a retry
+    finishes the remaining unlinks, and any data file stranded after
+    the last expired commit JSON went is unreferenced debris
+    :func:`vacuum_orphans` sweeps.  Returns ``{"expired_through",
+    "data_files_deleted", "log_files_deleted"}``."""
     root = pathlib.Path(path)
     latest = latest_commit(path)
     if not (1 <= keep_from <= latest):
@@ -1526,10 +1529,17 @@ class Transaction:
         on a non-empty table is refused — old rows could never satisfy
         the generation invariant (Delta refuses identically).
         Metadata actions serialize with every concurrent commit."""
+        import re
+
         meta = self._effective_meta()
         gen = dict(meta.get("generated", {}))
         if name in gen:
             raise ValueError(f"column {name!r} is already generated")
+        if re.search(rf"\b{re.escape(name)}\b", sql_expr):
+            raise ValueError(
+                f"generated column {name!r} may not reference itself "
+                f"in ({sql_expr})"
+            )
         schema = meta.get("schema", [])
         names = [n for n, _t in schema]
         spec = {"expr": sql_expr, "type": dtype}
@@ -1821,6 +1831,16 @@ class Transaction:
         Returns ``(rows_deleted, files_appended)``."""
         conj = list(predicate)
         col = _predicate_column(conj)
+        # materialize GENERATED columns first: the canonical backfill
+        # predicate is on the generated day/bucket column, and the
+        # incoming batch legitimately omits it (append would compute
+        # it later — too late for the validation filter below)
+        gen = self._effective_meta().get("generated", {})
+        for n_, spec in sorted(gen.items()):
+            if n_ not in df.columns:
+                df = df.withColumn(
+                    n_, F.expr(spec["expr"]).cast(spec["type"])
+                )
         # pin: the validation count and the staged write must see the
         # same rows even for a non-deterministic batch
         df = df.localCheckpoint()

@@ -423,3 +423,46 @@ def test_generated_column_is_skippable(spark, tmp_path):
         lk.read_table(spark, path, predicate=[("day", "<", cut)]).count()
         == 20
     )
+
+
+def test_replace_where_on_generated_predicate_column(spark, tmp_path):
+    import datetime
+
+    path = str(tmp_path / "t")
+    t = lk.Transaction(path)
+    t.set_generated_column(spark, "day", "CAST(ts AS DATE)", "date")
+    t.commit()
+    base = datetime.datetime(2026, 1, 1)
+    for d in range(3):
+        t = lk.Transaction(path)
+        t.append(
+            spark.createDataFrame(
+                [(d * 10 + i, base + datetime.timedelta(days=d)) for i in range(10)],
+                "id long, ts timestamp",
+            ).coalesce(1)
+        )
+        t.commit()
+    # backfill day 1 with a batch that OMITS the generated column —
+    # the predicate on it still validates and prunes
+    day1 = (base + datetime.timedelta(days=1)).date()
+    nxt = (base + datetime.timedelta(days=2)).date()
+    new = spark.createDataFrame(
+        [(100 + i, base + datetime.timedelta(days=1, hours=1)) for i in range(5)],
+        "id long, ts timestamp",
+    ).coalesce(1)
+    t = lk.Transaction(path)
+    deleted, _ = t.replace_where(
+        spark, [("day", ">=", day1), ("day", "<", nxt)], new
+    )
+    assert deleted == 10 and len(t.read_files) == 1
+    t.commit()
+    df = lk.read_table(spark, path)
+    assert df.count() == 25
+    assert df.filter(F.col("day") == F.lit(day1)).count() == 5
+
+
+def test_generated_column_rejects_self_reference(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = lk.Transaction(path)
+    with pytest.raises(ValueError, match="reference itself"):
+        t.set_generated_column(spark, "x", "x + 1", "double")
