@@ -1,0 +1,179 @@
+"""Adversarial composition tests for the round-11 lakehouse surface:
+degenerate inputs, concurrency interleavings and cross-feature
+combinations the happy-path suites don't reach."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_etl_spark import lakehouse as lk
+
+
+def _ranged(spark, tmp_path, files=4, chunk=100):
+    path = str(tmp_path / "t")
+    for i in range(files):
+        t = lk.Transaction(path)
+        t.append(
+            spark.createDataFrame(
+                [(i * chunk + j, (i * chunk + j) % 7, float(j)) for j in range(chunk)],
+                "id long, k long, v double",
+            ).coalesce(1)
+        )
+        t.commit()
+    return path
+
+
+def test_zorder_three_columns(spark, tmp_path):
+    path = _ranged(spark, tmp_path)
+    t = lk.Transaction(path)
+    before, after = t.optimize_zorder(spark, ["id", "k", "v"], n_files=8, bits=5)
+    t.commit()
+    assert before == 4 and after >= 1
+    # all three dimensions still read correctly and id still prunes
+    assert lk.read_table(spark, path).count() == 400
+    _v, kept, total = lk.prune_files(path, [("id", "<", 50)])
+    assert len(kept) < total
+    assert lk.read_table(spark, path, predicate=[("id", "<", 50)]).count() == 50
+
+
+def test_zorder_constant_column_degenerates_gracefully(spark, tmp_path):
+    # one clustered column constant: every row lands in bucket 0 for it
+    # and the z-value degenerates to the other column's ordering
+    path = str(tmp_path / "t")
+    t = lk.Transaction(path)
+    t.append(
+        spark.createDataFrame(
+            [(i, 42.0) for i in range(200)], "id long, c double"
+        ).coalesce(1)
+    )
+    t.commit()
+    t = lk.Transaction(path)
+    t.optimize_zorder(spark, ["c", "id"], n_files=4)
+    t.commit()
+    assert lk.read_table(spark, path).count() == 200
+    _v, kept, total = lk.prune_files(path, [("id", "<", 50)])
+    assert len(kept) < total  # id still clusters despite the dead dim
+
+
+def test_parallel_slice_backfills_commute(spark, tmp_path):
+    # two replace_where transactions on DISJOINT slices: both commit
+    path = _ranged(spark, tmp_path)
+    mk = lambda lo, hi, val: spark.createDataFrame(  # noqa: E731
+        [(j, j % 7, val) for j in range(lo, hi)], "id long, k long, v double"
+    ).coalesce(1)
+    t1 = lk.Transaction(path)
+    t1.replace_where(spark, [("id", ">=", 0), ("id", "<", 100)], mk(0, 100, -1.0))
+    t2 = lk.Transaction(path)
+    t2.replace_where(spark, [("id", ">=", 200), ("id", "<", 300)], mk(200, 300, -2.0))
+    t2.commit()
+    t1.commit()  # disjoint files: no conflict
+    df = lk.read_table(spark, path)
+    assert df.count() == 400
+    assert df.filter("id < 100").agg(F.sum("v")).collect()[0][0] == -100.0
+    assert df.filter("id >= 200 and id < 300").agg(F.sum("v")).collect()[0][0] == -200.0
+    assert df.filter("id >= 100 and id < 200").agg(F.sum("v")).collect()[0][0] == sum(
+        float(j) for j in range(100)
+    )
+
+
+def test_overlapping_slice_backfills_conflict(spark, tmp_path):
+    path = _ranged(spark, tmp_path)
+    new = spark.createDataFrame(
+        [(j, j % 7, 0.0) for j in range(100)], "id long, k long, v double"
+    ).coalesce(1)
+    t1 = lk.Transaction(path)
+    t1.replace_where(spark, [("id", "<", 100)], new)
+    t2 = lk.Transaction(path)
+    t2.replace_where(spark, [("id", "<", 100)], new)
+    t2.commit()
+    with pytest.raises(lk.CommitConflict):
+        t1.commit()
+
+
+def test_zorder_commutes_with_concurrent_append(spark, tmp_path):
+    # Delta semantics: a rewrite reads its snapshot; a blind append
+    # adds a file the rewrite never touched — both commits land
+    path = _ranged(spark, tmp_path)
+    t1 = lk.Transaction(path)
+    t1.optimize_zorder(spark, ["id", "k"], n_files=4)
+    t2 = lk.Transaction(path)
+    t2.append(
+        spark.createDataFrame([(9999, 0, 1.0)], "id long, k long, v double")
+    )
+    t2.commit()
+    t1.commit()
+    assert lk.read_table(spark, path).count() == 401
+    assert (
+        lk.read_table(spark, path).filter("id = 9999").count() == 1
+    )  # the concurrent append survived the whole-table rewrite
+
+
+def test_zorder_conflicts_with_concurrent_delete(spark, tmp_path):
+    path = _ranged(spark, tmp_path)
+    t1 = lk.Transaction(path)
+    t1.optimize_zorder(spark, ["id", "k"], n_files=4)
+    t2 = lk.Transaction(path)
+    t2.delete_where_mor(spark, F.col("id") < 10)
+    t2.commit()
+    # t1's staged rewrite (without the DV) would resurrect the deletes
+    with pytest.raises(lk.CommitConflict):
+        t1.commit()
+
+
+def test_generated_column_with_unrelated_evolution(spark, tmp_path):
+    import datetime
+
+    path = str(tmp_path / "t")
+    t = lk.Transaction(path)
+    t.set_generated_column(spark, "day", "CAST(ts AS DATE)", "date")
+    t.commit()
+    base = datetime.datetime(2026, 2, 1)
+    t = lk.Transaction(path)
+    t.append(
+        spark.createDataFrame(
+            [(1, base)], "id long, ts timestamp"
+        )
+    )
+    t.commit()
+    # evolve an unrelated column; the generated invariant still holds
+    t = lk.Transaction(path)
+    t.append(
+        spark.createDataFrame(
+            [(2, base, "x")], "id long, ts timestamp, tag string"
+        ),
+        evolve_schema=True,
+    )
+    t.commit()
+    df = lk.read_table(spark, path)
+    assert set(df.columns) == {"id", "ts", "day", "tag"}
+    assert df.filter("day <> CAST(ts AS DATE)").count() == 0
+
+
+def test_skipping_in_op_and_conjunction_edges(spark, tmp_path):
+    path = _ranged(spark, tmp_path)
+    # IN hitting two distinct files
+    _v, kept, total = lk.prune_files(path, [("id", "in", (5, 305))])
+    assert (len(kept), total) == (2, 4)
+    got = {
+        r.id
+        for r in lk.read_table(
+            spark, path, predicate=[("id", "in", (5, 305))]
+        ).collect()
+    }
+    assert got == {5, 305}
+    # empty IN list: provably nothing
+    assert lk.prune_files(path, [("id", "in", ())])[1] == []
+    assert lk.read_table(spark, path, predicate=[("id", "in", ())]).count() == 0
+
+
+def test_expire_after_zorder_drops_prezorder_generation(spark, tmp_path):
+    path = _ranged(spark, tmp_path)
+    t = lk.Transaction(path)
+    t.optimize_zorder(spark, ["id", "k"], n_files=2)
+    t.commit()  # v5
+    res = lk.expire_versions(path, 5)
+    assert res["data_files_deleted"] == 4  # the pre-zorder files
+    assert lk.read_table(spark, path).count() == 400
+    _v, kept, total = lk.prune_files(path, [("id", "<", 100)])
+    assert len(kept) <= total <= 2  # skipping intact off the checkpoint
