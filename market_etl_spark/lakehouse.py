@@ -1861,12 +1861,13 @@ class Transaction:
                 for c, op, val in conj_phys
             )
         ]
+        ops_before = list(self._ops)
         deleted = self.delete_where(spark, col, _candidates=candidates)
         added = self.append(df)
-        # one operation name in the history, not its two halves
-        self._ops = [
-            o for o in self._ops if o not in ("delete_where", "append")
-        ] + ["replace_where"]
+        # one operation name in the history, not its two halves — but
+        # only THIS call's halves: an append staged earlier in the
+        # same transaction keeps its own tag
+        self._ops = ops_before + ["replace_where"]
         return deleted, added
 
     def delete_where_mor(self, spark: SparkSession, predicate) -> int:

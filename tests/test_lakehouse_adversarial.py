@@ -177,3 +177,80 @@ def test_expire_after_zorder_drops_prezorder_generation(spark, tmp_path):
     assert lk.read_table(spark, path).count() == 400
     _v, kept, total = lk.prune_files(path, [("id", "<", 100)])
     assert len(kept) <= total <= 2  # skipping intact off the checkpoint
+
+
+def test_threaded_maintenance_races_appenders(spark, tmp_path):
+    """Genuine contention across OP TYPES: 3 appender threads land
+    blind single-row appends while a maintenance thread drives
+    compact_small and disjoint-slice replace_where transactions with
+    a retry loop — the real shape of a table with ingest + nightly
+    maintenance.  Invariants: no append lost, no row duplicated, the
+    maintenance retry loop converges, final state consistent."""
+    import threading
+
+    path = _ranged(spark, tmp_path)  # ids 0..399 in 4 files
+    errors: list[Exception] = []
+    lock = threading.Lock()
+    appended: list[int] = []
+
+    def appender(wid: int) -> None:
+        try:
+            for j in range(3):
+                rid = 10_000 + wid * 10 + j
+                t = lk.Transaction(path)
+                t.append(
+                    spark.createDataFrame(
+                        [(rid, 0, 0.5)], "id long, k long, v double"
+                    ).coalesce(1)
+                )
+                t.commit()
+                with lock:
+                    appended.append(rid)
+        except Exception as e:  # pragma: no cover - surfaced below
+            with lock:
+                errors.append(e)
+
+    def maintainer() -> None:
+        try:
+            for attempt in range(20):  # compact_small with retry
+                t = lk.Transaction(path)
+                if t.compact_small(spark, target_bytes=1 << 20) == (0, 0):
+                    break
+                try:
+                    t.commit()
+                    break
+                except lk.CommitConflict:
+                    continue
+            new = spark.createDataFrame(
+                [(j, j % 7, -5.0) for j in range(100, 200)],
+                "id long, k long, v double",
+            ).coalesce(1)
+            for attempt in range(20):  # slice backfill with retry
+                t = lk.Transaction(path)
+                t.replace_where(
+                    spark, [("id", ">=", 100), ("id", "<", 200)], new
+                )
+                try:
+                    t.commit()
+                    return
+                except lk.CommitConflict:
+                    continue
+            raise AssertionError("backfill never converged")
+        except Exception as e:  # pragma: no cover
+            with lock:
+                errors.append(e)
+
+    threads = [
+        threading.Thread(target=appender, args=(w,)) for w in range(3)
+    ] + [threading.Thread(target=maintainer)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    df = lk.read_table(spark, path)
+    rows = {(r.id, r.v) for r in df.collect()}
+    ids = [r[0] for r in rows]
+    assert len(ids) == len(set(ids)) == 400 + 9  # nothing lost or doubled
+    assert all((rid, 0.5) in rows for rid in appended)
+    assert df.filter("id >= 100 and id < 200").agg(F.sum("v")).collect()[0][0] == -500.0

@@ -466,3 +466,26 @@ def test_generated_column_rejects_self_reference(spark, tmp_path):
     t = lk.Transaction(path)
     with pytest.raises(ValueError, match="reference itself"):
         t.set_generated_column(spark, "x", "x + 1", "double")
+
+
+def test_replace_where_keeps_sibling_op_tags(spark, tmp_path):
+    path = _ranged4(spark, tmp_path)
+    t = lk.Transaction(path)
+    t.append(
+        spark.createDataFrame([(9000, 0.0)], "id long, v double").coalesce(1)
+    )
+    t.replace_where(
+        spark,
+        [("id", ">=", 100), ("id", "<", 200)],
+        spark.createDataFrame(
+            [(150, 1.0)], "id long, v double"
+        ).coalesce(1),
+    )
+    t.commit()
+    op = {
+        r.version: r.operation
+        for r in lk.describe_history(spark, path).collect()
+    }[5]
+    # the standalone append keeps its tag; the backfill's two halves
+    # collapse into one name
+    assert op == "append+replace_where"
