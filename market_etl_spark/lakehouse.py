@@ -486,6 +486,12 @@ _STATS_MAX_STR = 64  # drop string stats longer than this: a truncated
 # max is NOT a valid upper bound, and min/max on long strings bloat
 # every commit JSON for little pruning power (Delta truncates at 32)
 
+_STATS_MAX_COLS = 32  # index only the first N schema-order columns
+# (Delta's dataSkippingNumIndexedCols): commit JSON grows O(files ×
+# indexed columns), so a 500-column table must not pay stats on every
+# trailing column nobody predicates on; absent stats only disable
+# pruning for that column — never wrong
+
 
 def _json_stat(v):
     """A footer min/max as a JSON-safe, totally-ordered key — or None
@@ -532,6 +538,7 @@ def _file_stats(p: pathlib.Path) -> dict | None:
     rows = md.num_rows
     cols: dict[str, dict] = {}
     dropped: set[str] = set()
+    indexed: list[str] = []  # first _STATS_MAX_COLS top-level columns
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
@@ -539,6 +546,10 @@ def _file_stats(p: pathlib.Path) -> dict | None:
             name = c.path_in_schema
             if "." in name or name in dropped:
                 continue  # nested leaf — file-level bound undefined
+            if name not in indexed:
+                if len(indexed) >= _STATS_MAX_COLS:
+                    continue
+                indexed.append(name)
             st = c.statistics
             nulls = (
                 st.null_count

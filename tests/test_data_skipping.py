@@ -223,3 +223,30 @@ def test_long_string_stats_dropped_not_wrong(spark, tmp_path):
     assert "s" not in st["cols"] and "id" in st["cols"]
     # and skipping on s admits the file (errs open)
     assert len(lk.prune_files(path, [("s", "=", "x")])[1]) == 1
+
+
+def test_stats_indexed_column_cap(spark, tmp_path):
+    # only the first 32 schema-order columns are indexed (Delta's
+    # dataSkippingNumIndexedCols): trailing columns carry no stats but
+    # stay queryable — skipping just admits every file for them
+    path = str(tmp_path / "t")
+    cols = ", ".join(f"c{i} long" for i in range(40))
+    t = lk.Transaction(path)
+    t.append(
+        spark.createDataFrame(
+            [tuple(range(j, j + 40)) for j in range(10)], cols
+        ).coalesce(1)
+    )
+    t.commit()
+    st = [a for a in lk._read_commit(path, 1)["actions"] if a["op"] == "add"][0][
+        "stats"
+    ]
+    assert len(st["cols"]) == 32
+    assert "c0" in st["cols"] and "c39" not in st["cols"]
+    # indexed column prunes; unindexed column admits (errs open)
+    assert lk.prune_files(path, [("c0", ">", 1000)])[1] == []
+    assert len(lk.prune_files(path, [("c39", ">", 10**9)])[1]) == 1
+    assert (
+        lk.read_table(spark, path, predicate=[("c39", ">", 10**9)]).count()
+        == 0
+    )
