@@ -99,6 +99,12 @@ Model (Delta/Iceberg's core contract, minimally):
 - OPERATION METRICS: commits carry ``metrics`` (rows appended/
   deleted/updated, files rewritten — byproducts of staging, never
   an extra pass); DESCRIBE HISTORY surfaces them.
+- IDENTITY COLUMNS (:meth:`Transaction.set_identity_column`):
+  GENERATED ALWAYS AS IDENTITY — engine-assigned surrogate keys,
+  unique and monotonic across commits with gaps allowed (Delta's
+  contract), assigned fully distributed (per-partition offset
+  blocks, no global row-number shuffle); the metadata high-water
+  advances from staged footer stats, no extra pass.
 - GENERATED COLUMNS (:meth:`Transaction.set_generated_column`):
   GENERATED ALWAYS AS (expr) — omitted on append -> computed,
   provided -> cell-validated (update/merge postimages too); with
@@ -1574,6 +1580,43 @@ class Transaction:
         gen[name] = spec
         self.actions.append({"op": "set_meta", "meta": {"generated": gen}})
 
+    def set_identity_column(
+        self, name: str, start: int = 1, step: int = 1
+    ) -> None:
+        """GENERATED ALWAYS AS IDENTITY — the engine-assigned
+        surrogate key (Delta identity columns): every later append
+        MUST omit the column and receives unique values
+        ``start + step·k`` with k strictly increasing ACROSS commits
+        (everything in commit N+1 outranks everything in commit N).
+        Values may have GAPS — uniqueness and monotonicity are the
+        contract, density is not (Delta documents the same), which is
+        what lets assignment stay fully distributed: a
+        ``monotonically_increasing_id`` offset block per partition,
+        no global row-numbering shuffle, no driver loop.
+
+        The high-water lives in table metadata and advances with each
+        append's staged footer stats (no extra pass), so identity
+        appends carry a METADATA action and therefore serialize with
+        every concurrent commit (ConcurrentMetadataUpdate — the loser
+        re-runs and re-stamps; Delta's identity high-watermark has
+        the identical concurrency cost).  Declarable only while the
+        table is EMPTY (existing rows can't be retro-stamped), and
+        only with a non-zero step."""
+        if step == 0:
+            raise ValueError("identity step must be non-zero")
+        meta = self._effective_meta()
+        if meta.get("schema") or self._live:
+            raise ValueError(
+                "identity columns are declared before the first "
+                "append — existing rows cannot be retro-stamped"
+            )
+        idn = dict(meta.get("identity", {}))
+        if name in idn:
+            raise ValueError(f"column {name!r} is already an identity")
+        idn[name] = {"start": int(start), "step": int(step), "high_k": -1}
+        self._ops.append("set_identity")
+        self.actions.append({"op": "set_meta", "meta": {"identity": idn}})
+
     def _validate_generated(
         self, df: DataFrame, gen: dict, provided: list, what: str
     ) -> None:
@@ -1627,6 +1670,27 @@ class Transaction:
         never conflict (a concurrent metadata change conflicts with
         us instead, from its side).  Returns files staged."""
         meta = self._effective_meta()
+        idn = meta.get("identity", {})
+        if idn:
+            for name, spec in sorted(idn.items()):
+                if name in df.columns:
+                    raise ValueError(
+                        f"column {name!r} is GENERATED ALWAYS AS "
+                        f"IDENTITY — the append may not supply it"
+                    )
+                k0 = spec["high_k"] + 1
+                df = df.withColumn(
+                    name,
+                    (
+                        F.lit(int(spec["start"]))
+                        + F.lit(int(spec["step"]))
+                        * (F.lit(int(k0)) + F.monotonically_increasing_id())
+                    ).cast("long"),
+                )
+            # pin: monotonically_increasing_id is evaluation-dependent;
+            # the staged write and every validation pass below must see
+            # the same stamped values
+            df = df.localCheckpoint()
         gen = meta.get("generated", {})
         if gen:
             provided = [n for n in gen if n in df.columns]
@@ -1724,6 +1788,33 @@ class Transaction:
                 )
             n += 1
         shutil.rmtree(stage)
+        if idn and n:
+            new_idn = {}
+            for name, spec in idn.items():
+                phys = _colmap(self._effective_meta()).get(name, name)
+                bound = "min" if spec["step"] < 0 else "max"
+                highs = [
+                    a_["stats"]["cols"][phys][bound]
+                    for a_ in self.actions[-n:]
+                    if a_["op"] == "add"
+                    and a_.get("stats")
+                    and phys in a_["stats"].get("cols", {})
+                ]
+                if len(highs) != n:
+                    raise RuntimeError(
+                        f"identity column {name!r} missing from staged "
+                        f"footer stats — it must sit within the first "
+                        f"{_STATS_MAX_COLS} schema columns"
+                    )
+                extreme = min(highs) if spec["step"] < 0 else max(highs)
+                # exact by construction: every value is start + step·k
+                new_k = (extreme - spec["start"]) // spec["step"]
+                new_idn[name] = {**spec, "high_k": int(new_k)}
+            # the high-water advance is a METADATA action: identity
+            # appends serialize with concurrent commits by design
+            self.actions.append(
+                {"op": "set_meta", "meta": {"identity": new_idn}}
+            )
         return n
 
     def delete_where(

@@ -957,3 +957,103 @@ def q_lakehouse_generated_partition(
         .withColumn("smuggle_rejected", F.lit(bool(smuggle_rejected)))
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_lakehouse_identity",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+               AS value_micros,
+           TRUE AS ids_unique,
+           TRUE AS ids_on_lattice,
+           TRUE AS cross_commit_monotonic,
+           TRUE AS always_as_rejected
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("lakehouse", "identity-columns", "extension"),
+)
+def q_lakehouse_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTITY COLUMNS — GENERATED ALWAYS AS IDENTITY
+    (:meth:`..lakehouse.Transaction.set_identity_column`, Delta
+    identity): the engine assigns the surrogate key ``row_id =
+    1000 + 7·k``, fully DISTRIBUTED (per-partition offset blocks off
+    ``monotonically_increasing_id`` — no global row-number shuffle,
+    no driver loop; at 100 TB id assignment must not serialize the
+    write path).  Three event-slice appends; the oracle pins:
+    ``ids_unique`` (COUNT(DISTINCT) equals COUNT over all appends),
+    ``ids_on_lattice`` (every value ≡ start mod step — gaps allowed,
+    the documented contract; density is NOT promised),
+    ``cross_commit_monotonic`` (everything in append N+1 outranks
+    everything in append N — the metadata high-water advanced from
+    the staged footer stats, no extra pass), and
+    ``always_as_rejected`` (a batch supplying the column is refused).
+    The returned per-type aggregate is recomputed relationally."""
+    from .. import lakehouse as lk
+
+    path = str(_SCRATCH / f"lakehouse_idn_{_tag(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    mx = ev.agg(F.max("event_id")).collect()[0][0]
+    bound = mx // 3 + 1
+    t = lk.Transaction(path)
+    t.set_identity_column("row_id", start=1000, step=7)
+    t.commit()
+    edges = []  # (max_id_this_commit, min_id_this_commit) per append
+    for i in range(3):
+        t = lk.Transaction(path)
+        t.append(
+            ev.filter(
+                (F.col("event_id") >= i * bound)
+                & (F.col("event_id") < (i + 1) * bound)
+            ).repartition(4)
+        )
+        t.commit()
+        part = lk.read_table(spark, path).filter(
+            (F.col("event_id") >= i * bound)
+            & (F.col("event_id") < (i + 1) * bound)
+        )
+        r = part.agg(
+            F.min("row_id").alias("lo"), F.max("row_id").alias("hi")
+        ).collect()[0]
+        edges.append((r.lo, r.hi))
+
+    df = lk.read_table(spark, path)
+    tot = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("row_id").alias("nd"),
+        F.sum((((F.col("row_id") - 1000) % 7) != 0).cast("int")).alias("off"),
+    ).collect()[0]
+    ids_unique = tot.n == tot.nd
+    ids_on_lattice = tot.off == 0
+    cross_commit_monotonic = all(
+        edges[i][1] < edges[i + 1][0] for i in range(2)
+    )
+    try:
+        t_bad = lk.Transaction(path)
+        t_bad.append(
+            ev.limit(1).withColumn("row_id", F.lit(5).cast("long"))
+        )
+        always_as_rejected = False
+    except ValueError:
+        always_as_rejected = True
+
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_micros(F.col("value"))).cast("long").alias("value_micros"),
+        )
+        .withColumn("ids_unique", F.lit(bool(ids_unique)))
+        .withColumn("ids_on_lattice", F.lit(bool(ids_on_lattice)))
+        .withColumn(
+            "cross_commit_monotonic", F.lit(bool(cross_commit_monotonic))
+        )
+        .withColumn("always_as_rejected", F.lit(bool(always_as_rejected)))
+        .orderBy("event_type")
+    )

@@ -489,3 +489,88 @@ def test_replace_where_keeps_sibling_op_tags(spark, tmp_path):
     # the standalone append keeps its tag; the backfill's two halves
     # collapse into one name
     assert op == "append+replace_where"
+
+
+# -- identity columns -------------------------------------------------
+
+
+def test_identity_column_lifecycle(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = lk.Transaction(path)
+    t.set_identity_column("row_id", start=100, step=10)
+    t.commit()
+    for i in range(3):
+        t = lk.Transaction(path)
+        t.append(
+            spark.createDataFrame(
+                [(i * 50 + j, float(j)) for j in range(50)],
+                "x long, v double",
+            ).repartition(4)
+        )
+        t.commit()
+    df = lk.read_table(spark, path)
+    assert df.count() == df.select("row_id").distinct().count() == 150
+    # every value on the start/step lattice
+    assert (
+        df.filter(((F.col("row_id") - 100) % 10) != 0).count() == 0
+    )
+    # strictly monotonic ACROSS commits
+    c1max = df.filter("x < 50").agg(F.max("row_id")).collect()[0][0]
+    c2min = df.filter("x >= 50 and x < 100").agg(F.min("row_id")).collect()[0][0]
+    c2max = df.filter("x >= 50 and x < 100").agg(F.max("row_id")).collect()[0][0]
+    c3min = df.filter("x >= 100").agg(F.min("row_id")).collect()[0][0]
+    assert c1max < c2min and c2max < c3min
+    # ALWAYS AS: supplying the column is refused
+    t = lk.Transaction(path)
+    with pytest.raises(ValueError, match="ALWAYS AS"):
+        t.append(
+            spark.createDataFrame(
+                [(999, 1.0, 5)], "x long, v double, row_id long"
+            )
+        )
+    # declaring on a non-empty table is refused
+    t2 = lk.Transaction(path)
+    with pytest.raises(ValueError, match="retro-stamped"):
+        t2.set_identity_column("other")
+
+
+def test_identity_concurrent_appends_serialize(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = lk.Transaction(path)
+    t.set_identity_column("rid")
+    t.commit()
+    t = lk.Transaction(path)
+    t.append(spark.createDataFrame([(1, 1.0)], "x long, v double"))
+    t.commit()
+    t1 = lk.Transaction(path)
+    t1.append(spark.createDataFrame([(2, 2.0)], "x long, v double"))
+    t2 = lk.Transaction(path)
+    t2.append(spark.createDataFrame([(3, 3.0)], "x long, v double"))
+    t2.commit()
+    # identity appends carry a metadata high-water: they serialize
+    with pytest.raises(lk.CommitConflict):
+        t1.commit()
+    t3 = lk.Transaction(path)
+    t3.append(spark.createDataFrame([(2, 2.0)], "x long, v double"))
+    t3.commit()
+    df = lk.read_table(spark, path)
+    assert df.count() == df.select("rid").distinct().count() == 3
+
+
+def test_identity_negative_step(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = lk.Transaction(path)
+    t.set_identity_column("rid", start=0, step=-3)
+    t.commit()
+    for _ in range(2):
+        t = lk.Transaction(path)
+        t.append(
+            spark.createDataFrame(
+                [(j, 0.0) for j in range(20)], "x long, v double"
+            ).coalesce(2)
+        )
+        t.commit()
+    df = lk.read_table(spark, path)
+    assert df.count() == df.select("rid").distinct().count() == 40
+    assert df.filter("rid > 0").count() == 0
+    assert df.filter("rid % 3 != 0").count() == 0
