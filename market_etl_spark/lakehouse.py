@@ -1481,19 +1481,19 @@ class Transaction:
         self._guard_constraint_reference(meta, old, "rename")
         full = {n: _colmap(meta).get(n, n) for n in names}
         full[new] = full.pop(old)
-        self._ops.append("rename_column")
-        self.actions.append(
-            {
-                "op": "set_meta",
-                "meta": {
-                    "schema": [
-                        (new if n == old else n, t) for n, t in schema
-                    ],
-                    "colmap": full,
-                    "mapped": True,
-                },
+        new_meta = {
+            "schema": [(new if n == old else n, t) for n, t in schema],
+            "colmap": full,
+            "mapped": True,
+        }
+        idn = meta.get("identity", {})
+        if old in idn:
+            # identity specs follow the logical name
+            new_meta["identity"] = {
+                (new if k == old else k): v for k, v in idn.items()
             }
-        )
+        self._ops.append("rename_column")
+        self.actions.append({"op": "set_meta", "meta": new_meta})
 
     def drop_column(self, name: str) -> None:
         """ALTER TABLE DROP COLUMN — METADATA-ONLY (Delta column
@@ -1512,17 +1512,19 @@ class Transaction:
         self._guard_constraint_reference(meta, name, "drop")
         full = {n: _colmap(meta).get(n, n) for n in names}
         full.pop(name)
-        self._ops.append("drop_column")
-        self.actions.append(
-            {
-                "op": "set_meta",
-                "meta": {
-                    "schema": [(n, t) for n, t in schema if n != name],
-                    "colmap": full,
-                    "mapped": True,
-                },
+        new_meta = {
+            "schema": [(n, t) for n, t in schema if n != name],
+            "colmap": full,
+            "mapped": True,
+        }
+        idn = meta.get("identity", {})
+        if name in idn:
+            # dropping an identity column retires its spec with it
+            new_meta["identity"] = {
+                k: v for k, v in idn.items() if k != name
             }
-        )
+        self._ops.append("drop_column")
+        self.actions.append({"op": "set_meta", "meta": new_meta})
 
     def set_generated_column(
         self, spark: SparkSession, name: str, sql_expr: str, dtype: str
@@ -1556,6 +1558,11 @@ class Transaction:
             raise ValueError(
                 f"generated column {name!r} may not reference itself "
                 f"in ({sql_expr})"
+            )
+        if name in meta.get("identity", {}):
+            raise ValueError(
+                f"column {name!r} is an identity column — it cannot "
+                f"also be generated from an expression"
             )
         schema = meta.get("schema", [])
         names = [n for n, _t in schema]
@@ -1613,6 +1620,11 @@ class Transaction:
         idn = dict(meta.get("identity", {}))
         if name in idn:
             raise ValueError(f"column {name!r} is already an identity")
+        if name in meta.get("generated", {}):
+            raise ValueError(
+                f"column {name!r} is a generated column — it cannot "
+                f"also be an identity"
+            )
         idn[name] = {"start": int(start), "step": int(step), "high_k": -1}
         self._ops.append("set_identity")
         self.actions.append({"op": "set_meta", "meta": {"identity": idn}})
@@ -1932,6 +1944,15 @@ class Transaction:
         - the insert half is the schema/constraint-enforcing append.
         Returns ``(rows_deleted, files_appended)``."""
         conj = list(predicate)
+        idn = self._effective_meta().get("identity", {})
+        owned = sorted({c for c, _op, _v in conj} & set(idn))
+        if owned:
+            raise ValueError(
+                f"replace_where predicate references identity "
+                f"column(s) {owned}: the replacement rows receive NEW "
+                f"engine-assigned values, so they could never satisfy "
+                f"the slice being replaced — slice on a data column"
+            )
         col = _predicate_column(conj)
         # materialize GENERATED columns first: the canonical backfill
         # predicate is on the generated day/bucket column, and the
@@ -2061,6 +2082,12 @@ class Transaction:
             raise SchemaMismatch(
                 f"update sets unknown column(s) {unknown} — not in the "
                 f"table schema"
+            )
+        owned = sorted(set(set_exprs) & set(meta.get("identity", {})))
+        if owned:
+            raise ValueError(
+                f"cannot SET identity column(s) {owned} — values are "
+                f"engine-assigned (GENERATED ALWAYS AS IDENTITY)"
             )
         hits = self._snapshot_frame(spark).filter(
             F.coalesce(predicate, F.lit(False))
@@ -2228,6 +2255,15 @@ class Transaction:
                     f"merge update sets unknown column(s) {unknown} — "
                     f"not in the table schema"
                 )
+            owned = sorted(
+                set(when_matched_update) & set(meta.get("identity", {}))
+            )
+            if owned:
+                raise ValueError(
+                    f"merge cannot SET identity column(s) {owned} — "
+                    f"values are engine-assigned (GENERATED ALWAYS AS "
+                    f"IDENTITY)"
+                )
         key_eq = [
             F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols
         ]
@@ -2278,16 +2314,27 @@ class Transaction:
             if table_cols:
                 # the insert clause maps to the TABLE schema — extra
                 # source-only columns (clause predicates' inputs) drop;
-                # a missing column raises here, pre-staging
+                # a missing column raises here, pre-staging.  ENGINE-
+                # SUPPLIED columns are exempt: identity values are
+                # stamped and generated values computed by the append
+                # the inserts ride (supplying an identity is refused
+                # THERE — ALWAYS AS)
+                engine_cols = set(meta.get("identity", {})) | set(
+                    meta.get("generated", {})
+                )
                 missing = [
-                    c for c in table_cols if c not in inserts.columns
+                    c
+                    for c in table_cols
+                    if c not in inserts.columns and c not in engine_cols
                 ]
                 if missing:
                     raise SchemaMismatch(
                         f"merge insert source is missing table "
                         f"column(s) {missing}"
                     )
-                inserts = inserts.select(*table_cols)
+                inserts = inserts.select(
+                    *[c for c in table_cols if c in inserts.columns]
+                )
                 table_types = dict(meta.get("schema", []))
                 wrong = [
                     (f.name, table_types[f.name], f.dataType.simpleString())

@@ -254,3 +254,88 @@ def test_threaded_maintenance_races_appenders(spark, tmp_path):
     assert len(ids) == len(set(ids)) == 400 + 9  # nothing lost or doubled
     assert all((rid, 0.5) in rows for rid in appended)
     assert df.filter("id >= 100 and id < 200").agg(F.sum("v")).collect()[0][0] == -500.0
+
+
+def _identity_table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = lk.Transaction(path)
+    t.set_identity_column("rid", start=1, step=1)
+    t.commit()
+    t = lk.Transaction(path)
+    t.append(
+        spark.createDataFrame(
+            [(j, float(j)) for j in range(20)], "x long, v double"
+        ).coalesce(2)
+    )
+    t.commit()
+    return path
+
+
+def test_merge_into_identity_table_stamps_inserts(spark, tmp_path):
+    path = _identity_table(spark, tmp_path)
+    t = lk.Transaction(path)
+    counts = t.merge_into(
+        spark,
+        spark.createDataFrame([(5, -5.0), (500, 1.0)], "x long, v double"),
+        ["x"],
+        when_matched_update={"v": F.col("s.v")},
+        when_not_matched_insert=True,
+    )
+    t.commit()
+    assert counts["updated"] == 1 and counts["inserted"] == 1
+    df = lk.read_table(spark, path)
+    # the inserted row got a fresh engine id; uniqueness holds
+    assert df.count() == df.select("rid").distinct().count() == 21
+    assert df.filter("x = 500").select("rid").collect()[0][0] is not None
+    # SETting the identity column is refused
+    t = lk.Transaction(path)
+    with pytest.raises(ValueError, match="engine-assigned"):
+        t.merge_into(
+            spark,
+            spark.createDataFrame([(5, 0.0)], "x long, v double"),
+            ["x"],
+            when_matched_update={"rid": F.lit(9)},
+        )
+    t2 = lk.Transaction(path)
+    with pytest.raises(ValueError, match="engine-assigned"):
+        t2.update_where_mor(spark, F.col("x") == 5, {"rid": F.lit(9)})
+
+
+def test_rename_identity_column_rekeys_spec(spark, tmp_path):
+    path = _identity_table(spark, tmp_path)
+    t = lk.Transaction(path)
+    t.rename_column("rid", "row_key")
+    t.commit()
+    t = lk.Transaction(path)
+    t.append(spark.createDataFrame([(100, 1.0)], "x long, v double"))
+    t.commit()
+    df = lk.read_table(spark, path)
+    assert "row_key" in df.columns and "rid" not in df.columns
+    assert df.count() == df.select("row_key").distinct().count() == 21
+    # stamping continued above the pre-rename high-water
+    pre = df.filter("x < 20").agg(F.max("row_key")).collect()[0][0]
+    post = df.filter("x = 100").collect()[0].row_key
+    assert post > pre
+
+
+def test_replace_where_refuses_identity_slice(spark, tmp_path):
+    path = _identity_table(spark, tmp_path)
+    t = lk.Transaction(path)
+    with pytest.raises(ValueError, match="engine-assigned|NEW"):
+        t.replace_where(
+            spark,
+            [("rid", "<", 10)],
+            spark.createDataFrame([(1, 1.0)], "x long, v double"),
+        )
+
+
+def test_identity_generated_mutual_exclusion(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = lk.Transaction(path)
+    t.set_identity_column("a")
+    with pytest.raises(ValueError, match="cannot.*also be generated"):
+        t.set_generated_column(spark, "a", "1 + 1", "long")
+    t2 = lk.Transaction(path)
+    t2.set_generated_column(spark, "b", "x * 2", "long")
+    with pytest.raises(ValueError, match="cannot.*also be an identity"):
+        t2.set_identity_column("b")
