@@ -101,10 +101,10 @@ Model (Delta/Iceberg's core contract, minimally):
   an extra pass); DESCRIBE HISTORY surfaces them.
 - IDENTITY COLUMNS (:meth:`Transaction.set_identity_column`):
   GENERATED ALWAYS AS IDENTITY — engine-assigned surrogate keys,
-  unique and monotonic across commits with gaps allowed (Delta's
-  contract), assigned fully distributed (per-partition offset
-  blocks, no global row-number shuffle); the metadata high-water
-  advances from staged footer stats, no extra pass.
+  unique and monotonic across commits (gaps allowed by contract,
+  dense per append in practice), assigned fully distributed
+  (per-partition prefix offsets, no global row-number shuffle); the
+  metadata high-water advances from staged footer stats.
 - GENERATED COLUMNS (:meth:`Transaction.set_generated_column`):
   GENERATED ALWAYS AS (expr) — omitted on append -> computed,
   provided -> cell-validated (update/merge postimages too); with
@@ -1595,11 +1595,15 @@ class Transaction:
         MUST omit the column and receives unique values
         ``start + step·k`` with k strictly increasing ACROSS commits
         (everything in commit N+1 outranks everything in commit N).
-        Values may have GAPS — uniqueness and monotonicity are the
-        contract, density is not (Delta documents the same), which is
-        what lets assignment stay fully distributed: a
-        ``monotonically_increasing_id`` offset block per partition,
-        no global row-numbering shuffle, no driver loop.
+        Values may have GAPS by contract — uniqueness and
+        monotonicity are promised, density is not (Delta documents the
+        same) — though this assignment is in fact DENSE per append:
+        one P-row per-partition count aggregate yields exact prefix
+        offsets, the within-partition index comes from
+        ``monotonically_increasing_id``'s low 33 bits, and no global
+        row-numbering shuffle or driver loop ever runs.  The
+        watermark therefore advances by exactly the rows appended
+        (ceiling ~2^63/step total rows, not appends).
 
         The high-water lives in table metadata and advances with each
         append's staged footer stats (no extra pass), so identity
@@ -1684,24 +1688,61 @@ class Transaction:
         meta = self._effective_meta()
         idn = meta.get("identity", {})
         if idn:
-            for name, spec in sorted(idn.items()):
+            for name in sorted(idn):
                 if name in df.columns:
                     raise ValueError(
                         f"column {name!r} is GENERATED ALWAYS AS "
                         f"IDENTITY — the append may not supply it"
                     )
+            # pin FIRST: partitioning and per-partition row order must
+            # be identical for the count pass and the stamping pass
+            # (monotonically_increasing_id is evaluation-dependent)
+            df = df.localCheckpoint()
+            # DENSE per-append assignment: one P-row count aggregate
+            # gives exact per-partition prefix offsets, so the
+            # watermark advances by exactly the rows appended — a raw
+            # monotonically_increasing_id would burn ~P·2^33 of id
+            # space per append (per-partition block size), hitting the
+            # long ceiling within ~10^6 wide appends; this way the
+            # ceiling is ~2^63/step total ROWS.  Within-partition index
+            # = the id's low 33 bits (the documented block layout;
+            # partitions must stay under 2^33 rows — Spark's own bound)
+            pid = F.spark_partition_id()
+            counts = {
+                r.p: r.c
+                for r in df.groupBy(pid.alias("p"))
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            }  # one row per partition — bounded metadata
+            offs: dict[int, int] = {}
+            acc = 0
+            for p_ in sorted(counts):
+                offs[p_] = acc
+                acc += counts[p_]
+            off_map = F.create_map(
+                *[
+                    F.lit(x)
+                    for kv in sorted(offs.items())
+                    for x in kv
+                ]
+            )
+            idx = F.monotonically_increasing_id().bitwiseAND(
+                F.lit((1 << 33) - 1)
+            )
+            for name, spec in sorted(idn.items()):
                 k0 = spec["high_k"] + 1
                 df = df.withColumn(
                     name,
                     (
                         F.lit(int(spec["start"]))
                         + F.lit(int(spec["step"]))
-                        * (F.lit(int(k0)) + F.monotonically_increasing_id())
+                        * (
+                            F.lit(int(k0))
+                            + F.element_at(off_map, pid)
+                            + idx
+                        )
                     ).cast("long"),
                 )
-            # pin: monotonically_increasing_id is evaluation-dependent;
-            # the staged write and every validation pass below must see
-            # the same stamped values
             df = df.localCheckpoint()
         gen = meta.get("generated", {})
         if gen:
