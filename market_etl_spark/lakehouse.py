@@ -152,6 +152,7 @@ from __future__ import annotations
 import json
 import os
 import pathlib
+import re
 import shutil
 import uuid
 
@@ -528,13 +529,18 @@ def _json_stat(v):
     return None
 
 
-def _file_stats(p: pathlib.Path) -> dict | None:
+def _file_stats(p: pathlib.Path, force_cols=()) -> dict | None:
     """Per-file column statistics from the parquet FOOTER: ``{"rows":
     n, "bytes": b, "cols": {name: {"min": v, "max": v, "nulls":
     n}}}``.  Columns whose row groups lack usable min/max (nested,
     binary, NaN-polluted, over-long strings) are simply absent —
-    absent means "cannot prune", never "wrong".  Returns None when the
-    footer is unreadable (the add action then carries no stats)."""
+    absent means "cannot prune", never "wrong".  ``force_cols`` are
+    indexed regardless of the ``_STATS_MAX_COLS`` cap — identity
+    columns land LAST in the physical schema (``withColumn``) yet
+    their footer max IS the high-water advance, so a 32+-column
+    identity table must still carry them (ADVICE r11).  Returns None
+    when the footer is unreadable (the add action then carries no
+    stats)."""
     import pyarrow.parquet as pq
 
     try:
@@ -553,7 +559,7 @@ def _file_stats(p: pathlib.Path) -> dict | None:
             if "." in name or name in dropped:
                 continue  # nested leaf — file-level bound undefined
             if name not in indexed:
-                if len(indexed) >= _STATS_MAX_COLS:
+                if len(indexed) >= _STATS_MAX_COLS and name not in force_cols:
                     continue
                 indexed.append(name)
             st = c.statistics
@@ -590,12 +596,43 @@ def _file_stats(p: pathlib.Path) -> dict | None:
     }
 
 
+_ISO_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+_ISO_DT_RE = re.compile(r"^\d{4}-\d{2}-\d{2}T")
+
+
+def _promote_dates(lo, hi, vals):
+    """Align mixed date/datetime ISO shapes before lexicographic
+    comparison.  A date column's footer stats serialize as
+    ``YYYY-MM-DD`` while a datetime predicate value serializes as
+    ``YYYY-MM-DDT..`` — comparing those raw would prune a file whose
+    max day IS the predicate's day (``'..T00:00:00' > '..-15'``
+    lexicographically) even though the Spark residual filter matches
+    after date→timestamp promotion: silently dropped rows (ADVICE
+    r11).  Spark promotes a date to that day's MIDNIGHT timestamp in
+    comparisons, so appending ``T00:00:00`` to every date-shaped
+    bound/value reproduces the residual filter's ordering exactly —
+    the alignment is precise, not merely safe."""
+    strs = [x for x in [lo, hi, *vals] if isinstance(x, str)]
+    if any(_ISO_DT_RE.match(s) for s in strs) and any(
+        _ISO_DATE_RE.match(s) for s in strs
+    ):
+        def up(x):
+            if isinstance(x, str) and _ISO_DATE_RE.match(x):
+                return x + "T00:00:00"
+            return x
+
+        return up(lo), up(hi), [up(v) for v in vals]
+    return lo, hi, vals
+
+
 def _stats_admit(st: dict | None, col: str, op: str, value) -> bool:
     """True unless ``st`` PROVES file holds no row matching ``col op
     value``.  Unknown stats, unknown column, or incomparable types all
     ADMIT the file — skipping errs open, the residual filter closes.
     All supported ops are null-rejecting (SQL comparison semantics),
-    so an all-null column admits nothing."""
+    so an all-null column admits nothing.  Mixed date/datetime shapes
+    are aligned to Spark's midnight promotion first
+    (:func:`_promote_dates`)."""
     if st is None:
         return True
     if st.get("rows") == 0:
@@ -610,24 +647,24 @@ def _stats_admit(st: dict | None, col: str, op: str, value) -> bool:
     if lo is None or hi is None:
         return True
     try:
-        if op == "=":
-            v = _json_stat(value)
-            return v is None or lo <= v <= hi
-        if op == "<":
-            v = _json_stat(value)
-            return v is None or lo < v
-        if op == "<=":
-            v = _json_stat(value)
-            return v is None or lo <= v
-        if op == ">":
-            v = _json_stat(value)
-            return v is None or hi > v
-        if op == ">=":
-            v = _json_stat(value)
-            return v is None or hi >= v
         if op == "in":
             keys = [_json_stat(x) for x in value]
+            lo, hi, keys = _promote_dates(lo, hi, keys)
             return any(k is None or lo <= k <= hi for k in keys)
+        v = _json_stat(value)
+        if v is None:
+            return True
+        lo, hi, (v,) = _promote_dates(lo, hi, [v])
+        if op == "=":
+            return lo <= v <= hi
+        if op == "<":
+            return lo < v
+        if op == "<=":
+            return lo <= v
+        if op == ">":
+            return hi > v
+        if op == ">=":
+            return hi >= v
     except TypeError:
         return True  # stat/value types don't order together: admit
     raise ValueError(f"unsupported skipping op {op!r}")
@@ -1826,8 +1863,13 @@ class Transaction:
         ).parquet(str(stage))
         (root / _DATA_DIR).mkdir(parents=True, exist_ok=True)
         n = 0
+        # identity columns must be indexed past the stats cap: their
+        # footer max IS the high-water advance below (ADVICE r11)
+        idn_phys = tuple(
+            _colmap(self._effective_meta()).get(nm, nm) for nm in idn
+        )
         for part in sorted(stage.glob("part-*.parquet")):
-            st = _file_stats(part)
+            st = _file_stats(part, force_cols=idn_phys)
             if st is not None and st["rows"] == 0:
                 continue  # empty-partition debris: stage nothing
             name = f"{_DATA_DIR}/add-{uuid.uuid4().hex}.parquet"
@@ -1892,6 +1934,12 @@ class Transaction:
 
         root = pathlib.Path(self.path)
         if not self._live:
+            return 0
+        if _candidates is not None and not _candidates:
+            # stats pruned EVERY live file: provably zero matches —
+            # e.g. replace_where backfilling a slice not yet present.
+            # Building the snapshot frame over zero paths would raise;
+            # the delete half is simply a no-op (ADVICE r11).
             return 0
         self._require_first_rewrite("delete_where")
         self._ops.append("delete_where")

@@ -339,3 +339,161 @@ def test_identity_generated_mutual_exclusion(spark, tmp_path):
     t2.set_generated_column(spark, "b", "x * 2", "long")
     with pytest.raises(ValueError, match="cannot.*also be an identity"):
         t2.set_identity_column("b")
+
+
+# --- ADVICE r11 regressions -------------------------------------------
+
+
+def test_replace_where_absent_slice_is_pure_insert(spark, tmp_path):
+    """Backfilling a slice NOT yet in the table (stats prune every
+    live file) must degenerate to a validated append, not crash on a
+    zero-path snapshot frame (ADVICE r11)."""
+    path = _ranged(spark, tmp_path, files=2, chunk=50)  # ids 0..99
+    t = lk.Transaction(path)
+    deleted, added = t.replace_where(
+        spark,
+        [("id", ">=", 1000), ("id", "<", 1100)],
+        spark.createDataFrame(
+            [(1000 + j, j % 7, float(j)) for j in range(10)],
+            "id long, k long, v double",
+        ),
+    )
+    t.commit()
+    assert deleted == 0 and added >= 1
+    df = lk.read_table(spark, path)
+    assert df.count() == 110
+    assert df.filter("id >= 1000").count() == 10
+    # and on a COMPLETELY empty table: pure insert as well
+    p2 = str(tmp_path / "empty")
+    t0 = lk.Transaction(p2)
+    t0.append(
+        spark.createDataFrame([(1, 0, 0.0)], "id long, k long, v double")
+    )
+    t0.commit()
+    t1 = lk.Transaction(p2)
+    d2, a2 = t1.replace_where(
+        spark,
+        [("id", ">=", 50)],
+        spark.createDataFrame([(60, 0, 1.0)], "id long, k long, v double"),
+    )
+    t1.commit()
+    assert d2 == 0 and a2 == 1
+    assert lk.read_table(spark, p2).count() == 2
+
+
+def test_identity_survives_wide_schema(spark, tmp_path):
+    """An identity column on a table with more than _STATS_MAX_COLS
+    user columns: the identity column lands LAST physically, past the
+    stats cap — it must still be force-indexed so the high-water
+    advances (ADVICE r11)."""
+    import pyspark.sql.functions as SF
+
+    path = str(tmp_path / "wide")
+    t = lk.Transaction(path)
+    t.set_identity_column("rid", start=1, step=1)
+    t.commit()
+    ncols = lk._STATS_MAX_COLS + 4
+    base = spark.range(10).select(
+        *[SF.col("id").alias(f"c{i:02d}") for i in range(ncols)]
+    )
+    t = lk.Transaction(path)
+    assert t.append(base) >= 1
+    t.commit()
+    t = lk.Transaction(path)
+    t.append(base)
+    t.commit()
+    df = lk.read_table(spark, path)
+    assert df.count() == 20
+    # dense, unique, monotone across the two appends
+    rids = sorted(r.rid for r in df.select("rid").collect())
+    assert rids == list(range(1, 21))
+
+
+def test_stats_admit_date_vs_datetime_shapes(spark, tmp_path):
+    """Date-shaped footer stats vs datetime predicate values (and the
+    reverse) must align to Spark's midnight promotion — the raw
+    lexicographic compare pruned a file whose max day IS the
+    predicate's day, silently dropping rows (ADVICE r11)."""
+    import datetime as dt
+
+    st = {
+        "rows": 5,
+        "cols": {"day": {"min": "2024-01-10", "max": "2024-01-15", "nulls": 0}},
+    }
+    mid = dt.datetime(2024, 1, 15)  # == max day at midnight
+    assert lk._stats_admit(st, "day", "=", mid)
+    assert lk._stats_admit(st, "day", ">=", mid)
+    assert lk._stats_admit(st, "day", "<=", dt.datetime(2024, 1, 10))
+    # ... and still prunes what it can prove
+    assert not lk._stats_admit(st, "day", "=", dt.datetime(2024, 1, 16))
+    assert not lk._stats_admit(st, "day", ">", dt.datetime(2024, 1, 15))
+    assert not lk._stats_admit(st, "day", "<", dt.datetime(2024, 1, 10))
+    # intraday value inside the max day: the day's rows may match
+    assert lk._stats_admit(st, "day", "<=", dt.datetime(2024, 1, 15, 12))
+    # reverse: datetime-shaped stats, date predicate value
+    st2 = {
+        "rows": 5,
+        "cols": {
+            "ts": {
+                "min": "2024-01-10T00:00:00",
+                "max": "2024-01-15T08:30:00",
+                "nulls": 0,
+            }
+        },
+    }
+    assert lk._stats_admit(st2, "ts", "=", dt.date(2024, 1, 15))
+    assert not lk._stats_admit(st2, "ts", "=", dt.date(2024, 1, 16))
+    assert lk._stats_admit(st2, "ts", ">", dt.date(2024, 1, 15))
+
+
+def test_date_column_datetime_predicate_end_to_end(spark, tmp_path):
+    """Pruned read == full filtered read when the predicate value is a
+    datetime and the column is a DATE (the exact ADVICE r11 silent-
+    drop scenario)."""
+    import datetime as dt
+
+    path = str(tmp_path / "dated")
+    for d in (10, 15):
+        t = lk.Transaction(path)
+        t.append(
+            spark.createDataFrame(
+                [(dt.date(2024, 1, d), float(j)) for j in range(5)],
+                "day date, v double",
+            ).coalesce(1)
+        )
+        t.commit()
+    pred = [("day", "=", dt.datetime(2024, 1, 15))]
+    _v, kept, total = lk.prune_files(path, pred)
+    assert total == 2 and len(kept) == 1  # skips day-10, KEEPS day-15
+    got = lk.read_table(spark, path, predicate=pred)
+    assert got.count() == 5  # previously 0: file wrongly pruned
+
+
+def test_mixed_allnull_row_group_never_allnull_pruned(spark, tmp_path):
+    """A file whose column is all-null in SOME row groups but valued
+    in others must keep sound bounds: admitted inside the valued
+    range, prunable outside it, and NEVER hit by the all-null rule
+    (ADVICE r11)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    f = tmp_path / "mixed.parquet"
+    tbl = pa.table(
+        {
+            "id": pa.array(list(range(10)), pa.int64()),
+            "x": pa.array([None] * 5 + list(range(100, 105)), pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(f), row_group_size=5)  # rg0 all-null, rg1 valued
+    st = lk._file_stats(f)
+    assert st["rows"] == 10
+    c = st["cols"]["x"]
+    assert c["min"] == 100 and c["max"] == 104 and c["nulls"] == 5
+    assert lk._stats_admit(st, "x", "=", 102)       # valued range admits
+    assert not lk._stats_admit(st, "x", "=", 99)    # outside bounds prunes
+    # undercounted nulls (writer emitted no null_count) stay SAFE:
+    # the all-null prune needs nulls == rows exactly
+    under = {"rows": 10, "cols": {"x": {"min": None, "max": None, "nulls": 4}}}
+    assert lk._stats_admit(under, "x", "=", 1)
+    allnull = {"rows": 10, "cols": {"x": {"min": None, "max": None, "nulls": 10}}}
+    assert not lk._stats_admit(allnull, "x", "=", 1)
