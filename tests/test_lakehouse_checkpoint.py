@@ -1,0 +1,160 @@
+"""Parquet-checkpoint metadata plane (round 12): state parity with
+JSON replay, incremental advance as a Spark job, distributed prune
+decisions identical to the driver-side prune, distributed footer
+stats, and the read path composed on distributed decisions."""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_etl_spark import lakehouse as lk
+from market_etl_spark import lakehouse_checkpoint as ck
+
+
+def _busy_table(spark, tmp_path):
+    """Appends + MOR delete + CoW rewrite + evolution + rename — every
+    action class the state carries."""
+    path = str(tmp_path / "t")
+    for i in range(3):
+        t = lk.Transaction(path)
+        t.append(
+            spark.createDataFrame(
+                [(i * 10 + j, float(j)) for j in range(10)],
+                "id long, v double",
+            ).coalesce(1)
+        )
+        t.commit()
+    t = lk.Transaction(path)
+    t.delete_where_mor(spark, F.col("id") == 5)
+    t.commit()
+    t = lk.Transaction(path)
+    t.delete_where(spark, F.col("id") == 12)
+    t.commit()
+    return path
+
+
+def _state_sets(spark, path, version=None):
+    v, df, meta = ck.state_frame(spark, path, version)
+    return (
+        v,
+        {r.file for r in df.filter("kind='add'").collect()},
+        {r.file for r in df.filter("kind='dv'").collect()},
+        meta,
+    )
+
+
+def test_bootstrap_state_parity(spark, tmp_path):
+    path = _busy_table(spark, tmp_path)
+    v = ck.write_parquet_checkpoint(spark, path)
+    assert v == lk.latest_commit(path)
+    pv, live_pq, dv_pq, meta_pq = _state_sets(spark, path)
+    _v, live, dvs, _txns, meta, _stats = lk._state_full(path)
+    assert (pv, live_pq, dv_pq, meta_pq) == (v, live, dvs, meta)
+
+
+def test_json_tail_applied_over_checkpoint(spark, tmp_path):
+    path = _busy_table(spark, tmp_path)
+    ck.write_parquet_checkpoint(spark, path, version=3)
+    # the tail (3, 5] holds a MOR delete + a CoW rewrite; state_frame
+    # must fold them without a new checkpoint
+    pv, live_pq, dv_pq, _meta = _state_sets(spark, path)
+    _v, live, dvs, _txns, _m, _s = lk._state_full(path)
+    assert pv == 5 and live_pq == live and dv_pq == dvs
+    # add-then-remove INSIDE the tail cancels exactly
+    t = lk.Transaction(path)
+    t.append(spark.createDataFrame([(77, 0.0)], "id long, v double"))
+    t.commit()
+    t = lk.Transaction(path)
+    t.delete_where(spark, F.col("id") == 77)
+    t.commit()
+    pv, live_pq, dv_pq, _meta = _state_sets(spark, path)
+    _v, live, dvs, _txns, _m, _s = lk._state_full(path)
+    assert pv == 7 and live_pq == live and dv_pq == dvs
+
+
+def test_advance_is_incremental_and_equal_to_bootstrap(spark, tmp_path):
+    path = _busy_table(spark, tmp_path)
+    ck.write_parquet_checkpoint(spark, path, version=2)
+    v = ck.advance_parquet_checkpoint(spark, path)
+    assert v == 5 and ck.latest_parquet_checkpoint(path) == 5
+    # advanced state == a from-scratch bootstrap at the same version
+    adv = spark.read.parquet(str(ck._ckpt_dir(path, 5)))
+    v2, live, dvs, txns, meta, stats = lk._state_full(path, 5)
+    rows = ck._rows_of_state(live, dvs, txns, meta, stats)
+    boot = spark.createDataFrame(rows, ck._SCHEMA)
+    assert sorted(map(tuple, adv.collect())) == sorted(map(tuple, boot.collect()))
+    # idempotent when already at latest
+    assert ck.advance_parquet_checkpoint(spark, path) == 5
+
+
+def test_distributed_prune_matches_driver_prune(spark, tmp_path):
+    path = _busy_table(spark, tmp_path)
+    ck.write_parquet_checkpoint(spark, path)
+    for pred in (
+        [("id", "<", 5)],
+        [("id", ">=", 25)],
+        [("id", "=", 12)],
+        [("id", "in", (1, 21))],
+        [("id", "<", 5), ("id", ">", 50)],
+        [("id", "<", 0)],
+        [("nope", "=", 1)],
+    ):
+        assert ck.prune_files_distributed(spark, path, pred) == lk.prune_files(
+            path, pred
+        ), pred
+
+
+def test_distributed_prune_respects_column_mapping(spark, tmp_path):
+    path = _busy_table(spark, tmp_path)
+    t = lk.Transaction(path)
+    t.rename_column("id", "ident")
+    t.commit()
+    ck.write_parquet_checkpoint(spark, path)
+    pred = [("ident", "<", 5)]
+    assert ck.prune_files_distributed(spark, path, pred) == lk.prune_files(
+        path, pred
+    )
+
+
+def test_distributed_stats_match_serial(spark, tmp_path):
+    path = _busy_table(spark, tmp_path)
+    root = pathlib.Path(path)
+    _v, live, _dvs, _t, _m, _s = lk._state_full(path)
+    paths = [str(root / f) for f in sorted(live)]
+    assert ck.stats_distributed(spark, paths) == {
+        p: lk._file_stats(pathlib.Path(p)) for p in paths
+    }
+    assert ck.stats_distributed(spark, []) == {}
+    # force_cols rides through to the executors
+    wide = ck.stats_distributed(spark, paths, force_cols=("v",))
+    assert all("v" in st["cols"] for st in wide.values())
+
+
+def test_pruned_read_on_distributed_decisions(spark, tmp_path):
+    path = _busy_table(spark, tmp_path)
+    ck.write_parquet_checkpoint(spark, path)
+    for pred in ([("id", "<", 5)], [("id", ">", 7)], [("id", "<", 0)]):
+        got = ck.read_table_distributed_prune(spark, path, pred)
+        exp = lk.read_table(spark, path, predicate=pred)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, exp.collect())
+        ), pred
+
+
+def test_state_frame_requires_a_checkpoint(spark, tmp_path):
+    path = _busy_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="no parquet checkpoint"):
+        ck.state_frame(spark, path)
+
+
+def test_time_travel_uses_older_checkpoint(spark, tmp_path):
+    path = _busy_table(spark, tmp_path)
+    ck.write_parquet_checkpoint(spark, path, version=2)
+    ck.write_parquet_checkpoint(spark, path, version=4)
+    # version 3 must start from ckpt 2 + tail commit 3, not ckpt 4
+    pv, live_pq, dv_pq, _meta = _state_sets(spark, path, version=3)
+    _v, live, dvs, _txns, _m, _s = lk._state_full(path, 3)
+    assert pv == 3 and live_pq == live and dv_pq == dvs
