@@ -716,6 +716,58 @@ def _predicate_column(conj) -> "F.Column":
     return cond
 
 
+#: Above this many broadcast-side rows the forced ``F.broadcast``
+#: hint is DROPPED and the join falls back to the planner's choice
+#: (sort-merge anti under AQE) — a delete wave touching ~10^8
+#: positions before the next purge must degrade to a SLOW query, not
+#: an executor OOM (VERDICT r11).  Runtime-settable per session.
+_BROADCAST_MAX_ROWS_CONF = "spark.market_etl.lakehouse.broadcastMaxRows"
+_BROADCAST_MAX_ROWS = 4_000_000
+
+
+def _broadcast_cap(spark: SparkSession) -> int:
+    try:
+        return int(
+            spark.conf.get(
+                _BROADCAST_MAX_ROWS_CONF, str(_BROADCAST_MAX_ROWS)
+            )
+        )
+    except (TypeError, ValueError):
+        return _BROADCAST_MAX_ROWS
+
+
+def _dv_rowcount(root: pathlib.Path, dvs) -> int:
+    """Total live delete positions, from the sidecars' parquet FOOTER
+    row counts — KB-sized metadata reads bounded by the purge
+    cadence.  An unreadable footer counts as over-cap: when in doubt,
+    don't broadcast."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in sorted(dvs):
+        try:
+            total += pq.ParquetFile(str(root / f)).metadata.num_rows
+        except Exception:
+            return 1 << 62
+    return total
+
+
+def _dv_subtract(
+    spark: SparkSession, root: pathlib.Path, dvs, df: DataFrame
+) -> DataFrame:
+    """``df`` minus the accumulated deletion-vector positions — THE
+    shared MOR read-side join.  Broadcast anti join while the
+    position count fits :data:`_BROADCAST_MAX_ROWS_CONF`; above it
+    the hint is dropped and the planner shuffles — identical results,
+    bounded memory (test_broadcast_bounds pins plan + parity)."""
+    dv = spark.read.parquet(*[str(root / f) for f in sorted(dvs)]).select(
+        "_dv_file", "_dv_pos"
+    )
+    if _dv_rowcount(root, dvs) <= _broadcast_cap(spark):
+        dv = F.broadcast(dv)
+    return df.join(dv, ["_dv_file", "_dv_pos"], "left_anti")
+
+
 def table_detail(path: str, version: int | None = None) -> dict:
     """DESCRIBE DETAIL from the log alone — no data file opened:
     ``{"version", "n_files", "n_rows", "n_bytes", "n_dvs",
@@ -873,12 +925,7 @@ def read_table(
         with_row_addresses(reader.parquet(*[str(root / f) for f in scan])),
         meta,
     )
-    dv = spark.read.parquet(*[str(root / f) for f in sorted(dvs)]).select(
-        "_dv_file", "_dv_pos"
-    )
-    df = df.join(
-        F.broadcast(dv), ["_dv_file", "_dv_pos"], "left_anti"
-    ).drop("_dv_file", "_dv_pos")
+    df = _dv_subtract(spark, root, dvs, df).drop("_dv_file", "_dv_pos")
     return df.filter(_predicate_column(conj)) if conj else df
 
 
@@ -1386,12 +1433,7 @@ class Transaction:
         df = _with_addresses(spark, root, scan, self._meta)
         if self._dvs:
             self.read_files.update(self._dvs)
-            dv = spark.read.parquet(
-                *[str(root / f) for f in self._dvs]
-            ).select("_dv_file", "_dv_pos")
-            df = df.join(
-                F.broadcast(dv), ["_dv_file", "_dv_pos"], "left_anti"
-            )
+            df = _dv_subtract(spark, root, self._dvs, df)
         return df
 
     # -- staging operations -------------------------------------------
@@ -1966,12 +2008,7 @@ class Transaction:
         # files' DV-deleted rows.
         single = _with_addresses(spark, root, hit_rels, self._meta)
         if self._dvs:
-            dv = spark.read.parquet(
-                *[str(root / f) for f in self._dvs]
-            ).select("_dv_file", "_dv_pos")
-            single = single.join(
-                F.broadcast(dv), ["_dv_file", "_dv_pos"], "left_anti"
-            )
+            single = _dv_subtract(spark, root, self._dvs, single)
         if cdf:
             images = single.filter(hit).drop("_dv_file", "_dv_pos")
             cdc = f"{_CDC_DIR}/cdc-{uuid.uuid4().hex}.parquet"
@@ -2326,6 +2363,15 @@ class Transaction:
         self._require_first_rewrite("merge_into")
         meta = self._effective_meta()
         source = source.localCheckpoint()
+        # the "delta-sized source" contract, now GUARDED: a user-
+        # supplied source past the broadcast bound drops the hint and
+        # the probe degrades to a shuffle join — slow beats an
+        # executor OOM (VERDICT r11).  count() is free on the pinned
+        # frame.
+        n_src = source.count()
+        hint = (
+            F.broadcast if n_src <= _broadcast_cap(spark) else (lambda d: d)
+        )
         dup = (
             source.groupBy(*key_cols).count().filter(F.col("count") > 1)
         ).count()
@@ -2365,7 +2411,7 @@ class Transaction:
             # and matched keys, both delta-sized (<= source rows each)
             matches = (
                 target.alias("t")
-                .join(F.broadcast(source).alias("s"), key_eq, "inner")
+                .join(hint(source).alias("s"), key_eq, "inner")
                 .select("t._dv_file", *[f"t.{k}" for k in key_cols])
                 .localCheckpoint()
             )
@@ -2389,7 +2435,7 @@ class Transaction:
         if when_not_matched_insert:
             if matches is not None:
                 inserts = source.alias("s").join(
-                    F.broadcast(
+                    hint(
                         matches.select(*key_cols).distinct()
                     ).alias("k"),
                     [
@@ -2449,24 +2495,15 @@ class Transaction:
             or when_matched_delete is not None
         )
         if touched and has_matched_clause:
-            dv = None
-            if self._dvs:
-                dv = spark.read.parquet(
-                    *[str(root / f) for f in self._dvs]
-                ).select("_dv_file", "_dv_pos")
             rows = _with_addresses(spark, root, touched, self._meta)
-            if dv is not None:
-                rows = rows.join(
-                    F.broadcast(dv), ["_dv_file", "_dv_pos"], "left_anti"
-                )
+            if self._dvs:
+                rows = _dv_subtract(spark, root, self._dvs, rows)
             rows = rows.drop("_dv_file", "_dv_pos")
             # one left join against the tagged source; the constant
             # tag (never NULL on the source side) is the match probe —
             # a real source column could be legitimately NULL
             j = rows.alias("t").join(
-                F.broadcast(
-                    source.withColumn("_s_hit", F.lit(1))
-                ).alias("s"),
+                hint(source.withColumn("_s_hit", F.lit(1))).alias("s"),
                 key_eq,
                 "left",
             )
@@ -2779,12 +2816,7 @@ class Transaction:
         df = _with_addresses(spark, root, sorted(cand), self._meta)
         if self._dvs:
             self.read_files.update(self._dvs)
-            dv = spark.read.parquet(
-                *[str(root / f) for f in self._dvs]
-            ).select("_dv_file", "_dv_pos")
-            df = df.join(
-                F.broadcast(dv), ["_dv_file", "_dv_pos"], "left_anti"
-            )
+            df = _dv_subtract(spark, root, self._dvs, df)
         df = df.drop("_dv_file", "_dv_pos")
         n_bins = max(1, -(-sum(size_of(f) for f in cand) // target_bytes))
         stage = root / f".stage-{uuid.uuid4().hex[:8]}"

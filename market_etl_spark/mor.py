@@ -193,9 +193,20 @@ def _live_with_positions(spark: SparkSession, table_path: str) -> DataFrame:
         )
     dvs = _read_dvs(spark, table_path)
     if dvs is not None:
-        live = live.join(
-            F.broadcast(dvs), ["_dv_file", "_dv_pos"], "left_anti"
-        )
+        # broadcast only while the accumulated position count fits
+        # the bound — a delete wave past it degrades to a shuffle
+        # anti join instead of an executor OOM (VERDICT r11); the
+        # count is footer metadata, KBs per sidecar
+        from .lakehouse import _broadcast_cap, _dv_rowcount
+
+        root = pathlib.Path(table_path)
+        names = [
+            p.relative_to(root).as_posix()
+            for p in sorted((root / _DV_DIR).glob("dv-*.parquet"))
+        ]
+        if _dv_rowcount(root, names) <= _broadcast_cap(spark):
+            dvs = F.broadcast(dvs)
+        live = live.join(dvs, ["_dv_file", "_dv_pos"], "left_anti")
     return live
 
 
