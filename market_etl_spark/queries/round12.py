@@ -545,3 +545,170 @@ def q_lakehouse_parquet_checkpoint(
         .withColumn("pruned_read_parity", F.lit(bool(read_parity)))
         .orderBy("status")
     )
+
+
+@query(
+    "q_lakehouse_sql_dml",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k, c_mktsegment AS seg,
+             CAST(c_acctbal AS DOUBLE) AS bal
+      FROM customer
+    ),
+    live1 AS (SELECT * FROM base WHERE k % 5 <> 0),
+    live2 AS (
+      SELECT k, seg,
+             bal + CASE WHEN seg = 'MACHINERY' THEN 10.0 ELSE 0.0 END AS bal
+      FROM live1
+    ),
+    src AS (
+      SELECT k, 'MERGED' AS seg, bal * 2 AS bal
+      FROM base WHERE k % 11 = 0
+    ),
+    kept AS (
+      SELECT l.k,
+             CASE WHEN s.k IS NULL THEN l.seg ELSE s.seg END AS seg,
+             CASE WHEN s.k IS NULL THEN l.bal ELSE s.bal END AS bal
+      FROM live2 l LEFT JOIN src s ON l.k = s.k
+      WHERE s.k IS NULL OR s.bal >= 0
+    ),
+    ins AS (
+      SELECT s.k, s.seg, s.bal FROM src s
+      WHERE NOT EXISTS (SELECT 1 FROM live2 l WHERE l.k = s.k)
+    ),
+    final AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+    SELECT seg,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(bal * 1e6, 0) AS BIGINT)) AS BIGINT)
+               AS bal_micros,
+           TRUE AS counts_consistent,
+           TRUE AS history_names_ops,
+           TRUE AS time_travel_matches
+    FROM final
+    GROUP BY seg
+    ORDER BY seg
+    """,
+    tags=("lakehouse", "sql", "dml", "merge", "extension"),
+)
+def q_lakehouse_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse DML from SQL TEXT (VERDICT r11 item 4): the
+    Delta-dialect statements route through :func:`..lakehouse_sql.run_sql`
+    to the SAME transaction methods the Python API drives — one
+    implementation of the semantics, two entry points (the write-side
+    twin of ``athena_compat``'s read-side replay).
+
+    Script on the customer dimension, every statement literal SQL:
+
+    1. ``DELETE FROM lakehouse.`t` WHERE k % 5 = 0`` (copy-on-write);
+    2. ``UPDATE lakehouse.`t` SET bal = bal + 10 WHERE seg =
+       'MACHINERY'`` (merge-on-read: DV + reinsert in one commit);
+    3. ``MERGE INTO lakehouse.`t` t USING (SELECT k, 'MERGED' seg,
+       bal*2 bal ...) s ON t.k = s.k WHEN MATCHED AND s.bal < 0 THEN
+       DELETE / WHEN MATCHED THEN UPDATE SET seg, bal / WHEN NOT
+       MATCHED THEN INSERT *`` — the full clause set in one commit;
+    4. ``SELECT ... VERSION AS OF 1`` — time travel rewritten to a
+       snapshot view, the rest of the statement left to Catalyst;
+    5. ``DESCRIBE HISTORY`` — the audit trail as a DataFrame.
+
+    Audits the oracle pins TRUE: ``counts_consistent`` — each
+    statement's returned ``num_*_rows`` equals the relationally
+    expected count computed from the seed frame; ``history_names_ops``
+    — DESCRIBE HISTORY lists the delete/update/merge commits in
+    order; ``time_travel_matches`` — the VERSION AS OF 1 digest
+    equals the seed digest (nothing the DML script did leaked into
+    the v1 snapshot).  The final aggregate is value-hashed against
+    the oracle's pure-relational recompute of the same script."""
+    from .. import lakehouse as lk
+    from ..lakehouse_sql import run_sql
+
+    path = str(_SCRATCH / f"lakehouse_sql_{_tag(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    base = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    ).localCheckpoint()
+    t = lk.Transaction(path)
+    t.append(base.repartition(4))
+    t.commit()  # v1
+
+    n_del = run_sql(
+        spark, f"DELETE FROM lakehouse.`{path}` WHERE k % 5 = 0"
+    ).collect()[0].num_affected_rows
+    n_upd = run_sql(
+        spark,
+        f"UPDATE lakehouse.`{path}` SET bal = bal + 10 "
+        f"WHERE seg = 'MACHINERY'",
+    ).collect()[0].num_affected_rows
+    merge = run_sql(
+        spark,
+        f"""
+        MERGE INTO lakehouse.`{path}` t
+        USING (SELECT k, 'MERGED' AS seg, bal * 2 AS bal
+               FROM {{src}} WHERE k % 11 = 0) s
+        ON t.k = s.k
+        WHEN MATCHED AND s.bal < 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET seg = s.seg, bal = s.bal
+        WHEN NOT MATCHED THEN INSERT *
+        """.format(src=_register_view(base)),
+    ).collect()[0]
+
+    # relational expectations from the pinned seed frame
+    exp_del = base.filter("k % 5 = 0").count()
+    exp_upd = base.filter("k % 5 <> 0 and seg = 'MACHINERY'").count()
+    src = base.filter("k % 11 = 0").select(
+        "k", F.lit("MERGED").alias("seg"), (F.col("bal") * 2).alias("bal")
+    )
+    live_keys = base.filter("k % 5 <> 0").select("k")
+    exp_m_del = src.filter("bal < 0").join(live_keys, "k", "semi").count()
+    exp_m_upd = src.filter("bal >= 0").join(live_keys, "k", "semi").count()
+    exp_m_ins = src.join(live_keys, "k", "anti").count()
+    counts_consistent = (
+        n_del == exp_del
+        and n_upd == exp_upd
+        and (merge.num_deleted_rows, merge.num_updated_rows,
+             merge.num_inserted_rows)
+        == (exp_m_del, exp_m_upd, exp_m_ins)
+    )
+
+    hist = run_sql(spark, f"DESCRIBE HISTORY lakehouse.`{path}`")
+    ops = [r.operation for r in hist.orderBy("version").collect()]
+    history_names_ops = (
+        len(ops) == 4
+        and "delete" in ops[1]
+        and ("update" in ops[2] or "mor" in ops[2])
+        and "merge" in ops[3]
+    )
+
+    digest = lambda df: tuple(  # noqa: E731
+        df.agg(
+            F.count(F.lit(1)),
+            F.expr("bit_xor(xxhash64(k, seg, CAST(ROUND(bal*1e6,0) AS LONG)))"),
+        ).collect()[0]
+    )
+    tt = run_sql(
+        spark,
+        f"SELECT k, seg, bal FROM lakehouse.`{path}` VERSION AS OF 1",
+    )
+    time_travel_matches = digest(tt) == digest(base)
+
+    return (
+        run_sql(
+            spark,
+            f"SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            f"CAST(SUM(CAST(ROUND(bal * 1e6, 0) AS BIGINT)) AS BIGINT) "
+            f"AS bal_micros FROM lakehouse.`{path}` GROUP BY seg",
+        )
+        .withColumn("counts_consistent", F.lit(bool(counts_consistent)))
+        .withColumn("history_names_ops", F.lit(bool(history_names_ops)))
+        .withColumn("time_travel_matches", F.lit(bool(time_travel_matches)))
+        .orderBy("seg")
+    )
+
+
+def _register_view(df: DataFrame) -> str:
+    import uuid as _uuid
+
+    name = f"sql_dml_src_{_uuid.uuid4().hex[:10]}"
+    df.createOrReplaceTempView(name)
+    return name
