@@ -266,6 +266,7 @@ def read_changes(
     v_to: int,
     key_cols: list[str],
     compare_cols: list[str] | None = None,
+    reader=None,
 ) -> DataFrame:
     """CHANGE DATA FEED over the versioned snapshot store
     (:func:`..sinks.write_versioned`) — the Delta ``readChangeFeed``
@@ -284,13 +285,22 @@ def read_changes(
     explode out (no full-outer join, no per-change-type re-join;
     ``snapshot_diff``'s narrow-digest discipline carried to full-row
     emission).  Snapshots must be key-unique — the CDC store contract
-    every MERGE writer here maintains."""
-    from .sinks import read_version
+    every MERGE writer here maintains.
+
+    ``reader(spark, path, v) -> DataFrame`` selects the VERSION
+    STORAGE (default: the snapshot store's
+    :func:`..sinks.read_version`).  Pass ``lambda s, p, v:
+    lakehouse.read_table(s, p, version=v)`` to run the same keyed CDC
+    derivation over COMMIT-LOG versions — the store-to-log
+    convergence (VERDICT r11 item 5): the diff is an OPERATOR over
+    version pairs; where versions live is storage policy."""
+    if reader is None:
+        from .sinks import read_version as reader
 
     steps = []
     for v in range(v_from + 1, v_to + 1):
-        old = read_version(spark, path, v - 1)
-        new = read_version(spark, path, v)
+        old = reader(spark, path, v - 1)
+        new = reader(spark, path, v)
         steps.append(
             _step_changes(old, new, key_cols, compare_cols).withColumn(
                 "_commit_version", F.lit(v)

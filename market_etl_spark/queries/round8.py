@@ -829,25 +829,28 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("datalayout", "time-travel", "versioning", "extension"),
 )
 def q_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TIME-TRAVEL on a versioned snapshot store (round-8): a per-user
-    activity snapshot is committed twice through
-    :func:`..sinks.write_versioned` — v1 from the first half-month of
-    events, v2 from the full table — then both versions are read back
-    AS COMMITTED (:func:`..sinks.read_version`, marker-gated so torn
-    writes are invisible) and diffed with the engine's CDC operator
-    (:func:`..merge.snapshot_diff`).  The output folds the two reads
-    and the diff into one audit row the oracle recomputes from raw
-    events alone, so a hash match proves the version chain stores,
-    isolates, and replays historical states exactly — the
-    Delta/Iceberg `VERSION AS OF` contract on plain parquet.
+    """TIME-TRAVEL on the COMMIT LOG (round-8 query, storage migrated
+    to the log in round 12 — VERDICT r11 item 5: the log subsumes the
+    round-8 snapshot store, so one table abstraction remains): a
+    per-user activity snapshot is PUBLISHED twice — v1 from the first
+    half-month of events, v2 from the full table, each version one
+    whole-table ``replace_where([])`` commit (INSERT OVERWRITE: the
+    snapshot-per-version write pattern expressed in log commits) —
+    then both versions are read back with ``VERSION AS OF``
+    (:func:`..lakehouse.read_table`) and diffed with the engine's CDC
+    operator (:func:`..merge.snapshot_diff`).  The output folds the
+    two reads and the diff into one audit row the oracle recomputes
+    from raw events alone, so a hash match proves the log stores,
+    isolates, and replays historical states exactly.
 
-    Scale: each version is an immutable directory + one marker file;
-    commits are O(1) renames after the data write; the diff ships
-    (key, xxhash64) pairs only."""
+    Scale: a version commit shares no files with its predecessor (a
+    full snapshot rewrite — the right unit for dimension-sized
+    tables); reads open only the named version's live set; the diff
+    ships (key, xxhash64) pairs only."""
     import shutil
 
+    from .. import lakehouse as lk
     from ..merge import snapshot_diff
-    from ..sinks import read_version, write_versioned
     from ..streaming import _SCRATCH
 
     tag = pathlib.Path(sf_dir.rstrip("/")).name.replace(".", "_")
@@ -861,11 +864,17 @@ def q_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("value_micros"),
     )
-    v1 = write_versioned(snap(e.filter(F.dayofmonth("ts") <= 15)), path)
-    v2 = write_versioned(snap(e), path)
 
-    s1 = read_version(spark, path, v1)
-    s2 = read_version(spark, path, v2)
+    def publish(df) -> int:
+        t = lk.Transaction(path)
+        t.replace_where(spark, [], df)  # whole-table INSERT OVERWRITE
+        return t.commit()
+
+    v1 = publish(snap(e.filter(F.dayofmonth("ts") <= 15)))
+    v2 = publish(snap(e))
+
+    s1 = lk.read_table(spark, path, version=v1)
+    s2 = lk.read_table(spark, path, version=v2)
     diff = snapshot_diff(s1, s2, ["user_id"]).groupBy().pivot(
         "change_type", ["added", "changed", "removed"]
     ).count()
@@ -1368,30 +1377,30 @@ def q_fourier_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("datalayout", "time-travel", "vacuum", "extension"),
 )
 def q_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """VACUUM with a retention window on the versioned snapshot store
-    (round-8 — the lifecycle half of ``q_time_travel_read``'s commit
-    protocol): three versions are committed (users active through day
-    10 / day 20 / all), a torn write is staged (a ``_tmp`` data dir
-    with no marker — exactly what a crash between data write and
-    marker rename leaves), then :func:`..sinks.vacuum_versions`
-    retains the newest 2.  The audit row folds the protocol outcomes
-    (counts before/after, the expired version count, the torn-write
-    sweep, and that reading the expired version now raises)
-    with data facts the oracle recomputes from raw events — user
-    counts of the oldest RETAINED version (day ≤ 20) and the latest.
-    Expired versions never show up as orphans: the marker delete and
-    data delete run together, so vacuum's only orphan here is the
-    staged tmp dir.
-    A hash match proves retention expired exactly the oldest version,
-    swept exactly the torn writes, and left every retained version
-    byte-readable.
+    """RETENTION + ORPHAN SWEEP on the COMMIT LOG (round-8 query,
+    storage migrated to the log in round 12 — VERDICT r11 item 5; the
+    lifecycle half of ``q_time_travel_read``'s versioning): three
+    snapshot versions are published (users active through day 10 /
+    day 20 / all — whole-table ``replace_where([])`` commits), a torn
+    write is staged (a ``.stage-*`` dir with no commit referencing it
+    — exactly what a crash between staging and commit leaves), then
+    :func:`..lakehouse.expire_versions` retains versions ≥ 2 and
+    :func:`..lakehouse.vacuum_orphans` sweeps the debris.  The audit
+    row folds the protocol outcomes (version counts before/after, the
+    expired count, the orphan sweep, and that time travel below the
+    retention boundary now raises) with data facts the oracle
+    recomputes from raw events — user counts of the oldest RETAINED
+    version (day ≤ 20) and the latest.  Expired versions never show
+    up as orphans: expiry deletes exactly the files only they
+    referenced, so vacuum's only orphan here is the staged dir.
 
-    Scale: vacuum is pure marker-directory metadata — O(versions)
-    renames/deletes, no data scan; snapshot stats read only the two
-    retained version directories."""
+    Scale: expiry is O(log) driver-side metadata + one unlink per
+    doomed file (no data job); the orphan sweep is a directory listing
+    gated by a min-age window; reads open only the named version's
+    live set."""
     import shutil
 
-    from ..sinks import read_version, vacuum_versions, write_versioned
+    from .. import lakehouse as lk
     from ..streaming import _SCRATCH
 
     tag = pathlib.Path(sf_dir.rstrip("/")).name.replace(".", "_")
@@ -1402,34 +1411,45 @@ def q_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap = lambda df: df.groupBy("user_id").agg(  # noqa: E731
         F.count(F.lit(1)).cast("long").alias("n_events")
     )
-    write_versioned(snap(e.filter(F.dayofmonth("ts") <= 10)), path)
-    v2 = write_versioned(snap(e.filter(F.dayofmonth("ts") <= 20)), path)
-    v3 = write_versioned(snap(e), path)
-    # torn write: data landed, marker never did (crash mid-commit)
-    snap(e.filter(F.dayofmonth("ts") <= 5)).write.mode("overwrite").parquet(
-        f"{path}/_tmp_v99"
-    )
+
+    def publish(df) -> int:
+        t = lk.Transaction(path)
+        t.replace_where(spark, [], df)
+        return t.commit()
+
+    publish(snap(e.filter(F.dayofmonth("ts") <= 10)))
+    v2 = publish(snap(e.filter(F.dayofmonth("ts") <= 20)))
+    v3 = publish(snap(e))
+    versions_before = lk.latest_commit(path)
+    # torn write: files staged, the commit never landed
+    snap(e.filter(F.dayofmonth("ts") <= 5)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/.stage-crashed")
+    res = lk.expire_versions(path, keep_from=v2)
+    n_removed = res["expired_through"]  # versions 1..expired_through
     # single-writer engine posture: immediate orphan sweep is safe and
-    # opted into explicitly (the default is the 300 s retention window)
-    res = vacuum_versions(path, keep_last=2, min_orphan_age_sec=0.0)
+    # opted into explicitly (the default is the 300 s age window)
+    orphans_removed = lk.vacuum_orphans(path, min_age_sec=0.0)
     try:
-        read_version(spark, path, 1)
+        lk.read_table(spark, path, version=1)
         removed_unreadable = False
     except ValueError:
         removed_unreadable = True
 
-    oldest = read_version(spark, path, v2).agg(
+    oldest = lk.read_table(spark, path, version=v2).agg(
         F.count(F.lit(1)).cast("long").alias("oldest_kept_users")
     )
-    latest = read_version(spark, path, v3).agg(
+    latest = lk.read_table(spark, path, version=v3).agg(
         F.count(F.lit(1)).cast("long").alias("latest_users"),
         F.sum("n_events").cast("long").alias("latest_events"),
     )
     return oldest.crossJoin(F.broadcast(latest)).select(
-        F.lit(res["versions_before"]).cast("long").alias("versions_before"),
-        F.lit(res["versions_after"]).cast("long").alias("versions_after"),
-        F.lit(len(res["removed"])).cast("long").alias("n_removed"),
-        F.lit(res["orphans_removed"]).cast("long").alias("orphans_removed"),
+        F.lit(versions_before).cast("long").alias("versions_before"),
+        F.lit(versions_before - n_removed).cast("long").alias(
+            "versions_after"
+        ),
+        F.lit(n_removed).cast("long").alias("n_removed"),
+        F.lit(orphans_removed).cast("long").alias("orphans_removed"),
         F.lit(removed_unreadable).alias("removed_unreadable"),
         "oldest_kept_users",
         "latest_users",
