@@ -768,6 +768,82 @@ def _dv_subtract(
     return df.join(dv, ["_dv_file", "_dv_pos"], "left_anti")
 
 
+#: Staged-part count above which footer stats are computed as ONE
+#: Spark job (:func:`lakehouse_checkpoint.stats_distributed`) instead
+#: of a serial driver loop — a full-table rewrite staging thousands
+#: of files pays one job; incremental commits (a handful of parts)
+#: keep the cheaper local reads (VERDICT r11 item 2).
+_STATS_DISTRIBUTED_MIN_FILES = 64
+
+
+def _staged_stats(parts, force_cols=()) -> dict[str, dict | None]:
+    """Footer stats for staged part files, keyed by str(path) —
+    driver-local under :data:`_STATS_DISTRIBUTED_MIN_FILES`,
+    distributed (one ``mapPartitions`` job) above it."""
+    parts = list(parts)
+    if len(parts) >= _STATS_DISTRIBUTED_MIN_FILES:
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            from .lakehouse_checkpoint import stats_distributed
+
+            return stats_distributed(spark, parts, force_cols=force_cols)
+    return {
+        str(p): _file_stats(p, force_cols=force_cols) for p in parts
+    }
+
+
+def _z_clustered(
+    df: DataFrame, cols: list[str], bits: int, n_files: int
+) -> DataFrame:
+    """``df`` re-laid along a Z-ORDER space-filling curve over
+    ``cols`` — the shared construction under :meth:`Transaction.
+    optimize_zorder` (whole table) and :meth:`Transaction.
+    optimize_zorder_incremental` (small-file candidates only).
+    Scale-correct, no UDF anywhere: each column is quantile-bucketed
+    to ``bits`` bits via ONE ``approxQuantile`` pass over ``df``
+    (rank-based — skew and arbitrary ranges normalize identically;
+    NULLs take bucket 0), bucket ids come from a higher-order
+    ``filter`` over the literal boundary array (whole-stage codegen),
+    the z-value is pure bit-interleaving arithmetic, and the layout is
+    one ``repartitionByRange(z) + sortWithinPartitions(z)`` job."""
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    proj = df
+    zn = []
+    for i, c in enumerate(cols):
+        t = types.get(c)
+        if t is None:
+            raise ValueError(f"zorder column {c!r} not in table schema")
+        col = F.col(c)
+        if t in ("timestamp", "date", "timestamp_ntz"):
+            col = col.cast("timestamp").cast("double")
+        else:
+            col = col.cast("double")
+        name = f"_zn_{i}"
+        proj = proj.withColumn(name, col)
+        zn.append(name)
+    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    # one distributed pass computes every column's boundaries
+    bnds = proj.stat.approxQuantile(zn, probs, 0.01)
+    buckets = []
+    for name, bs in zip(zn, bnds):
+        arr = F.array(*[F.lit(float(b)) for b in bs])
+        buckets.append(
+            F.size(F.filter(arr, lambda b: b < F.col(name))).cast("long")
+        )
+    k = len(cols)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, bk in enumerate(buckets):
+            bit = F.shiftright(bk, i).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, i * k + j)
+    return (
+        proj.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z", *zn)
+    )
+
+
 def table_detail(path: str, version: int | None = None) -> dict:
     """DESCRIBE DETAIL from the log alone — no data file opened:
     ``{"version", "n_files", "n_rows", "n_bytes", "n_dvs",
@@ -1910,8 +1986,10 @@ class Transaction:
         idn_phys = tuple(
             _colmap(self._effective_meta()).get(nm, nm) for nm in idn
         )
-        for part in sorted(stage.glob("part-*.parquet")):
-            st = _file_stats(part, force_cols=idn_phys)
+        parts = sorted(stage.glob("part-*.parquet"))
+        all_stats = _staged_stats(parts, force_cols=idn_phys)
+        for part in parts:
+            st = all_stats[str(part)]
             if st is not None and st["rows"] == 0:
                 continue  # empty-partition debris: stage nothing
             name = f"{_DATA_DIR}/add-{uuid.uuid4().hex}.parquet"
@@ -2027,8 +2105,10 @@ class Transaction:
             "overwrite"
         ).parquet(str(stage))
         (root / _DATA_DIR).mkdir(parents=True, exist_ok=True)
-        for part in sorted(stage.glob("part-*.parquet")):
-            st = _file_stats(part)
+        parts = sorted(stage.glob("part-*.parquet"))
+        all_stats = _staged_stats(parts)
+        for part in parts:
+            st = all_stats[str(part)]
             if st is not None and st["rows"] == 0:
                 continue
             name = f"{_DATA_DIR}/rw-{uuid.uuid4().hex}.parquet"
@@ -2643,8 +2723,10 @@ class Transaction:
             n_files
         ).write.mode("overwrite").parquet(str(stage))
         added = 0
-        for part in sorted(stage.glob("part-*.parquet")):
-            st = _file_stats(part)
+        parts = sorted(stage.glob("part-*.parquet"))
+        all_stats = _staged_stats(parts)
+        for part in parts:
+            st = all_stats[str(part)]
             if st is not None and st["rows"] == 0:
                 continue
             name = f"{_DATA_DIR}/cp-{uuid.uuid4().hex}.parquet"
@@ -2710,60 +2792,13 @@ class Transaction:
         self._require_first_rewrite("optimize_zorder")
         self._ops.append("optimize_zorder")
         df = self._snapshot_frame(spark).drop("_dv_file", "_dv_pos")
-        types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-        proj = df
-        zn = []
-        for i, c in enumerate(cols):
-            t = types.get(c)
-            if t is None:
-                raise ValueError(f"zorder column {c!r} not in table schema")
-            col = F.col(c)
-            if t in ("timestamp", "date", "timestamp_ntz"):
-                col = col.cast("timestamp").cast("double")
-            else:
-                col = col.cast("double")
-            name = f"_zn_{i}"
-            proj = proj.withColumn(name, col)
-            zn.append(name)
-        probs = [i / (1 << bits) for i in range(1, 1 << bits)]
-        # one distributed pass computes every column's boundaries
-        bnds = proj.stat.approxQuantile(zn, probs, 0.01)
-        buckets = []
-        for name, bs in zip(zn, bnds):
-            arr = F.array(*[F.lit(float(b)) for b in bs])
-            buckets.append(
-                F.size(F.filter(arr, lambda b: b < F.col(name))).cast("long")
-            )
-        k = len(cols)
-        z = F.lit(0).cast("long")
-        for i in range(bits):
-            for j, bk in enumerate(buckets):
-                bit = F.shiftright(bk, i).bitwiseAND(F.lit(1))
-                z = z + F.shiftleft(bit, i * k + j)
         out = _to_physical(
-            proj.withColumn("_z", z)
-            .repartitionByRange(n_files, "_z")
-            .sortWithinPartitions("_z")
-            .drop("_z", *zn),
-            self._effective_meta(),
+            _z_clustered(df, cols, bits, n_files), self._effective_meta()
         )
         stage = root / f".stage-{uuid.uuid4().hex[:8]}"
         (root / _DATA_DIR).mkdir(parents=True, exist_ok=True)
         out.write.mode("overwrite").parquet(str(stage))
-        added = 0
-        for part in sorted(stage.glob("part-*.parquet")):
-            st = _file_stats(part)
-            if st is not None and st["rows"] == 0:
-                continue
-            name = f"{_DATA_DIR}/zo-{uuid.uuid4().hex}.parquet"
-            part.rename(root / name)
-            # role "compact": the logical row set is unchanged, so the
-            # change feed emits nothing for this commit
-            self.actions.append(
-                {"op": "add", "file": name, "role": "compact", "stats": st}
-            )
-            added += 1
-        shutil.rmtree(stage)
+        added = self._stage_rewrite_parts(stage, "zo")
         for f in self._live:
             self.actions.append({"op": "remove", "file": f})
             self.read_files.add(f)
@@ -2773,6 +2808,95 @@ class Transaction:
         self.metrics["files_rewritten"] = len(self._live)
         self.metrics["files_added"] = added
         return len(self._live), added
+
+    def _stage_rewrite_parts(self, stage: pathlib.Path, prefix: str) -> int:
+        """Rename a staged rewrite's parts into ``_data/`` as
+        role-``compact`` adds (data-neutral: the change feed stays
+        silent) carrying footer stats; drops empty-partition debris.
+        Returns files added."""
+        root = pathlib.Path(self.path)
+        parts = sorted(stage.glob("part-*.parquet"))
+        all_stats = _staged_stats(parts)
+        added = 0
+        for part in parts:
+            st = all_stats[str(part)]
+            if st is not None and st["rows"] == 0:
+                continue
+            name = f"{_DATA_DIR}/{prefix}-{uuid.uuid4().hex}.parquet"
+            part.rename(root / name)
+            self.actions.append(
+                {"op": "add", "file": name, "role": "compact", "stats": st}
+            )
+            added += 1
+        shutil.rmtree(stage)
+        return added
+
+    def optimize_zorder_incremental(
+        self,
+        spark: SparkSession,
+        cols: list[str],
+        target_bytes: int = 128 << 20,
+        bits: int = 6,
+    ) -> tuple[int, int]:
+        """INCREMENTAL OPTIMIZE ... ZORDER — the liquid-clustering
+        posture: :meth:`optimize_zorder`'s curve applied with
+        :meth:`compact_small`'s candidate selection.  Only files
+        smaller than ``target_bytes`` (the recent-ingest clustering
+        debt) are rewritten — z-ordered among themselves, bin-packed
+        to ``ceil(candidate bytes / target)`` files — while every
+        already-right-sized file SURVIVES BY NAME, so settling the
+        debt on a 100 TB table costs the new data, never the other
+        99.9 TB (a whole-table re-zorder is the
+        :meth:`optimize_zorder` contract, and unthinkable at that
+        size; Delta moved to liquid clustering for exactly this
+        reason).
+
+        The curve boundaries are quantiles OF THE CANDIDATE ROWS: new
+        files cluster tightly over the new data's own distribution —
+        each staged file's footer min/max is tight on every clustered
+        column, so the skipping contract holds for the new generation
+        immediately; old well-clustered files keep their existing
+        tight stats untouched.  Deletion vectors are applied to the
+        moved rows (same rule as :meth:`compact_small`); the vectors
+        stay live for untouched files.  Candidates < 2 → (0, 0),
+        nothing staged.  Returns ``(files_rewritten, files_added)``."""
+        root = pathlib.Path(self.path)
+        if not cols or len(cols) * bits > 60:
+            raise ValueError(
+                f"zorder needs 1+ columns with cols×bits ≤ 60 bits "
+                f"(got {len(cols)}×{bits})"
+            )
+
+        def size_of(f: str) -> int:
+            st = self._stats.get(f)
+            if st is not None and st.get("bytes"):
+                return int(st["bytes"])
+            return (root / f).stat().st_size
+
+        cand = [f for f in self._live if size_of(f) < target_bytes]
+        if len(cand) < 2:
+            return 0, 0
+        self._require_first_rewrite("optimize_zorder_incremental")
+        self._ops.append("optimize_zorder_incremental")
+        df = _with_addresses(spark, root, sorted(cand), self._meta)
+        if self._dvs:
+            self.read_files.update(self._dvs)
+            df = _dv_subtract(spark, root, self._dvs, df)
+        df = df.drop("_dv_file", "_dv_pos")
+        n_bins = max(1, -(-sum(size_of(f) for f in cand) // target_bytes))
+        out = _to_physical(
+            _z_clustered(df, cols, bits, n_bins), self._effective_meta()
+        )
+        stage = root / f".stage-{uuid.uuid4().hex[:8]}"
+        (root / _DATA_DIR).mkdir(parents=True, exist_ok=True)
+        out.write.mode("overwrite").parquet(str(stage))
+        added = self._stage_rewrite_parts(stage, "zi")
+        for f in sorted(cand):
+            self.actions.append({"op": "remove", "file": f})
+            self.read_files.add(f)
+        self.metrics["files_rewritten"] = len(cand)
+        self.metrics["files_added"] = added
+        return len(cand), added
 
     def compact_small(
         self,
@@ -2824,18 +2948,7 @@ class Transaction:
         _to_physical(df, self._effective_meta()).repartition(
             n_bins
         ).write.mode("overwrite").parquet(str(stage))
-        added = 0
-        for part in sorted(stage.glob("part-*.parquet")):
-            st = _file_stats(part)
-            if st is not None and st["rows"] == 0:
-                continue
-            name = f"{_DATA_DIR}/cs-{uuid.uuid4().hex}.parquet"
-            part.rename(root / name)
-            self.actions.append(
-                {"op": "add", "file": name, "role": "compact", "stats": st}
-            )
-            added += 1
-        shutil.rmtree(stage)
+        added = self._stage_rewrite_parts(stage, "cs")
         for f in sorted(cand):
             self.actions.append({"op": "remove", "file": f})
             self.read_files.add(f)

@@ -712,3 +712,132 @@ def _register_view(df: DataFrame) -> str:
     name = f"sql_dml_src_{_uuid.uuid4().hex[:10]}"
     df.createOrReplaceTempView(name)
     return name
+
+
+@query(
+    "q_lakehouse_zorder_incremental",
+    oracle="""
+    WITH slices AS (
+      SELECT event_type, value FROM events WHERE user_id % 97 < 3
+    ),
+    final AS (
+      SELECT event_type, value FROM events
+      UNION ALL SELECT event_type, value FROM slices
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+               AS value_micros,
+           TRUE AS clustered_survive,
+           TRUE AS debt_settled,
+           TRUE AS skipping_new_generation,
+           TRUE AS feed_silent
+    FROM final
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("lakehouse", "zorder", "clustering", "maintenance", "extension"),
+)
+def q_lakehouse_zorder_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL Z-ORDER — the liquid-clustering posture (VERDICT
+    r11 item 7): :meth:`..lakehouse.Transaction.optimize_zorder` is a
+    whole-table rewrite (unthinkable as routine maintenance at 100
+    TB); ``optimize_zorder_incremental`` applies the SAME z-curve
+    construction with :meth:`compact_small`'s candidate selection, so
+    settling clustering debt costs the new data only.
+
+    Drill on events: v1 seed append → v2 whole-table ZORDER BY
+    (event_id, value) into 4 clustered files → v3-5 three small
+    appends (user_id mod-97 slices with event_id shifted by 10^9 —
+    ids disjoint from the base at every SF) → one incremental pass
+    with ``target_bytes`` = the smallest clustered file's size (the
+    strict ``<`` selection keeps every clustered file out of the
+    candidate set by construction).  Audits the oracle pins TRUE:
+
+    - ``clustered_survive`` — every v2 clustered file is still live
+      BY NAME after the pass (zero bytes of settled data rewritten);
+    - ``debt_settled`` — none of the small append files survive, and
+      the debt landed in fewer new files than it arrived in;
+    - ``skipping_new_generation`` — a predicate inside the shifted id
+      range (``event_id >= 10^9``) prunes to zi- files ONLY, and the
+      pruned read equals the slices exactly (tight footer bounds on
+      the fresh generation, old tight bounds untouched);
+    - ``feed_silent`` — the maintenance commit emits nothing on the
+      change feed (dataChange=false analog).
+
+    The result aggregates the final table by type — value-hashed
+    against the oracle's recompute of base ∪ slices."""
+    from .. import lakehouse as lk
+
+    path = str(_SCRATCH / f"lakehouse_zi_{_tag(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+    t = lk.Transaction(path)
+    t.append(ev.repartition(4))
+    t.commit()  # v1
+    t = lk.Transaction(path)
+    t.optimize_zorder(spark, ["event_id", "value"], n_files=4)
+    t.commit()  # v2: the settled, well-clustered generation
+    for i in range(3):  # v3-5: small-file clustering debt
+        t = lk.Transaction(path)
+        t.append(
+            ev.filter(F.col("user_id") % 97 == i).select(
+                (F.col("event_id") + F.lit(10**9)).alias("event_id"),
+                "user_id", "event_type", "value",
+            ).coalesce(1)
+        )
+        t.commit()
+
+    _v, live_before, _dvs = lk._state(path)
+    _v2, _live2, _dv2, _txn, _meta, stats = lk._state_full(path)
+    clustered = {f for f in live_before if f.startswith("data/zo-")}
+    debt = live_before - clustered
+    target = min(stats[f]["bytes"] for f in clustered)
+
+    t = lk.Transaction(path)
+    rewritten, added = t.optimize_zorder_incremental(
+        spark, ["event_id", "value"], target_bytes=target
+    )
+    t.commit()
+    v_after = lk.latest_commit(path)
+    _v3, live_after, _dv3 = lk._state(path)
+
+    clustered_survive = clustered <= live_after
+    debt_settled = (
+        rewritten == len(debt) == 3
+        and not (debt & live_after)
+        and 1 <= added < len(debt) + 1
+    )
+    pred = [("event_id", ">=", 10**9)]
+    _pv, kept, _total = lk.prune_files(path, pred)
+    pruned = lk.read_table(spark, path, predicate=pred)
+    n_slices = ev.filter(F.col("user_id") % 97 < 3).count()
+    skipping_new_generation = (
+        bool(kept)
+        and all(f.startswith("data/zi-") for f in kept)
+        and pruned.count() == n_slices
+    )
+    feed_silent = (
+        lk.read_changes(spark, path, v_after - 1, v_after).count() == 0
+    )
+
+    return (
+        lk.read_table(spark, path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_micros(F.col("value"))).cast("long").alias("value_micros"),
+        )
+        .withColumn("clustered_survive", F.lit(bool(clustered_survive)))
+        .withColumn("debt_settled", F.lit(bool(debt_settled)))
+        .withColumn(
+            "skipping_new_generation", F.lit(bool(skipping_new_generation))
+        )
+        .withColumn("feed_silent", F.lit(bool(feed_silent)))
+        .orderBy("event_type")
+    )

@@ -250,3 +250,94 @@ def test_stats_indexed_column_cap(spark, tmp_path):
         lk.read_table(spark, path, predicate=[("c39", ">", 10**9)]).count()
         == 0
     )
+
+
+# --- incremental ZORDER (round 12, liquid-clustering posture) ---------
+
+
+def _clustered_plus_debt(spark, tmp_path):
+    """One big well-clustered generation + several small appends."""
+    path = str(tmp_path / "lc")
+    t = lk.Transaction(path)
+    t.append(
+        spark.createDataFrame(
+            [(j, j % 50, float(j)) for j in range(20000)],
+            "id long, k long, v double",
+        ).repartition(4)
+    )
+    t.commit()
+    t = lk.Transaction(path)
+    t.optimize_zorder(spark, ["id", "k"], n_files=4)
+    t.commit()
+    for i in range(3):  # the small-file clustering debt
+        t = lk.Transaction(path)
+        t.append(
+            spark.createDataFrame(
+                [(20000 + i * 100 + j, j % 50, float(j)) for j in range(100)],
+                "id long, k long, v double",
+            ).coalesce(1)
+        )
+        t.commit()
+    return path
+
+
+def test_incremental_zorder_spares_clustered_files(spark, tmp_path):
+    path = _clustered_plus_debt(spark, tmp_path)
+    _v, live_before, _dvs = lk._state(path)
+    big = {f for f in live_before if f.startswith("data/zo-")}
+    small = live_before - big
+    assert len(big) == 4 and len(small) == 3
+    t = lk.Transaction(path)
+    rewritten, added = t.optimize_zorder_incremental(
+        spark, ["id", "k"], target_bytes=16 << 10
+    )
+    t.commit()
+    assert rewritten == 3 and added >= 1
+    _v2, live_after, _dvs2 = lk._state(path)
+    assert big <= live_after            # clustered files SURVIVE BY NAME
+    assert not (small & live_after)     # the debt is gone
+    # the logical row set is unchanged
+    assert lk.read_table(spark, path).count() == 20300
+    # the change feed stays silent for the maintenance commit
+    v = lk.latest_commit(path)
+    assert lk.read_changes(spark, path, v - 1, v).count() == 0
+
+
+def test_incremental_zorder_skipping_contract(spark, tmp_path):
+    path = _clustered_plus_debt(spark, tmp_path)
+    t = lk.Transaction(path)
+    t.optimize_zorder_incremental(spark, ["id", "k"], target_bytes=16 << 10)
+    t.commit()
+    # new-generation rows live in zi- files with TIGHT id bounds:
+    # a predicate inside the debt's id range opens no zo- file
+    pred = [("id", ">=", 20000)]
+    _v, kept, total = lk.prune_files(path, pred)
+    assert kept and all(f.startswith("data/zi-") for f in kept)
+    got = lk.read_table(spark, path, predicate=pred)
+    assert got.count() == 300
+    # ... and a pruned read equals the full filtered read
+    exp = lk.read_table(spark, path).filter("id >= 20000")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, exp.collect())
+    )
+
+
+def test_incremental_zorder_applies_dvs_and_noops(spark, tmp_path):
+    path = _clustered_plus_debt(spark, tmp_path)
+    t = lk.Transaction(path)
+    t.delete_where_mor(spark, F.col("id").between(20000, 20049))
+    t.commit()
+    t = lk.Transaction(path)
+    rewritten, _added = t.optimize_zorder_incremental(
+        spark, ["id", "k"], target_bytes=16 << 10
+    )
+    t.commit()
+    assert rewritten == 3
+    # moved rows escaped their position-keyed vector without
+    # resurrecting the delete
+    assert lk.read_table(spark, path).count() == 20250
+    # nothing small left: the next incremental pass is a no-op
+    t = lk.Transaction(path)
+    assert t.optimize_zorder_incremental(
+        spark, ["id", "k"], target_bytes=1 << 10
+    ) == (0, 0)

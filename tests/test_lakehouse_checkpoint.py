@@ -158,3 +158,29 @@ def test_time_travel_uses_older_checkpoint(spark, tmp_path):
     pv, live_pq, dv_pq, _meta = _state_sets(spark, path, version=3)
     _v, live, dvs, _txns, _m, _s = lk._state_full(path, 3)
     assert pv == 3 and live_pq == live and dv_pq == dvs
+
+
+def test_staging_switches_to_distributed_stats(spark, tmp_path, monkeypatch):
+    """Past the part-count threshold the staging paths compute footer
+    stats as one Spark job — byte-identical stats dicts to the serial
+    driver reads they replace."""
+    monkeypatch.setattr(lk, "_STATS_DISTRIBUTED_MIN_FILES", 4)
+    path = str(tmp_path / "t")
+    t = lk.Transaction(path)
+    t.append(
+        spark.createDataFrame(
+            [(j, float(j)) for j in range(400)], "id long, v double"
+        ).repartition(8)
+    )
+    t.commit()
+    t = lk.Transaction(path)
+    t.compact(spark, n_files=6)
+    t.commit()
+    root = pathlib.Path(path)
+    for v in (1, 2):
+        adds = [
+            a for a in lk._read_commit(path, v)["actions"] if a["op"] == "add"
+        ]
+        assert len(adds) >= 4
+        for a in adds:
+            assert a["stats"] == lk._file_stats(root / a["file"])
