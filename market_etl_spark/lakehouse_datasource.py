@@ -22,6 +22,10 @@ uses for the archive source:
     # write: distributed append through the log's commit protocol
     df.write.format("lakehouse").mode("append").save(path)
 
+    # streaming sink: exactly-once under (txnAppId, epoch) identities
+    (df.writeStream.format("lakehouse").option("txnAppId", "job1")
+       .option("checkpointLocation", ck).start(path))
+
 Why each half is shaped the way it is:
 
 **Batch** — one :class:`InputPartition` per LIVE data file, so Spark's
@@ -103,6 +107,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -378,17 +383,23 @@ class _LakehouseStreamReader(SimpleDataSourceStreamReader):
         if self.max_commits:
             v_to = min(latest, v_from + self.max_commits)
         if v_to <= v_from:
-            return [], {"v": v_from}
+            # a TRUE iterator, not a bare list: the engine's no-advance
+            # validation calls next() on it (a list here crashed every
+            # availableNow run against an up-to-date table)
+            return iter(()), {"v": v_from}
         return self.readBetweenOffsets({"v": v_from}, {"v": v_to}), {"v": v_to}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        # materialized, not lazy: Spark pickles the prefetched batch
-        # into its own cache — delta-sized by the module contract
-        return [
-            row
-            for v in range(start["v"] + 1, end["v"] + 1)
-            for row in self._commit_rows(v)
-        ]
+        # materialized THEN wrapped: Spark pickles the prefetched batch
+        # into its own cache (a lazy generator cannot pickle), and the
+        # wrapper probes emptiness with next() (a bare list cannot)
+        return iter(
+            [
+                row
+                for v in range(start["v"] + 1, end["v"] + 1)
+                for row in self._commit_rows(v)
+            ]
+        )
 
     # -- per-commit derivation (pyarrow twin of lakehouse.read_changes)
 
@@ -527,82 +538,121 @@ class _StagedFile(WriterCommitMessage):
     stats: dict | None
 
 
+def _stage_one(path: str, arrow_schema, iterator) -> _StagedFile:
+    """Executor half shared by the batch and streaming writers: stage
+    one parquet file per non-empty partition directly into ``_data/``
+    under a fresh UUID name (invisible until a commit references it —
+    the same staged-debris contract as :meth:`Transaction.append`)
+    and compute its footer stats HERE, where the bytes are local."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    batches = [b for b in iterator if b.num_rows]
+    if not batches:
+        return _StagedFile(file="", stats=None)
+    tbl = pa.Table.from_batches(batches).cast(arrow_schema)
+    root = pathlib.Path(path)
+    (root / lk._DATA_DIR).mkdir(parents=True, exist_ok=True)
+    rel = f"{lk._DATA_DIR}/add-{uuid.uuid4().hex}.parquet"
+    pq.write_table(tbl, str(root / rel))
+    return _StagedFile(file=rel, stats=lk._file_stats(root / rel))
+
+
+def _unstage(path: str, messages) -> None:
+    root = pathlib.Path(path)
+    for m in messages:
+        if m and m.file:
+            (root / m.file).unlink(missing_ok=True)
+
+
+def _commit_staged(
+    path: str, arrow_schema, messages, txn_app=None, txn_version=None
+) -> int | None:
+    """Driver half shared by the batch and streaming writers: fold
+    the staged files into ONE commit through the optimistic protocol.
+    With a txn identity, a replayed epoch returns None (skipped) and
+    the duplicate staging debris is unlinked."""
+    staged = [m for m in messages if m and m.file]
+    t = lk.Transaction(path, txn_app=txn_app, txn_version=txn_version)
+    meta = t._effective_meta()
+    for blocker in ("identity", "generated", "constraints"):
+        if meta.get(blocker):
+            raise ValueError(
+                f"lakehouse writer cannot append to a table with "
+                f"{blocker} metadata — those validations are "
+                f"DataFrame-level; use Transaction.append"
+            )
+    declared = [
+        (f.name, f.dataType.simpleString())
+        for f in _spark_fields(arrow_schema)
+    ]
+    fields = meta.get("schema", [])
+    if fields:
+        if declared != list(map(tuple, fields)):
+            raise lk.SchemaMismatch(
+                f"writer schema {declared} != table schema {fields}"
+            )
+    else:
+        t.actions.append({"op": "set_meta", "meta": {"schema": declared}})
+    rows = 0
+    for m in staged:
+        t.actions.append(
+            {"op": "add", "file": m.file, "role": "append", "stats": m.stats}
+        )
+        rows += (m.stats or {}).get("rows", 0)
+    t._ops.append("append")
+    t.metrics["rows_appended"] = rows
+    v = t.commit()
+    if v is None:  # duplicate txn identity — clean our debris
+        _unstage(path, messages)
+    return v
+
+
 class _LakehouseWriter(DataSourceArrowWriter):
-    """Executor half: stage one parquet file per non-empty partition
-    directly into ``_data/`` under a fresh UUID name (invisible until
-    the driver's commit references it — the same staged-debris
-    contract as :meth:`Transaction.append`) and compute its footer
-    stats HERE, where the bytes are local."""
+    """Batch append — see :func:`_stage_one` / :func:`_commit_staged`."""
 
     def __init__(self, options, schema):
         self.path = _options_path(options)
         self.arrow_schema = _arrow_schema(schema)
 
     def write(self, iterator):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        batches = [b for b in iterator if b.num_rows]
-        if not batches:
-            return _StagedFile(file="", stats=None)
-        tbl = pa.Table.from_batches(batches).cast(self.arrow_schema)
-        root = pathlib.Path(self.path)
-        (root / lk._DATA_DIR).mkdir(parents=True, exist_ok=True)
-        rel = f"{lk._DATA_DIR}/add-{uuid.uuid4().hex}.parquet"
-        pq.write_table(tbl, str(root / rel))
-        return _StagedFile(file=rel, stats=lk._file_stats(root / rel))
+        return _stage_one(self.path, self.arrow_schema, iterator)
 
     def commit(self, messages):
-        staged = [m for m in messages if m.file]
-        t = lk.Transaction(self.path)
-        meta = t._effective_meta()
-        for blocker in ("identity", "generated", "constraints"):
-            if meta.get(blocker):
-                raise ValueError(
-                    f"lakehouse writer cannot append to a table with "
-                    f"{blocker} metadata — those validations are "
-                    f"DataFrame-level; use Transaction.append"
-                )
-        fields = meta.get("schema", [])
-        if fields:
-            declared = [
-                (f.name, f.dataType.simpleString())
-                for f in _spark_fields(self.arrow_schema)
-            ]
-            if declared != list(map(tuple, fields)):
-                raise lk.SchemaMismatch(
-                    f"writer schema {declared} != table schema {fields}"
-                )
-        else:
-            t.actions.append(
-                {
-                    "op": "set_meta",
-                    "meta": {
-                        "schema": [
-                            (f.name, f.dataType.simpleString())
-                            for f in _spark_fields(self.arrow_schema)
-                        ]
-                    },
-                }
-            )
-        rows = 0
-        for m in staged:
-            t.actions.append(
-                {"op": "add", "file": m.file, "role": "append",
-                 "stats": m.stats}
-            )
-            rows += (m.stats or {}).get("rows", 0)
-        t._ops.append("append")
-        t.metrics["rows_appended"] = rows
-        v = t.commit()
-        if v is None:  # duplicate txn identity — clean our debris
-            self.abort(messages)
+        _commit_staged(self.path, self.arrow_schema, messages)
 
     def abort(self, messages):
-        root = pathlib.Path(self.path)
-        for m in messages:
-            if m.file:
-                (root / m.file).unlink(missing_ok=True)
+        _unstage(self.path, messages)
+
+
+class _LakehouseStreamWriter(DataSourceStreamArrowWriter):
+    """EXACTLY-ONCE streaming sink: each micro-batch's staged files
+    commit under the txn identity ``(txnAppId option, epoch id)`` —
+    Spark's checkpoint replays a crashed epoch, the log's idempotent-
+    writer dedupe skips the duplicate commit and the duplicate staging
+    debris is unlinked (the same txnAppId/txnVersion contract
+    ``q_streaming_lakehouse_sink`` drives through foreachBatch, now
+    behind ``df.writeStream.format("lakehouse")``)."""
+
+    def __init__(self, options, schema):
+        self.path = _options_path(options)
+        self.arrow_schema = _arrow_schema(schema)
+        self.txn_app = options.get("txnAppId") or "lakehouse_stream_sink"
+
+    def write(self, iterator):
+        return _stage_one(self.path, self.arrow_schema, iterator)
+
+    def commit(self, messages, batchId: int):
+        _commit_staged(
+            self.path,
+            self.arrow_schema,
+            messages,
+            txn_app=self.txn_app,
+            txn_version=batchId,
+        )
+
+    def abort(self, messages, batchId: int):
+        _unstage(self.path, messages)
 
 
 def _spark_fields(arrow_schema):
@@ -646,6 +696,13 @@ class LakehouseDataSource(DataSource):
                 "overwrite semantics belong to Transaction.replace_where"
             )
         return _LakehouseWriter(self.options, schema)
+
+    def streamWriter(self, schema, overwrite: bool) -> _LakehouseStreamWriter:
+        if overwrite:
+            raise ValueError(
+                "lakehouse stream sink supports outputMode('append') only"
+            )
+        return _LakehouseStreamWriter(self.options, schema)
 
 
 def register(spark) -> None:

@@ -841,3 +841,123 @@ def q_lakehouse_zorder_incremental(
         .withColumn("feed_silent", F.lit(bool(feed_silent)))
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_lakehouse_datasource_sink",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+               AS value_micros,
+           TRUE AS replica_identical,
+           TRUE AS one_commit_per_epoch,
+           TRUE AS replay_skipped
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("streaming", "lakehouse", "datasource", "sink", "exactly-once",
+          "extension"),
+)
+def q_lakehouse_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SINK through the registered format — the write half
+    that completes the source (VERDICT r11 item 1's full circle):
+    ``df.writeStream.format("lakehouse")`` commits each micro-batch's
+    executor-staged files under the txn identity ``(txnAppId option,
+    epoch id)``, so exactly-once comes from composing Spark's
+    checkpointed offsets with the log's idempotent-writer dedupe —
+    the contract ``q_streaming_lakehouse_sink`` drives through
+    foreachBatch, now behind one ``.format()`` line.
+
+    Drill: an events-fed SOURCE lakehouse table (4 append commits) is
+    REPLICATED lakehouse→lakehouse — the registered source on one end,
+    the registered sink on the other, zero consumer code.  Run A
+    replicates the first 2 commits and the checkpoint is copied aside;
+    the remaining commits land and run B resumes from the checkpoint;
+    then the checkpoint is rolled back to the pre-crash copy and run C
+    replays the SAME epoch — the sink's txn identity already landed,
+    the duplicate commit SKIPS and its staging debris is unlinked.
+    Audits the oracle pins TRUE: ``replica_identical`` (row digest of
+    replica == source), ``one_commit_per_epoch`` (replica log holds
+    exactly one commit per replication epoch), ``replay_skipped``
+    (run C changed neither the row count nor the log version).  The
+    result aggregates the REPLICA — value-hashed against the oracle's
+    plain events aggregate, so the whole pipe is correctness-gated."""
+    from .. import lakehouse as lk
+    from ..lakehouse_datasource import register
+
+    register(spark)
+    tag = _tag(sf_dir)
+    src = str(_SCRATCH / f"lakehouse_sink_src_{tag}")
+    dst = str(_SCRATCH / f"lakehouse_sink_dst_{tag}")
+    ck = str(_SCRATCH / f"lakehouse_sink_ck_{tag}")
+    ck_copy = str(_SCRATCH / f"lakehouse_sink_ck_copy_{tag}")
+    for p in (src, dst, ck, ck_copy):
+        shutil.rmtree(p, ignore_errors=True)
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+
+    def replicate() -> None:
+        (
+            spark.readStream.format("lakehouse")
+            .load(src)
+            .writeStream.format("lakehouse")
+            .option("txnAppId", "replica")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start(dst)
+            .awaitTermination()
+        )
+
+    for q in range(2):
+        t = lk.Transaction(src)
+        t.append(ev.filter(F.col("event_id") % 4 == q).coalesce(1))
+        t.commit()
+    replicate()  # run A: epoch 0 <- commits 1-2
+    shutil.copytree(ck, ck_copy)
+    v_a = lk.latest_commit(dst)
+    for q in range(2, 4):
+        t = lk.Transaction(src)
+        t.append(ev.filter(F.col("event_id") % 4 == q).coalesce(1))
+        t.commit()
+    replicate()  # run B: epoch 1 <- commits 3-4
+    v_b = lk.latest_commit(dst)
+    n_b = lk.read_table(spark, dst).count()
+
+    shutil.rmtree(ck)
+    shutil.copytree(ck_copy, ck)
+    replicate()  # run C: epoch 1 replayed -> txn dedupe, no doubling
+    replay_skipped = (
+        lk.latest_commit(dst) == v_b
+        and lk.read_table(spark, dst).count() == n_b
+    )
+    one_commit_per_epoch = v_a == 1 and v_b == 2
+
+    digest = lambda df: tuple(  # noqa: E731
+        df.agg(
+            F.count(F.lit(1)),
+            F.expr(
+                "bit_xor(xxhash64(event_id, event_type, "
+                "CAST(ROUND(value*1e6,0) AS LONG)))"
+            ),
+        ).collect()[0]
+    )
+    replica_identical = digest(lk.read_table(spark, dst)) == digest(
+        lk.read_table(spark, src)
+    )
+
+    return (
+        lk.read_table(spark, dst)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_micros(F.col("value"))).cast("long").alias("value_micros"),
+        )
+        .withColumn("replica_identical", F.lit(bool(replica_identical)))
+        .withColumn("one_commit_per_epoch", F.lit(bool(one_commit_per_epoch)))
+        .withColumn("replay_skipped", F.lit(bool(replay_skipped)))
+        .orderBy("event_type")
+    )

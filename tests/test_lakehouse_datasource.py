@@ -348,3 +348,83 @@ def test_relation_reuse_quirk_is_sparks(spark, tmp_path):
     assert stale.count() in (10, 30)
     # the safe pattern is always correct
     assert spark.read.format("lakehouse").load(path).count() == 30
+
+
+# -------------------------------------------------------- stream sink
+
+
+def _replicate(spark, src, dst, ck):
+    q = (
+        spark.readStream.format("lakehouse")
+        .load(src)
+        .writeStream.format("lakehouse")
+        .option("txnAppId", "replica")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start(dst)
+    )
+    q.awaitTermination()
+
+
+def test_stream_sink_exactly_once_replication(spark, tmp_path):
+    """lakehouse -> lakehouse through the registered format on BOTH
+    ends: the sink commits each epoch under (txnAppId, batchId), so a
+    rewound checkpoint replays the same epoch and the log dedupes."""
+    src = _table(spark, tmp_path)
+    dst = str(tmp_path / "dst")
+    ck = str(tmp_path / "ck")
+    ck_copy = str(tmp_path / "ck_copy")
+    _replicate(spark, src, dst, ck)
+    assert lk.read_table(spark, dst).count() == 30
+    v1 = lk.latest_commit(dst)
+    import shutil
+
+    shutil.copytree(ck, ck_copy)
+    t = lk.Transaction(src)
+    t.append(
+        spark.createDataFrame([(100, 0.0, "x")], "id long, v double, s string")
+    )
+    t.commit()
+    _replicate(spark, src, dst, ck)
+    assert lk.read_table(spark, dst).count() == 31
+    v2 = lk.latest_commit(dst)
+    assert v2 == v1 + 1
+    # the crash: rewind to the pre-delta checkpoint and replay — the
+    # epoch re-runs, its txn identity already landed, nothing doubles
+    shutil.rmtree(ck)
+    shutil.copytree(ck_copy, ck)
+    _replicate(spark, src, dst, ck)
+    assert lk.read_table(spark, dst).count() == 31
+    assert lk.latest_commit(dst) == v2
+    # no staging debris survived the deduped replay
+    import pathlib as pl
+
+    _v, live, _dvs = lk._state(dst)
+    on_disk = {
+        f"data/{p.name}" for p in (pl.Path(dst) / "data").glob("*.parquet")
+    }
+    assert on_disk == live
+    # replica rows equal the source exactly
+    assert _rows(lk.read_table(spark, dst)) == _rows(
+        lk.read_table(spark, src)
+    )
+
+
+def test_stream_sink_refuses_validated_tables(spark, tmp_path):
+    src = _table(spark, tmp_path)
+    ident = str(tmp_path / "ident")
+    t = lk.Transaction(ident)
+    t.set_identity_column("rid")
+    t.commit()
+    with pytest.raises(Exception, match="identity"):
+        _replicate(spark, src, ident, str(tmp_path / "ck_i"))
+
+
+def test_stream_idle_run_is_clean(spark, tmp_path):
+    """An availableNow run against an UP-TO-DATE table must complete
+    with zero rows — the engine probes the no-advance read() result
+    with next(), which a bare list broke (round-12 regression)."""
+    path = _table(spark, tmp_path)
+    assert len(_tail(spark, path, "ck_idle", tmp_path)) == 30
+    assert _tail(spark, path, "ck_idle", tmp_path) == []
+    assert _tail(spark, path, "ck_idle", tmp_path) == []
