@@ -138,12 +138,23 @@ _FILTER_OPS = {
 
 
 def _options_path(options) -> str:
-    p = options.get("path")
+    p = options.get("path") or options.get("location")
     if not p:
+        # note: `CREATE TABLE t USING lakehouse LOCATION p` parses and
+        # stores the location, but Spark 4.1 constructs the scan-time
+        # Python reader with EMPTY options for catalog tables, so the
+        # catalog route cannot work yet — register SQL names via
+        # load(path).createOrReplaceTempView(...) or lakehouse_sql
         raise ValueError(
             "lakehouse source needs a table path: "
             "spark.read.format('lakehouse').load('/path/to/table')"
         )
+    if p.startswith("file:"):
+        # path may arrive as a file: URI (e.g. from catalog plumbing
+        # or a user's qualified load) — normalize to the local path
+        from urllib.parse import unquote, urlparse
+
+        p = unquote(urlparse(p).path)
     return p
 
 

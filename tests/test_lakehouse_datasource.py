@@ -428,3 +428,10 @@ def test_stream_idle_run_is_clean(spark, tmp_path):
     assert len(_tail(spark, path, "ck_idle", tmp_path)) == 30
     assert _tail(spark, path, "ck_idle", tmp_path) == []
     assert _tail(spark, path, "ck_idle", tmp_path) == []
+
+
+def test_file_uri_path_normalizes(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    got = spark.read.format("lakehouse").load(f"file:{path}")
+    assert got.count() == 30
+    assert lds._options_path({"path": f"file://{path}"}) == path
