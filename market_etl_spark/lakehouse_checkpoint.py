@@ -213,12 +213,19 @@ def _apply_tail(spark, base: DataFrame, path: str, v0: int, v: int):
 
 
 def advance_parquet_checkpoint(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession, path: str, version: int | None = None,
+    keep: int = 2,
 ) -> int:
     """Roll the newest parquet checkpoint forward to ``version``
     (default latest) as one Spark job over checkpoint-parquet + the
     delta-sized JSON tail — the incremental path that keeps O(files)
-    work off the driver forever after bootstrap."""
+    work off the driver forever after bootstrap.  Only the ``keep``
+    newest checkpoints survive (default 2: the new one plus its
+    predecessor, so a reader racing the advance never loses its
+    base) — without retention every advance would strand a full
+    O(files) metadata generation forever."""
+    import shutil
+
     v = lk.latest_commit(path) if version is None else version
     v0 = latest_parquet_checkpoint(path, v)
     if v0 is None:
@@ -228,6 +235,14 @@ def advance_parquet_checkpoint(
     base = spark.read.parquet(str(_ckpt_dir(path, v0)))
     df, _meta = _apply_tail(spark, base, path, v0, v)
     _atomic_write(df, _ckpt_dir(path, v))
+    log = pathlib.Path(path) / lk._LOG_DIR
+    vs = sorted(
+        int(p.name[len(_CKPT_PREFIX):])
+        for p in log.glob(f"{_CKPT_PREFIX}*")
+        if p.is_dir() and p.name[len(_CKPT_PREFIX):].isdigit()
+    )
+    for old in vs[:-keep] if keep > 0 else []:
+        shutil.rmtree(_ckpt_dir(path, old), ignore_errors=True)
     return v
 
 

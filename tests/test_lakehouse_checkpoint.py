@@ -184,3 +184,20 @@ def test_staging_switches_to_distributed_stats(spark, tmp_path, monkeypatch):
         assert len(adds) >= 4
         for a in adds:
             assert a["stats"] == lk._file_stats(root / a["file"])
+
+
+def test_advance_retains_bounded_checkpoints(spark, tmp_path):
+    """Every advance would otherwise strand a full O(files) metadata
+    generation forever: only the `keep` newest survive (the new one
+    plus its predecessor for readers racing the advance)."""
+    path = _busy_table(spark, tmp_path)  # 5 commits
+    ck.write_parquet_checkpoint(spark, path, version=1)
+    for v in (2, 3, 4, 5):
+        ck.advance_parquet_checkpoint(spark, path, version=v)
+    log = pathlib.Path(path) / lk._LOG_DIR
+    left = sorted(p.name for p in log.glob("ckptpq-*"))
+    assert left == ["ckptpq-00000004", "ckptpq-00000005"]
+    # the survivor still reconstructs the exact state
+    pv, live_pq, dv_pq, _meta = _state_sets(spark, path)
+    _v, live, dvs, _t, _m, _s = lk._state_full(path)
+    assert pv == 5 and live_pq == live and dv_pq == dvs
