@@ -359,7 +359,63 @@ def _lakehouse_drills(spark, sf_dir):
         f"pushed to the surviving scans.",
         lk.read_table(spark, p5, predicate=[("bal", "<", 0.0)]),
     ))
+
+    # 6. the REGISTERED datasource scan with pushed filters (round 12,
+    # q_lakehouse_datasource_read): the same skip table as drill 4
+    # read through spark.read.format("lakehouse")
+    from market_etl_spark.lakehouse_datasource import register
+
+    register(spark)
+    out.append((
+        "q_lakehouse_datasource_read (registered source, pushed filter)",
+        "The table enters the plan as `BatchScan lakehouse ... (Python)` "
+        "— a first-class DataSourceV2 relation.  `pushFilters` received "
+        "the k-conjunct at planning and pruned the source's partition "
+        "list with the add-action footer stats (1 of 4 files becomes an "
+        "InputPartition — asserted in test_lakehouse_datasource, "
+        "invisible in the plan text), while Spark re-applies the same "
+        "predicate as the residual `Filter` above the scan: pruning "
+        "changes I/O, never results.",
+        spark.read.format("lakehouse").load(p4).filter(F.col("k") < kb),
+    ))
+
+    # 7. the hint-dropped DV anti-join (round 12 broadcast bounds):
+    # with the position count over the configured cap the broadcast
+    # hint is dropped and the planner falls back to shuffle
+    spark.conf.set(lk._BROADCAST_MAX_ROWS_CONF, "1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    bounded = lk.read_table(spark, p2)  # p2 carries a live DV
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bounded.explain("formatted")
+    spark.conf.unset(lk._BROADCAST_MAX_ROWS_CONF)
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    out.append((
+        "read_table DV subtraction past the broadcast bound (round 12)",
+        "With the accumulated DV position count above "
+        "`spark.market_etl.lakehouse.broadcastMaxRows` the forced "
+        "broadcast hint is DROPPED: the anti join plans as "
+        "`SortMergeJoin ... LeftAnti` (both sides exchanged) instead of "
+        "`BroadcastHashJoin` — a 10^8-position delete wave degrades to "
+        "a slow shuffle, never an executor OOM.  Results are "
+        "plan-asserted identical to the broadcast path "
+        "(test_broadcast_bounds).",
+        _PrePlanned(buf.getvalue().rstrip()),
+    ))
     return out
+
+
+class _PrePlanned:
+    """A captured plan string wearing the .explain interface the
+    drill loop expects (the conf window had to close before return)."""
+
+    def __init__(self, text: str):
+        self._text = text
+
+    def explain(self, _mode: str) -> None:
+        print(self._text)
 
 
 def main() -> None:
@@ -432,16 +488,18 @@ def main() -> None:
     # EAGERLY and return audit rows, so the load-bearing plans — the
     # change-feed derivation shapes and the DV-subtracting rewrite —
     # are captured here from small scratch tables (VERDICT r10 item 7).
+    n_lake = 0
     for title, note, frame in _lakehouse_drills(spark, sf_dir):
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             frame.explain("formatted")
         out += [f"## {title}", "", note, "", "```", buf.getvalue().rstrip(), "```", ""]
+        n_lake += 1
 
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(path, "w") as f:
         f.write("\n".join(out) + "\n")
-    print(f"wrote {path} ({len(AUDITED) + len(drills) + 3} plans)")
+    print(f"wrote {path} ({len(AUDITED) + len(drills) + n_lake} plans)")
 
 
 if __name__ == "__main__":
