@@ -160,6 +160,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _LOG_DIR = "_log"
+#: Parquet-checkpoint directory prefix under _log/ — owned here so
+#: retention (expire_versions) and the orphan sweep know the layout;
+#: the plane itself lives in :mod:`.lakehouse_checkpoint`.
+_PQ_CKPT_PREFIX = "ckptpq-"
 _DATA_DIR = "data"
 _DV_DIR = "_deletes"
 _CDC_DIR = "_cdc"
@@ -409,6 +413,17 @@ def expire_versions(path: str, keep_from: int) -> dict:
                 p.unlink()
                 log_deleted += 1
         except (IndexError, ValueError, FileNotFoundError):
+            continue
+    # parquet checkpoints below the boundary reference deleted files
+    # AND their replay tail's commit JSONs are gone — leaving one
+    # behind would poison lakehouse_checkpoint.state_frame with a
+    # FileNotFoundError mid-tail instead of a clean re-bootstrap error
+    for p in log.glob(f"{_PQ_CKPT_PREFIX}*"):
+        try:
+            if p.is_dir() and int(p.name[len(_PQ_CKPT_PREFIX):]) < keep_from:
+                shutil.rmtree(p, ignore_errors=True)
+                log_deleted += 1
+        except ValueError:
             continue
     return {
         "expired_through": keep_from - 1,
@@ -3239,4 +3254,10 @@ def vacuum_orphans(path: str, min_age_sec: float = 300.0) -> int:
                         removed += 1
                     except OSError:
                         pass
+        # parquet-checkpoint staging DIRS a crashed advance left
+        # between the Spark write and the atomic rename
+        for p in log.glob(f".{_PQ_CKPT_PREFIX}*-tmp-*"):
+            if p.is_dir() and _old(p):
+                shutil.rmtree(p, ignore_errors=True)
+                removed += 1
     return removed

@@ -65,7 +65,8 @@ from pyspark.sql import functions as F
 
 from . import lakehouse as lk
 
-_CKPT_PREFIX = "ckptpq-"
+_CKPT_PREFIX = lk._PQ_CKPT_PREFIX  # layout owned by the log module:
+# expire_versions and vacuum_orphans sweep these dirs by prefix
 
 _SCHEMA = "kind string, file string, stats string, payload string"
 

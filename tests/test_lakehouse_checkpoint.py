@@ -201,3 +201,39 @@ def test_advance_retains_bounded_checkpoints(spark, tmp_path):
     pv, live_pq, dv_pq, _meta = _state_sets(spark, path)
     _v, live, dvs, _t, _m, _s = lk._state_full(path)
     assert pv == 5 and live_pq == live and dv_pq == dvs
+
+
+def test_expiry_drops_stale_parquet_checkpoints(spark, tmp_path):
+    """A parquet checkpoint below the retention boundary references
+    deleted files and its replay tail's commit JSONs are gone —
+    expire_versions must remove it so state_frame re-bootstraps
+    cleanly instead of dying mid-tail."""
+    path = _busy_table(spark, tmp_path)  # 5 commits
+    ck.write_parquet_checkpoint(spark, path, version=2)
+    lk.expire_versions(path, keep_from=4)
+    log = pathlib.Path(path) / lk._LOG_DIR
+    assert not list(log.glob("ckptpq-*"))
+    with pytest.raises(ValueError, match="no parquet checkpoint"):
+        ck.state_frame(spark, path)
+    # re-bootstrap works and agrees with JSON replay
+    ck.write_parquet_checkpoint(spark, path)
+    pv, live_pq, dv_pq, _m = _state_sets(spark, path)
+    _v, live, dvs, _t, _m2, _s = lk._state_full(path)
+    assert pv == 5 and live_pq == live and dv_pq == dvs
+    # ... and a checkpoint AT/above the boundary survives expiry
+    path2 = _busy_table(spark, tmp_path.joinpath("b"))
+    ck.write_parquet_checkpoint(spark, path2, version=4)
+    lk.expire_versions(path2, keep_from=4)
+    assert ck.latest_parquet_checkpoint(path2) == 4
+    pv2 = ck.state_frame(spark, path2)[0]
+    assert pv2 == 5
+
+
+def test_orphan_sweep_removes_crashed_advance_staging(spark, tmp_path):
+    path = _busy_table(spark, tmp_path)
+    log = pathlib.Path(path) / lk._LOG_DIR
+    debris = log / ".ckptpq-00000009-tmp-deadbeef"
+    debris.mkdir()
+    (debris / "part-0.parquet").write_bytes(b"x")
+    removed = lk.vacuum_orphans(path, min_age_sec=0.0)
+    assert removed >= 1 and not debris.exists()
