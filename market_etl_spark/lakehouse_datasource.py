@@ -14,6 +14,13 @@ uses for the archive source:
           .option("version", 3)          # or .option("timestamp", ...)
           .load(path))
 
+    # batch change feed (Delta's readChangeFeed batch mode): one
+    # input partition PER COMMIT, derived executor-side in parallel
+    cdf = (spark.read.format("lakehouse")
+           .option("readChangeFeed", "true")
+           .option("startingVersion", 2).option("endingVersion", 5)
+           .load(path))
+
     # stream: commit-version offsets in SPARK'S OWN checkpoint
     feed = (spark.readStream.format("lakehouse")
             .option("readChangeFeed", "true")
@@ -343,6 +350,49 @@ class _LakehouseBatchReader(DataSourceReader):
             drop_positions=drop,
         )
         yield from tbl.to_batches()
+
+
+@dataclass
+class _CommitSlice(InputPartition):
+    version: int
+
+
+class _LakehouseCDFBatchReader(DataSourceReader):
+    """BATCH change-feed read (Delta's ``readChangeFeed`` +
+    ``startingVersion``/``endingVersion`` batch mode): one
+    InputPartition PER COMMIT, each executor deriving its commit's
+    change rows with the same pyarrow derivation the streaming reader
+    uses — delta-sized per partition, commits derive in parallel."""
+
+    def __init__(self, options, schema):
+        self.path = _options_path(options)
+        self.start = int(options.get("startingVersion", 0))
+        end = options.get("endingVersion")
+        self.end = int(end) if end is not None else lk.latest_commit(self.path)
+        if not (0 <= self.start <= self.end):
+            raise ValueError(
+                f"invalid change range [{self.start}, {self.end}] at "
+                f"{self.path}"
+            )
+        # reuse the stream derivation, pinned to CDF mode
+        self._rows_of = _LakehouseStreamReader(
+            {
+                "path": self.path,
+                "readChangeFeed": "true",
+                "startingVersion": str(self.start),
+            },
+            schema,
+        )
+
+    def partitions(self):
+        return [
+            _CommitSlice(version=v) for v in range(self.start + 1, self.end + 1)
+        ]
+
+    def read(self, partition: _CommitSlice):
+        if partition is None:
+            return
+        yield from self._rows_of._commit_rows(partition.version)
 
 
 # --------------------------------------------------------------------
@@ -694,7 +744,9 @@ class LakehouseDataSource(DataSource):
             ddl += ", `_change_type` string, `_commit_version` int"
         return ddl
 
-    def reader(self, schema) -> _LakehouseBatchReader:
+    def reader(self, schema):
+        if str(self.options.get("readChangeFeed", "")).lower() == "true":
+            return _LakehouseCDFBatchReader(self.options, schema)
         return _LakehouseBatchReader(self.options, schema)
 
     def simpleStreamReader(self, schema) -> _LakehouseStreamReader:

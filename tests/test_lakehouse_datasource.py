@@ -435,3 +435,67 @@ def test_file_uri_path_normalizes(spark, tmp_path):
     got = spark.read.format("lakehouse").load(f"file:{path}")
     assert got.count() == 30
     assert lds._options_path({"path": f"file://{path}"}) == path
+
+
+def test_batch_cdf_read_matches_read_changes(spark, tmp_path):
+    """Batch readChangeFeed (Delta's startingVersion/endingVersion
+    mode): one InputPartition per commit, each derived executor-side —
+    row-identical to lakehouse.read_changes on the same range."""
+    path = _table(spark, tmp_path)
+    t = lk.Transaction(path)
+    t.delete_where_mor(spark, F.col("id") % 7 == 0)
+    t.commit()
+    got = (
+        spark.read.format("lakehouse")
+        .option("readChangeFeed", "true")
+        .load(path)
+    )
+    exp = lk.read_changes(spark, path, 0, lk.latest_commit(path))
+    assert got.columns == exp.columns
+    assert _rows(got) == _rows(exp)
+    ranged = (
+        spark.read.format("lakehouse")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "2")
+        .option("endingVersion", "3")
+        .load(path)
+    )
+    assert _rows(ranged) == _rows(lk.read_changes(spark, path, 2, 3))
+    # empty range -> empty frame, correct schema
+    empty = (
+        spark.read.format("lakehouse")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", str(lk.latest_commit(path)))
+        .load(path)
+    )
+    assert empty.count() == 0 and empty.columns == exp.columns
+
+
+def test_concurrent_datasource_writers_both_commit(spark, tmp_path):
+    """Two racing format-writer appends commute (appends never
+    conflict under the log) — both land, nothing lost."""
+    import threading
+
+    path = str(tmp_path / "w")
+    spark.createDataFrame([(0, 0.0)], "id long, v double").write.format(
+        "lakehouse"
+    ).mode("append").save(path)
+    errs = []
+
+    def put(lo):
+        try:
+            spark.createDataFrame(
+                [(lo + j, float(j)) for j in range(10)], "id long, v double"
+            ).write.format("lakehouse").mode("append").save(path)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=put, args=(100,)),
+          threading.Thread(target=put, args=(200,))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    assert lk.read_table(spark, path).count() == 21
+    assert lk.latest_commit(path) == 3
