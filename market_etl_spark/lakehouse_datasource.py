@@ -627,12 +627,18 @@ def _unstage(path: str, messages) -> None:
 
 
 def _commit_staged(
-    path: str, arrow_schema, messages, txn_app=None, txn_version=None
+    path: str, arrow_schema, messages, txn_app=None, txn_version=None,
+    merge_schema: bool = False,
 ) -> int | None:
     """Driver half shared by the batch and streaming writers: fold
     the staged files into ONE commit through the optimistic protocol.
     With a txn identity, a replayed epoch returns None (skipped) and
-    the duplicate staging debris is unlinked."""
+    the duplicate staging debris is unlinked.  ``merge_schema`` admits
+    NEW TRAILING columns by widening the table schema (Delta's
+    ``mergeSchema`` append option) — existing columns must still match
+    by name and type, in order, and the staged files all carry the
+    full new schema so no footer-merge read is needed for THEM (older
+    files align in as typed NULLs through the evolved-read path)."""
     staged = [m for m in messages if m and m.file]
     t = lk.Transaction(path, txn_app=txn_app, txn_version=txn_version)
     meta = t._effective_meta()
@@ -649,9 +655,29 @@ def _commit_staged(
     ]
     fields = meta.get("schema", [])
     if fields:
-        if declared != list(map(tuple, fields)):
-            raise lk.SchemaMismatch(
-                f"writer schema {declared} != table schema {fields}"
+        known = list(map(tuple, fields))
+        if declared != known:
+            prefix_ok = (
+                merge_schema
+                and len(declared) > len(known)
+                and declared[: len(known)] == known
+                and not lk._colmap(meta)
+            )
+            if not prefix_ok:
+                raise lk.SchemaMismatch(
+                    f"writer schema {declared} != table schema {fields}"
+                    + (
+                        ""
+                        if merge_schema
+                        else " — pass option('mergeSchema','true') to "
+                             "append new trailing columns"
+                    )
+                )
+            t.actions.append(
+                {
+                    "op": "set_meta",
+                    "meta": {"schema": declared, "evolved": True},
+                }
             )
     else:
         t.actions.append({"op": "set_meta", "meta": {"schema": declared}})
@@ -675,12 +701,20 @@ class _LakehouseWriter(DataSourceArrowWriter):
     def __init__(self, options, schema):
         self.path = _options_path(options)
         self.arrow_schema = _arrow_schema(schema)
+        self.merge_schema = (
+            str(options.get("mergeSchema", "")).lower() == "true"
+        )
 
     def write(self, iterator):
         return _stage_one(self.path, self.arrow_schema, iterator)
 
     def commit(self, messages):
-        _commit_staged(self.path, self.arrow_schema, messages)
+        _commit_staged(
+            self.path,
+            self.arrow_schema,
+            messages,
+            merge_schema=self.merge_schema,
+        )
 
     def abort(self, messages):
         _unstage(self.path, messages)

@@ -19,7 +19,11 @@ methods — one implementation of the semantics, two entry points.
         WHEN NOT MATCHED THEN INSERT *
     ''')
     run_sql(spark, "DESCRIBE HISTORY lakehouse.`/t`")
+    run_sql(spark, "DESCRIBE DETAIL lakehouse.`/t`")
     run_sql(spark, "RESTORE TABLE lakehouse.`/t` TO VERSION AS OF 2")
+    run_sql(spark, "OPTIMIZE lakehouse.`/t`")                 # compact_small
+    run_sql(spark, "OPTIMIZE lakehouse.`/t` ZORDER BY (a, b)")  # incremental
+    run_sql(spark, "VACUUM lakehouse.`/t` RETAIN 0 SECONDS")
     run_sql(spark, "SELECT k, sum(v) FROM lakehouse.`/t` "
                    "VERSION AS OF 3 GROUP BY k")
 
@@ -79,6 +83,15 @@ _WHEN = re.compile(
     r"\s*(?=WHEN\s|$)"
 )
 _HISTORY = re.compile(rf"(?is)^\s*DESCRIBE\s+HISTORY\s+{_TBL}\s*;?\s*$")
+_DETAIL = re.compile(rf"(?is)^\s*DESCRIBE\s+DETAIL\s+{_TBL}\s*;?\s*$")
+_VACUUM = re.compile(
+    rf"(?is)^\s*VACUUM\s+{_TBL}"
+    rf"(?:\s+RETAIN\s+(?P<sec>\d+)\s+SECONDS)?\s*;?\s*$"
+)
+_OPTIMIZE = re.compile(
+    rf"(?is)^\s*OPTIMIZE\s+{_TBL}"
+    rf"(?:\s+ZORDER\s+BY\s*\(\s*(?P<zcols>[\w`,\s]+?)\s*\))?\s*;?\s*$"
+)
 _RESTORE = re.compile(
     rf"(?is)^\s*RESTORE\s+TABLE\s+{_TBL}\s+TO\s+VERSION\s+AS\s+OF\s+"
     rf"(?P<v>\d+)\s*;?\s*$"
@@ -153,6 +166,38 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
     m = _HISTORY.match(sql)
     if m:
         return lk.describe_history(spark, m.group("path"))
+    m = _DETAIL.match(sql)
+    if m:
+        d = lk.table_detail(m.group("path"))
+        return spark.createDataFrame(
+            [tuple(d.values())],
+            ", ".join(
+                f"{k} {'boolean' if isinstance(v, bool) else 'long'}"
+                for k, v in d.items()
+            ),
+        )
+    m = _VACUUM.match(sql)
+    if m:
+        sec = float(m.group("sec")) if m.group("sec") else 300.0
+        n = lk.vacuum_orphans(m.group("path"), min_age_sec=sec)
+        return _counts_df(spark, orphans_removed=n)
+    m = _OPTIMIZE.match(sql)
+    if m:
+        t = lk.Transaction(m.group("path"))
+        if m.group("zcols"):
+            cols = [
+                c.strip().strip("`")
+                for c in m.group("zcols").split(",")
+                if c.strip()
+            ]
+            rewritten, added = t.optimize_zorder_incremental(spark, cols)
+        else:
+            rewritten, added = t.compact_small(spark)
+        if rewritten:
+            t.commit()  # no candidates -> nothing staged, no commit
+        return _counts_df(
+            spark, files_rewritten=rewritten, files_added=added
+        )
     m = _RESTORE.match(sql)
     if m:
         v = lk.restore_table(spark, m.group("path"), int(m.group("v")))
@@ -162,8 +207,9 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
         return _run_select(spark, sql)
     raise ValueError(
         f"statement does not match the lakehouse SQL grammar "
-        f"(DELETE/UPDATE/MERGE/DESCRIBE HISTORY/RESTORE/SELECT over "
-        f"lakehouse.`path`): {sql.strip()[:120]!r}"
+        f"(DELETE/UPDATE/MERGE/DESCRIBE HISTORY|DETAIL/RESTORE/"
+        f"OPTIMIZE [ZORDER BY]/VACUUM/SELECT over lakehouse.`path`): "
+        f"{sql.strip()[:120]!r}"
     )
 
 

@@ -499,3 +499,28 @@ def test_concurrent_datasource_writers_both_commit(spark, tmp_path):
     assert not errs
     assert lk.read_table(spark, path).count() == 21
     assert lk.latest_commit(path) == 3
+
+
+def test_writer_merge_schema_evolution(spark, tmp_path):
+    path = str(tmp_path / "w")
+    spark.createDataFrame([(1, 1.0)], "id long, v double").write.format(
+        "lakehouse"
+    ).mode("append").save(path)
+    wide = spark.createDataFrame([(2, 2.0, "x")], "id long, v double, s string")
+    with pytest.raises(Exception, match="mergeSchema"):
+        wide.write.format("lakehouse").mode("append").save(path)
+    wide.write.format("lakehouse").mode("append").option(
+        "mergeSchema", "true"
+    ).save(path)
+    got = lk.read_table(spark, path)
+    assert got.columns == ["id", "v", "s"]
+    assert _rows(got) == [(1, 1.0, None), (2, 2.0, "x")]
+    # the evolved table reads through the registered source too
+    assert _rows(spark.read.format("lakehouse").load(path)) == _rows(got)
+    # reordered/renamed existing columns still refuse, merge or not
+    with pytest.raises(Exception, match="!= table schema"):
+        spark.createDataFrame(
+            [(1.0, 3, "y", 0)], "v double, id long, s string, n long"
+        ).write.format("lakehouse").mode("append").option(
+            "mergeSchema", "true"
+        ).save(path)

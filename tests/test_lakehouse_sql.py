@@ -142,7 +142,7 @@ def test_describe_history_and_restore(spark, tmp_path):
 def test_grammar_rejections_are_loud(spark, tmp_path):
     path = _table(spark, tmp_path)
     with pytest.raises(ValueError, match="grammar"):
-        run_sql(spark, f"VACUUM lakehouse.`{path}`")
+        run_sql(spark, f"TRUNCATE TABLE lakehouse.`{path}`")
     with pytest.raises(ValueError, match="names no lakehouse"):
         run_sql(spark, "SELECT 1 FROM somewhere")
     with pytest.raises(ValueError, match="equalities"):
@@ -162,3 +162,47 @@ def test_grammar_rejections_are_loud(spark, tmp_path):
     t.commit()
     with pytest.raises(ValueError, match="engine-assigned"):
         run_sql(spark, f"UPDATE lakehouse.`{ident}` SET rid = 9 WHERE v = 1.0")
+
+
+def test_maintenance_statements(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    d = run_sql(spark, f"DESCRIBE DETAIL lakehouse.`{path}`").collect()[0]
+    assert d.n_files == 2 and d.n_rows == 30 and bool(d.rows_exact)
+    # OPTIMIZE = compact_small: two small files bin-pack into one
+    o = run_sql(spark, f"OPTIMIZE lakehouse.`{path}`").collect()[0]
+    assert (o.files_rewritten, o.files_added) == (2, 1)
+    assert lk.read_table(spark, path).count() == 30
+    # idempotent: nothing small left -> no commit burned
+    v = lk.latest_commit(path)
+    o2 = run_sql(spark, f"OPTIMIZE lakehouse.`{path}`").collect()[0]
+    assert o2.files_rewritten == 0 and lk.latest_commit(path) == v
+    # OPTIMIZE ZORDER BY = incremental zorder over the small set
+    t = lk.Transaction(path)
+    t.append(
+        spark.createDataFrame(
+            [(100 + j, float(j), "x") for j in range(5)],
+            "id long, v double, s string",
+        ).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame(
+            [(200 + j, float(j), "y") for j in range(5)],
+            "id long, v double, s string",
+        ).coalesce(1)
+    )
+    t.commit()
+    z = run_sql(
+        spark, f"OPTIMIZE lakehouse.`{path}` ZORDER BY (id, v)"
+    ).collect()[0]
+    assert z.files_rewritten >= 2 and z.files_added >= 1
+    assert lk.read_table(spark, path).count() == 40
+    # VACUUM sweeps staged debris under an explicit zero retention
+    import pathlib as pl
+
+    debris = pl.Path(path) / ".stage-crashed"
+    debris.mkdir()
+    (debris / "junk.parquet").write_bytes(b"x")
+    n = run_sql(
+        spark, f"VACUUM lakehouse.`{path}` RETAIN 0 SECONDS"
+    ).collect()[0].orphans_removed
+    assert n >= 1 and not debris.exists()
