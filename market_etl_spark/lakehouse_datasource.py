@@ -422,6 +422,11 @@ class _LakehouseStreamReader(SimpleDataSourceStreamReader):
         self.starting = int(options.get("startingVersion", 0))
         self.max_commits = int(options.get("maxCommitsPerBatch", 0)) or None
         self.arrow_schema = _arrow_schema(schema)
+        # the stream's alignment basis, fixed at start: logical field
+        # names in schema order + the start-time column mapping
+        _v, _l, _d, _t, meta0, _s = lk._state_full(self.path)
+        self.colmap = lk._colmap(meta0)
+        self.fields = list(meta0.get("schema", []))
         if self.cdf:
             # the row payload WITHOUT the trailing CDF columns — what
             # _read_rows aligns data files against before tagging
@@ -436,6 +441,20 @@ class _LakehouseStreamReader(SimpleDataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         return {"v": self.starting}
+
+    def _meta_at(self, v: int, commit: dict) -> dict:
+        """Table meta AS OF commit ``v`` — cached forward: a tail of N
+        commits costs ONE replay plus O(1) per metadata-free commit,
+        not N replays (the schema only moves on set_meta actions)."""
+        cached_v, cached_meta = getattr(self, "_meta_cache", (None, None))
+        if cached_v == v - 1 and not any(
+            a["op"] == "set_meta" for a in commit["actions"]
+        ):
+            self._meta_cache = (v, cached_meta)
+            return cached_meta
+        _v, _l, _d, _t, meta, _s = lk._state_full(self.path, v)
+        self._meta_cache = (v, meta)
+        return meta
 
     def read(self, start: dict):
         v_from = start["v"]
@@ -473,11 +492,34 @@ class _LakehouseStreamReader(SimpleDataSourceStreamReader):
                 f"expired by expire_versions — re-bootstrap the "
                 f"consumer from a snapshot"
             ) from None
-        # schema AS OF the commit being read: rows from generation N
-        # must not be reshaped by a later evolution mid-replay
-        _v, _live, _dvs, _txns, meta, _stats = lk._state_full(self.path, v)
-        fields = list(meta.get("schema", []))
-        colmap = lk._colmap(meta)
+        # rows align to the STREAM's schema (fixed at start) with the
+        # start-time column mapping — exactly read_changes' "aligned
+        # to the schema as of v_to" contract: pre-evolution commits
+        # null-fill missing columns, renames resolve through the
+        # IMMUTABLE PHYSICAL names (so the comparison below is on
+        # physicals — a pre-start rename is fully representable).
+        # Only a commit whose files carry physical bytes the fixed
+        # schema cannot map (a column ADDED after the stream started)
+        # must fail — with restart guidance, Delta's own streaming
+        # schema-change behavior.  A mid-tail rename keeps emitting
+        # under the start-time names (a running stream cannot change
+        # its columns); a mid-tail drop null-fills going forward.
+        meta = self._meta_at(v, c)
+        cm_v = lk._colmap(meta)
+        want_phys = {self.colmap.get(n, n) for n, _t in self.fields}
+        extra = sorted(
+            cm_v.get(n, n)
+            for n, _t in meta.get("schema", [])
+            if cm_v.get(n, n) not in want_phys
+        )
+        if extra:
+            raise ValueError(
+                f"commit {v} at {self.path} carries column(s) {extra} "
+                f"the stream's fixed schema cannot represent — restart "
+                f"the stream so it picks up the evolved schema"
+            )
+        fields = self.fields
+        colmap = self.colmap
         acts = c["actions"]
         by_role: dict[tuple, list] = {}
         for a in acts:

@@ -524,3 +524,58 @@ def test_writer_merge_schema_evolution(spark, tmp_path):
         ).write.format("lakehouse").mode("append").option(
             "mergeSchema", "true"
         ).save(path)
+
+
+def test_stream_aligns_pre_evolution_commits(spark, tmp_path):
+    """A stream started AFTER a schema evolution replays the OLD
+    commits aligned to the current schema (typed NULLs, renames via
+    physical names) — read_changes' aligned-to-v_to contract."""
+    path = _table(spark, tmp_path, n_commits=2)
+    t = lk.Transaction(path)
+    t.rename_column("v", "val")
+    t.commit()
+    t = lk.Transaction(path)
+    t.append(
+        spark.createDataFrame(
+            [(100, 1.5, "s9", 7)], "id long, val double, s string, extra long"
+        ),
+        evolve_schema=True,
+    )
+    t.commit()
+    got = _tail(spark, path, "ck_evo", tmp_path)
+    assert len(got) == 21
+    exp = lk.read_changes(spark, path, 0, lk.latest_commit(path))
+    cdf = _tail(spark, path, "ck_evo2", tmp_path, readChangeFeed="true")
+    assert sorted(cdf) == _rows(exp)
+
+
+def test_stream_fails_on_mid_tail_evolution(spark, tmp_path):
+    """An evolution landing AFTER the stream resolved its schema
+    carries a column the fixed schema cannot represent — the LIVE
+    reader fails with restart guidance (Delta's streaming
+    schema-change behavior); a restarted stream (fresh schema
+    resolution over the same checkpoint) replays it fine."""
+    path = _table(spark, tmp_path)
+    assert len(_tail(spark, path, "ck_mid", tmp_path)) == 30
+    # a LIVE reader whose schema was fixed before the evolution
+    live = lds._LakehouseStreamReader(
+        {"path": path},
+        spark.read.format("lakehouse").load(path).schema,
+    )
+    t = lk.Transaction(path)
+    t.append(
+        spark.createDataFrame(
+            [(100, 0.0, "x", 1)], "id long, v double, s string, n long"
+        ),
+        evolve_schema=True,
+    )
+    t.commit()
+    with pytest.raises(ValueError, match="cannot represent"):
+        list(live._commit_rows(lk.latest_commit(path)))
+    # a restarted stream on the SAME checkpoint resolves the evolved
+    # schema and replays the commit (old offsets carried forward)
+    got = _tail(spark, path, "ck_mid", tmp_path)
+    assert len(got) == 1 and len(got[0]) == 4
+    # ... and a fresh checkpoint replays everything, null-filled
+    got = _tail(spark, path, "ck_mid_new", tmp_path)
+    assert len(got) == 31 and len(got[0]) == 4
