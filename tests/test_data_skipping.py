@@ -341,3 +341,91 @@ def test_incremental_zorder_applies_dvs_and_noops(spark, tmp_path):
     assert t.optimize_zorder_incremental(
         spark, ["id", "k"], target_bytes=1 << 10
     ) == (0, 0)
+
+
+# --- property: skipping soundness under arbitrary typed bounds --------
+
+
+def test_stats_admit_never_prunes_a_matching_file_property(spark, tmp_path):
+    """THE skipping soundness invariant, property-tested: for a file
+    with REAL footer stats and any supported predicate, if some row
+    matches under Spark comparison semantics (incl. date->timestamp
+    midnight promotion), the file must be admitted.  Pruning a
+    matching file silently drops rows; admitting a non-matching one
+    only costs I/O."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from hypothesis import given, settings, strategies as st
+
+    def dtv(y, m, d, h):
+        return dt.datetime(2020 + y, 1 + m, 1 + d, h)
+
+    values = st.one_of(
+        st.integers(-50, 50),
+        st.builds(lambda a, b, c: dt.date(2020 + a, 1 + b, 1 + c),
+                  st.integers(0, 3), st.integers(0, 11), st.integers(0, 27)),
+        st.builds(dtv, st.integers(0, 3), st.integers(0, 11),
+                  st.integers(0, 27), st.integers(0, 23)),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        col_kind=st.sampled_from(["int", "date", "ts"]),
+        rows=st.lists(st.integers(-40, 40), min_size=1, max_size=6),
+        op=st.sampled_from(["=", "<", "<=", ">", ">=", "in"]),
+        probe=values,
+    )
+    def check(col_kind, rows, op, probe):
+        if col_kind == "int":
+            data = rows
+            typ, pytyp = pa.int64(), int
+        elif col_kind == "date":
+            data = [dt.date(2021, 6, 15) + dt.timedelta(days=r) for r in rows]
+            typ, pytyp = pa.date32(), dt.date
+        else:
+            data = [
+                dt.datetime(2021, 6, 15, 12) + dt.timedelta(hours=r)
+                for r in rows
+            ]
+            typ, pytyp = pa.timestamp("us"), dt.datetime
+        f = tmp_path / "prop.parquet"
+        pq.write_table(pa.table({"x": pa.array(data, typ)}), str(f))
+        st_ = lk._file_stats(f)
+        value = [probe] if op == "in" else probe
+
+        def promote(v):
+            # Spark comparison semantics: date vs datetime promotes the
+            # date to that day's midnight timestamp
+            if isinstance(v, dt.datetime):
+                return v
+            if isinstance(v, dt.date):
+                return dt.datetime(v.year, v.month, v.day)
+            return v
+
+        def matches(cell, v):
+            if isinstance(cell, (dt.date, dt.datetime)) != isinstance(
+                v, (dt.date, dt.datetime)
+            ):
+                return False  # int vs temporal never compares
+            if isinstance(cell, (dt.date, dt.datetime)):
+                cell, v = promote(cell), promote(v)
+            if op == "=":
+                return cell == v
+            if op == "<":
+                return cell < v
+            if op == "<=":
+                return cell <= v
+            if op == ">":
+                return cell > v
+            if op == ">=":
+                return cell >= v
+            return cell == v  # "in" with one key
+
+        if any(matches(c, probe) for c in data):
+            assert lk._stats_admit(st_, "x", op, value), (
+                col_kind, rows, op, probe,
+            )
+
+    check()

@@ -206,3 +206,39 @@ def test_maintenance_statements(spark, tmp_path):
         spark, f"VACUUM lakehouse.`{path}` RETAIN 0 SECONDS"
     ).collect()[0].orphans_removed
     assert n >= 1 and not debris.exists()
+
+
+def test_dml_edge_shapes(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    # UPDATE without WHERE touches every row
+    n = run_sql(
+        spark, f"UPDATE lakehouse.`{path}` SET v = v + 1"
+    ).collect()[0].num_affected_rows
+    assert n == 30
+    # MERGE with ONLY the insert clause = idempotent upsert-new
+    out = run_sql(
+        spark,
+        f"MERGE INTO lakehouse.`{path}` t "
+        f"USING (SELECT CAST(5 AS BIGINT) AS id, CAST(0.0 AS DOUBLE) AS v, "
+        f"       'q' AS s UNION ALL SELECT 999, 1.0, 'q') s "
+        f"ON t.id = s.id WHEN NOT MATCHED THEN INSERT *",
+    ).collect()[0]
+    assert (out.num_inserted_rows, out.num_updated_rows) == (1, 0)
+    # DELETE everything: zero rows survive.  The file set stays
+    # non-empty (the MOR update left base files fully DV-dead but
+    # live), so the read returns an EMPTY frame, not the empty-table
+    # error — the correct MOR posture
+    n = run_sql(
+        spark, f"DELETE FROM lakehouse.`{path}` WHERE true"
+    ).collect()[0].num_affected_rows
+    assert n == 31
+    assert run_sql(spark, f"SELECT * FROM lakehouse.`{path}`").count() == 0
+    # compound boolean predicates parse through F.expr untouched
+    p2 = _table(spark, tmp_path, "b")
+    n = run_sql(
+        spark,
+        f"DELETE FROM lakehouse.`{p2}` "
+        f"WHERE (id % 2 = 0 AND v > 3.0) OR s = 's2'",
+    ).collect()[0].num_affected_rows
+    exp = 30 - lk.read_table(spark, p2).count()
+    assert n == exp > 0
