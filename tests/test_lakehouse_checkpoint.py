@@ -237,3 +237,45 @@ def test_orphan_sweep_removes_crashed_advance_staging(spark, tmp_path):
     (debris / "part-0.parquet").write_bytes(b"x")
     removed = lk.vacuum_orphans(path, min_age_sec=0.0)
     assert removed >= 1 and not debris.exists()
+
+
+def test_advance_across_rename_keeps_prune_parity(spark, tmp_path):
+    """A rename landing in the advance TAIL: the checkpoint's meta row
+    folds the new colmap, and distributed pruning keeps translating
+    logical predicates to the immutable physical names."""
+    path = _busy_table(spark, tmp_path)
+    ck.write_parquet_checkpoint(spark, path, version=3)
+    t = lk.Transaction(path)
+    t.rename_column("id", "ident")
+    t.commit()
+    ck.advance_parquet_checkpoint(spark, path)
+    for pred in ([("ident", "<", 5)], [("ident", ">=", 25)]):
+        assert ck.prune_files_distributed(spark, path, pred) == lk.prune_files(
+            path, pred
+        ), pred
+    got = ck.read_table_distributed_prune(spark, path, [("ident", "<", 5)])
+    exp = lk.read_table(spark, path, predicate=[("ident", "<", 5)])
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, exp.collect())
+    )
+
+
+def test_format_writer_commits_feed_the_checkpoint_plane(spark, tmp_path):
+    """df.write.format('lakehouse') commits advance the parquet
+    checkpoint like any other commit — the two round-12 planes
+    compose."""
+    from market_etl_spark.lakehouse_datasource import register
+
+    register(spark)
+    path = str(tmp_path / "w")
+    src = spark.createDataFrame(
+        [(j, float(j)) for j in range(20)], "id long, v double"
+    )
+    src.write.format("lakehouse").mode("append").save(path)
+    ck.write_parquet_checkpoint(spark, path)
+    src.write.format("lakehouse").mode("append").save(path)
+    v = ck.advance_parquet_checkpoint(spark, path)
+    assert v == 2
+    pv, live_pq, dv_pq, _m = _state_sets(spark, path)
+    _v, live, dvs, _t, _m2, _s = lk._state_full(path)
+    assert pv == 2 and live_pq == live and dv_pq == dvs

@@ -579,3 +579,40 @@ def test_stream_fails_on_mid_tail_evolution(spark, tmp_path):
     # ... and a fresh checkpoint replays everything, null-filled
     got = _tail(spark, path, "ck_mid_new", tmp_path)
     assert len(got) == 31 and len(got[0]) == 4
+
+
+def test_stream_sink_races_direct_append(spark, tmp_path):
+    """The replication sink's epoch commit and a DIRECT
+    Transaction.append on the destination race: appends commute under
+    the log, so both land and nothing is lost."""
+    import threading
+
+    src = _table(spark, tmp_path)
+    dst = str(tmp_path / "dst")
+    spark.createDataFrame(
+        [(1000, 0.0, "seed")], "id long, v double, s string"
+    ).write.format("lakehouse").mode("append").save(dst)
+    errs = []
+
+    def direct():
+        try:
+            for i in range(3):
+                t = lk.Transaction(dst)
+                t.append(
+                    spark.createDataFrame(
+                        [(2000 + i, 1.0, "d")], "id long, v double, s string"
+                    )
+                )
+                t.commit()
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    th = threading.Thread(target=direct)
+    th.start()
+    _replicate(spark, src, dst, str(tmp_path / "ck_race"))
+    th.join()
+    assert not errs
+    got = lk.read_table(spark, dst)
+    assert got.count() == 30 + 1 + 3
+    assert got.filter("id >= 2000").count() == 3  # direct rows survived
+    assert got.filter("id < 100").count() == 30   # replica complete
