@@ -104,7 +104,6 @@ Call ``load(path)`` per logical query; loads are metadata-speed here.
 
 from __future__ import annotations
 
-import json
 import os
 import pathlib
 import uuid
