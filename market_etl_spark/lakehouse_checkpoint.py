@@ -49,7 +49,8 @@ Operations:
   verdict's "stats off the driver" item.
 
 Reference anchor: the reference's metadata plane is the Glue catalog
-+ MSCK (jobs/athena/ddl; re-crawled, not transactional); both the
++ MSCK (sql/athena_create_trades_tales.sql, sql/
+athena_repair_partitions.sql; re-crawled, not transactional); both the
 JSON log and this parquet plane are engine extensions.
 """
 
@@ -73,6 +74,154 @@ _SCHEMA = "kind string, file string, stats string, payload string"
 
 def _ckpt_dir(path: str, version: int) -> pathlib.Path:
     return pathlib.Path(path) / lk._LOG_DIR / f"{_CKPT_PREFIX}{version:08d}"
+
+
+#: Live-file count above which planning consults the parquet
+#: checkpoint instead of JSON replay (round 13, VERDICT r12 #1).
+#: Below it the JSON path is cheaper (no Spark job / dataset-read
+#: overhead); above it the monolithic JSON parse is the driver
+#: bottleneck the checkpoint plane removes.  Runtime-settable.
+PLAN_MIN_FILES_CONF = "spark.market_etl.lakehouse.checkpointPlanMinFiles"
+PLAN_MIN_FILES_DEFAULT = 8192
+
+#: Commits between automatic checkpoint advances (Delta checkpoints
+#: its JSON log every 10 commits).  ``0`` disables auto-advance.
+#: Auto-advance is OPT-IN per table: it engages only after a first
+#: explicit :func:`write_parquet_checkpoint` bootstrap.
+AUTO_ADVANCE_CONF = "spark.market_etl.lakehouse.checkpointInterval"
+AUTO_ADVANCE_DEFAULT = 10
+
+
+def checkpoint_row_estimate(
+    path: str, max_version: int | None = None
+) -> int | None:
+    """State-row count of the newest parquet checkpoint ≤
+    ``max_version`` from its part-file FOOTERS (KB-sized metadata
+    reads) — an O(1)-per-part upper bound on live files, cheap enough
+    to gate every plan.  None when no checkpoint exists."""
+    import pyarrow.parquet as pq
+
+    v0 = latest_parquet_checkpoint(path, max_version)
+    if v0 is None:
+        return None
+    total = 0
+    for part in _ckpt_dir(path, v0).glob("*.parquet"):
+        try:
+            total += pq.ParquetFile(str(part)).metadata.num_rows
+        except Exception:
+            return None  # unreadable checkpoint: fall back to JSON
+    return total
+
+
+def plan_from_checkpoint(spark, path: str, version: int | None = None) -> bool:
+    """True when planning should consult the parquet checkpoint: one
+    exists at or below ``version`` and its state-row estimate clears
+    :data:`PLAN_MIN_FILES_CONF`.  ``spark`` may be None (the Python
+    DataSource planning process has no session) — the default
+    threshold applies there."""
+    est = checkpoint_row_estimate(path, version)
+    if est is None:
+        return False
+    floor = PLAN_MIN_FILES_DEFAULT
+    if spark is not None:
+        try:
+            floor = int(spark.conf.get(PLAN_MIN_FILES_CONF, str(floor)))
+        except (TypeError, ValueError):
+            pass
+    return est >= floor
+
+
+def state_arrow(
+    path: str, version: int | None = None
+) -> tuple[int, dict, set, dict]:
+    """``(version, {live file: stats JSON str}, live DV set, meta)``
+    composed from the newest parquet checkpoint ≤ ``version`` plus the
+    JSON tail — WITHOUT a SparkSession, for the Python DataSource
+    planning process (Spark runs ``partitions()`` in a session-less
+    worker, so :func:`state_frame` cannot serve it).  The O(files)
+    base state arrives as a COLUMNAR pyarrow read (no monolithic JSON
+    blob parse); only the delta-sized tail is JSON work.  Raises when
+    no parquet checkpoint ≤ version exists (callers fall back to
+    :func:`lakehouse._state_full`)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    v = lk.latest_commit(path) if version is None else version
+    v0 = latest_parquet_checkpoint(path, v)
+    if v0 is None:
+        raise ValueError(
+            f"no parquet checkpoint ≤ version {v} at {path}"
+        )
+    tbl = pq.read_table(
+        str(_ckpt_dir(path, v0)), columns=["kind", "file", "stats", "payload"]
+    )
+    kind = tbl.column("kind")
+    adds = tbl.filter(pc.equal(kind, "add"))
+    live = dict(
+        zip(adds.column("file").to_pylist(), adds.column("stats").to_pylist())
+    )
+    dvs = set(
+        tbl.filter(pc.equal(kind, "dv")).column("file").to_pylist()
+    )
+    meta_rows = tbl.filter(pc.equal(kind, "meta")).column("payload").to_pylist()
+    meta = json.loads(meta_rows[0]) if meta_rows else {}
+    if v0 < v:
+        added, removed, dv_add, dv_rm, meta_up, _txn = _tail_net(path, v0, v)
+        for f in removed:
+            live.pop(f, None)
+        live.update(added)
+        dvs -= dv_rm
+        dvs |= dv_add
+        meta.update(meta_up)
+    return v, live, dvs, meta
+
+
+def meta_arrow(path: str, version: int | None = None) -> tuple[int, dict]:
+    """``(version, table meta)`` from the newest parquet checkpoint ≤
+    ``version`` plus the tail's ``set_meta`` folds — a two-column
+    projected pyarrow read, no session, no O(files) state build.  For
+    the DataSource ``schema()`` hook on checkpoint-backed tables."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    v = lk.latest_commit(path) if version is None else version
+    v0 = latest_parquet_checkpoint(path, v)
+    if v0 is None:
+        raise ValueError(f"no parquet checkpoint ≤ version {v} at {path}")
+    tbl = pq.read_table(
+        str(_ckpt_dir(path, v0)), columns=["kind", "payload"]
+    )
+    rows = tbl.filter(
+        pc.equal(tbl.column("kind"), "meta")
+    ).column("payload").to_pylist()
+    meta = json.loads(rows[0]) if rows else {}
+    if v0 < v:
+        *_heads, meta_up, _txn = _tail_net(path, v0, v)
+        meta.update(meta_up)
+    return v, meta
+
+
+def prune_scan_arrow(
+    path: str, predicate, version: int | None = None
+) -> tuple[int, list[str], list[str], dict, int]:
+    """``(version, surviving files sorted, DV files sorted, meta,
+    total live)`` — a predicate scan PLANNED from the parquet
+    checkpoint without a session, with decisions identical to
+    :func:`lakehouse.prune_files` by construction (the same
+    :func:`lakehouse._stats_admit` evaluates the same footer stats).
+    Driver JSON work is O(tail); the base state is columnar."""
+    v, live, dvs, meta = state_arrow(path, version)
+    cm = lk._colmap(meta)
+    conj = [(cm.get(c, c), op, val) for c, op, val in predicate]
+    kept = [
+        f
+        for f, s in sorted(live.items())
+        if all(
+            lk._stats_admit(json.loads(s) if s else None, c, op, val)
+            for c, op, val in conj
+        )
+    ]
+    return v, kept, sorted(dvs), meta, len(live)
 
 
 def latest_parquet_checkpoint(
@@ -183,7 +332,13 @@ def _apply_tail(spark, base: DataFrame, path: str, v0: int, v: int):
     at v, as a PLAN: the file-scale base never visits the driver."""
     added, removed, dv_add, dv_rm, meta_up, txn_up = _tail_net(path, v0, v)
     df = base
-    gone = sorted(removed) + sorted(dv_rm)
+    # drop base rows for files the tail REMOVED — and also for files
+    # the tail RE-EMITS (a remove + re-add inside the tail, the
+    # RESTORE sequence, nets to `added` alone): keeping the base add
+    # row while appending the fresh one would duplicate the file in
+    # the state frame, doubling every distributed-prune read (ADVICE
+    # r12, high)
+    gone = sorted(removed | set(added)) + sorted(dv_rm | dv_add)
     if gone:
         df = df.filter(
             ~(
@@ -270,22 +425,17 @@ def state_frame(
     return v, df, meta
 
 
-def prune_files_distributed(
-    spark: SparkSession, path: str, predicate, version: int | None = None
-) -> tuple[int, list[str], int]:
-    """:func:`lakehouse.prune_files` as a SPARK JOB — identical
-    contract, identical decisions (it runs the same
-    :func:`lakehouse._stats_admit` inside ``mapInPandas``), but the
-    per-file evaluation fans out over executors instead of looping on
-    the driver.  The returned survivor list is bounded by predicate
-    selectivity — the thing a planner needs anyway."""
+def _pruned_adds(df: DataFrame, meta: dict, predicate) -> DataFrame:
+    """The state frame's surviving add rows under ``predicate`` as a
+    one-column plan — ``mapInPandas`` ships the SAME
+    :func:`lakehouse._stats_admit` evaluator, so prune decisions are
+    identical to the driver loop by construction."""
     import pandas as pd
 
-    v, df, meta = state_frame(spark, path, version)
     cm = lk._colmap(meta)
     conj = [(cm.get(c, c), op, val) for c, op, val in predicate]
     adds = df.filter(F.col("kind") == "add").select("file", "stats")
-    admit = lk._stats_admit  # ship the SAME predicate evaluator
+    admit = lk._stats_admit
 
     def prune(batches):
         for pdf in batches:
@@ -298,10 +448,51 @@ def prune_files_distributed(
             ]
             yield pd.DataFrame({"file": pdf["file"][keep]})
 
-    kept_df = adds.mapInPandas(prune, "file string")
+    return adds.mapInPandas(prune, "file string")
+
+
+def prune_files_distributed(
+    spark: SparkSession, path: str, predicate, version: int | None = None
+) -> tuple[int, list[str], int]:
+    """:func:`lakehouse.prune_files` as a SPARK JOB — identical
+    contract, identical decisions (it runs the same
+    :func:`lakehouse._stats_admit` inside ``mapInPandas``), but the
+    per-file evaluation fans out over executors instead of looping on
+    the driver.  The returned survivor list is bounded by predicate
+    selectivity — the thing a planner needs anyway."""
+    v, df, meta = state_frame(spark, path, version)
+    kept_df = _pruned_adds(df, meta, predicate)
     kept = sorted(r.file for r in kept_df.collect())
-    total = adds.count()
+    total = df.filter(F.col("kind") == "add").count()
     return v, kept, total
+
+
+def plan_scan_distributed(
+    spark: SparkSession, path: str, predicate, version: int | None = None
+) -> tuple[int, list[str], list[str], dict, bool]:
+    """Everything :func:`lakehouse.read_table` needs to build its
+    scan — ``(version, surviving files sorted, DV files sorted, meta,
+    table_empty)`` — planned from the parquet checkpoint as Spark
+    jobs: the state composes as a plan (:func:`state_frame`, driver
+    work O(tail)) and the per-file prune fans out
+    (:func:`_pruned_adds`).  The survivor list returning to the
+    driver is bounded by predicate selectivity; the DV list by the
+    purge cadence.  ``table_empty`` distinguishes "no live files at
+    all" from "every file pruned" (read_table raises on the former,
+    returns a typed empty frame on the latter) — evaluated only when
+    no file survived, so the common case pays one metadata pass."""
+    v, df, meta = state_frame(spark, path, version)
+    kept = sorted(
+        r.file for r in _pruned_adds(df, meta, predicate).collect()
+    )
+    dvs = sorted(
+        r.file
+        for r in df.filter(F.col("kind") == "dv").select("file").collect()
+    )
+    empty = (
+        not kept and df.filter(F.col("kind") == "add").isEmpty()
+    )
+    return v, kept, dvs, meta, empty
 
 
 def stats_distributed(

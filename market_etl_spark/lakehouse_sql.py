@@ -23,14 +23,30 @@ methods — one implementation of the semantics, two entry points.
     run_sql(spark, "RESTORE TABLE lakehouse.`/t` TO VERSION AS OF 2")
     run_sql(spark, "OPTIMIZE lakehouse.`/t`")                 # compact_small
     run_sql(spark, "OPTIMIZE lakehouse.`/t` ZORDER BY (a, b)")  # incremental
+    run_sql(spark, "OPTIMIZE lakehouse.`/t` ZORDER BY (a, b) FULL")  # whole
     run_sql(spark, "VACUUM lakehouse.`/t` RETAIN 0 SECONDS")
     run_sql(spark, "SELECT k, sum(v) FROM lakehouse.`/t` "
                    "VERSION AS OF 3 GROUP BY k")
+    run_sql(spark, "INSERT INTO lakehouse.`/t` VALUES (1, 'a'), (2, 'b')")
+    run_sql(spark, "INSERT INTO lakehouse.`/t` SELECT * FROM src_view")
+    run_sql(spark, "CREATE TABLE trades USING lakehouse LOCATION '/t'")
+    run_sql(spark, "CREATE TABLE agg USING lakehouse LOCATION '/a' "
+                   "AS SELECT k, sum(v) AS v FROM lakehouse.trades GROUP BY k")
+    run_sql(spark, "DELETE FROM lakehouse.trades WHERE v < 0")  # by name
+    run_sql(spark, "DROP TABLE trades")   # unregisters; data stays
 
 Design notes:
 
 - Table references are ``lakehouse.`/abs/path``` — the Delta
-  ``delta.`path``` idiom with this engine's format name.
+  ``delta.`path``` idiom with this engine's format name — or
+  ``lakehouse.name`` / bare ``name`` for a table registered by
+  ``CREATE TABLE name USING lakehouse LOCATION p``.  The registry is
+  router-owned and process-local BY NECESSITY: Spark 4.1 constructs a
+  Python-source catalog scan with EMPTY options, so a real catalog
+  ``CREATE TABLE ... USING lakehouse`` cannot resolve its location at
+  scan time (documented at ``lakehouse_datasource._options_path``);
+  ``DROP TABLE`` therefore only unregisters — it never deletes data
+  (external-table semantics).
 - DML statements auto-commit ONE transaction and return a 1-row
   metrics DataFrame (``num_affected_rows`` — Delta returns the same
   shape); errors from the underlying methods (identity SET refusal,
@@ -61,8 +77,39 @@ from pyspark.sql import functions as F
 
 from . import lakehouse as lk
 
-#: ``lakehouse.`/path``` — the one way a statement names a table.
-_TBL = r"lakehouse\.`(?P<path>[^`]+)`"
+#: ``lakehouse.`/path``` or ``lakehouse.name`` (registered) — how a
+#: statement names a table.
+_TBL = r"lakehouse\.(?:`(?P<path>[^`]+)`|(?P<name>\w+))"
+
+#: registered table names -> locations (see module doc: router-owned
+#: because Spark 4.1 hands Python-source catalog scans empty options)
+_NAMES: dict[str, str] = {}
+
+
+def register_table(name: str, path: str) -> None:
+    """Register ``name`` -> ``path`` for ``lakehouse.name`` references
+    (the programmatic twin of ``CREATE TABLE name USING lakehouse
+    LOCATION path``)."""
+    _NAMES[name] = path
+
+
+def _resolve_table(ref: str) -> str:
+    """A table reference — backtick path contents or a registered
+    name — resolved to the table location."""
+    if "/" in ref:
+        return ref
+    if ref in _NAMES:
+        return _NAMES[ref]
+    raise ValueError(
+        f"unknown lakehouse table name {ref!r} — register it with "
+        f"CREATE TABLE {ref} USING lakehouse LOCATION '/path' "
+        f"(known: {sorted(_NAMES) or 'none'})"
+    )
+
+
+def _tbl_of(m: re.Match) -> str:
+    """The resolved table path of a ``_TBL`` match."""
+    return _resolve_table(m.group("path") or m.group("name"))
 
 _DELETE = re.compile(
     rf"(?is)^\s*DELETE\s+FROM\s+{_TBL}\s+WHERE\s+(?P<cond>.+?)\s*;?\s*$"
@@ -90,7 +137,20 @@ _VACUUM = re.compile(
 )
 _OPTIMIZE = re.compile(
     rf"(?is)^\s*OPTIMIZE\s+{_TBL}"
-    rf"(?:\s+ZORDER\s+BY\s*\(\s*(?P<zcols>[\w`,\s]+?)\s*\))?\s*;?\s*$"
+    rf"(?:\s+ZORDER\s+BY\s*\(\s*(?P<zcols>[\w`,\s]+?)\s*\)"
+    rf"(?P<full>\s+FULL)?)?\s*;?\s*$"
+)
+_INSERT = re.compile(
+    rf"(?is)^\s*INSERT\s+INTO\s+{_TBL}\s+"
+    rf"(?P<body>(?:VALUES|SELECT|WITH)\s*.+?)\s*;?\s*$"
+)
+_CREATE = re.compile(
+    r"(?is)^\s*CREATE\s+TABLE\s+(?:lakehouse\.)?(?P<cname>\w+)\s+"
+    r"USING\s+lakehouse\s+LOCATION\s+'(?P<loc>[^']+)'\s*"
+    r"(?:AS\s+(?P<q>(?:SELECT|WITH)\s.+?))?\s*;?\s*$"
+)
+_DROP = re.compile(
+    r"(?is)^\s*DROP\s+TABLE\s+(?:lakehouse\.)?(?P<dname>\w+)\s*;?\s*$"
 )
 _RESTORE = re.compile(
     rf"(?is)^\s*RESTORE\s+TABLE\s+{_TBL}\s+TO\s+VERSION\s+AS\s+OF\s+"
@@ -103,6 +163,18 @@ _SELECT_TBL = re.compile(
     rf"|\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')?",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _frame_of_query(spark: SparkSession, text: str) -> DataFrame:
+    """A SELECT/WITH/VALUES body as a DataFrame — through the
+    lakehouse-reference rewrite when it names lakehouse tables, plain
+    ``spark.sql`` otherwise (INSERT/CTAS bodies over temp views)."""
+    chunks = _SQL_LITERAL.split(text)
+    if any(
+        _SELECT_TBL.search(chunks[i]) for i in range(0, len(chunks), 2)
+    ):
+        return _run_select(spark, text, require_ref=False)
+    return spark.sql(text)
 
 
 def _split_assignments(text: str) -> dict[str, str]:
@@ -146,7 +218,7 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
     to snapshot temp views and hand the statement to Catalyst."""
     m = _DELETE.match(sql)
     if m:
-        t = lk.Transaction(m.group("path"))
+        t = lk.Transaction(_tbl_of(m))
         n = t.delete_where(spark, F.expr(m.group("cond")))
         t.commit()
         return _counts_df(spark, num_affected_rows=n)
@@ -156,19 +228,32 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
             c: F.expr(e) for c, e in _split_assignments(m.group("sets")).items()
         }
         cond = F.expr(m.group("cond")) if m.group("cond") else F.lit(True)
-        t = lk.Transaction(m.group("path"))
+        t = lk.Transaction(_tbl_of(m))
         n = t.update_where_mor(spark, cond, sets)
         t.commit()
         return _counts_df(spark, num_affected_rows=n)
     m = _MERGE.match(sql)
     if m:
         return _run_merge(spark, m)
+    m = _INSERT.match(sql)
+    if m:
+        return _run_insert(spark, _tbl_of(m), m.group("body"))
+    m = _CREATE.match(sql)
+    if m:
+        return _run_create(spark, m)
+    m = _DROP.match(sql)
+    if m:
+        name = m.group("dname")
+        if name not in _NAMES:
+            raise ValueError(f"unknown lakehouse table name {name!r}")
+        del _NAMES[name]  # unregister only — data stays (external table)
+        return _counts_df(spark, tables_dropped=1)
     m = _HISTORY.match(sql)
     if m:
-        return lk.describe_history(spark, m.group("path"))
+        return lk.describe_history(spark, _tbl_of(m))
     m = _DETAIL.match(sql)
     if m:
-        d = lk.table_detail(m.group("path"))
+        d = lk.table_detail(_tbl_of(m))
         return spark.createDataFrame(
             [tuple(d.values())],
             ", ".join(
@@ -179,18 +264,25 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
     m = _VACUUM.match(sql)
     if m:
         sec = float(m.group("sec")) if m.group("sec") else 300.0
-        n = lk.vacuum_orphans(m.group("path"), min_age_sec=sec)
+        n = lk.vacuum_orphans(_tbl_of(m), min_age_sec=sec)
         return _counts_df(spark, orphans_removed=n)
     m = _OPTIMIZE.match(sql)
     if m:
-        t = lk.Transaction(m.group("path"))
+        t = lk.Transaction(_tbl_of(m))
         if m.group("zcols"):
             cols = [
                 c.strip().strip("`")
                 for c in m.group("zcols").split(",")
                 if c.strip()
             ]
-            rewritten, added = t.optimize_zorder_incremental(spark, cols)
+            # default = INCREMENTAL zorder (liquid posture: only
+            # sub-target-size files rewrite — clustering debt, not the
+            # whole table); `... FULL` is Delta's whole-table OPTIMIZE
+            # ZORDER, which always rewrites everything live
+            if m.group("full"):
+                rewritten, added = t.optimize_zorder(spark, cols)
+            else:
+                rewritten, added = t.optimize_zorder_incremental(spark, cols)
         else:
             rewritten, added = t.compact_small(spark)
         if rewritten:
@@ -200,20 +292,100 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
         )
     m = _RESTORE.match(sql)
     if m:
-        v = lk.restore_table(spark, m.group("path"), int(m.group("v")))
+        v = lk.restore_table(spark, _tbl_of(m), int(m.group("v")))
         return _counts_df(spark, restored_to_version=int(m.group("v")),
                           new_version=v)
     if re.match(r"(?is)^\s*(SELECT|WITH)\b", sql):
         return _run_select(spark, sql)
     raise ValueError(
         f"statement does not match the lakehouse SQL grammar "
-        f"(DELETE/UPDATE/MERGE/DESCRIBE HISTORY|DETAIL/RESTORE/"
-        f"OPTIMIZE [ZORDER BY]/VACUUM/SELECT over lakehouse.`path`): "
+        f"(DELETE/UPDATE/MERGE/INSERT INTO/CREATE TABLE ... USING "
+        f"lakehouse LOCATION [AS SELECT]/DROP TABLE/DESCRIBE "
+        f"HISTORY|DETAIL/RESTORE/OPTIMIZE [ZORDER BY (...) [FULL]]/"
+        f"VACUUM/SELECT over lakehouse.`path` or a registered name): "
         f"{sql.strip()[:120]!r}"
     )
 
 
-def _run_select(spark: SparkSession, sql: str) -> DataFrame:
+def _run_insert(spark: SparkSession, path: str, body: str) -> DataFrame:
+    """``INSERT INTO t VALUES ... | SELECT ...`` — the body evaluates
+    as a query (``VALUES`` is a valid Spark query by itself) and
+    appends through the SAME transaction path as
+    :meth:`Transaction.append`: schema check, constraints, identity /
+    generated columns all apply.  Columns map POSITIONALLY with a cast
+    to the table type (SQL INSERT semantics; ANSI mode keeps bad casts
+    loud).  Engine-supplied (identity/generated) columns are omitted
+    from the positional map — the append stamps them."""
+    df = _frame_of_query(spark, body)
+    t = lk.Transaction(path)
+    meta = t._effective_meta()
+    fields = meta.get("schema", [])
+    if fields:
+        engine_cols = set(meta.get("identity", {})) | set(
+            meta.get("generated", {})
+        )
+        targets = [(n, ty) for n, ty in fields if n not in engine_cols]
+        if len(df.columns) != len(targets):
+            raise ValueError(
+                f"INSERT arity mismatch: query produces "
+                f"{len(df.columns)} column(s), table takes "
+                f"{[n for n, _ in targets]}"
+            )
+        df = df.select(
+            *[
+                F.col(c).cast(ty).alias(n)
+                for c, (n, ty) in zip(df.columns, targets)
+            ]
+        )
+    elif body.lstrip()[:6].upper() == "VALUES":
+        raise ValueError(
+            "INSERT INTO a table with no committed schema cannot take "
+            "VALUES (the positional names would be col1, col2, ...) — "
+            "CREATE TABLE ... AS SELECT first, or INSERT a SELECT "
+            "whose aliases name the columns"
+        )
+    t.append(df)
+    t.commit()
+    return _counts_df(
+        spark, num_inserted_rows=t.metrics.get("rows_appended", 0)
+    )
+
+
+def _run_create(spark: SparkSession, m: re.Match) -> DataFrame:
+    """``CREATE TABLE name USING lakehouse LOCATION p [AS SELECT]`` —
+    registers the name (router-owned registry, see module doc) and,
+    with an AS query, bootstraps the table at ``p`` (which must not
+    already hold commits — CTAS creates, it never overwrites)."""
+    name, loc = m.group("cname"), m.group("loc")
+    q = m.group("q")
+    if q is not None:
+        if lk.latest_commit(loc) > 0:
+            raise ValueError(
+                f"CREATE TABLE ... AS SELECT: {loc} already has "
+                f"commits — INSERT INTO it, or point CTAS elsewhere"
+            )
+        df = _frame_of_query(spark, q)
+        t = lk.Transaction(loc)
+        t.append(df)
+        t.commit()
+        rows = t.metrics.get("rows_appended", 0)
+    else:
+        rows = 0
+    register_table(name, loc)
+    return _counts_df(spark, num_inserted_rows=rows)
+
+
+#: a single-quoted SQL string literal (with '' escaping) — table
+#: references are rewritten OUTSIDE these only, so a literal that
+#: happens to contain ``lakehouse.`path``` text stays untouched
+_SQL_LITERAL = re.compile(r"('(?:[^']|'')*')")
+
+
+def _run_select(
+    spark: SparkSession, sql: str, require_ref: bool = True
+) -> DataFrame:
+    views: list[str] = []
+
     def repl(m: re.Match) -> str:
         version = int(m.group("v")) if m.group("v") else None
         ts = None
@@ -225,22 +397,38 @@ def _run_select(spark: SparkSession, sql: str) -> DataFrame:
                 ts = _dt.datetime.fromisoformat(raw).timestamp()
         view = f"lakehouse_snap_{uuid.uuid4().hex[:12]}"
         lk.read_table(
-            spark, m.group("path"), version=version, timestamp=ts
+            spark, _resolve_table(m.group("path") or m.group("name")),
+            version=version, timestamp=ts,
         ).createOrReplaceTempView(view)
+        views.append(view)
         return view
 
-    rewritten, n = _SELECT_TBL.subn(repl, sql)
-    if n == 0:
-        raise ValueError(
-            f"SELECT names no lakehouse.`path` table: {sql.strip()[:120]!r}"
-        )
-    return spark.sql(rewritten)
+    # rewrite table references only OUTSIDE string literals: split on
+    # quoted literals (odd chunks) and substitute in the code chunks
+    n = 0
+    chunks = _SQL_LITERAL.split(sql)
+    try:
+        for i in range(0, len(chunks), 2):
+            chunks[i], k = _SELECT_TBL.subn(repl, chunks[i])
+            n += k
+        if n == 0 and require_ref:
+            raise ValueError(
+                f"SELECT names no lakehouse.`path` table: "
+                f"{sql.strip()[:120]!r}"
+            )
+        return spark.sql("".join(chunks))
+    finally:
+        # spark.sql analyzes EAGERLY: the returned DataFrame's plan is
+        # resolved, so the snapshot views can drop immediately — no
+        # catalog entry leaks per SELECT (ADVICE r12)
+        for view in views:
+            spark.catalog.dropTempView(view)
 
 
 def _run_merge(spark: SparkSession, m: re.Match) -> DataFrame:
     talias, salias = m.group("talias"), m.group("salias")
     source = (
-        spark.sql(m.group("subq")) if m.group("subq")
+        _frame_of_query(spark, m.group("subq")) if m.group("subq")
         else spark.table(m.group("view"))
     )
     # ON must be a conjunction of t.key = s.key equalities — the
@@ -260,8 +448,10 @@ def _run_merge(spark: SparkSession, m: re.Match) -> DataFrame:
             )
         key_cols.append(eq.group(1))
     upd = None
+    upd_cond = None
     delete = None
     insert = False
+    saw_update = False
     for w in _WHEN.finditer(m.group("clauses")):
         action = w.group("action")
         if w.group("not_"):
@@ -271,28 +461,36 @@ def _run_merge(spark: SparkSession, m: re.Match) -> DataFrame:
                 )
             insert = True
         elif action.upper() == "DELETE":
+            if saw_update:
+                # the merge algorithm gives DELETE priority over
+                # UPDATE on rows matching both; Delta's clauses are
+                # first-match-wins IN TEXT ORDER — accept only the
+                # order whose semantics we actually implement
+                raise ValueError(
+                    "WHEN MATCHED clauses must list DELETE before "
+                    "UPDATE (clauses apply first-match-wins, and the "
+                    "merge implementation gives DELETE priority)"
+                )
             delete = (
                 F.expr(_realias(w.group("cond"), talias, salias))
                 if w.group("cond")
                 else True
             )
         else:
+            saw_update = True
             if w.group("cond"):
-                raise ValueError(
-                    "WHEN MATCHED AND <cond> THEN UPDATE is not in the "
-                    "grammar — conditional updates compose as a DELETE "
-                    "clause plus a source-side filter"
-                )
+                upd_cond = F.expr(_realias(w.group("cond"), talias, salias))
             upd = {
                 c: F.expr(_realias(e, talias, salias))
                 for c, e in _split_assignments(w.group("sets")).items()
             }
-    t = lk.Transaction(m.group("path"))
+    t = lk.Transaction(_tbl_of(m))
     counts = t.merge_into(
         spark,
         source,
         key_cols,
         when_matched_update=upd,
+        when_matched_update_cond=upd_cond,
         when_matched_delete=delete,
         when_not_matched_insert=insert,
     )

@@ -17,7 +17,7 @@ and schema evolution for free.  Multiple delete batches accumulate as
 separate sidecar files (one append each, no read-modify-write); the
 reader unions them.
 
-Reference parity note: the reference pipeline (glue_jobs/*.py) is
+Reference parity note: the reference pipeline (jobs/*/*.py) is
 append-only — no delete story at all; this is the engine extension a
 GDPR/right-to-be-forgotten workload needs weekly (the batch sibling is
 ``q_tombstone_forget``'s key-based copy-on-write).

@@ -28,7 +28,7 @@ story.  Round 10 lands:
   txn identities (Delta txnAppId/txnVersion): duplicate batch applies
   and full fresh-checkpoint reprocesses both dedupe.
 
-Reference parity note: the reference pipeline (glue_jobs/*.py) is
+Reference parity note: the reference pipeline (jobs/*/*.py) is
 append-only, single-writer, with no version or delete story; all four
 are the engine extensions a 100 TB multi-writer lakehouse needs.
 """

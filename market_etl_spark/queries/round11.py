@@ -35,7 +35,7 @@ snapshot store, not the log.  Round 11 closes the loop:
   metadata commit (absolute file references, zero data copied),
   divergence isolated to the clone's own root.
 
-Reference parity note: the reference pipeline (glue_jobs/*.py) is
+Reference parity note: the reference pipeline (jobs/*/*.py) is
 append-only with no version, update or subscription story; these are
 the engine extensions a 100 TB multi-writer lakehouse feeds its
 incremental consumers with.

@@ -29,7 +29,7 @@ reaches every other table:
   working immediately on the writer-landed files.
 
 Reference parity note: the reference lands loose parquet re-crawled
-by Athena (glue_jobs/glue_csv_to_parquet_job.py) — no table format,
+by Athena (jobs/etl/glue_spark_trades_etl.py) — no table format,
 no streaming source, no transactional writer; these are the engine
 extensions that make the lake a first-class Spark citizen.
 """
@@ -114,7 +114,7 @@ def q_lakehouse_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism/locality), pruning is pure metadata, and the DV map
     is one column-projected footer-speed read per sidecar — the
     Iceberg v2 file-scoped-delete plan shape.
-    Cites: jobs/athena/athena_sample_queries.sql (the reference's
+    Cites: sql/athena_sample_queries.sql (the reference's
     Athena reads re-crawled loose parquet; no versioned source
     exists to cite)."""
     from .. import lakehouse as lk

@@ -22,7 +22,7 @@ impact:
   FAISS billion-scale layout) with an in-query recall contract and
   candidate-count telemetry.
 
-Reference parity note: the reference pipeline (glue_jobs/*.py) is
+Reference parity note: the reference pipeline (jobs/*/*.py) is
 append-only — none of these exist there; they are extensions the
 SURVEY's gap analysis (§2.15) calls out as what a 100 TB lakehouse
 user needs weekly.

@@ -429,3 +429,52 @@ def test_stats_admit_never_prunes_a_matching_file_property(spark, tmp_path):
             )
 
     check()
+
+
+def test_string_column_with_date_shaped_values_never_promoted(spark, tmp_path):
+    """ADVICE r12 (medium): date->midnight promotion must key on the
+    PREDICATE value's Python type, never on string shape — a genuine
+    STRING column whose footer bounds look like dates compares
+    lexicographically in Spark, and promoting its bounds would prune
+    files whose raw strings satisfy the predicate."""
+    import datetime as dt
+
+    path = str(tmp_path / "strdates")
+    t = lk.Transaction(path)
+    t.append(
+        spark.createDataFrame(
+            [(1, "2024-01-02"), (2, "2024-01-05")], "id long, s string"
+        ).coalesce(1)
+    )
+    t.commit()
+    # the advice's exact reproduction: a datetime-SHAPED string value
+    # against date-shaped string bounds — lexicographically the rows
+    # match ('2024-01-02' < '2024-01-02T00'); promotion pruned them
+    assert lk._stats_admit(
+        {"rows": 1, "cols": {"s": {"min": "2024-01-02",
+                                   "max": "2024-01-02", "nulls": 0}}},
+        "s", "<", "2024-01-02T00",
+    )
+    _v, kept, total = lk.prune_files(path, [("s", "<", "2024-01-02T00")])
+    assert len(kept) == total == 1
+    got = lk.read_table(
+        spark, path, predicate=[("s", "<", "2024-01-02T00")]
+    ).collect()
+    assert [r.id for r in got] == [1]
+    # real temporal predicates still promote (the r11 soundness fix):
+    # a date column's bounds vs a datetime probe on the boundary day
+    assert lk._stats_admit(
+        {"rows": 1, "cols": {"d": {"min": "2024-01-02",
+                                   "max": "2024-01-02", "nulls": 0}}},
+        "d", "<=", dt.datetime(2024, 1, 2, 0, 0, 0),
+    )
+    # and 'in' membership follows the same per-key rule
+    assert lk._stats_admit(
+        {"rows": 1, "cols": {"s": {"min": "2024-01-02",
+                                   "max": "2024-01-02", "nulls": 0}}},
+        "s", "in", ["2024-01-01T23", "zzz"],
+    )
+    assert not lk._stats_admit(
+        {"rows": 1, "cols": {"x": {"min": 5, "max": 9, "nulls": 0}}},
+        "x", "in", [1, 2],
+    )

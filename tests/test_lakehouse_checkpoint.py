@@ -279,3 +279,188 @@ def test_format_writer_commits_feed_the_checkpoint_plane(spark, tmp_path):
     pv, live_pq, dv_pq, _m = _state_sets(spark, path)
     _v, live, dvs, _t, _m2, _s = lk._state_full(path)
     assert pv == 2 and live_pq == live and dv_pq == dvs
+
+
+def test_restore_in_tail_keeps_add_rows_distinct(spark, tmp_path):
+    """ADVICE r12 (high): a checkpoint -> rewrite -> RESTORE sequence
+    nets to a tail that RE-ADDS files the base checkpoint already
+    carries — the base rows must drop, or the state frame holds
+    duplicate add rows and every distributed-prune read doubles."""
+    path = _busy_table(spark, tmp_path)
+    ck.write_parquet_checkpoint(spark, path)
+    v0 = lk.latest_commit(path)
+    t = lk.Transaction(path)
+    t.compact(spark, n_files=1)
+    t.commit()
+    lk.restore_table(spark, path, v0)  # tail removes + re-adds base files
+    v, df, _meta = ck.state_frame(spark, path)
+    adds = df.filter("kind='add'").select("file")
+    assert adds.count() == adds.distinct().count()
+    # set-based parity (sets would HIDE the duplicate; counts can't)
+    _v2, live, dvs, _t, _m, _s = lk._state_full(path)
+    assert {r.file for r in adds.collect()} == live
+    dv_rows = df.filter("kind='dv'").select("file")
+    assert dv_rows.count() == dv_rows.distinct().count()
+    assert {r.file for r in dv_rows.collect()} == dvs
+    # the frame-composed READ returns the same rows as JSON replay
+    got = ck.read_table_distributed_prune(spark, path, [("id", ">=", 0)])
+    want = lk.read_table(spark, path, predicate=[("id", ">=", 0)])
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # and the duplicates must not persist into the NEXT generation
+    t = lk.Transaction(path)
+    t.append(
+        spark.createDataFrame([(900, 1.0)], "id long, v double").coalesce(1)
+    )
+    t.commit()
+    ck.advance_parquet_checkpoint(spark, path)
+    base = spark.read.parquet(
+        str(ck._ckpt_dir(path, lk.latest_commit(path)))
+    ).filter("kind='add'")
+    assert base.count() == base.select("file").distinct().count()
+
+
+def test_state_arrow_and_meta_arrow_match_json_replay(spark, tmp_path):
+    """The session-less (pyarrow) state composition the DataSource
+    planning process uses must equal JSON replay exactly — base from
+    checkpoint parquet, tail applied, at the tip AND time-traveled."""
+    import json as _json
+
+    path = _busy_table(spark, tmp_path)
+    ck.write_parquet_checkpoint(spark, path, version=3)
+    # rename AFTER the checkpoint: the tail carries a set_meta fold
+    t = lk.Transaction(path)
+    t.rename_column("v", "val")
+    t.commit()
+    for ver in (3, 4, None):
+        av, alive, advs, ameta = ck.state_arrow(path, ver)
+        jv, jlive, jdvs, _txns, jmeta, jstats = lk._state_full(path, ver)
+        assert (av, set(alive), advs, ameta) == (jv, jlive, jdvs, jmeta)
+        for f, s in alive.items():
+            assert (_json.loads(s) if s else None) == jstats[f]
+        mv, mmeta = ck.meta_arrow(path, ver)
+        assert (mv, mmeta) == (jv, jmeta)
+    with pytest.raises(ValueError, match="no parquet checkpoint"):
+        ck.state_arrow(path, 2)
+
+
+def test_checkpoint_planned_read_table_parity(spark, tmp_path):
+    """read_table past the plan threshold routes through
+    state_frame + distributed prune — rows, schema and prune
+    decisions must equal the JSON-replay route (VERDICT r12 #1)."""
+    path = _busy_table(spark, tmp_path)
+    ck.write_parquet_checkpoint(spark, path)
+    pred = [("id", ">=", 10)]
+    want = lk.read_table(spark, path, predicate=pred)  # JSON route
+    spark.conf.set(ck.PLAN_MIN_FILES_CONF, "1")
+    try:
+        got = lk.read_table(spark, path, predicate=pred)
+        assert got.columns == want.columns
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+        # filterless + time-travel parity through the same route
+        assert lk.read_table(spark, path).count() == lk.read_table(
+            spark, path, version=lk.latest_commit(path)
+        ).count()
+        # empty-table error parity is preserved on the routed path
+        empty = str(tmp_path / "empty13")
+        t = lk.Transaction(empty)
+        t.append(
+            spark.createDataFrame([(1,)], "id long").coalesce(1)
+        )
+        t.commit()
+        t = lk.Transaction(empty)
+        t.delete_where(spark, F.lit(True))
+        t.commit()
+        ck.write_parquet_checkpoint(spark, empty)
+        with pytest.raises(ValueError, match="is empty"):
+            lk.read_table(spark, empty)
+    finally:
+        spark.conf.unset(ck.PLAN_MIN_FILES_CONF)
+
+
+def test_datasource_plans_from_checkpoint_identically(spark, tmp_path):
+    """The registered source's checkpoint route (pyarrow — the
+    planning worker has no session) must produce the same rows AND
+    the same pruned partition list as the JSON-replay route."""
+    from market_etl_spark import lakehouse_datasource as lds
+
+    lds.register(spark)
+    path = _busy_table(spark, tmp_path)
+    ck.write_parquet_checkpoint(spark, path)
+    via_json = spark.read.format("lakehouse") \
+        .option("planFromCheckpoint", "false").load(path)
+    via_ckpt = spark.read.format("lakehouse") \
+        .option("planFromCheckpoint", "true").load(path)
+    assert via_ckpt.schema == via_json.schema
+    assert sorted(map(tuple, via_ckpt.collect())) == sorted(
+        map(tuple, via_json.collect())
+    )
+    # partition-list equality, route by route, with a pushed filter
+    schema = via_json.schema
+    pred = [("id", ">=", 10)]
+    planned = {}
+    for route in ("false", "true"):
+        r = lds._LakehouseBatchReader(
+            {"path": path, "planFromCheckpoint": route}, schema
+        )
+        r._conj = list(pred)
+        planned[route] = [
+            (p.file, p.dv_files) for p in r.partitions()
+        ]
+    assert planned["true"] == planned["false"]
+    _v, kept, _total = lk.prune_files(path, pred)
+    assert [f for f, _dv in planned["true"]] == kept
+    # auto mode: tiny table stays on the JSON route under the default
+    # floor, and flips with the per-read floor option
+    assert not lds._use_checkpoint_plan({}, path, None)
+    assert lds._use_checkpoint_plan(
+        {"checkpointPlanMinFiles": "1"}, path, None
+    )
+    # forcing the route on a checkpoint-less table fails loudly
+    bare = str(tmp_path / "bare13")
+    t = lk.Transaction(bare)
+    t.append(spark.createDataFrame([(1,)], "id long").coalesce(1))
+    t.commit()
+    with pytest.raises(Exception, match="no parquet checkpoint"):
+        spark.read.format("lakehouse") \
+            .option("planFromCheckpoint", "true").load(bare).collect()
+
+
+def test_commit_auto_advances_past_interval(spark, tmp_path):
+    """Commits roll the parquet checkpoint forward once the JSON tail
+    reaches the configured interval — opt-in (no bootstrap = no
+    advance), and OFF at interval 0."""
+    path = _busy_table(spark, tmp_path)  # 5 commits, no checkpoint
+
+    def bump(i):
+        t = lk.Transaction(path)
+        t.append(
+            spark.createDataFrame(
+                [(9000 + i, 0.0)], "id long, v double"
+            ).coalesce(1)
+        )
+        t.commit()
+
+    bump(0)
+    assert ck.latest_parquet_checkpoint(path) is None  # never bootstrapped
+    v0 = ck.write_parquet_checkpoint(spark, path)
+    spark.conf.set(ck.AUTO_ADVANCE_CONF, "2")
+    try:
+        bump(1)
+        assert ck.latest_parquet_checkpoint(path) == v0  # tail of 1 < 2
+        bump(2)
+        v_adv = ck.latest_parquet_checkpoint(path)
+        assert v_adv == lk.latest_commit(path)  # tail hit 2: advanced
+        # advanced state equals JSON replay
+        _pv, live_pq, dv_pq, meta_pq = _state_sets(spark, path)
+        _v, live, dvs, _txns, meta, _stats = lk._state_full(path)
+        assert (live_pq, dv_pq, meta_pq) == (live, dvs, meta)
+        spark.conf.set(ck.AUTO_ADVANCE_CONF, "0")
+        bump(3)
+        bump(4)
+        assert ck.latest_parquet_checkpoint(path) == v_adv  # disabled
+    finally:
+        spark.conf.unset(ck.AUTO_ADVANCE_CONF)

@@ -616,3 +616,16 @@ def test_stream_sink_races_direct_append(spark, tmp_path):
     assert got.count() == 30 + 1 + 3
     assert got.filter("id >= 2000").count() == 3  # direct rows survived
     assert got.filter("id < 100").count() == 30   # replica complete
+
+
+def test_batch_reader_refuses_second_plan(spark, tmp_path):
+    """ADVICE r12: partitions() drops the file-scale maps after the
+    first plan — a silent second plan would return ZERO partitions
+    (empty result, no error); it must raise instead."""
+    path = _table(spark, tmp_path)
+    reader = lds._LakehouseBatchReader(
+        {"path": path}, spark.read.format("lakehouse").load(path).schema
+    )
+    assert len(reader.partitions()) == 3
+    with pytest.raises(RuntimeError, match="planned twice"):
+        reader.partitions()

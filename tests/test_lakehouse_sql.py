@@ -242,3 +242,156 @@ def test_dml_edge_shapes(spark, tmp_path):
     ).collect()[0].num_affected_rows
     exp = 30 - lk.read_table(spark, p2).count()
     assert n == exp > 0
+
+
+def test_merge_conditioned_update_clause(spark, tmp_path):
+    """WHEN MATCHED AND <cond> THEN UPDATE (round 13): matched rows
+    failing the condition pass through unchanged and are not counted;
+    equivalence against the Python twin with the same gate."""
+    sql_path = _table(spark, tmp_path, "a")
+    py_path = _table(spark, tmp_path, "b")
+    src = spark.createDataFrame(
+        [(3, 100.0, "x"), (4, -1.0, "y"), (99, 9.0, "z")],
+        "id long, v double, s string",
+    )
+    src.createOrReplaceTempView("cond_updates")
+    out = run_sql(
+        spark,
+        f"""
+        MERGE INTO lakehouse.`{sql_path}` AS tgt USING cond_updates AS src
+        ON tgt.id = src.id
+        WHEN MATCHED AND src.v > 0 THEN UPDATE SET v = src.v
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+    ).collect()[0]
+    assert (out.num_updated_rows, out.num_deleted_rows,
+            out.num_inserted_rows) == (1, 0, 1)
+    t = lk.Transaction(py_path)
+    t.merge_into(
+        spark, src, ["id"],
+        when_matched_update={"v": F.col("s.v")},
+        when_matched_update_cond=F.col("s.v") > 0,
+        when_not_matched_insert=True,
+    )
+    t.commit()
+    assert _rows(lk.read_table(spark, sql_path)) == _rows(
+        lk.read_table(spark, py_path)
+    )
+    # id=4 matched but failed the gate: unchanged
+    r4 = lk.read_table(spark, sql_path).filter("id = 4").collect()[0]
+    assert r4.v == 4.0
+
+
+def test_merge_update_before_delete_rejected(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    spark.createDataFrame([(1, 1.0, "x")], "id long, v double, s string") \
+        .createOrReplaceTempView("ud_src")
+    with pytest.raises(ValueError, match="DELETE before"):
+        run_sql(
+            spark,
+            f"""
+            MERGE INTO lakehouse.`{path}` AS t2 USING ud_src AS s2
+            ON t2.id = s2.id
+            WHEN MATCHED THEN UPDATE SET v = s2.v
+            WHEN MATCHED AND s2.v < 0 THEN DELETE
+            """,
+        )
+
+
+def test_insert_into_values_and_select(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    out = run_sql(
+        spark,
+        f"INSERT INTO lakehouse.`{path}` VALUES (100, 1.5, 'q'), "
+        f"(101, 2.5, 'r')",
+    )
+    assert out.collect()[0].num_inserted_rows == 2
+    # positional cast: ints cast to the declared double column
+    out = run_sql(
+        spark,
+        f"INSERT INTO lakehouse.`{path}` SELECT id + 200, v, s "
+        f"FROM lakehouse.`{path}` WHERE id >= 100",
+    )
+    assert out.collect()[0].num_inserted_rows == 2
+    got = lk.read_table(spark, path).filter("id >= 100")
+    assert got.count() == 4
+    with pytest.raises(ValueError, match="arity"):
+        run_sql(spark, f"INSERT INTO lakehouse.`{path}` VALUES (1, 2.0)")
+    with pytest.raises(ValueError, match="no committed schema"):
+        run_sql(
+            spark,
+            f"INSERT INTO lakehouse.`{tmp_path / 'fresh'}` VALUES (1)",
+        )
+
+
+def test_create_named_table_and_dml_by_name(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    run_sql(
+        spark,
+        f"CREATE TABLE named_t13 USING lakehouse LOCATION '{path}'",
+    )
+    assert run_sql(
+        spark, "SELECT count(*) AS n FROM lakehouse.named_t13"
+    ).collect()[0].n == 30
+    out = run_sql(spark, "DELETE FROM lakehouse.named_t13 WHERE id < 10")
+    assert out.collect()[0].num_affected_rows == 10
+    run_sql(spark, "DESCRIBE HISTORY lakehouse.named_t13")
+    run_sql(spark, "DROP TABLE named_t13")
+    with pytest.raises(ValueError, match="unknown lakehouse table"):
+        run_sql(spark, "SELECT * FROM lakehouse.named_t13")
+    # data survives the unregister (external-table semantics)
+    assert lk.read_table(spark, path).count() == 20
+
+
+def test_ctas_bootstraps_and_refuses_existing(spark, tmp_path):
+    src = _table(spark, tmp_path, "src")
+    dst = str(tmp_path / "agg")
+    out = run_sql(
+        spark,
+        f"CREATE TABLE agg_t13 USING lakehouse LOCATION '{dst}' AS "
+        f"SELECT s, count(*) AS n FROM lakehouse.`{src}` GROUP BY s",
+    )
+    assert out.collect()[0].num_inserted_rows == 3
+    assert run_sql(
+        spark, "SELECT sum(n) AS total FROM lakehouse.agg_t13"
+    ).collect()[0].total == 30
+    with pytest.raises(ValueError, match="already has commits"):
+        run_sql(
+            spark,
+            f"CREATE TABLE agg2 USING lakehouse LOCATION '{dst}' AS "
+            f"SELECT 1 AS one",
+        )
+    run_sql(spark, "DROP TABLE agg_t13")
+
+
+def test_optimize_zorder_full_rewrites_whole_table(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    for i in range(2):  # extra commits -> multiple live files
+        t = lk.Transaction(path)
+        t.append(
+            spark.createDataFrame(
+                [(1000 + i, 0.0, "z")], "id long, v double, s string"
+            ).coalesce(1)
+        )
+        t.commit()
+    live_before = len(lk.snapshot(path)[1])
+    out = run_sql(
+        spark, f"OPTIMIZE lakehouse.`{path}` ZORDER BY (id, v) FULL"
+    ).collect()[0]
+    # FULL = Delta's whole-table OPTIMIZE ZORDER: every live file in
+    assert out.files_rewritten == live_before
+
+
+def test_select_drops_snapshot_views_and_ignores_literals(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    before = {v.name for v in spark.catalog.listTables()}
+    df = run_sql(
+        spark,
+        f"SELECT s, 'lakehouse.`/not/a/table`' AS lit, count(*) AS n "
+        f"FROM lakehouse.`{path}` GROUP BY s",
+    )
+    after = {v.name for v in spark.catalog.listTables()}
+    assert after == before  # no leaked lakehouse_snap_* views
+    rows = df.collect()  # plan resolved eagerly: still executable
+    assert len(rows) == 3
+    assert all(r.lit == "lakehouse.`/not/a/table`" for r in rows)
