@@ -318,7 +318,7 @@ def q_lakehouse_datasource_stream(
        through the registered source);
     3. the CRASH: the checkpoint is rolled back to the pre-crash copy
        and run C replays — Spark re-plans the SAME version range with
-       the SAME batch id (``readBetweenOffsets`` between checkpointed
+       the SAME batch id (``partitions`` between checkpointed
        offsets), the downstream txn identity dedupes, and the
        downstream table is bit-unchanged (``replay_skipped``).
 

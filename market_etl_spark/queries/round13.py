@@ -1,0 +1,509 @@
+"""Round-13 additions: the round-12 planes COMPOSED.
+
+VERDICT r12's ranked residuals were all composition gaps between
+features that individually worked: the registered source still
+planned from the driver-side JSON replay even when a parquet
+checkpoint existed, the streaming source materialized micro-batches
+driver-side (the documented SimpleDataSourceStreamReader cost
+profile), and the SQL router's grammar stopped short of the Delta
+shapes users hit first.  Round 13 closes each:
+
+- ``q_lakehouse_checkpoint_planning`` — planning FROM the parquet
+  checkpoint, both routes: ``read_table`` past the file-count
+  threshold plans via ``state_frame`` + ``mapInPandas`` prune (Spark
+  jobs; driver JSON work O(tail)); the registered source — whose
+  planning hooks run in Spark's SESSION-LESS worker — consumes the
+  same checkpoint via pyarrow (columnar base, O(tail) JSON).  Commits
+  auto-advance the checkpoint once the tail reaches the configured
+  interval.  The drill pins partition-list equality between the
+  checkpoint route and the JSON-replay route, decision for decision.
+- ``q_lakehouse_sql_ddl`` — the widened grammar end to end: CREATE
+  TABLE ... USING lakehouse LOCATION [AS SELECT] with a router-owned
+  NAME registry (Spark 4.1 hands Python-source catalog scans empty
+  options, so names cannot live in the real catalog), INSERT INTO
+  (VALUES and SELECT, positional cast), WHEN MATCHED AND <cond> THEN
+  UPDATE, OPTIMIZE ZORDER FULL, DROP TABLE.
+- ``q_lakehouse_stream_backfill`` — the partition-based stream
+  reader under a BACKFILL-SCALE commit: one InputPartition per FILE,
+  rows derived on executors as Arrow record batches, replicated
+  exactly-once into a downstream table through the registered sink.
+
+Reference parity note: the reference pipeline (jobs/*/*.py) is
+append-only loose parquet with no table format; every query here is
+an engine extension over sql/athena_sample_queries.sql's data model.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming import _SCRATCH
+from ..tables import load
+from .registry import query
+
+
+def _tag(sf_dir: str) -> str:
+    return pathlib.Path(sf_dir.rstrip("/")).name.replace(".", "_")
+
+
+def _micros(col: F.Column) -> F.Column:
+    return F.round(col * 1e6, 0).cast("long")
+
+
+@query(
+    "q_lakehouse_checkpoint_planning",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 1e6, 0) AS BIGINT)) AS BIGINT)
+               AS price_micros,
+           TRUE AS auto_advanced,
+           TRUE AS arrow_state_parity,
+           TRUE AS source_plan_parity,
+           TRUE AS routed_read_parity
+    FROM orders
+    WHERE o_orderkey % 13 <> 0 AND o_orderkey % 17 <> 0
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("lakehouse", "checkpoint", "planning", "data-skipping",
+          "extension"),
+)
+def q_lakehouse_checkpoint_planning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Planning composed WITH the parquet checkpoint (VERDICT r12 #1).
+
+    Round 12 built two planes that did not touch: the registered
+    source/``read_table`` planned every scan from driver-side JSON
+    replay (O(live files) blob parse + admit loop), while the parquet
+    checkpoint plane — built to remove exactly that bottleneck — was
+    consumed only by its own drill.  This drill proves the
+    composition:
+
+    1. Seed the orders table (3 appends, 2 files each), bootstrap a
+       parquet checkpoint, set the auto-advance interval to 2 and
+       land a MOR delete + a copy-on-write delete: the SECOND commit
+       must roll the checkpoint forward BY ITSELF
+       (``auto_advanced`` — ``Transaction.commit`` calls
+       ``advance_parquet_checkpoint`` once the JSON tail reaches the
+       interval, Delta's checkpoint cadence).
+    2. ``arrow_state_parity`` — the SESSION-LESS state composition
+       the DataSource planning worker uses (pyarrow columnar read of
+       the checkpoint + delta-sized JSON tail,
+       :func:`..lakehouse_checkpoint.state_arrow`) equals the JSON
+       replay: live set, DV set, meta, and every per-file stats dict.
+    3. ``source_plan_parity`` — the registered source's PARTITION
+       LIST under a pushed filter is identical file-for-file between
+       ``planFromCheckpoint=true`` and the JSON route, and equals
+       ``prune_files`` — plan decisions identical, only where they
+       were computed differs.
+    4. ``routed_read_parity`` — ``read_table`` past the plan
+       threshold (``checkpointPlanMinFiles=1``) routes through
+       ``state_frame`` + distributed ``mapInPandas`` prune and
+       returns a digest identical to the JSON route, predicate and
+       filterless both.
+
+    Scale shape: past the threshold the driver parses only the JSON
+    tail; the O(files) base state arrives as parquet (columnar in the
+    session-less planner, a Spark job in ``read_table``), and admit
+    decisions fan out with the data (SCALE.md round-13 row).
+
+    Cites: sql/athena_repair_partitions.sql (the reference's whole
+    metadata plane is MSCK re-crawl; checkpointed planning is the
+    engine extension)."""
+    from .. import lakehouse as lk
+    from .. import lakehouse_checkpoint as ckpt
+    from ..lakehouse_datasource import _LakehouseBatchReader, register
+
+    register(spark)
+    path = str(_SCRATCH / f"lakehouse_ckpt_plan_{_tag(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    for third in range(3):
+        t = lk.Transaction(path)
+        t.append(orders.filter(F.col("k") % 3 == third).repartition(2))
+        t.commit()  # v1-3
+    ckpt.write_parquet_checkpoint(spark, path)  # bootstrap at v3
+
+    # --- 1: commits roll the checkpoint forward by themselves
+    spark.conf.set(ckpt.AUTO_ADVANCE_CONF, "2")
+    try:
+        t = lk.Transaction(path)
+        t.delete_where_mor(spark, F.col("k") % 13 == 0)
+        t.commit()  # v4: tail of 1 < interval — no advance yet
+        before = ckpt.latest_parquet_checkpoint(path)
+        t = lk.Transaction(path)
+        t.delete_where(spark, F.col("k") % 17 == 0)
+        t.commit()  # v5: tail hits the interval — auto-advance
+        auto_advanced = (
+            before == 3 and ckpt.latest_parquet_checkpoint(path) == 5
+        )
+    finally:
+        spark.conf.unset(ckpt.AUTO_ADVANCE_CONF)
+
+    # --- 2: session-less (pyarrow) state == JSON replay
+    import json as _json
+
+    av, alive, advs, ameta = ckpt.state_arrow(path)
+    jv, jlive, jdvs, _txns, jmeta, jstats = lk._state_full(path)
+    arrow_state_parity = (
+        (av, set(alive), advs, ameta) == (jv, jlive, jdvs, jmeta)
+        and all(
+            (_json.loads(s) if s else None) == jstats[f]
+            for f, s in alive.items()
+        )
+    )
+
+    # --- 3: the SOURCE's partition list, checkpoint route vs JSON
+    schema = spark.read.format("lakehouse").load(path).schema
+    pred = [("k", "<", 1000)]
+    planned = {}
+    for route in ("false", "true"):
+        r = _LakehouseBatchReader(
+            {"path": path, "planFromCheckpoint": route}, schema
+        )
+        r._conj = list(pred)
+        planned[route] = [(p.file, p.dv_files) for p in r.partitions()]
+    _pv, kept, _total = lk.prune_files(path, pred)
+    source_plan_parity = (
+        planned["true"] == planned["false"]
+        and [f for f, _dv in planned["true"]] == kept
+    )
+
+    # --- 4: read_table routed through the distributed plan
+    digest = lambda df: tuple(  # noqa: E731
+        df.agg(
+            F.count(F.lit(1)),
+            F.expr(
+                "bit_xor(xxhash64(k, status, CAST(ROUND(price*1e6,0) "
+                "AS LONG)))"
+            ),
+        ).collect()[0]
+    )
+    want_pred = digest(lk.read_table(spark, path, predicate=pred))
+    want_full = digest(lk.read_table(spark, path))
+    spark.conf.set(ckpt.PLAN_MIN_FILES_CONF, "1")
+    try:
+        routed_read_parity = (
+            digest(lk.read_table(spark, path, predicate=pred)) == want_pred
+            and digest(lk.read_table(spark, path)) == want_full
+        )
+    finally:
+        spark.conf.unset(ckpt.PLAN_MIN_FILES_CONF)
+
+    return (
+        lk.read_table(spark, path)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_micros(F.col("price"))).cast("long").alias("price_micros"),
+        )
+        .withColumn("auto_advanced", F.lit(bool(auto_advanced)))
+        .withColumn("arrow_state_parity", F.lit(bool(arrow_state_parity)))
+        .withColumn("source_plan_parity", F.lit(bool(source_plan_parity)))
+        .withColumn("routed_read_parity", F.lit(bool(routed_read_parity)))
+        .orderBy("status")
+    )
+
+
+@query(
+    "q_lakehouse_sql_ddl",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k, c_mktsegment AS seg,
+             CAST(c_acctbal AS DOUBLE) AS bal
+      FROM customer
+    ),
+    merged AS (
+      SELECT k,
+             CASE WHEN k % 9 = 0 AND bal > 0 THEN 'MERGED' ELSE seg END
+                 AS seg,
+             CASE WHEN k % 9 = 0 AND bal > 0 THEN bal * 3 ELSE bal END
+                 AS bal
+      FROM base
+    ),
+    final AS (
+      SELECT * FROM merged
+      UNION ALL SELECT 900000001, 'SYNTH', 1.5
+      UNION ALL SELECT 900000002, 'SYNTH', 2.5
+    )
+    SELECT seg,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(bal * 1e6, 0) AS BIGINT)) AS BIGINT)
+               AS bal_micros,
+           TRUE AS counts_consistent,
+           TRUE AS name_registry_roundtrip,
+           TRUE AS zorder_full_data_neutral
+    FROM final
+    GROUP BY seg
+    ORDER BY seg
+    """,
+    tags=("lakehouse", "sql", "ddl", "dml", "merge", "extension"),
+)
+def q_lakehouse_sql_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WIDENED SQL grammar end to end (VERDICT r12 #4/#7): the
+    Delta statement shapes a user hits first, every one literal SQL
+    text through :func:`..lakehouse_sql.run_sql`:
+
+    1. ``CREATE TABLE cust13 USING lakehouse LOCATION p AS SELECT``
+       — CTAS bootstraps the table AND registers the name (router-
+       owned registry; Spark 4.1 hands Python-source catalog scans
+       empty options, so real-catalog names cannot resolve yet);
+    2. ``INSERT INTO lakehouse.cust13 SELECT ...`` — by NAME, the
+       other half of the base frame;
+    3. ``INSERT INTO lakehouse.cust13 VALUES (..), (..)`` —
+       positional cast to the table schema (SQL INSERT semantics);
+    4. ``MERGE ... WHEN MATCHED AND s.bal > 0 THEN UPDATE SET ...``
+       — the CONDITIONED update clause (a real gate in
+       ``merge_into``: matched rows failing it pass through and are
+       NOT counted, Delta's first-match-wins);
+    5. ``OPTIMIZE lakehouse.cust13 ZORDER BY (k) FULL`` — the
+       whole-table clustering variant (default stays incremental);
+    6. ``DROP TABLE cust13`` — unregisters, data stays (external-
+       table semantics), then a plain ``CREATE TABLE ... LOCATION``
+       re-registers the existing table.
+
+    Audits the oracle pins TRUE: ``counts_consistent`` — every
+    statement's returned count equals the relational expectation;
+    ``name_registry_roundtrip`` — the by-name aggregate equals the
+    by-path aggregate before AND after the drop/re-register cycle;
+    ``zorder_full_data_neutral`` — the FULL rewrite touched every
+    live file and changed no row (digest-identical).
+
+    Cites: sql/athena_sample_queries.sql (read-only SELECT — the
+    reference has no DML/DDL surface; this is the engine extension)."""
+    from .. import lakehouse as lk
+    from ..lakehouse_sql import _NAMES, run_sql
+
+    tag = _tag(sf_dir)
+    path = str(_SCRATCH / f"lakehouse_sql_ddl_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    _NAMES.pop("cust13", None)  # re-runnable drill
+    base = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    ).localCheckpoint()
+    view = f"sql_ddl_base_{tag}"
+    base.createOrReplaceTempView(view)
+
+    n_ctas = run_sql(
+        spark,
+        f"CREATE TABLE cust13 USING lakehouse LOCATION '{path}' AS "
+        f"SELECT k, seg, bal FROM {view} WHERE k % 2 = 0",
+    ).collect()[0].num_inserted_rows
+    n_ins_sel = run_sql(
+        spark,
+        f"INSERT INTO lakehouse.cust13 "
+        f"SELECT k, seg, bal FROM {view} WHERE k % 2 = 1",
+    ).collect()[0].num_inserted_rows
+    n_ins_val = run_sql(
+        spark,
+        "INSERT INTO lakehouse.cust13 VALUES "
+        "(900000001, 'SYNTH', 1.5), (900000002, 'SYNTH', 2.5)",
+    ).collect()[0].num_inserted_rows
+
+    digest = lambda df: tuple(  # noqa: E731
+        df.agg(
+            F.count(F.lit(1)),
+            F.expr(
+                "bit_xor(xxhash64(k, seg, CAST(ROUND(bal*1e6,0) AS LONG)))"
+            ),
+        ).collect()[0]
+    )
+    merge = run_sql(
+        spark,
+        f"""
+        MERGE INTO lakehouse.cust13 AS t
+        USING (SELECT k, 'MERGED' AS seg, bal * 3 AS bal
+               FROM {view} WHERE k % 9 = 0) AS s
+        ON t.k = s.k
+        WHEN MATCHED AND s.bal > 0 THEN UPDATE SET seg = s.seg, bal = s.bal
+        """,
+    ).collect()[0]
+    pre_zorder = digest(lk.read_table(spark, path))
+    live_before = len(lk.snapshot(path)[1])
+    opt = run_sql(
+        spark, "OPTIMIZE lakehouse.cust13 ZORDER BY (k) FULL"
+    ).collect()[0]
+    zorder_full_data_neutral = (
+        opt.files_rewritten == live_before
+        and digest(lk.read_table(spark, path)) == pre_zorder
+    )
+
+    counts_consistent = (
+        n_ctas == base.filter("k % 2 = 0").count()
+        and n_ins_sel == base.filter("k % 2 = 1").count()
+        and n_ins_val == 2
+        and merge.num_updated_rows
+        == base.filter("k % 9 = 0 and bal > 0").count()
+        and merge.num_deleted_rows == 0
+        and merge.num_inserted_rows == 0
+    )
+
+    agg_sql = (
+        "SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(SUM(CAST(ROUND(bal * 1e6, 0) AS BIGINT)) AS BIGINT) "
+        "AS bal_micros FROM {tbl} GROUP BY seg ORDER BY seg"
+    )
+    by_name = run_sql(spark, agg_sql.format(tbl="lakehouse.cust13"))
+    by_path = run_sql(spark, agg_sql.format(tbl=f"lakehouse.`{path}`"))
+    rows_eq = lambda a, b: sorted(  # noqa: E731
+        map(tuple, a.collect())
+    ) == sorted(map(tuple, b.collect()))
+    roundtrip = rows_eq(by_name, by_path)
+    run_sql(spark, "DROP TABLE cust13")
+    try:
+        run_sql(spark, "SELECT * FROM lakehouse.cust13")
+        roundtrip = False  # dropped names must not resolve
+    except ValueError:
+        pass
+    run_sql(
+        spark, f"CREATE TABLE cust13 USING lakehouse LOCATION '{path}'"
+    )  # plain re-register of the EXISTING table: data survived
+    name_registry_roundtrip = roundtrip and rows_eq(
+        run_sql(spark, agg_sql.format(tbl="lakehouse.cust13")), by_path
+    )
+
+    return (
+        by_path
+        .withColumn("counts_consistent", F.lit(bool(counts_consistent)))
+        .withColumn(
+            "name_registry_roundtrip", F.lit(bool(name_registry_roundtrip))
+        )
+        .withColumn(
+            "zorder_full_data_neutral",
+            F.lit(bool(zorder_full_data_neutral)),
+        )
+    )
+
+
+@query(
+    "q_lakehouse_stream_backfill",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+               AS value_micros,
+           TRUE AS per_file_partitions,
+           TRUE AS arrow_batches,
+           TRUE AS exactly_once
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("lakehouse", "streaming", "datasource", "backfill",
+          "extension"),
+)
+def q_lakehouse_stream_backfill(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PARTITION-BASED streaming source under a backfill-scale
+    commit (VERDICT r12 #2/#3).  Round 12's
+    ``SimpleDataSourceStreamReader`` materialized every micro-batch
+    as a Python list of tuples on the driver — delta-sized in steady
+    state, but a stream started against a fully-seeded table (or one
+    backfill commit) funneled the whole table through the driver
+    row-at-a-time.  The round-13 reader is the partition-based
+    ``DataSourceStreamReader``: ``partitions(start, end)`` plans one
+    InputPartition PER FILE of each in-range commit (driver work =
+    commit metadata only), and ``read(slice)`` derives rows ON
+    EXECUTORS, yielding Arrow record batches with CDF tag columns
+    appended as Arrow arrays — no per-row Python loop anywhere.
+
+    Drill: the events table lands as ONE 8-file backfill commit plus
+    a second small append.  Audits the oracle pins TRUE:
+
+    - ``per_file_partitions`` — the reader plans 8 slices for the
+      backfill commit and 1 for the tail commit (per FILE, never per
+      commit, never one monolithic driver batch);
+    - ``arrow_batches`` — ``read(slice)`` yields
+      ``pyarrow.RecordBatch`` objects (the executor contract);
+    - ``exactly_once`` — the full stream replicates into a
+      downstream lakehouse table through the registered SINK under
+      ``(txnAppId, epoch)`` identities, and a second availableNow
+      run against the same checkpoint appends NOTHING (offsets in
+      Spark's checkpoint + idempotent-writer dedupe).
+
+    The returned aggregate reads the DOWNSTREAM table — the consumer
+    never touched the source snapshot, only its feed.
+
+    Cites: jobs/downloader/glue_binance_downloader.py (the closest
+    reference shape is batch re-download; streaming is an engine
+    extension)."""
+    from .. import lakehouse as lk
+    from ..lakehouse_datasource import _LakehouseStreamReader, register
+
+    register(spark)
+    tag = _tag(sf_dir)
+    src = str(_SCRATCH / f"lakehouse_backfill_src_{tag}")
+    dst = str(_SCRATCH / f"lakehouse_backfill_dst_{tag}")
+    ck = str(_SCRATCH / f"lakehouse_backfill_ck_{tag}")
+    for p in (src, dst, ck):
+        shutil.rmtree(p, ignore_errors=True)
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    t = lk.Transaction(src)
+    t.append(ev.filter(F.col("event_id") % 5 != 0).repartition(8))
+    t.commit()  # v1: the 8-file backfill commit
+    t = lk.Transaction(src)
+    t.append(ev.filter(F.col("event_id") % 5 == 0).coalesce(1))
+    t.commit()  # v2: the steady-state tail
+
+    # structural pins, on the reader itself
+    import pyarrow as pa
+
+    schema = spark.read.format("lakehouse").load(src).schema
+    r = _LakehouseStreamReader({"path": src}, schema)
+    parts = r.partitions({"v": 0}, {"v": 2})
+    per_file_partitions = (
+        len(parts) == 9
+        and sorted(p.version for p in parts) == [1] * 8 + [2]
+    )
+    batches = list(r.read(parts[0]))
+    arrow_batches = bool(batches) and all(
+        isinstance(b, pa.RecordBatch) for b in batches
+    )
+
+    def run() -> None:
+        (
+            spark.readStream.format("lakehouse")
+            .load(src)
+            .writeStream.format("lakehouse")
+            .option("txnAppId", f"backfill_{tag}")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start(dst)
+            .awaitTermination()
+        )
+
+    run()
+    v_first = lk.latest_commit(dst)
+    run()  # same checkpoint, no new source commits: nothing lands
+    exactly_once = lk.latest_commit(dst) == v_first
+
+    return (
+        lk.read_table(spark, dst)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_micros(F.col("value"))).cast("long").alias("value_micros"),
+        )
+        .withColumn(
+            "per_file_partitions", F.lit(bool(per_file_partitions))
+        )
+        .withColumn("arrow_batches", F.lit(bool(arrow_batches)))
+        .withColumn("exactly_once", F.lit(bool(exactly_once)))
+        .orderBy("event_type")
+    )

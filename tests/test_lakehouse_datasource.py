@@ -570,8 +570,9 @@ def test_stream_fails_on_mid_tail_evolution(spark, tmp_path):
         evolve_schema=True,
     )
     t.commit()
+    latest = lk.latest_commit(path)
     with pytest.raises(ValueError, match="cannot represent"):
-        list(live._commit_rows(lk.latest_commit(path)))
+        live.partitions({"v": latest - 1}, {"v": latest})
     # a restarted stream on the SAME checkpoint resolves the evolved
     # schema and replays the commit (old offsets carried forward)
     got = _tail(spark, path, "ck_mid", tmp_path)
@@ -629,3 +630,48 @@ def test_batch_reader_refuses_second_plan(spark, tmp_path):
     assert len(reader.partitions()) == 3
     with pytest.raises(RuntimeError, match="planned twice"):
         reader.partitions()
+
+
+def test_stream_fans_out_per_file_and_yields_arrow(spark, tmp_path):
+    """Round 13: the stream reader plans one InputPartition PER FILE
+    of each commit (a backfill-scale commit reads with cluster
+    parallelism) and read() yields Arrow record batches — rows never
+    materialize as Python tuples, on the driver or anywhere."""
+    import pyarrow as pa
+
+    path = _table(spark, tmp_path)  # 3 commits x 1 file
+    t = lk.Transaction(path)
+    t.append(
+        spark.createDataFrame(
+            [(200 + j, float(j), "b") for j in range(40)],
+            "id long, v double, s string",
+        ).repartition(4)  # the backfill-shaped commit: many files
+    )
+    t.commit()
+    schema = spark.read.format("lakehouse").load(path).schema
+    r = lds._LakehouseStreamReader({"path": path}, schema)
+    parts = r.partitions({"v": 0}, {"v": lk.latest_commit(path)})
+    assert len(parts) == 3 + 4  # per FILE, not per commit
+    assert {p.version for p in parts} == {1, 2, 3, 4}
+    batches = list(r.read(parts[-1]))
+    assert batches and all(isinstance(b, pa.RecordBatch) for b in batches)
+    # CDF slices carry the tag columns as Arrow arrays
+    t = lk.Transaction(path)
+    t.delete_where_mor(spark, F.col("id") == 201)
+    t.commit()
+    rc = lds._LakehouseStreamReader(
+        {"path": path, "readChangeFeed": "true"},
+        spark.read.format("lakehouse").option("readChangeFeed", "true")
+        .option("startingVersion", 0).load(path).schema,
+    )
+    v = lk.latest_commit(path)
+    dparts = rc.partitions({"v": v - 1}, {"v": v})
+    dbatches = [b for p in dparts for b in rc.read(p)]
+    assert dbatches
+    cols = dbatches[0].schema.names
+    assert cols[-2:] == ["_change_type", "_commit_version"]
+    assert dbatches[0].column("_change_type").to_pylist() == ["delete"]
+    # end-to-end: the full tail equals the table snapshot at v-1
+    got = _tail(spark, path, "ck_perfile", tmp_path,
+                skipChangeCommits="true")
+    assert len(got) == 70
