@@ -209,19 +209,77 @@ def prune_scan_arrow(
     checkpoint without a session, with decisions identical to
     :func:`lakehouse.prune_files` by construction (the same
     :func:`lakehouse._stats_admit` evaluates the same footer stats).
-    Driver JSON work is O(tail); the base state is columnar."""
-    v, live, dvs, meta = state_arrow(path, version)
+
+    Memory shape for the session-less planning worker: the base adds
+    STREAM through as Arrow record batches (stats stay Arrow buffer
+    bytes until the per-row ``json.loads``), so peak Python-object
+    memory is O(survivors + tail + one batch), never O(live files) —
+    at ~800k files the full-dict composition (:func:`state_arrow`,
+    kept as the parity/debug surface) would hold the whole stats map
+    as Python strings.  Driver JSON work is O(tail)."""
+    import pyarrow.dataset as pads
+
+    v = lk.latest_commit(path) if version is None else version
+    v0 = latest_parquet_checkpoint(path, v)
+    if v0 is None:
+        raise ValueError(f"no parquet checkpoint ≤ version {v} at {path}")
+    if v0 < v:
+        added, removed, dv_add, dv_rm, meta_up, _txn = _tail_net(path, v0, v)
+    else:
+        added, removed, dv_add, dv_rm, meta_up = {}, set(), set(), set(), {}
+    dset = pads.dataset(str(_ckpt_dir(path, v0)), format="parquet")
+    # meta + DV rows: projected, tiny (one meta row; DVs bounded by
+    # the purge cadence)
+    side = dset.scanner(
+        columns=["kind", "file", "payload"],
+        filter=pads.field("kind").isin(["meta", "dv"]),
+    ).to_table()
+    meta = {}
+    dvs = set()
+    for kind, file, payload in zip(
+        side.column("kind").to_pylist(),
+        side.column("file").to_pylist(),
+        side.column("payload").to_pylist(),
+    ):
+        if kind == "meta":
+            meta = json.loads(payload) if payload else {}
+        else:
+            dvs.add(file)
+    dvs = (dvs - dv_rm) | dv_add
+    meta.update(meta_up)
     cm = lk._colmap(meta)
     conj = [(cm.get(c, c), op, val) for c, op, val in predicate]
-    kept = [
-        f
-        for f, s in sorted(live.items())
-        if all(
-            lk._stats_admit(json.loads(s) if s else None, c, op, val)
-            for c, op, val in conj
-        )
-    ]
-    return v, kept, sorted(dvs), meta, len(live)
+    admit = lk._stats_admit
+
+    def admits(stats_json: str) -> bool:
+        if not conj:
+            return True
+        st = json.loads(stats_json) if stats_json else None
+        return all(admit(st, c, op, val) for c, op, val in conj)
+
+    kept: list[str] = []
+    total = 0
+    gone = removed | set(added)  # tail re-emits supersede base rows
+    scanner = dset.scanner(
+        columns=["file", "stats"],
+        filter=pads.field("kind") == "add",
+        batch_size=16384,
+    )
+    for batch in scanner.to_batches():
+        for f, s in zip(
+            batch.column("file").to_pylist(),
+            batch.column("stats").to_pylist(),
+        ):
+            if f in gone:
+                continue
+            total += 1
+            if admits(s):
+                kept.append(f)
+    for f, s in added.items():  # the delta-sized tail
+        total += 1
+        if admits(s):
+            kept.append(f)
+    return v, sorted(kept), sorted(dvs), meta, total
 
 
 def latest_parquet_checkpoint(

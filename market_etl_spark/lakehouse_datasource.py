@@ -305,20 +305,23 @@ class _LakehouseBatchReader(DataSourceReader):
         self.path = _options_path(options)
         self.root = pathlib.Path(self.path)
         v = _resolve_version(options)
-        if _use_checkpoint_plan(options, self.path, v):
+        self._ckpt_route = _use_checkpoint_plan(options, self.path, v)
+        if self._ckpt_route:
             # checkpoint-composed planning (round 13, VERDICT r12 #1):
             # the Python DataSource planning hooks run in Spark's
             # SESSION-LESS worker process (no py4j — a Spark job is
             # impossible here), so the checkpoint is consumed via
-            # pyarrow: the O(files) base state arrives COLUMNAR and
-            # only the delta-sized JSON tail is parsed — never the
-            # monolithic JSON checkpoint blob _state_full replays.
-            # Stats stay JSON strings until partitions() evaluates
-            # them; decisions are identical (same _stats_admit).
+            # pyarrow.  __init__ reads only the META row
+            # (two-column projected read); the live set is STREAMED
+            # through the prune inside partitions()
+            # (prune_scan_arrow: Arrow-batch iteration, peak memory
+            # O(survivors + tail), never the monolithic JSON blob or
+            # an O(files) Python dict).  Decisions are identical by
+            # construction (same _stats_admit).
             from . import lakehouse_checkpoint as _ckpt
 
-            v, live_map, dvs, meta = _ckpt.state_arrow(self.path, v)
-            live, stats = set(live_map), live_map
+            v, meta = _ckpt.meta_arrow(self.path, v)
+            live, dvs, stats = set(), set(), {}
         else:
             v, live, dvs, _txns, meta, stats = lk._state_full(self.path, v)
         if v == 0:
@@ -367,16 +370,27 @@ class _LakehouseBatchReader(DataSourceReader):
                 "again for a new logical query"
             )
         self._planned = True
-        cm = self.colmap
-        conj = [(cm.get(c, c), op, v) for c, op, v in self._conj]
-        scan = [
-            f
-            for f in self._live
-            if all(
-                lk._stats_admit(self._stat_of(f), c, op, v)
-                for c, op, v in conj
+        if self._ckpt_route:
+            # streamed Arrow-batch prune over the checkpoint (logical
+            # predicate names: prune_scan_arrow translates through the
+            # column mapping itself)
+            from . import lakehouse_checkpoint as _ckpt
+
+            _v, scan, dv_list, _meta, _total = _ckpt.prune_scan_arrow(
+                self.path, list(self._conj), self.version
             )
-        ]
+            self._dvs = dv_list
+        else:
+            cm = self.colmap
+            conj = [(cm.get(c, c), op, v) for c, op, v in self._conj]
+            scan = [
+                f
+                for f in self._live
+                if all(
+                    lk._stats_admit(self._stat_of(f), c, op, v)
+                    for c, op, v in conj
+                )
+            ]
         # sidecar -> targeted basenames, one column-projected read per
         # sidecar: each task then reads ONLY the sidecars that can
         # name it (per-file-scoped deletes, the Iceberg v2 plan shape)
@@ -668,7 +682,15 @@ class _LakehouseCDFBatchReader(DataSourceReader):
     PLAN time on the driver (one pass over the delta-sized commit
     tail), then one InputPartition PER FILE of each commit — each
     executor deriving its slice's change rows as Arrow batches with
-    the same :class:`_CommitDeriver` the streaming source uses."""
+    the same :class:`_CommitDeriver` the streaming source uses.
+
+    ``pushFilters`` on ``_commit_version`` TIGHTENS THE COMMIT RANGE
+    at plan time (round 13): ``.filter("_commit_version > 5")``
+    derives nothing for commits ≤ 5 — the consumer idiom "changes
+    since the version I already applied" prunes I/O at the source
+    instead of deriving the whole feed and filtering after.  Every
+    filter is returned as a residual, so pruning can change I/O,
+    never results."""
 
     def __init__(self, options, schema):
         self.path = _options_path(options)
@@ -683,6 +705,35 @@ class _LakehouseCDFBatchReader(DataSourceReader):
         self._d = _CommitDeriver(
             {"path": self.path, "readChangeFeed": "true"}, schema
         )
+
+    def pushFilters(self, filters):
+        for f in filters:
+            op = _FILTER_OPS.get(type(f))
+            attr = getattr(f, "attribute", None)
+            if not op or attr != ("_commit_version",):
+                continue
+            vals = f.value if op == "in" else (f.value,)
+            try:
+                vals = [int(x) for x in vals]
+            except (TypeError, ValueError):
+                continue  # incomparable value: leave the range alone
+            if not vals:
+                self.end = self.start  # IN (): provably empty feed
+            elif op == ">":
+                self.start = max(self.start, vals[0])
+            elif op == ">=":
+                self.start = max(self.start, vals[0] - 1)
+            elif op == "<":
+                self.end = min(self.end, vals[0] - 1)
+            elif op == "<=":
+                self.end = min(self.end, vals[0])
+            elif op == "=":
+                self.start = max(self.start, vals[0] - 1)
+                self.end = min(self.end, vals[0])
+            else:  # in: the tightest contiguous superset
+                self.start = max(self.start, min(vals) - 1)
+                self.end = min(self.end, max(vals))
+        return filters  # all residual — range pruning is IO-only
 
     def partitions(self):
         return [

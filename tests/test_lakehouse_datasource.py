@@ -675,3 +675,44 @@ def test_stream_fans_out_per_file_and_yields_arrow(spark, tmp_path):
     got = _tail(spark, path, "ck_perfile", tmp_path,
                 skipChangeCommits="true")
     assert len(got) == 70
+
+
+def test_cdf_batch_pushdown_prunes_commit_range(spark, tmp_path):
+    """Round 13: _commit_version predicates tighten the CDF batch
+    reader's commit range at plan time — same results as the residual
+    filter, fewer commits derived."""
+    path = _table(spark, tmp_path)  # v1-3
+    t = lk.Transaction(path)
+    t.delete_where_mor(spark, F.col("id") == 1)
+    t.commit()  # v4
+    load = lambda: (  # noqa: E731
+        spark.read.format("lakehouse")
+        .option("readChangeFeed", "true").option("startingVersion", 0)
+        .load(path)
+    )
+    full = load().collect()
+    for cond in ("_commit_version >= 3", "_commit_version = 2",
+                 "_commit_version < 3", "_commit_version in (1, 4)",
+                 "_commit_version > 2 and _change_type = 'delete'"):
+        got = sorted(map(tuple, load().filter(cond).collect()))
+        # expectation recomputed relationally from the FULL feed
+        want = sorted(
+            map(tuple, spark.createDataFrame(
+                full, load().schema
+            ).filter(cond).collect())
+        )
+        assert got == want, cond
+    # the plan really shrinks: reader-level partition counts
+    schema = load().schema
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    r_all = lds._LakehouseCDFBatchReader(
+        {"path": path, "startingVersion": "0"}, schema
+    )
+    n_all = len(r_all.partitions())
+    r_cut = lds._LakehouseCDFBatchReader(
+        {"path": path, "startingVersion": "0"}, schema
+    )
+    r_cut.pushFilters([GreaterThanOrEqual(("_commit_version",), 4)])
+    assert (r_cut.start, r_cut.end) == (3, 4)
+    assert 0 < len(r_cut.partitions()) < n_all
