@@ -2995,6 +2995,7 @@ class Transaction:
         self,
         spark: SparkSession,
         target_bytes: int = 128 << 20,
+        predicate=None,
     ) -> tuple[int, int]:
         """INCREMENTAL OPTIMIZE — bin-pack ONLY the files smaller than
         ``target_bytes``, leaving every already-right-sized file
@@ -3002,6 +3003,15 @@ class Transaction:
         minFileSize selection), where a 100 TB table's small-file debt
         is a few thousand recent ingest files and rewriting the other
         99.9 TB — what :meth:`compact` would do — is unthinkable.
+
+        ``predicate`` — the same conjunctive triples as
+        :func:`prune_files` — further SCOPES the candidates to files
+        whose footer stats admit it (Delta's ``OPTIMIZE ... WHERE``,
+        which restricts to partitions; here stats-scoped file
+        selection is the layoutless analog).  Scoping is safe for ANY
+        predicate: whole candidate files rewrite with all their rows,
+        so admission only chooses WHICH debt settles, never what the
+        table holds.
 
         Only the candidate files enter the read set, so the
         compaction COMMUTES with concurrent writes touching other
@@ -3026,6 +3036,17 @@ class Transaction:
             return (root / f).stat().st_size
 
         cand = [f for f in self._live if size_of(f) < target_bytes]
+        if predicate is not None:
+            cm = _colmap(self._effective_meta())
+            conj = [(cm.get(c, c), op, val) for c, op, val in predicate]
+            cand = [
+                f
+                for f in cand
+                if all(
+                    _stats_admit(self._stats.get(f), c, op, val)
+                    for c, op, val in conj
+                )
+            ]
         if len(cand) < 2:
             return 0, 0
         self._require_first_rewrite("compact_small")
@@ -3301,7 +3322,9 @@ class Transaction:
             )
 
 
-def vacuum_orphans(path: str, min_age_sec: float = 300.0) -> int:
+def vacuum_orphans(
+    path: str, min_age_sec: float = 300.0, dry_run: bool = False
+) -> int:
     """Sweep data files NO commit ever referenced, plus stale staging
     dirs — crash debris (a writer that staged but never committed).
     Files a later commit REMOVED are still referenced (time travel to
@@ -3310,7 +3333,9 @@ def vacuum_orphans(path: str, min_age_sec: float = 300.0) -> int:
     age-gate contract as :func:`sinks.vacuum_versions`: a LIVE
     writer's staged-but-uncommitted files look identical to debris,
     so only files older than ``min_age_sec`` go (pass 0 only under a
-    known-single-writer window).  Returns files removed."""
+    known-single-writer window).  ``dry_run`` counts what WOULD go
+    without touching anything (Delta's ``VACUUM ... DRY RUN``).
+    Returns files removed (or would-be-removed)."""
     import time
 
     root = pathlib.Path(path)
@@ -3347,16 +3372,19 @@ def vacuum_orphans(path: str, min_age_sec: float = 300.0) -> int:
         for p in d.glob("*.parquet"):
             if p.name in live_names or not _old(p):
                 continue
-            p.unlink()
+            if not dry_run:
+                p.unlink()
             removed += 1
         # write_single_file staging dirs a crash left mid-rename
         for p in d.glob("_tmp_*"):
             if _old(p):
-                shutil.rmtree(p, ignore_errors=True)
+                if not dry_run:
+                    shutil.rmtree(p, ignore_errors=True)
                 removed += 1
     for p in root.glob(".stage-*"):
         if _old(p):
-            shutil.rmtree(p, ignore_errors=True)
+            if not dry_run:
+                shutil.rmtree(p, ignore_errors=True)
             removed += 1
     log = root / _LOG_DIR
     if log.exists():
@@ -3366,7 +3394,8 @@ def vacuum_orphans(path: str, min_age_sec: float = 300.0) -> int:
             for p in log.glob(pat):
                 if _old(p):
                     try:
-                        p.unlink()
+                        if not dry_run:
+                            p.unlink()
                         removed += 1
                     except OSError:
                         pass
@@ -3374,6 +3403,7 @@ def vacuum_orphans(path: str, min_age_sec: float = 300.0) -> int:
         # between the Spark write and the atomic rename
         for p in log.glob(f".{_PQ_CKPT_PREFIX}*-tmp-*"):
             if p.is_dir() and _old(p):
-                shutil.rmtree(p, ignore_errors=True)
+                if not dry_run:
+                    shutil.rmtree(p, ignore_errors=True)
                 removed += 1
     return removed

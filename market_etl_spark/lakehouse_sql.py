@@ -22,9 +22,14 @@ methods — one implementation of the semantics, two entry points.
     run_sql(spark, "DESCRIBE DETAIL lakehouse.`/t`")
     run_sql(spark, "RESTORE TABLE lakehouse.`/t` TO VERSION AS OF 2")
     run_sql(spark, "OPTIMIZE lakehouse.`/t`")                 # compact_small
+    run_sql(spark, "OPTIMIZE lakehouse.`/t` WHERE day >= '2024-01-01'")
     run_sql(spark, "OPTIMIZE lakehouse.`/t` ZORDER BY (a, b)")  # incremental
     run_sql(spark, "OPTIMIZE lakehouse.`/t` ZORDER BY (a, b) FULL")  # whole
     run_sql(spark, "VACUUM lakehouse.`/t` RETAIN 0 SECONDS")
+    run_sql(spark, "VACUUM lakehouse.`/t` DRY RUN")   # count, touch nothing
+    run_sql(spark, "RESTORE TABLE lakehouse.`/t` TO TIMESTAMP AS OF "
+                   "'2026-01-01T00:00:00'")
+    run_sql(spark, "SHOW TABLES")                     # the name registry
     run_sql(spark, "SELECT k, sum(v) FROM lakehouse.`/t` "
                    "VERSION AS OF 3 GROUP BY k")
     run_sql(spark, "INSERT INTO lakehouse.`/t` VALUES (1, 'a'), (2, 'b')")
@@ -133,10 +138,13 @@ _HISTORY = re.compile(rf"(?is)^\s*DESCRIBE\s+HISTORY\s+{_TBL}\s*;?\s*$")
 _DETAIL = re.compile(rf"(?is)^\s*DESCRIBE\s+DETAIL\s+{_TBL}\s*;?\s*$")
 _VACUUM = re.compile(
     rf"(?is)^\s*VACUUM\s+{_TBL}"
-    rf"(?:\s+RETAIN\s+(?P<sec>\d+)\s+SECONDS)?\s*;?\s*$"
+    rf"(?:\s+RETAIN\s+(?P<sec>\d+)\s+SECONDS)?"
+    rf"(?P<dry>\s+DRY\s+RUN)?\s*;?\s*$"
 )
+_SHOW = re.compile(r"(?is)^\s*SHOW\s+TABLES\s*;?\s*$")
 _OPTIMIZE = re.compile(
     rf"(?is)^\s*OPTIMIZE\s+{_TBL}"
+    rf"(?:\s+WHERE\s+(?P<owhere>.+?))?"
     rf"(?:\s+ZORDER\s+BY\s*\(\s*(?P<zcols>[\w`,\s]+?)\s*\)"
     rf"(?P<full>\s+FULL)?)?\s*;?\s*$"
 )
@@ -153,8 +161,9 @@ _DROP = re.compile(
     r"(?is)^\s*DROP\s+TABLE\s+(?:lakehouse\.)?(?P<dname>\w+)\s*;?\s*$"
 )
 _RESTORE = re.compile(
-    rf"(?is)^\s*RESTORE\s+TABLE\s+{_TBL}\s+TO\s+VERSION\s+AS\s+OF\s+"
-    rf"(?P<v>\d+)\s*;?\s*$"
+    rf"(?is)^\s*RESTORE\s+TABLE\s+{_TBL}\s+TO\s+"
+    rf"(?:VERSION\s+AS\s+OF\s+(?P<v>\d+)"
+    rf"|TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')\s*;?\s*$"
 )
 #: table reference inside a SELECT, with optional time travel
 _SELECT_TBL = re.compile(
@@ -175,6 +184,58 @@ def _frame_of_query(spark: SparkSession, text: str) -> DataFrame:
     ):
         return _run_select(spark, text, require_ref=False)
     return spark.sql(text)
+
+
+#: one skipping-predicate term: `col op literal` / `col IN (lits)`
+_PRED_TERM = re.compile(
+    r"(?is)^\s*`?(?P<col>\w+)`?\s*"
+    r"(?:(?P<op><=|>=|<|>|=)\s*(?P<lit>[^\s]+|'[^']*')"
+    r"|IN\s*\(\s*(?P<ins>[^)]+)\s*\))\s*$"
+)
+
+
+def _parse_literal(text: str):
+    text = text.strip()
+    if text.startswith("'") and text.endswith("'"):
+        return text[1:-1].replace("''", "'")
+    try:
+        return int(text)
+    except ValueError:
+        pass
+    try:
+        return float(text)
+    except ValueError:
+        raise ValueError(
+            f"OPTIMIZE ... WHERE takes number/'string' literals, got "
+            f"{text!r}"
+        ) from None
+
+
+def _parse_pred(text: str) -> list[tuple]:
+    """``col op literal AND ...`` -> the conjunctive triples
+    :func:`lakehouse.prune_files` takes.  The restricted grammar is
+    deliberate: OPTIMIZE ... WHERE scopes FILE SELECTION by footer
+    stats, so only stats-answerable shapes belong here — anything
+    richer raises rather than silently scoping nothing."""
+    triples = []
+    for term in re.split(r"(?i)\s+AND\s+", text.strip()):
+        m = _PRED_TERM.match(term)
+        if not m:
+            raise ValueError(
+                f"OPTIMIZE ... WHERE term {term.strip()!r} is not "
+                f"`col op literal` or `col IN (...)` (op: = < <= > >=)"
+            )
+        col = m.group("col")
+        if m.group("ins") is not None:
+            vals = tuple(
+                _parse_literal(x) for x in m.group("ins").split(",")
+            )
+            triples.append((col, "in", vals))
+        else:
+            triples.append(
+                (col, m.group("op"), _parse_literal(m.group("lit")))
+            )
+    return triples
 
 
 def _split_assignments(text: str) -> dict[str, str]:
@@ -264,12 +325,29 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
     m = _VACUUM.match(sql)
     if m:
         sec = float(m.group("sec")) if m.group("sec") else 300.0
-        n = lk.vacuum_orphans(_tbl_of(m), min_age_sec=sec)
-        return _counts_df(spark, orphans_removed=n)
+        dry = bool(m.group("dry"))
+        n = lk.vacuum_orphans(_tbl_of(m), min_age_sec=sec, dry_run=dry)
+        return _counts_df(spark, orphans_removed=0 if dry else n,
+                          orphans_found=n)
+    m = _SHOW.match(sql)
+    if m:
+        if not _NAMES:
+            return spark.createDataFrame(
+                [], "table_name string, location string"
+            )
+        return spark.createDataFrame(
+            sorted(_NAMES.items()), "table_name string, location string"
+        )
     m = _OPTIMIZE.match(sql)
     if m:
         t = lk.Transaction(_tbl_of(m))
         if m.group("zcols"):
+            if m.group("owhere"):
+                raise ValueError(
+                    "OPTIMIZE ... WHERE composes with plain compaction "
+                    "only — ZORDER clusters globally, scoping it would "
+                    "break the curve (run them as two statements)"
+                )
             cols = [
                 c.strip().strip("`")
                 for c in m.group("zcols").split(",")
@@ -284,7 +362,9 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
             else:
                 rewritten, added = t.optimize_zorder_incremental(spark, cols)
         else:
-            rewritten, added = t.compact_small(spark)
+            pred = _parse_pred(m.group("owhere")) if m.group("owhere") \
+                else None
+            rewritten, added = t.compact_small(spark, predicate=pred)
         if rewritten:
             t.commit()  # no candidates -> nothing staged, no commit
         return _counts_df(
@@ -292,18 +372,28 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
         )
     m = _RESTORE.match(sql)
     if m:
-        v = lk.restore_table(spark, _tbl_of(m), int(m.group("v")))
-        return _counts_df(spark, restored_to_version=int(m.group("v")),
+        if m.group("v") is not None:
+            target = int(m.group("v"))
+        else:
+            raw = m.group("ts")
+            try:
+                ts = float(raw)
+            except ValueError:
+                ts = _dt.datetime.fromisoformat(raw).timestamp()
+            target = lk.version_at_timestamp(_tbl_of(m), ts)
+        v = lk.restore_table(spark, _tbl_of(m), target)
+        return _counts_df(spark, restored_to_version=target,
                           new_version=v)
     if re.match(r"(?is)^\s*(SELECT|WITH)\b", sql):
         return _run_select(spark, sql)
     raise ValueError(
         f"statement does not match the lakehouse SQL grammar "
         f"(DELETE/UPDATE/MERGE/INSERT INTO/CREATE TABLE ... USING "
-        f"lakehouse LOCATION [AS SELECT]/DROP TABLE/DESCRIBE "
-        f"HISTORY|DETAIL/RESTORE/OPTIMIZE [ZORDER BY (...) [FULL]]/"
-        f"VACUUM/SELECT over lakehouse.`path` or a registered name): "
-        f"{sql.strip()[:120]!r}"
+        f"lakehouse LOCATION [AS SELECT]/DROP TABLE/SHOW TABLES/"
+        f"DESCRIBE HISTORY|DETAIL/RESTORE ... TO VERSION|TIMESTAMP AS "
+        f"OF/OPTIMIZE [WHERE] [ZORDER BY (...) [FULL]]/VACUUM [RETAIN n "
+        f"SECONDS] [DRY RUN]/SELECT over lakehouse.`path` or a "
+        f"registered name): {sql.strip()[:120]!r}"
     )
 
 

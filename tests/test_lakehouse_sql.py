@@ -4,6 +4,8 @@ rejection of anything outside the grammar."""
 
 from __future__ import annotations
 
+import pathlib
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -395,3 +397,94 @@ def test_select_drops_snapshot_views_and_ignores_literals(spark, tmp_path):
     rows = df.collect()  # plan resolved eagerly: still executable
     assert len(rows) == 3
     assert all(r.lit == "lakehouse.`/not/a/table`" for r in rows)
+
+
+def test_optimize_where_scopes_candidates(spark, tmp_path):
+    """OPTIMIZE ... WHERE compacts only files whose footer stats admit
+    the predicate — stats-scoped file selection, the layoutless analog
+    of Delta's partition-scoped OPTIMIZE WHERE."""
+    path = str(tmp_path / "ow")
+    # 4 tiny files with disjoint id ranges (10 ids each)
+    for i in range(4):
+        t = lk.Transaction(path)
+        t.append(
+            spark.createDataFrame(
+                [(i * 10 + j, float(j)) for j in range(10)],
+                "id long, v double",
+            ).coalesce(1)
+        )
+        t.commit()
+    out = run_sql(
+        spark, f"OPTIMIZE lakehouse.`{path}` WHERE id < 20"
+    ).collect()[0]
+    assert (out.files_rewritten, out.files_added) == (2, 1)
+    assert lk.read_table(spark, path).count() == 40  # rows untouched
+    # an unscopable WHERE raises rather than silently scoping nothing
+    with pytest.raises(ValueError, match="not"):
+        run_sql(spark, f"OPTIMIZE lakehouse.`{path}` WHERE id + 1 < 20")
+    with pytest.raises(ValueError, match="two statements"):
+        run_sql(
+            spark,
+            f"OPTIMIZE lakehouse.`{path}` WHERE id < 20 ZORDER BY (id)",
+        )
+
+
+def test_vacuum_dry_run_counts_without_deleting(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    orphan = pathlib.Path(path) / lk._DATA_DIR / "orphan.parquet"
+    orphan.write_bytes(b"junk")
+    out = run_sql(
+        spark, f"VACUUM lakehouse.`{path}` RETAIN 0 SECONDS DRY RUN"
+    ).collect()[0]
+    assert (out.orphans_found, out.orphans_removed) == (1, 0)
+    assert orphan.exists()  # dry run touched nothing
+    out = run_sql(
+        spark, f"VACUUM lakehouse.`{path}` RETAIN 0 SECONDS"
+    ).collect()[0]
+    assert out.orphans_removed == 1 and not orphan.exists()
+
+
+def test_restore_to_timestamp(spark, tmp_path):
+    import json as _json
+
+    path = _table(spark, tmp_path)  # v1
+    for i in range(2):  # v2, v3
+        t = lk.Transaction(path)
+        t.append(
+            spark.createDataFrame(
+                [(500 + i, 0.0, "t")], "id long, v double, s string"
+            ).coalesce(1)
+        )
+        t.commit()
+    body = _json.loads(
+        (pathlib.Path(path) / lk._LOG_DIR / "00000002.json").read_text()
+    )
+    out = run_sql(
+        spark,
+        f"RESTORE TABLE lakehouse.`{path}` TO TIMESTAMP AS OF "
+        f"'{body['ts']}'",
+    ).collect()[0]
+    assert out.restored_to_version == 2
+    assert _rows(lk.read_table(spark, path)) == _rows(
+        lk.read_table(spark, path, version=2)
+    )
+
+
+def test_show_tables_lists_registry(spark, tmp_path):
+    from market_etl_spark.lakehouse_sql import _NAMES
+
+    path = _table(spark, tmp_path)
+    snap = dict(_NAMES)
+    try:
+        _NAMES.clear()
+        assert run_sql(spark, "SHOW TABLES").count() == 0
+        run_sql(
+            spark, f"CREATE TABLE show_t13 USING lakehouse LOCATION '{path}'"
+        )
+        got = run_sql(spark, "SHOW TABLES").collect()
+        assert [(r.table_name, r.location) for r in got] == [
+            ("show_t13", path)
+        ]
+    finally:
+        _NAMES.clear()
+        _NAMES.update(snap)
