@@ -507,3 +507,173 @@ def q_lakehouse_stream_backfill(
         .withColumn("exactly_once", F.lit(bool(exactly_once)))
         .orderBy("event_type")
     )
+
+
+@query(
+    "llm_stream_ingest_dedup",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY text ORDER BY doc_id % 3, doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           TRUE AS cross_batch_rejected,
+           TRUE AS exactly_once
+    FROM ranked
+    WHERE rn = 1
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("llm", "dedup-exact", "streaming", "lakehouse", "extension"),
+)
+def llm_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingest dedup — the production shape of exact dedup
+    for a training corpus that arrives continuously: each micro-batch
+    deduplicates WITHIN itself (min doc_id per sha256 fingerprint)
+    and then against EVERY fingerprint previously admitted, persisted
+    in the output lakehouse table itself — no side state store, the
+    fingerprints ride the same transactional commits as the documents
+    they describe, so crash recovery cannot desynchronize them.
+
+    Drill: the documents corpus arrives as 3 waves (``doc_id % 3``)
+    committed to a source lakehouse table and consumed through the
+    registered streaming source, one availableNow run per wave (each
+    run = one micro-batch).  Waves 2 and 3 replay documents from
+    STRICTLY EARLIER waves under new ids (+1,000,000 / +1,500,000 —
+    the CROSS-batch duplicates only the persisted fingerprints can
+    catch; first-seen-wins means a replay must never precede its
+    original), and wave 3 also carries a WITHIN-batch duplicate of
+    one of its own documents (+2,000,000).  Every duplicate must lose
+    to its original, so the admitted set is the corpus' FIRST-SEEN
+    representative per distinct text — which is what the oracle
+    recomputes relationally (row_number over (wave, doc_id); the
+    sf0.1 corpus carries a few organic duplicate texts, smaller SFs
+    none, and the same window covers both).
+
+    Audits pinned TRUE: ``cross_batch_rejected`` — the planted
+    replays are absent downstream while their originals survive;
+    ``exactly_once`` — a fourth run against the same checkpoint with
+    no new source commits appends nothing (offsets in Spark's
+    checkpoint + ``(txnAppId, epoch)`` dedupe).
+
+    Scale posture: only ``(fp, doc_id, lang, n_chars)`` shuffles —
+    64-byte digests, never document bodies; the seen-set anti-join is
+    a shuffle join on the fingerprint (broadcast would cap at the
+    corpus size), the same linear shape as batch ``exact_dedup``
+    applied incrementally.
+
+    Cites: sql/athena_sample_queries.sql (the reference's corpus is
+    append-only with no dedup surface; this composes the engine's
+    dedup pillar with its streaming source)."""
+    from .. import lakehouse as lk
+    from ..lakehouse_datasource import register
+
+    register(spark)
+    tag = _tag(sf_dir)
+    src = str(_SCRATCH / f"stream_dedup_src_{tag}")
+    dst = str(_SCRATCH / f"stream_dedup_dst_{tag}")
+    ck = str(_SCRATCH / f"stream_dedup_ck_{tag}")
+    for p in (src, dst, ck):
+        shutil.rmtree(p, ignore_errors=True)
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    waves = [docs.filter(F.col("doc_id") % 3 == w) for w in range(3)]
+    # replays must reference originals from STRICTLY EARLIER waves —
+    # first-seen-wins is the operator's contract, so a replay arriving
+    # before its original would legitimately win
+    replay_of_w0 = (
+        docs.filter((F.col("doc_id") < 15) & (F.col("doc_id") % 3 == 0))
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    replay_of_w01 = (
+        docs.filter((F.col("doc_id") < 30) & (F.col("doc_id") % 3 != 2))
+        .withColumn("doc_id", F.col("doc_id") + 1_500_000)
+    )
+    wave3_dup = (
+        waves[2].orderBy("doc_id").limit(1)
+        .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+    )
+    commits = [
+        waves[0],
+        waves[1].unionAll(replay_of_w0),
+        waves[2].unionAll(replay_of_w01).unionAll(wave3_dup),
+    ]
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        fps = batch.select(
+            F.sha2(F.col("text"), 256).alias("fp"),
+            "doc_id", "lang", "n_chars",
+        )
+        firsts = (
+            fps.groupBy("fp")
+            .agg(
+                F.min_by(
+                    F.struct("doc_id", "lang", "n_chars"), F.col("doc_id")
+                ).alias("d")
+            )
+            .select("fp", "d.doc_id", "d.lang", "d.n_chars")
+        )
+        try:
+            seen = lk.read_table(spark, dst).select("fp")
+            fresh = firsts.join(seen, "fp", "left_anti")
+        except ValueError:  # first batch: no downstream table yet
+            fresh = firsts
+        fresh = fresh.localCheckpoint()
+        if fresh.isEmpty():
+            return  # a fully-duplicate wave admits nothing — do not
+            # burn a downstream version on an empty commit
+        t = lk.Transaction(
+            dst, txn_app=f"stream_dedup_{tag}", txn_version=batch_id
+        )
+        t.append(fresh.coalesce(1))
+        t.commit()  # None on epoch replay — identity dedupes
+
+    def run() -> None:
+        (
+            spark.readStream.format("lakehouse")
+            .load(src)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    for wave in commits:  # one source commit + one stream run per wave
+        t = lk.Transaction(src)
+        t.append(wave.coalesce(2))
+        t.commit()
+        run()
+    v_done = lk.latest_commit(dst)
+    run()  # nothing new: must append nothing
+    exactly_once = lk.latest_commit(dst) == v_done
+
+    admitted = lk.read_table(spark, dst)
+    n_planted = replay_of_w0.count() + replay_of_w01.count() + 1
+    cross_batch_rejected = (
+        admitted.filter(F.col("doc_id") >= 1_000_000).count() == 0
+        and admitted.count() == docs.select("text").distinct().count()
+        and n_planted > 1  # the drill really planted duplicates
+    )
+
+    return (
+        admitted.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars"),
+        )
+        .withColumn(
+            "cross_batch_rejected", F.lit(bool(cross_batch_rejected))
+        )
+        .withColumn("exactly_once", F.lit(bool(exactly_once)))
+        .orderBy("lang")
+    )

@@ -464,3 +464,112 @@ def test_commit_auto_advances_past_interval(spark, tmp_path):
         assert ck.latest_parquet_checkpoint(path) == v_adv  # disabled
     finally:
         spark.conf.unset(ck.AUTO_ADVANCE_CONF)
+
+
+def test_checkpoint_routes_respect_column_mapping_and_evolution(
+    spark, tmp_path
+):
+    """Adversarial round-13 composition: a RENAME (column mapping) and
+    a schema EVOLUTION land in the JSON tail after the checkpoint —
+    both plan routes must translate LOGICAL predicate names to the
+    physical footer-stats names and align evolved columns, exactly
+    like the JSON route."""
+    from market_etl_spark import lakehouse_datasource as lds
+
+    lds.register(spark)
+    path = str(tmp_path / "cmap13")
+    for i in range(2):
+        t = lk.Transaction(path)
+        t.append(
+            spark.createDataFrame(
+                [(i * 10 + j, float(j)) for j in range(10)],
+                "id long, v double",
+            ).coalesce(1)
+        )
+        t.commit()
+    ck.write_parquet_checkpoint(spark, path)
+    t = lk.Transaction(path)
+    t.rename_column("v", "val")  # tail set_meta: colmap val->phys v
+    t.commit()
+    t = lk.Transaction(path)
+    t.append(
+        spark.createDataFrame(
+            [(100, 1.5, 7)], "id long, val double, extra long"
+        ),
+        evolve_schema=True,
+    )
+    t.commit()
+    pred = [("val", ">=", 1.0)]  # LOGICAL name: needs the colmap
+    want = lk.read_table(spark, path, predicate=pred)
+    # session-less route: prune decisions + kept set
+    _v, kept, _dvs, _meta, total = ck.prune_scan_arrow(path, pred)
+    _jv, jkept, jtotal = lk.prune_files(path, pred)
+    assert (kept, total) == (jkept, jtotal)
+    # routed read_table parity (rows + evolved NULL alignment)
+    spark.conf.set(ck.PLAN_MIN_FILES_CONF, "1")
+    try:
+        got = lk.read_table(spark, path, predicate=pred)
+        assert got.columns == want.columns == ["id", "val", "extra"]
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+    finally:
+        spark.conf.unset(ck.PLAN_MIN_FILES_CONF)
+    # registered source, checkpoint route, same logical predicate
+    df = (
+        spark.read.format("lakehouse")
+        .option("planFromCheckpoint", "true").load(path)
+        .filter("val >= 1.0")
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_auto_advance_survives_concurrent_commits(spark, tmp_path):
+    """Two threads committing through the auto-advance window: the
+    advance is derived state — whatever interleaving wins, the final
+    checkpoint must compose to the same state as JSON replay and no
+    commit may fail."""
+    import threading
+
+    path = str(tmp_path / "race13")
+    t = lk.Transaction(path)
+    t.append(
+        spark.createDataFrame(
+            [(j, float(j)) for j in range(10)], "id long, v double"
+        ).coalesce(1)
+    )
+    t.commit()
+    ck.write_parquet_checkpoint(spark, path)
+    spark.conf.set(ck.AUTO_ADVANCE_CONF, "1")  # advance every commit
+    errors = []
+
+    def worker(base):
+        try:
+            for i in range(3):
+                t = lk.Transaction(path)
+                t.append(
+                    spark.createDataFrame(
+                        [(base + i, 0.0)], "id long, v double"
+                    ).coalesce(1)
+                )
+                t.commit()
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    try:
+        th = [threading.Thread(target=worker, args=(b,))
+              for b in (1000, 2000)]
+        for x in th:
+            x.start()
+        for x in th:
+            x.join()
+    finally:
+        spark.conf.unset(ck.AUTO_ADVANCE_CONF)
+    assert not errors
+    ck.advance_parquet_checkpoint(spark, path)  # settle to the tip
+    _pv, live_pq, dv_pq, meta_pq = _state_sets(spark, path)
+    _v, live, dvs, _txns, meta, _stats = lk._state_full(path)
+    assert (live_pq, dv_pq, meta_pq) == (live, dvs, meta)
+    assert lk.read_table(spark, path).count() == 16
