@@ -1726,6 +1726,45 @@ class Transaction:
         self._ops.append("rename_column")
         self.actions.append({"op": "set_meta", "meta": new_meta})
 
+    def add_column(self, name: str, dtype: str) -> None:
+        """ALTER TABLE ADD COLUMN — METADATA-ONLY widening (schema
+        evolution without data): existing files simply lack the
+        column and every read aligns it in as a typed NULL
+        (:func:`_to_logical` / the registered source's Arrow
+        alignment — the same path a data-carrying evolution takes);
+        appends from this commit on must carry it.  On a MAPPED table
+        the new logical name binds to a fresh opaque physical name,
+        so it can never collide with dead physical bytes in old
+        files.  A KB of JSON at any table size."""
+        meta = self._effective_meta()
+        schema = meta.get("schema", [])
+        if not schema:
+            raise ValueError(
+                "add_column needs a committed schema — append data "
+                "first (the first append fixes the table schema)"
+            )
+        names = [n for n, _t in schema]
+        if name in names:
+            raise ValueError(f"column {name!r} already exists")
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            # a typo'd type must fail HERE, not on the next read
+            from pyspark.sql.types import _parse_datatype_string
+
+            _parse_datatype_string(dtype)
+        new_meta = {
+            "schema": [(n, t) for n, t in schema] + [(name, dtype)],
+            "evolved": True,
+        }
+        cm = _colmap(meta)
+        if cm:
+            full = {n: cm.get(n, n) for n in names}
+            full[name] = f"col-{uuid.uuid4().hex[:12]}"
+            new_meta["colmap"] = full
+            new_meta["mapped"] = True
+        self._ops.append("add_column")
+        self.actions.append({"op": "set_meta", "meta": new_meta})
+
     def drop_column(self, name: str) -> None:
         """ALTER TABLE DROP COLUMN — METADATA-ONLY (Delta column
         mapping): the bytes stay in existing files but leave every
@@ -3320,6 +3359,82 @@ class Transaction:
                 f"reinserts would resurrect the other side's removed "
                 f"rows; re-run against the current snapshot"
             )
+
+
+def convert_to_lakehouse(spark: SparkSession, path: str) -> int:
+    """CONVERT an existing plain-parquet directory to a lakehouse
+    table IN PLACE (Delta's ``CONVERT TO DELTA``): no byte of data
+    moves — one commit stamps an add action per existing file,
+    carrying its footer stats (computed distributed past the staging
+    threshold), with the schema resolved from the files' union.  From
+    that commit on the directory IS a transactional table: snapshot
+    reads, DML, time travel, the registered format — everything.
+
+    Constraints, loudly enforced:
+
+    - refuses a directory that is already a lakehouse table;
+    - refuses Hive-partitioned layouts (``key=value`` directories):
+      the partition values live in DIRECTORY NAMES, not in the files,
+      and the log's direct-file reads would silently drop those
+      columns — Delta's CONVERT demands a PARTITIONED BY spec for the
+      same reason; flat directories (including nested plain subdirs)
+      convert as-is;
+    - schemas across files must align by (name, type) prefix-or-equal
+      union semantics; genuinely different footprints mark the table
+      ``evolved`` so reads footer-merge.
+
+    Returns the commit version (1)."""
+    root = pathlib.Path(path)
+    if latest_commit(path) > 0:
+        raise ValueError(f"{path} is already a lakehouse table")
+    rels = []
+    for p in sorted(root.rglob("*.parquet")):
+        rel = p.relative_to(root)
+        parts = rel.parts[:-1]
+        if any(seg.startswith(("_", ".")) for seg in rel.parts):
+            continue  # metadata/hidden debris is not table data
+        if any("=" in seg for seg in parts):
+            raise ValueError(
+                f"{path} is Hive-partitioned ({'/'.join(parts)}): the "
+                f"partition values live in directory names, which a "
+                f"converted table's direct-file reads would silently "
+                f"drop — rewrite with the partition columns "
+                f"materialized, then convert"
+            )
+        rels.append(str(rel))
+    if not rels:
+        raise ValueError(f"no parquet files under {path}")
+    stats = _staged_stats([root / r for r in rels])
+    unified = spark.read.option("mergeSchema", "true").parquet(
+        *[str(root / r) for r in rels]
+    ).schema
+    declared = [(f.name, f.dataType.simpleString()) for f in unified]
+    import pyarrow.parquet as pq
+
+    # non-evolved reads scan without footer-merging, which assumes
+    # ONE physical schema — any divergence across files (missing
+    # columns, promoted types) must flag the table evolved
+    first = pq.ParquetFile(str(root / rels[0])).schema_arrow
+    evolved = any(
+        pq.ParquetFile(str(root / r)).schema_arrow != first
+        for r in rels[1:]
+    )
+    t = Transaction(path)
+    meta: dict = {"schema": declared}
+    if evolved:
+        meta["evolved"] = True
+    t.actions.append({"op": "set_meta", "meta": meta})
+    rows = 0
+    for r in rels:
+        st = stats[str(root / r)]
+        t.actions.append(
+            {"op": "add", "file": r, "role": "convert", "stats": st}
+        )
+        rows += (st or {}).get("rows", 0)
+    t._ops.append("convert")
+    t.metrics["rows_converted"] = rows
+    t.metrics["files_converted"] = len(rels)
+    return t.commit()
 
 
 def vacuum_orphans(

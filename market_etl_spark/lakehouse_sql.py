@@ -30,6 +30,13 @@ methods — one implementation of the semantics, two entry points.
     run_sql(spark, "RESTORE TABLE lakehouse.`/t` TO TIMESTAMP AS OF "
                    "'2026-01-01T00:00:00'")
     run_sql(spark, "SHOW TABLES")                     # the name registry
+    run_sql(spark, "ALTER TABLE lakehouse.`/t` ADD COLUMN (note string)")
+    run_sql(spark, "ALTER TABLE lakehouse.`/t` RENAME COLUMN v TO val")
+    run_sql(spark, "ALTER TABLE lakehouse.`/t` DROP COLUMN note")
+    run_sql(spark, "ALTER TABLE lakehouse.`/t` ADD CONSTRAINT pos "
+                   "CHECK (val >= 0)")
+    run_sql(spark, "ALTER TABLE lakehouse.`/t` DROP CONSTRAINT pos")
+    run_sql(spark, "CONVERT TO LAKEHOUSE parquet.`/plain/dir`")
     run_sql(spark, "SELECT k, sum(v) FROM lakehouse.`/t` "
                    "VERSION AS OF 3 GROUP BY k")
     run_sql(spark, "INSERT INTO lakehouse.`/t` VALUES (1, 'a'), (2, 'b')")
@@ -142,6 +149,19 @@ _VACUUM = re.compile(
     rf"(?P<dry>\s+DRY\s+RUN)?\s*;?\s*$"
 )
 _SHOW = re.compile(r"(?is)^\s*SHOW\s+TABLES\s*;?\s*$")
+_ALTER = re.compile(
+    rf"(?is)^\s*ALTER\s+TABLE\s+{_TBL}\s+(?P<what>"
+    rf"ADD\s+COLUMNS?\s*\(\s*`?(?P<acol>\w+)`?\s+(?P<atyp>[\w<>,()\s]+?)\s*\)"
+    rf"|RENAME\s+COLUMN\s+`?(?P<rold>\w+)`?\s+TO\s+`?(?P<rnew>\w+)`?"
+    rf"|DROP\s+COLUMN\s+`?(?P<dcol>\w+)`?"
+    rf"|ADD\s+CONSTRAINT\s+(?P<ckname>\w+)\s+CHECK\s*\((?P<ckexpr>.+)\)"
+    rf"|DROP\s+CONSTRAINT\s+(?P<dkname>\w+)"
+    rf")\s*;?\s*$"
+)
+_CONVERT = re.compile(
+    r"(?is)^\s*CONVERT\s+TO\s+LAKEHOUSE\s+parquet\.`(?P<cpath>[^`]+)`"
+    r"\s*;?\s*$"
+)
 _OPTIMIZE = re.compile(
     rf"(?is)^\s*OPTIMIZE\s+{_TBL}"
     rf"(?:\s+WHERE\s+(?P<owhere>.+?))?"
@@ -329,6 +349,31 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
         n = lk.vacuum_orphans(_tbl_of(m), min_age_sec=sec, dry_run=dry)
         return _counts_df(spark, orphans_removed=0 if dry else n,
                           orphans_found=n)
+    m = _ALTER.match(sql)
+    if m:
+        t = lk.Transaction(_tbl_of(m))
+        if m.group("acol"):
+            t.add_column(m.group("acol"), m.group("atyp").strip())
+        elif m.group("rold"):
+            t.rename_column(m.group("rold"), m.group("rnew"))
+        elif m.group("dcol"):
+            t.drop_column(m.group("dcol"))
+        elif m.group("ckname"):
+            t.set_check_constraint(
+                spark, m.group("ckname"), m.group("ckexpr").strip()
+            )
+        else:
+            t.drop_check_constraint(m.group("dkname"))
+        v = t.commit()
+        return _counts_df(spark, new_version=v)
+    m = _CONVERT.match(sql)
+    if m:
+        v = lk.convert_to_lakehouse(spark, m.group("cpath"))
+        d = lk.table_detail(m.group("cpath"))
+        return _counts_df(
+            spark, converted_version=v, n_files=d["n_files"],
+            n_rows=d["n_rows"],
+        )
     m = _SHOW.match(sql)
     if m:
         if not _NAMES:
@@ -390,6 +435,8 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
         f"statement does not match the lakehouse SQL grammar "
         f"(DELETE/UPDATE/MERGE/INSERT INTO/CREATE TABLE ... USING "
         f"lakehouse LOCATION [AS SELECT]/DROP TABLE/SHOW TABLES/"
+        f"ALTER TABLE ... ADD|RENAME|DROP COLUMN | ADD|DROP CONSTRAINT/"
+        f"CONVERT TO LAKEHOUSE parquet.`dir`/"
         f"DESCRIBE HISTORY|DETAIL/RESTORE ... TO VERSION|TIMESTAMP AS "
         f"OF/OPTIMIZE [WHERE] [ZORDER BY (...) [FULL]]/VACUUM [RETAIN n "
         f"SECONDS] [DRY RUN]/SELECT over lakehouse.`path` or a "

@@ -677,3 +677,125 @@ def llm_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("exactly_once", F.lit(bool(exactly_once)))
         .orderBy("lang")
     )
+
+
+@query(
+    "q_lakehouse_convert_in_place",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 1e6, 0) AS BIGINT)) AS BIGINT)
+               AS price_micros,
+           TRUE AS bytes_untouched,
+           TRUE AS skipping_immediate,
+           TRUE AS time_travel_to_plain
+    FROM orders
+    WHERE o_orderkey % 11 <> 0
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("lakehouse", "convert", "migration", "extension"),
+)
+def q_lakehouse_convert_in_place(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONVERT TO LAKEHOUSE (Delta's ``CONVERT TO DELTA``) — the
+    migration operator that makes an EXISTING plain-parquet directory
+    transactional IN PLACE: one commit stamps an add action per file
+    with footer stats; no byte of data moves.  At 100 TB this is the
+    difference between adopting the table format and rewriting 100 TB.
+
+    Drill: orders lands as a plain 4-file ``spark.write.parquet``
+    directory; ``CONVERT TO LAKEHOUSE parquet.`dir``` runs through the
+    SQL router; then the directory behaves as a full table — a MOR
+    DELETE (every 11th key), a snapshot read, and time travel BACK TO
+    the pre-DML converted state.  Audits the oracle pins TRUE:
+
+    - ``bytes_untouched`` — the original part files still exist at
+      their original paths with their original sizes (the log
+      references them in place);
+    - ``skipping_immediate`` — a contradictory predicate prunes every
+      file using the stats the CONVERT commit carried (no separate
+      ANALYZE pass);
+    - ``time_travel_to_plain`` — ``VERSION AS OF 1`` (the convert
+      commit) equals the original plain-parquet frame, digest for
+      digest.
+
+    The returned aggregate reads the post-DELETE table and must equal
+    the oracle's relational recompute.
+
+    Cites: jobs/etl/glue_spark_trades_etl.py (the reference lands
+    exactly such plain parquet directories; CONVERT is the engine
+    extension that upgrades them without a rewrite)."""
+    from .. import lakehouse as lk
+    from ..lakehouse_sql import run_sql
+
+    path = str(_SCRATCH / f"lakehouse_convert_{_tag(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    orders.repartition(4).write.parquet(path)
+    before = {
+        str(p.relative_to(path)): p.stat().st_size
+        for p in pathlib.Path(path).rglob("part-*.parquet")
+    }
+    plain_digest = tuple(
+        spark.read.parquet(path)
+        .agg(
+            F.count(F.lit(1)),
+            F.expr(
+                "bit_xor(xxhash64(k, status, CAST(ROUND(price*1e6,0) "
+                "AS LONG)))"
+            ),
+        )
+        .collect()[0]
+    )
+
+    out = run_sql(spark, f"CONVERT TO LAKEHOUSE parquet.`{path}`")
+    row = out.collect()[0]
+    assert row.converted_version == 1 and row.n_files == 4
+
+    run_sql(spark, f"DELETE FROM lakehouse.`{path}` WHERE k % 11 = 0")
+
+    after = {
+        str(p.relative_to(path)): p.stat().st_size
+        for p in pathlib.Path(path).rglob("part-*.parquet")
+    }
+    bytes_untouched = all(
+        after.get(f) == sz for f, sz in before.items()
+    )
+    _v, kept, total = lk.prune_files(path, [("k", "<", 0)])
+    skipping_immediate = kept == [] and total >= 4
+
+    digest = lambda df: tuple(  # noqa: E731
+        df.agg(
+            F.count(F.lit(1)),
+            F.expr(
+                "bit_xor(xxhash64(k, status, CAST(ROUND(price*1e6,0) "
+                "AS LONG)))"
+            ),
+        ).collect()[0]
+    )
+    time_travel_to_plain = (
+        digest(lk.read_table(spark, path, version=1)) == plain_digest
+    )
+
+    return (
+        lk.read_table(spark, path)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_micros(F.col("price"))).cast("long").alias("price_micros"),
+        )
+        .withColumn("bytes_untouched", F.lit(bool(bytes_untouched)))
+        .withColumn(
+            "skipping_immediate", F.lit(bool(skipping_immediate))
+        )
+        .withColumn(
+            "time_travel_to_plain", F.lit(bool(time_travel_to_plain))
+        )
+        .orderBy("status")
+    )

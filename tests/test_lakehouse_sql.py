@@ -488,3 +488,99 @@ def test_show_tables_lists_registry(spark, tmp_path):
     finally:
         _NAMES.clear()
         _NAMES.update(snap)
+
+
+def test_alter_table_statements(spark, tmp_path):
+    """ALTER TABLE family (round 13): data-less ADD COLUMN aligns in
+    as typed NULLs everywhere, RENAME/DROP route to the column-mapping
+    methods, ADD/DROP CONSTRAINT to the CHECK machinery."""
+    path = _table(spark, tmp_path)
+    run_sql(
+        spark, f"ALTER TABLE lakehouse.`{path}` ADD COLUMN (note string)"
+    )
+    got = lk.read_table(spark, path)
+    assert got.columns == ["id", "v", "s", "note"]
+    assert got.filter("note is null").count() == 30
+    # appends must now carry it; the registered source aligns too
+    t = lk.Transaction(path)
+    t.append(
+        spark.createDataFrame(
+            [(100, 1.0, "x", "hello")], "id long, v double, s string, "
+            "note string"
+        )
+    )
+    t.commit()
+    from market_etl_spark import lakehouse_datasource as lds
+
+    lds.register(spark)
+    src = spark.read.format("lakehouse").load(path)
+    assert src.filter("note = 'hello'").count() == 1
+    assert src.count() == 31
+    run_sql(
+        spark, f"ALTER TABLE lakehouse.`{path}` RENAME COLUMN v TO val"
+    )
+    run_sql(spark, f"ALTER TABLE lakehouse.`{path}` DROP COLUMN note")
+    assert lk.read_table(spark, path).columns == ["id", "val", "s"]
+    run_sql(
+        spark,
+        f"ALTER TABLE lakehouse.`{path}` ADD CONSTRAINT nonneg "
+        f"CHECK (val >= 0)",
+    )
+    t = lk.Transaction(path)
+    with pytest.raises(lk.ConstraintViolation):
+        t.append(
+            spark.createDataFrame(
+                [(7, -1.0, "bad")], "id long, val double, s string"
+            )
+        )
+    run_sql(
+        spark, f"ALTER TABLE lakehouse.`{path}` DROP CONSTRAINT nonneg"
+    )
+    t = lk.Transaction(path)
+    t.append(
+        spark.createDataFrame(
+            [(7, -1.0, "ok")], "id long, val double, s string"
+        )
+    )
+    t.commit()
+    with pytest.raises(ValueError, match="already exists"):
+        run_sql(
+            spark, f"ALTER TABLE lakehouse.`{path}` ADD COLUMN (id long)"
+        )
+
+
+def test_convert_to_lakehouse_in_place(spark, tmp_path):
+    """CONVERT TO LAKEHOUSE stamps a log over plain parquet in place:
+    no data moves, reads/DML/time travel work from commit 1."""
+    plain = str(tmp_path / "plain")
+    spark.createDataFrame(
+        [(j, float(j), f"s{j % 3}") for j in range(40)],
+        "id long, v double, s string",
+    ).repartition(4).write.parquet(plain)
+    out = run_sql(
+        spark, f"CONVERT TO LAKEHOUSE parquet.`{plain}`"
+    ).collect()[0]
+    assert (out.converted_version, out.n_files, out.n_rows) == (1, 4, 40)
+    got = lk.read_table(spark, plain)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, spark.read.parquet(plain).collect())
+    )
+    # stats rode in: skipping works immediately
+    _v, kept, total = lk.prune_files(plain, [("id", "<", 0)])
+    assert kept == [] and total == 4
+    # and it is a full table now: DML + time travel
+    n = run_sql(
+        spark, f"DELETE FROM lakehouse.`{plain}` WHERE id % 2 = 0"
+    ).collect()[0].num_affected_rows
+    assert n == 20
+    assert lk.read_table(spark, plain).count() == 20
+    assert lk.read_table(spark, plain, version=1).count() == 40
+    with pytest.raises(ValueError, match="already a lakehouse"):
+        run_sql(spark, f"CONVERT TO LAKEHOUSE parquet.`{plain}`")
+    # Hive-partitioned layouts refuse loudly
+    hive = str(tmp_path / "hive")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, part string"
+    ).write.partitionBy("part").parquet(hive)
+    with pytest.raises(ValueError, match="Hive-partitioned"):
+        run_sql(spark, f"CONVERT TO LAKEHOUSE parquet.`{hive}`")
