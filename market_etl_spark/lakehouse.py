@@ -3409,16 +3409,26 @@ def convert_to_lakehouse(spark: SparkSession, path: str) -> int:
         *[str(root / r) for r in rels]
     ).schema
     declared = [(f.name, f.dataType.simpleString()) for f in unified]
-    import pyarrow.parquet as pq
-
     # non-evolved reads scan without footer-merging, which assumes
     # ONE physical schema — any divergence across files (missing
-    # columns, promoted types) must flag the table evolved
-    first = pq.ParquetFile(str(root / rels[0])).schema_arrow
-    evolved = any(
-        pq.ParquetFile(str(root / r)).schema_arrow != first
-        for r in rels[1:]
-    )
+    # columns, promoted types) must flag the table evolved.  Past the
+    # staging threshold the check rides ONE Spark job (like the stats
+    # pass above); below it the serial footer reads are cheaper.
+    def _schema_str(p: str) -> str:
+        import pyarrow.parquet as _pq
+
+        return str(_pq.ParquetFile(p).schema_arrow)
+
+    fulls = [str(root / r) for r in rels]
+    if len(fulls) >= _STATS_DISTRIBUTED_MIN_FILES:
+        sc = spark.sparkContext
+        n = max(1, min(len(fulls), sc.defaultParallelism))
+        evolved = (
+            sc.parallelize(fulls, n).map(_schema_str).distinct().count()
+            > 1
+        )
+    else:
+        evolved = len({_schema_str(p) for p in fulls}) > 1
     t = Transaction(path)
     meta: dict = {"schema": declared}
     if evolved:

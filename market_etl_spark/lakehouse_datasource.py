@@ -624,14 +624,39 @@ class _CommitDeriver:
         return out
 
     def _dv_slices(self, v, dv_actions, change, prior_dvs) -> list:
-        dv_files = tuple(sorted(a["file"] for a in dv_actions))
+        """One slice per TARGET file, each carrying only the sidecars
+        that can name it: the commit's own sidecars filter by their
+        action's ``targets`` list (free — no I/O), and the
+        prior-version sidecars by one column-projected ``_dv_file``
+        read each, HERE on the driver (delta-sized by the purge
+        cadence) — so K target tasks never multiply into K×(M+P)
+        executor-side sidecar reads."""
         targets = sorted(
             {t for a in dv_actions for t in a.get("targets", ())}
         )
+        by_target: dict[str, list] = {t: [] for t in targets}
+        for a in dv_actions:
+            for t in a.get("targets", ()):
+                by_target[t].append(a["file"])
+        prior_by_base: dict[str, list] = {}
+        if prior_dvs:
+            import pyarrow.parquet as pq
+
+            for f in sorted(prior_dvs):
+                t = pq.read_table(
+                    str(self.root / f), columns=["_dv_file"]
+                )
+                for base in set(t.column("_dv_file").to_pylist()):
+                    prior_by_base.setdefault(base, []).append(f)
         return [
             _StreamSlice(
                 version=v, kind="dv_pre", file=t, change=change,
-                dv_files=dv_files, prior_dvs=prior_dvs,
+                dv_files=tuple(sorted(by_target[t])),
+                prior_dvs=tuple(
+                    prior_by_base.get(
+                        pathlib.PurePosixPath(t).name, ()
+                    )
+                ),
             )
             for t in targets
         ]

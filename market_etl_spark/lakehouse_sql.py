@@ -90,8 +90,10 @@ from pyspark.sql import functions as F
 from . import lakehouse as lk
 
 #: ``lakehouse.`/path``` or ``lakehouse.name`` (registered) — how a
-#: statement names a table.
-_TBL = r"lakehouse\.(?:`(?P<path>[^`]+)`|(?P<name>\w+))"
+#: statement names a table.  The negative lookbehind keeps the bare
+#: ``lakehouse.`` prefix from matching INSIDE a longer qualified
+#: identifier (``prod_lakehouse.trades`` must never rewrite).
+_TBL = r"(?<![\w.])lakehouse\.(?:`(?P<path>[^`]+)`|(?P<name>\w+))"
 
 #: registered table names -> locations (see module doc: router-owned
 #: because Spark 4.1 hands Python-source catalog scans empty options)
@@ -101,27 +103,36 @@ _NAMES: dict[str, str] = {}
 def register_table(name: str, path: str) -> None:
     """Register ``name`` -> ``path`` for ``lakehouse.name`` references
     (the programmatic twin of ``CREATE TABLE name USING lakehouse
-    LOCATION path``)."""
+    LOCATION path``).  Re-registering a name to a DIFFERENT location
+    is refused — silently re-pointing a long-lived session's by-name
+    DML would mutate the wrong table (Delta raises
+    TABLE_ALREADY_EXISTS the same way); DROP TABLE first."""
+    if name in _NAMES and _NAMES[name] != path:
+        raise ValueError(
+            f"table name {name!r} is already registered at "
+            f"{_NAMES[name]!r} — DROP TABLE {name} before re-pointing "
+            f"it at {path!r}"
+        )
     _NAMES[name] = path
 
 
-def _resolve_table(ref: str) -> str:
-    """A table reference — backtick path contents or a registered
-    name — resolved to the table location."""
-    if "/" in ref:
-        return ref
-    if ref in _NAMES:
-        return _NAMES[ref]
+def _resolve_name(name: str) -> str:
+    """A registered bare name resolved to its table location."""
+    if name in _NAMES:
+        return _NAMES[name]
     raise ValueError(
-        f"unknown lakehouse table name {ref!r} — register it with "
-        f"CREATE TABLE {ref} USING lakehouse LOCATION '/path' "
+        f"unknown lakehouse table name {name!r} — register it with "
+        f"CREATE TABLE {name} USING lakehouse LOCATION '/path' "
         f"(known: {sorted(_NAMES) or 'none'})"
     )
 
 
 def _tbl_of(m: re.Match) -> str:
-    """The resolved table path of a ``_TBL`` match."""
-    return _resolve_table(m.group("path") or m.group("name"))
+    """The resolved table path of a ``_TBL`` match: backtick contents
+    are a location VERBATIM (relative paths included — only the
+    backtick-less form consults the registry)."""
+    p = m.group("path")
+    return p if p is not None else _resolve_name(m.group("name"))
 
 _DELETE = re.compile(
     rf"(?is)^\s*DELETE\s+FROM\s+{_TBL}\s+WHERE\s+(?P<cond>.+?)\s*;?\s*$"
@@ -231,14 +242,37 @@ def _parse_literal(text: str):
         ) from None
 
 
+def _split_outside_quotes(text: str, sep: re.Pattern) -> list[str]:
+    """Split on ``sep`` matches that fall OUTSIDE single-quoted SQL
+    literals — ``'black AND white'`` stays one token."""
+    chunks = _SQL_LITERAL.split(text)
+    parts, buf = [], []
+    for i, chunk in enumerate(chunks):
+        if i % 2:  # a quoted literal: never split inside
+            buf.append(chunk)
+            continue
+        pieces = sep.split(chunk)
+        buf.append(pieces[0])
+        for piece in pieces[1:]:
+            parts.append("".join(buf))
+            buf = [piece]
+    parts.append("".join(buf))
+    return parts
+
+
+_AND_SEP = re.compile(r"(?i)\s+AND\s+")
+_COMMA_SEP = re.compile(r",")
+
+
 def _parse_pred(text: str) -> list[tuple]:
     """``col op literal AND ...`` -> the conjunctive triples
     :func:`lakehouse.prune_files` takes.  The restricted grammar is
     deliberate: OPTIMIZE ... WHERE scopes FILE SELECTION by footer
     stats, so only stats-answerable shapes belong here — anything
-    richer raises rather than silently scoping nothing."""
+    richer raises rather than silently scoping nothing.  Splitting
+    (AND terms, IN-list commas) respects quoted literals."""
     triples = []
-    for term in re.split(r"(?i)\s+AND\s+", text.strip()):
+    for term in _split_outside_quotes(text.strip(), _AND_SEP):
         m = _PRED_TERM.match(term)
         if not m:
             raise ValueError(
@@ -248,7 +282,8 @@ def _parse_pred(text: str) -> list[tuple]:
         col = m.group("col")
         if m.group("ins") is not None:
             vals = tuple(
-                _parse_literal(x) for x in m.group("ins").split(",")
+                _parse_literal(x)
+                for x in _split_outside_quotes(m.group("ins"), _COMMA_SEP)
             )
             triples.append((col, "in", vals))
         else:
@@ -468,10 +503,13 @@ def _run_insert(spark: SparkSession, path: str, body: str) -> DataFrame:
                 f"{len(df.columns)} column(s), table takes "
                 f"{[n for n, _ in targets]}"
             )
+        # positional access (df[i]), never by name: an unaliased
+        # expression column like `round(v, 1.5)` contains dots that
+        # F.col would misparse as nested-field access
         df = df.select(
             *[
-                F.col(c).cast(ty).alias(n)
-                for c, (n, ty) in zip(df.columns, targets)
+                df[i].cast(ty).alias(n)
+                for i, (n, ty) in enumerate(targets)
             ]
         )
     elif body.lstrip()[:6].upper() == "VALUES":
@@ -533,9 +571,11 @@ def _run_select(
             except ValueError:
                 ts = _dt.datetime.fromisoformat(raw).timestamp()
         view = f"lakehouse_snap_{uuid.uuid4().hex[:12]}"
+        path = m.group("path")
+        if path is None:
+            path = _resolve_name(m.group("name"))
         lk.read_table(
-            spark, _resolve_table(m.group("path") or m.group("name")),
-            version=version, timestamp=ts,
+            spark, path, version=version, timestamp=ts,
         ).createOrReplaceTempView(view)
         views.append(view)
         return view

@@ -584,3 +584,68 @@ def test_convert_to_lakehouse_in_place(spark, tmp_path):
     ).write.partitionBy("part").parquet(hive)
     with pytest.raises(ValueError, match="Hive-partitioned"):
         run_sql(spark, f"CONVERT TO LAKEHOUSE parquet.`{hive}`")
+
+
+def test_review_r13_router_edge_cases(spark, tmp_path):
+    """Round-13 review findings, pinned: qualified identifiers that
+    merely CONTAIN 'lakehouse.' never rewrite; backticked relative
+    paths bypass the registry; re-registering a name to a different
+    location refuses; quoted literals survive OPTIMIZE-WHERE
+    splitting; INSERT maps unaliased expression columns positionally."""
+    from market_etl_spark.lakehouse_sql import (
+        _NAMES, _parse_pred, register_table,
+    )
+
+    path = _table(spark, tmp_path)
+    # 1. prod_lakehouse.trades must NOT be parsed as a table reference
+    spark.createDataFrame([(1,)], "id long").createOrReplaceTempView(
+        "trades"
+    )
+    spark.sql("CREATE DATABASE IF NOT EXISTS prod_lakehouse")
+    try:
+        n = run_sql(
+            spark,
+            f"SELECT count(*) AS n FROM trades t "
+            f"JOIN lakehouse.`{path}` l ON t.id = l.id",
+        ).collect()[0].n
+        assert n == 1
+        # an identifier PREFIXED with lakehouse.-like text stays SQL
+        got = run_sql(
+            spark,
+            f"SELECT 'prod_lakehouse.trades' AS lit, count(*) AS n "
+            f"FROM lakehouse.`{path}`",
+        ).collect()[0]
+        assert got.lit == "prod_lakehouse.trades" and got.n == 30
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS prod_lakehouse")
+    # 2. backtick contents are a LOCATION verbatim — never a registry
+    # lookup (a slash-less path must fail as a missing table, not as
+    # an unknown registered name)
+    with pytest.raises(Exception) as ei:
+        run_sql(spark, "SELECT count(*) AS n FROM lakehouse.`no_such_dir`")
+    assert "unknown lakehouse table name" not in str(ei.value)
+    # 3. re-registering a name elsewhere refuses; same place is a no-op
+    snap = dict(_NAMES)
+    try:
+        _NAMES.clear()
+        register_table("edge_t13", path)
+        register_table("edge_t13", path)  # idempotent
+        with pytest.raises(ValueError, match="already registered"):
+            register_table("edge_t13", str(tmp_path / "elsewhere"))
+    finally:
+        _NAMES.clear()
+        _NAMES.update(snap)
+    # 4. quoted literals survive predicate splitting
+    assert _parse_pred("s = 'black AND white' AND k < 3") == [
+        ("s", "=", "black AND white"), ("k", "<", 3)
+    ]
+    assert _parse_pred("s IN ('a,b', 'c')") == [("s", "in", ("a,b", "c"))]
+    # 5. INSERT of an unaliased dotted expression maps positionally
+    out = run_sql(
+        spark,
+        f"INSERT INTO lakehouse.`{path}` "
+        f"SELECT id + 500, round(v, 1), concat(s, '!') "
+        f"FROM lakehouse.`{path}` WHERE id = 0",
+    )
+    assert out.collect()[0].num_inserted_rows == 1
+    assert lk.read_table(spark, path).filter("id = 500").count() == 1
