@@ -10,6 +10,7 @@ Delta-dialect statement shapes and drives the SAME transaction
 methods — one implementation of the semantics, two entry points.
 
     run_sql(spark, "DELETE FROM lakehouse.`/t` WHERE id % 7 = 0")
+    run_sql(spark, "DELETE FROM lakehouse.`/t`")   # no WHERE = all rows
     run_sql(spark, "UPDATE lakehouse.`/t` SET v = v * 2 WHERE k = 3")
     run_sql(spark, '''
         MERGE INTO lakehouse.`/t` AS t USING updates AS s
@@ -135,7 +136,8 @@ def _tbl_of(m: re.Match) -> str:
     return p if p is not None else _resolve_name(m.group("name"))
 
 _DELETE = re.compile(
-    rf"(?is)^\s*DELETE\s+FROM\s+{_TBL}\s+WHERE\s+(?P<cond>.+?)\s*;?\s*$"
+    rf"(?is)^\s*DELETE\s+FROM\s+{_TBL}"
+    rf"(?:\s+WHERE\s+(?P<cond>.+?))?\s*;?\s*$"
 )
 _UPDATE = re.compile(
     rf"(?is)^\s*UPDATE\s+{_TBL}\s+SET\s+(?P<sets>.+?)"
@@ -335,7 +337,9 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
     m = _DELETE.match(sql)
     if m:
         t = lk.Transaction(_tbl_of(m))
-        n = t.delete_where(spark, F.expr(m.group("cond")))
+        # no WHERE = delete everything (Delta's DELETE FROM t)
+        cond = F.expr(m.group("cond")) if m.group("cond") else F.lit(True)
+        n = t.delete_where(spark, cond)
         t.commit()
         return _counts_df(spark, num_affected_rows=n)
     m = _UPDATE.match(sql)

@@ -478,3 +478,50 @@ def test_string_column_with_date_shaped_values_never_promoted(spark, tmp_path):
         {"rows": 1, "cols": {"x": {"min": 5, "max": 9, "nulls": 0}}},
         "x", "in", [1, 2],
     )
+
+
+def test_string_skipping_soundness_property(spark, tmp_path):
+    """Property twin of the typed-column soundness test for STRING
+    columns (ADVICE r12): for arbitrary strings — including ISO-
+    date/datetime-SHAPED ones — _stats_admit must never prune a file
+    that contains a row matching the predicate under Spark's
+    lexicographic string comparison."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from hypothesis import given, settings, strategies as st
+
+    iso_ish = st.one_of(
+        st.sampled_from(
+            ["2024-01-02", "2024-01-02T00", "2024-01-02T00:00:00",
+             "2024-12-31", "1999-05-05T23:59:59", ""]
+        ),
+        st.text(
+            alphabet="0123456789-T:abz", min_size=0, max_size=24
+        ),
+    )
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        rows=st.lists(iso_ish, min_size=1, max_size=5),
+        op=st.sampled_from(["=", "<", "<=", ">", ">=", "in"]),
+        probe=iso_ish,
+    )
+    def check(rows, op, probe):
+        f = tmp_path / "strprop.parquet"
+        pq.write_table(pa.table({"x": pa.array(rows, pa.string())}), str(f))
+        st_ = lk._file_stats(f)
+        value = [probe] if op == "in" else probe
+        py_op = {
+            "=": lambda a, b: a == b,
+            "<": lambda a, b: a < b,
+            "<=": lambda a, b: a <= b,
+            ">": lambda a, b: a > b,
+            ">=": lambda a, b: a >= b,
+            "in": lambda a, b: a in b,
+        }[op]
+        if any(py_op(r, probe if op != "in" else value) for r in rows):
+            assert lk._stats_admit(st_, "x", op, value), (
+                rows, op, probe, st_,
+            )
+
+    check()

@@ -649,3 +649,12 @@ def test_review_r13_router_edge_cases(spark, tmp_path):
     )
     assert out.collect()[0].num_inserted_rows == 1
     assert lk.read_table(spark, path).filter("id = 500").count() == 1
+
+
+def test_delete_without_where_clears_table(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    out = run_sql(spark, f"DELETE FROM lakehouse.`{path}`")
+    assert out.collect()[0].num_affected_rows == 30
+    with pytest.raises(ValueError, match="is empty"):
+        lk.read_table(spark, path)
+    assert lk.read_table(spark, path, version=1).count() == 30
