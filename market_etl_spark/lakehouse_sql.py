@@ -38,6 +38,10 @@ methods — one implementation of the semantics, two entry points.
                    "CHECK (val >= 0)")
     run_sql(spark, "ALTER TABLE lakehouse.`/t` DROP CONSTRAINT pos")
     run_sql(spark, "CONVERT TO LAKEHOUSE parquet.`/plain/dir`")
+    run_sql(spark, "CREATE TABLE dev SHALLOW CLONE lakehouse.`/t` "
+                   "LOCATION '/dev'")          # zero-copy fork
+    run_sql(spark, "SELECT * FROM table_changes('trades', 2, 5)")
+    run_sql(spark, "SELECT * FROM table_changes('/abs/path', 3)")
     run_sql(spark, "SELECT k, sum(v) FROM lakehouse.`/t` "
                    "VERSION AS OF 3 GROUP BY k")
     run_sql(spark, "INSERT INTO lakehouse.`/t` VALUES (1, 'a'), (2, 'b')")
@@ -175,6 +179,17 @@ _CONVERT = re.compile(
     r"(?is)^\s*CONVERT\s+TO\s+LAKEHOUSE\s+parquet\.`(?P<cpath>[^`]+)`"
     r"\s*;?\s*$"
 )
+_CLONE = re.compile(
+    rf"(?is)^\s*CREATE\s+TABLE\s+(?:lakehouse\.)?(?P<clname>\w+)\s+"
+    rf"SHALLOW\s+CLONE\s+{_TBL}\s+LOCATION\s+'(?P<cloc>[^']+)'\s*;?\s*$"
+)
+#: Delta's ``table_changes('t', start [, end])`` TVF — versions are
+#: INCLUSIVE on both ends (Delta's contract; :func:`lakehouse.
+#: read_changes` takes an exclusive start, so the rewrite shifts by 1)
+_TABLE_CHANGES = re.compile(
+    r"(?is)table_changes\(\s*'(?P<tcref>[^']+)'\s*,\s*(?P<tcv1>\d+)"
+    r"\s*(?:,\s*(?P<tcv2>\d+))?\s*\)"
+)
 _OPTIMIZE = re.compile(
     rf"(?is)^\s*OPTIMIZE\s+{_TBL}"
     rf"(?:\s+WHERE\s+(?P<owhere>.+?))?"
@@ -212,7 +227,7 @@ def _frame_of_query(spark: SparkSession, text: str) -> DataFrame:
     lakehouse-reference rewrite when it names lakehouse tables, plain
     ``spark.sql`` otherwise (INSERT/CTAS bodies over temp views)."""
     chunks = _SQL_LITERAL.split(text)
-    if any(
+    if _TABLE_CHANGES.search(text) or any(
         _SELECT_TBL.search(chunks[i]) for i in range(0, len(chunks), 2)
     ):
         return _run_select(spark, text, require_ref=False)
@@ -413,6 +428,16 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
             spark, converted_version=v, n_files=d["n_files"],
             n_rows=d["n_rows"],
         )
+    m = _CLONE.match(sql)
+    if m:
+        dst = m.group("cloc")
+        v = lk.clone_table(_tbl_of(m), dst)
+        register_table(m.group("clname"), dst)
+        d = lk.table_detail(dst)
+        return _counts_df(
+            spark, cloned_version=v, n_files=d["n_files"],
+            n_rows=d["n_rows"],
+        )
     m = _SHOW.match(sql)
     if m:
         if not _NAMES:
@@ -475,7 +500,8 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
         f"(DELETE/UPDATE/MERGE/INSERT INTO/CREATE TABLE ... USING "
         f"lakehouse LOCATION [AS SELECT]/DROP TABLE/SHOW TABLES/"
         f"ALTER TABLE ... ADD|RENAME|DROP COLUMN | ADD|DROP CONSTRAINT/"
-        f"CONVERT TO LAKEHOUSE parquet.`dir`/"
+        f"CONVERT TO LAKEHOUSE parquet.`dir`/CREATE TABLE ... SHALLOW "
+        f"CLONE ... LOCATION/"
         f"DESCRIBE HISTORY|DETAIL/RESTORE ... TO VERSION|TIMESTAMP AS "
         f"OF/OPTIMIZE [WHERE] [ZORDER BY (...) [FULL]]/VACUUM [RETAIN n "
         f"SECONDS] [DRY RUN]/SELECT over lakehouse.`path` or a "
@@ -584,11 +610,32 @@ def _run_select(
         views.append(view)
         return view
 
-    # rewrite table references only OUTSIDE string literals: split on
-    # quoted literals (odd chunks) and substitute in the code chunks
+    def repl_changes(m: re.Match) -> str:
+        ref = m.group("tcref")
+        path = ref if "/" in ref else _resolve_name(ref)
+        v1 = int(m.group("tcv1"))
+        v2 = (
+            int(m.group("tcv2")) if m.group("tcv2")
+            else lk.latest_commit(path)
+        )
+        view = f"lakehouse_cdf_{uuid.uuid4().hex[:12]}"
+        # Delta's table_changes bounds are INCLUSIVE; read_changes
+        # takes an exclusive start — shift by one
+        lk.read_changes(spark, path, v1 - 1, v2).createOrReplaceTempView(
+            view
+        )
+        views.append(view)
+        return view
+
     n = 0
-    chunks = _SQL_LITERAL.split(sql)
     try:
+        # the TVF rewrites FIRST, on the raw text (its shape embeds a
+        # quoted literal, so it cannot ride the literal-masked pass)
+        sql, k = _TABLE_CHANGES.subn(repl_changes, sql)
+        n += k
+        # rewrite table references only OUTSIDE string literals: split
+        # on quoted literals (odd chunks), substitute in code chunks
+        chunks = _SQL_LITERAL.split(sql)
         for i in range(0, len(chunks), 2):
             chunks[i], k = _SELECT_TBL.subn(repl, chunks[i])
             n += k

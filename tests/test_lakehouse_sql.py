@@ -658,3 +658,63 @@ def test_delete_without_where_clears_table(spark, tmp_path):
     with pytest.raises(ValueError, match="is empty"):
         lk.read_table(spark, path)
     assert lk.read_table(spark, path, version=1).count() == 30
+
+
+def test_shallow_clone_statement(spark, tmp_path):
+    from market_etl_spark.lakehouse_sql import _NAMES
+
+    path = _table(spark, tmp_path)
+    dev = str(tmp_path / "dev")
+    _NAMES.pop("dev13", None)
+    out = run_sql(
+        spark,
+        f"CREATE TABLE dev13 SHALLOW CLONE lakehouse.`{path}` "
+        f"LOCATION '{dev}'",
+    ).collect()[0]
+    assert (out.cloned_version, out.n_rows) == (1, 30)
+    # the clone diverges; the source never observes it
+    run_sql(spark, "DELETE FROM lakehouse.dev13 WHERE id < 20")
+    assert run_sql(
+        spark, "SELECT count(*) AS n FROM lakehouse.dev13"
+    ).collect()[0].n == 10
+    assert lk.read_table(spark, path).count() == 30
+    run_sql(spark, "DROP TABLE dev13")
+
+
+def test_table_changes_tvf(spark, tmp_path):
+    from market_etl_spark.lakehouse_sql import _NAMES
+
+    path = _table(spark, tmp_path)  # v1: 30 inserts
+    t = lk.Transaction(path)
+    t.enable_cdf()
+    t.commit()  # v2
+    run_sql(spark, f"DELETE FROM lakehouse.`{path}` WHERE id = 3")  # v3
+    run_sql(
+        spark, f"UPDATE lakehouse.`{path}` SET v = v + 100 WHERE id = 4"
+    )  # v4
+    # inclusive bounds (Delta's contract): [3, 4] = delete + update
+    got = run_sql(
+        spark,
+        f"SELECT _change_type, count(*) AS n FROM "
+        f"table_changes('{path}', 3, 4) GROUP BY _change_type "
+        f"ORDER BY _change_type",
+    ).collect()
+    assert [(r._change_type, r.n) for r in got] == [
+        ("delete", 1), ("update_postimage", 1), ("update_preimage", 1),
+    ]
+    # one-arg form reads to the latest version; named form resolves
+    _NAMES.pop("tc13", None)
+    run_sql(spark, f"CREATE TABLE tc13 USING lakehouse LOCATION '{path}'")
+    n = run_sql(
+        spark,
+        "SELECT count(*) AS n FROM table_changes('tc13', 1)",
+    ).collect()[0].n
+    assert n == 33  # 30 inserts + delete + update pre/post
+    run_sql(spark, "DROP TABLE tc13")
+    # TVF composes with a plain lakehouse reference in one statement
+    both = run_sql(
+        spark,
+        f"SELECT count(*) AS n FROM table_changes('{path}', 3, 3) c "
+        f"JOIN lakehouse.`{path}` VERSION AS OF 1 s ON c.id = s.id",
+    ).collect()[0].n
+    assert both == 1
