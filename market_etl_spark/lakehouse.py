@@ -3240,29 +3240,34 @@ class Transaction:
         tail outgrows the configured interval (Delta checkpoints every
         10 commits) — OPT-IN per table: engages only after a first
         explicit ``write_parquet_checkpoint`` bootstrap, so plain
-        tables never pay a metadata job per commit.  Runs only when an
-        active session exists: the registered format's writer commit
-        hook executes in Spark's session-less planning process, where
-        the advance is impossible — the next session-ful commit (or
-        an explicit advance) catches the tail up.  A failed advance
-        only WARNS: the commit already landed, and the checkpoint is
-        derived state any later advance rebuilds."""
-        spark = SparkSession.getActiveSession()
-        if spark is None:
-            return
+        tables never pay a metadata job per commit.  With an active
+        session the advance runs as one Spark job; WITHOUT one (the
+        registered format's writer commit hook executes in Spark's
+        session-less planning process) it runs the pyarrow twin —
+        columnar base, delta-sized tail, same atomic layout — under
+        the default interval (no conf is readable there).  A failed
+        advance only WARNS: the commit already landed, and the
+        checkpoint is derived state any later advance rebuilds."""
         from . import lakehouse_checkpoint as _ckpt
 
+        spark = SparkSession.getActiveSession()
         try:
             v0 = _ckpt.latest_parquet_checkpoint(self.path)
             if v0 is None:
                 return
-            interval = int(
-                spark.conf.get(
-                    _ckpt.AUTO_ADVANCE_CONF, str(_ckpt.AUTO_ADVANCE_DEFAULT)
+            interval = _ckpt.AUTO_ADVANCE_DEFAULT
+            if spark is not None:
+                interval = int(
+                    spark.conf.get(
+                        _ckpt.AUTO_ADVANCE_CONF,
+                        str(_ckpt.AUTO_ADVANCE_DEFAULT),
+                    )
                 )
-            )
             if interval > 0 and v - v0 >= interval:
-                _ckpt.advance_parquet_checkpoint(spark, self.path, v)
+                if spark is not None:
+                    _ckpt.advance_parquet_checkpoint(spark, self.path, v)
+                else:
+                    _ckpt.advance_parquet_checkpoint_arrow(self.path, v)
         except Exception as e:  # derived plane: never fail the commit
             import warnings
 

@@ -460,6 +460,106 @@ def advance_parquet_checkpoint(
     return v
 
 
+def advance_parquet_checkpoint_arrow(
+    path: str, version: int | None = None, keep: int = 2
+) -> int:
+    """:func:`advance_parquet_checkpoint` WITHOUT a SparkSession —
+    pyarrow in the caller's process, for contexts Spark runs
+    session-less (the registered WRITER's commit hook): the base
+    checkpoint arrives columnar, the JSON tail is delta-sized, and
+    the next generation lands with the same atomic tmp+rename and
+    retention sweep.  State-identical to the Spark advance by
+    construction (same ``_tail_net`` folds over the same rows)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    v = lk.latest_commit(path) if version is None else version
+    v0 = latest_parquet_checkpoint(path, v)
+    if v0 is None:
+        raise ValueError(f"no parquet checkpoint at {path} — bootstrap "
+                         f"with write_parquet_checkpoint first")
+    if v0 == v:
+        return v
+    added, removed, dv_add, dv_rm, meta_up, txn_up = _tail_net(
+        path, v0, v
+    )
+    base = pq.read_table(
+        str(_ckpt_dir(path, v0)),
+        columns=["kind", "file", "stats", "payload"],
+    )
+    gone = sorted(removed | set(added)) + sorted(dv_rm | dv_add)
+    kind = base.column("kind")
+    keep_mask = pc.and_(
+        pc.invert(pc.is_in(kind, value_set=pa.array(["meta", "txn"]))),
+        pc.invert(
+            pc.and_(
+                pc.is_in(kind, value_set=pa.array(["add", "dv"])),
+                pc.is_in(
+                    base.column("file"),
+                    value_set=pa.array(gone or [""], pa.string()),
+                ),
+            )
+        ),
+    )
+    kept = base.filter(keep_mask)
+    meta_rows = base.filter(pc.equal(kind, "meta"))
+    meta = (
+        json.loads(meta_rows.column("payload")[0].as_py())
+        if meta_rows.num_rows
+        else {}
+    )
+    meta.update(meta_up)
+    txns = {}
+    for payload in base.filter(
+        pc.equal(kind, "txn")
+    ).column("payload").to_pylist():
+        rec = json.loads(payload)
+        txns[rec["app"]] = rec["version"]
+    for app, tv in txn_up.items():
+        txns[app] = max(txns.get(app, -1), tv)
+    new_rows = [("add", f, s, "") for f, s in sorted(added.items())]
+    new_rows += [("dv", f, "", "") for f in sorted(dv_add)]
+    new_rows.append(("meta", "", "", json.dumps(meta)))
+    new_rows += [
+        ("txn", "", "", json.dumps({"app": a, "version": tv}))
+        for a, tv in sorted(txns.items())
+    ]
+    cols = list(zip(*new_rows)) if new_rows else ([], [], [], [])
+    tail_tbl = pa.table(
+        {
+            "kind": pa.array(cols[0], pa.string()),
+            "file": pa.array(cols[1], pa.string()),
+            "stats": pa.array(cols[2], pa.string()),
+            "payload": pa.array(cols[3], pa.string()),
+        }
+    )
+    out = pa.concat_tables([kept, tail_tbl])
+    dest = _ckpt_dir(path, v)
+    tmp = dest.parent / f".{dest.name}-tmp-{uuid.uuid4().hex[:8]}"
+    tmp.mkdir(parents=True)
+    chunk = 100_000  # the same ~rows/part sizing as the Spark write
+    for i, off in enumerate(range(0, max(out.num_rows, 1), chunk)):
+        pq.write_table(
+            out.slice(off, chunk), str(tmp / f"part-{i:05d}.parquet")
+        )
+    if dest.exists():  # derived data: identical state — keep the first
+        shutil.rmtree(tmp)
+    else:
+        os.rename(tmp, dest)
+    log = pathlib.Path(path) / lk._LOG_DIR
+    vs = sorted(
+        int(p.name[len(_CKPT_PREFIX):])
+        for p in log.glob(f"{_CKPT_PREFIX}*")
+        if p.is_dir() and p.name[len(_CKPT_PREFIX):].isdigit()
+    )
+    for old in vs[:-keep] if keep > 0 else []:
+        shutil.rmtree(_ckpt_dir(path, old), ignore_errors=True)
+    return v
+
+
 def state_frame(
     spark: SparkSession, path: str, version: int | None = None
 ) -> tuple[int, DataFrame, dict]:

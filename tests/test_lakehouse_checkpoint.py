@@ -573,3 +573,50 @@ def test_auto_advance_survives_concurrent_commits(spark, tmp_path):
     _v, live, dvs, _txns, meta, _stats = lk._state_full(path)
     assert (live_pq, dv_pq, meta_pq) == (live, dvs, meta)
     assert lk.read_table(spark, path).count() == 16
+
+
+def test_arrow_advance_matches_spark_advance(spark, tmp_path):
+    """The session-less (pyarrow) checkpoint advance — what the
+    registered writer's commit hook runs — must land a checkpoint
+    state-identical to the Spark-job advance over the same tail."""
+    path = _busy_table(spark, tmp_path)
+    ck.write_parquet_checkpoint(spark, path, version=3)
+    v = ck.advance_parquet_checkpoint_arrow(path)
+    assert v == 5 == ck.latest_parquet_checkpoint(path)
+    adv = spark.read.parquet(str(ck._ckpt_dir(path, 5)))
+    v2, live, dvs, txns, meta, stats = lk._state_full(path, 5)
+    boot = spark.createDataFrame(
+        ck._rows_of_state(live, dvs, txns, meta, stats), ck._SCHEMA
+    )
+    assert sorted(map(tuple, adv.collect())) == sorted(
+        map(tuple, boot.collect())
+    )
+    # idempotent at the tip
+    assert ck.advance_parquet_checkpoint_arrow(path) == 5
+
+
+def test_format_writer_auto_advances_checkpoint(spark, tmp_path):
+    """End to end through the REGISTERED WRITER (whose commit hook
+    runs in Spark's session-less worker): once the table has a
+    bootstrapped checkpoint, enough writer commits roll it forward
+    without any session-side help."""
+    from market_etl_spark import lakehouse_datasource as lds
+
+    lds.register(spark)
+    path = str(tmp_path / "wadv")
+    t = lk.Transaction(path)
+    t.append(
+        spark.createDataFrame([(0, 0.0)], "id long, v double").coalesce(1)
+    )
+    t.commit()
+    v0 = ck.write_parquet_checkpoint(spark, path)
+    for i in range(ck.AUTO_ADVANCE_DEFAULT):
+        spark.createDataFrame(
+            [(i + 1, 1.0)], "id long, v double"
+        ).coalesce(1).write.format("lakehouse").mode("append").save(path)
+    v_adv = ck.latest_parquet_checkpoint(path)
+    assert v_adv is not None and v_adv > v0
+    # advanced state equals JSON replay at its version
+    pv, live_pq, dv_pq, meta_pq = _state_sets(spark, path, v_adv)
+    _v, live, dvs, _txns, meta, _stats = lk._state_full(path, v_adv)
+    assert (live_pq, dv_pq, meta_pq) == (live, dvs, meta)

@@ -716,3 +716,34 @@ def test_cdf_batch_pushdown_prunes_commit_range(spark, tmp_path):
     r_cut.pushFilters([GreaterThanOrEqual(("_commit_version",), 4)])
     assert (r_cut.start, r_cut.end) == (3, 4)
     assert 0 < len(r_cut.partitions()) < n_all
+
+
+def test_stream_add_column_mid_tail_guard(spark, tmp_path):
+    """A data-less ALTER TABLE ADD COLUMN landing after the stream
+    fixed its schema is still a column the fixed schema cannot
+    represent — partitions() must fail with restart guidance once a
+    data file carries it."""
+    from market_etl_spark.lakehouse_sql import run_sql
+
+    path = _table(spark, tmp_path)
+    live = lds._LakehouseStreamReader(
+        {"path": path},
+        spark.read.format("lakehouse").load(path).schema,
+    )
+    run_sql(
+        spark, f"ALTER TABLE lakehouse.`{path}` ADD COLUMN (note string)"
+    )
+    t = lk.Transaction(path)
+    t.append(
+        spark.createDataFrame(
+            [(100, 0.0, "x", "n")], "id long, v double, s string, "
+            "note string"
+        )
+    )
+    t.commit()
+    latest = lk.latest_commit(path)
+    with pytest.raises(ValueError, match="cannot represent"):
+        live.partitions({"v": latest - 2}, {"v": latest})
+    # a fresh stream resolves the evolved schema and reads everything
+    got = _tail(spark, path, "ck_addcol", tmp_path)
+    assert len(got) == 31 and len(got[0]) == 4

@@ -718,3 +718,84 @@ def test_table_changes_tvf(spark, tmp_path):
         f"JOIN lakehouse.`{path}` VERSION AS OF 1 s ON c.id = s.id",
     ).collect()[0].n
     assert both == 1
+
+
+def test_insert_into_identity_table_stamps_engine_columns(spark, tmp_path):
+    """INSERT INTO maps positionally to the NON-engine columns only:
+    identity values are stamped by the append, and supplying one
+    positionally is impossible by construction (arity mismatch)."""
+    path = str(tmp_path / "ins_ident")
+    t = lk.Transaction(path)
+    t.set_identity_column("rid")
+    t.commit()
+    t = lk.Transaction(path)
+    t.append(
+        spark.createDataFrame([(1.0, "a")], "v double, s string")
+    )
+    t.commit()
+    out = run_sql(
+        spark,
+        f"INSERT INTO lakehouse.`{path}` VALUES (2.5, 'b'), (3.5, 'c')",
+    )
+    assert out.collect()[0].num_inserted_rows == 2
+    got = lk.read_table(spark, path)
+    assert got.count() == 3
+    rids = [r.rid for r in got.collect()]
+    assert len(set(rids)) == 3  # engine-stamped, unique
+    with pytest.raises(ValueError, match="arity"):
+        run_sql(
+            spark,
+            f"INSERT INTO lakehouse.`{path}` VALUES (9, 4.5, 'd')",
+        )
+
+
+def test_convert_then_checkpoint_then_source_composition(spark, tmp_path):
+    """Round-13 planes composed end to end: CONVERT a plain directory,
+    bootstrap a parquet checkpoint over the converted log, and read
+    through the registered source's CHECKPOINT route with a pushed
+    filter — decisions equal the JSON route on the converted table."""
+    from market_etl_spark import lakehouse_checkpoint as ck
+    from market_etl_spark import lakehouse_datasource as lds
+
+    lds.register(spark)
+    plain = str(tmp_path / "plain")
+    spark.createDataFrame(
+        [(j, float(j)) for j in range(40)], "id long, v double"
+    ).repartition(4).write.parquet(plain)
+    run_sql(spark, f"CONVERT TO LAKEHOUSE parquet.`{plain}`")
+    run_sql(spark, f"DELETE FROM lakehouse.`{plain}` WHERE id = 1")
+    ck.write_parquet_checkpoint(spark, plain)
+    via_json = spark.read.format("lakehouse") \
+        .option("planFromCheckpoint", "false").load(plain) \
+        .filter("id < 20")
+    via_ckpt = spark.read.format("lakehouse") \
+        .option("planFromCheckpoint", "true").load(plain) \
+        .filter("id < 20")
+    assert sorted(map(tuple, via_ckpt.collect())) == sorted(
+        map(tuple, via_json.collect())
+    )
+    # prune decisions identical on converted (absolute-stat) files
+    pred = [("id", "<", 20)]
+    _v, kept, dvs, _m, total = ck.prune_scan_arrow(plain, pred)
+    assert (kept, total) == (lk.prune_files(plain, pred)[1], 4)
+
+
+def test_convert_handles_nested_plain_subdirs(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path / "nested"
+    (root / "sub").mkdir(parents=True)
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int64())}),
+        str(root / "a.parquet"),
+    )
+    pq.write_table(
+        pa.table({"id": pa.array([3], pa.int64())}),
+        str(root / "sub" / "b.parquet"),
+    )
+    out = run_sql(
+        spark, f"CONVERT TO LAKEHOUSE parquet.`{root}`"
+    ).collect()[0]
+    assert (out.n_files, out.n_rows) == (2, 3)
+    assert lk.read_table(spark, str(root)).count() == 3
