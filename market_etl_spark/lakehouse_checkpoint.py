@@ -346,8 +346,11 @@ def write_parquet_checkpoint(
 def _tail_net(path: str, v_from: int, v_to: int):
     """Net effect of commits (v_from, v_to] — delta-sized driver
     work: {file: stats_json} net-added, set net-removed, same for
-    DVs, plus meta/txn folds, in replay order (an add+remove of the
-    same file inside the tail cancels exactly)."""
+    DVs, plus meta/txn folds, in replay order.  Invariant: ``added``
+    and ``removed`` are disjoint (likewise the DV pair) — each op
+    evicts the file from the opposite bucket, and a remove always
+    lands in ``removed`` so a base add row can never outlive a
+    final tail delete."""
     added: dict[str, str] = {}
     removed: set[str] = set()
     dv_added: set[str] = set()
@@ -368,18 +371,23 @@ def _tail_net(path: str, v_from: int, v_to: int):
                     json.dumps(a["stats"]) if a.get("stats") else ""
                 )
             elif a["op"] == "remove":
-                if a["file"] in added:
-                    del added[a["file"]]
-                else:
-                    removed.add(a["file"])
+                # a remove must ALWAYS land in `removed`, even when it
+                # cancels a tail re-add (checkpoint → DELETE → RESTORE
+                # → DELETE): the base checkpoint may still carry an add
+                # row for this file, and only the `removed` set evicts
+                # it.  A spurious `removed` entry for a base-absent
+                # file is a no-op in every consumer (gone-set filter /
+                # live.pop) — ADVICE r13, high.
+                added.pop(a["file"], None)
+                removed.add(a["file"])
             elif a["op"] == "add_dv":
                 dv_removed.discard(a["file"])
                 dv_added.add(a["file"])
             elif a["op"] == "remove_dv":
-                if a["file"] in dv_added:
-                    dv_added.discard(a["file"])
-                else:
-                    dv_removed.add(a["file"])
+                # symmetric to `remove`: the base may carry a dv row
+                # that only `dv_removed` can evict
+                dv_added.discard(a["file"])
+                dv_removed.add(a["file"])
             elif a["op"] == "set_meta":
                 meta_updates.update(a["meta"])
     return added, removed, dv_added, dv_removed, meta_updates, txn_updates

@@ -796,10 +796,16 @@ class _LakehouseStreamReader(DataSourceStreamReader):
 
     Modes (unchanged): default append tail with ``skipChangeCommits``;
     ``readChangeFeed=true`` for the full CDF with ``_change_type`` /
-    ``_commit_version`` columns; ``maxCommitsPerBatch`` bounds each
-    planned batch via ``latestOffset`` (the first batch after a bare
-    restart is uncapped — the reader learns its checkpointed position
-    only when Spark plans a batch)."""
+    ``_commit_version`` columns; ``maxCommitsPerBatch`` bounds EVERY
+    planned batch via ``latestOffset`` — including the first: on a
+    fresh stream the cap base is ``startingVersion`` (Spark calls
+    latestOffset before initialOffset), and on a restart Spark
+    re-plans the restored batch first, seeding the base with the
+    checkpointed position.  With Trigger.AvailableNow (which Spark
+    downgrades to a single-snapshot run for partition-based Python
+    sources) the cap therefore bounds the whole RUN to
+    ``maxCommitsPerBatch`` commits; rerun to drain a larger backlog,
+    or leave the cap unset for availableNow backfills."""
 
     def __init__(self, options, schema):
         self._d = _CommitDeriver(options, schema)
@@ -813,11 +819,33 @@ class _LakehouseStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         latest = lk.latest_commit(self._d.path)
-        if self.max_commits and self._last_end is not None:
-            return {"v": min(latest, self._last_end + self.max_commits)}
+        if self.max_commits:
+            # Cap base when no batch has been planned yet (ADVICE
+            # r13): Spark 4.1 calls latestOffset BEFORE initialOffset
+            # on a fresh stream (traced empirically), so the old
+            # `_last_end is not None` guard left exactly the first —
+            # potentially backlog-sized — batch uncapped.  A fresh
+            # stream's position IS ``startingVersion``; on a clean
+            # RESTART Spark re-plans the restored batch first
+            # (``partitions(ckpt, ckpt)``, also traced), which seeds
+            # ``_last_end`` with the checkpointed position before any
+            # latestOffset call — so `starting` is never a stale base.
+            base = (
+                self._last_end if self._last_end is not None
+                else self.starting
+            )
+            return {"v": min(latest, base + self.max_commits)}
         return {"v": latest}
 
     def partitions(self, start: dict, end: dict):
+        if end["v"] < start["v"]:
+            # an offset regression silently plans an EMPTY batch and
+            # records the regressed end in the WAL — every commit in
+            # (end, start] would be skipped forever; fail loudly
+            raise ValueError(
+                f"stream offset went backwards: planned end "
+                f"{end['v']} < start {start['v']} at {self._d.path}"
+            )
         self._last_end = end["v"]
         return [
             s

@@ -105,6 +105,19 @@ _TBL = r"(?<![\w.])lakehouse\.(?:`(?P<path>[^`]+)`|(?P<name>\w+))"
 _NAMES: dict[str, str] = {}
 
 
+def _require_registerable(name: str, path: str) -> None:
+    """The name-conflict check, callable BEFORE a CTAS/CLONE
+    materializes data: failing only at the post-job
+    :func:`register_table` would leave a fully committed but
+    unregistered table at the target location (ADVICE r13)."""
+    if name in _NAMES and _NAMES[name] != path:
+        raise ValueError(
+            f"table name {name!r} is already registered at "
+            f"{_NAMES[name]!r} — DROP TABLE {name} before re-pointing "
+            f"it at {path!r}"
+        )
+
+
 def register_table(name: str, path: str) -> None:
     """Register ``name`` -> ``path`` for ``lakehouse.name`` references
     (the programmatic twin of ``CREATE TABLE name USING lakehouse
@@ -112,12 +125,7 @@ def register_table(name: str, path: str) -> None:
     is refused — silently re-pointing a long-lived session's by-name
     DML would mutate the wrong table (Delta raises
     TABLE_ALREADY_EXISTS the same way); DROP TABLE first."""
-    if name in _NAMES and _NAMES[name] != path:
-        raise ValueError(
-            f"table name {name!r} is already registered at "
-            f"{_NAMES[name]!r} — DROP TABLE {name} before re-pointing "
-            f"it at {path!r}"
-        )
+    _require_registerable(name, path)
     _NAMES[name] = path
 
 
@@ -431,6 +439,7 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
     m = _CLONE.match(sql)
     if m:
         dst = m.group("cloc")
+        _require_registerable(m.group("clname"), dst)  # before the clone
         v = lk.clone_table(_tbl_of(m), dst)
         register_table(m.group("clname"), dst)
         d = lk.table_detail(dst)
@@ -562,6 +571,7 @@ def _run_create(spark: SparkSession, m: re.Match) -> DataFrame:
     with an AS query, bootstraps the table at ``p`` (which must not
     already hold commits — CTAS creates, it never overwrites)."""
     name, loc = m.group("cname"), m.group("loc")
+    _require_registerable(name, loc)  # before any CTAS data lands
     q = m.group("q")
     if q is not None:
         if lk.latest_commit(loc) > 0:
@@ -620,19 +630,39 @@ def _run_select(
         )
         view = f"lakehouse_cdf_{uuid.uuid4().hex[:12]}"
         # Delta's table_changes bounds are INCLUSIVE; read_changes
-        # takes an exclusive start — shift by one
-        lk.read_changes(spark, path, v1 - 1, v2).createOrReplaceTempView(
-            view
-        )
+        # takes an exclusive start — shift by one.  Clamp to 0:
+        # commits here are 1-based (version 0 is the empty table), so
+        # table_changes('t', 0) — legal in Delta — means "everything
+        # since creation", exactly the exclusive start 0 (ADVICE r13)
+        lk.read_changes(
+            spark, path, max(v1 - 1, 0), v2
+        ).createOrReplaceTempView(view)
         views.append(view)
         return view
 
     n = 0
+    tvf_hits = 0
+
+    def repl_changes_outside_literals(m: re.Match) -> str:
+        # the TVF's shape EMBEDS a quoted literal (the table ref), so
+        # it cannot ride the literal-masked pass — instead match on
+        # the raw text but rewrite only matches whose START lies in
+        # code: a quoted string that merely CONTAINS table_changes(…)
+        # text must stay untouched (ADVICE r13)
+        nonlocal tvf_hits
+        if any(a <= m.start() < b for a, b in lit_spans):
+            return m.group(0)
+        tvf_hits += 1
+        return repl_changes(m)
+
     try:
-        # the TVF rewrites FIRST, on the raw text (its shape embeds a
-        # quoted literal, so it cannot ride the literal-masked pass)
-        sql, k = _TABLE_CHANGES.subn(repl_changes, sql)
-        n += k
+        # the TVF rewrites FIRST, on the raw text, guarded by the
+        # literal spans of the ORIGINAL statement
+        lit_spans = [
+            (lm.start(), lm.end()) for lm in _SQL_LITERAL.finditer(sql)
+        ]
+        sql = _TABLE_CHANGES.sub(repl_changes_outside_literals, sql)
+        n += tvf_hits
         # rewrite table references only OUTSIDE string literals: split
         # on quoted literals (odd chunks), substitute in code chunks
         chunks = _SQL_LITERAL.split(sql)

@@ -620,3 +620,91 @@ def test_format_writer_auto_advances_checkpoint(spark, tmp_path):
     pv, live_pq, dv_pq, meta_pq = _state_sets(spark, path, v_adv)
     _v, live, dvs, _txns, meta, _stats = lk._state_full(path, v_adv)
     assert (live_pq, dv_pq, meta_pq) == (live, dvs, meta)
+
+
+def test_delete_of_restored_file_stays_deleted(spark, tmp_path):
+    """ADVICE r13 (high): checkpoint -> DELETE -> RESTORE -> DELETE.
+    The final remove cancels the tail's re-add in ``_tail_net``, but
+    the BASE checkpoint still carries the file's add row — unless the
+    remove also lands in ``removed``, the deleted file resurrects in
+    every checkpoint-composed route (state_frame / state_arrow /
+    prune_scan_arrow) and the advance persists it permanently."""
+    path = str(tmp_path / "t")
+    for lo in (0, 10):
+        t = lk.Transaction(path)
+        t.append(
+            spark.createDataFrame(
+                [(lo + j, float(j)) for j in range(10)],
+                "id long, v double",
+            ).coalesce(1)
+        )
+        t.commit()
+    ck.write_parquet_checkpoint(spark, path)
+    v0 = lk.latest_commit(path)
+    t = lk.Transaction(path)
+    assert t.delete_where(spark, F.col("id") < 10) == 10
+    t.commit()
+    lk.restore_table(spark, path, v0)  # tail re-adds the deleted file
+    t = lk.Transaction(path)
+    assert t.delete_where(spark, F.col("id") < 10) == 10
+    t.commit()
+    # JSON replay is ground truth: ids 0-9 are gone
+    _v, live, dvs, _t, _m, _s = lk._state_full(path)
+    # every composed route must agree — file sets AND read rows
+    pv, live_pq, dv_pq, _meta = _state_sets(spark, path)
+    assert (pv, live_pq, dv_pq) == (lk.latest_commit(path), live, dvs)
+    av, alive, advs, _am = ck.state_arrow(path)
+    assert (av, set(alive), advs) == (pv, live, dvs)
+    sv, kept, dvf, _m2, total = ck.prune_scan_arrow(path, [])
+    assert (sv, set(kept), set(dvf), total) == (pv, live, dvs, len(live))
+    got = ck.read_table_distributed_prune(spark, path, [("id", ">=", 0)])
+    assert sorted(r.id for r in got.collect()) == list(range(10, 20))
+    # the advance must not resurrect the file into the next generation
+    ck.advance_parquet_checkpoint(spark, path)
+    base = spark.read.parquet(
+        str(ck._ckpt_dir(path, lk.latest_commit(path)))
+    ).filter("kind='add'")
+    assert {r.file for r in base.collect()} == live
+
+
+def test_dv_removed_after_restore_readd_stays_removed(spark, tmp_path):
+    """Symmetric DV case (ADVICE r13): checkpoint carries a DV row;
+    the tail removes it (CoW rewrite), re-adds it (RESTORE), then
+    removes it again — the final ``remove_dv`` must evict the BASE dv
+    row, or a stale vector survives and wrongly hides rows."""
+    path = str(tmp_path / "t")
+    t = lk.Transaction(path)
+    t.append(
+        spark.createDataFrame(
+            [(j, float(j)) for j in range(10)], "id long, v double"
+        ).coalesce(1)
+    )
+    t.commit()
+    t = lk.Transaction(path)
+    t.delete_where_mor(spark, F.col("id") == 5)  # DV in the base
+    t.commit()
+    ck.write_parquet_checkpoint(spark, path)
+    v0 = lk.latest_commit(path)
+    t = lk.Transaction(path)
+    t.delete_where(spark, F.col("id") == 6)  # CoW: remove file+DV
+    t.commit()
+    lk.restore_table(spark, path, v0)  # re-adds file AND its DV
+    t = lk.Transaction(path)
+    t.delete_where(spark, F.col("id") == 6)  # removes the DV again
+    t.commit()
+    _v, live, dvs, _t2, _m, _s = lk._state_full(path)
+    pv, live_pq, dv_pq, _meta = _state_sets(spark, path)
+    assert (pv, live_pq, dv_pq) == (lk.latest_commit(path), live, dvs)
+    av, alive, advs, _am = ck.state_arrow(path)
+    assert (av, set(alive), advs) == (pv, live, dvs)
+    got = ck.read_table_distributed_prune(spark, path, [("id", ">=", 0)])
+    want = lk.read_table(spark, path)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    ck.advance_parquet_checkpoint(spark, path)
+    nxt = spark.read.parquet(
+        str(ck._ckpt_dir(path, lk.latest_commit(path)))
+    )
+    assert {r.file for r in nxt.filter("kind='dv'").collect()} == dvs
+    assert {r.file for r in nxt.filter("kind='add'").collect()} == live

@@ -243,15 +243,18 @@ def test_stream_starting_version_and_rate_bound(spark, tmp_path):
     path = _table(spark, tmp_path)  # 3 commits x 10 rows
     got = _tail(spark, path, "ck_sv", tmp_path, startingVersion="2")
     assert len(got) == 10  # only commit 3
-    # maxCommitsPerBatch bounds the PREFETCHED batch; availableNow
-    # stops at the first prefetch's end offset, so each run advances
-    # exactly one commit and the checkpoint carries the tail forward
-    total = []
-    for _ in range(3):
-        total.extend(
-            _tail(spark, path, "ck_rate", tmp_path, maxCommitsPerBatch="1")
-        )
-    assert len(total) == 30
+    # maxCommitsPerBatch bounds EVERY planned batch — including the
+    # FIRST of a fresh stream (Spark calls latestOffset before
+    # initialOffset, so the cap base falls back to startingVersion —
+    # ADVICE r13) and the first after a clean restart (Spark re-plans
+    # the restored batch, seeding the base with the checkpointed
+    # position).  Under availableNow's single-snapshot downgrade each
+    # run therefore advances exactly one commit.
+    per_run = [
+        len(_tail(spark, path, "ck_rate", tmp_path, maxCommitsPerBatch="1"))
+        for _ in range(3)
+    ]
+    assert per_run == [10, 10, 10]
 
 
 def test_stream_expired_version_raises_rebootstrap(spark, tmp_path):

@@ -799,3 +799,65 @@ def test_convert_handles_nested_plain_subdirs(spark, tmp_path):
     ).collect()[0]
     assert (out.n_files, out.n_rows) == (2, 3)
     assert lk.read_table(spark, str(root)).count() == 3
+
+
+def test_table_changes_text_inside_literal_stays_literal(spark, tmp_path):
+    """ADVICE r13: the TVF rewrite must not fire on table_changes(...)
+    text that lives INSIDE a quoted string literal."""
+    path = _table(spark, tmp_path)
+    got = run_sql(
+        spark,
+        f"SELECT 'see table_changes(''x'', 1) docs' AS doc, count(*) AS n "
+        f"FROM lakehouse.`{path}`",
+    ).collect()[0]
+    assert got.doc == "see table_changes('x', 1) docs" and got.n == 30
+    # a literal mentioning the TVF must not satisfy the
+    # names-a-lakehouse-table requirement either
+    with pytest.raises(ValueError, match="names no lakehouse"):
+        from market_etl_spark.lakehouse_sql import _run_select
+
+        _run_select(
+            spark, "SELECT 'table_changes(''x'', 1)' AS doc", require_ref=True
+        )
+
+
+def test_table_changes_from_version_zero(spark, tmp_path):
+    """table_changes('t', 0) is legal in Delta — with 1-based commits
+    here it means everything since creation (exclusive start 0)."""
+    path = _table(spark, tmp_path)
+    n = run_sql(
+        spark,
+        f"SELECT count(*) AS n FROM table_changes('{path}', 0)",
+    ).collect()[0].n
+    assert n == 30
+
+
+def test_ctas_and_clone_refuse_conflicting_name_before_any_data(
+    spark, tmp_path
+):
+    """ADVICE r13: a CTAS/CLONE whose name is already registered
+    elsewhere must fail BEFORE materializing data — not leave a
+    committed-but-unregistered table at the target."""
+    from market_etl_spark.lakehouse_sql import _NAMES
+
+    src = _table(spark, tmp_path, "src")
+    _NAMES.pop("taken13", None)
+    run_sql(
+        spark, f"CREATE TABLE taken13 USING lakehouse LOCATION '{src}'"
+    )
+    dst = str(tmp_path / "dst")
+    with pytest.raises(ValueError, match="already registered"):
+        run_sql(
+            spark,
+            f"CREATE TABLE taken13 USING lakehouse LOCATION '{dst}' AS "
+            f"SELECT * FROM lakehouse.`{src}`",
+        )
+    assert lk.latest_commit(dst) == 0  # nothing materialized
+    with pytest.raises(ValueError, match="already registered"):
+        run_sql(
+            spark,
+            f"CREATE TABLE taken13 SHALLOW CLONE lakehouse.`{src}` "
+            f"LOCATION '{dst}'",
+        )
+    assert lk.latest_commit(dst) == 0
+    run_sql(spark, "DROP TABLE taken13")
