@@ -112,6 +112,27 @@ def main() -> None:
     total_new = round(total - total_common, 3)
     n_new = sum(1 for k in timings if k not in common_names)
 
+    # Streaming/batch split (VERDICT r13 #2): ~26 drills pay
+    # stream-START fixed costs that host load amplifies 2-5x while
+    # batch queries move ~1.1-1.3x — a regression is only attributable
+    # if the two families are separable at a glance.  The registry's
+    # "streaming" tag is the classifier (every drill that starts a
+    # streaming query carries it; audited r14).
+    stream_names = {
+        k for k, s in REGISTRY.items() if "streaming" in (s.tags or ())
+    }
+    streaming_sec = round(
+        sum(v for k, v in timings.items() if k in stream_names), 3
+    )
+    batch_sec = round(total - streaming_sec, 3)
+    common_batch_sec = round(
+        sum(
+            v for k, v in timings.items()
+            if k in common_names and k not in stream_names
+        ),
+        3,
+    )
+
     # Full per-query dict → file (the driver's line capture truncates
     # multi-KB lines; stderr already has the per-query trace above).
     qfile = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_queries.json")
@@ -147,6 +168,10 @@ def main() -> None:
                 "common_set_sec": total_common,
                 "new_queries_sec": total_new,
                 "n_new_queries": n_new,
+                "streaming_sec": streaming_sec,
+                "batch_sec": batch_sec,
+                "common_set_batch_sec": common_batch_sec,
+                "n_streaming": len(stream_names & set(timings)),
                 "median_sec": median,
                 "queries_file": "bench_queries.json",
                 "sf": sf,

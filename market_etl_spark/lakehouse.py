@@ -544,6 +544,29 @@ def _json_stat(v):
     return None
 
 
+def _pval_stat(v: str, typ: str):
+    """A decoded Hive partition-value STRING as the typed stats key
+    :func:`_json_stat` would have produced had the value lived in a
+    footer — so partition predicates compare against partition stats
+    exactly like data predicates against data stats.  Unparseable
+    values fall back to the raw string (string-typed predicates still
+    prune; mistyped ones admit, which is always safe)."""
+    t = typ.lower()
+    try:
+        if t in ("tinyint", "smallint", "int", "integer", "bigint",
+                 "long", "short", "byte"):
+            return int(v)
+        if t in ("float", "double", "decimal") or t.startswith("decimal"):
+            return float(v)
+        if t == "boolean":
+            return v.lower() == "true"
+    except ValueError:
+        return v
+    # date/timestamp partition values are already ISO-formatted path
+    # text — _json_stat's own representation; strings pass through
+    return v
+
+
 def _file_stats(p: pathlib.Path, force_cols=()) -> dict | None:
     """Per-file column statistics from the parquet FOOTER: ``{"rows":
     n, "bytes": b, "cols": {name: {"min": v, "max": v, "nulls":
@@ -928,21 +951,80 @@ def _colmap(meta: dict | None) -> dict:
     return dict((meta or {}).get("colmap") or {})
 
 
+#: Hive's NULL partition-value directory token.
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _hive_pvals(rel_file: str, pcols) -> dict:
+    """Partition values recovered from a file's ``key=value`` path
+    segments, decoded (percent-escapes; Hive's NULL token -> None),
+    keyed by partition-column name.  Columns with no segment in the
+    path are absent from the result — a post-convert file under
+    ``_data/`` materializes its partition columns in the bytes and
+    recovers nothing from its name."""
+    import urllib.parse
+
+    names = {n for n, _t in pcols}
+    out: dict = {}
+    for seg in pathlib.PurePosixPath(rel_file).parts[:-1]:
+        k, eq, v = seg.partition("=")
+        if eq and k in names:
+            v = urllib.parse.unquote(v)
+            out[k] = None if v == _HIVE_NULL else v
+    return out
+
+
+def _pval_column(name: str, typ: str):
+    """The partition value of ``name`` as a Column derived from the
+    scanned file's own path — JVM-side (regexp over
+    ``input_file_name``), whole-stage-codegen, no per-file plan
+    branches however many partitions the table holds.  NULL for files
+    whose path carries no ``name=value`` segment (post-convert
+    ``_data/`` files materialize the column instead) and for Hive's
+    NULL token."""
+    import re as _re
+
+    raw = F.nullif(
+        F.regexp_extract(
+            F.input_file_name(), "/" + _re.escape(name) + "=([^/]+)/", 1
+        ),
+        F.lit(""),
+    )
+    raw = F.when(raw == _HIVE_NULL, F.lit(None)).otherwise(
+        F.when(raw.contains("%"), F.url_decode(raw)).otherwise(raw)
+    )
+    return raw.cast(typ)
+
+
 def _to_logical(df: DataFrame, meta: dict | None) -> DataFrame:
     """Physical parquet columns -> the committed LOGICAL view: mapped
     columns renamed, physicals outside the schema dropped (DROP
     COLUMN leaves the bytes in old files; readers never see them),
     later-evolved columns aligned in as typed NULLs.  Row-address
-    columns (``_dv_file``/``_dv_pos``), when present, ride along."""
+    columns (``_dv_file``/``_dv_pos``), when present, ride along.
+
+    Partition columns of a Hive-converted table (``meta["pcols"]``)
+    are recovered from the file PATH when the bytes lack them:
+    converted files keep their ``key=value`` layout (CONVERT moves no
+    data), while any later rewrite/append materializes the column —
+    ``coalesce`` prefers the materialized value, so both kinds of
+    file coexist in one scan."""
     schema = (meta or {}).get("schema", [])
     if not schema:
         return df
     cm = _colmap(meta)
+    pcols = dict((meta or {}).get("pcols") or [])
     present = set(df.columns)
     cols = []
     for n, t in schema:
         p = cm.get(n, n)
-        if p in present:
+        if n in pcols:
+            pv = _pval_column(n, t)
+            if p in present:
+                cols.append(F.coalesce(F.col(p), pv).alias(n))
+            else:
+                cols.append(pv.alias(n))
+        elif p in present:
             cols.append(F.col(p).alias(n))
         else:
             cols.append(F.lit(None).cast(t).alias(n))
@@ -1212,8 +1294,9 @@ def read_changes(
                 )
             pieces.append(tag(side, "insert", v))
             continue
-        if adds("append"):
-            pieces.append(tag(rows_of(adds("append")), "insert", v))
+        ins = adds("append") + adds("convert")  # CONVERT's files ARE
+        if ins:                                 # the initial inserts
+            pieces.append(tag(rows_of(ins), "insert", v))
         for a in by_role.get(("add_cdc", None), []):
             pieces.append(
                 tag(rows_of([a["file"]]), a["change"], v)
@@ -1527,6 +1610,11 @@ class Transaction:
         self._stats = stats
         self.actions: list[dict] = []
         self.read_files: set[str] = set()
+        #: set by whole-table-read operations (WHEN NOT MATCHED BY
+        #: SOURCE): the staged result is invalidated by ANY concurrent
+        #: data change, including pure appends the read_files overlap
+        #: check cannot see
+        self.read_whole_table = False
         self._committed = False
         self._rewrote = False
         self._ops: list[str] = []  # staged op names -> commitInfo.operation
@@ -2517,6 +2605,9 @@ class Transaction:
         when_matched_delete=None,
         when_not_matched_insert: bool = True,
         when_matched_update_cond=None,
+        when_not_matched_by_source_update: dict | None = None,
+        when_not_matched_by_source_delete=None,
+        when_not_matched_by_source_update_cond=None,
     ) -> dict:
         """MERGE INTO under the commit log — Delta's merge algorithm,
         file-pruned copy-on-write:
@@ -2542,6 +2633,20 @@ class Transaction:
         3. INSERT source rows matching NO target key (anti join on
            the matched-key set from step 1) as a plain append, when
            ``when_not_matched_insert``.
+        4. WHEN NOT MATCHED BY SOURCE (Delta's by-source clauses):
+           target rows matching NO source key take
+           ``when_not_matched_by_source_update`` (``{col: Column}``
+           over the ``t`` alias ONLY — there is no source row), gated
+           by ``when_not_matched_by_source_update_cond``, or drop
+           under ``when_not_matched_by_source_delete`` (``True`` or a
+           ``t``-alias Column).  Cost and conflict posture are
+           honest: deciding "no row needs changing" requires probing
+           EVERY target row against the source (one extra per-file
+           flags aggregate over the same left-join plan — no
+           row-level materialization beyond file flags), and the
+           decision depends on the WHOLE target state, so the commit
+           conflicts with ANY concurrent write (Delta's posture:
+           by-source merges serialize against everything).
 
         The source must be key-unique (a target row matching two
         source rows makes the merge non-deterministic — Delta raises
@@ -2550,19 +2655,34 @@ class Transaction:
         (update pre/post images, deletes, inserts), so
         :func:`read_changes` serves merge commits too.
 
-        Returns ``{"updated": n, "deleted": n, "inserted": n}``.
-        Scale posture: cost = one target scan (the match probe) +
-        rewrite of only the touched files + delta-sized insert; the
-        source is localCheckpoint-pinned and broadcast."""
+        Returns ``{"updated": n, "deleted": n, "inserted": n}`` plus
+        ``updated_by_source`` / ``deleted_by_source`` when the
+        corresponding clause was given.  Scale posture: cost = one
+        target scan (the match probe) + rewrite of only the touched
+        files + delta-sized insert (+ one per-file flags probe when a
+        by-source clause is present); the source is
+        localCheckpoint-pinned and broadcast."""
         from .sinks import write_single_file
 
+        has_by_source = (
+            when_not_matched_by_source_update is not None
+            or when_not_matched_by_source_delete is not None
+        )
         if when_matched_update is None and when_matched_delete is None \
-                and not when_not_matched_insert:
+                and not when_not_matched_insert and not has_by_source:
             raise ValueError("merge_into with no clauses is a no-op")
         if when_matched_update_cond is not None and when_matched_update is None:
             raise ValueError(
                 "when_matched_update_cond without when_matched_update "
                 "gates nothing"
+            )
+        if (
+            when_not_matched_by_source_update_cond is not None
+            and when_not_matched_by_source_update is None
+        ):
+            raise ValueError(
+                "when_not_matched_by_source_update_cond without "
+                "when_not_matched_by_source_update gates nothing"
             )
         root = pathlib.Path(self.path)
         self._require_first_rewrite("merge_into")
@@ -2588,16 +2708,19 @@ class Transaction:
             )
         cdf = bool(meta.get("cdf"))
         table_cols = [n for n, _t in meta.get("schema", [])]
-        if when_matched_update and table_cols:
-            unknown = sorted(set(when_matched_update) - set(table_cols))
+        for clause, upd in (
+            ("update", when_matched_update),
+            ("by-source update", when_not_matched_by_source_update),
+        ):
+            if not (upd and table_cols):
+                continue
+            unknown = sorted(set(upd) - set(table_cols))
             if unknown:
                 raise SchemaMismatch(
-                    f"merge update sets unknown column(s) {unknown} — "
+                    f"merge {clause} sets unknown column(s) {unknown} — "
                     f"not in the table schema"
                 )
-            owned = sorted(
-                set(when_matched_update) & set(meta.get("identity", {}))
-            )
+            owned = sorted(set(upd) & set(meta.get("identity", {})))
             if owned:
                 raise ValueError(
                     f"merge cannot SET identity column(s) {owned} — "
@@ -2608,6 +2731,10 @@ class Transaction:
             F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols
         ]
         counts = {"updated": 0, "deleted": 0, "inserted": 0}
+        if when_not_matched_by_source_delete is not None:
+            counts["deleted_by_source"] = 0
+        if when_not_matched_by_source_update is not None:
+            counts["updated_by_source"] = 0
 
         self._ops.append("merge")
         if self._live:
@@ -2630,6 +2757,58 @@ class Transaction:
         else:
             matches = None
             touched = []
+
+        bs_touched: list[str] = []
+        if self._live and has_by_source:
+            # files holding at least one row NO source key matches that
+            # a by-source clause would affect — ONE per-file flags
+            # aggregate over the same left-join plan (no row-level
+            # materialization: the output is bounded by file count).
+            # Examining every target row is inherent to the clause.
+            if when_not_matched_by_source_delete is True:
+                bs_affect = F.lit(True)
+            elif when_not_matched_by_source_delete is not None:
+                bs_affect = F.coalesce(
+                    when_not_matched_by_source_delete, F.lit(False)
+                )
+            else:
+                bs_affect = F.lit(False)
+            if when_not_matched_by_source_update is not None:
+                bs_affect = bs_affect | (
+                    F.lit(True)
+                    if when_not_matched_by_source_update_cond is None
+                    else F.coalesce(
+                        when_not_matched_by_source_update_cond,
+                        F.lit(False),
+                    )
+                )
+            probe = target.alias("t").join(
+                hint(
+                    source.select(*key_cols).withColumn(
+                        "_s_hit", F.lit(1)
+                    )
+                ).alias("s"),
+                key_eq,
+                "left",
+            )
+            unmatched_hit = (
+                F.col("s._s_hit").isNull() & bs_affect
+            ).cast("int")
+            bs_touched = sorted(
+                by_name[r._f]
+                for r in probe.groupBy(
+                    F.col("t._dv_file").alias("_f")
+                )
+                .agg(F.max(unmatched_hit).alias("_b"))
+                .filter(F.col("_b") == 1)
+                .collect()
+            )
+            # the "no row needs changing" verdict for UNtouched files
+            # depends on the whole target state joined to this source:
+            # any concurrent write invalidates it (Delta's posture) —
+            # including a pure APPEND, whose rows escaped this probe
+            self.read_files.update(self._live)
+            self.read_whole_table = True
 
         # the INSERT branch is computed and fully validated FIRST, so a
         # rejected insert (schema/constraint) raises before ANY action
@@ -2699,8 +2878,11 @@ class Transaction:
             when_matched_update is not None
             or when_matched_delete is not None
         )
-        if touched and has_matched_clause:
-            rows = _with_addresses(spark, root, touched, self._meta)
+        rewrite = sorted(
+            set(touched if has_matched_clause else []) | set(bs_touched)
+        )
+        if rewrite:
+            rows = _with_addresses(spark, root, rewrite, self._meta)
             if self._dvs:
                 rows = _dv_subtract(spark, root, self._dvs, rows)
             rows = rows.drop("_dv_file", "_dv_pos")
@@ -2722,19 +2904,60 @@ class Transaction:
             else:
                 del_pred = F.lit(False)
             upd_pred = matched & ~del_pred
-            if when_matched_update_cond is not None:
+            if when_matched_update is None:
+                upd_pred = F.lit(False)
+            elif when_matched_update_cond is not None:
                 # Delta's first-match-wins: a matched row failing the
                 # update condition (or evaluating it to NULL) passes
                 # through unchanged — and is NOT counted as updated
                 upd_pred = upd_pred & F.coalesce(
                     when_matched_update_cond, F.lit(False)
                 )
+            # by-source clauses see only rows NO source key matched;
+            # DELETE evaluates before UPDATE (clause order, as in the
+            # matched pair)
+            if when_not_matched_by_source_delete is True:
+                bs_del_pred = ~matched
+            elif when_not_matched_by_source_delete is not None:
+                bs_del_pred = ~matched & F.coalesce(
+                    when_not_matched_by_source_delete, F.lit(False)
+                )
+            else:
+                bs_del_pred = F.lit(False)
+            if when_not_matched_by_source_update is None:
+                bs_upd_pred = F.lit(False)
+            else:
+                bs_upd_pred = ~matched & ~bs_del_pred
+                if when_not_matched_by_source_update_cond is not None:
+                    bs_upd_pred = bs_upd_pred & F.coalesce(
+                        when_not_matched_by_source_update_cond,
+                        F.lit(False),
+                    )
             new_exprs = []
             for c in table_cols:
                 expr = F.col(f"t.{c}")
-                if when_matched_update and c in when_matched_update:
+                has_m = when_matched_update and c in when_matched_update
+                has_b = (
+                    when_not_matched_by_source_update
+                    and c in when_not_matched_by_source_update
+                )
+                if has_m and has_b:
+                    expr = (
+                        F.when(upd_pred, when_matched_update[c])
+                        .when(
+                            bs_upd_pred,
+                            when_not_matched_by_source_update[c],
+                        )
+                        .otherwise(expr)
+                    )
+                elif has_m:
                     expr = F.when(
                         upd_pred, when_matched_update[c]
+                    ).otherwise(expr)
+                elif has_b:
+                    expr = F.when(
+                        bs_upd_pred,
+                        when_not_matched_by_source_update[c],
                     ).otherwise(expr)
                 new_exprs.append(expr.alias(f"_new_{c}"))
             # resolve everything against the ALIASED join, project to
@@ -2744,13 +2967,21 @@ class Transaction:
             proj = j.select(
                 del_pred.alias("_del"),
                 upd_pred.alias("_upd"),
+                bs_del_pred.alias("_bsdel"),
+                bs_upd_pred.alias("_bsupd"),
                 *[F.col(f"t.{c}").alias(c) for c in table_cols],
                 *new_exprs,
             ).localCheckpoint()
             counts["deleted"] = proj.filter("_del").count()
             if when_matched_update:
                 counts["updated"] = proj.filter("_upd").count()
-            survivors = proj.filter(~F.col("_del")).select(
+            if when_not_matched_by_source_delete is not None:
+                counts["deleted_by_source"] = proj.filter("_bsdel").count()
+            if when_not_matched_by_source_update is not None:
+                counts["updated_by_source"] = proj.filter("_bsupd").count()
+            survivors = proj.filter(
+                ~F.col("_del") & ~F.col("_bsdel")
+            ).select(
                 *[F.col(f"_new_{c}").alias(c) for c in table_cols]
             )
             # contract on the POST-images, same as update_where_mor:
@@ -2768,8 +2999,8 @@ class Transaction:
                     "merge update changes column type(s): "
                     + ", ".join(f"{n_}: {a} -> {b}" for n_, a, b in wrong)
                 )
-            if when_matched_update:
-                post = proj.filter("_upd").select(
+            if when_matched_update or when_not_matched_by_source_update:
+                post = proj.filter("_upd OR _bsupd").select(
                     *[F.col(f"_new_{c}").alias(c) for c in table_cols]
                 )
                 self._check_constraints(post, meta, "merge update")
@@ -2783,7 +3014,7 @@ class Transaction:
                     )
             new = f"{_DATA_DIR}/mg-{uuid.uuid4().hex}.parquet"
             write_single_file(_to_physical(survivors, meta), root / new)
-            for rel in touched:
+            for rel in rewrite:
                 self.actions.append({"op": "remove", "file": rel})
                 self.read_files.add(rel)
             new_stats = _file_stats(root / new)
@@ -2799,16 +3030,19 @@ class Transaction:
             if cdf:
                 (root / _CDC_DIR).mkdir(parents=True, exist_ok=True)
                 pieces = [
-                    (proj.filter("_del").select(*table_cols), "delete"),
+                    (
+                        proj.filter("_del OR _bsdel").select(*table_cols),
+                        "delete",
+                    ),
                 ]
-                if when_matched_update:
+                if when_matched_update or when_not_matched_by_source_update:
                     pieces += [
                         (
-                            proj.filter("_upd").select(*table_cols),
+                            proj.filter("_upd OR _bsupd").select(*table_cols),
                             "update_preimage",
                         ),
                         (
-                            proj.filter("_upd").select(
+                            proj.filter("_upd OR _bsupd").select(
                                 *[
                                     F.col(f"_new_{c}").alias(c)
                                     for c in table_cols
@@ -3291,6 +3525,17 @@ class Transaction:
                 f"serialize: concurrent table-metadata update — re-run "
                 f"against the current snapshot"
             )
+        if self.read_whole_table and any(
+            a["op"] in ("add", "remove", "add_dv", "remove_dv")
+            for a in other["actions"]
+        ):
+            raise CommitConflict(
+                f"commit {other['version']} changed table data while "
+                f"this transaction read the WHOLE table (WHEN NOT "
+                f"MATCHED BY SOURCE probes every row — even a pure "
+                f"append invalidates its verdict) — re-run against "
+                f"the current snapshot"
+            )
         theirs_removed = {
             a["file"]
             for a in other["actions"]
@@ -3366,7 +3611,9 @@ class Transaction:
             )
 
 
-def convert_to_lakehouse(spark: SparkSession, path: str) -> int:
+def convert_to_lakehouse(
+    spark: SparkSession, path: str, partitioned_by=None
+) -> int:
     """CONVERT an existing plain-parquet directory to a lakehouse
     table IN PLACE (Delta's ``CONVERT TO DELTA``): no byte of data
     moves — one commit stamps an add action per existing file,
@@ -3375,14 +3622,28 @@ def convert_to_lakehouse(spark: SparkSession, path: str) -> int:
     that commit on the directory IS a transactional table: snapshot
     reads, DML, time travel, the registered format — everything.
 
+    ``partitioned_by`` — a list of ``(name, type)`` pairs — converts
+    a HIVE-PARTITIONED layout (Delta's ``CONVERT TO DELTA parquet.
+    `dir` PARTITIONED BY (...)``): each file's partition values are
+    recovered from its ``key=value`` path segments into the add
+    action's stats (min = max = the value, so partition predicates
+    stats-prune exactly like data predicates on every planning
+    route), and the columns join the logical schema — readers fill
+    them from the file path (:func:`_pval_column`), writes
+    materialize them, both coexist in one scan.  Every declared
+    column must appear in every file's path; the spec must cover
+    every ``key=value`` level the layout has (extra undeclared
+    levels would silently drop data the same way the unpartitioned
+    refusal below guards against).
+
     Constraints, loudly enforced:
 
     - refuses a directory that is already a lakehouse table;
-    - refuses Hive-partitioned layouts (``key=value`` directories):
-      the partition values live in DIRECTORY NAMES, not in the files,
-      and the log's direct-file reads would silently drop those
-      columns — Delta's CONVERT demands a PARTITIONED BY spec for the
-      same reason; flat directories (including nested plain subdirs)
+    - refuses Hive-partitioned layouts WITHOUT a ``partitioned_by``
+      spec: the partition values live in DIRECTORY NAMES, not in the
+      files, and the log's direct-file reads would silently drop
+      those columns — Delta's CONVERT demands the spec for the same
+      reason; flat directories (including nested plain subdirs)
       convert as-is;
     - schemas across files must align by (name, type) prefix-or-equal
       union semantics; genuinely different footprints mark the table
@@ -3392,28 +3653,101 @@ def convert_to_lakehouse(spark: SparkSession, path: str) -> int:
     root = pathlib.Path(path)
     if latest_commit(path) > 0:
         raise ValueError(f"{path} is already a lakehouse table")
+    pcols = [(str(n), str(t)) for n, t in (partitioned_by or [])]
+    declared_p = {n for n, _t in pcols}
     rels = []
     for p in sorted(root.rglob("*.parquet")):
         rel = p.relative_to(root)
         parts = rel.parts[:-1]
         if any(seg.startswith(("_", ".")) for seg in rel.parts):
             continue  # metadata/hidden debris is not table data
-        if any("=" in seg for seg in parts):
+        hive_keys = [
+            seg.partition("=")[0] for seg in parts if "=" in seg
+        ]
+        if hive_keys and not pcols:
             raise ValueError(
                 f"{path} is Hive-partitioned ({'/'.join(parts)}): the "
                 f"partition values live in directory names, which a "
                 f"converted table's direct-file reads would silently "
-                f"drop — rewrite with the partition columns "
-                f"materialized, then convert"
+                f"drop — pass partitioned_by=[(col, type), ...] "
+                f"(SQL: CONVERT ... PARTITIONED BY (col type, ...))"
             )
+        if pcols:
+            missing = declared_p - set(hive_keys)
+            extra = set(hive_keys) - declared_p
+            if missing or extra:
+                raise ValueError(
+                    f"partition spec mismatch at {rel}: declared "
+                    f"{sorted(declared_p)}, path has "
+                    f"{sorted(hive_keys)}"
+                )
         rels.append(str(rel))
     if not rels:
         raise ValueError(f"no parquet files under {path}")
+    # row addresses (``_dv_file``) key files by BASENAME — an engine
+    # invariant its own UUID-staged names guarantee, but Spark's
+    # partitioned/nested output reuses one task's name across
+    # directories (year=2024/part-00000-X == year=2023/part-00000-X).
+    # Colliding files are renamed IN PLACE (same-directory metadata
+    # op, no data movement) before the commit references them;
+    # without this, MOR deletes and CoW hit-detection would silently
+    # conflate same-named files across directories.
+    from collections import Counter
+
+    base_counts = Counter(pathlib.PurePosixPath(r).name for r in rels)
+    fixed = []
+    for r in rels:
+        pr = pathlib.PurePosixPath(r)
+        if base_counts[pr.name] > 1:
+            nb = f"{pr.stem}-{uuid.uuid4().hex[:8]}{pr.suffix}"
+            (root / r).rename(root / str(pr.parent / nb))
+            fixed.append(str(pr.parent / nb))
+        else:
+            fixed.append(r)
+    rels = fixed
     stats = _staged_stats([root / r for r in rels])
+    if pcols:
+        # partition values -> per-file stats (min = max = value, typed
+        # like footer stats), so partition predicates skip files on
+        # every planning route with zero special-casing
+        for r in rels:
+            st = stats.get(str(root / r))
+            if st is None:
+                continue
+            vals = _hive_pvals(r, pcols)
+            for n, t in pcols:
+                if n in st.get("cols", {}):
+                    raise ValueError(
+                        f"partition column {n!r} also exists in the "
+                        f"data of {r} — drop it from the spec or "
+                        f"from the files"
+                    )
+                v = vals.get(n)
+                if v is None:
+                    st.setdefault("cols", {})[n] = {
+                        "min": None, "max": None,
+                        "nulls": st.get("rows", 0),
+                    }
+                else:
+                    k = _pval_stat(v, t)
+                    st.setdefault("cols", {})[n] = {
+                        "min": k, "max": k, "nulls": 0,
+                    }
     unified = spark.read.option("mergeSchema", "true").parquet(
         *[str(root / r) for r in rels]
     ).schema
     declared = [(f.name, f.dataType.simpleString()) for f in unified]
+    if pcols:
+        # partition columns join the logical schema LAST (Spark's own
+        # partition-discovery convention)
+        data_names = {n for n, _t in declared}
+        dup = declared_p & data_names
+        if dup:
+            raise ValueError(
+                f"partition column(s) {sorted(dup)} also exist in the "
+                f"file data — drop them from the spec or the files"
+            )
+        declared += pcols
     # non-evolved reads scan without footer-merging, which assumes
     # ONE physical schema — any divergence across files (missing
     # columns, promoted types) must flag the table evolved.  Past the
@@ -3425,7 +3759,9 @@ def convert_to_lakehouse(spark: SparkSession, path: str) -> int:
         return str(_pq.ParquetFile(p).schema_arrow)
 
     fulls = [str(root / r) for r in rels]
-    if len(fulls) >= _STATS_DISTRIBUTED_MIN_FILES:
+    if pcols:
+        evolved = True  # forced below; skip the footprint sweep
+    elif len(fulls) >= _STATS_DISTRIBUTED_MIN_FILES:
         sc = spark.sparkContext
         n = max(1, min(len(fulls), sc.defaultParallelism))
         evolved = (
@@ -3436,7 +3772,13 @@ def convert_to_lakehouse(spark: SparkSession, path: str) -> int:
         evolved = len({_schema_str(p) for p in fulls}) > 1
     t = Transaction(path)
     meta: dict = {"schema": declared}
-    if evolved:
+    if pcols:
+        meta["pcols"] = pcols
+        # converted files LACK the partition columns while any later
+        # append/rewrite materializes them — footprints will diverge,
+        # so reads must footer-merge from day one
+        meta["evolved"] = True
+    elif evolved:
         meta["evolved"] = True
     t.actions.append({"op": "set_meta", "meta": meta})
     rows = 0

@@ -219,11 +219,15 @@ def _ddl_of(meta: dict) -> str:
     return ", ".join(f"`{n}` {t}" for n, t in fields)
 
 
-def _align_to_schema(tbl, fields, colmap, arrow_schema):
+def _align_to_schema(tbl, fields, colmap, arrow_schema, pvals=None):
     """Physical pyarrow table -> the committed LOGICAL view, cast to
     the Arrow schema Spark expects: mapped columns renamed, physicals
     outside the schema dropped, later-evolved columns aligned in as
-    typed NULLs — the pyarrow twin of :func:`lakehouse._to_logical`."""
+    typed NULLs — the pyarrow twin of :func:`lakehouse._to_logical`.
+    ``pvals`` (name -> decoded string | None) fills columns ABSENT
+    from the bytes with the file's Hive partition values as constant
+    Arrow arrays — the converted-table twin of
+    :func:`lakehouse._pval_column`."""
     import pyarrow as pa
 
     n = tbl.num_rows
@@ -235,6 +239,9 @@ def _align_to_schema(tbl, fields, colmap, arrow_schema):
             if col.type != field.type:
                 col = col.cast(field.type)
             arrays.append(col)
+        elif pvals and pvals.get(name) is not None:
+            const = pa.repeat(pa.scalar(pvals[name], pa.string()), n)
+            arrays.append(const.cast(field.type))
         else:
             arrays.append(pa.nulls(n, field.type))
     return pa.table(arrays, schema=arrow_schema)
@@ -263,6 +270,7 @@ def _read_rows(
     arrow_schema,
     drop_positions=None,
     keep_positions=None,
+    pcols=None,
 ):
     """One data file as a LOGICAL pyarrow table; ``drop_positions`` /
     ``keep_positions`` select by within-file row index (the
@@ -286,7 +294,8 @@ def _read_rows(
                 pc.is_in(idx, value_set=pa.array(sorted(drop_positions), pa.int64()))
             )
         tbl = tbl.filter(mask)
-    return _align_to_schema(tbl, fields, colmap, arrow_schema)
+    pvals = lk._hive_pvals(rel_file, pcols) if pcols else None
+    return _align_to_schema(tbl, fields, colmap, arrow_schema, pvals)
 
 
 # --------------------------------------------------------------------
@@ -329,6 +338,7 @@ class _LakehouseBatchReader(DataSourceReader):
         self.version = v
         self.fields = list(meta.get("schema", []))
         self.colmap = lk._colmap(meta)
+        self.pcols = list(meta.get("pcols") or [])
         self.arrow_schema = _arrow_schema(schema)
         self._live = sorted(live)
         self._dvs = sorted(dvs)
@@ -428,6 +438,7 @@ class _LakehouseBatchReader(DataSourceReader):
             self.colmap,
             self.arrow_schema,
             drop_positions=drop,
+            pcols=self.pcols,
         )
         yield from tbl.to_batches()
 
@@ -482,6 +493,7 @@ class _CommitDeriver:
         _v, _l, _d, _t, meta0, _s = lk._state_full(self.path)
         self.colmap = lk._colmap(meta0)
         self.fields = list(meta0.get("schema", []))
+        self.pcols = list(meta0.get("pcols") or [])
         if self.cdf:
             # the row payload WITHOUT the trailing CDF columns — what
             # _read_rows aligns data files against before tagging
@@ -577,7 +589,10 @@ class _CommitDeriver:
                 )
             return [
                 _StreamSlice(version=v, kind="rows", file=f, change="")
-                for f in adds("append")
+                # a CONVERT commit's files are the initial inserts —
+                # the adopted table's snapshot enters the tail exactly
+                # like a first append
+                for f in adds("append") + adds("convert")
             ]
         # ---- change-feed mode
         roleless = [
@@ -596,7 +611,7 @@ class _CommitDeriver:
             )
         out = [
             _StreamSlice(version=v, kind="rows", file=f, change="insert")
-            for f in adds("append")
+            for f in adds("append") + adds("convert")
         ]
         out += [
             _StreamSlice(
@@ -684,7 +699,7 @@ class _CommitDeriver:
             keep = dead
         tbl = _read_rows(
             self.root, s.file, self.fields, self.colmap, self.row_schema,
-            keep_positions=keep,
+            keep_positions=keep, pcols=self.pcols,
         )
         if tbl.num_rows == 0:
             return

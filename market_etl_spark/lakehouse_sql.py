@@ -162,6 +162,7 @@ _MERGE = re.compile(
 )
 _WHEN = re.compile(
     r"(?is)WHEN\s+(?P<not_>NOT\s+)?MATCHED\s*"
+    r"(?P<bysrc>BY\s+SOURCE\s*)?"
     r"(?:AND\s+(?P<cond>.+?))?\s*THEN\s+"
     r"(?P<action>DELETE|INSERT\s+\*|UPDATE\s+SET\s+(?P<sets>.+?))"
     r"\s*(?=WHEN\s|$)"
@@ -185,8 +186,11 @@ _ALTER = re.compile(
 )
 _CONVERT = re.compile(
     r"(?is)^\s*CONVERT\s+TO\s+LAKEHOUSE\s+parquet\.`(?P<cpath>[^`]+)`"
+    r"(?:\s+PARTITIONED\s+BY\s*\(\s*(?P<pspec>[\w`\s,()]+?)\s*\))?"
     r"\s*;?\s*$"
 )
+#: one `col type` pair inside a PARTITIONED BY spec
+_PSPEC_COL = re.compile(r"(?is)^\s*`?(\w+)`?\s+(\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*$")
 _CLONE = re.compile(
     rf"(?is)^\s*CREATE\s+TABLE\s+(?:lakehouse\.)?(?P<clname>\w+)\s+"
     rf"SHALLOW\s+CLONE\s+{_TBL}\s+LOCATION\s+'(?P<cloc>[^']+)'\s*;?\s*$"
@@ -430,7 +434,20 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
         return _counts_df(spark, new_version=v)
     m = _CONVERT.match(sql)
     if m:
-        v = lk.convert_to_lakehouse(spark, m.group("cpath"))
+        pby = None
+        if m.group("pspec"):
+            pby = []
+            for term in re.split(r",(?![^()]*\))", m.group("pspec")):
+                cm_ = _PSPEC_COL.match(term)
+                if not cm_:
+                    raise ValueError(
+                        f"PARTITIONED BY expects `col type` pairs; "
+                        f"got {term.strip()!r}"
+                    )
+                pby.append((cm_.group(1), cm_.group(2).lower()))
+        v = lk.convert_to_lakehouse(
+            spark, m.group("cpath"), partitioned_by=pby
+        )
         d = lk.table_detail(m.group("cpath"))
         return _counts_df(
             spark, converted_version=v, n_files=d["n_files"],
@@ -710,9 +727,59 @@ def _run_merge(spark: SparkSession, m: re.Match) -> DataFrame:
     delete = None
     insert = False
     saw_update = False
+    bs_upd = None
+    bs_upd_cond = None
+    bs_delete = None
+    saw_bs_update = False
+
+    def _no_source_refs(text: str, what: str) -> str:
+        # a by-source clause sees only target rows NO source key
+        # matched — a source-alias reference would silently evaluate
+        # NULL; refuse it up front
+        if re.search(rf"(?<![\w.]){re.escape(salias)}\.", text):
+            raise ValueError(
+                f"WHEN NOT MATCHED BY SOURCE {what} cannot reference "
+                f"the source alias {salias!r} — there is no matching "
+                f"source row"
+            )
+        return text
+
     for w in _WHEN.finditer(m.group("clauses")):
         action = w.group("action")
-        if w.group("not_"):
+        if w.group("not_") and w.group("bysrc"):
+            if w.group("cond"):
+                cond_col = F.expr(
+                    _realias(
+                        _no_source_refs(w.group("cond"), "condition"),
+                        talias, salias,
+                    )
+                )
+            else:
+                cond_col = None
+            if action.upper() == "DELETE":
+                if saw_bs_update:
+                    raise ValueError(
+                        "WHEN NOT MATCHED BY SOURCE clauses must list "
+                        "DELETE before UPDATE (clauses apply "
+                        "first-match-wins, and the merge implementation "
+                        "gives DELETE priority)"
+                    )
+                bs_delete = cond_col if cond_col is not None else True
+            elif w.group("sets"):
+                saw_bs_update = True
+                bs_upd_cond = cond_col
+                bs_upd = {
+                    c: F.expr(
+                        _realias(_no_source_refs(e, "SET"), talias, salias)
+                    )
+                    for c, e in _split_assignments(w.group("sets")).items()
+                }
+            else:
+                raise ValueError(
+                    "WHEN NOT MATCHED BY SOURCE supports THEN DELETE "
+                    "or THEN UPDATE SET"
+                )
+        elif w.group("not_"):
             if not re.match(r"(?i)INSERT\s*\*", action) or w.group("cond"):
                 raise ValueError(
                     "only WHEN NOT MATCHED THEN INSERT * is supported"
@@ -751,11 +818,20 @@ def _run_merge(spark: SparkSession, m: re.Match) -> DataFrame:
         when_matched_update_cond=upd_cond,
         when_matched_delete=delete,
         when_not_matched_insert=insert,
+        when_not_matched_by_source_update=bs_upd,
+        when_not_matched_by_source_update_cond=bs_upd_cond,
+        when_not_matched_by_source_delete=bs_delete,
     )
     t.commit()
+    # Delta's MERGE metrics fold by-source rows into the same
+    # updated/deleted counters
     return _counts_df(
         spark,
-        num_updated_rows=counts["updated"],
-        num_deleted_rows=counts["deleted"],
+        num_updated_rows=(
+            counts["updated"] + counts.get("updated_by_source", 0)
+        ),
+        num_deleted_rows=(
+            counts["deleted"] + counts.get("deleted_by_source", 0)
+        ),
         num_inserted_rows=counts["inserted"],
     )

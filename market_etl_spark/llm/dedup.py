@@ -911,3 +911,126 @@ def containment_pairs(
         .filter(F.col("containment") >= t)
         .select("id_a", "id_b", "containment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-dedup probe bounding: per-commit BLOOM sidecars
+# ---------------------------------------------------------------------------
+#
+# The streaming ingest dedup (queries/round13.py) persists admitted
+# fingerprints in the output lakehouse table itself.  Naively, every
+# micro-batch anti-joins against the FULL fp column — O(corpus) read
+# per batch, the r13 scale residual (VERDICT r13 #4).  The fix is
+# Delta/Iceberg's sidecar idea: each admitting commit also writes a
+# tiny bloom filter over the fingerprints it admitted, tagged with
+# the data files that carry them.  A batch's probe then:
+#
+#   1. tests its (delta-sized) digest list against every bloom —
+#      KB-scale driver reads, one row per commit;
+#   2. reads EXACTLY the data files of commits whose bloom hit
+#      (intersected with the live set, so a crashed commit's orphan
+#      sidecar can never resurrect dead fingerprints);
+#   3. skips the exact read entirely when nothing hits — the common
+#      case for a corpus of mostly-fresh documents, making probe I/O
+#      proportional to CANDIDATE duplicates, not corpus size.
+#
+# A false positive only costs reading one commit's files; a bloom
+# can never produce a false "unseen", so admitted-set correctness is
+# unconditional.
+
+_BLOOM_DIR = "_bloom"
+_BLOOM_K = 16
+_BLOOM_BITS_PER = 32
+#: with 32 bits/element and k=16 the per-digest false-positive rate
+#: is ~3e-7 — small enough that "no bloom hit" is a deterministic
+#: verdict for delta-sized digest lists (expected spurious commits
+#: per probe = n_digests x n_commits x 3e-7), which is what lets the
+#: drill ASSERT the probe's read-set is bounded
+
+
+def _bloom_positions(digest: str, m_bits: int):
+    """k bit positions for a hex digest — the digest's own 64 hex
+    chars seed the first positions; further ones come from one
+    salted rehash (two sha256 calls total per digest)."""
+    import hashlib
+
+    hx = digest + hashlib.sha256(
+        (digest + "#").encode()
+    ).hexdigest()  # 128 uniform hex chars = 16 x 8-char slices
+    for i in range(_BLOOM_K):
+        yield int(hx[i * 8:(i + 1) * 8], 16) % m_bits
+
+
+def fp_bloom_build(digests) -> bytes:
+    """A bloom filter over hex digests as bytes (m scales with n)."""
+    n = max(len(digests), 1)
+    m_bits = max(1024, n * _BLOOM_BITS_PER)
+    bits = bytearray((m_bits + 7) // 8)
+    for d in digests:
+        for p in _bloom_positions(d, m_bits):
+            bits[p >> 3] |= 1 << (p & 7)
+    return bytes(bits)
+
+
+def fp_bloom_hits(bloom: bytes, digests) -> bool:
+    """True when ANY digest is possibly in the bloom."""
+    m_bits = len(bloom) * 8
+    for d in digests:
+        if all(
+            bloom[p >> 3] & (1 << (p & 7))
+            for p in _bloom_positions(d, m_bits)
+        ):
+            return True
+    return False
+
+
+def write_fp_bloom_sidecar(table_path: str, files, digests) -> None:
+    """Persist one commit's bloom sidecar under the table: (data
+    files carrying the digests, bloom bytes).  Written BEFORE the
+    commit lands — an orphan sidecar (crashed commit) is harmless
+    because probes intersect its files with the LIVE set."""
+    import pathlib
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = pathlib.Path(table_path) / _BLOOM_DIR
+    d.mkdir(parents=True, exist_ok=True)
+    tbl = pa.table(
+        {
+            "files": pa.array([list(files)], pa.list_(pa.string())),
+            "bloom": pa.array([fp_bloom_build(list(digests))], pa.binary()),
+        }
+    )
+    pq.write_table(tbl, str(d / f"bloom-{uuid.uuid4().hex}.parquet"))
+
+
+def probe_seen_files(table_path: str, digests) -> tuple[list[str], int, bool]:
+    """The LIVE data files a batch's digests could possibly have been
+    admitted into: ``(files to read, total live files, bounded)``.
+    ``bounded`` is False when some live file is covered by NO sidecar
+    (pre-bloom commits, or a commit whose batch exceeded the build
+    cap) — those files are always candidates."""
+    import json
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    from .. import lakehouse as lk
+
+    _v, live, _dvs, _t, _m, _s = lk._state_full(table_path)
+    covered: set[str] = set()
+    hit: set[str] = set()
+    d = pathlib.Path(table_path) / _BLOOM_DIR
+    digests = list(digests)
+    if d.exists():
+        for p in sorted(d.glob("bloom-*.parquet")):
+            row = pq.read_table(str(p))
+            files = row.column("files")[0].as_py()
+            covered.update(files)
+            if fp_bloom_hits(row.column("bloom")[0].as_py(), digests):
+                hit.update(files)
+    uncovered = set(live) - covered
+    candidates = sorted((hit | uncovered) & set(live))
+    return candidates, len(live), not uncovered

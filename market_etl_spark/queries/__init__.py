@@ -37,6 +37,7 @@ from . import round11  # noqa: F401
 from . import round11b  # noqa: F401
 from . import round12  # noqa: F401
 from . import round13  # noqa: F401
+from . import round14  # noqa: F401
 from .registry import REGISTRY, QuerySpec, query
 
 # Round-6 activation: the r5 ledger reached 167/167 green, so the r4

@@ -1,0 +1,320 @@
+"""Round-14 additions: adopting the reference's OWN layout, and the
+lakehouse write/merge surface widened to Delta's remaining core verbs.
+
+The reference's processed zone is Hive-partitioned parquet
+(jobs/etl/glue_spark_trades_etl.py writes
+``year=/month=/day=/symbol=`` directories; main.tf registers them as
+a partitioned external table).  Round 13's CONVERT refused that
+layout — the partition values live in directory names, which the
+log's direct-file reads would silently drop.  Round 14 closes it
+with Delta's own answer, ``CONVERT ... PARTITIONED BY``: partition
+values are recovered from the ``key=value`` path segments into the
+add actions' stats (min = max = value, so partition predicates
+stats-prune on every planning route) and into the logical schema;
+readers fill the columns from the file path JVM-side
+(``input_file_name`` regexp — whole-stage codegen, no per-partition
+plan branches), writes materialize them, and both kinds of file
+coexist in one scan.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming import _SCRATCH
+from ..tables import load
+from .registry import query
+
+
+def _tag(sf_dir: str) -> str:
+    return pathlib.Path(sf_dir.rstrip("/")).name.replace(".", "_")
+
+
+def _micros(col: F.Column) -> F.Column:
+    return F.round(col * 1e6, 0).cast("long")
+
+
+@query(
+    "q_lakehouse_convert_partitioned",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+           o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 1e6, 0) AS BIGINT)) AS BIGINT)
+               AS price_micros,
+           TRUE AS partition_pruned_exactly,
+           TRUE AS arrow_route_agrees,
+           TRUE AS dml_crosses_partitions
+    FROM orders
+    WHERE NOT (EXTRACT(year FROM o_orderdate) =
+                 (SELECT MIN(EXTRACT(year FROM o_orderdate)) FROM orders)
+               AND o_orderkey % 7 = 0)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("lakehouse", "convert", "partitioned", "migration", "extension"),
+)
+def q_lakehouse_convert_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``CONVERT TO LAKEHOUSE ... PARTITIONED BY`` (Delta's ``CONVERT
+    TO DELTA parquet.`dir` PARTITIONED BY``) — adopting a
+    HIVE-PARTITIONED directory in place, the layout the reference's
+    own processed zone uses (glue_spark_trades_etl.py:194-197 writes
+    ``year=/month=/day=/symbol=``; main.tf:455-478 registers it
+    partitioned).  At 100 TB the partition values name the data's
+    physical clustering; losing them to a rewrite-based migration
+    would cost a full-table shuffle AND the pruning axis.
+
+    Drill: orders lands as ``yr=YYYY/status=X`` Hive parquet; the SQL
+    router converts it with a PARTITIONED BY spec; then the audits
+    pin, and the oracle cross-checks, the three properties that make
+    the conversion REAL rather than cosmetic:
+
+    - ``partition_pruned_exactly`` — a partition predicate's
+      stats-pruned file list equals EXACTLY the files under the
+      matching ``yr=`` directories (recovered values prune like data
+      stats: not one extra file opens, none is missed);
+    - ``arrow_route_agrees`` — the registered format (whose executor
+      half recovers partition values via pyarrow constants, a
+      separate implementation from the JVM ``input_file_name``
+      route) returns the same digest as ``read_table``;
+    - ``dml_crosses_partitions`` — a CoW DELETE keyed on BOTH a
+      partition value and a data predicate rewrites files across
+      several partitions; rewritten rows keep their recovered
+      partition values (now materialized), and the final aggregate —
+      grouped BY the recovered columns — must equal the oracle's
+      relational recompute from the source frame.
+
+    Cites: jobs/etl/glue_spark_trades_etl.py:194-197 (the layout),
+    infra/main.tf:455-478 (the partitioned external table this
+    operator supersedes in place)."""
+    from .. import lakehouse as lk
+    from ..lakehouse_datasource import register
+    from ..lakehouse_sql import run_sql
+
+    register(spark)
+    path = str(_SCRATCH / f"lakehouse_convert_part_{_tag(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    orders.repartition(2).write.partitionBy("yr", "status").parquet(path)
+
+    out = run_sql(
+        spark,
+        f"CONVERT TO LAKEHOUSE parquet.`{path}` "
+        f"PARTITIONED BY (yr int, status string)",
+    ).collect()[0]
+    assert out.converted_version == 1
+
+    # --- audit 1: partition predicate prunes to EXACTLY the matching
+    # yr= directories' files (no extra file opens, none missed)
+    y0 = orders.agg(F.min("yr")).collect()[0][0]
+    _v, kept, total = lk.prune_files(path, [("yr", "=", int(y0))])
+    want = {
+        f for f in _live_files(path) if f.startswith(f"yr={y0}/")
+    }
+    partition_pruned_exactly = set(kept) == want and 0 < len(want) < total
+
+    digest = lambda df: tuple(  # noqa: E731
+        df.agg(
+            F.count(F.lit(1)),
+            F.expr(
+                "bit_xor(xxhash64(k, yr, status, "
+                "CAST(ROUND(price*1e6,0) AS LONG)))"
+            ),
+        ).collect()[0]
+    )
+    # --- audit 2: the registered format's pyarrow partition-value
+    # recovery agrees with the JVM input_file_name route
+    arrow_route_agrees = digest(
+        spark.read.format("lakehouse").load(path)
+    ) == digest(lk.read_table(spark, path))
+
+    # --- audit 3: CoW DELETE spanning several partitions; rewritten
+    # rows keep their (now materialized) partition values
+    t = lk.Transaction(path)
+    n_del = t.delete_where(
+        spark, (F.col("yr") == int(y0)) & (F.col("k") % 7 == 0)
+    )
+    t.commit()
+    after = lk.read_table(spark, path)
+    dml_crosses_partitions = (
+        n_del > 0
+        and after.filter(
+            (F.col("yr") == int(y0)) & (F.col("k") % 7 == 0)
+        ).count() == 0
+    )
+
+    return (
+        after.groupBy("yr", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_micros(F.col("price"))).cast("long").alias("price_micros"),
+        )
+        .withColumn(
+            "partition_pruned_exactly", F.lit(bool(partition_pruned_exactly))
+        )
+        .withColumn("arrow_route_agrees", F.lit(bool(arrow_route_agrees)))
+        .withColumn(
+            "dml_crosses_partitions", F.lit(bool(dml_crosses_partitions))
+        )
+        .orderBy("yr", "status")
+    )
+
+
+def _live_files(path: str) -> list[str]:
+    from .. import lakehouse as lk
+
+    _v, live, _dvs, _t, _m, _s = lk._state_full(path)
+    return sorted(live)
+
+
+@query(
+    "q_lakehouse_merge_by_source",
+    oracle="""
+    WITH cust AS (
+        SELECT c_custkey AS k, CAST(c_acctbal AS DOUBLE) AS bal,
+               c_mktsegment AS seg
+        FROM customer
+    ), b AS (
+        SELECT k, bal + 1000 AS bal FROM cust WHERE seg = 'BUILDING'
+    ), final AS (
+        SELECT k, bal, 'SRC' AS seg FROM b
+        UNION ALL SELECT k + 10000000, bal, 'SRC' FROM b
+        UNION ALL SELECT k, bal, 'STALE' FROM cust
+                  WHERE seg <> 'BUILDING' AND bal >= 0
+        UNION ALL SELECT -1, 0.0, 'LATE'
+    )
+    SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(bal * 1e6, 0) AS BIGINT)) AS BIGINT)
+               AS bal_micros,
+           TRUE AS counts_split_ok,
+           TRUE AS append_conflicts
+    FROM final GROUP BY seg ORDER BY seg
+    """,
+    tags=("lakehouse", "merge", "by-source", "full-sync", "extension"),
+)
+def q_lakehouse_merge_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGE ``WHEN NOT MATCHED BY SOURCE`` (Delta's by-source
+    clauses) — the FULL-SYNC merge: one statement reconciles the
+    target to a source snapshot, updating matches, inserting new
+    keys, and aging/deleting target rows the source no longer
+    carries.  Without it a sync needs a separate anti-join DELETE —
+    two probes, two commits, and an isolation hole between them.
+
+    Drill: customers land in a lakehouse table; the source is the
+    BUILDING segment re-balanced (+1000), plus the same rows under
+    fresh keys (+10M).  One MERGE applies: WHEN MATCHED UPDATE (bal,
+    seg from source), WHEN NOT MATCHED INSERT *, WHEN NOT MATCHED BY
+    SOURCE AND bal < 0 DELETE, WHEN NOT MATCHED BY SOURCE UPDATE SET
+    seg = 'STALE' (clause order: DELETE evaluates first, as in the
+    matched pair).  Audits pinned TRUE and cross-checked by the
+    oracle's CASE recompute of the whole final state:
+
+    - ``counts_split_ok`` — the returned ``updated_by_source`` /
+      ``deleted_by_source`` counters equal the relational recompute
+      from the pre-merge snapshot;
+    - ``append_conflicts`` — the documented conflict posture is REAL:
+      a second by-source merge staged against the pre-append snapshot
+      REFUSES to commit after a concurrent append lands (the clause
+      probes every target row, so even a pure append — invisible to
+      file-overlap conflict checks — invalidates its verdict; the
+      post-conflict table carries the appended row and none of the
+      aborted merge's effects).
+
+    Scale: one match probe + one per-file flags probe (each a single
+    target scan) + rewrite of only the affected files; examining
+    every row is inherent to "not matched by source".
+
+    Cites: sql/athena_sample_queries.sql (the reference data model is
+    append-only; the merge surface is an engine extension)."""
+    from .. import lakehouse as lk
+
+    path = str(_SCRATCH / f"lakehouse_merge_bs_{_tag(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    t = lk.Transaction(path)
+    t.append(cust.repartition(4))
+    t.commit()
+
+    b = cust.filter(F.col("seg") == "BUILDING").select(
+        "k", (F.col("bal") + 1000).alias("bal"), F.lit("SRC").alias("seg")
+    )
+    src = b.unionByName(b.withColumn("k", F.col("k") + 10_000_000))
+    t = lk.Transaction(path)
+    counts = t.merge_into(
+        spark,
+        src,
+        ["k"],
+        when_matched_update={
+            "bal": F.col("s.bal"), "seg": F.col("s.seg")
+        },
+        when_not_matched_insert=True,
+        when_not_matched_by_source_delete=F.col("t.bal") < 0,
+        when_not_matched_by_source_update={"seg": F.lit("STALE")},
+    )
+    t.commit()
+    n_bld = b.count()
+    n_neg = cust.filter(
+        (F.col("seg") != "BUILDING") & (F.col("bal") < 0)
+    ).count()
+    n_stale = cust.filter(
+        (F.col("seg") != "BUILDING") & (F.col("bal") >= 0)
+    ).count()
+    counts_split_ok = (
+        counts["updated"] == n_bld
+        and counts["inserted"] == n_bld
+        and counts["deleted_by_source"] == n_neg
+        and counts["updated_by_source"] == n_stale
+    )
+
+    # conflict posture: stage a second by-source merge, land a
+    # concurrent append, then try to commit the merge — must refuse
+    t2 = lk.Transaction(path)
+    t2.merge_into(
+        spark,
+        src.limit(1),
+        ["k"],
+        when_not_matched_insert=False,
+        when_not_matched_by_source_update={"seg": F.lit("STALE2")},
+        when_not_matched_by_source_update_cond=F.col("t.seg") == "STALE",
+    )
+    late = lk.Transaction(path)
+    late.append(
+        spark.createDataFrame(
+            [(-1, 0.0, "LATE")], "k long, bal double, seg string"
+        )
+    )
+    late.commit()
+    try:
+        t2.commit()
+        append_conflicts = False
+    except lk.CommitConflict:
+        append_conflicts = True
+
+    return (
+        lk.read_table(spark, path)
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_micros(F.col("bal"))).cast("long").alias("bal_micros"),
+        )
+        .withColumn("counts_split_ok", F.lit(bool(counts_split_ok)))
+        .withColumn("append_conflicts", F.lit(bool(append_conflicts)))
+        .orderBy("seg")
+    )

@@ -861,3 +861,168 @@ def test_ctas_and_clone_refuse_conflicting_name_before_any_data(
         )
     assert lk.latest_commit(dst) == 0
     run_sql(spark, "DROP TABLE taken13")
+
+
+def test_convert_partitioned_recovers_values_and_prunes(spark, tmp_path):
+    """CONVERT ... PARTITIONED BY (VERDICT r13 #1): partition values
+    recover from key=value paths into stats (exact pruning) and into
+    reads (JVM + pyarrow routes); DML and appends materialize them;
+    colliding basenames (Spark's own partitioned-output naming)
+    rename in place so row addressing stays sound."""
+    from market_etl_spark.lakehouse_datasource import register
+
+    register(spark)
+    hive = str(tmp_path / "hive")
+    src = spark.createDataFrame(
+        [(i, float(i), 2023 + i % 2, f"s{i % 3}") for i in range(60)],
+        "id long, v double, yr int, sym string",
+    )
+    src.write.partitionBy("yr", "sym").parquet(hive)
+    out = run_sql(
+        spark,
+        f"CONVERT TO LAKEHOUSE parquet.`{hive}` "
+        f"PARTITIONED BY (yr int, sym string)",
+    ).collect()[0]
+    assert (out.converted_version, out.n_rows) == (1, 60)
+    exp = sorted(map(tuple, src.collect()))
+    got = lk.read_table(spark, hive)
+    assert [f.name for f in got.schema] == ["id", "v", "yr", "sym"]
+    assert sorted(map(tuple, got.collect())) == exp
+    # the registered format's pyarrow route agrees
+    assert sorted(
+        map(tuple, spark.read.format("lakehouse").load(hive).collect())
+    ) == exp
+    # basenames are unique after convert (Spark reuses one task's
+    # name across partition dirs; _dv_file keys by basename)
+    _v, live, _d, _t, _m, _s = lk._state_full(hive)
+    names = [pathlib.PurePosixPath(f).name for f in live]
+    assert len(names) == len(set(names))
+    # partition predicate prunes to EXACTLY the matching directories
+    _v, kept, total = lk.prune_files(hive, [("yr", "=", 2023)])
+    assert set(kept) == {f for f in live if f.startswith("yr=2023/")}
+    assert 0 < len(kept) < total
+    # CoW DELETE crossing partitions; rewritten rows keep values
+    n = run_sql(
+        spark, f"DELETE FROM lakehouse.`{hive}` WHERE yr = 2024 AND id < 10"
+    ).collect()[0].num_affected_rows
+    assert n == 5
+    after = lk.read_table(spark, hive)
+    assert after.count() == 55
+    chk = after.filter("id = 11").collect()[0]
+    assert (chk.yr, chk.sym) == (2024, "s2")
+    # MOR delete + append with materialized columns
+    t = lk.Transaction(hive)
+    t.delete_where_mor(spark, F.col("id") == 20)
+    t.commit()
+    t = lk.Transaction(hive)
+    t.append(spark.createDataFrame([(100, 1.0, 2030, "zz")], got.schema))
+    t.commit()
+    assert lk.read_table(
+        spark, hive, predicate=[("yr", ">=", 2030)]
+    ).collect()[0].sym == "zz"
+    assert lk.read_table(spark, hive).filter("id=20").count() == 0
+
+
+def test_convert_partitioned_spec_mismatch_and_null_partitions(
+    spark, tmp_path
+):
+    hive = str(tmp_path / "hive")
+    spark.createDataFrame(
+        [(1, "a", None), (2, "b", "x"), (3, "c", "x")],
+        "id long, s string, p string",
+    ).write.partitionBy("p").parquet(hive)
+    # wrong column name in the spec refuses
+    with pytest.raises(ValueError, match="partition spec mismatch"):
+        run_sql(
+            spark,
+            f"CONVERT TO LAKEHOUSE parquet.`{hive}` "
+            f"PARTITIONED BY (nope string)",
+        )
+    # NULL partition (__HIVE_DEFAULT_PARTITION__) recovers as NULL
+    run_sql(
+        spark,
+        f"CONVERT TO LAKEHOUSE parquet.`{hive}` "
+        f"PARTITIONED BY (p string)",
+    )
+    got = sorted(
+        (r.id, r.p) for r in lk.read_table(spark, hive).collect()
+    )
+    assert got == [(1, None), (2, "x"), (3, "x")]
+    # a predicate on the partition col never admits the NULL file
+    _v, kept, _tot = lk.prune_files(hive, [("p", "=", "x")])
+    assert all("__HIVE_DEFAULT_PARTITION__" not in f for f in kept)
+
+
+def test_merge_when_not_matched_by_source(spark, tmp_path):
+    """VERDICT r13 #3: the by-source clauses — full-sync in one
+    MERGE, DELETE-before-UPDATE clause order, no source references,
+    and the whole-table-read conflict posture (even a pure append
+    refuses to serialize)."""
+    path = str(tmp_path / "t")
+    t = lk.Transaction(path)
+    t.append(
+        spark.createDataFrame(
+            [(i, "active") for i in range(6)], "id long, st string"
+        ).coalesce(2)
+    )
+    t.commit()
+    spark.createDataFrame(
+        [(1, "seen"), (99, "seen")], "id long, st string"
+    ).createOrReplaceTempView("bs_updates_v")
+    out = run_sql(spark, f"""
+        MERGE INTO lakehouse.`{path}` t USING bs_updates_v s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET st = s.st
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE AND t.id % 2 = 0
+            THEN UPDATE SET st = 'stale'
+    """).collect()[0]
+    # Delta folds by-source rows into the same counters
+    assert (out.num_updated_rows, out.num_inserted_rows) == (4, 1)
+    got = sorted((r.id, r.st) for r in lk.read_table(spark, path).collect())
+    assert got == sorted(
+        [(0, "stale"), (1, "seen"), (2, "stale"), (3, "active"),
+         (4, "stale"), (5, "active"), (99, "seen")]
+    )
+    # source references in a by-source clause refuse up front
+    with pytest.raises(ValueError, match="cannot reference the source"):
+        run_sql(spark, f"""
+            MERGE INTO lakehouse.`{path}` t USING bs_updates_v s
+            ON t.id = s.id
+            WHEN NOT MATCHED BY SOURCE THEN UPDATE SET st = s.st
+        """)
+    # clause order is enforced (DELETE evaluates first)
+    with pytest.raises(ValueError, match="DELETE before UPDATE"):
+        run_sql(spark, f"""
+            MERGE INTO lakehouse.`{path}` t USING bs_updates_v s
+            ON t.id = s.id
+            WHEN NOT MATCHED BY SOURCE THEN UPDATE SET st = 'x'
+            WHEN NOT MATCHED BY SOURCE THEN DELETE
+        """)
+    # by-source DELETE full-sync
+    out2 = run_sql(spark, f"""
+        MERGE INTO lakehouse.`{path}` t USING bs_updates_v s ON t.id = s.id
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
+    """).collect()[0]
+    assert out2.num_deleted_rows == 5
+    assert sorted(r.id for r in lk.read_table(spark, path).collect()) == [
+        1, 99,
+    ]
+    # conflict posture: a concurrent APPEND (no file overlap with the
+    # probe's read set) must still refuse to serialize
+    t2 = lk.Transaction(path)
+    t2.merge_into(
+        spark,
+        spark.createDataFrame([(1, "seen")], "id long, st string"),
+        ["id"],
+        when_not_matched_insert=False,
+        when_not_matched_by_source_update={"st": F.lit("gone")},
+    )
+    late = lk.Transaction(path)
+    late.append(spark.createDataFrame([(7, "late")], "id long, st string"))
+    late.commit()
+    with pytest.raises(lk.CommitConflict, match="WHOLE table"):
+        t2.commit()
+    # the aborted merge left nothing; the append landed
+    assert sorted(
+        (r.id, r.st) for r in lk.read_table(spark, path).collect()
+    ) == [(1, "seen"), (7, "late"), (99, "seen")]
