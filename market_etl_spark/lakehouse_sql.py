@@ -104,12 +104,66 @@ _TBL = r"(?<![\w.])lakehouse\.(?:`(?P<path>[^`]+)`|(?P<name>\w+))"
 #: because Spark 4.1 hands Python-source catalog scans empty options)
 _NAMES: dict[str, str] = {}
 
+#: when set, the registry PERSISTS as a JSON file at this path —
+#: loaded lazily on first name use, written through atomically on
+#: every register/drop — so ``CREATE TABLE name USING lakehouse`` and
+#: ``SHOW TABLES`` survive session restarts (VERDICT r13 #5).
+#: Opt-in by design: an always-on global file would leak names
+#: between unrelated runs (a stale entry pointing at a dead scratch
+#: path would refuse re-registration forever).
+_REGISTRY_ENV = "MARKET_ETL_NAME_REGISTRY"
+_names_loaded_from: str | None = None
+
+
+def _load_names() -> None:
+    """Merge the persisted registry (if configured) into ``_NAMES``
+    once per file path; in-session registrations win on conflict."""
+    import json
+    import os
+    import pathlib
+
+    global _names_loaded_from
+    p = os.environ.get(_REGISTRY_ENV)
+    if not p or _names_loaded_from == p:
+        return
+    _names_loaded_from = p
+    f = pathlib.Path(p)
+    if not f.exists():
+        return
+    try:
+        data = json.loads(f.read_text())
+    except (OSError, ValueError) as e:
+        import warnings
+
+        warnings.warn(f"unreadable name registry at {p}: {e}")
+        return
+    for name, loc in data.items():
+        _NAMES.setdefault(str(name), str(loc))
+
+
+def _persist_names() -> None:
+    """Write-through of ``_NAMES`` when persistence is configured —
+    atomic (tmp + rename), so a crash never leaves a torn registry."""
+    import json
+    import os
+    import pathlib
+
+    p = os.environ.get(_REGISTRY_ENV)
+    if not p:
+        return
+    f = pathlib.Path(p)
+    f.parent.mkdir(parents=True, exist_ok=True)
+    tmp = f.parent / f".{f.name}.tmp-{uuid.uuid4().hex[:8]}"
+    tmp.write_text(json.dumps(_NAMES, indent=1, sort_keys=True))
+    tmp.replace(f)
+
 
 def _require_registerable(name: str, path: str) -> None:
     """The name-conflict check, callable BEFORE a CTAS/CLONE
     materializes data: failing only at the post-job
     :func:`register_table` would leave a fully committed but
     unregistered table at the target location (ADVICE r13)."""
+    _load_names()
     if name in _NAMES and _NAMES[name] != path:
         raise ValueError(
             f"table name {name!r} is already registered at "
@@ -127,10 +181,12 @@ def register_table(name: str, path: str) -> None:
     TABLE_ALREADY_EXISTS the same way); DROP TABLE first."""
     _require_registerable(name, path)
     _NAMES[name] = path
+    _persist_names()
 
 
 def _resolve_name(name: str) -> str:
     """A registered bare name resolved to its table location."""
+    _load_names()
     if name in _NAMES:
         return _NAMES[name]
     raise ValueError(
@@ -391,9 +447,11 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
     m = _DROP.match(sql)
     if m:
         name = m.group("dname")
+        _load_names()
         if name not in _NAMES:
             raise ValueError(f"unknown lakehouse table name {name!r}")
         del _NAMES[name]  # unregister only — data stays (external table)
+        _persist_names()
         return _counts_df(spark, tables_dropped=1)
     m = _HISTORY.match(sql)
     if m:
@@ -466,6 +524,7 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
         )
     m = _SHOW.match(sql)
     if m:
+        _load_names()
         if not _NAMES:
             return spark.createDataFrame(
                 [], "table_name string, location string"

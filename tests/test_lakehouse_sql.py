@@ -1026,3 +1026,51 @@ def test_merge_when_not_matched_by_source(spark, tmp_path):
     assert sorted(
         (r.id, r.st) for r in lk.read_table(spark, path).collect()
     ) == [(1, "seen"), (7, "late"), (99, "seen")]
+
+
+def test_name_registry_persists_across_sessions(spark, tmp_path, monkeypatch):
+    """VERDICT r13 #5: with MARKET_ETL_NAME_REGISTRY set, the router's
+    name registry survives a restart — registrations, the re-point
+    refusal, and drops all round-trip through the JSON file."""
+    import market_etl_spark.lakehouse_sql as lsql
+
+    reg = str(tmp_path / "names.json")
+    monkeypatch.setenv(lsql._REGISTRY_ENV, reg)
+
+    def restart():
+        monkeypatch.setattr(lsql, "_NAMES", {})
+        monkeypatch.setattr(lsql, "_names_loaded_from", None)
+
+    restart()
+    path = _table(spark, tmp_path)
+    run_sql(
+        spark, f"CREATE TABLE persist14 USING lakehouse LOCATION '{path}'"
+    )
+    restart()  # fresh "session": in-memory registry gone
+    assert run_sql(
+        spark, "SELECT count(*) AS n FROM lakehouse.persist14"
+    ).collect()[0].n == 30
+    rows = run_sql(spark, "SHOW TABLES").collect()
+    assert ("persist14", path) in [
+        (r.table_name, r.location) for r in rows
+    ]
+    with pytest.raises(ValueError, match="already registered"):
+        run_sql(
+            spark,
+            f"CREATE TABLE persist14 USING lakehouse LOCATION "
+            f"'{tmp_path / 'other'}'",
+        )
+    run_sql(spark, "DROP TABLE persist14")
+    restart()
+    with pytest.raises(ValueError, match="unknown lakehouse table"):
+        run_sql(spark, "SELECT * FROM lakehouse.persist14")
+    # without the env var the registry stays session-only (the safe
+    # default: a global file would leak names between unrelated runs)
+    monkeypatch.delenv(lsql._REGISTRY_ENV)
+    restart()
+    run_sql(
+        spark, f"CREATE TABLE ephem14 USING lakehouse LOCATION '{path}'"
+    )
+    restart()
+    with pytest.raises(ValueError, match="unknown lakehouse table"):
+        run_sql(spark, "SELECT * FROM lakehouse.ephem14")
