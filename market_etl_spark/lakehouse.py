@@ -463,6 +463,11 @@ def write_checkpoint(path: str, version: int | None = None) -> int:
                 # skipping would silently degrade to full scans the
                 # moment replay starts from a checkpoint
                 "stats": {f: stats[f] for f in live if stats.get(f)},
+                # the COPY INTO skip ledger survives checkpointing (and
+                # therefore expire_versions' retention checkpoint), or
+                # retention would silently re-open the ingestion door
+                # for every already-loaded source file
+                "copy_sources": sorted(copy_sources(path, v)),
             },
             indent=1,
         )
@@ -3525,6 +3530,22 @@ class Transaction:
                 f"serialize: concurrent table-metadata update — re-run "
                 f"against the current snapshot"
             )
+        ours_copied = {
+            a["file"] for a in self.actions if a["op"] == "copy_source"
+        }
+        if ours_copied:
+            copy_clash = ours_copied & {
+                a["file"]
+                for a in other["actions"]
+                if a["op"] == "copy_source"
+            }
+            if copy_clash:
+                raise CommitConflict(
+                    f"commit {other['version']} already COPY-loaded "
+                    f"source file(s) this transaction loads too: "
+                    f"{sorted(copy_clash)[:3]} — the retry would "
+                    f"double-load; re-run (the files will skip)"
+                )
         if self.read_whole_table and any(
             a["op"] in ("add", "remove", "add_dv", "remove_dv")
             for a in other["actions"]
@@ -3792,6 +3813,127 @@ def convert_to_lakehouse(
     t.metrics["rows_converted"] = rows
     t.metrics["files_converted"] = len(rels)
     return t.commit()
+
+
+def copy_sources(path: str, version: int | None = None) -> set[str]:
+    """The COPY INTO skip ledger: every source file an earlier
+    ``copy_into`` loaded, replayed from the retained log (checkpoint
+    ``copy_sources`` + ``copy_source`` actions after it).  Driver
+    JSON work is O(commits since checkpoint), like any state
+    replay."""
+    v = latest_commit(path) if version is None else version
+    loaded: set[str] = set()
+    start = 1
+    ck = _latest_checkpoint(path, v)
+    if ck is not None:
+        loaded = set(ck.get("copy_sources", ()))
+        start = ck["version"] + 1
+    for i in range(start, v + 1):
+        for a in _read_commit(path, i)["actions"]:
+            if a["op"] == "copy_source":
+                loaded.add(a["file"])
+    return loaded
+
+
+def copy_into(
+    spark: SparkSession,
+    path: str,
+    source: str,
+    pattern: str | None = None,
+    file_format: str = "parquet",
+) -> dict:
+    """``COPY INTO`` (Delta's idempotent bulk ingestion): load the
+    files under ``source`` into the table at ``path``, SKIPPING every
+    file an earlier COPY already loaded — retry-safe by construction,
+    the operator that turns "rerun the ingestion job" from a
+    dedup-cleanup incident into a no-op.
+
+    File-level exactly-once: the loaded-file ledger is ``copy_source``
+    ACTIONS in the same commit as the data adds (one atomic rename
+    covers both — a crash before the commit re-loads cleanly, a crash
+    after skips cleanly; no sidecar can desynchronize).  The ledger
+    survives checkpoints and retention (:func:`write_checkpoint`
+    carries it), and two CONCURRENT copies of overlapping sources
+    conflict at commit time (``_validate_against`` intersects their
+    ``copy_source`` paths) instead of silently double-loading.
+
+    ``pattern`` is a glob over the source-relative path (Databricks'
+    ``PATTERN``).  ``file_format``: ``parquet`` or ``csv`` (csv reads
+    header-less against the table's committed schema, the reference's
+    landing shape).  Rows append under the table contract — schema
+    gate, constraints, CDF all apply (the commit is a plain insert to
+    the change feed).
+
+    Scale: listing is one directory walk; only NEW files are read,
+    as one distributed job; the skip ledger is O(loaded files) JSON
+    across retained commits — checkpoint cadence keeps the replay
+    tail bounded exactly as for file state.
+
+    Returns ``{"files_loaded", "files_skipped", "rows_loaded",
+    "version"}`` (version None when nothing new).
+
+    Cites: jobs/etl/glue_spark_trades_etl.py (the reference re-crawls
+    and re-reads its landing zone each run and relies on job-level
+    bookmarks; COPY INTO is the table-native, crash-exact form)."""
+    import fnmatch
+
+    src_root = pathlib.Path(source)
+    if not src_root.exists():
+        raise ValueError(f"COPY INTO source {source} does not exist")
+    suffix = {"parquet": ".parquet", "csv": ".csv"}.get(file_format)
+    if suffix is None:
+        raise ValueError(
+            f"COPY INTO supports parquet/csv, got {file_format!r}"
+        )
+    cands = []
+    for p in sorted(src_root.rglob(f"*{suffix}")):
+        rel = p.relative_to(src_root)
+        if any(seg.startswith(("_", ".")) for seg in rel.parts):
+            continue
+        if pattern and not fnmatch.fnmatch(str(rel), pattern):
+            continue
+        cands.append(str(p.resolve()))
+    loaded = copy_sources(path)
+    fresh = [p for p in cands if p not in loaded]
+    skipped = len(cands) - len(fresh)
+    if not fresh:
+        return {
+            "files_loaded": 0,
+            "files_skipped": skipped,
+            "rows_loaded": 0,
+            "version": None,
+        }
+    t = Transaction(path)
+    if file_format == "parquet":
+        df = spark.read.option("mergeSchema", "true").parquet(*fresh)
+    else:
+        fields = t._effective_meta().get("schema", [])
+        if not fields:
+            raise ValueError(
+                "COPY INTO csv needs a committed table schema to read "
+                "against — create the table first"
+            )
+        ddl = ", ".join(f"`{n}` {ty}" for n, ty in fields)
+        df = spark.read.schema(ddl).csv(list(fresh))
+    t.append(df)
+    rows = t.metrics.get("rows_appended", 0)
+    for p in fresh:
+        st = pathlib.Path(p).stat()
+        t.actions.append(
+            {
+                "op": "copy_source",
+                "file": p,
+                "etag": f"{st.st_size}:{int(st.st_mtime)}",
+            }
+        )
+    t._ops.append("copy_into")
+    v = t.commit()
+    return {
+        "files_loaded": len(fresh),
+        "files_skipped": skipped,
+        "rows_loaded": rows,
+        "version": v,
+    }
 
 
 def vacuum_orphans(

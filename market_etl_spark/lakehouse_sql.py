@@ -240,6 +240,11 @@ _ALTER = re.compile(
     rf"|DROP\s+CONSTRAINT\s+(?P<dkname>\w+)"
     rf")\s*;?\s*$"
 )
+_COPY = re.compile(
+    rf"(?is)^\s*COPY\s+INTO\s+{_TBL}\s+FROM\s+'(?P<csrc>[^']+)'"
+    rf"(?:\s+FILEFORMAT\s*=\s*(?P<cfmt>\w+))?"
+    rf"(?:\s+PATTERN\s*=\s*'(?P<cpat>[^']+)')?\s*;?\s*$"
+)
 _CONVERT = re.compile(
     r"(?is)^\s*CONVERT\s+TO\s+LAKEHOUSE\s+parquet\.`(?P<cpath>[^`]+)`"
     r"(?:\s+PARTITIONED\s+BY\s*\(\s*(?P<pspec>[\w`\s,()]+?)\s*\))?"
@@ -490,6 +495,21 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
             t.drop_check_constraint(m.group("dkname"))
         v = t.commit()
         return _counts_df(spark, new_version=v)
+    m = _COPY.match(sql)
+    if m:
+        r = lk.copy_into(
+            spark,
+            _tbl_of(m),
+            m.group("csrc"),
+            pattern=m.group("cpat"),
+            file_format=(m.group("cfmt") or "parquet").lower(),
+        )
+        return _counts_df(
+            spark,
+            num_inserted_rows=r["rows_loaded"],
+            num_files_loaded=r["files_loaded"],
+            num_files_skipped=r["files_skipped"],
+        )
     m = _CONVERT.match(sql)
     if m:
         pby = None
@@ -585,8 +605,9 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
         f"(DELETE/UPDATE/MERGE/INSERT INTO/CREATE TABLE ... USING "
         f"lakehouse LOCATION [AS SELECT]/DROP TABLE/SHOW TABLES/"
         f"ALTER TABLE ... ADD|RENAME|DROP COLUMN | ADD|DROP CONSTRAINT/"
-        f"CONVERT TO LAKEHOUSE parquet.`dir`/CREATE TABLE ... SHALLOW "
-        f"CLONE ... LOCATION/"
+        f"CONVERT TO LAKEHOUSE parquet.`dir` [PARTITIONED BY (...)]/"
+        f"COPY INTO ... FROM 'dir' [FILEFORMAT = ...] [PATTERN = ...]/"
+        f"CREATE TABLE ... SHALLOW CLONE ... LOCATION/"
         f"DESCRIBE HISTORY|DETAIL/RESTORE ... TO VERSION|TIMESTAMP AS "
         f"OF/OPTIMIZE [WHERE] [ZORDER BY (...) [FULL]]/VACUUM [RETAIN n "
         f"SECONDS] [DRY RUN]/SELECT over lakehouse.`path` or a "

@@ -318,3 +318,104 @@ def q_lakehouse_merge_by_source(
         .withColumn("append_conflicts", F.lit(bool(append_conflicts)))
         .orderBy("seg")
     )
+
+
+@query(
+    "q_lakehouse_copy_into",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+               AS value_micros,
+           TRUE AS pattern_scoped,
+           TRUE AS retry_skipped,
+           TRUE AS retention_survives
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("lakehouse", "copy-into", "ingestion", "idempotent",
+          "extension"),
+)
+def q_lakehouse_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``COPY INTO`` (Delta's idempotent bulk ingestion) — the
+    table-native landing-zone loader: every source file loads EXACTLY
+    ONCE, however many times the job reruns, because the loaded-file
+    ledger is ``copy_source`` actions in the SAME commit as the data
+    (one atomic rename covers both; no bookmark store to
+    desynchronize).  The reference re-crawls its landing zone each
+    run and leans on Glue job bookmarks — state that lives outside
+    the data and silently double-loads when it resets.
+
+    Drill: events lands as three arrival directories; COPY INTO runs
+    with a PATTERN for the first arrival, then unscoped (loads the
+    rest, skips the first), then twice more as pure retries.  Audits
+    pinned TRUE, aggregate oracle-checked against the whole events
+    table:
+
+    - ``pattern_scoped`` — the PATTERN copy loaded only the matching
+      directory's files;
+    - ``retry_skipped`` — an identical rerun loads 0 files, appends 0
+      rows, and creates NO new table version;
+    - ``retention_survives`` — after ``expire_versions`` truncates
+      the whole retained history, a retry STILL skips everything (the
+      ledger rides the retention checkpoint) — retention can never
+      silently re-open the ingestion door.
+
+    Scale: listing is one walk; only new files are read (one
+    distributed job); the ledger replay is O(commits since
+    checkpoint) driver JSON, the same story as file state.
+
+    Cites: jobs/etl/glue_spark_trades_etl.py (landing-zone re-crawl +
+    job bookmarks; COPY INTO is the transactional, crash-exact
+    form)."""
+    from .. import lakehouse as lk
+
+    base = _SCRATCH / f"lakehouse_copy_{_tag(sf_dir)}"
+    path = str(base / "t")
+    land = base / "landing"
+    shutil.rmtree(base, ignore_errors=True)
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+    for w in range(3):
+        ev.filter(F.col("event_id") % 3 == w).coalesce(2).write.parquet(
+            str(land / f"arrival_{w}")
+        )
+
+    r1 = lk.copy_into(spark, path, str(land), pattern="arrival_0/*")
+    pattern_scoped = (
+        r1["files_loaded"] > 0
+        and lk.read_table(spark, path)
+        .filter(F.col("event_id") % 3 != 0)
+        .count() == 0
+    )
+    lk.copy_into(spark, path, str(land))  # the rest; arrival_0 skips
+    v_done = lk.latest_commit(path)
+    n_done = lk.read_table(spark, path).count()
+    r3 = lk.copy_into(spark, path, str(land))  # pure retry
+    retry_skipped = (
+        r3["files_loaded"] == 0
+        and r3["version"] is None
+        and lk.latest_commit(path) == v_done
+        and lk.read_table(spark, path).count() == n_done
+    )
+    lk.expire_versions(path, v_done)  # truncate ALL retained history
+    r4 = lk.copy_into(spark, path, str(land))
+    retention_survives = (
+        r4["files_loaded"] == 0 and lk.latest_commit(path) == v_done
+    )
+
+    return (
+        lk.read_table(spark, path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_micros(F.col("value"))).cast("long").alias("value_micros"),
+        )
+        .withColumn("pattern_scoped", F.lit(bool(pattern_scoped)))
+        .withColumn("retry_skipped", F.lit(bool(retry_skipped)))
+        .withColumn("retention_survives", F.lit(bool(retention_survives)))
+        .orderBy("event_type")
+    )

@@ -1074,3 +1074,68 @@ def test_name_registry_persists_across_sessions(spark, tmp_path, monkeypatch):
     restart()
     with pytest.raises(ValueError, match="unknown lakehouse table"):
         run_sql(spark, "SELECT * FROM lakehouse.ephem14")
+
+
+def test_copy_into_idempotent_ingestion(spark, tmp_path):
+    """COPY INTO (round 14): file-level exactly-once via copy_source
+    ledger actions in the data commit — retries skip, the ledger
+    survives retention, overlapping concurrent copies conflict, and
+    csv reads against the committed schema."""
+    base = tmp_path
+    path = str(base / "t")
+    land = base / "landing"
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "id long, v double"
+    )
+    df.filter("id < 10").coalesce(1).write.parquet(str(land / "d1"))
+    df.filter("id >= 10").coalesce(1).write.parquet(str(land / "d2"))
+    r1 = lk.copy_into(spark, path, str(land / "d1"))
+    assert (r1["files_loaded"], r1["rows_loaded"]) == (1, 10)
+    # retry: everything skips, no new version
+    r2 = lk.copy_into(spark, path, str(land / "d1"))
+    assert r2 == {
+        "files_loaded": 0, "files_skipped": 1,
+        "rows_loaded": 0, "version": None,
+    }
+    # wider source through SQL: only the new file loads
+    out = run_sql(
+        spark, f"COPY INTO lakehouse.`{path}` FROM '{land}'"
+    ).collect()[0]
+    assert (out.num_files_loaded, out.num_files_skipped) == (1, 1)
+    assert lk.read_table(spark, path).count() == 20
+    # PATTERN scopes the listing
+    df.limit(1).coalesce(1).write.parquet(str(land / "d3"))
+    out2 = run_sql(
+        spark,
+        f"COPY INTO lakehouse.`{path}` FROM '{land}' PATTERN = 'd2/*'",
+    ).collect()[0]
+    assert (out2.num_files_loaded, out2.num_files_skipped) == (0, 1)
+    # the ledger survives retention
+    t = lk.Transaction(path)
+    t.delete_where(spark, F.col("id") == 0)
+    t.commit()
+    lk.expire_versions(path, lk.latest_commit(path))
+    r3 = lk.copy_into(spark, path, str(land), pattern="d[12]/*")
+    assert r3["files_loaded"] == 0 and r3["files_skipped"] == 2
+    # csv reads against the committed schema
+    (base / "csvland").mkdir()
+    (base / "csvland" / "x.csv").write_text("100,1.5\n101,2.5\n")
+    r4 = lk.copy_into(
+        spark, path, str(base / "csvland"), file_format="csv"
+    )
+    assert r4["rows_loaded"] == 2
+    # overlapping CONCURRENT copies conflict instead of double-loading
+    srcs = sorted(
+        str(p.resolve()) for p in (land / "d3").rglob("*.parquet")
+        if not p.name.startswith(("_", "."))
+    )
+    a, b = lk.Transaction(path), lk.Transaction(path)
+    for tx in (a, b):
+        tx.append(spark.read.parquet(*srcs))
+        for p in srcs:
+            tx.actions.append(
+                {"op": "copy_source", "file": p, "etag": "x"}
+            )
+    a.commit()
+    with pytest.raises(lk.CommitConflict, match="COPY-loaded"):
+        b.commit()

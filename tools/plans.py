@@ -404,6 +404,34 @@ def _lakehouse_drills(spark, sf_dir):
         "(test_broadcast_bounds).",
         _PrePlanned(buf.getvalue().rstrip()),
     ))
+
+    # 7. Hive-partitioned CONVERT read (round 14,
+    # q_lakehouse_convert_partitioned): the partition predicate prunes
+    # at PLAN time via the recovered per-file stats (only yr=1 files
+    # reach the scan's Location list), and the recovered columns are
+    # projected JVM-side — one regexp over input_file_name inside the
+    # codegen span, ONE scan node however many partitions exist (never
+    # a per-partition union of constant-tagged scans)
+    p7 = str(_SCRATCH / "plans_convpart")
+    shutil.rmtree(p7, ignore_errors=True)
+    cust.withColumn("yr", (F.col("k") % 3).cast("int")).write.partitionBy(
+        "yr"
+    ).parquet(p7)
+    lk.convert_to_lakehouse(spark, p7, partitioned_by=[("yr", "int")])
+    out.append((
+        "q_lakehouse_convert_partitioned (partition-recovered read)",
+        "CONVERT ... PARTITIONED BY adopted the key=value layout in "
+        "place.  The yr=1 predicate pruned the file list from the "
+        "recovered add-action stats BEFORE the plan was built — the "
+        "scan's Location holds only yr=1 files (the Delta "
+        "partition-pruning contract, via plain stats skipping).  The "
+        "yr column itself is recovered inside WholeStageCodegen: "
+        "`coalesce(yr, cast(regexp_extract(input_file_name(), ...)))` "
+        "in the Project — no UDF, no per-partition plan branches, and "
+        "post-convert files that MATERIALIZE yr ride the same "
+        "expression via the coalesce.",
+        lk.read_table(spark, p7, predicate=[("yr", "=", 1)]),
+    ))
     return out
 
 
