@@ -3815,6 +3815,26 @@ def convert_to_lakehouse(
     return t.commit()
 
 
+def version_before_timestamp(path: str, ts: float) -> int:
+    """The largest version whose commit timestamp is STRICTLY before
+    ``ts`` — 0 when every commit is at/after it.  This is the stream
+    ``startingTimestamp`` resolution (Delta's: the stream emits every
+    commit stamped AT or AFTER the timestamp; a timestamp predating
+    the table reads from the beginning rather than raising)."""
+    log = pathlib.Path(path) / _LOG_DIR
+    best = 0
+    for v in _commit_versions(path):
+        p = log / f"{v:08d}.json"
+        try:
+            body = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        cts = float(body.get("ts") or p.stat().st_mtime)
+        if cts < ts:
+            best = max(best, v)
+    return best
+
+
 def copy_sources(path: str, version: int | None = None) -> set[str]:
     """The COPY INTO skip ledger: every source file an earlier
     ``copy_into`` loaded, replayed from the retained log (checkpoint

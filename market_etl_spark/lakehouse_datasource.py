@@ -824,7 +824,24 @@ class _LakehouseStreamReader(DataSourceStreamReader):
 
     def __init__(self, options, schema):
         self._d = _CommitDeriver(options, schema)
-        self.starting = int(options.get("startingVersion", 0))
+        st = options.get("startingTimestamp")
+        if st is not None:
+            if options.get("startingVersion") is not None:
+                raise ValueError(
+                    "pass startingVersion OR startingTimestamp, not both"
+                )
+            # Delta's contract: emit every commit stamped AT or AFTER
+            # the timestamp (ISO string or epoch seconds); earlier
+            # than the table's history = read from the beginning
+            try:
+                ts = float(st)
+            except ValueError:
+                import datetime as _dt
+
+                ts = _dt.datetime.fromisoformat(str(st)).timestamp()
+            self.starting = lk.version_before_timestamp(self._d.path, ts)
+        else:
+            self.starting = int(options.get("startingVersion", 0))
         self.max_commits = int(options.get("maxCommitsPerBatch", 0)) or None
         self._last_end: int | None = None
 

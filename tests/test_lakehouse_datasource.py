@@ -750,3 +750,29 @@ def test_stream_add_column_mid_tail_guard(spark, tmp_path):
     # a fresh stream resolves the evolved schema and reads everything
     got = _tail(spark, path, "ck_addcol", tmp_path)
     assert len(got) == 31 and len(got[0]) == 4
+
+
+def test_stream_starting_timestamp(spark, tmp_path):
+    """Delta's startingTimestamp: the stream emits every commit
+    stamped AT or AFTER the timestamp; predating the table reads from
+    the beginning; exclusive with startingVersion."""
+    path = str(tmp_path / "ts")
+    for i, cts in enumerate((100.0, 200.0, 300.0)):
+        t = lk.Transaction(path, commit_ts=cts)
+        t.append(
+            spark.createDataFrame(
+                [(i, float(i), "x")], "id long, v double, s string"
+            )
+        )
+        t.commit()
+    got = _tail(spark, path, "ck_ts1", tmp_path, startingTimestamp="200")
+    assert sorted(r[0] for r in got) == [1, 2]  # at-or-after 200
+    got = _tail(spark, path, "ck_ts2", tmp_path, startingTimestamp="50")
+    assert sorted(r[0] for r in got) == [0, 1, 2]  # before history: all
+    got = _tail(spark, path, "ck_ts3", tmp_path, startingTimestamp="999")
+    assert got == []  # after everything: nothing yet
+    with pytest.raises(Exception, match="not both"):
+        _tail(
+            spark, path, "ck_ts4", tmp_path,
+            startingTimestamp="200", startingVersion="1",
+        )
