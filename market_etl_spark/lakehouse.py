@@ -1285,7 +1285,7 @@ def read_changes(
         adds = lambda role: [  # noqa: E731
             a["file"] for a in by_role.get(("add", role), [])
         ]
-        if c.get("operation") == "clone":
+        if c.get("operation") in ("clone", "deep_clone"):
             # the clone's v1 IS the source's logical snapshot: cloned
             # files' rows minus the cloned deletion vectors
             side = rows_of(adds("clone"), with_addr=True)
@@ -1537,6 +1537,108 @@ def clone_table(src_path: str, dst_path: str) -> int:
         )
     if meta:
         t.actions.append({"op": "set_meta", "meta": meta})
+    return t.commit()
+
+
+def clone_table_deep(
+    spark: SparkSession, src_path: str, dst_path: str
+) -> int:
+    """DEEP CLONE (Delta ``CREATE TABLE ... DEEP CLONE``): a NEW table
+    holding a physical COPY of the source's current snapshot — data
+    files and DV sidecars copied byte-for-byte (relative layout
+    preserved, so a converted table's ``key=value`` partition paths
+    keep recovering), footer stats carried over (no re-derivation),
+    table metadata (schema, constraints, column mapping, partition
+    spec) copied verbatim, and the COPY INTO skip ledger carried so
+    re-running the source's ingestion against the clone skips too.
+
+    Unlike SHALLOW CLONE the result is self-contained: expiring or
+    vacuuming the SOURCE can never invalidate it.  Unlike CTAS there
+    is no decode/shuffle/re-encode — the copy is I/O only, runs
+    DISTRIBUTED past the staging threshold (one task per file), and
+    preserves the source's file layout and stats exactly.
+
+    Change-feed posture: the clone's v1 is its initial snapshot
+    (``operation: deep_clone``) — :func:`read_changes` derives it as
+    inserts minus the cloned DVs, like a shallow clone's v1; the
+    streaming source refuses it the same way (re-bootstrap from a
+    snapshot).  Returns the clone's version (1)."""
+    import pyarrow.parquet as pq
+
+    v, live, dvs, _txns, meta, src_stats = _state_full(src_path)
+    if not live:
+        raise ValueError(f"cannot clone empty table at {src_path}")
+    src_root = pathlib.Path(src_path).resolve()
+    dst_root = pathlib.Path(dst_path)
+    t = Transaction(dst_path)
+    if t.read_version != 0:
+        raise ValueError(f"clone destination {dst_path} already exists")
+    # destination-relative name per source ref.  A source that is
+    # itself a SHALLOW clone references files ABSOLUTELY (outside its
+    # root) — deep-cloning it is the documented way to make it
+    # durable; those land under the clone's own dirs KEEPING their
+    # basename (row addresses and DV contents key by basename).
+    dest_of: dict[str, str] = {}
+    for f in sorted(live):
+        dest_of[f] = (
+            f"{_DATA_DIR}/{pathlib.PurePosixPath(f).name}"
+            if os.path.isabs(f) else f
+        )
+    for f in sorted(dvs):
+        dest_of[f] = (
+            f"{_DV_DIR}/{pathlib.PurePosixPath(f).name}"
+            if os.path.isabs(f) else f
+        )
+    pairs = sorted(dest_of.items())
+
+    def _copy_one(pair) -> None:
+        src_ref, dst_rel = pair
+        src = src_root / src_ref  # absolute refs resolve unchanged
+        dst = dst_root / dst_rel
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        shutil.copy2(src, dst)
+
+    if len(pairs) >= _STATS_DISTRIBUTED_MIN_FILES:
+        sc = spark.sparkContext
+        n = max(1, min(len(pairs), sc.defaultParallelism))
+        sc.parallelize(pairs, n).foreach(_copy_one)
+    else:
+        for pair in pairs:
+            _copy_one(pair)
+    t._ops.append("deep_clone")
+    for f in sorted(live):
+        t.actions.append(
+            {"op": "add", "file": dest_of[f], "role": "clone",
+             "stats": src_stats.get(f)}
+        )
+    by_name = {
+        pathlib.PurePosixPath(x).name: dest_of[x] for x in live
+    }
+    for f in sorted(dvs):
+        # recover each vector's TARGETS from its own content, like
+        # restore_table — targets=[] would blind the DV-vs-remove
+        # conflict check
+        targets = sorted(
+            {
+                by_name[b]
+                for b in set(
+                    pq.read_table(
+                        str(src_root / f), columns=["_dv_file"]
+                    ).column("_dv_file").to_pylist()
+                )
+                if b in by_name
+            }
+        )
+        t.actions.append(
+            {"op": "add_dv", "file": dest_of[f], "targets": targets,
+             "role": "clone"}
+        )
+    if meta:
+        t.actions.append({"op": "set_meta", "meta": meta})
+    for src_file in sorted(copy_sources(src_path)):
+        t.actions.append(
+            {"op": "copy_source", "file": src_file, "etag": "cloned"}
+        )
     return t.commit()
 
 

@@ -562,7 +562,7 @@ class _CommitDeriver:
             a["file"] for a in by_role.get(("add", role), [])
         ]
         op = c.get("operation")
-        if op in ("clone", "restore"):
+        if op in ("clone", "deep_clone", "restore"):
             raise ValueError(
                 f"commit {v} at {self.path} is a {op} — the streaming "
                 f"source cannot derive its row-level diff; re-bootstrap "

@@ -254,7 +254,8 @@ _CONVERT = re.compile(
 _PSPEC_COL = re.compile(r"(?is)^\s*`?(\w+)`?\s+(\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*$")
 _CLONE = re.compile(
     rf"(?is)^\s*CREATE\s+TABLE\s+(?:lakehouse\.)?(?P<clname>\w+)\s+"
-    rf"SHALLOW\s+CLONE\s+{_TBL}\s+LOCATION\s+'(?P<cloc>[^']+)'\s*;?\s*$"
+    rf"(?P<cldeep>DEEP\s+|SHALLOW\s+)CLONE\s+{_TBL}\s+"
+    rf"LOCATION\s+'(?P<cloc>[^']+)'\s*;?\s*$"
 )
 #: Delta's ``table_changes('t', start [, end])`` TVF — versions are
 #: INCLUSIVE on both ends (Delta's contract; :func:`lakehouse.
@@ -535,7 +536,10 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
     if m:
         dst = m.group("cloc")
         _require_registerable(m.group("clname"), dst)  # before the clone
-        v = lk.clone_table(_tbl_of(m), dst)
+        if m.group("cldeep").strip().upper() == "DEEP":
+            v = lk.clone_table_deep(spark, _tbl_of(m), dst)
+        else:
+            v = lk.clone_table(_tbl_of(m), dst)
         register_table(m.group("clname"), dst)
         d = lk.table_detail(dst)
         return _counts_df(

@@ -1139,3 +1139,58 @@ def test_copy_into_idempotent_ingestion(spark, tmp_path):
     a.commit()
     with pytest.raises(lk.CommitConflict, match="COPY-loaded"):
         b.commit()
+
+
+def test_deep_clone(spark, tmp_path):
+    """DEEP CLONE (round 14): a self-contained physical copy — DV
+    semantics preserved, source retention cannot break it, CDF derives
+    its v1 as the initial snapshot, and deep-cloning a SHALLOW clone
+    makes it durable (absolute refs land under the clone's own dirs,
+    basenames kept so row addressing stays sound)."""
+    src = _table(spark, tmp_path)
+    t = lk.Transaction(src)
+    t.delete_where_mor(spark, F.col("id") % 7 == 0)  # live DV
+    t.commit()
+    exp = sorted(map(tuple, lk.read_table(spark, src).collect()))
+    deep = str(tmp_path / "deep")
+    out = run_sql(
+        spark,
+        f"CREATE TABLE deep14 DEEP CLONE lakehouse.`{src}` "
+        f"LOCATION '{deep}'",
+    ).collect()[0]
+    assert out.cloned_version == 1
+    assert sorted(map(tuple, lk.read_table(spark, deep).collect())) == exp
+    # self-contained: truncate the SOURCE's whole history + vacuum it
+    t = lk.Transaction(src)
+    t.delete_where(spark, F.col("id") >= 0)  # drop everything
+    t.commit()
+    lk.expire_versions(src, lk.latest_commit(src))
+    lk.vacuum_orphans(src, min_age_sec=0)
+    assert sorted(map(tuple, lk.read_table(spark, deep).collect())) == exp
+    # CDF: the clone's v1 derives as inserts (snapshot, DV applied)
+    ch = lk.read_changes(spark, deep, 0, 1)
+    assert ch.filter("_change_type = 'insert'").count() == len(exp)
+    # the clone diverges freely (DML works on the copy)
+    run_sql(spark, "DELETE FROM lakehouse.deep14 WHERE id < 3")
+    # ids 1 and 2 — id 0 was already DV-deleted before the clone
+    assert lk.read_table(spark, deep).count() == len(exp) - 2
+    run_sql(spark, "DROP TABLE deep14")
+    # deep clone OF a shallow clone = making the fork durable
+    src2 = _table(spark, tmp_path, name="src2")
+    shallow = str(tmp_path / "shallow")
+    lk.clone_table(src2, shallow)
+    deep2 = str(tmp_path / "deep2")
+    lk.clone_table_deep(spark, shallow, deep2)
+    exp2 = sorted(map(tuple, lk.read_table(spark, src2).collect()))
+    # kill the ORIGINAL source entirely; the deep clone survives
+    t = lk.Transaction(src2)
+    t.delete_where(spark, F.col("id") >= 0)
+    t.commit()
+    lk.expire_versions(src2, lk.latest_commit(src2))
+    lk.vacuum_orphans(src2, min_age_sec=0)
+    assert sorted(map(tuple, lk.read_table(spark, deep2).collect())) == exp2
+    # and MOR deletes still address rows correctly (basenames kept)
+    t = lk.Transaction(deep2)
+    t.delete_where_mor(spark, F.col("id") == 5)
+    t.commit()
+    assert lk.read_table(spark, deep2).filter("id = 5").count() == 0
