@@ -2715,6 +2715,7 @@ class Transaction:
         when_not_matched_by_source_update: dict | None = None,
         when_not_matched_by_source_delete=None,
         when_not_matched_by_source_update_cond=None,
+        evolve_schema: bool = False,
     ) -> dict:
         """MERGE INTO under the commit log — Delta's merge algorithm,
         file-pruned copy-on-write:
@@ -2813,6 +2814,32 @@ class Transaction:
                 f"duplicated key(s) — a target row matching multiple "
                 f"source rows is non-deterministic"
             )
+        if evolve_schema and meta.get("schema"):
+            # MERGE WITH SCHEMA EVOLUTION (Delta's autoMerge): source
+            # columns the table lacks WIDEN the schema in this same
+            # transaction — existing rows align as typed NULLs, the
+            # insert branch lands them, and update clauses may SET
+            # them.  Same rules as append's evolve_schema: the widening
+            # is a metadata action, mapped tables bind fresh physical
+            # names, type CHANGES still reject.
+            table_types = dict(meta.get("schema", []))
+            new_cols = [
+                (f.name, f.dataType.simpleString())
+                for f in source.schema.fields
+                if f.name not in table_types
+            ]
+            if new_cols:
+                new_meta: dict = {
+                    "schema": list(meta.get("schema", [])) + new_cols,
+                    "evolved": True,
+                }
+                if meta.get("mapped"):
+                    cmap = _colmap(meta)
+                    for n_, _t in new_cols:
+                        cmap[n_] = f"c-{uuid.uuid4().hex[:12]}"
+                    new_meta["colmap"] = cmap
+                self.actions.append({"op": "set_meta", "meta": new_meta})
+                meta = self._effective_meta()
         cdf = bool(meta.get("cdf"))
         table_cols = [n for n, _t in meta.get("schema", [])]
         for clause, upd in (
@@ -2989,7 +3016,9 @@ class Transaction:
             set(touched if has_matched_clause else []) | set(bs_touched)
         )
         if rewrite:
-            rows = _with_addresses(spark, root, rewrite, self._meta)
+            # effective meta: under evolve_schema the staged widening
+            # aligns pre-evolution rows' new columns as typed NULLs
+            rows = _with_addresses(spark, root, rewrite, meta)
             if self._dvs:
                 rows = _dv_subtract(spark, root, self._dvs, rows)
             rows = rows.drop("_dv_file", "_dv_pos")

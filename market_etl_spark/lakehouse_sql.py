@@ -212,7 +212,8 @@ _UPDATE = re.compile(
     rf"(?:\s+WHERE\s+(?P<cond>.+?))?\s*;?\s*$"
 )
 _MERGE = re.compile(
-    rf"(?is)^\s*MERGE\s+INTO\s+{_TBL}\s*(?:AS\s+)?(?P<talias>\w+)\s+"
+    rf"(?is)^\s*MERGE\s+(?P<mevolve>WITH\s+SCHEMA\s+EVOLUTION\s+)?"
+    rf"INTO\s+{_TBL}\s*(?:AS\s+)?(?P<talias>\w+)\s+"
     rf"USING\s+(?:\((?P<subq>.+?)\)|(?P<view>\w+))\s*(?:AS\s+)?"
     rf"(?P<salias>\w+)\s+ON\s+(?P<on>.+?)\s*(?P<clauses>WHEN\s.+?)\s*;?\s*$"
 )
@@ -905,6 +906,7 @@ def _run_merge(spark: SparkSession, m: re.Match) -> DataFrame:
         when_not_matched_by_source_update=bs_upd,
         when_not_matched_by_source_update_cond=bs_upd_cond,
         when_not_matched_by_source_delete=bs_delete,
+        evolve_schema=bool(m.group("mevolve")),
     )
     t.commit()
     # Delta's MERGE metrics fold by-source rows into the same

@@ -1194,3 +1194,49 @@ def test_deep_clone(spark, tmp_path):
     t.delete_where_mor(spark, F.col("id") == 5)
     t.commit()
     assert lk.read_table(spark, deep2).filter("id = 5").count() == 0
+
+
+def test_merge_with_schema_evolution(spark, tmp_path):
+    """MERGE WITH SCHEMA EVOLUTION (round 14): source columns the
+    table lacks widen the schema in the same commit — existing rows
+    align as typed NULLs, inserts land them, update clauses may SET
+    them; without the keyword the extra column still rejects."""
+    path = str(tmp_path / "t")
+    t = lk.Transaction(path)
+    t.append(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(6)], "id long, v double"
+        ).coalesce(2)
+    )
+    t.commit()
+    spark.createDataFrame(
+        [(1, 10.0, "eu"), (99, 9.0, "us")], "id long, v double, region string"
+    ).createOrReplaceTempView("evo_src_v")
+    # without the keyword extra source columns DROP (they are clause
+    # inputs — the documented merge contract), the schema stays put
+    run_sql(spark, f"""
+        MERGE INTO lakehouse.`{path}` t USING evo_src_v s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = s.v - 1
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    assert lk.read_table(spark, path).columns == ["id", "v"]
+    run_sql(spark, f"DELETE FROM lakehouse.`{path}` WHERE id = 99")
+    t = lk.Transaction(path)
+    t.update_where_mor(spark, F.col("id") == 1, {"v": F.lit(1.0)})
+    t.commit()
+    out = run_sql(spark, f"""
+        MERGE WITH SCHEMA EVOLUTION INTO lakehouse.`{path}` t
+        USING evo_src_v s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = s.v, region = s.region
+        WHEN NOT MATCHED THEN INSERT *
+    """).collect()[0]
+    assert (out.num_updated_rows, out.num_inserted_rows) == (1, 1)
+    got = lk.read_table(spark, path)
+    assert got.columns == ["id", "v", "region"]
+    rows = {r.id: (r.v, r.region) for r in got.collect()}
+    assert rows[1] == (10.0, "eu") and rows[99] == (9.0, "us")
+    assert rows[0] == (0.0, None)  # pre-evolution row: typed NULL
+    # the widened column is first-class: skippable predicate + DML
+    assert got.filter("region = 'eu'").count() == 1
+    run_sql(spark, f"DELETE FROM lakehouse.`{path}` WHERE region = 'us'")
+    assert lk.read_table(spark, path).count() == 6
