@@ -1580,10 +1580,15 @@ def clone_table_deep(
     # basename (row addresses and DV contents key by basename).
     dest_of: dict[str, str] = {}
     for f in sorted(live):
-        dest_of[f] = (
-            f"{_DATA_DIR}/{pathlib.PurePosixPath(f).name}"
-            if os.path.isabs(f) else f
-        )
+        if os.path.isabs(f):
+            # keep any key=value segments: a converted table's
+            # partition values live in the PATH, and readers recover
+            # them from it (shallow-clone-of-converted sources)
+            pp = pathlib.PurePosixPath(f)
+            hive = [seg for seg in pp.parts[:-1] if "=" in seg]
+            dest_of[f] = "/".join([_DATA_DIR, *hive, pp.name])
+        else:
+            dest_of[f] = f
     for f in sorted(dvs):
         dest_of[f] = (
             f"{_DV_DIR}/{pathlib.PurePosixPath(f).name}"

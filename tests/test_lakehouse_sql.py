@@ -1240,3 +1240,27 @@ def test_merge_with_schema_evolution(spark, tmp_path):
     assert got.filter("region = 'eu'").count() == 1
     run_sql(spark, f"DELETE FROM lakehouse.`{path}` WHERE region = 'us'")
     assert lk.read_table(spark, path).count() == 6
+
+
+def test_deep_clone_of_shallow_clone_of_converted_table(spark, tmp_path):
+    """The composition corner: a converted table's partition values
+    live in PATHS; a shallow clone references them absolutely; a deep
+    clone of that must keep the key=value segments, or the recovered
+    columns silently go NULL."""
+    hive = str(tmp_path / "hive")
+    spark.createDataFrame(
+        [(i, 2023 + i % 2) for i in range(12)], "id long, yr int"
+    ).write.partitionBy("yr").parquet(hive)
+    lk.convert_to_lakehouse(spark, hive, partitioned_by=[("yr", "int")])
+    exp = sorted(
+        (r.id, r.yr) for r in lk.read_table(spark, hive).collect()
+    )
+    shallow = str(tmp_path / "sh")
+    lk.clone_table(hive, shallow)
+    deep = str(tmp_path / "dp")
+    lk.clone_table_deep(spark, shallow, deep)
+    got = sorted((r.id, r.yr) for r in lk.read_table(spark, deep).collect())
+    assert got == exp
+    # and partition pruning still works on the deep clone's stats
+    _v, kept, total = lk.prune_files(deep, [("yr", "=", 2023)])
+    assert 0 < len(kept) < total
