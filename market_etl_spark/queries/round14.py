@@ -419,3 +419,206 @@ def q_lakehouse_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("retention_survives", F.lit(bool(retention_survives)))
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_lakehouse_deep_clone",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+               AS value_micros,
+           TRUE AS source_destroyed,
+           TRUE AS stats_carried,
+           TRUE AS dv_applied
+    FROM events
+    WHERE event_id % 11 <> 0
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("lakehouse", "clone", "deep-clone", "extension"),
+)
+def q_lakehouse_deep_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEEP CLONE (Delta's ``CREATE TABLE ... DEEP CLONE``) — the
+    self-contained physical fork: data and DV files copied
+    byte-for-byte (distributed past the staging threshold), footer
+    stats and metadata carried, so the clone outlives ANY source
+    retention decision — the property a shallow clone cannot give.
+
+    Drill: events seeds a source table (two appends + one MOR delete,
+    so a LIVE deletion vector is part of the cloned state); the SQL
+    router deep-clones it; then the source is DESTROYED outright
+    (delete-all, history expired, orphans vacuumed at age 0).  The
+    returned aggregate reads the CLONE after the source is gone and
+    must equal the oracle's recompute from the original events.
+    Audits pinned TRUE:
+
+    - ``source_destroyed`` — the drill really removed the source's
+      data (its live set is empty and its data files are unlinked),
+      so the clone's rows can only come from its own copies;
+    - ``stats_carried`` — a predicate prunes the CLONE's files from
+      the carried add-action stats (no re-derivation pass ever ran);
+    - ``dv_applied`` — the MOR-deleted keys are absent from the
+      clone: the copied deletion vector subtracts exactly as it did
+      at the source.
+
+    Cites: jobs/etl/glue_spark_trades_etl.py (the reference has no
+    fork primitive at all; cloning its zones means re-running the
+    pipeline)."""
+    from .. import lakehouse as lk
+    from ..lakehouse_sql import run_sql
+
+    base = _SCRATCH / f"lakehouse_deep_clone_{_tag(sf_dir)}"
+    src, dst = str(base / "src"), str(base / "dst")
+    shutil.rmtree(base, ignore_errors=True)
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+    for half in range(2):
+        t = lk.Transaction(src)
+        t.append(ev.filter(F.col("event_id") % 2 == half).repartition(2))
+        t.commit()
+    t = lk.Transaction(src)
+    t.delete_where_mor(spark, F.col("event_id") % 11 == 0)
+    t.commit()
+
+    run_sql(
+        spark,
+        f"CREATE TABLE deep_ev DEEP CLONE lakehouse.`{src}` "
+        f"LOCATION '{dst}'",
+    )
+    run_sql(spark, "DROP TABLE deep_ev")
+
+    # destroy the source completely
+    t = lk.Transaction(src)
+    t.delete_where(spark, F.lit(True))
+    t.commit()
+    lk.expire_versions(src, lk.latest_commit(src))
+    lk.vacuum_orphans(src, min_age_sec=0)
+    src_files = [
+        p for p in pathlib.Path(src).rglob("*.parquet")
+        # DATA files only: a stray KB-sized DV sidecar may outlive the
+        # sweep (it subtracts rows, it can never supply them)
+        if not {"_log", "_deletes", "_cdc"} & set(p.parts)
+    ]
+    try:
+        lk.read_table(spark, src)
+        src_empty = False
+    except ValueError:
+        src_empty = True
+    source_destroyed = src_empty and not src_files
+
+    clone = lk.read_table(spark, dst)
+    lo = ev.agg(F.min("event_id")).collect()[0][0]
+    _v, kept, total = lk.prune_files(dst, [("event_id", "<=", int(lo))])
+    stats_carried = 0 < len(kept) < total
+    dv_applied = clone.filter(F.col("event_id") % 11 == 0).count() == 0
+
+    return (
+        clone.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_micros(F.col("value"))).cast("long").alias("value_micros"),
+        )
+        .withColumn("source_destroyed", F.lit(bool(source_destroyed)))
+        .withColumn("stats_carried", F.lit(bool(stats_carried)))
+        .withColumn("dv_applied", F.lit(bool(dv_applied)))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_lakehouse_merge_evolution",
+    oracle="""
+    WITH cust AS (
+        SELECT c_custkey AS k, CAST(c_acctbal AS DOUBLE) AS bal,
+               c_mktsegment AS seg
+        FROM customer
+    ), b AS (SELECT k, bal FROM cust WHERE seg = 'BUILDING')
+    SELECT region,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(bal * 1e6, 0) AS BIGINT)) AS BIGINT)
+               AS bal_micros,
+           TRUE AS schema_widened,
+           TRUE AS nulls_aligned
+    FROM (
+        SELECT k, bal, 'synced' AS region FROM b
+        UNION ALL SELECT k + 10000000, bal, 'new' AS region FROM b
+        UNION ALL SELECT k, bal, CAST(NULL AS VARCHAR) AS region
+                  FROM cust WHERE seg <> 'BUILDING'
+    )
+    GROUP BY region
+    ORDER BY region NULLS FIRST
+    """,
+    tags=("lakehouse", "merge", "schema-evolution", "extension"),
+)
+def q_lakehouse_merge_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGE WITH SCHEMA EVOLUTION (Delta's autoMerge) — the merge
+    that WIDENS the target: source columns the table lacks join the
+    schema in the same commit, existing rows align as typed NULLs,
+    and the statement's own clauses read and write the new column.
+    Without it, evolving a 100 TB table means ALTER + a separate
+    backfill pass — two commits and a full-table isolation hole.
+
+    Drill: customers land as (k, bal); the source carries a NEW
+    ``region`` column ('synced' for existing BUILDING keys, 'new'
+    under fresh +10M keys).  One ``MERGE WITH SCHEMA EVOLUTION``
+    updates matches (SET region) and inserts the fresh keys; rows the
+    merge never touched surface region as NULL.  The aggregate groups
+    BY the evolved column — NULL group included — against the
+    oracle's relational recompute.  Audits pinned TRUE:
+
+    - ``schema_widened`` — the committed schema gained (region,
+      string) and the table reads it without any backfill rewrite;
+    - ``nulls_aligned`` — every non-BUILDING row reads region as
+      NULL (typed alignment, not a dropped column).
+
+    Cites: sql/athena_sample_queries.sql (the reference's schema is
+    fixed at CREATE; evolution is an engine extension)."""
+    from .. import lakehouse as lk
+    from ..lakehouse_sql import run_sql
+
+    path = str(_SCRATCH / f"lakehouse_merge_evo_{_tag(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    t = lk.Transaction(path)
+    t.append(cust.select("k", "bal").repartition(4))
+    t.commit()
+    b = cust.filter(F.col("seg") == "BUILDING").select("k", "bal")
+    src = (
+        b.withColumn("region", F.lit("synced"))
+        .unionByName(
+            b.withColumn("k", F.col("k") + 10_000_000)
+            .withColumn("region", F.lit("new"))
+        )
+    )
+    src.createOrReplaceTempView("merge_evo_src")
+    run_sql(spark, f"""
+        MERGE WITH SCHEMA EVOLUTION INTO lakehouse.`{path}` t
+        USING merge_evo_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET region = s.region
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    after = lk.read_table(spark, path)
+    schema_widened = after.columns == ["k", "bal", "region"]
+    n_other = cust.filter(F.col("seg") != "BUILDING").count()
+    nulls_aligned = (
+        after.filter(F.col("region").isNull()).count() == n_other
+    )
+    return (
+        after.groupBy("region")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_micros(F.col("bal"))).cast("long").alias("bal_micros"),
+        )
+        .withColumn("schema_widened", F.lit(bool(schema_widened)))
+        .withColumn("nulls_aligned", F.lit(bool(nulls_aligned)))
+        .orderBy(F.col("region").asc_nulls_first())
+    )
