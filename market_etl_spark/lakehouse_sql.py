@@ -239,8 +239,12 @@ _ALTER = re.compile(
     rf"|DROP\s+COLUMN\s+`?(?P<dcol>\w+)`?"
     rf"|ADD\s+CONSTRAINT\s+(?P<ckname>\w+)\s+CHECK\s*\((?P<ckexpr>.+)\)"
     rf"|DROP\s+CONSTRAINT\s+(?P<dkname>\w+)"
+    rf"|SET\s+TBLPROPERTIES\s*\(\s*(?P<props>[^)]+?)\s*\)"
+    rf"|UNSET\s+TBLPROPERTIES\s*\(\s*(?P<uprops>[^)]+?)\s*\)"
     rf")\s*;?\s*$"
 )
+#: one 'key' = 'value' pair inside SET TBLPROPERTIES
+_PROP = re.compile(r"(?is)'([^']+)'\s*=\s*'([^']*)'")
 _COPY = re.compile(
     rf"(?is)^\s*COPY\s+INTO\s+{_TBL}\s+FROM\s+'(?P<csrc>[^']+)'"
     rf"(?:\s+FILEFORMAT\s*=\s*(?P<cfmt>\w+))?"
@@ -492,6 +496,42 @@ def run_sql(spark: SparkSession, sql: str) -> DataFrame:
         elif m.group("ckname"):
             t.set_check_constraint(
                 spark, m.group("ckname"), m.group("ckexpr").strip()
+            )
+        elif m.group("props"):
+            pairs = _PROP.findall(m.group("props"))
+            if not pairs:
+                raise ValueError(
+                    "SET TBLPROPERTIES expects 'key' = 'value' pairs"
+                )
+            props = dict(t._effective_meta().get("properties") or {})
+            plain = False
+            for k, val in pairs:
+                # the Delta property key routes to the real feature
+                # switch; everything else is a free-form property
+                if k.endswith(".enableChangeDataFeed"):
+                    if val.strip().lower() == "true":
+                        t.enable_cdf()
+                    else:
+                        t.actions.append(
+                            {"op": "set_meta", "meta": {"cdf": False}}
+                        )
+                        t._ops.append("disable_cdf")
+                else:
+                    props[k] = val
+                    plain = True
+            if plain:
+                t._ops.append("set_properties")
+                t.actions.append(
+                    {"op": "set_meta", "meta": {"properties": props}}
+                )
+        elif m.group("uprops"):
+            keys = re.findall(r"'([^']+)'", m.group("uprops"))
+            props = dict(t._effective_meta().get("properties") or {})
+            for k in keys:
+                props.pop(k, None)
+            t._ops.append("set_properties")
+            t.actions.append(
+                {"op": "set_meta", "meta": {"properties": props}}
             )
         else:
             t.drop_check_constraint(m.group("dkname"))

@@ -1264,3 +1264,42 @@ def test_deep_clone_of_shallow_clone_of_converted_table(spark, tmp_path):
     # and partition pruning still works on the deep clone's stats
     _v, kept, total = lk.prune_files(deep, [("yr", "=", 2023)])
     assert 0 < len(kept) < total
+
+
+def test_set_tblproperties(spark, tmp_path):
+    """ALTER TABLE ... SET/UNSET TBLPROPERTIES (round 14): the Delta
+    CDF property key routes to the real feature switch; free-form
+    properties persist in table metadata and unset removes them."""
+    path = _table(spark, tmp_path)
+    # CDF via SQL: a CoW delete BEFORE enablement is not derivable...
+    run_sql(spark, f"""
+        ALTER TABLE lakehouse.`{path}` SET TBLPROPERTIES
+        ('delta.enableChangeDataFeed' = 'true', 'team' = 'etl')
+    """)
+    _v, _l, _d, _t2, meta, _s = lk._state_full(path)
+    assert meta.get("cdf") is True
+    assert meta.get("properties") == {"team": "etl"}
+    # ...and a CoW delete AFTER it records change data: the feed serves
+    run_sql(spark, f"DELETE FROM lakehouse.`{path}` WHERE id = 3")
+    ch = lk.read_changes(spark, path, lk.latest_commit(path) - 1,
+                         lk.latest_commit(path))
+    assert [(r._change_type, r.id) for r in ch.collect()] == [
+        ("delete", 3)
+    ]
+    run_sql(spark, f"""
+        ALTER TABLE lakehouse.`{path}` UNSET TBLPROPERTIES ('team')
+    """)
+    _v, _l, _d, _t2, meta, _s = lk._state_full(path)
+    assert meta.get("properties") == {}
+    # disabling flips the switch back off
+    run_sql(spark, f"""
+        ALTER TABLE lakehouse.`{path}` SET TBLPROPERTIES
+        ('delta.enableChangeDataFeed' = 'false')
+    """)
+    _v, _l, _d, _t2, meta, _s = lk._state_full(path)
+    assert meta.get("cdf") is False
+    with pytest.raises(ValueError, match="key.*value"):
+        run_sql(
+            spark,
+            f"ALTER TABLE lakehouse.`{path}` SET TBLPROPERTIES (team = x)",
+        )
