@@ -165,19 +165,17 @@ def q_lakehouse_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(~(F.col("value") >= 300) & ~p_c & ~p_d)
         .unionByName(appended.filter(~p_c & ~p_d))
     )
-    # multiset equality via (count, order-insensitive hash digest):
-    # one aggregate pass per side instead of the two exceptAll audits'
-    # four table passes (VERDICT r10 item 4) — the oracle harness's
-    # own canonicalization trick.  decimal(38,0) sum: no long overflow.
-    def _digest(df: DataFrame):
-        cols = [F.col(c) for c in sorted(df.columns)]
-        r = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"),
-        ).collect()[0]
-        return (r.n, r.h)
+    # multiset equality via (count, order-insensitive hash digest),
+    # both sides folded into ONE Spark action (union tagged by side +
+    # one grouped (count, bit_xor(xxhash64)) aggregate — _audit helper;
+    # the two-job form paid a second full analyze/AQE/schedule cycle
+    # for no extra information)
+    from ._audit import digest_pairs_equal, hashed
 
-    retry_serial_equal = _digest(final) == _digest(serial)
+    def h(df: DataFrame) -> DataFrame:
+        return hashed(df, *sorted(df.columns))
+
+    [retry_serial_equal] = digest_pairs_equal([(h(final), h(serial))])
 
     # the counterfactual: same overlapping-delete race, committed blind
     side = str(_SCRATCH / f"lakehouse_blind_{_tag(sf_dir)}")

@@ -153,30 +153,36 @@ def q_lakehouse_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.format("lakehouse").options(**o).load(path)
     )
 
-    def digest(df):  # order-free row digest; bit_xor never overflows
-        return tuple(
-            df.select(
-                "k", "seg", _micros(F.col("bal")).alias("m")
-            ).agg(
-                F.count(F.lit(1)).alias("n"),
-                F.expr("bit_xor(xxhash64(k, seg, m))").alias("h"),
-            ).collect()[0]
-        )
+    # the three (source, engine) parity digests fold into ONE Spark
+    # action (same per-side (count, bit_xor(xxhash64(k, seg, m)))
+    # multiset digest as the former six .agg().collect() jobs — the
+    # drill's wall was dominated by per-action planning fixed cost,
+    # not data; tools/joblog.py: 33 jobs, 6.1 s driver gap)
+    from ._audit import digest_pairs_equal, hashed
 
-    parity = digest(ds()) == digest(lk.read_table(spark, path))
+    def h(df):
+        return hashed(
+            df.select("k", "seg", _micros(F.col("bal")).alias("m")),
+            "k", "seg", "m",
+        )
 
     # pushdown: only v2's file can hold k < 0 — the same metadata
     # prune the engine read performs, now driven by pushFilters
     _v, kept, total = lk.prune_files(path, [("k", "<", 0)])
-    neg_ds = digest(ds().filter(F.col("k") < 0))
-    neg_tbl = digest(
-        lk.read_table(spark, path, predicate=[("k", "<", 0)])
+    parity, neg_eq, version_ok = digest_pairs_equal(
+        [
+            (h(ds()), h(lk.read_table(spark, path))),
+            (
+                h(ds().filter(F.col("k") < 0)),
+                h(lk.read_table(spark, path, predicate=[("k", "<", 0)])),
+            ),
+            (
+                h(ds(version=1)),
+                h(lk.read_table(spark, path, version=1)),
+            ),
+        ]
     )
-    pushdown_ok = len(kept) == 1 and total >= 3 and neg_ds == neg_tbl
-
-    version_ok = digest(ds(version=1)) == digest(
-        lk.read_table(spark, path, version=1)
-    )
+    pushdown_ok = len(kept) == 1 and total >= 3 and neg_eq
 
     return (
         ds().groupBy("seg")
@@ -489,11 +495,17 @@ def q_lakehouse_parquet_checkpoint(
     ckpt.advance_parquet_checkpoint(spark, path)  # v3 ckpt + tail -> v5
 
     def sets(version=None):
+        # one collect for both kinds (was two jobs per call)
         v, df, _meta = ckpt.state_frame(spark, path, version)
+        rows = (
+            df.filter(F.col("kind").isin("add", "dv"))
+            .select("kind", "file")
+            .collect()
+        )
         return (
             v,
-            {r.file for r in df.filter("kind='add'").collect()},
-            {r.file for r in df.filter("kind='dv'").collect()},
+            {r.file for r in rows if r.kind == "add"},
+            {r.file for r in rows if r.kind == "dv"},
         )
 
     def json_sets(version=None):
@@ -507,9 +519,20 @@ def q_lakehouse_parquet_checkpoint(
         [("k", "in", (1, 7, 32))],
         [("k", "<", 0)],
     )
+    # the three distributed prunes are independent mapInPandas jobs —
+    # overlap them from driver threads (guide §2.6) instead of paying
+    # three sequential job latencies; the driver-side replays compare
+    # after, unchanged
+    from ._audit import concurrently, digest_pairs_equal
+
+    distributed = concurrently(
+        *[
+            (lambda p=p: ckpt.prune_files_distributed(spark, path, p))
+            for p in preds
+        ]
+    )
     prune_parity = all(
-        ckpt.prune_files_distributed(spark, path, p) == lk.prune_files(path, p)
-        for p in preds
+        got == lk.prune_files(path, p) for got, p in zip(distributed, preds)
     )
 
     root = pathlib.Path(path)
@@ -522,13 +545,10 @@ def q_lakehouse_parquet_checkpoint(
     pr = [("k", "<", 1000)]
     got = ckpt.read_table_distributed_prune(spark, path, pr)
     exp = lk.read_table(spark, path, predicate=pr)
-    digest = lambda df: tuple(  # noqa: E731
-        df.agg(
-            F.count(F.lit(1)),
-            F.expr("bit_xor(xxhash64(k, status, CAST(price*1e6 AS LONG)))"),
-        ).collect()[0]
+    h = lambda df: df.select(  # noqa: E731
+        F.expr("xxhash64(k, status, CAST(price*1e6 AS LONG))").alias("_h")
     )
-    read_parity = digest(got) == digest(exp)
+    [read_parity] = digest_pairs_equal([(h(got), h(exp))])
 
     return (
         lk.read_table(spark, path)
@@ -653,16 +673,32 @@ def q_lakehouse_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         """.format(src=_register_view(base)),
     ).collect()[0]
 
-    # relational expectations from the pinned seed frame
-    exp_del = base.filter("k % 5 = 0").count()
-    exp_upd = base.filter("k % 5 <> 0 and seg = 'MACHINERY'").count()
+    # relational expectations from the pinned seed frame — the two
+    # seed-side counts fold into ONE conditional aggregate and the
+    # three merge-side counts into ONE left-join aggregate (the same
+    # semi/anti semantics classified by match flag), replacing five
+    # separate count() jobs with two (action-count fixed cost, §1.2)
+    r = base.agg(
+        F.count_if(F.expr("k % 5 = 0")).alias("d"),
+        F.count_if(F.expr("k % 5 <> 0 and seg = 'MACHINERY'")).alias("u"),
+    ).collect()[0]
+    exp_del, exp_upd = r.d, r.u
     src = base.filter("k % 11 = 0").select(
         "k", F.lit("MERGED").alias("seg"), (F.col("bal") * 2).alias("bal")
     )
-    live_keys = base.filter("k % 5 <> 0").select("k")
-    exp_m_del = src.filter("bal < 0").join(live_keys, "k", "semi").count()
-    exp_m_upd = src.filter("bal >= 0").join(live_keys, "k", "semi").count()
-    exp_m_ins = src.join(live_keys, "k", "anti").count()
+    live_keys = base.filter("k % 5 <> 0").select(
+        F.col("k").alias("lk"), F.lit(True).alias("_live")
+    )
+    m = (
+        src.join(live_keys, src.k == live_keys.lk, "left")
+        .agg(
+            F.count_if(F.expr("_live AND bal < 0")).alias("md"),
+            F.count_if(F.expr("_live AND bal >= 0")).alias("mu"),
+            F.count_if(F.col("_live").isNull()).alias("mi"),
+        )
+        .collect()[0]
+    )
+    exp_m_del, exp_m_upd, exp_m_ins = m.md, m.mu, m.mi
     counts_consistent = (
         n_del == exp_del
         and n_upd == exp_upd
@@ -680,17 +716,18 @@ def q_lakehouse_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         and "merge" in ops[3]
     )
 
-    digest = lambda df: tuple(  # noqa: E731
-        df.agg(
-            F.count(F.lit(1)),
-            F.expr("bit_xor(xxhash64(k, seg, CAST(ROUND(bal*1e6,0) AS LONG)))"),
-        ).collect()[0]
+    from ._audit import digest_pairs_equal
+
+    h = lambda df: df.select(  # noqa: E731
+        F.expr(
+            "xxhash64(k, seg, CAST(ROUND(bal*1e6,0) AS LONG))"
+        ).alias("_h")
     )
     tt = run_sql(
         spark,
         f"SELECT k, seg, bal FROM lakehouse.`{path}` VERSION AS OF 1",
     )
-    time_travel_matches = digest(tt) == digest(base)
+    [time_travel_matches] = digest_pairs_equal([(h(tt), h(base))])
 
     return (
         run_sql(
@@ -936,17 +973,18 @@ def q_lakehouse_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     one_commit_per_epoch = v_a == 1 and v_b == 2
 
-    digest = lambda df: tuple(  # noqa: E731
-        df.agg(
-            F.count(F.lit(1)),
-            F.expr(
-                "bit_xor(xxhash64(event_id, event_type, "
-                "CAST(ROUND(value*1e6,0) AS LONG)))"
-            ),
-        ).collect()[0]
+    # replica-vs-source parity in ONE action instead of two (same
+    # (count, bit_xor(xxhash64(...))) digest per side; _audit helper)
+    from ._audit import digest_pairs_equal
+
+    h = lambda df: df.select(  # noqa: E731
+        F.expr(
+            "xxhash64(event_id, event_type, "
+            "CAST(ROUND(value*1e6,0) AS LONG))"
+        ).alias("_h")
     )
-    replica_identical = digest(lk.read_table(spark, dst)) == digest(
-        lk.read_table(spark, src)
+    [replica_identical] = digest_pairs_equal(
+        [(h(lk.read_table(spark, dst)), h(lk.read_table(spark, src)))]
     )
 
     return (

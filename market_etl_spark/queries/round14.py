@@ -124,20 +124,24 @@ def q_lakehouse_convert_partitioned(
     }
     partition_pruned_exactly = set(kept) == want and 0 < len(want) < total
 
-    digest = lambda df: tuple(  # noqa: E731
-        df.agg(
-            F.count(F.lit(1)),
-            F.expr(
-                "bit_xor(xxhash64(k, yr, status, "
-                "CAST(ROUND(price*1e6,0) AS LONG)))"
-            ),
-        ).collect()[0]
-    )
     # --- audit 2: the registered format's pyarrow partition-value
-    # recovery agrees with the JVM input_file_name route
-    arrow_route_agrees = digest(
-        spark.read.format("lakehouse").load(path)
-    ) == digest(lk.read_table(spark, path))
+    # recovery agrees with the JVM input_file_name route — both sides
+    # folded into ONE comparison action (_audit helper)
+    from ._audit import digest_pairs_equal
+
+    h = lambda df: df.select(  # noqa: E731
+        F.expr(
+            "xxhash64(k, yr, status, CAST(ROUND(price*1e6,0) AS LONG))"
+        ).alias("_h")
+    )
+    [arrow_route_agrees] = digest_pairs_equal(
+        [
+            (
+                h(spark.read.format("lakehouse").load(path)),
+                h(lk.read_table(spark, path)),
+            )
+        ]
+    )
 
     # --- audit 3: CoW DELETE spanning several partitions; rewritten
     # rows keep their (now materialized) partition values

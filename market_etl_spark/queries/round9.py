@@ -452,31 +452,42 @@ def llm_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
-        n_corpus = emb.count()
-        topk, scored = similarity.ivfpq_topk(
-            emb, _EMB_QUERY_IDS, k=10, nprobe=3, cluster_col="label"
-        )
-        approx = {
-            (r.query_id, r.neighbor_id)
-            for r in topk.select("query_id", "neighbor_id").collect()
-        }  # top-k audit rows only (≤ 50), not data-scale
-        exact = {
-            (r.query_id, r.neighbor_id)
-            for r in similarity.brute_force_topk_batch(
-                emb, _EMB_QUERY_IDS, k=10, dims=_EMB_DIMS
-            )
-            .select("query_id", "neighbor_id")
-            .collect()
-        }
-        ivf = {
-            (r.query_id, r.neighbor_id)
-            for r in similarity.ivf_topk(
+        # the four audit passes (corpus count, IVF-PQ with its scan
+        # telemetry, exact brute-force, exact-scoring IVF) are
+        # INDEPENDENT reads of the same embeddings table — run them on
+        # driver threads so their many small jobs overlap (guide §2.6;
+        # sequentially this drill paid 49 job latencies back to back)
+        from ._audit import concurrently
+
+        def _pairs(df):
+            return {
+                (r.query_id, r.neighbor_id)
+                for r in df.select("query_id", "neighbor_id").collect()
+            }  # top-k audit rows only (≤ 50), not data-scale
+
+        def _approx():
+            topk, scored = similarity.ivfpq_topk(
                 emb, _EMB_QUERY_IDS, k=10, nprobe=3, cluster_col="label"
             )
-            .select("query_id", "neighbor_id")
-            .collect()
-        }
-        max_scored = scored.agg(F.max("n_scored")).collect()[0][0]
+            return _pairs(topk), scored.agg(F.max("n_scored")).collect()[0][0]
+
+        def _exact():
+            return _pairs(
+                similarity.brute_force_topk_batch(
+                    emb, _EMB_QUERY_IDS, k=10, dims=_EMB_DIMS
+                )
+            )
+
+        def _ivf():
+            return _pairs(
+                similarity.ivf_topk(
+                    emb, _EMB_QUERY_IDS, k=10, nprobe=3, cluster_col="label"
+                )
+            )
+
+        (approx, max_scored), exact, ivf, n_corpus = concurrently(
+            _approx, _exact, _ivf, emb.count
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     n_queries = len({q for q, _ in exact})
