@@ -255,30 +255,42 @@ def q_merge_on_read_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
     e.repartition(8).write.parquet(base)
 
     mor.write_deletion_vector(spark, base, F.col("value") >= 300)
-    expected_upd = (
-        spark.read.parquet(base)
-        .filter((F.col("day") <= 10) & ~(F.col("value") >= 300))
-        .count()
-    )
     n_upd = mor.write_update_vector(
         spark,
         base,
         F.col("day") <= 10,
         {"value": F.col("value") + 1000.0},
     )
-    update_exact = n_upd == expected_upd
 
     logical = mor.read_with_deletes(spark, base)
-    summary = lambda df: df.agg(  # noqa: E731
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.round(F.col("value") * 1e6, 0).cast("long"))
-        .cast("long")
-        .alias("vm"),
-    ).collect()[0]
-    before = summary(logical)
     n_purged = mor.purge_deletes(spark, base, gen2)
-    after = summary(spark.read.parquet(gen2))
-    purge_matches = before.n == after.n == n_purged and before.vm == after.vm
+    # the three audit aggregates fold into ONE action after the purge:
+    # the logical view reads base+sidecars (untouched by purge), the
+    # purged side reads gen2, and the update-expectation count reads
+    # only the immutable base files — all value-identical to the
+    # former three sequential jobs, at a third of the action cost
+    rows = (
+        logical.select(F.lit(0).alias("s"), "value")
+        .unionByName(
+            spark.read.parquet(gen2).select(F.lit(1).alias("s"), "value")
+        )
+        .unionByName(
+            spark.read.parquet(base)
+            .filter((F.col("day") <= 10) & ~(F.col("value") >= 300))
+            .select(F.lit(2).alias("s"), "value")
+        )
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 1e6, 0).cast("long"))
+            .cast("long")
+            .alias("vm"),
+        )
+        .collect()
+    )
+    d = {r.s: (r.n, r.vm) for r in rows}
+    update_exact = n_upd == d[2][0]
+    purge_matches = d[0][0] == d[1][0] == n_purged and d[0][1] == d[1][1]
 
     return (
         spark.read.parquet(gen2)
@@ -430,23 +442,36 @@ def q_version_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         reader=lambda s, p, v: lk.read_table(s, p, version=v),
     )
 
-    # incremental consumer: refresh v1's aggregate from the feed only
+    # incremental consumer: refresh v1's aggregate from the feed only.
+    # THREE audit aggregates folded into ONE job (guide §1.5): the
+    # signed feed delta and the two snapshot baselines are union-tagged
+    # with a per-row weight (feed rows carry the change sign, snapshot
+    # rows weight 1) so one grouped (sum(w), sum(w*micros)) reduction
+    # reproduces the former three collects value-identically —
+    # count == sum of unit weights, sum == unit-weighted sum.
     sign = F.when(
         F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
     ).otherwise(F.lit(-1))
-    d = feed.agg(
-        F.sum(sign).alias("dn"),
-        F.sum(sign * F.round(F.col("bal") * 1e6, 0).cast("long")).alias("dm"),
-    ).collect()[0]
-    b1 = v1.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.round(F.col("bal") * 1e6, 0).cast("long")).alias("m"),
-    ).collect()[0]
-    b3 = v3.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.round(F.col("bal") * 1e6, 0).cast("long")).alias("m"),
-    ).collect()[0]
-    ivm_consistent = (b1.n + d.dn == b3.n) and (b1.m + d.dm == b3.m)
+    from functools import reduce as _reduce
+
+    micros = F.round(F.col("bal") * 1e6, 0).cast("long")
+    branches = [
+        feed.select(F.lit(0).alias("s"), sign.alias("w"), micros.alias("m")),
+        v1.select(F.lit(1).alias("s"), F.lit(1).alias("w"), micros.alias("m")),
+        v3.select(F.lit(2).alias("s"), F.lit(1).alias("w"), micros.alias("m")),
+    ]
+    rows = (
+        _reduce(DataFrame.unionByName, branches)
+        .groupBy("s")
+        .agg(
+            F.sum("w").alias("dn"),
+            F.sum(F.col("w") * F.col("m")).alias("dm"),
+        )
+        .collect()
+    )
+    g = {r.s: (r.dn, r.dm) for r in rows}
+    d, b1, b3 = g[0], g[1], g[2]
+    ivm_consistent = (b1[0] + d[0] == b3[0]) and (b1[1] + d[1] == b3[1])
 
     return (
         feed.groupBy(
@@ -509,7 +534,6 @@ def q_mor_compaction_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .. import mor
     from ..sinks import (
         compact_manifested,
-        files_sorted_within,
         read_stats_pruned,
         write_manifested,
     )
@@ -526,31 +550,64 @@ def q_mor_compaction_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, data, (F.col("day") <= 3) | (F.col("value").between(200, 400))
     )
     logical = mor.read_with_deletes(spark, data)
-    summary = lambda df: df.agg(  # noqa: E731
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.round(F.col("value") * 1e6, 0).cast("long"))
-        .cast("long")
-        .alias("vm"),
-    ).collect()[0]
-    before = summary(logical)
 
     compact_manifested(spark, src, dest, "value", n_bins=4, apply_deletes=True)
 
-    after = summary(spark.read.parquet(f"{dest}/data"))
+    # FOUR audit actions folded into ONE job (guide §1.5: drill wall is
+    # per-action fixed cost, not data): the pre-compaction logical view
+    # (src + sidecars, untouched by the generation move), the compacted
+    # plain read, the stats-pruned band scan, and the per-file sort-order
+    # violation probe are union-tagged and reduced by one grouped
+    # aggregate — each branch's (n, vm) is value-identical to the
+    # former sequential collects.
+    from pyspark.sql import Window
+
+    band, scanned, total_files = read_stats_pruned(
+        spark, dest, "value", 20.0, 50.0
+    )
+    plain = spark.read.parquet(f"{dest}/data")
+    w = Window.partitionBy("_f").orderBy("_i")
+    violations = (
+        plain.select(
+            F.col("value").alias("_v"),
+            F.col("_metadata.file_path").alias("_f"),
+            F.col("_metadata.row_index").alias("_i"),
+        )
+        .withColumn("_prev", F.lag("_v").over(w))
+        .filter(F.col("_prev") > F.col("_v"))
+        .select(F.col("_v").alias("value"))
+    )
+    branches = [
+        logical.select(F.lit(0).alias("s"), "value"),
+        plain.select(F.lit(1).alias("s"), "value"),
+        band.select(F.lit(2).alias("s"), "value"),
+        violations.select(F.lit(3).alias("s"), "value"),
+    ]
+    from functools import reduce as _reduce
+
+    rows = (
+        _reduce(DataFrame.unionByName, branches)
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 1e6, 0).cast("long"))
+            .cast("long")
+            .alias("vm"),
+        )
+        .collect()
+    )
+    d = {r.s: (r.n, r.vm) for r in rows}
+    before, after = d.get(0, (0, None)), d.get(1, (0, None))
     no_sidecars = (
         not pathlib.Path(f"{dest}/data/_deletes").exists()
-        and before.n == after.n
-        and before.vm == after.vm
+        and before == after
     )
     man = spark.read.parquet(f"{dest}/manifest").orderBy("stat_min").collect()
     clustered_ok = all(
         man[i].stat_min >= man[i - 1].stat_max for i in range(1, len(man))
     ) and len(man) == 4
-    sorted_ok = files_sorted_within(spark, f"{dest}/data", "value")
-    band, scanned, total_files = read_stats_pruned(
-        spark, dest, "value", 20.0, 50.0
-    )
-    band_rows = band.count()
+    sorted_ok = d.get(3, (0, None))[0] == 0
+    band_rows = d.get(2, (0, None))[0]
 
     return (
         spark.read.parquet(f"{dest}/data")

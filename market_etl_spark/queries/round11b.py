@@ -204,7 +204,9 @@ def q_lakehouse_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = str(_SCRATCH / f"lakehouse_zorder_{_tag(sf_dir)}")
     ev, _bound = _seed_ranged_events(spark, sf_dir, path, n_files=8)
-    umax = ev.agg(F.max("user_id")).collect()[0][0]
+    # one job for both column maxima (emax is only consumed after the
+    # rewrite, but ev is immutable — value identical; guide §1.5)
+    umax, emax = ev.agg(F.max("user_id"), F.max("event_id")).collect()[0]
     ub = umax // 4 + 1
     upred = [("user_id", "<", ub)]
 
@@ -218,7 +220,6 @@ def q_lakehouse_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_after = lk.read_table(spark, path).count()
     _v, k_user, total = lk.prune_files(path, upred)
-    emax = ev.agg(F.max("event_id")).collect()[0][0]
     _v, k_event, _ = lk.prune_files(
         path, [("event_id", "<", emax // 4 + 1)]
     )
@@ -1004,7 +1005,6 @@ def q_lakehouse_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = lk.Transaction(path)
     t.set_identity_column("row_id", start=1000, step=7)
     t.commit()
-    edges = []  # (max_id_this_commit, min_id_this_commit) per append
     for i in range(3):
         t = lk.Transaction(path)
         t.append(
@@ -1014,14 +1014,26 @@ def q_lakehouse_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).repartition(4)
         )
         t.commit()
-        part = lk.read_table(spark, path).filter(
-            (F.col("event_id") >= i * bound)
-            & (F.col("event_id") < (i + 1) * bound)
+    # the three per-commit (min,max) probes fold into ONE grouped job
+    # after the loop (guide §1.5): appends never rewrite rows and the
+    # event_id slices are disjoint, so slice i of the FINAL table is
+    # exactly commit i's rows — per-slice min/max identical to the
+    # former post-commit probes.
+    srows = {
+        r.slice: (r.lo, r.hi)
+        for r in (
+            lk.read_table(spark, path)
+            .groupBy(
+                F.when(F.col("event_id") < bound, 0)
+                .when(F.col("event_id") < 2 * bound, 1)
+                .otherwise(2)
+                .alias("slice")
+            )
+            .agg(F.min("row_id").alias("lo"), F.max("row_id").alias("hi"))
+            .collect()
         )
-        r = part.agg(
-            F.min("row_id").alias("lo"), F.max("row_id").alias("hi")
-        ).collect()[0]
-        edges.append((r.lo, r.hi))
+    }
+    edges = [srows.get(i, (None, None)) for i in range(3)]
 
     df = lk.read_table(spark, path)
     tot = df.agg(

@@ -853,15 +853,31 @@ def q_lakehouse_zorder_incremental(
     pred = [("event_id", ">=", 10**9)]
     _pv, kept, _total = lk.prune_files(path, pred)
     pruned = lk.read_table(spark, path, predicate=pred)
-    n_slices = ev.filter(F.col("user_id") % 97 < 3).count()
+    # THREE audit counts folded into ONE union-tagged job (guide §1.5):
+    # the pruned read, the expected-slices scan, and the (empty)
+    # maintenance-commit feed each keep their own scan branch; the
+    # per-branch counts equal the former separate .count() jobs.
+    rows = (
+        pruned.select(F.lit(0).alias("s"))
+        .unionByName(
+            ev.filter(F.col("user_id") % 97 < 3).select(F.lit(1).alias("s"))
+        )
+        .unionByName(
+            lk.read_changes(spark, path, v_after - 1, v_after).select(
+                F.lit(2).alias("s")
+            )
+        )
+        .groupBy("s")
+        .count()
+        .collect()
+    )
+    g = {r.s: r["count"] for r in rows}
     skipping_new_generation = (
         bool(kept)
         and all(f.startswith("data/zi-") for f in kept)
-        and pruned.count() == n_slices
+        and g.get(0, 0) == g.get(1, 0)
     )
-    feed_silent = (
-        lk.read_changes(spark, path, v_after - 1, v_after).count() == 0
-    )
+    feed_silent = g.get(2, 0) == 0
 
     return (
         lk.read_table(spark, path)

@@ -642,11 +642,20 @@ def llm_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         waves[2].unionAll(replay_of_w0b).unionAll(wave3_dup),
     ]
 
+    # driver-side admitted-row counter: fold() already collects each
+    # commit's fingerprint list for the bloom sidecar, so completion
+    # polling can read this dict instead of running a read_table+count
+    # Spark job every 200 ms (guide §1.5/§5.1 — the poll loop was ~25
+    # redundant jobs per run, pure fixed cost)
+    admitted_n = {"n": 0}
+
     def fold(batch: DataFrame, batch_id: int) -> None:
         from ..llm.dedup import probe_seen_files, write_fp_bloom_sidecar
 
-        if batch.isEmpty():
-            return
+        # no leading batch.isEmpty() guard: it cost one Spark job on
+        # EVERY non-empty batch, and the fresh-set emptiness check
+        # below already short-circuits an empty batch before any
+        # commit (guide §1.5 — value-identical, one job fewer/batch)
         fps = batch.select(
             F.sha2(F.col("text"), 256).alias("fp"),
             "doc_id", "lang", "n_chars",
@@ -673,11 +682,15 @@ def llm_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             seen = spark.read.parquet(
                 *[f"{dst}/{f}" for f in cand]
             ).select("fp")
-            fresh = firsts.join(seen, "fp", "left_anti")
+            fresh = firsts.join(seen, "fp", "left_anti").localCheckpoint()
+            fp_list = [r.fp for r in fresh.select("fp").collect()]
         else:
+            # no bloom hit: fresh IS firsts — already checkpointed and
+            # its digest list already collected; re-checkpointing and
+            # re-collecting were two redundant jobs (guide §1.5)
             fresh = firsts
-        fresh = fresh.localCheckpoint()
-        if fresh.isEmpty():
+            fp_list = digests
+        if not fp_list:
             return  # a fully-duplicate wave admits nothing — do not
             # burn a downstream version on an empty commit
         t = lk.Transaction(
@@ -687,10 +700,9 @@ def llm_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         staged = [a["file"] for a in t.actions if a["op"] == "add"]
         # sidecar BEFORE the commit: an orphan sidecar from a crashed
         # commit is harmless (probes intersect with the live set)
-        write_fp_bloom_sidecar(
-            dst, staged, [r.fp for r in fresh.select("fp").collect()]
-        )
+        write_fp_bloom_sidecar(dst, staged, fp_list)
         t.commit()  # None on epoch replay — identity dedupes
+        admitted_n["n"] += len(fp_list)  # after the durable commit
 
     for wave in commits:  # three source commits, committed up front
         t = lk.Transaction(src)
@@ -716,11 +728,13 @@ def llm_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     deadline = _time.monotonic() + 300
     while _time.monotonic() < deadline:
-        try:
-            if lk.read_table(spark, dst).count() >= n_expect:
-                break
-        except ValueError:  # dst not bootstrapped yet
-            pass
+        # fold() bumps admitted_n after each durable commit, so this
+        # poll costs zero Spark jobs (it used to run read_table+count
+        # every 200 ms); admitted fps are disjoint across commits, so
+        # the running sum hits n_expect exactly when every distinct
+        # text has been admitted — the same condition as before
+        if admitted_n["n"] >= n_expect:
+            break
         _time.sleep(0.2)
     q.stop()
     q.awaitTermination()
@@ -739,10 +753,25 @@ def llm_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly_once = lk.latest_commit(dst) == v_done
 
     admitted = lk.read_table(spark, dst)
-    n_planted = replay_of_w0.count() + replay_of_w0b.count() + 1
+    # audit folds (guide §1.5): the two planted-replay counts are one
+    # conditional aggregate over docs (their filters are disjoint
+    # doc_id ranges, so the union count equals the sum), the two
+    # admitted-side counts are one aggregate, and the full-corpus
+    # distinct-text count is n_expect — already computed above, by the
+    # identical expression.  5 jobs -> 2, values unchanged.
+    n_planted = (
+        docs.filter(
+            (F.col("doc_id") < 45) & (F.col("doc_id") % 3 == 0)
+        ).count()
+        + 1
+    )
+    arow = admitted.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("doc_id") >= 1_000_000).alias("n_replay"),
+    ).collect()[0]
     cross_batch_rejected = (
-        admitted.filter(F.col("doc_id") >= 1_000_000).count() == 0
-        and admitted.count() == docs.select("text").distinct().count()
+        arow.n_replay == 0
+        and arow.n == n_expect
         and n_planted > 1  # the drill really planted duplicates
     )
     # bounded-probe audit, controlled and deterministic: admitted

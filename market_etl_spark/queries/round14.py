@@ -273,13 +273,19 @@ def q_lakehouse_merge_by_source(
         when_not_matched_by_source_update={"seg": F.lit("STALE")},
     )
     t.commit()
-    n_bld = b.count()
-    n_neg = cust.filter(
-        (F.col("seg") != "BUILDING") & (F.col("bal") < 0)
-    ).count()
-    n_stale = cust.filter(
-        (F.col("seg") != "BUILDING") & (F.col("bal") >= 0)
-    ).count()
+    # three expectation counts in ONE conditional aggregate over the
+    # same customer scan (guide §1.5); b.count() == the BUILDING
+    # segment count by construction
+    crow = cust.agg(
+        F.count_if(F.col("seg") == "BUILDING").alias("nb"),
+        F.count_if(
+            (F.col("seg") != "BUILDING") & (F.col("bal") < 0)
+        ).alias("nn"),
+        F.count_if(
+            (F.col("seg") != "BUILDING") & (F.col("bal") >= 0)
+        ).alias("ns"),
+    ).collect()[0]
+    n_bld, n_neg, n_stale = crow.nb, crow.nn, crow.ns
     counts_split_ok = (
         counts["updated"] == n_bld
         and counts["inserted"] == n_bld

@@ -1331,21 +1331,41 @@ def q_merge_on_read_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     p2 = F.col("value") >= 400
     n1 = mor.write_deletion_vector(spark, base, p1)
     n2 = mor.write_deletion_vector(spark, base, p2)
-    expected = spark.read.parquet(base).filter(p1 | p2).count()
-    dv_exact = (n1 + n2) == expected
 
+    # the two PRE-purge audits share one union-tagged job (guide §1.5):
+    # the expected-deletes count over the immutable base files and the
+    # logical (DV-subtracted) baseline; the post-purge summary is a
+    # separate action by necessity (it reads gen2, which exists only
+    # after purge_deletes).  Per-branch values identical to the former
+    # three sequential jobs.
     logical = mor.read_with_deletes(spark, base)
-    summary = lambda df: df.agg(  # noqa: E731
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.round(F.col("value") * 1e6, 0).cast("long"))
-        .cast("long")
-        .alias("vm"),
-    ).collect()[0]
-    before = summary(logical)
+    vm = F.round(F.col("value") * 1e6, 0).cast("long")
+    rows = (
+        spark.read.parquet(base)
+        .filter(p1 | p2)
+        .select(F.lit(0).alias("s"), vm.alias("m"))
+        .unionByName(logical.select(F.lit(1).alias("s"), vm.alias("m")))
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("m").cast("long").alias("vm"),
+        )
+        .collect()
+    )
+    g = {r.s: (r.n, r.vm) for r in rows}
+    dv_exact = (n1 + n2) == g.get(0, (0, None))[0]
+    before = g.get(1, (0, None))
     n_purged = mor.purge_deletes(spark, base, gen2)
-    after = summary(spark.read.parquet(gen2))
+    after = (
+        spark.read.parquet(gen2)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(vm).cast("long").alias("vm"),
+        )
+        .collect()[0]
+    )
     purge_matches = (
-        before.n == after.n == n_purged and before.vm == after.vm
+        before[0] == after.n == n_purged and before[1] == after.vm
     )
     return (
         spark.read.parquet(gen2)
