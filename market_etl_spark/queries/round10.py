@@ -443,7 +443,7 @@ def q_version_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # incremental consumer: refresh v1's aggregate from the feed only.
-    # THREE audit aggregates folded into ONE job (guide §1.5): the
+    # THREE audit aggregates folded into ONE job (guide §7.3 — per-action driver planning cost): the
     # signed feed delta and the two snapshot baselines are union-tagged
     # with a per-row weight (feed rows carry the change sign, snapshot
     # rows weight 1) so one grouped (sum(w), sum(w*micros)) reduction
@@ -553,7 +553,7 @@ def q_mor_compaction_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     compact_manifested(spark, src, dest, "value", n_bins=4, apply_deletes=True)
 
-    # FOUR audit actions folded into ONE job (guide §1.5: drill wall is
+    # FOUR audit actions folded into ONE job (guide §7.3: drill wall is
     # per-action fixed cost, not data): the pre-compaction logical view
     # (src + sidecars, untouched by the generation move), the compacted
     # plain read, the stats-pruned band scan, and the per-file sort-order

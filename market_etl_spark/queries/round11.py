@@ -176,7 +176,7 @@ def q_lakehouse_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # incremental consumer: signed replay from EMPTY must land exactly
     # on the final table's aggregate.  THREE audit actions folded into
-    # ONE job (guide §1.5): feed delta, final-table baseline and the
+    # ONE job (guide §7.3 — per-action driver planning cost): feed delta, final-table baseline and the
     # neutral-commit probe are union-tagged with a per-row weight (feed
     # rows carry the change sign, the others weight 1); one grouped
     # (sum(w), sum(w*micros)) reduction reproduces the former collects
@@ -387,7 +387,7 @@ def q_lakehouse_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.commit()  # v3
 
-    # Audit folds (guide §1.5): the two PRE-restore baselines share one
+    # Audit folds (guide §7.3 — per-action driver planning cost): the two PRE-restore baselines share one
     # job and the two POST-restore probes share another (5 actions → 3;
     # the history collect is metadata-tiny).  The v3 baseline must stay
     # a PRE-restore action — history_preserved proves post-restore time
@@ -528,7 +528,7 @@ def q_mor_compaction_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     compact_manifested(spark, src, dest, "value", n_bins=4, apply_deletes=True)
 
-    # THREE audit actions folded into ONE job (guide §1.5: the drill
+    # THREE audit actions folded into ONE job (guide §7.3: the drill
     # wall is per-action fixed cost): the pre-compaction logical view
     # (src + sidecars, untouched by the generation move), the compacted
     # plain read, and the reinsert-presence probe are union-tagged and
@@ -770,7 +770,7 @@ def q_lakehouse_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("op", F.lit("i"))
         )
     )
-    # FOUR pre-merge audit jobs folded into ONE (guide §1.5): the
+    # FOUR pre-merge audit jobs folded into ONE (guide §7.3 — per-action driver planning cost): the
     # table at v2 holds exactly e's rows (single append), so the three
     # expectation counts are conditional aggregates over the same scan
     # as the pre-merge baseline — values identical to the former
@@ -801,7 +801,7 @@ def q_lakehouse_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     file_pruned = 0 < len(removed) < total_files
 
     final = lk.read_table(spark, path)
-    # post-merge audit fold (guide §1.5): final-table baseline and the
+    # post-merge audit fold (guide §7.3 — per-action driver planning cost): final-table baseline and the
     # signed CDF delta union-tagged into ONE grouped job (feed rows
     # carry the change sign as weight, table rows weight 1) — the
     # established pattern of q_lakehouse_change_feed; per-branch
@@ -922,7 +922,7 @@ def q_lakehouse_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         not data_dir.exists()
         or not any(data_dir.glob("*.parquet"))
     )
-    # one conditional aggregate instead of two counts (guide §1.5)
+    # one conditional aggregate instead of two counts (guide §7.3 — per-action driver planning cost)
     feed = lk.read_changes(spark, dst, 0, 1)
     frow = feed.agg(
         F.count(F.lit(1)).alias("n"),

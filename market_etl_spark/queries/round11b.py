@@ -205,7 +205,7 @@ def q_lakehouse_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = str(_SCRATCH / f"lakehouse_zorder_{_tag(sf_dir)}")
     ev, _bound = _seed_ranged_events(spark, sf_dir, path, n_files=8)
     # one job for both column maxima (emax is only consumed after the
-    # rewrite, but ev is immutable — value identical; guide §1.5)
+    # rewrite, but ev is immutable — value identical)
     umax, emax = ev.agg(F.max("user_id"), F.max("event_id")).collect()[0]
     ub = umax // 4 + 1
     upred = [("user_id", "<", ub)]
@@ -1015,7 +1015,7 @@ def q_lakehouse_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         t.commit()
     # the three per-commit (min,max) probes fold into ONE grouped job
-    # after the loop (guide §1.5): appends never rewrite rows and the
+    # after the loop (guide §7.3 — per-action driver planning cost): appends never rewrite rows and the
     # event_id slices are disjoint, so slice i of the FINAL table is
     # exactly commit i's rows — per-slice min/max identical to the
     # former post-commit probes.

@@ -853,7 +853,7 @@ def q_lakehouse_zorder_incremental(
     pred = [("event_id", ">=", 10**9)]
     _pv, kept, _total = lk.prune_files(path, pred)
     pruned = lk.read_table(spark, path, predicate=pred)
-    # THREE audit counts folded into ONE union-tagged job (guide §1.5):
+    # THREE audit counts folded into ONE union-tagged job (guide §7.3 — per-action driver planning cost):
     # the pruned read, the expected-slices scan, and the (empty)
     # maintenance-commit feed each keep their own scan branch; the
     # per-branch counts equal the former separate .count() jobs.

@@ -645,7 +645,7 @@ def llm_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver-side admitted-row counter: fold() already collects each
     # commit's fingerprint list for the bloom sidecar, so completion
     # polling can read this dict instead of running a read_table+count
-    # Spark job every 200 ms (guide §1.5/§5.1 — the poll loop was ~25
+    # Spark job every 200 ms (guide §7.3/§2.6 — the poll loop was ~25
     # redundant jobs per run, pure fixed cost)
     admitted_n = {"n": 0}
 
@@ -655,7 +655,7 @@ def llm_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # no leading batch.isEmpty() guard: it cost one Spark job on
         # EVERY non-empty batch, and the fresh-set emptiness check
         # below already short-circuits an empty batch before any
-        # commit (guide §1.5 — value-identical, one job fewer/batch)
+        # commit (action-fold — value-identical, one job fewer/batch)
         fps = batch.select(
             F.sha2(F.col("text"), 256).alias("fp"),
             "doc_id", "lang", "n_chars",
@@ -687,7 +687,7 @@ def llm_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             # no bloom hit: fresh IS firsts — already checkpointed and
             # its digest list already collected; re-checkpointing and
-            # re-collecting were two redundant jobs (guide §1.5)
+            # re-collecting were two redundant jobs (guide §7.3 — per-action driver planning cost)
             fresh = firsts
             fp_list = digests
         if not fp_list:
@@ -753,7 +753,7 @@ def llm_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly_once = lk.latest_commit(dst) == v_done
 
     admitted = lk.read_table(spark, dst)
-    # audit folds (guide §1.5): the two planted-replay counts are one
+    # audit folds (guide §7.3 — per-action driver planning cost): the two planted-replay counts are one
     # conditional aggregate over docs (their filters are disjoint
     # doc_id ranges, so the union count equals the sum), the two
     # admitted-side counts are one aggregate, and the full-corpus

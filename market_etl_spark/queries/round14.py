@@ -274,7 +274,7 @@ def q_lakehouse_merge_by_source(
     )
     t.commit()
     # three expectation counts in ONE conditional aggregate over the
-    # same customer scan (guide §1.5); b.count() == the BUILDING
+    # same customer scan (guide §7.3 — per-action driver planning cost); b.count() == the BUILDING
     # segment count by construction
     crow = cust.agg(
         F.count_if(F.col("seg") == "BUILDING").alias("nb"),

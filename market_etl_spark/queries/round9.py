@@ -1332,7 +1332,7 @@ def q_merge_on_read_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = mor.write_deletion_vector(spark, base, p1)
     n2 = mor.write_deletion_vector(spark, base, p2)
 
-    # the two PRE-purge audits share one union-tagged job (guide §1.5):
+    # the two PRE-purge audits share one union-tagged job (guide §7.3 — per-action driver planning cost):
     # the expected-deletes count over the immutable base files and the
     # logical (DV-subtracted) baseline; the post-purge summary is a
     # separate action by necessity (it reads gen2, which exists only
