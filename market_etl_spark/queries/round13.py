@@ -378,8 +378,14 @@ def q_lakehouse_sql_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_name = run_sql(spark, agg_sql.format(tbl="lakehouse.cust13"))
     by_path = run_sql(spark, agg_sql.format(tbl=f"lakehouse.`{path}`"))
     rows_of = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
-    by_path_rows = rows_of(by_path)  # collected ONCE, compared twice
-    roundtrip = rows_of(by_name) == by_path_rows
+    # pre-drop by-name and by-path aggregates union-tagged into ONE
+    # collect (was two jobs); rows_of sorts, so union order is moot.
+    # by_path itself stays the (lazy) returned frame — plan untouched.
+    side = lambda df, s: df.select(F.lit(s).alias("_s"), "*")  # noqa: E731
+    both = side(by_name, 0).unionAll(side(by_path, 1)).collect()
+    split = lambda s: sorted(tuple(r)[1:] for r in both if r["_s"] == s)  # noqa: E731
+    by_path_rows = split(1)  # collected ONCE, compared twice
+    roundtrip = split(0) == by_path_rows
     run_sql(spark, "DROP TABLE cust13")
     try:
         run_sql(spark, "SELECT * FROM lakehouse.cust13")
