@@ -10,11 +10,16 @@ changing any audited value:
 - :func:`digest_pairs_equal` folds N independent (left, right)
   row-digest parity comparisons into ONE Spark action: every side is
   tagged with (pair, side) literals, unioned, and reduced by a single
-  grouped (count, bit_xor) aggregate — the same (n, xxhash64-xor)
-  multiset digest the drills computed with 2N separate
-  ``.agg(...).collect()`` jobs.  Per-side results are identical by
-  construction (same hash expression, same reduction); only the job
-  count changes.
+  grouped (count, bit_xor, decimal-sum) aggregate.  The bit_xor
+  component alone cancels rows of even multiplicity ({a,a,b,b} and
+  {c,c,d,d} xor to the same digest at equal counts — ADVICE r14), so
+  the aggregate also carries ``sum(hash cast decimal(38,0))`` — the
+  digest family q_lakehouse_txn used before the fold — in the SAME
+  single job; a collision now needs equal count, equal xor AND equal
+  sum.  Per-side results are strictly stronger than the two-job
+  (count, xor) form they replaced; a pair that compared equal before
+  still compares equal (identical multisets agree on every
+  component), so verdicts on correct code are unchanged.
 - :func:`concurrently` runs independent driver thunks on a small
   thread pool so their jobs overlap (guide §2.6: actions are only
   sequential because driver code calls them sequentially); Spark's
@@ -37,11 +42,13 @@ def digest_pairs_equal(pairs) -> list[bool]:
     projected to a SINGLE long hash column (conventionally
     ``xxhash64(...)`` over the drill's canonical columns).  Returns
     ``[left_i multiset== right_i, ...]`` — per side the digest is
-    ``(row_count, bit_xor(hash))``, exactly the tuple the drills'
-    per-side ``agg(count, bit_xor(xxhash64(...)))`` collected, so a
-    True/False here is value-identical to the two-job form.  An empty
-    side contributes no group row; empty==empty compares equal and
-    empty vs non-empty compares different, as before.
+    ``(row_count, bit_xor(hash), sum(hash as decimal(38,0)))``; the
+    decimal sum (overflow-free for any realistic row count) closes
+    the even-multiplicity xor cancellation without a second job.  A
+    pair the old (count, xor) digest called equal on identical
+    multisets still compares equal.  An empty side contributes no
+    group row; empty==empty compares equal and empty vs non-empty
+    compares different, as before.
     """
     tagged = []
     for i, (a, b) in enumerate(pairs):
@@ -57,10 +64,14 @@ def digest_pairs_equal(pairs) -> list[bool]:
     u = reduce(DataFrame.unionAll, tagged)
     rows = (
         u.groupBy("_p", "_s")
-        .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(_h)").alias("x"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(_h)").alias("x"),
+            F.sum(F.col("_h").cast("decimal(38,0)")).alias("s"),
+        )
         .collect()
     )
-    d = {(r["_p"], r["_s"]): (r["n"], r["x"]) for r in rows}
+    d = {(r["_p"], r["_s"]): (r["n"], r["x"], r["s"]) for r in rows}
     return [d.get((i, 0)) == d.get((i, 1)) for i in range(len(pairs))]
 
 
@@ -76,6 +87,8 @@ def concurrently(*thunks, max_workers: int | None = None):
     their results in order.  Only for thunks whose Spark work is
     independent (no shared temp-view/table mutation, no session-conf
     flips inside the thunk)."""
+    if not thunks:  # ThreadPoolExecutor rejects max_workers=0 (ADVICE r14)
+        return []
     with ThreadPoolExecutor(max_workers=max_workers or len(thunks)) as ex:
         futs = [ex.submit(t) for t in thunks]
         return [f.result() for f in futs]

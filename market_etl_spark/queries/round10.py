@@ -470,8 +470,14 @@ def q_version_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     g = {r.s: (r.dn, r.dm) for r in rows}
-    d, b1, b3 = g[0], g[1], g[2]
-    ivm_consistent = (b1[0] + d[0] == b3[0]) and (b1[1] + d[1] == b3[1])
+    # missing group row (empty branch) → False verdict, not KeyError
+    # (ADVICE r14); a None sum cannot satisfy the arithmetic check
+    d, b1, b3 = (g.get(i, (0, None)) for i in range(3))
+    ivm_consistent = (
+        None not in (d[1], b1[1], b3[1])
+        and b1[0] + d[0] == b3[0]
+        and b1[1] + d[1] == b3[1]
+    )
 
     return (
         feed.groupBy(

@@ -208,7 +208,10 @@ def q_lakehouse_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     g = {r.s: (r.dn, r.dm) for r in rows}
-    d, fin = g[0], g[1]
+    # an empty union branch contributes no group row — default like
+    # the other folds so an empty feed yields a False verdict, not a
+    # KeyError (ADVICE r14)
+    d, fin = g.get(0, (0, None)), g.get(1, (0, None))
     ivm_consistent = (d[0] == fin[0]) and (d[1] == fin[1])
     neutral_commits_silent = g.get(2, (0, None))[0] == 0
 
@@ -828,9 +831,13 @@ def q_lakehouse_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     g = {r.s: (r.dn, r.dm) for r in rows}
-    fin, d = g[0], g[1]
+    # missing group row (empty branch) → False verdict, not KeyError
+    # (ADVICE r14); a None sum cannot satisfy the arithmetic check
+    fin, d = g.get(0, (0, None)), g.get(1, (0, None))
     merge_feed_consistent = (
-        pre.n + d[0] == fin[0] and pre.m + d[1] == fin[1]
+        None not in (fin[1], d[1])
+        and pre.n + d[0] == fin[0]
+        and pre.m + d[1] == fin[1]
     )
 
     return (

@@ -1005,6 +1005,7 @@ def q_lakehouse_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = lk.Transaction(path)
     t.set_identity_column("row_id", start=1000, step=7)
     t.commit()
+    commit_vs = []
     for i in range(3):
         t = lk.Transaction(path)
         t.append(
@@ -1013,7 +1014,7 @@ def q_lakehouse_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("event_id") < (i + 1) * bound)
             ).repartition(4)
         )
-        t.commit()
+        commit_vs.append(t.commit())
     # the three per-commit (min,max) probes fold into ONE grouped job
     # after the loop (guide §7.3 — per-action driver planning cost): appends never rewrite rows and the
     # event_id slices are disjoint, so slice i of the FINAL table is
@@ -1034,6 +1035,24 @@ def q_lakehouse_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     }
     edges = [srows.get(i, (None, None)) for i in range(3)]
+    # invariant anchor (VERDICT r14): the fold above leans on the
+    # append-only invariant it helps audit.  Check it against
+    # evidence INDEPENDENT of the final-table scan — each commit's
+    # add-action footer stats (row_id min/max recorded at write
+    # time; driver-side JSON, zero Spark jobs) must reproduce the
+    # table-derived slice edges exactly.
+    log_edges = []
+    for v in commit_vs:
+        rid = [
+            (a.get("stats") or {}).get("cols", {}).get("row_id")
+            for a in lk._read_commit(path, v)["actions"]
+            if a["op"] == "add"
+        ]
+        log_edges.append(
+            (min(r["min"] for r in rid), max(r["max"] for r in rid))
+            if rid and all(rid)
+            else (None, None)
+        )
 
     df = lk.read_table(spark, path)
     tot = df.agg(
@@ -1043,8 +1062,9 @@ def q_lakehouse_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     ids_unique = tot.n == tot.nd
     ids_on_lattice = tot.off == 0
-    cross_commit_monotonic = all(
-        edges[i][1] < edges[i + 1][0] for i in range(2)
+    cross_commit_monotonic = (
+        all(edges[i][1] < edges[i + 1][0] for i in range(2))
+        and edges == log_edges
     )
     try:
         t_bad = lk.Transaction(path)

@@ -677,7 +677,13 @@ def q_lakehouse_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     # seed-side counts fold into ONE conditional aggregate and the
     # three merge-side counts into ONE left-join aggregate (the same
     # semi/anti semantics classified by match flag), replacing five
-    # separate count() jobs with two (action-count fixed cost, §1.2)
+    # separate count() jobs with two (action-count fixed cost, §1.2).
+    # PRECONDITION (VERDICT r14): the left-join == semi/anti-count
+    # equivalence requires live_keys.k UNIQUE — a duplicated key
+    # would multiply its src row in the join output and inflate
+    # md/mu.  Holds here because k is c_custkey (the seed's primary
+    # key) and the UPDATE/DELETE above never duplicate keys; see
+    # test_audit_helpers.test_left_join_fold_requires_unique_keys.
     r = base.agg(
         F.count_if(F.expr("k % 5 = 0")).alias("d"),
         F.count_if(F.expr("k % 5 <> 0 and seg = 'MACHINERY'")).alias("u"),

@@ -336,7 +336,12 @@ def q_lakehouse_sql_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # data-neutrality digest folded into ONE action: the pre-OPTIMIZE
     # state is exactly the committed snapshot at pre_v, so both sides
     # read AFTER the rewrite (one via time travel) — same per-side
-    # (count, bit_xor(xxhash64)) digest, half the jobs (_audit helper)
+    # (count, bit_xor(xxhash64)) digest, half the jobs (_audit helper).
+    # DEPENDENCY (ADVICE r14): with no independent pre-OPTIMIZE
+    # measurement this checks "time travel to pre_v reproduces the
+    # pre-OPTIMIZE rows", so its soundness leans on version resolution
+    # being correct — a property pinned independently by
+    # q_time_travel_read / q_lakehouse_restore / q_version_change_feed
     from ._audit import digest_pairs_equal
 
     h = lambda df: df.select(  # noqa: E731
@@ -659,9 +664,15 @@ def llm_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..llm.dedup import probe_seen_files, write_fp_bloom_sidecar
 
         # no leading batch.isEmpty() guard: it cost one Spark job on
-        # EVERY non-empty batch, and the fresh-set emptiness check
-        # below already short-circuits an empty batch before any
-        # commit (action-fold — value-identical, one job fewer/batch)
+        # every NON-EMPTY batch, and the fresh-set emptiness check
+        # below still short-circuits before any commit.  Empty
+        # batches cannot occur with this source (ADVICE r14): the
+        # lakehouse stream only advances its offset when the source
+        # table's latest commit advances (latestOffset), every src
+        # commit in this drill is a non-empty append, and Spark plans
+        # no microbatch when the offset is unchanged — so the guard's
+        # removal is one job fewer per batch with no empty-batch
+        # regression to pay for it
         fps = batch.select(
             F.sha2(F.col("text"), 256).alias("fp"),
             "doc_id", "lang", "n_chars",

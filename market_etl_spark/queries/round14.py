@@ -256,7 +256,12 @@ def q_lakehouse_merge_by_source(
     t.append(cust.repartition(4))
     t.commit()
 
-    b = cust.filter(F.col("seg") == "BUILDING").select(
+    # ONE predicate object feeds both the merge source and the
+    # expectation aggregate below (VERDICT r14 invariant anchor): the
+    # fold's "b.count() == BUILDING count by construction" cannot
+    # drift if the two sites can never disagree on the predicate.
+    is_bld = F.col("seg") == "BUILDING"
+    b = cust.filter(is_bld).select(
         "k", (F.col("bal") + 1000).alias("bal"), F.lit("SRC").alias("seg")
     )
     src = b.unionByName(b.withColumn("k", F.col("k") + 10_000_000))
@@ -274,16 +279,13 @@ def q_lakehouse_merge_by_source(
     )
     t.commit()
     # three expectation counts in ONE conditional aggregate over the
-    # same customer scan (guide §7.3 — per-action driver planning cost); b.count() == the BUILDING
-    # segment count by construction
+    # same customer scan (guide §7.3 — per-action driver planning
+    # cost); nb counts the SAME is_bld predicate object b was built
+    # from, so it equals b.count() by construction
     crow = cust.agg(
-        F.count_if(F.col("seg") == "BUILDING").alias("nb"),
-        F.count_if(
-            (F.col("seg") != "BUILDING") & (F.col("bal") < 0)
-        ).alias("nn"),
-        F.count_if(
-            (F.col("seg") != "BUILDING") & (F.col("bal") >= 0)
-        ).alias("ns"),
+        F.count_if(is_bld).alias("nb"),
+        F.count_if(~is_bld & (F.col("bal") < 0)).alias("nn"),
+        F.count_if(~is_bld & (F.col("bal") >= 0)).alias("ns"),
     ).collect()[0]
     n_bld, n_neg, n_stale = crow.nb, crow.nn, crow.ns
     counts_split_ok = (

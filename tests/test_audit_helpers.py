@@ -81,3 +81,59 @@ def test_concurrently_results_in_order(spark):
         (lambda n=n: spark.range(n + 1).count()) for n in range(5)
     ]
     assert concurrently(*thunks) == [1, 2, 3, 4, 5]
+
+
+def test_digest_equal_count_even_multiplicity_not_conflated(spark):
+    # ADVICE r14: with (count, bit_xor) alone, two different multisets
+    # whose elements all have EVEN multiplicity digest equal at equal
+    # counts ({a,a,b,b} vs {c,c,d,d}: xor cancels to 0 on both sides).
+    # The decimal-sum component added to the same single-job aggregate
+    # must tell them apart.
+    a2 = spark.createDataFrame([(1,), (1,), (2,), (2,)], "k long")
+    c2 = spark.createDataFrame([(3,), (3,), (4,), (4,)], "k long")
+    assert digest_pairs_equal([(hashed(a2, "k"), hashed(c2, "k"))]) == [
+        False
+    ]
+    # and identical even-multiplicity multisets still compare equal
+    assert digest_pairs_equal([(hashed(a2, "k"), hashed(a2, "k"))]) == [
+        True
+    ]
+
+
+def test_concurrently_empty_is_noop(spark):
+    # ADVICE r14: ThreadPoolExecutor(max_workers=0) raises; zero
+    # thunks must return [] instead
+    assert concurrently() == []
+
+
+def test_left_join_fold_requires_unique_keys(spark):
+    # Documents the q_lakehouse_sql_dml fold's precondition (VERDICT
+    # r14): the one-job left-join classification equals the separate
+    # semi/anti counts ONLY when the right side's key is unique.  A
+    # duplicated live key multiplies its matching src row.
+    src = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    uniq = spark.createDataFrame([(1,), (2,)], "k long").select(
+        F.col("k").alias("lk"), F.lit(True).alias("_live")
+    )
+    dup = spark.createDataFrame([(1,), (1,), (2,)], "k long").select(
+        F.col("k").alias("lk"), F.lit(True).alias("_live")
+    )
+
+    def fold_counts(keys):
+        r = (
+            src.join(keys, src.k == keys.lk, "left")
+            .agg(
+                F.count_if(F.col("_live").isNotNull()).alias("matched"),
+                F.count_if(F.col("_live").isNull()).alias("unmatched"),
+            )
+            .collect()[0]
+        )
+        return r.matched, r.unmatched
+
+    n_semi = src.join(uniq, src.k == uniq.lk, "left_semi").count()
+    n_anti = src.join(uniq, src.k == uniq.lk, "left_anti").count()
+    assert fold_counts(uniq) == (n_semi, n_anti) == (2, 1)
+    # with a duplicate key the fold's matched count inflates — the
+    # equivalence breaks, which is why the drill's comment pins the
+    # uniqueness precondition
+    assert fold_counts(dup) == (3, 1) != (n_semi, n_anti)
