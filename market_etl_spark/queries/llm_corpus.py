@@ -39,7 +39,7 @@ from ..llm.text import (
     shingles_sql,
     words,
 )
-from ..tables import load
+from ..tables import fanout_partitions, load
 from .registry import query
 
 
@@ -1020,7 +1020,7 @@ def llm_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would otherwise run it on ONE task (measured 2.9s single-task vs
     # 0.6s spread) — at 100 TB the repartition is how a decode stage
     # rides every executor core.
-    d = load(spark, sf_dir, "documents").select("doc_id").repartition(32)
+    d = load(spark, sf_dir, "documents").select("doc_id").repartition(fanout_partitions(spark))
     return d.mapInPandas(
         run,
         schema=(
@@ -1096,7 +1096,7 @@ def llm_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    d = load(spark, sf_dir, "documents").select("doc_id").repartition(32)
+    d = load(spark, sf_dir, "documents").select("doc_id").repartition(fanout_partitions(spark))
     return d.mapInPandas(
         run,
         schema=(
@@ -1189,7 +1189,7 @@ def llm_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    d = load(spark, sf_dir, "documents").select("doc_id").repartition(32)
+    d = load(spark, sf_dir, "documents").select("doc_id").repartition(fanout_partitions(spark))
     payloads = d.mapInPandas(make, schema="doc_id long, payload binary")
     frames = _mm.sample_frames(payloads)
     return frames.mapInPandas(

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tables import load
+from ..tables import fanout_partitions, load
 from .registry import query
 
 
@@ -1122,21 +1122,27 @@ def q_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # repartition before the 200× fan-out: the single-file testdata scan
     # would otherwise push all B·N md5 evaluations through ONE task
-    # (measured 15.9s single-task vs ~1.3s spread at sf0.1)
+    # (measured 15.9s single-task vs ~1.3s spread at sf0.1); width tracks
+    # the cluster (fanout_partitions), not a local core-count constant
+    # the long→string casts are hoisted OUT of the 200× fan-out: there are
+    # only 200 distinct b and N distinct event_id strings, so they are
+    # materialized once per input row (not once per (b, event) pair); the
+    # md5 input — and therefore every draw — is byte-identical
     x = (
         load(spark, sf_dir, "events")
-        .select("event_id", F.floor(F.col("value") * 1e6).cast("long").alias("v"))
-        .repartition(32)
+        .select(
+            F.col("event_id").cast("string").alias("eid"),
+            F.floor(F.col("value") * 1e6).cast("long").alias("v"),
+        )
+        .repartition(fanout_partitions(spark))
     )
-    bs = spark.range(1, 201).select(F.col("id").alias("b"))
+    bs = spark.range(1, 201).select(
+        F.col("id").alias("b"), F.col("id").cast("string").alias("b_str")
+    )
     u = (
         F.conv(
             F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "|", F.col("b").cast("string"), F.col("event_id").cast("string")
-                    )
-                ),
+                F.md5(F.concat_ws("|", F.col("b_str"), F.col("eid"))),
                 1,
                 8,
             ),
@@ -1173,21 +1179,24 @@ def q_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
             "point_est_micros"
         )
     )
-    lo = ranked.filter(F.col("r") == 5).select(
-        F.round("m", 6).alias("ci_lo_micros")
+    # both CI bounds read off ONE ranked frame in ONE aggregate: the naive
+    # two-filter form plants two full copies of the 200× md5 fan-out
+    # subtree in the plan (scan→repartition→crossJoin→agg→window per
+    # bound); min/max over the r∈{5,196} rows are exactly the same two
+    # ranked values, so the result is byte-identical with half the plan
+    ci = ranked.filter(F.col("r").isin(5, 196)).agg(
+        F.round(F.min(F.when(F.col("r") == 5, F.col("m"))), 6).alias(
+            "ci_lo_micros"
+        ),
+        F.round(F.max(F.when(F.col("r") == 196, F.col("m"))), 6).alias(
+            "ci_hi_micros"
+        ),
     )
-    hi = ranked.filter(F.col("r") == 196).select(
-        F.round("m", 6).alias("ci_hi_micros")
-    )
-    return (
-        point.crossJoin(F.broadcast(lo))
-        .crossJoin(F.broadcast(hi))
-        .select(
-            F.lit(200).cast("long").alias("n_replicates"),
-            "point_est_micros",
-            "ci_lo_micros",
-            "ci_hi_micros",
-        )
+    return point.crossJoin(F.broadcast(ci)).select(
+        F.lit(200).cast("long").alias("n_replicates"),
+        "point_est_micros",
+        "ci_lo_micros",
+        "ci_hi_micros",
     )
 
 

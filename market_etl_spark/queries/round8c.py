@@ -23,7 +23,7 @@ import pathlib  # noqa: F401  (parity with sibling modules)
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..tables import load
+from ..tables import fanout_partitions, load
 from .registry import query
 
 _GRID_R = 0.05  # join radius; cell edge = radius so 3x3 cells cover it
@@ -602,7 +602,7 @@ def llm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    d = load(spark, sf_dir, "documents").select("doc_id").repartition(32)
+    d = load(spark, sf_dir, "documents").select("doc_id").repartition(fanout_partitions(spark))
     return d.mapInPandas(
         run,
         schema=(

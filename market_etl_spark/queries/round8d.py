@@ -22,7 +22,7 @@ import pathlib  # noqa: F401  (parity with sibling modules)
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..tables import load
+from ..tables import fanout_partitions, load
 from .registry import query
 
 
@@ -511,7 +511,7 @@ def llm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((did, phash, flat))
             yield _pd.DataFrame(rows, columns=["doc_id", "phash", "all_flat"])
 
-    d = load(spark, sf_dir, "documents").select("doc_id").repartition(32)
+    d = load(spark, sf_dir, "documents").select("doc_id").repartition(fanout_partitions(spark))
     ph = d.mapInPandas(run, schema="doc_id long, phash long, all_flat boolean")
     bucket = ph.groupBy("phash").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -33,7 +33,7 @@ import pathlib
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..tables import load
+from ..tables import fanout_partitions, load
 from .etl_pipeline import SCRATCH, _source_fingerprint
 from .registry import query
 
@@ -573,7 +573,7 @@ def llm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    d = load(spark, sf_dir, "documents").select("doc_id").repartition(32)
+    d = load(spark, sf_dir, "documents").select("doc_id").repartition(fanout_partitions(spark))
     return d.mapInPandas(
         run,
         schema=(

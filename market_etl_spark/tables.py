@@ -20,6 +20,18 @@ from .session import apply_runtime_conf
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+def fanout_partitions(spark: SparkSession) -> int:
+    """Partition count for spreading a per-row CPU stage across the cluster.
+
+    The single-file testdata scan is ONE map task, so per-row compute
+    stages (codec decode, md5 fan-out) must repartition first or run
+    serially. The right width is the cluster's, not a constant: on
+    ``local[N]`` this is N, on a real cluster it is total executor cores
+    — the same stages ride every core at 100 TB without a code change.
+    """
+    return max(spark.sparkContext.defaultParallelism, 2)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table {name!r}; expected one of {TESTDATA_TABLES}")
